@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table catalog.
+  *
+  * Registers the driver-generated parquet tables
+  * (`region nation customer supplier part orders lineitem events documents
+  * embeddings`, see TESTDATA.md / FIXTURES.md) as temp views plus the engine's
+  * custom SQL functions, so both the SQL surface and the DataFrame operators
+  * can run against a scale-factor directory.
+  *
+  * `events.ts` is nanosecond-precision parquet (`INT64 TIMESTAMP(NANOS)`),
+  * which Spark 4 refuses to read by default. We read it with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as nanos-since-epoch
+  * BIGINT) and normalize to microsecond timestamps with integer division —
+  * exactly the truncation DuckDB applies when it reads the same file, so both
+  * engines see identical µs values (SURVEY.md §1.2, validated cross-engine).
+  */
+object Tables {
+
+  /** Plain tables readable without any legacy flag. */
+  private val plain = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings")
+
+  val all: Seq[String] = plain :+ "events"
+
+  /** Read one fixture table (events comes back normalized to µs timestamps). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events with ts normalized ns→µs (truncating, matching DuckDB). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** Register all fixture views + custom functions on this session.
+    * Idempotent; cheap (temp views are lazy plans over parquet). */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    functions.Registry.registerAll(spark)
+    plain.foreach { n =>
+      spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n)
+    }
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+}
