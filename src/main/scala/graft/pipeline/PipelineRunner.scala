@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{Sinks, Sources}
+
+/** Executes a `PipelineSpec`: extract → transform chain → load
+  * (SURVEY.md §3.3 entry point 1 — the reference framework's main path).
+  *
+  * Each extract registers a temp view; each transform runs over the views
+  * registered so far and registers its own result; each load writes one
+  * view through the sink dispatch. All of it is one lazy Catalyst tree per
+  * load — the runner performs no driver-side data movement.
+  */
+final case class LoadReport(format: String, target: String, source: String)
+final case class PipelineReport(
+    name: String, extracts: Int, transforms: Int, loads: Seq[LoadReport])
+
+object PipelineRunner {
+
+  def runJson(spark: SparkSession, json: String): PipelineReport =
+    run(spark, PipelineSpec.fromJson(json))
+
+  def runFile(spark: SparkSession, path: String): PipelineReport =
+    runJson(spark, new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  def run(spark: SparkSession, spec: PipelineSpec): PipelineReport = {
+    graft.functions.Registry.registerAll(spark)
+
+    spec.extracts.foreach { e =>
+      Sources.read(spark, e.format, e.path, e.schema, e.options)
+        .createOrReplaceTempView(e.view)
+    }
+
+    spec.transforms.foreach { tr =>
+      val df: DataFrame = (tr.sql, tr.className) match {
+        case (Some(sql), _) => spark.sql(sql)
+        case (_, Some(cls)) =>
+          val stage = Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[TransformStage]
+          val inputs = tr.inputs.map(v => v -> spark.table(v)).toMap
+          stage(spark, inputs)
+        case _ => throw new IllegalStateException(s"transform ${tr.view}")
+      }
+      df.createOrReplaceTempView(tr.view)
+    }
+
+    val defaultSource =
+      spec.transforms.lastOption.map(_.view)
+        .orElse(spec.extracts.headOption.map(_.view))
+
+    val loadReports = spec.loads.map { l =>
+      val src = l.source.orElse(defaultSource).getOrElse(
+        throw new IllegalArgumentException("load: no source view"))
+      Sinks.write(spark.table(src), l.format, l.path, l.mode,
+        l.partitionBy, l.options, l.table)
+      LoadReport(l.format, l.table.getOrElse(l.path), src)
+    }
+
+    PipelineReport(spec.name, spec.extracts.size, spec.transforms.size,
+      loadReports)
+  }
+
+  /** CLI: `graft.pipeline.PipelineRunner --spec feed.json` (the
+    * reference's `spark-submit ... -feed path` surface). */
+  def main(args: Array[String]): Unit = {
+    val specPath = args.sliding(2).collectFirst {
+      case Array("--spec", p) => p
+    }.getOrElse(sys.error("usage: PipelineRunner --spec <feed.json>"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val report = runFile(spark, specPath)
+      println(s"pipeline ${report.name}: ${report.extracts} extracts, " +
+        s"${report.transforms} transforms, ${report.loads.size} loads OK")
+    } finally spark.stop()
+  }
+}

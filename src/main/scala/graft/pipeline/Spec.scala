@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Declarative pipeline spec — the engine's equivalent of the reference
+  * framework's feed files (SURVEY.md §0.2, §3.1): a job is a list of
+  * extracts (each materialized as a temp view), an ordered chain of
+  * transforms (SQL text or a pluggable `TransformStage` class), and a list
+  * of loads (sinks).
+  *
+  * Everything between extract and load is a lazy Catalyst plan: the runner
+  * never collects, so Catalyst sees the whole extract→transform→load tree
+  * and can push filters/projections down into the scans regardless of how
+  * the user factored their SQL chain. Only the loads trigger jobs.
+  */
+final case class ExtractSpec(
+    view: String,
+    format: String,
+    path: String = "",
+    schema: Option[String] = None,        // DDL string; off = infer/embedded
+    options: Map[String, String] = Map.empty)
+
+final case class TransformSpec(
+    view: String,                         // name the result is registered as
+    sql: Option[String] = None,           // SQL over previously registered views
+    className: Option[String] = None,     // or: a graft.pipeline.TransformStage impl
+    inputs: Seq[String] = Nil)            // views passed to the plugin stage
+
+final case class LoadSpec(
+    format: String,
+    path: String = "",
+    source: Option[String] = None,        // defaults to the last transform's view
+    mode: String = "overwrite",
+    partitionBy: Seq[String] = Nil,
+    options: Map[String, String] = Map.empty,
+    table: Option[String] = None)         // for format=table (saveAsTable)
+
+final case class PipelineSpec(
+    name: String,
+    extracts: Seq[ExtractSpec],
+    transforms: Seq[TransformSpec] = Nil,
+    loads: Seq[LoadSpec] = Nil)
+
+object PipelineSpec {
+  implicit private val formats: Formats = DefaultFormats
+
+  /** Parse a spec from JSON text; fails fast with a clear message on
+    * missing/malformed sections (the reference validated feed files before
+    * running them — same contract). */
+  def fromJson(json: String): PipelineSpec = {
+    val parsed = JsonMethods.parse(json).extract[PipelineSpec]
+    validate(parsed)
+    parsed
+  }
+
+  def validate(spec: PipelineSpec): Unit = {
+    require(spec.name.nonEmpty, "pipeline: name is required")
+    require(spec.extracts.nonEmpty, "pipeline: at least one extract")
+    spec.extracts.foreach { e =>
+      require(e.view.nonEmpty, "extract: view name is required")
+      require(e.format.nonEmpty, s"extract ${e.view}: format is required")
+    }
+    spec.transforms.foreach { t =>
+      require(t.view.nonEmpty, "transform: view name is required")
+      require(t.sql.isDefined ^ t.className.isDefined,
+        s"transform ${t.view}: exactly one of sql|className")
+    }
+    val known = (spec.extracts.map(_.view) ++ spec.transforms.map(_.view)).toSet
+    spec.loads.foreach { l =>
+      require(l.format.nonEmpty, "load: format is required")
+      l.source.foreach(s => require(known.contains(s),
+        s"load: unknown source view '$s' (known: ${known.mkString(", ")})"))
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Sources}
+
+/** T-IO1..T-IO6 (SURVEY.md §2.1): source/sink round-trips through the
+  * pipeline layer's dispatch. JDBC is contract-tested against DuckDB's own
+  * JDBC driver (no MySQL/PG jar offline — SURVEY.md §7.3). */
+class IoSuite extends SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  private lazy val sample = {
+    val df = Tables.table(spark, sf0001, "nation")
+    df.cache(); df.count(); df
+  }
+
+  test("T-IO1: CSV round-trip with explicit schema") {
+    val out = tmp()
+    Sinks.write(sample, "csv", s"$out/nation")
+    val ddl = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    val back = Sources.read(spark, "csv", s"$out/nation", Some(ddl))
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      sample.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("T-IO2: JSON round-trip (nested struct survives)") {
+    val out = tmp()
+    val nested = sample.select(col("n_nationkey"),
+      struct(col("n_name"), col("n_regionkey")).as("info"))
+    Sinks.write(nested, "json", s"$out/nested")
+    val back = Sources.read(spark, "json", s"$out/nested")
+    assert(back.count() == sample.count())
+    assert(back.select("info.n_name").distinct().count() ==
+      sample.select("n_name").distinct().count())
+  }
+
+  test("T-IO3: ORC round-trip") {
+    val out = tmp()
+    Sinks.write(sample, "orc", s"$out/nation")
+    val back = Sources.read(spark, "orc", s"$out/nation")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      sample.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("T-IO4: catalog table write/read (saveAsTable / spark.table)") {
+    Sinks.write(sample, "table", "", mode = "overwrite",
+      table = Some("t_io4_nation"))
+    val back = Sources.read(spark, "table", "t_io4_nation")
+    assert(back.count() == sample.count())
+    spark.sql("DROP TABLE IF EXISTS t_io4_nation")
+  }
+
+  test("T-IO5: JDBC round-trip via DuckDB driver") {
+    val db = s"${tmp()}/io5.duckdb"
+    val url = s"jdbc:duckdb:$db"
+    val opts = Map("url" -> url, "dbtable" -> "nation",
+      "driver" -> "org.duckdb.DuckDBDriver")
+    Sinks.write(sample, "jdbc", "", options = opts)
+    val back = Sources.read(spark, "jdbc", "", options = opts)
+    assert(back.orderBy("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSeq ==
+      sample.orderBy("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue).toSeq)
+  }
+
+  test("T-IO6: partitioned parquet write → partition pruning at read") {
+    val out = tmp()
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    Sinks.write(li, "parquet", s"$out/li", partitionBy = Seq("l_returnflag"))
+    val back = Sources.read(spark, "parquet", s"$out/li")
+      .filter(col("l_returnflag") === "R")
+    // Partition pruning must reach the scan: the R-partition filter appears
+    // as a PartitionFilter, so only one directory is read.
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"), plan.take(2000))
+    val expected = li.filter(col("l_returnflag") === "R").count()
+    assert(back.count() == expected && expected > 0)
+  }
+}

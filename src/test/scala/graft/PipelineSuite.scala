@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** Uppercases the mktsegment of every customer row — a minimal
+  * TransformStage plugin for T-P3 (must be a top-level class so
+  * Class.forName can instantiate it). */
+class SegmentUpperStage extends TransformStage {
+  override def apply(spark: SparkSession,
+                     inputs: Map[String, DataFrame]): DataFrame =
+    inputs("customer").withColumn("c_mktsegment", upper(col("c_mktsegment")))
+}
+
+/** T-P1..T-P3 (SURVEY.md §3.3): the declarative spec layer end-to-end. */
+class PipelineSuite extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-pipe").toString
+
+  test("T-P1: single extract + SQL transform + parquet load") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp1",
+      "extracts": [
+        {"view": "lineitem", "format": "parquet",
+         "path": "$sf0001/lineitem.parquet"}],
+      "transforms": [
+        {"view": "pricing", "sql": "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) sum_qty, COUNT(*) n FROM lineitem GROUP BY l_returnflag, l_linestatus"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/pricing"}]
+    }"""
+    val report = PipelineRunner.runJson(spark, spec)
+    assert(report.loads.size == 1)
+    val back = spark.read.parquet(s"$out/pricing")
+    assert(back.count() > 0)
+    assert(back.columns.sorted.toSeq ==
+      Seq("l_linestatus", "l_returnflag", "n", "sum_qty"))
+  }
+
+  test("T-P2: multi-source join, multi-sink (parquet + csv)") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp2",
+      "extracts": [
+        {"view": "orders", "format": "parquet", "path": "$sf0001/orders.parquet"},
+        {"view": "customer", "format": "parquet", "path": "$sf0001/customer.parquet"}],
+      "transforms": [
+        {"view": "seg_rev", "sql": "SELECT c.c_mktsegment, COUNT(*) n, ROUND(SUM(o.o_totalprice),2) rev FROM orders o JOIN customer c ON o.o_custkey=c.c_custkey GROUP BY c.c_mktsegment"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/seg_rev_parquet"},
+        {"format": "csv", "path": "$out/seg_rev_csv"}]
+    }"""
+    val report = PipelineRunner.runJson(spark, spec)
+    assert(report.loads.size == 2)
+    val p = spark.read.parquet(s"$out/seg_rev_parquet")
+    val c = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$out/seg_rev_csv")
+    assert(p.count() == c.count() && p.count() > 0)
+  }
+
+  test("T-P3: custom TransformStage plugin by class name") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp3",
+      "extracts": [
+        {"view": "customer", "format": "parquet", "path": "$sf0001/customer.parquet"}],
+      "transforms": [
+        {"view": "upper_seg", "className": "graft.SegmentUpperStage",
+         "inputs": ["customer"]}],
+      "loads": [
+        {"format": "parquet", "path": "$out/upper"}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val back = spark.read.parquet(s"$out/upper")
+    val segs = back.select("c_mktsegment").distinct()
+      .collect().map(_.getString(0))
+    assert(segs.nonEmpty && segs.forall(s => s == s.toUpperCase))
+  }
+
+  test("spec validation rejects malformed pipelines") {
+    intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"name":"x","extracts":[{"view":"v","format":"parquet","path":"p"}],
+           "transforms":[{"view":"t"}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"name":"x","extracts":[{"view":"v","format":"parquet","path":"p"}],
+           "loads":[{"format":"parquet","path":"o","source":"nope"}]}""")
+    }
+  }
+}
