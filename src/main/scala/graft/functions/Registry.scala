@@ -11,6 +11,8 @@ object Registry {
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
       "shingles", exprs => Shingles(exprs(0), exprs(1)), "scala_udf")
+    fr.createOrReplaceTempFunction(
+      "winnow", exprs => Winnow(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.udf.register("geomean", F.udaf(GeoMean))
   }
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (SURVEY.md §2.8c L1/L2).
+  *
+  * Three tiers, all shuffle-by-key (never O(N²) document comparisons):
+  *
+  *  - exact: group on a content hash — the shuffle carries 32-byte digests,
+  *    not documents; works unchanged at 100 TB.
+  *  - MinHash+LSH: shingle → hashed term vector → MinHash signatures →
+  *    banded OR-amplified buckets; candidate pairs come from an equi-join
+  *    on (band, bucket-hash), then exact Jaccard on the candidates only.
+  *  - SimHash: one 64-bit signature per doc; near-dup = small Hamming
+  *    distance. Banding over 16-bit quarters turns the Hamming search into
+  *    4 equi-joins (pigeonhole: distance ≤ 3 ⇒ one quarter matches
+  *    exactly), so it also scales as a hash join.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per distinct hash of `cols`.
+    * At scale this is one shuffle on the digest. */
+  def exactDedup(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Per-content-hash group sizes > 1 (the duplicate report). */
+  def duplicateGroups(df: DataFrame, textCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** MinHash-LSH near-duplicate pairs with Jaccard >= `threshold` over
+    * word `n`-gram shingle sets.
+    *
+    * MLlib's `approxSimilarityJoin` does the band-bucket equi-join and then
+    * computes the exact Jaccard distance on candidates, so the output is
+    * exact-on-candidates; only recall is approximate (grows with
+    * `numHashTables`). Returns (a, b, jaccard) with a < b.
+    */
+  def minHashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8,
+      numHashTables: Int = 8, numFeatures: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Registry.registerAll(spark)
+    docs.createOrReplaceTempView("minhash_in")
+    // DISTINCT shingles: MinHash is defined on sets. The generator runs
+    // per-partition; distinct is one shuffle on (id, shingle).
+    val shingled = spark.sql(
+      s"""SELECT $idCol AS id, collect_set(shingle) AS sh FROM (
+         |  SELECT $idCol, shingles($textCol, $shingleN) FROM minhash_in
+         |) GROUP BY $idCol""".stripMargin)
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val vecs = tf.transform(shingled).cache()
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(vecs)
+    val joined = model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold,
+        "jaccard_dist")
+      .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
+        round(lit(1.0) - col("jaccard_dist"), 4).as("jaccard"))
+      .filter(col("a") < col("b"))
+    vecs.unpersist()
+    joined
+  }
+
+  /** 64-bit SimHash of a token array: sign-sum of per-token xxhash64 bits,
+    * weighted by token frequency. Pure Spark SQL expressions (codegen'd):
+    * explode → per-bit vote → reassemble. Deterministic. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    // For each of 64 bits: +1 if set else -1; sum per doc; bit = sum > 0.
+    val bitCols: Column = (0 until 64).map { i =>
+      // sum of votes for bit i, materialized as a signed count
+      (sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)) > 0)
+        .cast("long") * lit(1L << i)
+    }.reduce(_ + _)
+    toks.groupBy("id").agg(bitCols.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxDist
+    * (maxDist <= 3 for exactness via 4-band pigeonhole). Output (a, b,
+    * hamming) with a < b, distinct. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for <= 3")
+    val sigs = simHash(docs, idCol, textCol).cache()
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          col("simhash").bitwiseAND(lit(0xFFFFL << (16 * b))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

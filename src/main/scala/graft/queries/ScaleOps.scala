@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Support._
+
+/** Training-data-pipeline operators as contract queries (builder brief +
+  * SURVEY.md §2.8c): quality scoring, BPE-ish token counting, language ID,
+  * MinHash-LSH / SimHash near-dup, LSH/IVF ANN, winnowing fingerprints,
+  * multimodal feature extraction.
+  *
+  * Deterministic-and-SQL-expressible operators carry a DuckDB oracle;
+  * sketch/LSH operators are rows-only here and recall-tested against their
+  * exact counterparts in the ScalaTest suite (OpsSuite).
+  */
+object ScaleOps {
+
+  val defs: Seq[Q] = Seq(
+
+    dfQ("q68_quality_score",
+      """SELECT doc_id,
+        |       CAST(LENGTH(text) AS BIGINT) n_chars,
+        |       CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) n_tokens,
+        |       ROUND(LENGTH(text) / GREATEST(LEN(STRING_SPLIT(text,' ')), 1.0), 4) avg_tok_len,
+        |       ROUND(LENGTH(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) / GREATEST(LENGTH(text), 1.0), 6) punct_ratio,
+        |       ROUND(LEN(LIST_FILTER(STRING_SPLIT(text,' '), w -> LIST_CONTAINS(['the','a','of','and','to','in','is','that','it','for'], w))) / GREATEST(LEN(STRING_SPLIT(text,' ')), 1.0), 6) stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.qualityScore(Tables.table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    dfQ("q69_token_counts",
+      """SELECT doc_id,
+        |       CAST(LEN(STRING_SPLIT(text,' ')) AS BIGINT) ws_tokens,
+        |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.tokenCounts(Tables.table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    dfQ("q70_langid",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['the','a','of','and','to','in','is','that','it','for'], w))) se,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], w))) sd,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['le','la','les','et','est','un','une','dans','que','pour'], w))) sf,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['el','los','las','y','es','un','una','en','que','para'], w))) ss
+        |  FROM (SELECT doc_id, STRING_SPLIT(text,' ') ws FROM documents))
+        |SELECT doc_id, CASE
+        |  WHEN GREATEST(se, sd, sf, ss) = 0 THEN 'und'
+        |  WHEN se = GREATEST(se, sd, sf, ss) THEN 'en'
+        |  WHEN sd = GREATEST(se, sd, sf, ss) THEN 'de'
+        |  WHEN sf = GREATEST(se, sd, sf, ss) THEN 'fr'
+        |  ELSE 'es' END lang_guess
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // zh profile scores 0 on this latin-script fixture, so the 4-lang
+      // oracle CASE is equivalent; the real 5-profile operator is what runs.
+      TextAnalysis.languageId(Tables.table(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    sparkOnly("q71_minhash_neardup") { (s, d) =>
+      Dedup.minHashNearDupPairs(
+        Tables.table(s, d, "documents").filter(col("doc_id") < 150),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .orderBy("a", "b")
+    },
+
+    sparkOnly("q72_ann_topk") { (s, d) =>
+      Similarity.annTopK(Tables.table(s, d, "embeddings"), "vec_id",
+        "embedding", _.filter(col("vec_id") < 5), k = 3)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q", "rn")
+    },
+
+    sparkOnly("q73_simhash_pairs") { (s, d) =>
+      Dedup.simHashNearDupPairs(
+        Tables.table(s, d, "documents").filter(col("doc_id") < 150),
+        "doc_id", "text", maxDist = 3)
+        .orderBy("a", "b")
+    },
+
+    sparkOnly("q74_fingerprints") { (s, d) =>
+      TextAnalysis.fingerprints(Tables.table(s, d, "documents"),
+        "doc_id", "text", k = 5, w = 4)
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+          array_min(col("fingerprints")).as("fp_min"))
+        .orderBy("doc_id")
+    },
+
+    sparkOnly("q75_multimodal_features") { (s, d) =>
+      val media = Multimodal.mediaFromDocuments(Tables.table(s, d, "documents"))
+      val feats = Multimodal.extractFeatures(media, dim = 16)
+      feats.toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_bytes"), 2).as("avg_bytes"),
+          max(size(col("features"))).as("dim"))
+        .orderBy("kind")
+    },
+
+    sparkOnly("q76_ivf_topk") { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = 16)
+      Similarity.ivfTopK(indexed, model,
+        emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 8)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q", "rn")
+    }
+  )
+}

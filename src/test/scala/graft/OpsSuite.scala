@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Winnow
+import graft.ops._
+
+/** Correctness + recall properties for the training-data-pipeline
+  * operators (SURVEY.md §2.8c): LSH recall vs exact results, SimHash
+  * behavior, winnowing guarantees, language-ID accuracy on genuine
+  * multilingual snippets, multimodal plumbing shapes. */
+class OpsSuite extends SparkTestBase {
+
+  private lazy val docs = {
+    val d = Tables.table(spark, sf0001, "documents"); d.cache(); d.count(); d
+  }
+  private lazy val emb = {
+    val e = Tables.table(spark, sf0001, "embeddings"); e.cache(); e.count(); e
+  }
+
+  // --- exact Jaccard reference (Q61 shape) --------------------------------
+
+  private def exactJaccardPairs(threshold: Double): Set[(Long, Long)] = {
+    functions.Registry.registerAll(spark)
+    docs.createOrReplaceTempView("docs_ref")
+    spark.sql(
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, shingle AS s
+         |  FROM (SELECT doc_id, shingles(text, 3) FROM docs_ref)),
+         |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT da, db FROM inter
+         |JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= $threshold""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("MinHashLSH near-dup recall >= 0.9 vs exact Jaccard pairs") {
+    val exact = exactJaccardPairs(0.8)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8, numHashTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+    // precision: every reported pair really has Jaccard >= threshold
+    // (approxSimilarityJoin computes exact distance on candidates).
+    assert(lsh.subsetOf(exactJaccardPairs(0.799)),
+      "LSH must not report pairs below threshold")
+  }
+
+  test("SimHash: identical docs distance 0; near-dups close; finds planted pair") {
+    import spark.implicits._
+    val synthetic = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),       // exact dup
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),        // 1-word edit
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simHash(synthetic, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val pairs = Dedup.simHashNearDupPairs(synthetic, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ANN (BRP-LSH) top-k recall >= 0.9 vs exact cosine top-k") {
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("exactTopK matches the Q62 SQL formulation") {
+    functions.Registry.registerAll(spark)
+    Tables.register(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT q, v FROM (
+        |  SELECT a.vec_id q, b.vec_id v,
+        |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |           ORDER BY COSINE_SIMILARITY(a.embedding, b.embedding) DESC, b.vec_id) rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 5) t WHERE rn <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaOp = Similarity.exactTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaOp == viaSql)
+  }
+
+  test("IVF top-k: well-formed results, recall measured vs exact") {
+    val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+    // On this fixture the vectors are near-random in high dim, so coarse
+    // cells separate true neighbors; nprobe=8 (half the cells) is the
+    // honest operating point for recall here — real embedding corpora
+    // cluster far better and run nprobe << nlist.
+    val res = Similarity.ivfTopK(indexed, model,
+      emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 8)
+      .collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 3)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"IVF recall@3 (nprobe=8/16): $recall")
+    assert(recall >= 0.6, s"recall=$recall — raise nprobe if this regresses")
+  }
+
+  test("winnow guarantee: shared substring >= k+w-1 shares a fingerprint") {
+    val k = 5; val w = 4
+    val shared = "the winnowing guarantee substring"
+    val a = s"prefix words here $shared and then a tail"
+    val b = s"totally other beginning $shared different ending words"
+    val fa = Winnow.fingerprints(a, k, w).toSet
+    val fb = Winnow.fingerprints(b, k, w).toSet
+    assert(fa.intersect(fb).nonEmpty)
+    // and disjoint docs share nothing
+    val fc = Winnow.fingerprints("zzz qqq xxx vvv unrelated", k, w).toSet
+    assert(fa.intersect(fc).isEmpty)
+  }
+
+  test("winnow SQL expression agrees with the reference kernel") {
+    functions.Registry.registerAll(spark)
+    import spark.implicits._
+    val texts = Seq("abcdefghijklmnop", "short", "", "aaaaaaaaaaaaaaaaaaaa")
+    val got = texts.toDF("t")
+      .selectExpr("winnow(t, 5, 4) AS fp").as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, fp) =>
+      assert(fp == Winnow.fingerprints(t, 5, 4).toSeq, s"text='$t'")
+    }
+  }
+
+  test("languageId identifies genuine multilingual snippets") {
+    import spark.implicits._
+    val snippets = Seq(
+      (1L, "the cat sat on the mat and it was happy that day", "en"),
+      (2L, "der hund ist nicht mit der katze auf das sofa", "de"),
+      (3L, "le chat est dans la maison et les oiseaux pour toujours", "fr"),
+      (4L, "el perro es un animal y los gatos en una casa", "es"),
+      (5L, "的 是 了 在 我 有 他 这 中 大", "zh"))
+    val df = snippets.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    snippets.foreach { case (i, _, lang) =>
+      assert(got(i) == lang, s"snippet $i")
+    }
+  }
+
+  test("multimodal plumbing: schemas, feature dims, frames, resize") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(60))
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.length == 60)
+    feats.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // L1-normalized
+    }
+    val frames = Multimodal.sampleFrames(media, everyMs = 500L)
+    val byMedia = frames.collect().groupBy(_.media_id)
+    assert(byMedia.nonEmpty)
+    byMedia.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+    }
+    val resized = Multimodal.resize(media, 32, 32).collect()
+    assert(resized.forall(m => m.meta.width == 32 && m.meta.height == 32))
+    assert(resized.forall(_.payload.nonEmpty))
+  }
+}
