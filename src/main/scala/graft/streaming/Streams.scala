@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2.8 ST1–ST8).
+  *
+  * The reference's streaming capability was Kafka micro-batch pipelines;
+  * re-expressed here as Structured Streaming transforms that are
+  * source-agnostic: every operator takes a streaming DataFrame, so the
+  * same code runs over Kafka (`readStream.format("kafka")` where the
+  * connector is deployed), file streams, or `MemoryStream` in tests.
+  * Correctness oracle = batch equivalence: replaying the events fixture
+  * through any operator converges to the identical batch result (Spark's
+  * unified-API guarantee, asserted in StreamingSuite).
+  *
+  * Scale notes: watermarks bound state; windowed aggregations shuffle once
+  * on (window, key); `foreachBatch` is the batch-reuse bridge (micro-batch
+  * DataFrames hit the full Catalyst/AQE path including broadcast joins).
+  */
+object Streams {
+
+  /** File-source stream over the events fixture (schema pinned, ns→µs
+    * normalization identical to the batch path in [[graft.Tables]]). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sfDir/events*.parquet") // glob: file source needs a dir/glob base
+
+      .select(
+        col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** ST1: tumbling-window counts/sums per event_type with a watermark. */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** ST2: sliding-window counts. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+                 slide: String = "15 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** ST3: session windows (30 min gap) per user. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("ss"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  /** ST4: streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class UserStat(user_id: Long, n: Long, sum_value: Double)
+
+  /** ST5: arbitrary stateful aggregation via flatMapGroupsWithState —
+    * a per-user running (count, sum) that emits the updated state each
+    * micro-batch. The state object is tiny and keyed; at scale this is
+    * the standard keyed-state pattern (state store per shuffle partition). */
+  def userRunningStats(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator(UserStat(uid, n, s))
+      }
+  }
+
+  /** Run a streaming DataFrame to a named in-memory sink until all
+    * currently-available data is processed (Trigger.AvailableNow —
+    * deterministic replay, ST8). Returns the completed query. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** ST7: the micro-batch bridge — every micro-batch DataFrame goes
+    * through a full batch write (parquet here; any batch sink works).
+    * This is exactly the reference's Kafka-fed micro-batch model. */
+  def runForeachBatch(df: DataFrame, outDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch_$id")
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** File sink in append mode (ST7b). */
+  def runToFiles(df: DataFrame, outDir: String): StreamingQuery = {
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** ST1–ST8 (SURVEY.md §2.8): every streaming operator replayed over the
+  * events fixture (or a MemoryStream injection) must converge to the
+  * identical result as the equivalent batch query — Spark's unified API
+  * guarantee, which is the correctness oracle for the streaming surface. */
+class StreamingSuite extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val batchEvents: DataFrame = {
+    val df = Tables.events(spark, sf0001); df.cache(); df.count(); df
+  }
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def memTable(name: String): DataFrame = spark.table(name)
+
+  test("ST1+ST8: tumbling window agg — stream replay equals batch") {
+    Streams.runToMemory(
+      Streams.tumblingAgg(Streams.eventsStream(spark, sf0001)), "st1")
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(rowsOf(memTable("st1")) == rowsOf(batch))
+    assert(memTable("st1").count() > 0)
+  }
+
+  test("ST2: sliding window agg — stream replay equals batch") {
+    Streams.runToMemory(
+      Streams.slidingAgg(Streams.eventsStream(spark, sf0001)), "st2")
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(rowsOf(memTable("st2")) == rowsOf(batch))
+  }
+
+  test("ST3: session window per user — stream replay equals batch") {
+    Streams.runToMemory(
+      Streams.sessionAgg(Streams.eventsStream(spark, sf0001)), "st3")
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("ss"),
+        col("user_id"), col("n"), col("sum_value"))
+    assert(rowsOf(memTable("st3")) == rowsOf(batch))
+  }
+
+  test("ST4: streaming dedup drops injected duplicates") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val base = (1L to 50L).map(i =>
+      (i, Timestamp.valueOf(s"2024-01-01 10:${10 + (i % 40)}:00"), i * 1.0))
+    val dups = base.take(20) // re-inject the first 20 event_ids
+    input.addData(base ++ dups)
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    Streams.runToMemory(Streams.dedup(df), "st4", OutputMode.Append())
+    assert(memTable("st4").count() == 50)
+    assert(memTable("st4").select("event_id").distinct().count() == 50)
+  }
+
+  test("ST5: flatMapGroupsWithState running stats equal batch aggregation") {
+    Streams.runToMemory(
+      Streams.userRunningStats(Streams.eventsStream(spark, sf0001))
+        .toDF(), "st5", OutputMode.Append())
+    // The fixture is one file => one micro-batch => exactly one emission
+    // per user, which must equal the batch group-by.
+    val got = memTable("st5")
+      .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("s"))
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n"), sum("value").as("s"))
+    val g = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val b = batch.collect().map(r =>
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    assert(g == b)
+  }
+
+  test("ST6: rows older than the watermark are dropped from append output") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val agg = input.toDF().toDF("event_id", "ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("st6")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: establish watermark at 12:00 - 10min = 11:50
+      input.addData(Seq((1L, Timestamp.valueOf("2024-01-01 11:00:00"), "a"),
+        (2L, Timestamp.valueOf("2024-01-01 12:00:00"), "a")))
+      q.processAllAvailable()
+      // batch 2: one on-time row, one late row (10:00 < watermark) → dropped
+      input.addData(Seq((3L, Timestamp.valueOf("2024-01-01 12:30:00"), "a"),
+        (4L, Timestamp.valueOf("2024-01-01 10:00:00"), "late")))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to close all on-time windows
+      input.addData(Seq((5L, Timestamp.valueOf("2024-01-01 14:00:00"), "a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = memTable("st6").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getString(1),
+        r.getLong(2))).toSet
+    // the late 10:00 row must not appear anywhere in the emitted windows
+    assert(!out.exists(_._2 == "late"), out.toString)
+    assert(out.exists { case (w, k, n) => w.startsWith("2024-01-01 11:00") && k == "a" && n == 1 })
+    assert(out.exists { case (w, k, n) => w.startsWith("2024-01-01 12:00") && k == "a" && n == 1 })
+  }
+
+  test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
+    val out1 = Files.createTempDirectory("graft-st7a").toString
+    Streams.runForeachBatch(
+      Streams.dedup(Streams.eventsStream(spark, sf0001)), out1)
+    val written = spark.read.parquet(s"$out1/batch_*")
+    assert(written.count() == batchEvents.count())
+
+    val out2 = Files.createTempDirectory("graft-st7b").toString
+    Streams.runToFiles(
+      Streams.eventsStream(spark, sf0001).filter(col("user_id") < 10), out2)
+    val files = spark.read.parquet(s"$out2/data")
+    assert(files.count() ==
+      batchEvents.filter(col("user_id") < 10).count())
+  }
+}
