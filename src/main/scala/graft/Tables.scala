@@ -27,10 +27,13 @@ object Tables {
 
   val all: Seq[String] = plain :+ "events"
 
-  /** Read one fixture table (events comes back normalized to µs timestamps). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one fixture table (events comes back normalized to µs timestamps).
+    * Routes through the cached temp views so repeated corpus queries reuse
+    * the already-resolved parquet relations instead of re-reading footers. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    register(spark, sfDir)
+    spark.table(name)
+  }
 
   /** events with ts normalized ns→µs (truncating, matching DuckDB). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
@@ -42,13 +45,20 @@ object Tables {
         col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register all fixture views + custom functions on this session.
-    * Idempotent; cheap (temp views are lazy plans over parquet). */
+    * Idempotent and cached per (session, sfDir): repeated calls from the
+    * corpus runners skip the parquet-footer reads and view churn. */
   def register(spark: SparkSession, sfDir: String): Unit = {
+    if (registered.get(spark) == sfDir) return
     functions.Registry.registerAll(spark)
     plain.foreach { n =>
       spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n)
     }
     events(spark, sfDir).createOrReplaceTempView("events")
+    registered.put(spark, sfDir)
   }
 }
