@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation patterns (SURVEY.md §4; builder brief "salting for
+  * skew"). AQE's skew-join splitting handles most cases at runtime; these
+  * are the explicit, deterministic variants for when the skew is known
+  * up front (a hot key carrying a large fraction of a 100 TB fact table).
+  */
+object Skew {
+
+  /** Two-phase aggregation: partial-aggregate on (key, salt) — spreading a
+    * hot key over `salts` reducers — then final-aggregate on key. The salt
+    * is a deterministic hash of `saltFrom` (a unique-ish column), so runs
+    * are reproducible. Caller supplies the same-shaped agg expressions for
+    * both phases (sum/sum, count/sum, etc.). */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltFrom: String,
+                      salts: Int,
+                      partial: Seq[(String, String, String)]): DataFrame = {
+    // partial: (inputCol, aggFn in {sum,count,min,max}, outName)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(saltFrom)), lit(salts.toLong)))
+    val phase1 = salted.groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(partial.head match { case (c, f, o) => callAgg(f, c).as(o) },
+        partial.tail.map { case (c, f, o) => callAgg(f, c).as(o) }: _*)
+    val phase2Aggs = partial.map { case (_, f, o) =>
+      val refn = if (f == "count") "sum" else f // counts re-combine by sum
+      callAgg(refn, o).as(o)
+    }
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(phase2Aggs.head, phase2Aggs.tail: _*)
+  }
+
+  private def callAgg(fn: String, c: String) = fn match {
+    case "sum"   => sum(col(c))
+    case "count" => count(col(c))
+    case "min"   => min(col(c))
+    case "max"   => max(col(c))
+    case other   => throw new IllegalArgumentException(s"agg $other")
+  }
+
+  /** Salted broadcast-defeating join for a skewed fact ⋈ dim: the fact side
+    * gets a deterministic salt in [0, salts); the dim side is replicated
+    * `salts` times; the join key becomes (key, salt). Row multiplicity is
+    * unchanged — each fact row matches exactly one dim replica. Use when
+    * the dim is too big to broadcast and the fact key is hot. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFrom: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltFrom)), lit(salts.toLong)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

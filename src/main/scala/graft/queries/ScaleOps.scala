@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import Support._
 
 /** Training-data-pipeline operators as contract queries (builder brief +
@@ -59,6 +59,25 @@ object ScaleOps {
       // oracle CASE is equivalent; the real 5-profile operator is what runs.
       TextAnalysis.languageId(Tables.table(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    dfQ("q18b_banded_range_join",
+      // Same oracle as q18: the band-bucketed rewrite must be semantically
+      // identical to the naive residual-predicate range join.
+      """SELECT e1.event_id AS a, COUNT(*) AS follows_1h
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |WHERE e1.user_id < 50
+        |GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events")
+        .select("event_id", "ts", "user_id")
+      RangeJoin.intervalFollowJoin(
+        ev.filter(col("user_id") < 50), ev,
+        keyCol = "user_id", tsCol = "ts", bandMicros = 3600L * 1000000L)
+        .groupBy(col("event_id").as("a"))
+        .agg(count(lit(1)).as("follows_1h"))
+        .orderBy("a")
     },
 
     sparkOnly("q71_minhash_neardup") { (s, d) =>

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RangeJoin, Skew}
+
+/** Scale-pattern equivalence tests: the band-bucketed range join, salted
+  * aggregation/join, and the SparkSessionExtensions injection path must
+  * all produce results identical to their naive formulations. */
+class ScaleSuite extends SparkTestBase {
+
+  test("banded interval join equals naive residual-predicate range join") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id")
+    val e1 = ev.filter(col("user_id") < 50).alias("e1")
+    val e2 = ev.alias("e2")
+    val naive = e1.join(e2,
+        col("e1.user_id") === col("e2.user_id") &&
+          col("e2.ts") > col("e1.ts") &&
+          col("e2.ts") <= col("e1.ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("e1.event_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = RangeJoin.intervalFollowJoin(
+        ev.filter(col("user_id") < 50), ev,
+        "user_id", "ts", 3600L * 1000000L)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive && naive.nonEmpty)
+  }
+
+  test("saltedAggregate equals plain groupBy aggregation") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"), "l_orderkey",
+        salts = 8,
+        partial = Seq(("l_quantity", "sum", "s"), ("l_quantity", "count", "n")))
+      .collect().map(r => (r.getString(0),
+        math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain equi-join") {
+    val orders = Tables.table(spark, sf0001, "orders")
+    val customer = Tables.table(spark, sf0001, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey",
+        saltFrom = "o_orderkey", salts = 4)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("GraftExtensions injects functions into a fresh session (no Registry call)") {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark, "must be a new session for the test to be meaningful")
+      val cos = s2.sql(
+        "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+        .collect()(0).getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val sh = s2.sql("SELECT shingles('a b c', 2)").collect().map(_.getString(0))
+      assert(sh.toSeq == Seq("a b", "b c"))
+      assert(s2.sql("SELECT size(winnow('abcdefghij', 3, 2))")
+        .collect()(0).getInt(0) > 0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
