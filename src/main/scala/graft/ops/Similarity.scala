@@ -85,8 +85,12 @@ object Similarity {
                nlist: Int = 16): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
       .withColumn("nv", l2norm(toVec(col("arr"))))
+    // Random init + few iterations: an IVF coarse quantizer only needs a
+    // balanced partition of the space, not converged clusters — kmeans||
+    // init rounds dominate the fit cost and buy nothing here.
     val km = new KMeans().setK(nlist).setFeaturesCol("nv")
-      .setPredictionCol("cell").setSeed(42L).setMaxIter(10)
+      .setPredictionCol("cell").setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
     val model = km.fit(vecs)
     (model.transform(vecs).select("id", "cell", "nv", "arr"), model)
   }

@@ -119,6 +119,30 @@ class StreamingSuite extends SparkTestBase {
     assert(out.exists { case (w, k, n) => w.startsWith("2024-01-01 12:00") && k == "a" && n == 1 })
   }
 
+  test("streaming spec runner: declarative source→SQL→sink equals batch") {
+    val spec = s"""{
+      "name": "stream-feed-1",
+      "source": {
+        "view": "raw_stream", "format": "parquet",
+        "path": "$sf0001/events*.parquet",
+        "schemaFromParquet": "$sf0001/events.parquet"
+      },
+      "transforms": [
+        {"view": "norm", "sql": "SELECT event_id, timestamp_micros(CAST(ts/1000 AS LONG)) AS ts, user_id, event_type, value FROM raw_stream"},
+        {"view": "hourly", "sql": "SELECT window(ts, '1 hour').start ws, event_type, COUNT(*) n FROM norm GROUP BY window(ts, '1 hour'), event_type"}],
+      "sink": {"format": "memory", "outputMode": "complete",
+               "queryName": "spec_out"},
+      "trigger": "availableNow"
+    }"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingRunner.runJson(spark, spec)
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(rowsOf(memTable("spec_out")) == rowsOf(batch))
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
