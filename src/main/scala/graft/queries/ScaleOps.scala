@@ -80,6 +80,30 @@ object ScaleOps {
         .orderBy("a")
     },
 
+    dfQ("q54_pivot",
+      // Oracle is the CASE-expansion form — dialect-stable, and exactly the
+      // plan Spark's pivot lowers to (one pass, no join).
+      """SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) y,
+        |       COUNT(CASE WHEN o_orderstatus='F' THEN 1 END) "F",
+        |       COUNT(CASE WHEN o_orderstatus='O' THEN 1 END) "O",
+        |       COUNT(CASE WHEN o_orderstatus='P' THEN 1 END) "P"
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "orders")
+        .groupBy(year(col("o_orderdate").cast("date")).cast("long").as("y"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P")) // COUNT(CASE) yields 0, pivot yields null
+        .orderBy("y")
+    },
+
+    // W4 interval RANGE frame over timestamp order (q37 covers the numeric
+    // form). Identical SQL runs on both engines at full µs precision.
+    sameQ("q37b_interval_range_frame",
+      """SELECT event_id,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) near_cnt
+        |FROM events WHERE user_id < 25 ORDER BY event_id""".stripMargin),
+
     sparkOnly("q71_minhash_neardup") { (s, d) =>
       Dedup.minHashNearDupPairs(
         Tables.table(s, d, "documents").filter(col("doc_id") < 150),
