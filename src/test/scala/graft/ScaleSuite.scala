@@ -57,6 +57,21 @@ class ScaleSuite extends SparkTestBase {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("J10: broadcast hints reach the physical plan (SQL hint + API)") {
+    Tables.register(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)
+    assert(viaSql.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val viaApi = Tables.table(spark, sf0001, "orders")
+      .join(broadcast(Tables.table(spark, sf0001, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    assert(viaApi.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("GraftExtensions injects functions into a fresh session (no Registry call)") {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
