@@ -54,7 +54,15 @@ object PipelineRunner {
     val loadReports = spec.loads.map { l =>
       val src = l.source.orElse(defaultSource).getOrElse(
         throw new IllegalArgumentException("load: no source view"))
-      Sinks.write(spark.table(src), l.format, l.path, l.mode,
+      val df0 = spark.table(src)
+      // Output-file-count control: coalesce narrows without a shuffle;
+      // repartition forces an exchange for exact write parallelism.
+      val df = (l.repartition, l.coalesce) match {
+        case (Some(n), _) => df0.repartition(n)
+        case (_, Some(n)) => df0.coalesce(n)
+        case _            => df0
+      }
+      Sinks.write(df, l.format, l.path, l.mode,
         l.partitionBy, l.options, l.table)
       LoadReport(l.format, l.table.getOrElse(l.path), src)
     }

@@ -33,6 +33,8 @@ final case class LoadSpec(
     source: Option[String] = None,        // defaults to the last transform's view
     mode: String = "overwrite",
     partitionBy: Seq[String] = Nil,
+    coalesce: Option[Int] = None,         // cap output file count (no shuffle)
+    repartition: Option[Int] = None,      // exact output parallelism (shuffle)
     options: Map[String, String] = Map.empty,
     table: Option[String] = None)         // for format=table (saveAsTable)
 

@@ -96,6 +96,21 @@ object ScaleOps {
         .orderBy("y")
     },
 
+    dfQ("q55_unpivot",
+      // Spark stack() generator ≡ the dialect-stable UNION ALL oracle form.
+      """SELECT l_orderkey, l_linenumber, 'price' metric, l_extendedprice val
+        |FROM lineitem WHERE l_orderkey < 20
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'qty', l_quantity
+        |FROM lineitem WHERE l_orderkey < 20
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 20)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(2, 'price', l_extendedprice, 'qty', l_quantity)")
+            .as(Seq("metric", "val")))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
     // W4 interval RANGE frame over timestamp order (q37 covers the numeric
     // form). Identical SQL runs on both engines at full µs precision.
     sameQ("q37b_interval_range_frame",

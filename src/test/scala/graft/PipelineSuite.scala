@@ -82,6 +82,32 @@ class PipelineSuite extends SparkTestBase {
     assert(segs.nonEmpty && segs.forall(s => s == s.toUpperCase))
   }
 
+  test("example feeds run through the CLI entry point") {
+    for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json")) {
+      PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
+    }
+    val pricing = spark.read.parquet("/tmp/graft-example-out/pricing_parquet")
+    assert(pricing.count() > 0)
+    val seg = spark.read.parquet("/tmp/graft-example-out/seg_rev")
+    assert(seg.count() == 5) // five market segments, partitioned layout
+  }
+
+  test("load-side coalesce caps output file count") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "one-file",
+      "extracts": [
+        {"view": "lineitem", "format": "parquet",
+         "path": "$sf0001/lineitem.parquet"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/one", "coalesce": 1}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val files = new java.io.File(s"$out/one").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, files.mkString(", "))
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")

@@ -57,6 +57,17 @@ class ScaleSuite extends SparkTestBase {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("column pruning reaches the scan: projection reads only its columns") {
+    val plan = Tables.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .filter(col("l_quantity") > 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey") && !plan.contains("l_extendedprice"),
+      plan.take(1500))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity,10"), plan.take(1500))
+  }
+
   test("J10: broadcast hints reach the physical plan (SQL hint + API)") {
     Tables.register(spark, sf0001)
     val viaSql = spark.sql(
