@@ -96,6 +96,25 @@ object ScaleOps {
         .orderBy("y")
     },
 
+    dfQ("q19b_asof_operator",
+      // The AsOf operator (union-merge-window plan) must match the q19
+      // conditional-running-MAX oracle on the purchase sub-stream.
+      """SELECT user_id, event_id,
+        |       strftime(MAX(CASE WHEN event_type='purchase' THEN ts END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         '%Y-%m-%d %H:%M:%S') AS last_purchase
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events").filter(col("user_id") < 20)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"))
+      graft.ops.AsOf.join(ev, purchases, "user_id", "ts", "ts", Seq("p_ts"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("last_purchase"))
+        .orderBy("user_id", "event_id")
+    },
+
     dfQ("q55_unpivot",
       // Spark stack() generator ≡ the dialect-stable UNION ALL oracle form.
       """SELECT l_orderkey, l_linenumber, 'price' metric, l_extendedprice val

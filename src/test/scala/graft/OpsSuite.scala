@@ -124,6 +124,54 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.6, s"recall=$recall — raise nprobe if this regresses")
   }
 
+  test("AsOf.join equals the q19 window formulation on events") {
+    val ev = Tables.table(spark, sf0001, "events")
+      .filter(col("user_id") < 20)
+    // reference: conditional running MAX window (the q19 as-of pattern)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = ev
+      .withColumn("last_purchase",
+        max(when(col("event_type") === "purchase", col("ts"))).over(w))
+      .select("event_id", "last_purchase")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    // operator under test: as-of join against the purchase sub-stream
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"))
+    val got = ops.AsOf.join(ev, purchases, "user_id", "ts", "ts", Seq("p_ts"))
+      .select("event_id", "p_ts")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got.keySet == expected.keySet)
+    val diffs = expected.collect {
+      case (id, e) if got(id) != e => (id, e, got(id))
+    }
+    assert(diffs.isEmpty, diffs.take(5).toString)
+  }
+
+  test("approx_percentile within 5% of exact percentile_cont") {
+    Tables.register(spark, sf0001)
+    val rows = spark.sql(
+      """SELECT o_orderstatus,
+        |  APPROX_PERCENTILE(o_totalprice, 0.5) ap,
+        |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) ex
+        |FROM orders GROUP BY o_orderstatus""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, ex) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ap - ex) / ex <= 0.05, r.getString(0))
+    }
+  }
+
+  test("typed Dataset aggregation: Aggregator.toColumn over case classes") {
+    import spark.implicits._
+    val ds = Tables.table(spark, sf0001, "lineitem")
+      .select(col("l_quantity")).as[Double]
+    val gm = ds.select(functions.GeoMean.toColumn).collect()(0)
+    val ref = math.exp(ds.map(math.log).reduce(_ + _) / ds.count())
+    assert(math.abs(gm - ref) < 1e-9)
+  }
+
   test("winnow guarantee: shared substring >= k+w-1 shares a fingerprint") {
     val k = 5; val w = 4
     val shared = "the winnowing guarantee substring"
