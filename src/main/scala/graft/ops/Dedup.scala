@@ -69,6 +69,39 @@ object Dedup {
     joined
   }
 
+  final case class DedupReport(input: Long, kept: Long,
+                               exactRemoved: Long, nearRemoved: Long)
+
+  /** End-to-end corpus cleaning: exact dedup (content hash) followed by
+    * near-dedup (MinHash-LSH at `threshold`). Among near-duplicates the
+    * lowest id survives (deterministic). Returns the cleaned corpus plus a
+    * removal report.
+    *
+    * Scale shape: the near-dup victim set is built from LSH candidate
+    * PAIRS (bounded by bucket collisions, never N²), and removal is an
+    * anti-join on id — one broadcastable side at realistic dup rates (the
+    * victims list is ≪ corpus size).
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, threshold: Double = 0.8,
+                  numHashTables: Int = 8): (DataFrame, DedupReport) = {
+    val input = docs.count()
+    val exact = docs
+      .withColumn("__h", sha2(col(textCol), 256))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__h").orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__h", "__rk")
+    val afterExact = exact.count()
+    val victims = minHashNearDupPairs(exact, idCol, textCol, shingleN,
+        threshold, numHashTables)
+      .select(col("b").as(idCol)).distinct() // keep the lower id of each pair
+    val cleaned = exact.join(broadcast(victims), Seq(idCol), "left_anti")
+    val kept = cleaned.count()
+    (cleaned, DedupReport(input, kept,
+      exactRemoved = input - afterExact, nearRemoved = afterExact - kept))
+  }
+
   /** 64-bit SimHash of a token array: sign-sum of per-token xxhash64 bits,
     * weighted by token frequency. Pure Spark SQL expressions (codegen'd):
     * explode → per-bit vote → reassemble. Deterministic. */

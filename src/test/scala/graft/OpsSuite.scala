@@ -124,6 +124,31 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.6, s"recall=$recall — raise nprobe if this regresses")
   }
 
+  test("dedupCorpus removes exact and near duplicates, keeps lowest id") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    // plant one exact dup and rely on fixture-planted near-dups
+    val planted = base.unionByName(
+      base.filter(col("doc_id") === 3)
+        .withColumn("doc_id", lit(99999L)))
+    val exactPairs = exactJaccardPairs(0.8)
+    val (cleaned, report) = Dedup.dedupCorpus(planted, "doc_id", "text")
+    assert(report.input == base.count() + 1)
+    assert(report.exactRemoved >= 1) // the planted copy of doc 3
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(99999L) && ids.contains(3L))
+    // no known near-dup pair survives intact (duplicates can chain, so the
+    // lower id of one pair may itself be the victim of another pair —
+    // the invariant is pair-breaking, not per-pair survivor identity)
+    exactPairs.foreach { case (a, b) =>
+      assert(!(ids.contains(a) && ids.contains(b)), s"pair ($a,$b) intact")
+    }
+    // near-dedup did remove something (a k-clique of dups yields C(k,2)
+    // pairs but only k-1 removals, so no tighter count bound holds)
+    assert(report.nearRemoved >= 1)
+    assert(report.input == report.kept + report.exactRemoved + report.nearRemoved)
+  }
+
   test("AsOf.join equals the q19 window formulation on events") {
     val ev = Tables.table(spark, sf0001, "events")
       .filter(col("user_id") < 20)
