@@ -90,6 +90,22 @@ object Streams {
       }
   }
 
+  /** ST5b: the same per-user running stat on Spark 4's `transformWithState`
+    * API (typed keyed state in the RocksDB state store — the modern
+    * replacement for flatMapGroupsWithState; supports state TTL, timers,
+    * and schema evolution in production deployments). */
+  def userRunningStatsTws(events: DataFrame): Dataset[UserStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new RunningStatProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available data is processed (Trigger.AvailableNow —
     * deterministic replay, ST8). Returns the completed query. */

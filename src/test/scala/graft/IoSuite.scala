@@ -67,6 +67,38 @@ class IoSuite extends SparkTestBase {
         .map(_.getAs[Number](0).longValue).toSeq)
   }
 
+  test("S7: kafka source/sink fail with a clear offline message") {
+    val e1 = intercept[UnsupportedOperationException] {
+      Sources.read(spark, "kafka", "topic")
+    }
+    assert(e1.getMessage.contains("connector jar not available"))
+    val e2 = intercept[UnsupportedOperationException] {
+      Sinks.write(sample, "kafka", "topic")
+    }
+    assert(e2.getMessage.contains("not available offline"))
+  }
+
+  test("A10: sort-based aggregation fallback produces identical results") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val viaHash = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_list("l_linenumber")).as("lines"))
+    assert(viaHash.queryExecution.executedPlan.toString
+      .contains("ObjectHashAggregate"))
+    val hashRows = viaHash.orderBy("l_orderkey").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    spark.conf.set("spark.sql.execution.useObjectHashAggregateExec", "false")
+    try {
+      val viaSort = li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list("l_linenumber")).as("lines"))
+      assert(viaSort.queryExecution.executedPlan.toString
+        .contains("SortAggregate"))
+      val sortRows = viaSort.orderBy("l_orderkey").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+      assert(sortRows == hashRows)
+    } finally spark.conf.set(
+      "spark.sql.execution.useObjectHashAggregateExec", "true")
+  }
+
   test("T-IO6: partitioned parquet write → partition pruning at read") {
     val out = tmp()
     val li = Tables.table(spark, sf0001, "lineitem")

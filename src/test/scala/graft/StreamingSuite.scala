@@ -89,6 +89,21 @@ class StreamingSuite extends SparkTestBase {
     assert(g == b)
   }
 
+  test("ST5b: transformWithState (RocksDB state store) equals batch aggregation") {
+    Streams.runToMemory(
+      Streams.userRunningStatsTws(Streams.eventsStream(spark, sf0001))
+        .toDF(), "st5b", OutputMode.Append())
+    val got = memTable("st5b")
+      .groupBy("user_id").agg(max("n").as("n"), max("sum_value").as("s"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    val batch = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n"), sum("value").as("s"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    assert(got == batch)
+  }
+
   test("ST6: rows older than the watermark are dropped from append output") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val agg = input.toDF().toDF("event_id", "ts", "k")
