@@ -102,21 +102,18 @@ object Dedup {
       exactRemoved = input - afterExact, nearRemoved = afterExact - kept))
   }
 
-  /** 64-bit SimHash of a token array: sign-sum of per-token xxhash64 bits,
-    * weighted by token frequency. Pure Spark SQL expressions (codegen'd):
-    * explode → per-bit vote → reassemble. Deterministic. */
+  /** 64-bit SimHash of a token stream: sign-sum of per-token xxhash64
+    * bits, weighted by token frequency. One pass via [[graft.functions
+    * .SimHashAgg]] — a single 64-slot vote buffer per doc in the map-side
+    * partial (the 64×`SUM(CASE)` formulation it replaced scanned every
+    * token row 64 times). Deterministic. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val simhashUdaf = udaf(graft.functions.SimHashAgg)
+    docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .select(col("id"), xxhash64(col("w")).as("h"))
-    // For each of 64 bits: +1 if set else -1; sum per doc; bit = sum > 0.
-    val bitCols: Column = (0 until 64).map { i =>
-      // sum of votes for bit i, materialized as a signed count
-      (sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)) > 0)
-        .cast("long") * lit(1L << i)
-    }.reduce(_ + _)
-    toks.groupBy("id").agg(bitCols.as("simhash"))
+      .groupBy("id").agg(simhashUdaf(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxDist
