@@ -115,6 +115,54 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // TPC-H Q4 shape: existence-correlated count by priority.
+    sameQ("q56_order_priority",
+      """SELECT o_orderpriority, COUNT(*) n FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // TPC-H Q5 shape: 5-way snowflake join with regional revenue rollup.
+    dfQ("q57_regional_revenue",
+      """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) rev
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n.n_name ORDER BY rev DESC, n.n_name""".stripMargin) { (s, d) =>
+      // snowflake: tiny dims (nation⋈region pre-joined) broadcast; the
+      // lineitem fact shuffles only for the final rollup.
+      val nr = Tables.table(s, d, "nation")
+        .join(Tables.table(s, d, "region")
+          .filter(col("r_name").isin("ASIA", "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val co = Tables.table(s, d, "customer")
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.table(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      Tables.table(s, d, "lineitem")
+        .join(broadcast(co), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+    },
+
+    // TPC-H Q12 shape: join + conditional two-way classification.
+    sameQ("q58_shipmode_priority",
+      """SELECT l.l_linestatus,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin),
+
     dfQ("q55_unpivot",
       // Spark stack() generator ≡ the dialect-stable UNION ALL oracle form.
       """SELECT l_orderkey, l_linenumber, 'price' metric, l_extendedprice val

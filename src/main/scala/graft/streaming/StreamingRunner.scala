@@ -106,4 +106,21 @@ object StreamingRunner {
     if (spec.trigger == "availableNow") q.awaitTermination()
     q
   }
+
+  /** CLI: `graft.streaming.StreamingRunner --spec stream_feed.json`
+    * (the reference's streaming-feed surface, SURVEY.md §3.3). */
+  def main(args: Array[String]): Unit = {
+    val specPath = args.sliding(2).collectFirst {
+      case Array("--spec", p) => p
+    }.getOrElse(sys.error("usage: StreamingRunner --spec <feed.json>"))
+    val spark = graft.EtlSession.create(
+      sys.env.getOrElse("SPARK_MASTER", "local[*]"), appName = "graft-stream")
+    try {
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(specPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val q = runJson(spark, json)
+      println(s"streaming query ${q.name} done: ${q.lastProgress}")
+    } finally spark.stop()
+  }
 }

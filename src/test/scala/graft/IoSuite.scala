@@ -99,6 +99,50 @@ class IoSuite extends SparkTestBase {
       "spark.sql.execution.useObjectHashAggregateExec", "true")
   }
 
+  test("T-IO4b: bucketed tables join without an exchange on the bucket key") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val or = Tables.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Sinks.write(li, "table", "", table = Some("t_li_bucketed"),
+      options = Map("bucketBy" -> "l_orderkey", "numBuckets" -> "4"))
+    Sinks.write(or, "table", "", table = Some("t_or_bucketed"),
+      options = Map("bucketBy" -> "o_orderkey", "numBuckets" -> "4"))
+    try {
+      // bucketed scans satisfy the join's distribution: no Exchange before
+      // the SortMergeJoin — the write-time shuffle is reused.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_li_bucketed")
+        .join(spark.table("t_or_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(joined.count() ==
+        li.join(or, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS t_or_bucketed")
+    }
+  }
+
+  test("corrupt JSON records are captured, not fatal (PERMISSIVE mode)") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "ok"}
+        |this is not json at all
+        |{"id": 2, "v": "also ok"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val df = Sources.read(spark, "json", s"$dir/data.json",
+      schema = Some("id BIGINT, v STRING, _corrupt_record STRING"))
+    df.cache() // corrupt-record column requires caching before filtering it
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("id").isNotNull).count() == 2)
+    df.unpersist()
+  }
+
   test("T-IO6: partitioned parquet write → partition pruning at read") {
     val out = tmp()
     val li = Tables.table(spark, sf0001, "lineitem")
