@@ -115,6 +115,54 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // F3 breadth: last_day / make_date / extract / epoch seconds.
+    sqlQ("q46b_date_breadth",
+      """SELECT o_orderkey,
+        |       LAST_DAY(CAST(o_orderdate AS DATE)) ld,
+        |       MAKE_DATE(YEAR(CAST(o_orderdate AS DATE)), 1, 1) ystart,
+        |       CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS BIGINT) m,
+        |       UNIX_TIMESTAMP(CAST(o_orderdate AS TIMESTAMP)) epoch_s
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |       LAST_DAY(CAST(o_orderdate AS DATE)) ld,
+        |       MAKE_DATE(CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT), 1, 1) ystart,
+        |       CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS BIGINT) m,
+        |       CAST(EPOCH(o_orderdate) AS BIGINT) epoch_s
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // W5 breadth: IGNORE NULLS offset/frame functions. DuckDB 1.0 has no
+    // IGNORE NULLS syntax, so the oracle is an INDEPENDENT formulation
+    // (purchase numbering + running purchase count + join) — a genuine
+    // semantic cross-check rather than a dialect echo.
+    sqlQ("q36b_ignore_nulls",
+      """SELECT user_id, event_id,
+        |       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |         IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_purchase_id,
+        |       LAG(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |         IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_purchase_id
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) pn
+        |  FROM events WHERE user_id < 20 AND event_type = 'purchase'),
+        |base AS (
+        |  SELECT user_id, event_id,
+        |    COUNT(CASE WHEN event_type='purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cur_pn,
+        |    COUNT(CASE WHEN event_type='purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_pn
+        |  FROM events WHERE user_id < 20)
+        |SELECT b.user_id, b.event_id,
+        |       pc.event_id last_purchase_id, pp.event_id prev_purchase_id
+        |FROM base b
+        |LEFT JOIN p pc ON pc.user_id = b.user_id AND pc.pn = b.cur_pn
+        |LEFT JOIN p pp ON pp.user_id = b.user_id AND pp.pn = b.prev_pn
+        |ORDER BY b.user_id, b.event_id""".stripMargin),
+
     // TPC-H Q4 shape: existence-correlated count by priority.
     sameQ("q56_order_priority",
       """SELECT o_orderpriority, COUNT(*) n FROM orders o

@@ -35,10 +35,13 @@ final case class StreamSinkSpec(
     queryName: String = "stream_out",
     options: Map[String, String] = Map.empty)
 
+final case class ViewWatermark(view: String, column: String, delay: String)
+
 final case class StreamingSpec(
     name: String,
     source: StreamSourceSpec,
     transforms: Seq[graft.pipeline.TransformSpec] = Nil,
+    watermarks: Seq[ViewWatermark] = Nil, // applied after the named transform
     sink: StreamSinkSpec,
     trigger: String = "availableNow")
 
@@ -79,7 +82,11 @@ object StreamingRunner {
       val df = tr.sql.map(spark.sql).getOrElse(
         throw new IllegalArgumentException(
           s"streaming transform ${tr.view}: sql is required"))
-      df.createOrReplaceTempView(tr.view)
+      // event-time watermarks attach to post-transform views (e.g. after a
+      // raw-long → timestamp normalization step, SURVEY.md §1.2)
+      val withW = spec.watermarks.find(_.view == tr.view)
+        .fold(df)(w => df.withWatermark(w.column, w.delay))
+      withW.createOrReplaceTempView(tr.view)
     }
     val outView = spec.transforms.lastOption.map(_.view).getOrElse(src.view)
     val out = spark.table(outView)

@@ -158,6 +158,23 @@ class StreamingSuite extends SparkTestBase {
     assert(rowsOf(memTable("spec_out")) == rowsOf(batch))
   }
 
+  test("example streaming feed: watermarked agg to parquet file sink") {
+    import scala.jdk.CollectionConverters._
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft-example-out/hourly_events"))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/examples/hourly_events_stream.json")),
+      "UTF-8")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.StreamingRunner.runJson(spark, json)
+    val out = spark.read.parquet("/tmp/graft-example-out/hourly_events/data")
+    // append mode emits only watermark-closed windows: all but the stream's
+    // final hour must be present
+    val batchWindows = batchEvents
+      .groupBy(window(col("ts"), "1 hour")).count().count()
+    assert(out.count() > 0 && out.select("ws").distinct().count() >= batchWindows - 1)
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
