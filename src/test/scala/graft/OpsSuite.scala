@@ -149,6 +149,42 @@ class OpsSuite extends SparkTestBase {
     assert(report.input == report.kept + report.exactRemoved + report.nearRemoved)
   }
 
+  test("CorpusPrep composite: monotone attrition, near-dups gone, report sums") {
+    val (cleaned, r) = CorpusPrep.prepare(
+      docs.select("doc_id", "text", "lang"), "doc_id", "text",
+      CorpusPrep.PrepConfig(minTokens = 10))
+    assert(r.input == 500)
+    assert(r.input >= r.afterQuality && r.afterQuality >= r.afterLang &&
+      r.afterLang >= r.afterExact && r.afterExact >= r.kept)
+    assert(r.kept == cleaned.count() && r.kept > 0)
+    import spark.implicits._
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    exactJaccardPairs(0.8).foreach { case (a, b) =>
+      assert(!(ids.contains(a) && ids.contains(b)), s"pair ($a,$b) intact")
+    }
+  }
+
+  test("cosine_similarity: codegen and interpreted paths agree") {
+    functions.Registry.registerAll(spark)
+    Tables.register(spark, sf0001)
+    val q =
+      """SELECT a.vec_id q, b.vec_id v,
+        |       ROUND(COSINE_SIMILARITY(a.embedding, b.embedding), 9) sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 10 AND b.vec_id < 10
+        |ORDER BY q, v""".stripMargin
+    val withCodegen = spark.sql(q).collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = spark.sql(q).collect().map(_.toString).toSeq
+      assert(withCodegen == interpreted && withCodegen.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("AsOf.join equals the q19 window formulation on events") {
     val ev = Tables.table(spark, sf0001, "events")
       .filter(col("user_id") < 20)
