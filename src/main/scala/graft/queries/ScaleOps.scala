@@ -115,6 +115,38 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // P4 breadth: null-safe equality (`<=>`; DuckDB: IS NOT DISTINCT FROM).
+    sqlQ("q05b_null_safe_eq",
+      """SELECT
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus,'P') <=> NULL THEN 1 ELSE 0 END) AS BIGINT) p_rows,
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus,'P') <=> 'O' THEN 1 ELSE 0 END) AS BIGINT) o_rows,
+        |  CAST(SUM(CASE WHEN NOT (NULLIF(o_orderstatus,'P') <=> NULL) THEN 1 ELSE 0 END) AS BIGINT) non_p_rows
+        |FROM orders""".stripMargin,
+      """SELECT
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus,'P') IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) p_rows,
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus,'P') IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS BIGINT) o_rows,
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus,'P') IS DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) non_p_rows
+        |FROM orders""".stripMargin),
+
+    // P3 breadth: ILIKE and LIKE ... ESCAPE (identical dialect).
+    sameQ("q04b_ilike_escape",
+      """SELECT p_partkey, p_type FROM part
+        |WHERE p_type ILIKE '%econ%'
+        |   OR p_name LIKE '%!%%' ESCAPE '!'
+        |ORDER BY p_partkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q19 shape: disjunction of conjunctive bands — exercises
+    // predicate normalization/simplification and pushdown of OR trees.
+    sameQ("q59_disjunctive_bands",
+      """SELECT COUNT(*) n, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) rev
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 5 AND 25)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 15 AND 35)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 25 AND 45)""".stripMargin),
+
     // F3 breadth: last_day / make_date / extract / epoch seconds.
     sqlQ("q46b_date_breadth",
       """SELECT o_orderkey,
