@@ -79,6 +79,34 @@ object Similarity {
     out
   }
 
+  /** Embedding near-duplicate pairs: all (a, b), a < b, with cosine
+    * similarity above `threshold` — the embedding-space analogue of
+    * MinHash near-dedup. Scale path: BRP-LSH on normalized vectors; for
+    * unit vectors cosine ≥ τ ⟺ euclidean distance ≤ sqrt(2 − 2τ), so the
+    * LSH join prunes candidates and the exact cosine (codegen'd
+    * expression) confirms — never an N² cross join. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double,
+                            bucketLength: Double = 0.5,
+                            numHashTables: Int = 6): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
+      .withColumn("nv", l2norm(toVec(col("arr"))))
+      .cache()
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nv").setOutputCol("buckets")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(vecs)
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    val out = model.approxSimilarityJoin(vecs, vecs, maxDist, "dist")
+      .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
+        expr("cosine_similarity(datasetA.arr, datasetB.arr)").as("sim"))
+      .filter(col("a") < col("b") && col("sim") > threshold)
+    vecs.unpersist()
+    out
+  }
+
   /** IVF index: assign every vector to its nearest of `nlist` k-means
     * centroids. Returns (id, cell, nv). Build-once, query-many. */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,

@@ -306,6 +306,14 @@ object ScaleOps {
         .orderBy("kind")
     },
 
+    sparkOnly("q77_embedding_neardup") { (s, d) =>
+      Similarity.embeddingNearDupPairs(
+        Tables.table(s, d, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.4)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("a", "b")
+    },
+
     sparkOnly("q76_ivf_topk") { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
       val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",

@@ -82,6 +82,25 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("embeddingNearDupPairs recalls the exact q66 cosine pairs") {
+    functions.Registry.registerAll(spark)
+    Tables.register(spark, sf0001)
+    val exact = spark.sql(
+      """SELECT a.vec_id a, b.vec_id b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE COSINE_SIMILARITY(a.embedding, b.embedding) > 0.4""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.Similarity.embeddingNearDupPairs(
+        emb, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact (cosine recomputed on candidates); recall >= 0.9
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall of ${exact.size}")
+    }
+  }
+
   test("exactTopK matches the Q62 SQL formulation") {
     functions.Registry.registerAll(spark)
     Tables.register(spark, sf0001)
