@@ -195,6 +195,42 @@ object ScaleOps {
         |LEFT JOIN p pp ON pp.user_id = b.user_id AND pp.pn = b.prev_pn
         |ORDER BY b.user_id, b.event_id""".stripMargin),
 
+    // TPC-H Q7 shape: bilateral nation-pair shipping volume by year.
+    sameQ("q57b_nation_volume",
+      """SELECT sn.n_name supp_nation, cn.n_name cust_nation,
+        |       CAST(YEAR(CAST(l.l_shipdate AS DATE)) AS BIGINT) y,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) volume
+        |FROM supplier s
+        |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        |JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_3', 'NATION_4')
+        |GROUP BY sn.n_name, cn.n_name, YEAR(CAST(l.l_shipdate AS DATE))
+        |ORDER BY supp_nation, cust_nation, y""".stripMargin),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    sameQ("q57c_returned_revenue",
+      """SELECT c.c_custkey, c.c_name,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) rev
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY rev DESC, c.c_custkey LIMIT 20""".stripMargin),
+
+    // TPC-H Q14 shape: conditional-revenue ratio (promo share).
+    sameQ("q57d_promo_share",
+      """SELECT ROUND(100.0 *
+        |  SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) /
+        |  SUM(l.l_extendedprice * (1 - l.l_discount)), 4) promo_share
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin),
+
     // TPC-H Q4 shape: existence-correlated count by priority.
     sameQ("q56_order_priority",
       """SELECT o_orderpriority, COUNT(*) n FROM orders o
