@@ -71,12 +71,26 @@ object PipelineRunner {
       loadReports)
   }
 
-  /** CLI: `graft.pipeline.PipelineRunner --spec feed.json` (the
-    * reference's `spark-submit ... -feed path` surface). */
+  /** Serialize a report as one JSON object (no external deps; the
+    * reference persisted job status to an RDBMS — offline we write a
+    * status file, SURVEY.md §3.1 entry point 3). */
+  def reportJson(r: PipelineReport): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val loads = r.loads.map(l =>
+      s"""{"format":${q(l.format)},"target":${q(l.target)},"source":${q(l.source)}}""")
+      .mkString("[", ",", "]")
+    s"""{"name":${q(r.name)},"extracts":${r.extracts},"transforms":${r.transforms},"loads":$loads}"""
+  }
+
+  /** CLI: `graft.pipeline.PipelineRunner --spec feed.json [--report out.json]`
+    * (the reference's `spark-submit ... -feed path` surface). */
   def main(args: Array[String]): Unit = {
     val specPath = args.sliding(2).collectFirst {
       case Array("--spec", p) => p
-    }.getOrElse(sys.error("usage: PipelineRunner --spec <feed.json>"))
+    }.getOrElse(sys.error("usage: PipelineRunner --spec <feed.json> [--report out.json]"))
+    val reportPath = args.sliding(2).collectFirst {
+      case Array("--report", p) => p
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-pipeline")
@@ -85,6 +99,8 @@ object PipelineRunner {
       .getOrCreate()
     try {
       val report = runFile(spark, specPath)
+      reportPath.foreach(p => java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), reportJson(report)))
       println(s"pipeline ${report.name}: ${report.extracts} extracts, " +
         s"${report.transforms} transforms, ${report.loads.size} loads OK")
     } finally spark.stop()

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Cross-engine predicate fuzzing (beyond the declared corpus): generate
+  * random boolean trees of comparisons over lineitem's numeric/string
+  * columns, run the IDENTICAL SQL on Spark and DuckDB, and require
+  * identical counts and sums. Catches dialect drift (comparison semantics,
+  * null handling, precedence) that hand-written queries miss. Seeds are
+  * fixed — failures reproduce. */
+class FuzzSuite extends SparkTestBase {
+
+  private val numericCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  private val strCols = Map(
+    "l_returnflag" -> Seq("A", "N", "R"),
+    "l_linestatus" -> Seq("F", "O"))
+
+  private val cmpOps = Seq("=", "<>", "<", "<=", ">", ">=")
+
+  private def leafGen: Gen[String] = Gen.oneOf(
+    for {
+      c <- Gen.oneOf(numericCols)
+      op <- Gen.oneOf(cmpOps)
+      v <- Gen.choose(0.0, 100.0)
+    } yield s"$c $op ${"%.4f".format(v)}",
+    for {
+      c <- Gen.oneOf(intCols)
+      op <- Gen.oneOf(cmpOps)
+      v <- Gen.choose(0L, 6000L)
+    } yield s"$c $op $v",
+    for {
+      (c, vs) <- Gen.oneOf(strCols.toSeq)
+      v <- Gen.oneOf(vs)
+      form <- Gen.oneOf(s"$c = '$v'", s"$c <> '$v'",
+        s"$c IN ('${vs.head}', '$v')")
+    } yield form,
+    for {
+      c <- Gen.oneOf(numericCols)
+      lo <- Gen.choose(0.0, 50.0)
+      hi <- Gen.choose(0.0, 60.0)
+    } yield s"$c BETWEEN ${"%.4f".format(math.min(lo, hi))} AND ${"%.4f".format(math.max(lo, hi))}")
+
+  private def predGen(depth: Int): Gen[String] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      2 -> leafGen,
+      2 -> (for {
+        a <- predGen(depth - 1); b <- predGen(depth - 1)
+        op <- Gen.oneOf("AND", "OR")
+      } yield s"($a $op $b)"),
+      1 -> predGen(depth - 1).map(p => s"(NOT $p)"))
+
+  test("80 random predicate trees agree between Spark and DuckDB") {
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(
+        s"CREATE VIEW lineitem AS SELECT * FROM '$sf0001/lineitem.parquet'")
+      val preds = (1 to 80).flatMap(i =>
+        predGen(3).apply(Gen.Parameters.default, Seed(7000L + i)))
+      assert(preds.size >= 70)
+      val failures = preds.flatMap { p =>
+        val sql =
+          s"""SELECT COUNT(*) n, ROUND(COALESCE(SUM(l_quantity), 0), 2) s
+             |FROM lineitem WHERE $p""".stripMargin
+        val sr = spark.sql(sql).collect()(0)
+        val rs = st.executeQuery(sql)
+        rs.next()
+        val (sn, ss) = (sr.getLong(0), sr.getDouble(1))
+        val (dn, ds) = (rs.getLong(1), rs.getDouble(2))
+        if (sn != dn || math.abs(ss - ds) > 1e-6)
+          Some(s"pred=$p spark=($sn,$ss) duck=($dn,$ds)")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+}

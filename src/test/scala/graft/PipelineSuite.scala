@@ -108,6 +108,33 @@ class PipelineSuite extends SparkTestBase {
     assert(files.length == 1, files.mkString(", "))
   }
 
+  test("transform chains compose: each step sees the previous step's view") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "chain",
+      "extracts": [
+        {"view": "lineitem", "format": "parquet",
+         "path": "$sf0001/lineitem.parquet"}],
+      "transforms": [
+        {"view": "s1", "sql": "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 10"},
+        {"view": "s2", "sql": "SELECT l_orderkey, SUM(l_quantity) q FROM s1 GROUP BY l_orderkey"},
+        {"view": "s3", "sql": "SELECT COUNT(*) n, ROUND(SUM(q), 2) total FROM s2"}],
+      "loads": [{"format": "parquet", "path": "$out/chained"}]
+    }"""
+    val report = PipelineRunner.runJson(spark, spec)
+    assert(report.transforms == 3)
+    val row = spark.read.parquet(s"$out/chained").collect()(0)
+    val expected = Tables.table(spark, sf0001, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      .agg(count(lit(1)), round(sum("q"), 2)).collect()(0)
+    assert(row.getLong(0) == expected.getLong(0))
+    assert(row.getDouble(1) == expected.getDouble(1))
+    // report serializes to parseable JSON
+    val json = PipelineRunner.reportJson(report)
+    assert(json.contains("\"name\":\"chain\"") && json.contains("\"transforms\":3"))
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")
