@@ -55,6 +55,55 @@ class FuzzSuite extends SparkTestBase {
       } yield s"($a $op $b)"),
       1 -> predGen(depth - 1).map(p => s"(NOT $p)"))
 
+  test("40 random grouped aggregations agree between Spark and DuckDB") {
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(
+        s"CREATE VIEW lineitem AS SELECT * FROM '$sf0001/lineitem.parquet'")
+      val aggFns = Seq(
+        (c: String) => s"ROUND(SUM($c), 2)",
+        (c: String) => s"ROUND(AVG($c), 4)",
+        (c: String) => s"ROUND(MIN($c), 4)",
+        (c: String) => s"ROUND(MAX($c), 4)",
+        (_: String) => "COUNT(*)")
+      val qGen = for {
+        keys <- Gen.someOf(Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+          .suchThat(_.nonEmpty)
+        aggFn <- Gen.oneOf(aggFns)
+        aggCol <- Gen.oneOf(numericCols)
+        pred <- predGen(2)
+        havingN <- Gen.choose(0, 50)
+      } yield {
+        val ks = keys.mkString(", ")
+        s"""SELECT $ks, ${aggFn(aggCol)} a, COUNT(*) n
+           |FROM lineitem WHERE $pred
+           |GROUP BY $ks HAVING COUNT(*) > $havingN
+           |ORDER BY $ks""".stripMargin
+      }
+      val queries = (1 to 40).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(9000L + i)))
+      assert(queries.size >= 30)
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()
+          .map(r => (0 until r.length).map(i =>
+            Option(r.get(i)).map(_.toString).getOrElse("\\N")).mkString("|"))
+        val rs = st.executeQuery(sql)
+        val md = rs.getMetaData
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (1 to md.getColumnCount).map(i =>
+            Option(r.getObject(i)).map(_.toString).getOrElse("\\N")).mkString("|")
+        }.toSeq
+        if (sr.toSeq != dr)
+          Some(s"sql=${sql.replace('\n', ' ')} spark=${sr.take(2).toSeq} duck=${dr.take(2)}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("80 random predicate trees agree between Spark and DuckDB") {
     Tables.register(spark, sf0001)
     val conn = DriverManager.getConnection("jdbc:duckdb:")
