@@ -37,7 +37,7 @@ object Sinks {
         val name = table.getOrElse(path)
         val withBuckets = (options.get("bucketBy"), options.get("numBuckets")) match {
           case (Some(cols), Some(n)) =>
-            val c = cols.split(",").map(_.trim)
+            val c = cols.split(",").map(_.trim).toIndexedSeq
             w.bucketBy(n.toInt, c.head, c.tail: _*)
           case _ => w
         }
