@@ -195,6 +195,15 @@ object ScaleOps {
         |LEFT JOIN p pp ON pp.user_id = b.user_id AND pp.pn = b.prev_pn
         |ORDER BY b.user_id, b.event_id""".stripMargin),
 
+    // W5 completion: nth_value over the full frame.
+    sameQ("q36c_nth_value",
+      """SELECT o_custkey, o_orderkey,
+        |       NTH_VALUE(o_orderkey, 2) OVER w second_best
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // TPC-H Q7 shape: bilateral nation-pair shipping volume by year.
     sameQ("q57b_nation_volume",
       """SELECT sn.n_name supp_nation, cn.n_name cust_nation,

@@ -104,6 +104,39 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("30 random join queries agree between Spark and DuckDB") {
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      for (t <- Seq("lineitem", "orders"))
+        st.execute(s"CREATE VIEW $t AS SELECT * FROM '$sf0001/$t.parquet'")
+      val qGen = for {
+        jt <- Gen.oneOf("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
+        pred <- predGen(2)
+        oLimit <- Gen.choose(1000L, 500000L)
+      } yield
+        s"""SELECT COUNT(*) n,
+           |       CAST(COUNT(o.o_orderkey) AS BIGINT) right_nonnull,
+           |       CAST(COUNT(l.l_orderkey) AS BIGINT) left_nonnull
+           |FROM (SELECT * FROM lineitem WHERE $pred) l
+           |$jt (SELECT * FROM orders WHERE o_totalprice < $oLimit) o
+           |  ON l.l_orderkey = o.o_orderkey""".stripMargin
+      val queries = (1 to 30).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(11000L + i)))
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()(0)
+        val rs = st.executeQuery(sql); rs.next()
+        val s3 = (sr.getLong(0), sr.getLong(1), sr.getLong(2))
+        val d3 = (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+        if (s3 != d3) Some(s"sql=${sql.replace('\n', ' ')} spark=$s3 duck=$d3")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("80 random predicate trees agree between Spark and DuckDB") {
     Tables.register(spark, sf0001)
     val conn = DriverManager.getConnection("jdbc:duckdb:")
