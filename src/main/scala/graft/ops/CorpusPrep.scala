@@ -41,7 +41,7 @@ object CorpusPrep {
         col("stopword_ratio")
           .between(cfg.minStopwordRatio, cfg.maxStopwordRatio))
       .select(col(idCol))
-    val afterQualityDf = docs.join(quality, Seq(idCol), "left_semi")
+    val afterQualityDf = docs.join(quality, Seq(idCol), "left_semi").cache()
     val afterQuality = afterQualityDf.count()
 
     val afterLangDf =
@@ -50,7 +50,7 @@ object CorpusPrep {
         val langs = TextAnalysis.languageId(afterQualityDf, idCol, textCol)
           .filter(col("lang_guess").isin(cfg.allowedLangs: _*))
           .select(col(idCol))
-        afterQualityDf.join(langs, Seq(idCol), "left_semi")
+        afterQualityDf.join(langs, Seq(idCol), "left_semi").cache()
       }
     val afterLang = afterLangDf.count()
 

@@ -65,7 +65,9 @@ object Dedup {
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
         round(lit(1.0) - col("jaccard_dist"), 4).as("jaccard"))
       .filter(col("a") < col("b"))
-    vecs.unpersist()
+    // NOTE: vecs stays cached — the returned plan is lazy and references it
+    // from both join sides; unpersisting here would drop the cache before
+    // first use. Session LRU reclaims it under memory pressure.
     joined
   }
 
@@ -92,6 +94,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("__h").orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__h", "__rk")
+      .cache() // reused by the LSH pass, the anti-join, and both counts
     val afterExact = exact.count()
     val victims = minHashNearDupPairs(exact, idCol, textCol, shingleN,
         threshold, numHashTables)

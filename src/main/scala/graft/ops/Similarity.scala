@@ -73,10 +73,9 @@ object Similarity {
         (lit(1.0) - col("dist") * col("dist") / 2.0).as("sim"))
       .filter(col("q") =!= col("v"))
     val w = Window.partitionBy("q").orderBy(desc("sim"), col("v"))
-    val out = cand.withColumn("rn", row_number().over(w))
+    // vecs stays cached: the returned plan is lazy (see Dedup note).
+    cand.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("q", "v", "sim", "rn")
-    vecs.unpersist()
-    out
   }
 
   /** Embedding near-duplicate pairs: all (a, b), a < b, with cosine
@@ -103,7 +102,6 @@ object Similarity {
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
         expr("cosine_similarity(datasetA.arr, datasetB.arr)").as("sim"))
       .filter(col("a") < col("b") && col("sim") > threshold)
-    vecs.unpersist()
     out
   }
 

@@ -359,6 +359,27 @@ object ScaleOps {
         .orderBy("a", "b")
     },
 
+    sparkOnly("q78_minhash_full_corpus") { (s, d) =>
+      // the L2 scale path over the ENTIRE documents table (5000 docs at
+      // sf0.1) — no id filter; candidate volume is bounded by LSH buckets.
+      Dedup.minHashNearDupPairs(Tables.table(s, d, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+        .orderBy("a", "b")
+    },
+
+    sparkOnly("q79_corpus_prep_report") { (s, d) =>
+      val (cleaned, r) = graft.ops.CorpusPrep.prepare(
+        Tables.table(s, d, "documents").select("doc_id", "text", "lang"),
+        "doc_id", "text",
+        graft.ops.CorpusPrep.PrepConfig(minTokens = 10))
+      val spark = s
+      import spark.implicits._
+      Seq((r.input, r.afterQuality, r.afterLang, r.afterExact, r.kept,
+        cleaned.count()))
+        .toDF("input", "after_quality", "after_lang", "after_exact",
+          "kept", "cleaned_rows")
+    },
+
     sparkOnly("q76_ivf_topk") { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
       val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",
