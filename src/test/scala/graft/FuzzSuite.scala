@@ -104,6 +104,54 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("30 random window queries agree between Spark and DuckDB") {
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(
+        s"CREATE VIEW orders AS SELECT * FROM '$sf0001/orders.parquet'")
+      // each entry takes the OVER clause so wrappers like ROUND apply to
+      // the whole window expression
+      val winFns: Seq[String => String] = Seq(
+        over => s"ROW_NUMBER() $over",
+        over => s"RANK() $over",
+        over => s"DENSE_RANK() $over",
+        over => s"COUNT(*) $over",
+        over => s"ROUND(SUM(o_totalprice) $over, 2)",
+        over => s"LAG(o_orderkey, 1, -1) $over",
+        over => s"LEAD(o_orderkey, 1, -1) $over")
+      val qGen = for {
+        fn <- Gen.oneOf(winFns)
+        partition <- Gen.oneOf("o_custkey", "o_orderstatus", "o_orderpriority")
+        desc <- Gen.oneOf(true, false)
+        maxKey <- Gen.choose(50L, 500L)
+      } yield {
+        // total order inside the window (tiebreak o_orderkey) AND in the
+        // final output → fully deterministic on both engines
+        val dir = if (desc) "DESC" else "ASC"
+        val over = s"OVER (PARTITION BY $partition ORDER BY o_totalprice $dir, o_orderkey)"
+        s"""SELECT o_orderkey, ${fn(over)} w
+           |FROM orders WHERE o_custkey < $maxKey
+           |ORDER BY o_orderkey""".stripMargin
+      }
+      val queries = (1 to 30).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(13000L + i)))
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()
+          .map(r => s"${r.get(0)}|${r.get(1)}").toSeq
+        val rs = st.executeQuery(sql)
+        val dr = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => s"${r.getObject(1)}|${r.getObject(2)}").toSeq
+        if (sr != dr)
+          Some(s"sql=${sql.replace('\n', ' ')}: ${sr.size} vs ${dr.size} rows or diff")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("30 random join queries agree between Spark and DuckDB") {
     Tables.register(spark, sf0001)
     val conn = DriverManager.getConnection("jdbc:duckdb:")

@@ -175,6 +175,17 @@ class StreamingSuite extends SparkTestBase {
     assert(out.count() > 0 && out.select("ws").distinct().count() >= batchWindows - 1)
   }
 
+  test("checkpoint restart is idempotent: re-running an AvailableNow query adds nothing") {
+    val out = Files.createTempDirectory("graft-ckpt").toString
+    def run(): Unit = Streams.runToFiles(
+      Streams.eventsStream(spark, sf0001).filter(col("user_id") < 5), out)
+    run()
+    val n1 = spark.read.parquet(s"$out/data").count()
+    run() // same checkpoint: source offsets already committed → no new data
+    val n2 = spark.read.parquet(s"$out/data").count()
+    assert(n1 == n2 && n1 > 0, s"$n1 vs $n2")
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
