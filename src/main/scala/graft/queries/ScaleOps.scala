@@ -359,6 +359,32 @@ object ScaleOps {
         .orderBy("a", "b")
     },
 
+    dfQ("q80_salted_agg",
+      // The two-phase salted aggregation must equal the plain GROUP BY.
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) s, COUNT(*) n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.ops.Skew.saltedAggregate(
+        Tables.table(s, d, "lineitem"), Seq("l_returnflag"), "l_orderkey",
+        salts = 8,
+        partial = Seq(("l_quantity", "sum", "s"), ("l_quantity", "count", "n")))
+        .select(col("l_returnflag"), round(col("s"), 2).as("s"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    dfQ("q81_salted_join",
+      // The salt-replicated join must equal the plain equi-join.
+      """SELECT c.c_mktsegment, COUNT(*) n, ROUND(SUM(o.o_totalprice), 2) rev
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      val customer = Tables.table(s, d, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.ops.Skew.saltedJoin(Tables.table(s, d, "orders"), customer,
+        "o_custkey", saltFrom = "o_orderkey", salts = 4)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("c_mktsegment")
+    },
+
     sparkOnly("q78_minhash_full_corpus") { (s, d) =>
       // the L2 scale path over the ENTIRE documents table (5000 docs at
       // sf0.1) — no id filter; candidate volume is bounded by LSH buckets.
