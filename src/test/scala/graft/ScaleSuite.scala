@@ -83,6 +83,30 @@ class ScaleSuite extends SparkTestBase {
       .contains("BroadcastHashJoin"))
   }
 
+  test("plan lint: no accidental Cartesian products across the whole corpus") {
+    // queries whose SEMANTICS are a cross/nested-loop join (tiny side or
+    // deliberate all-pairs) — everything else must plan as an equi-join
+    val allowed = Set(
+      "q17_cross_join",        // 5×25 Cartesian by definition
+      "q23b_scalar_subquery",  // scalar subquery joins a 1-row relation
+      "q62_cosine_topk",       // all-pairs vs 5 broadcast query vectors
+      "q66_similar_pairs",     // thresholded all-pairs (vec_id < 200)
+      "q64_tfidf",             // CROSS JOIN with a 1-row count relation
+      "q76_ivf_topk",          // query×centroid probe (both tiny, broadcast)
+      "q77_embedding_neardup") // LSH-pruned pair generation
+    val offenders = SparkEntry.corpus.flatMap { q =>
+      try {
+        val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+        val bad = (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) &&
+          !allowed.contains(q.name)
+        if (bad) Some(q.name) else None
+      } catch { case _: Throwable => None } // plan-only lint; failures caught elsewhere
+    }
+    assert(offenders.isEmpty,
+      s"unexpected Cartesian/NLJ in: ${offenders.mkString(", ")}")
+  }
+
   test("GraftExtensions injects functions into a fresh session (no Registry call)") {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
