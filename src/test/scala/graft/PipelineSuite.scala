@@ -83,9 +83,13 @@ class PipelineSuite extends SparkTestBase {
   }
 
   test("example feeds run through the CLI entry point") {
-    for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json")) {
+    for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
+        "normalize_docs_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
+    val norm = spark.read.parquet("/tmp/graft-example-out/normalized_docs")
+    assert(norm.count() == 500)
+    assert(norm.filter(col("text") =!= lower(col("text"))).count() == 0)
     val pricing = spark.read.parquet("/tmp/graft-example-out/pricing_parquet")
     assert(pricing.count() > 0)
     val seg = spark.read.parquet("/tmp/graft-example-out/seg_rev")
