@@ -27,11 +27,13 @@ object Relational {
     },
 
     dfQ("q02_project_limit",
+      // sorts by ALL output columns: (l_orderkey, l_linenumber) is not
+      // unique at sf0.1 (verified), so remaining ties must be identical rows
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber").limit(100)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity").limit(100)
     },
 
     dfQ("q03_filter_conj",

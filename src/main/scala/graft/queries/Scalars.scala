@@ -55,13 +55,13 @@ object Scalars {
         |       CAST(FLOOR(l_quantity/7.0) AS BIGINT) f,
         |       CAST(MOD(CAST(l_quantity AS INT), 5) AS BIGINT) m, ROUND(POWER(l_tax+1, 2),6) pw,
         |       ROUND(SQRT(l_extendedprice),4) sq, ROUND(LN(l_extendedprice),6) lg
-        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber, r, a, c, f, m, pw, sq, lg""".stripMargin,
       """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 1) r,
         |       ABS(l_discount - 0.05) a, CAST(CEIL(l_quantity/7.0) AS BIGINT) c,
         |       CAST(FLOOR(l_quantity/7.0) AS BIGINT) f,
         |       CAST(MOD(CAST(l_quantity AS INT), 5) AS BIGINT) m, ROUND(POWER(l_tax+1, 2),6) pw,
         |       ROUND(SQRT(l_extendedprice),4) sq, ROUND(LN(l_extendedprice),6) lg
-        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber, r, a, c, f, m, pw, sq, lg""".stripMargin),
 
     sameQ("q48_conditional",
       """SELECT o_orderkey,
@@ -75,12 +75,12 @@ object Scalars {
         |       CAST(l_extendedprice AS DECIMAL(12,2)) dec2,
         |       CAST(CAST(l_shipdate AS DATE) AS STRING) ds,
         |       CAST(l_quantity AS INT) qi, CAST(CAST(l_orderkey AS STRING) AS BIGINT) rt
-        |FROM lineitem WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber, dec2, ds, qi, rt""".stripMargin,
       """SELECT l_orderkey, l_linenumber,
         |       CAST(l_extendedprice AS DECIMAL(12,2)) dec2,
         |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) ds,
         |       CAST(l_quantity AS INTEGER) qi, CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) rt
-        |FROM lineitem WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |FROM lineitem WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber, dec2, ds, qi, rt""".stripMargin),
 
     sqlQ("q50_json",
       """SELECT event_id, CAST(GET_JSON_OBJECT(props, '$.k') AS INT) k

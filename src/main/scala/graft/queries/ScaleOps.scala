@@ -295,12 +295,12 @@ object ScaleOps {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'qty', l_quantity
         |FROM lineitem WHERE l_orderkey < 20
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin) { (s, d) =>
       Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 20)
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("stack(2, 'price', l_extendedprice, 'qty', l_quantity)")
             .as(Seq("metric", "val")))
-        .orderBy("l_orderkey", "l_linenumber", "metric")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")
     },
 
     // W4 interval RANGE frame over timestamp order (q37 covers the numeric
