@@ -115,6 +115,24 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // A7 completion: population variants + covariance.
+    sameQ("q28b_pop_stats",
+      """SELECT l_returnflag,
+        |       ROUND(STDDEV_POP(l_quantity), 4) sdp,
+        |       ROUND(VAR_POP(l_quantity), 4) vp,
+        |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) cs,
+        |       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) cp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // A11 completion: ordered string aggregation.
+    sqlQ("q53b_string_agg",
+      """SELECT l_orderkey,
+        |       ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(CAST(l_linenumber AS STRING))), ',') lines
+        |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+      """SELECT l_orderkey,
+        |       STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) lines
+        |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
     // P4 breadth: null-safe equality (`<=>`; DuckDB: IS NOT DISTINCT FROM).
     sqlQ("q05b_null_safe_eq",
       """SELECT
