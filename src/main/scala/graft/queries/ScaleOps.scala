@@ -115,6 +115,28 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // P7 completion: correlated-equality scalar subquery.
+    sameQ("q23c_correlated_scalar",
+      """SELECT c_custkey,
+        |       ROUND((SELECT MAX(o_totalprice) FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey), 2) max_order
+        |FROM customer c
+        |WHERE c_custkey < 200
+        |ORDER BY c_custkey""".stripMargin),
+
+    // P3 completion: IN (subquery) — plans as a semi join.
+    sameQ("q15b_in_subquery",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // P3 completion: NOT IN (subquery) — null-aware anti join (the
+    // subquery column is non-null here, so semantics match EXISTS-NOT).
+    sameQ("q16b_not_in_subquery",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin),
+
     // A7 completion: population variants + covariance.
     sameQ("q28b_pop_stats",
       """SELECT l_returnflag,
