@@ -115,6 +115,15 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // F2 completion: RLIKE (DuckDB: regexp_matches).
+    sqlQ("q45b_rlike",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name RLIKE '^[a-f].*(ing|ed)'
+        |ORDER BY p_partkey LIMIT 100""".stripMargin,
+      """SELECT p_partkey, p_name FROM part
+        |WHERE REGEXP_MATCHES(p_name, '^[a-f].*(ing|ed)')
+        |ORDER BY p_partkey LIMIT 100""".stripMargin),
+
     // P7 completion: correlated-equality scalar subquery.
     sameQ("q23c_correlated_scalar",
       """SELECT c_custkey,
