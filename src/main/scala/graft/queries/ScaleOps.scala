@@ -115,6 +115,16 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // F1 completion: instr / concat_ws / reverse / ltrim / rtrim.
+    sameQ("q44b_string_breadth",
+      """SELECT p_partkey,
+        |       INSTR(p_name, 'a') ia,
+        |       CONCAT_WS('-', p_brand, p_type) cw,
+        |       REVERSE(p_brand) rv,
+        |       LTRIM(CONCAT('  ', p_name)) lt,
+        |       RTRIM(CONCAT(p_name, '  ')) rt
+        |FROM part ORDER BY p_partkey LIMIT 80""".stripMargin),
+
     // F2 completion: RLIKE (DuckDB: regexp_matches).
     sqlQ("q45b_rlike",
       """SELECT p_partkey, p_name FROM part

@@ -36,6 +36,16 @@ class FunctionBreadthSuite extends SparkTestBase {
     assert(one("right('abcdef', 2)").getString(0) == "ef")
   }
 
+  test("math breadth: bround (half-even), pmod, sign, log10, exp") {
+    assert(one("bround(2.5, 0)").getAs[java.math.BigDecimal](0).doubleValue == 2.0)
+    assert(one("bround(3.5, 0)").getAs[java.math.BigDecimal](0).doubleValue == 4.0)
+    assert(one("pmod(-7, 3)").getInt(0) == 2)   // positive modulus
+    assert(one("mod(-7, 3)").getInt(0) == -1)   // vs truncated mod
+    assert(one("sign(-42.0)").getDouble(0) == -1.0)
+    assert(one("log10(1000.0)").getDouble(0) == 3.0)
+    assert(math.abs(one("exp(1.0)").getDouble(0) - math.E) < 1e-12)
+  }
+
   test("ANSI-safe try_* family returns NULL instead of erroring") {
     assert(one("try_cast('not-a-number' AS INT)").isNullAt(0))
     assert(one("try_divide(1, 0)").isNullAt(0))
