@@ -127,11 +127,19 @@ class FuzzSuite extends SparkTestBase {
         partition <- Gen.oneOf("o_custkey", "o_orderstatus", "o_orderpriority")
         desc <- Gen.oneOf(true, false)
         maxKey <- Gen.choose(50L, 500L)
+        frame <- Gen.oneOf("",
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+          " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+          " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING")
       } yield {
         // total order inside the window (tiebreak o_orderkey) AND in the
-        // final output → fully deterministic on both engines
+        // final output → fully deterministic on both engines. Frames only
+        // attach to frameable functions (aggregates).
         val dir = if (desc) "DESC" else "ASC"
-        val over = s"OVER (PARTITION BY $partition ORDER BY o_totalprice $dir, o_orderkey)"
+        val f = fn("OVER ()")
+        val frameable = f.startsWith("COUNT") || f.startsWith("ROUND(SUM")
+        val over = s"OVER (PARTITION BY $partition ORDER BY o_totalprice $dir, o_orderkey" +
+          (if (frameable) frame else "") + ")"
         s"""SELECT o_orderkey, ${fn(over)} w
            |FROM orders WHERE o_custkey < $maxKey
            |ORDER BY o_orderkey""".stripMargin
