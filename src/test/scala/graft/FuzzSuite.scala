@@ -104,6 +104,38 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("20 random set-operation queries agree between Spark and DuckDB") {
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      for (t <- Seq("lineitem", "orders"))
+        st.execute(s"CREATE VIEW $t AS SELECT * FROM '$sf0001/$t.parquet'")
+      val qGen = for {
+        op <- Gen.oneOf("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
+        p <- predGen(2)
+        maxPrice <- Gen.choose(10000L, 400000L)
+      } yield
+        s"""SELECT k, COUNT(*) n FROM (
+           |  SELECT l_orderkey k FROM lineitem WHERE $p
+           |  $op
+           |  SELECT o_orderkey FROM orders WHERE o_totalprice < $maxPrice
+           |) t GROUP BY k ORDER BY k""".stripMargin
+      val queries = (1 to 20).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(17000L + i)))
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val rs = st.executeQuery(sql)
+        val dr = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2))).toSeq
+        if (sr != dr) Some(s"sql=${sql.replace('\n', ' ')}") else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("30 random window queries agree between Spark and DuckDB") {
     Tables.register(spark, sf0001)
     val conn = DriverManager.getConnection("jdbc:duckdb:")
