@@ -83,6 +83,42 @@ class ScaleSuite extends SparkTestBase {
       .contains("BroadcastHashJoin"))
   }
 
+  test("MinHash-LSH scales: 20x-replicated corpus yields planted pairs, not N²") {
+    // Build a 10,000-doc corpus: each sf0.01 document (500 distinct texts)
+    // replicated 20x with a distinct appended token, so every base doc
+    // becomes a 20-clique of near-dups (pairwise Jaccard ≈ 0.97). The LSH
+    // join must return ≈ 500 * C(20,2) planted pairs — bounded by the
+    // planted structure — and NOT degrade toward the ~50M all-pairs space.
+    val base = Tables.table(spark, sf001, "documents").select("doc_id", "text")
+    val replicated = base
+      .withColumn("i", explode(sequence(lit(0), lit(19))))
+      .select((col("doc_id") * 100 + col("i")).as("doc_id"),
+        concat(col("text"), lit(" copytoken"), col("i")).as("text"))
+    assert(replicated.count() == 10000)
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Dedup.minHashNearDupPairs(
+      replicated, "doc_id", "text", shingleN = 3, threshold = 0.8)
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10k docs → $nPairs pairs in $secs%.1f s")
+    val planted = 500L * (20 * 19 / 2) // 95,000 within-clique pairs
+    // recall ≥ ~0.85 of planted; upper bound allows cross-base near-dups
+    // that exist in the fixture (e.g. docs 87~134 → up to 400 cross pairs
+    // per such base pair) but nothing close to quadratic blowup
+    assert(nPairs > (planted * 0.85).toLong, s"recall too low: $nPairs")
+    assert(nPairs < planted + 20000L, s"candidate blowup: $nPairs")
+    // cross-base pairs must come from a handful of fixture-planted near-dup
+    // base families (each contributes up to 400 copy-cross pairs), never a
+    // broad quadratic mixing. NB: integer division — `/` on longs is a
+    // double divide in Spark SQL and would misclassify within-clique pairs.
+    val crossBase = pairs.filter(expr("a div 100") =!= expr("b div 100"))
+      .select(expr("a div 100").as("ba"), expr("b div 100").as("bb"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"cross-base near-dup families: ${crossBase.size}")
+    assert(crossBase.size <= 30, s"unexpected cross-base mixing: $crossBase")
+  }
+
   test("plan lint: no accidental Cartesian products across the whole corpus") {
     // queries whose SEMANTICS are a cross/nested-loop join (tiny side or
     // deliberate all-pairs) — everything else must plan as an equi-join
