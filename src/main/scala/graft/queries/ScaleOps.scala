@@ -115,6 +115,23 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // F4 completion: pmod (DuckDB: ((a%b)+b)%b) / log10 / exp / sign.
+    sqlQ("q47b_math_breadth",
+      """SELECT l_orderkey, l_linenumber,
+        |       PMOD(CAST(l_quantity AS INT) - 25, 7) pm,
+        |       ROUND(LOG10(l_extendedprice), 6) lg10,
+        |       ROUND(EXP(l_discount), 6) ex,
+        |       CAST(SIGN(l_quantity - 25) AS BIGINT) sg
+        |FROM lineitem WHERE l_orderkey < 40
+        |ORDER BY l_orderkey, l_linenumber, pm, lg10, ex, sg""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |       ((CAST(l_quantity AS INT) - 25) % 7 + 7) % 7 pm,
+        |       ROUND(LOG10(l_extendedprice), 6) lg10,
+        |       ROUND(EXP(l_discount), 6) ex,
+        |       CAST(SIGN(l_quantity - 25) AS BIGINT) sg
+        |FROM lineitem WHERE l_orderkey < 40
+        |ORDER BY l_orderkey, l_linenumber, pm, lg10, ex, sg""".stripMargin),
+
     // F1 completion: instr / concat_ws / reverse / ltrim / rtrim.
     sameQ("q44b_string_breadth",
       """SELECT p_partkey,

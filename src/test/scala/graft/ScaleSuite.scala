@@ -83,6 +83,19 @@ class ScaleSuite extends SparkTestBase {
       .contains("BroadcastHashJoin"))
   }
 
+  test("AsOf.join plans one shuffle on the key (DESIGN.md claim)") {
+    val ev = Tables.table(spark, sf0001, "events").filter(col("user_id") < 20)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("ts").as("p_ts"))
+    val plan = graft.ops.AsOf.join(ev, purchases, "user_id", "ts", "ts",
+      Seq("p_ts")).queryExecution.executedPlan.toString
+    // the union-merge-window plan: exactly one hash exchange (the window's
+    // partitionBy key) and no join operator at all
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(1800)}")
+    assert(!plan.contains("Join"), "as-of must not plan a join operator")
+  }
+
   test("MinHash-LSH scales: 20x-replicated corpus yields planted pairs, not N²") {
     // Build a 10,000-doc corpus: each sf0.01 document (500 distinct texts)
     // replicated 20x with a distinct appended token, so every base doc
