@@ -115,6 +115,14 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    // F6 completion: TRY_CAST null-on-failure semantics (identical dialect).
+    sameQ("q49b_try_cast",
+      """SELECT p_partkey,
+        |       TRY_CAST(p_brand AS INT) bad_int,
+        |       TRY_CAST(CAST(p_size AS STRING) AS INT) good_int,
+        |       TRY_CAST(p_name AS DATE) bad_date
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin),
+
     // F4 completion: pmod (DuckDB: ((a%b)+b)%b) / log10 / exp / sign.
     sqlQ("q47b_math_breadth",
       """SELECT l_orderkey, l_linenumber,
