@@ -104,6 +104,23 @@ class OracleSuite extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("q53 typed array equivalence (ARRAY column kept under test in-suite)") {
+    // The corpus q53 serializes the list to CSV so the driver's pandas
+    // harness can hash it; the typed ARRAY form stays verified here, where
+    // canon() knows how to compare Spark Seq vs DuckDB java.sql.Array.
+    Tables.register(spark, sf0001)
+    val sparkTyped = spark.sql(
+      """SELECT l_orderkey, ARRAY_SORT(COLLECT_LIST(l_linenumber)) lines
+        |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    val sr = sparkTyped.collect().toSeq.map(r => Seq(canon(r.get(0)), canon(r.get(1))))
+    val dr = withDuck(sf0001) { conn =>
+      duckResult(conn,
+        """SELECT l_orderkey, LIST_SORT(LIST(l_linenumber)) lines
+          |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)._2
+    }
+    assert(sr == dr)
+  }
+
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
