@@ -402,10 +402,27 @@ object ScaleOps {
         .orderBy("a", "b")
     },
 
-    sparkOnly("q72_ann_topk") { (s, d) =>
+    // Oracle-promoted (VERDICT r1 next-round 3): annTopK ranks candidates by
+    // the exact codegen'd cosine, and OpsSuite asserts its output EQUALS
+    // exactTopK on the fixtures (recall 1.0) — so the exact-SQL top-k is a
+    // valid oracle for the deterministic, seeded LSH run.
+    dfQ("q72_ann_topk",
+      """SELECT q, v, sim, rn FROM (
+        |  SELECT a.vec_id q, b.vec_id v,
+        |         ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS BIGINT) rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 5) t
+        |WHERE rn <= 3 ORDER BY q, rn""".stripMargin) { (s, d) =>
+      // Generous OR-amplification (12 tables, wide buckets) is the right
+      // operating point here: the query side is 5 broadcast vectors, so the
+      // candidate set is ≤ 5N regardless — recall 1.0 costs almost nothing.
       Similarity.annTopK(Tables.table(s, d, "embeddings"), "vec_id",
-        "embedding", _.filter(col("vec_id") < 5), k = 3)
+        "embedding", _.filter(col("vec_id") < 5), k = 3,
+        bucketLength = 1.0, numHashTables = 12)
         .withColumn("sim", round(col("sim"), 6))
+        .withColumn("rn", col("rn").cast("bigint"))
         .orderBy("q", "rn")
     },
 
@@ -435,7 +452,17 @@ object ScaleOps {
         .orderBy("kind")
     },
 
-    sparkOnly("q77_embedding_neardup") { (s, d) =>
+    // Oracle-promoted (VERDICT r1 next-round 3+4a): τ=0.4 is below the LSH
+    // operating regime, so embeddingNearDupPairs dispatches to the exact
+    // broadcast-nested-loop path — deterministic and exactly SQL-expressible
+    // (the q66 formulation). The LSH path stays covered at high τ in
+    // OpsSuite.
+    dfQ("q77_embedding_neardup",
+      """SELECT a.vec_id a, b.vec_id b, ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],b.embedding::DOUBLE[]),6) sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],b.embedding::DOUBLE[]) > 0.4
+        |ORDER BY a.vec_id, b.vec_id""".stripMargin) { (s, d) =>
       Similarity.embeddingNearDupPairs(
         Tables.table(s, d, "embeddings").filter(col("vec_id") < 200),
         "vec_id", "embedding", threshold = 0.4)
@@ -490,13 +517,30 @@ object ScaleOps {
           "kept", "cleaned_rows")
     },
 
-    sparkOnly("q76_ivf_topk") { (s, d) =>
+    // Oracle-promoted: the fixture vectors are near-random in 64-dim, where
+    // cell membership barely correlates with cosine rank — exactness
+    // requires exhaustive probing (nprobe = nlist; verified: nprobe=14
+    // still missed one rank-3 neighbor at sf0.1). All the IVF machinery
+    // (centroid broadcast, probe ranking, cell equi-join) is still
+    // exercised; the real ANN trade-off (nprobe << nlist) stays covered by
+    // the nprobe=8 recall measurement in OpsSuite. Real embedding corpora
+    // cluster, which is what makes partial probing pay off there.
+    dfQ("q76_ivf_topk",
+      """SELECT q, v, sim, rn FROM (
+        |  SELECT a.vec_id q, b.vec_id v,
+        |         ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) sim,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC, b.vec_id) AS BIGINT) rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 5) t
+        |WHERE rn <= 3 ORDER BY q, rn""".stripMargin) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
       val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",
         nlist = 16)
       Similarity.ivfTopK(indexed, model,
-        emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 8)
+        emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 16)
         .withColumn("sim", round(col("sim"), 6))
+        .withColumn("rn", col("rn").cast("bigint"))
         .orderBy("q", "rn")
     }
   )
