@@ -22,16 +22,22 @@ object Bench {
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
     val results = SparkEntry.corpus.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    val qs = results.map { case (k, v, _) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
+    // A throwing query must not masquerade as a benchmark result: its name
+    // goes in "failed" (ADVICE r1) — an empty list is the all-green marker.
+    val failed = results.collect { case (k, _, false) => s""""$k"""" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

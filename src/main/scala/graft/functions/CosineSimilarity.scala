@@ -16,12 +16,19 @@ import org.apache.spark.sql.types._
   * oracle at the 6th decimal; see SURVEY.md §5.4).
   *
   * NULL in, NULL out. Arrays of different lengths use the common prefix.
+  * Zero-norm input (either side) also yields NULL: the similarity is
+  * undefined there, and silently emitting NaN/±Inf would poison downstream
+  * aggregates. (DuckDB 1.0.0's `list_cosine_similarity` clamps the same
+  * case to -1.0 — a version-specific quirk; fixture corpora contain no
+  * zero vectors, so the oracle never exercises the divergence.)
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def prettyName: String = "cosine_similarity"
   override def dataType: DataType = DoubleType
+  // produces NULL for zero-norm inputs even when children are non-nullable
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -56,7 +63,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -80,7 +88,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = ${getter(elemType(right), b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }

@@ -51,7 +51,15 @@ object AsOf {
     val lAligned = l.select(
       (leftCols ++ Seq("__ts", "__side", "__payload")).map(col): _*)
 
-    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__side"))
+    // Final tiebreak on the payload struct itself: when multiple RIGHT rows
+    // share (key, ts), plain (ts, side) ordering would leave which payload
+    // last() carries up to partition order — at odds with the engine's
+    // determinism posture (ADVICE r1). Struct ordering is field-by-field,
+    // so the largest payload deterministically wins a ts tie. (Requires
+    // orderable payload fields — atomic types; maps would need a caller-
+    // supplied unique tiebreak column instead.)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = rAligned.unionByName(lAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))

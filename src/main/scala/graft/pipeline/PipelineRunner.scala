@@ -91,12 +91,12 @@ object PipelineRunner {
     val reportPath = args.sliding(2).collectFirst {
       case Array("--report", p) => p
     }
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-pipeline")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // EtlSession for parity with StreamingRunner: GraftExtensions, the
+    // nanosAsLong flag (ns-timestamp parquet like events.parquet would
+    // otherwise fail PARQUET_TYPE_ILLEGAL), AQE, UTC (ADVICE r1).
+    val spark = graft.EtlSession.create(
+      master = sys.env.getOrElse("SPARK_MASTER", "local[*]"),
+      appName = "graft-pipeline")
     try {
       val report = runFile(spark, specPath)
       reportPath.foreach(p => java.nio.file.Files.writeString(

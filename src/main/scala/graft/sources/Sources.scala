@@ -36,6 +36,12 @@ object Sources {
         DuckDbDialect.ensureRegistered()
         reader.format("jdbc").load()
       case "table"   => spark.table(path)
+      case "values"  =>
+        // Inline literal source: `path` IS the data — JSON-lines rows
+        // (one object per line), with the optional DDL `schema` giving
+        // exact types. Backs test/seed feeds without touching disk.
+        import spark.implicits._
+        reader.json(spark.createDataset(path.split('\n').toSeq))
       case "kafka"   => throw new UnsupportedOperationException(
         "kafka source: connector jar not available in this offline " +
           "environment; use format=parquet/json file streams or MemoryStream " +

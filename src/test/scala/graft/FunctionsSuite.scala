@@ -68,6 +68,22 @@ class FunctionsSuite extends SparkTestBase {
     assert(rows(0).isNullAt(0))
   }
 
+  test("cosine_similarity yields NULL on zero-norm input in both paths") {
+    functions.Registry.registerAll(spark)
+    // codegen path
+    val viaCodegen = spark.sql(
+      """SELECT cosine_similarity(array(0.0d, 0.0d), array(1.0d, 2.0d)) a,
+        |       cosine_similarity(array(1.0d, 2.0d), array(0.0d, 0.0d)) b,
+        |       cosine_similarity(array(0.0d, 0.0d), array(0.0d, 0.0d)) c""".stripMargin)
+      .collect()(0)
+    assert(viaCodegen.isNullAt(0) && viaCodegen.isNullAt(1) && viaCodegen.isNullAt(2))
+    // interpreted path (eval through a literal fold at the driver)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = functions.CosineSimilarity(
+      Literal.create(Array(0.0, 0.0)), Literal.create(Array(1.0, 2.0)))
+    assert(e.eval(null) == null)
+  }
+
   test("shingles matches sliding-window reference") {
     functions.Registry.registerAll(spark)
     import spark.implicits._

@@ -67,6 +67,15 @@ class IoSuite extends SparkTestBase {
         .map(_.getAs[Number](0).longValue).toSeq)
   }
 
+  test("values source: inline JSON-lines literal with DDL schema") {
+    val df = Sources.read(spark, "values",
+      "{\"id\": 1, \"name\": \"ok\"}\n{\"id\": 2, \"name\": \"ko\"}",
+      schema = Some("id BIGINT, name STRING"))
+    assert(df.schema.map(_.dataType.simpleString) == Seq("bigint", "string"))
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "ok"), (2L, "ko")))
+  }
+
   test("S7: kafka source/sink fail with a clear offline message") {
     val e1 = intercept[UnsupportedOperationException] {
       Sources.read(spark, "kafka", "topic")

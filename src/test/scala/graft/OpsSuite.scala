@@ -273,6 +273,25 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("AsOf.join breaks (key, ts) ties among right rows deterministically") {
+    import spark.implicits._
+    // two right rows share (key=1, ts=10): payloads "a" < "b" — the struct
+    // tiebreak must carry "b" every run regardless of partition order
+    val left = Seq((1L, 20L, "probe")).toDF("k", "ts", "tag")
+    def right(order: Seq[(Long, Long, String)]) =
+      order.toDF("k", "rts", "payload").repartition(4)
+    val expected = Seq(("probe", "b"))
+    for (perm <- Seq(
+        Seq((1L, 10L, "a"), (1L, 10L, "b")),
+        Seq((1L, 10L, "b"), (1L, 10L, "a")))) {
+      val got = ops.AsOf.join(left, right(perm), "k", "ts", "rts",
+          Seq("payload"))
+        .select("tag", "payload")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == expected, s"perm=$perm got=$got")
+    }
+  }
+
   test("AsOf.join equals the q19 window formulation on events") {
     val ev = Tables.table(spark, sf0001, "events")
       .filter(col("user_id") < 20)
