@@ -37,6 +37,30 @@ class MapJsonSuite extends SparkTestBase {
     assert(stm == Map("a" -> "1", "b" -> "2"))
   }
 
+  test("VARIANT: parse_json / variant_get / try_parse_json smoke (Spark 4)") {
+    // Semi-structured VARIANT is part of the Spark 4 surface this engine
+    // rides on (SURVEY.md §4 stretch); pin the basic contract so a future
+    // events-style feed can adopt it deliberately.
+    Tables.register(spark, sf0001)
+    val r = spark.sql(
+      """SELECT variant_get(parse_json('{"k": 7, "s": "x", "arr": [1,2]}'), '$.k', 'int') k,
+        |       variant_get(parse_json('{"k": 7, "s": "x"}'), '$.s', 'string') s,
+        |       variant_get(parse_json('[{"a": 5}]'), '$[0].a', 'bigint') a0,
+        |       try_parse_json('not json') bad""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 7 && r.getString(1) == "x" && r.getLong(2) == 5L)
+    assert(r.isNullAt(3))
+    // VARIANT round-trips through parquet (the storage our feeds use)
+    val tmp = java.nio.file.Files.createTempDirectory("variant").toString
+    spark.sql(
+      """SELECT event_id, parse_json(props) vp
+        |FROM events WHERE user_id < 5""".stripMargin)
+      .write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+      .selectExpr("event_id", "variant_get(vp, '$.k', 'int') k")
+    assert(back.count() > 0)
+    assert(back.filter(col("k").isNotNull).count() > 0)
+  }
+
   test("F8: from_json / to_json / json_tuple round-trips") {
     val schema = StructType(Seq(
       StructField("k", IntegerType), StructField("s", StringType)))

@@ -178,4 +178,48 @@ class ScaleSuite extends SparkTestBase {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("CBO: ANALYZE TABLE stats reach the optimizer; join-reorder result unchanged") {
+    // SURVEY §4.1 optional path: table+column statistics + cost-based join
+    // reorder. On a real warehouse this is `ANALYZE TABLE` after load; here
+    // the q57b snowflake shape runs with and without CBO and must agree,
+    // and the catalog stats must be visible to the optimizer.
+    Tables.register(spark, sf0001)
+    val tables = Seq("nation", "supplier", "customer", "orders", "lineitem")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      spark.table(t).write.saveAsTable(s"cbo_$t")
+      spark.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val q =
+      """SELECT sn.n_name supp_nation, cn.n_name cust_nation,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) volume
+        |FROM cbo_supplier s
+        |JOIN cbo_lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN cbo_orders o   ON o.o_orderkey = l.l_orderkey
+        |JOIN cbo_customer c ON c.c_custkey = o.o_custkey
+        |JOIN cbo_nation sn  ON sn.n_nationkey = s.s_nationkey
+        |JOIN cbo_nation cn  ON cn.n_nationkey = c.c_nationkey
+        |GROUP BY sn.n_name, cn.n_name
+        |ORDER BY supp_nation, cust_nation""".stripMargin
+    def run(): Seq[(String, String, Double)] =
+      spark.sql(q).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val plain = run()
+    val conf = spark.conf
+    conf.set("spark.sql.cbo.enabled", "true")
+    conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // row-count stats from ANALYZE are visible to the optimizer
+      val stats = spark.table("cbo_lineitem")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined && stats.rowCount.get.toLong > 0,
+        s"expected catalog rowCount under CBO, got $stats")
+      assert(run() == plain) // reordered plan, identical answer
+    } finally {
+      conf.set("spark.sql.cbo.enabled", "false")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS cbo_$t"))
+    }
+  }
 }
