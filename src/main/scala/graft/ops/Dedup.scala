@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: keep the first row per distinct hash of `cols`.
-    * At scale this is one shuffle on the digest. */
+  /** Exact dedup: keep one row per distinct `cols` combination. At scale
+    * this is one shuffle on those columns. NOTE: like Spark's
+    * `dropDuplicates`, the survivor among rows that differ OUTSIDE `cols`
+    * is arbitrary — when deterministic survivor selection matters (lowest
+    * id per content digest), use [[dedupCorpus]], which rank-picks inside
+    * digest groups. */
   def exactDedup(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
