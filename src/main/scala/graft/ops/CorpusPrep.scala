@@ -34,25 +34,29 @@ object CorpusPrep {
 
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               cfg: PrepConfig = PrepConfig()): (DataFrame, PrepReport) = {
-    val input = docs.count()
-
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
-        col("stopword_ratio")
-          .between(cfg.minStopwordRatio, cfg.maxStopwordRatio))
-      .select(col(idCol))
-    val afterQualityDf = docs.join(quality, Seq(idCol), "left_semi").cache()
-    val afterQuality = afterQualityDf.count()
-
-    val afterLangDf =
-      if (cfg.allowedLangs.isEmpty) afterQualityDf
-      else {
-        val langs = TextAnalysis.languageId(afterQualityDf, idCol, textCol)
-          .filter(col("lang_guess").isin(cfg.allowedLangs: _*))
-          .select(col(idCol))
-        afterQualityDf.join(langs, Seq(idCol), "left_semi").cache()
-      }
-    val afterLang = afterLangDf.count()
+    // The quality metrics and language guess are pure codegen'd
+    // projections, so the gate booleans ride along every row and ALL gate
+    // attrition counts come from ONE conditional aggregation over ONE scan
+    // — not a count() action (full pass) per stage. At 100 TB that is the
+    // difference between reading the crawl once and reading it three
+    // times before dedup even starts (VERDICT r1 perf audit of q79).
+    val metrics = TextAnalysis.qualityColumns(textCol).toMap
+    val qOk = metrics("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+      metrics("stopword_ratio")
+        .between(cfg.minStopwordRatio, cfg.maxStopwordRatio)
+    val lOk =
+      if (cfg.allowedLangs.isEmpty) lit(true)
+      else TextAnalysis.languageGuess(textCol).isin(cfg.allowedLangs: _*)
+    val flagged = docs
+      .withColumn("__q", qOk)
+      .withColumn("__ql", qOk && lOk)
+    val g = flagged.agg(
+      count(lit(1)).as("input"),
+      count(when(col("__q"), 1)).as("after_quality"),
+      count(when(col("__ql"), 1)).as("after_lang")).collect()(0)
+    val (input, afterQuality, afterLang) =
+      (g.getLong(0), g.getLong(1), g.getLong(2))
+    val afterLangDf = flagged.filter(col("__ql")).drop("__q", "__ql").cache()
 
     val (cleaned, dedupReport) = Dedup.dedupCorpus(
       afterLangDf, idCol, textCol, cfg.shingleN, cfg.nearDupThreshold)

@@ -31,27 +31,35 @@ object TextAnalysis {
     * [0,1] (monotone in "looks like prose"). All ratios are over chars or
     * tokens as noted; deterministic, ANSI-safe (no division by zero on
     * empty docs). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The quality metric columns themselves, exposed so composites
+    * (CorpusPrep) can ride them along arbitrary rows in a single pass
+    * instead of computing them behind a join. */
+  def qualityColumns(textCol: String): Seq[(String, Column)] = {
     val toks = split(col(textCol), " ")
     val nChars = length(col(textCol)).cast("double")
     val nToks = size(toks).cast("double")
     val punct = length(regexp_replace(col(textCol), "[^.,;:!?]", ""))
       .cast("double")
     val stop = size(filter(toks, w => w.isin(Stopwords.en: _*))).cast("double")
-    docs.select(col(idCol),
-      nChars.cast("long").as("n_chars"),
-      nToks.cast("long").as("n_tokens"),
-      round(nChars / greatest(nToks, lit(1.0)), 4).as("avg_tok_len"),
-      round(punct / greatest(nChars, lit(1.0)), 6).as("punct_ratio"),
-      round(stop / greatest(nToks, lit(1.0)), 6).as("stopword_ratio"))
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nToks.cast("long"),
+      "avg_tok_len" -> round(nChars / greatest(nToks, lit(1.0)), 4),
+      "punct_ratio" -> round(punct / greatest(nChars, lit(1.0)), 6),
+      "stopword_ratio" -> round(stop / greatest(nToks, lit(1.0)), 6))
   }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +:
+      qualityColumns(textCol).map { case (n, c) => c.as(n) }: _*)
 
   /** Stopword-vote language ID over the profile lists in [[Stopwords]]:
     * score(lang) = #tokens found in that language's stopword list; the
     * guess is the argmax with deterministic tiebreak on language code.
     * A real n-gram/stopword heuristic — accuracy is property-tested on
     * genuine multilingual snippets in the test suite. */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The language-guess column itself (see [[qualityColumns]] rationale). */
+  def languageGuess(textCol: String): Column = {
     val toks = split(col(textCol), " ")
     def score(words: Seq[String]): Column =
       size(filter(toks, w => w.isin(words: _*))).cast("double")
@@ -64,8 +72,11 @@ object TextAnalysis {
       case (acc, (lang, s)) =>
         when(acc.isNull && s === best && best > 0, lang).otherwise(acc)
     }
-    docs.select(col(idCol), coalesce(guess, lit("und")).as("lang_guess"))
+    coalesce(guess, lit("und"))
   }
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), languageGuess(textCol).as("lang_guess"))
 
   /** Winnowing fingerprints (MOSS-style): k-gram rolling hashes, minimum
     * per sliding window of w — a compact, position-robust signature set
