@@ -333,6 +333,45 @@ object ScaleOps {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 30)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // TPC-H Q18 shape: large-volume orders via IN over a grouped-HAVING
+    // subquery — exercises Catalyst's rewrite of IN(<aggregated subquery>)
+    // into a left-semi join on the aggregated key.
+    sameQ("q56b_big_orders",
+      """SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) odate, o.o_totalprice
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin),
+
+    // TPC-H Q21 shape: suppliers who were the sole flagged line in a
+    // multi-supplier order — EXISTS and NOT EXISTS correlated to the same
+    // outer row with extra predicates; both decorrelate to (anti-)joins.
+    sameQ("q56c_sole_flagged_supplier",
+      """SELECT s.s_name, COUNT(*) numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 25""".stripMargin),
+
+    // TPC-H Q22 shape: above-average-balance customers with no large
+    // order — an uncorrelated scalar AVG subquery gating a correlated
+    // NOT EXISTS anti-join.
+    sameQ("q59b_idle_rich_customers",
+      """SELECT c_mktsegment, COUNT(*) numcust, ROUND(SUM(c_acctbal), 2) totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
     // TPC-H Q5 shape: 5-way snowflake join with regional revenue rollup.
     dfQ("q57_regional_revenue",
       """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) rev
