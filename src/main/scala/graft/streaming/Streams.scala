@@ -106,6 +106,31 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** ST9: stream-stream interval join — each purchase enriched with the
+    * same user's clicks from the preceding hour. Both sides carry
+    * watermarks and the join condition is time-bounded: that pair is what
+    * lets Spark evict join state (an unbounded stream-stream equi-join
+    * would buffer both streams forever). At scale the state store holds
+    * one watermark-width window of each side per key partition — bounded,
+    * like the windowed aggregations. */
+  def purchaseClickJoin(events: DataFrame,
+                        watermark: String = "30 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("c_id"),
+        col("p_ts"), col("c_ts"), col("p_value"))
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available data is processed (Trigger.AvailableNow —
     * deterministic replay, ST8). Returns the completed query. */

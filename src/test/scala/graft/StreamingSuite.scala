@@ -104,6 +104,29 @@ class StreamingSuite extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("ST9: stream-stream interval join — replay equals the batch join") {
+    // Append-mode stream-stream join: a single file-source stream filtered
+    // into two sides (a supported streaming self-join) with watermarks on
+    // both and a time-bounded condition so join state is evictable.
+    Streams.runToMemory(
+      Streams.purchaseClickJoin(Streams.eventsStream(spark, sf0001)), "st9",
+      OutputMode.Append())
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("c_id"),
+        col("p_ts"), col("c_ts"), col("p_value"))
+    assert(memTable("st9").count() > 0)
+    assert(rowsOf(memTable("st9")) == rowsOf(batch))
+  }
+
   test("ST6: rows older than the watermark are dropped from append output") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val agg = input.toDF().toDF("event_id", "ts", "k")
