@@ -225,6 +225,69 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("40 random scalar-expression queries agree between Spark and DuckDB") {
+    // 6th axis: random compositions from the ANSI-common scalar set
+    // (string / integer / conditional) over part — catches function
+    // semantics drift (trim charsets, substring bounds, modulo sign,
+    // CASE typing) that the fixed corpus queries can't.
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(
+        s"CREATE VIEW part AS SELECT * FROM '$sf0001/part.parquet'")
+      val strCol = Gen.oneOf("p_name", "p_brand", "p_type")
+      // string-typed results only — CASE branches must agree on type
+      def strOnlyExpr: Gen[String] = Gen.oneOf(
+        strCol.map(c => s"UPPER($c)"),
+        strCol.map(c => s"LOWER($c)"),
+        for { c <- strCol; s <- Gen.choose(1, 5); l <- Gen.choose(1, 8) }
+          yield s"SUBSTRING($c, $s, $l)",
+        for { a <- strCol; b <- strCol } yield s"CONCAT($a, '_', $b)",
+        strCol.map(c => s"TRIM(CONCAT(' ', $c, ' '))"),
+        for { c <- strCol; ch <- Gen.oneOf("a", "e", "r") }
+          yield s"REPLACE($c, '$ch', '#')")
+      def strExpr: Gen[String] = Gen.oneOf(
+        strOnlyExpr,
+        strCol.map(c => s"CAST(LENGTH($c) AS BIGINT)"))
+      def numExpr: Gen[String] = Gen.oneOf(
+        Gen.choose(1, 40).map(k => s"ABS(p_size - $k)"),
+        Gen.choose(2, 9).map(m => s"MOD(p_size, $m)"),
+        Gen.choose(2, 7).map(d => s"CAST(FLOOR(p_size / $d.0) AS BIGINT)"),
+        Gen.choose(1, 50).map(k => s"GREATEST(p_size, $k)"),
+        Gen.choose(1, 50).map(k => s"LEAST(p_size, $k)"))
+      def caseExpr: Gen[String] = for {
+        k <- Gen.choose(5, 45); t <- strOnlyExpr; e <- strOnlyExpr
+      } yield s"CASE WHEN p_size > $k THEN $t ELSE $e END"
+      val qGen = for {
+        e1 <- strExpr; e2 <- numExpr; e3 <- caseExpr
+        lim <- Gen.choose(40, 120)
+      } yield
+        s"""SELECT p_partkey, $e1 a, $e2 b, $e3 c
+           |FROM part ORDER BY p_partkey LIMIT $lim""".stripMargin
+      val queries = (1 to 40).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(21000L + i)))
+      assert(queries.size >= 30)
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()
+          .map(r => (0 until r.length).map(i =>
+            Option(r.get(i)).map(_.toString).getOrElse("\\N")).mkString("|"))
+        val rs = st.executeQuery(sql)
+        val md = rs.getMetaData
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (1 to md.getColumnCount).map(i =>
+            Option(r.getObject(i)).map(_.toString).getOrElse("\\N")).mkString("|")
+        }.toSeq
+        if (sr.toSeq != dr)
+          Some(s"sql=${sql.replace('\n', ' ')} " +
+            s"first-diff=${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("80 random predicate trees agree between Spark and DuckDB") {
     Tables.register(spark, sf0001)
     val conn = DriverManager.getConnection("jdbc:duckdb:")
