@@ -84,9 +84,13 @@ class PipelineSuite extends SparkTestBase {
 
   test("example feeds run through the CLI entry point") {
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
-        "normalize_docs_feed.json")) {
+        "normalize_docs_feed.json", "seeded_lookup_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
+    val tiers = spark.read.parquet("/tmp/graft-example-out/nations_by_tier")
+    // 25 nations over 5 regions, seeded inline via the 'values' source
+    assert(tiers.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("core" -> 10L, "growth" -> 10L, "frontier" -> 5L))
     val norm = spark.read.parquet("/tmp/graft-example-out/normalized_docs")
     assert(norm.count() == 500)
     assert(norm.filter(col("text") =!= lower(col("text"))).count() == 0)
