@@ -1,24 +1,34 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join (SURVEY.md §2.3 J8) as a first-class operator.
   *
-  * For every left row, attach the latest right row (per key) whose
-  * timestamp is at or before the left timestamp — the "current model
-  * version / latest price / last purchase as of this event" join that
-  * time-series and training pipelines need constantly.
+  * For every left row, attach the right row (per key) nearest in time
+  * under the chosen direction — the "current model version / latest price
+  * / last purchase as of this event" join that time-series and training
+  * pipelines need constantly:
+  *
+  *  - `backward` (default): latest right row at or before the left ts
+  *  - `forward`: earliest right row at or after the left ts
+  *  - `nearest`: whichever of the two is closer in time (ties → backward,
+  *    matching pandas `merge_asof` semantics)
   *
   * Implementation is the union-merge-window plan, the scalable form:
   * union both sides tagged, sort within each key by (ts, side-tag), and
-  * carry the last seen right payload forward with
-  * `last(..., ignoreNulls)` over an unbounded-preceding frame. Exactly one
-  * shuffle on the key (plus the per-partition sort) regardless of the
-  * ratio of left to right rows — never a per-row probe or a range
-  * cross-product. Ties (equal ts) resolve to the right row (tag sorts
-  * right-before-left), matching "at or before" semantics.
+  * carry the adjacent right payload with `last`/`first(..., ignoreNulls)`
+  * over a one-sided frame. Exactly ONE shuffle on the key regardless of
+  * the ratio of left to right rows — never a per-row probe or a range
+  * cross-product ('nearest' adds a second per-partition sort for the
+  * opposite tie order, but no extra exchange). Ties (equal ts) resolve to
+  * the right row, matching the inclusive "at or before/after" semantics.
+  *
+  * `tolerance` (optional, pandas-style): a predicate over (leftTs,
+  * matchedRightTs) columns; matches failing it are nulled out — e.g.
+  * `(l, r) => l - r <= expr("INTERVAL 1 HOUR")` for backward joins on
+  * timestamps, or `(l, r) => l - r <= lit(3600)` on numeric ts.
   */
 object AsOf {
 
@@ -28,20 +38,32 @@ object AsOf {
     * @param leftTs      timestamp column on `left`
     * @param rightTs     timestamp column on `right`
     * @param payloadCols columns of `right` to carry (null when no match)
+    * @param direction   "backward" (default) | "forward" | "nearest"
+    * @param tolerance   optional (leftTs, matchedRightTs) => keep-match
     */
   def join(left: DataFrame, right: DataFrame, keyCol: String,
            leftTs: String, rightTs: String,
-           payloadCols: Seq[String]): DataFrame = {
+           payloadCols: Seq[String],
+           direction: String = "backward",
+           tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
-    val payloadType = right.select(payloadCols.map(col): _*).schema
+    // The right ts rides inside the payload struct (as __rts) so 'nearest'
+    // can compare distances and 'tolerance' can see the matched ts.
+    val innerCols = payloadCols :+ "__rts"
+    val payloadType = right
+      .withColumn("__rts", col(rightTs))
+      .select(innerCols.map(col): _*).schema
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1)) // left sorts after right on ts ties
       .withColumn("__payload", lit(null).cast(payloadType))
     val r = right
+      .withColumn("__rts", col(rightTs))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__payload", struct(payloadCols.map(col): _*))
+      .withColumn("__payload", struct(innerCols.map(col): _*))
       .select((keyCol +: Seq("__ts", "__side", "__payload")).map(col): _*)
     // align schemas: right side carries nulls for left-only columns
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
@@ -50,20 +72,55 @@ object AsOf {
     }.select((leftCols ++ Seq("__ts", "__side", "__payload")).map(col): _*)
     val lAligned = l.select(
       (leftCols ++ Seq("__ts", "__side", "__payload")).map(col): _*)
+    val merged = rAligned.unionByName(lAligned)
 
     // Final tiebreak on the payload struct itself: when multiple RIGHT rows
     // share (key, ts), plain (ts, side) ordering would leave which payload
-    // last() carries up to partition order — at odds with the engine's
-    // determinism posture (ADVICE r1). Struct ordering is field-by-field,
-    // so the largest payload deterministically wins a ts tie. (Requires
-    // orderable payload fields — atomic types; maps would need a caller-
-    // supplied unique tiebreak column instead.)
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col("__ts"), col("__side"), col("__payload"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = rAligned.unionByName(lAligned)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
-    merged.filter(col("__side") === 1)
+    // the frame edge carries up to partition order — at odds with the
+    // engine's determinism posture (ADVICE r1). Struct ordering is
+    // field-by-field, so the extreme payload deterministically wins a ts
+    // tie. (Requires orderable payload fields — atomic types; maps would
+    // need a caller-supplied unique tiebreak column instead.)
+    //
+    // Tie order differs by direction: backward scans ...r,r,L (right rows
+    // at equal ts sort BEFORE the left row so the preceding frame includes
+    // them); forward scans L,r,r... (right rows at equal ts sort AFTER, so
+    // the following frame includes them).
+    def backMatch: Column = {
+      val w = Window.partitionBy(keyCol)
+        .orderBy(col("__ts"), col("__side"), col("__payload"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__payload"), ignoreNulls = true).over(w)
+    }
+    def fwdMatch: Column = {
+      val w = Window.partitionBy(keyCol)
+        .orderBy(col("__ts"), col("__side") * -1, col("__payload").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      first(col("__payload"), ignoreNulls = true).over(w)
+    }
+    val withMatch = direction match {
+      case "backward" => merged.withColumn("__match", backMatch)
+      case "forward"  => merged.withColumn("__match", fwdMatch)
+      case "nearest"  =>
+        // both candidates from the same exchange (two sorts, one shuffle);
+        // pick the closer; equal distance → backward (pandas semantics)
+        val m = merged.withColumn("__mb", backMatch).withColumn("__mf", fwdMatch)
+        val db = abs(col("__ts").cast("double") -
+          col("__mb.__rts").cast("double"))
+        val df_ = abs(col("__mf.__rts").cast("double") -
+          col("__ts").cast("double"))
+        m.withColumn("__match",
+          when(col("__mb").isNull, col("__mf"))
+            .when(col("__mf").isNull, col("__mb"))
+            .when(df_ < db, col("__mf"))
+            .otherwise(col("__mb")))
+    }
+    val toleranced = tolerance.fold(withMatch) { tol =>
+      withMatch.withColumn("__match",
+        when(col("__match").isNotNull &&
+          tol(col("__ts"), col("__match.__rts")), col("__match")))
+    }
+    toleranced.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)
   }

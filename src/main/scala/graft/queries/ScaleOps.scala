@@ -115,6 +115,26 @@ object ScaleOps {
         .orderBy("user_id", "event_id")
     },
 
+    dfQ("q19c_asof_forward",
+      // Forward direction: next purchase at-or-after each event — the
+      // conditional-running-MIN-over-following-frame oracle mirrors q19b.
+      """SELECT user_id, event_id,
+        |       strftime(MIN(CASE WHEN event_type='purchase' THEN ts END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+        |         '%Y-%m-%d %H:%M:%S') AS next_purchase
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events").filter(col("user_id") < 20)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("p_ts"))
+      graft.ops.AsOf.join(ev, purchases, "user_id", "ts", "ts", Seq("p_ts"),
+          direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("next_purchase"))
+        .orderBy("user_id", "event_id")
+    },
+
     // F6 completion: TRY_CAST null-on-failure semantics (identical dialect).
     sameQ("q49b_try_cast",
       """SELECT p_partkey,

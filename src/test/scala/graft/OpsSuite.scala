@@ -292,6 +292,40 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("AsOf.join directions (backward/forward/nearest) and tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 90L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 400L, "z")).toDF("k", "rts", "p")
+    def run(dir: String,
+            tol: Option[(org.apache.spark.sql.Column,
+              org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = None) =
+      ops.AsOf.join(left, right, "k", "ts", "rts", Seq("p"), dir, tol)
+        .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    // backward: latest at-or-before; e3 has nothing before 50
+    assert(run("backward") ==
+      Map("e1" -> Some("a"), "e2" -> Some("b"), "e3" -> None))
+    // forward: earliest at-or-after
+    assert(run("forward") ==
+      Map("e1" -> Some("b"), "e2" -> Some("c"), "e3" -> Some("z")))
+    // nearest: e1 |100-90|=10 < |200-100|; e2 |205-200|=5 < |300-205|
+    assert(run("nearest") ==
+      Map("e1" -> Some("a"), "e2" -> Some("b"), "e3" -> Some("z")))
+    // tolerance (backward, l-r <= 10): e1 exactly at the bound keeps a
+    assert(run("backward", Some((l, r) => l - r <= lit(10))) ==
+      Map("e1" -> Some("a"), "e2" -> Some("b"), "e3" -> None))
+    // tolerance (backward, l-r <= 4): e2's gap is 5 → nulled
+    assert(run("backward", Some((l, r) => l - r <= lit(4))) ==
+      Map("e1" -> None, "e2" -> None, "e3" -> None))
+    // inclusive ties: a right row exactly at the left ts matches BOTH ways
+    val tied = ops.AsOf.join(
+      Seq((1L, 200L, "e")).toDF("k", "ts", "ev"), right,
+      "k", "ts", "rts", Seq("p"), "forward")
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(tied == Map("e" -> "b"))
+  }
+
   test("AsOf.join equals the q19 window formulation on events") {
     val ev = Tables.table(spark, sf0001, "events")
       .filter(col("user_id") < 20)
