@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training pipelines (SURVEY.md
+  * §2.8c; the train/val/test assignment every corpus build runs).
+  *
+  * The split is a pure projection on a content-stable hash of the id —
+  * no RNG, no state: the same row lands in the same split on any cluster
+  * size, any run, any engine (MD5 is the cross-engine anchor; the q82
+  * oracle recomputes the identical assignment in DuckDB SQL). That
+  * determinism is what makes 100 TB splits auditable and incrementally
+  * extendable — new data slots in without reshuffling old assignments.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets): first 8 MD5 hex digits of the
+    * stringified id as an integer, mod buckets. Fully codegen'd. */
+  def hashBucket(id: Column, buckets: Int = 10000): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("bigint"), lit(buckets.toLong))
+
+  /** Adds a `split` column assigning each row to a named split by
+    * cumulative weight over the hash bucket (weights are normalized, so
+    * (8,1,1) and (0.8,0.1,0.1) are equivalent). Deterministic and
+    * engine-reproducible; thresholds are integral buckets. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)],
+                buckets: Int = 10000): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
+    val total = splits.map(_._2).sum
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _)
+      .tail.map(w => math.round(w / total * buckets))
+    val b = hashBucket(col(idCol), buckets)
+    val assign = splits.map(_._1).zip(thresholds).init
+      .foldRight(lit(splits.last._1)) { case ((name, t), rest) =>
+        when(b < t, name).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Stratified sample: per-stratum fractions (seeded Bernoulli per
+    * stratum via Spark's `sampleBy` — the standard class-balancing
+    * primitive; one scan, no shuffle). */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

@@ -601,6 +601,27 @@ object ScaleOps {
         .withColumn("sim", round(col("sim"), 6))
         .withColumn("rn", col("rn").cast("bigint"))
         .orderBy("q", "rn")
+    },
+
+    // Deterministic train/val/test split: the assignment is a pure
+    // projection on an MD5 bucket, so DuckDB recomputes the IDENTICAL
+    // per-document assignment — the oracle checks the split logic itself,
+    // not just aggregate proportions.
+    dfQ("q82_hash_split",
+      """SELECT split, COUNT(*) n, MIN(doc_id) min_id FROM (
+        |  SELECT doc_id,
+        |         CASE WHEN b < 8000 THEN 'train'
+        |              WHEN b < 9000 THEN 'val' ELSE 'test' END split
+        |  FROM (SELECT doc_id,
+        |          CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 b
+        |        FROM documents) h) t
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.hashSplit(
+          Tables.table(s, d, "documents").select("doc_id"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("split")
     }
   )
 }

@@ -273,6 +273,42 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("hashSplit: disjoint, exhaustive, deterministic, proportional") {
+    import spark.implicits._
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = ops.Sampling.hashSplit(
+      docs.select("doc_id"), "doc_id", splits)
+    val m1 = assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive (every doc assigned) and stable across evaluations
+    assert(m1.size == 500)
+    val m2 = ops.Sampling.hashSplit(docs.select("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2)
+    // proportions within binomial noise of the weights at n=500
+    val byName = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byName("train") - 400) < 60, byName.toString)
+    assert(byName.keySet == Set("train", "val", "test"))
+    // weights are normalized: (8,1,1) gives the identical assignment
+    val m3 = ops.Sampling.hashSplit(docs.select("doc_id"), "doc_id",
+        Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m3 == m1)
+  }
+
+  test("stratifiedSample: per-stratum fractions honored") {
+    val frac = Map("en" -> 0.5, "de" -> 1.0)
+    val sampled = ops.Sampling.stratifiedSample(
+      docs.select("doc_id", "lang").filter(col("lang").isin("en", "de")),
+      "lang", frac)
+    val n = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.filter(col("lang").isin("en", "de"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("de") == full("de")) // fraction 1.0 keeps everything
+    assert(n("en") > 0 && n("en") < full("en"))
+  }
+
   test("AsOf.join breaks (key, ts) ties among right rows deterministically") {
     import spark.implicits._
     // two right rows share (key=1, ts=10): payloads "a" < "b" — the struct
