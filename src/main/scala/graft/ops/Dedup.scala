@@ -132,6 +132,27 @@ object Dedup {
       exactRemoved = input - afterExact, nearRemoved = afterExact - kept))
   }
 
+  /** The standing corpus's content-digest set — what an incremental
+    * pipeline persists between runs (32 bytes/doc, not documents). */
+  def contentDigests(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("__h")).distinct()
+
+  /** Incremental exact dedup — the operational mode of a standing corpus
+    * receiving batch increments: drop new docs whose content already
+    * exists in the corpus digest set (anti-join on the 32-byte digest,
+    * never touching stored documents), then dedup within the batch
+    * (lowest id survives). Returns the genuinely-new rows to append. */
+  def incrementalExactDedup(newDocs: DataFrame, idCol: String,
+                            textCol: String,
+                            corpusDigests: DataFrame): DataFrame =
+    newDocs
+      .withColumn("__h", sha2(col(textCol), 256))
+      .join(corpusDigests, Seq("__h"), "left_anti")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__h").orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__h", "__rk")
+
   /** 64-bit SimHash of a token stream: sign-sum of per-token xxhash64
     * bits, weighted by token frequency. One pass via [[graft.functions
     * .SimHashAgg]] — a single 64-slot vote buffer per doc in the map-side

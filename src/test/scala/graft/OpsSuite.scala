@@ -273,6 +273,24 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("incrementalExactDedup: drops corpus-known and within-batch dups") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").filter(col("doc_id") < 300)
+    val digests = Dedup.contentDigests(corpus, "text")
+    // a batch of: 50 docs already in the corpus, 50 genuinely new, and one
+    // within-batch duplicate pair
+    val overlap = corpus.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val fresh = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val batchDup = fresh.filter(col("doc_id") === 300)
+      .withColumn("doc_id", lit(20000L))
+    val batch = overlap.unionByName(fresh).unionByName(batchDup)
+    val kept = Dedup.incrementalExactDedup(batch, "doc_id", "text", digests)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
+  }
+
   test("hashSplit: disjoint, exhaustive, deterministic, proportional") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
