@@ -127,6 +127,20 @@ class StreamingSuite extends SparkTestBase {
     assert(rowsOf(memTable("st9")) == rowsOf(batch))
   }
 
+  test("stream-static join: micro-batches join a broadcast dimension, equals batch") {
+    import spark.implicits._
+    // static dim: user tier lookup — broadcast into every micro-batch
+    val dim = (0L until 50L).map(u => (u, if (u % 2 == 0) "even" else "odd"))
+      .toDF("user_id", "tier")
+    val joined = Streams.eventsStream(spark, sf0001)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    Streams.runToMemory(joined, "stst", OutputMode.Complete())
+    val batch = batchEvents.join(dim, Seq("user_id"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    assert(rowsOf(memTable("stst")) == rowsOf(batch))
+  }
+
   test("ST6: rows older than the watermark are dropped from append output") {
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val agg = input.toDF().toDF("event_id", "ts", "k")
