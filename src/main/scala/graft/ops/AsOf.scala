@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * `tolerance` (optional, pandas-style): a predicate over (leftTs,
   * matchedRightTs) columns; matches failing it are nulled out — e.g.
   * `(l, r) => l - r <= expr("INTERVAL 1 HOUR")` for backward joins on
-  * timestamps, or `(l, r) => l - r <= lit(3600)` on numeric ts.
+  * timestamps, or `(l, r) => l - r <= lit(3600)` on numeric ts. With
+  * `nearest`, tolerance is applied to EACH direction's candidate before
+  * the nearest selection (pandas merge_asof: the nearest SURVIVING
+  * candidate wins), and the predicate should be symmetric — use
+  * `abs(l - r)` — since it sees both backward and forward candidates.
   */
 object AsOf {
 
@@ -98,13 +102,32 @@ object AsOf {
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       first(col("__payload"), ignoreNulls = true).over(w)
     }
+    // Tolerance is applied PER CANDIDATE: for 'nearest' this happens to
+    // each direction's candidate BEFORE the nearest selection — pandas
+    // merge_asof semantics (a nearer match that fails tolerance does not
+    // shadow the opposite-direction match that passes). For 'nearest' the
+    // predicate should be symmetric (use abs()), since it sees both
+    // backward (l >= r) and forward (l <= r) candidates.
+    def tolerate(cand: Column): Column = tolerance.fold(cand) { tol =>
+      when(cand.isNotNull && tol(col("__ts"), cand.getField("__rts")), cand)
+    }
     val withMatch = direction match {
-      case "backward" => merged.withColumn("__match", backMatch)
-      case "forward"  => merged.withColumn("__match", fwdMatch)
+      case "backward" => merged.withColumn("__match", tolerate(backMatch))
+      case "forward"  => merged.withColumn("__match", tolerate(fwdMatch))
       case "nearest"  =>
+        // 'nearest' compares distances numerically; a DATE ts would cast
+        // to NULL double (non-ANSI) and silently always prefer backward.
+        val tsType = left.schema(leftTs).dataType
+        require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            || tsType == org.apache.spark.sql.types.TimestampType
+            || tsType == org.apache.spark.sql.types.TimestampNTZType,
+          s"direction='nearest' needs a numeric or timestamp ts column; " +
+            s"got $tsType for '$leftTs' (cast DATE to timestamp first)")
         // both candidates from the same exchange (two sorts, one shuffle);
-        // pick the closer; equal distance → backward (pandas semantics)
-        val m = merged.withColumn("__mb", backMatch).withColumn("__mf", fwdMatch)
+        // pick the closer SURVIVING candidate; equal distance → backward
+        // (pandas semantics)
+        val m = merged.withColumn("__mb", tolerate(backMatch))
+          .withColumn("__mf", tolerate(fwdMatch))
         val db = abs(col("__ts").cast("double") -
           col("__mb.__rts").cast("double"))
         val df_ = abs(col("__mf.__rts").cast("double") -
@@ -115,12 +138,7 @@ object AsOf {
             .when(df_ < db, col("__mf"))
             .otherwise(col("__mb")))
     }
-    val toleranced = tolerance.fold(withMatch) { tol =>
-      withMatch.withColumn("__match",
-        when(col("__match").isNotNull &&
-          tol(col("__ts"), col("__match.__rts")), col("__match")))
-    }
-    toleranced.filter(col("__side") === 1)
+    withMatch.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         payloadCols.map(p => col(s"__match.$p").as(p)): _*)
   }

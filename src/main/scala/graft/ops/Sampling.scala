@@ -32,6 +32,13 @@ object Sampling {
     val total = splits.map(_._2).sum
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _)
       .tail.map(w => math.round(w / total * buckets))
+    // A weight below ~0.5/buckets of the total rounds to the previous
+    // threshold and its split would silently receive zero buckets
+    // (ADVICE r2) — fail fast; callers can raise `buckets`.
+    require((0L +: thresholds).zip(thresholds).forall { case (a, b) => a < b },
+      s"split weights too small for $buckets buckets (thresholds " +
+        s"${thresholds.mkString(",")} must be strictly increasing); " +
+        "raise `buckets` or merge tiny splits")
     val b = hashBucket(col(idCol), buckets)
     val assign = splits.map(_._1).zip(thresholds).init
       .foldRight(lit(splits.last._1)) { case ((name, t), rest) =>

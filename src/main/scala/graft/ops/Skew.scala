@@ -13,12 +13,24 @@ object Skew {
   /** Two-phase aggregation: partial-aggregate on (key, salt) — spreading a
     * hot key over `salts` reducers — then final-aggregate on key. The salt
     * is a deterministic hash of `saltFrom` (a unique-ish column), so runs
-    * are reproducible. Caller supplies the same-shaped agg expressions for
-    * both phases (sum/sum, count/sum, etc.). */
+    * are reproducible.
+    *
+    * Only aggregates that re-combine losslessly are supported: `sum`,
+    * `count`, `min`, `max` (counts re-combine by summing partials). Derive
+    * `avg` by composition — request sum + count and divide in a projection;
+    * non-decomposable aggs (distinct counts, percentiles) don't fit the
+    * two-phase shape and are rejected up front. */
   def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltFrom: String,
                       salts: Int,
                       partial: Seq[(String, String, String)]): DataFrame = {
     // partial: (inputCol, aggFn in {sum,count,min,max}, outName)
+    require(partial.nonEmpty, "saltedAggregate needs at least one aggregate")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val bad = partial.collect {
+      case (_, f, _) if !Set("sum", "count", "min", "max")(f) => f }
+    require(bad.isEmpty,
+      s"unsupported agg(s) ${bad.mkString(",")}: only sum/count/min/max " +
+        "re-combine losslessly across salts (compose avg as sum+count)")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(col(saltFrom)), lit(salts.toLong)))
     val phase1 = salted.groupBy((keyCols :+ "__salt").map(col): _*)

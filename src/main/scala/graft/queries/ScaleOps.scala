@@ -474,12 +474,13 @@ object ScaleOps {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 5) t
         |WHERE rn <= 3 ORDER BY q, rn""".stripMargin) { (s, d) =>
-      // Generous OR-amplification (12 tables, wide buckets) is the right
-      // operating point here: the query side is 5 broadcast vectors, so the
-      // candidate set is ≤ 5N regardless — recall 1.0 costs almost nothing.
+      // A 5-vector query side is below annTopK's exact-dispatch threshold,
+      // so this plans the broadcast exact scan (q·N codegen'd cosines, no
+      // LSH fit/explode/bucket-join overhead) — the honest plan for tiny
+      // query sides at any corpus size. The LSH branch (large query sides)
+      // runs with a calibrated radius and is covered in OpsSuite.
       Similarity.annTopK(Tables.table(s, d, "embeddings"), "vec_id",
-        "embedding", _.filter(col("vec_id") < 5), k = 3,
-        bucketLength = 1.0, numHashTables = 12)
+        "embedding", _.filter(col("vec_id") < 5), k = 3)
         .withColumn("sim", round(col("sim"), 6))
         .withColumn("rn", col("rn").cast("bigint"))
         .orderBy("q", "rn")

@@ -71,25 +71,54 @@ class OpsSuite extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)))
   }
 
-  test("ANN (BRP-LSH) top-k EQUALS exact cosine top-k (recall 1.0 on fixtures)") {
-    // Equality (not just recall >= 0.9) is what licenses q72's exact-SQL
-    // oracle: the seeded LSH candidate set covers the true top-k on the
-    // fixtures, and ranking uses the same exact cosine as exactTopK.
+  test("annTopK dispatches small query sides to the exact broadcast scan") {
+    // A 5-vector query side is below exactMaxQueries, so annTopK IS
+    // exactTopK — equality by construction (this is what licenses q72's
+    // exact-SQL oracle), and the plan is the broadcast nested-loop scan,
+    // not an LSH bucket join.
     val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
         _.filter(col("vec_id") < 5), k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val ann = Similarity.annTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+    assert(ann.collect().toSeq == exact.collect().toSeq)
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"unexpected plan:\n$plan")
+    assert(!plan.toLowerCase.contains("posexplode"), "LSH hash explode in exact-dispatch plan")
+  }
+
+  test("annTopK LSH branch: calibrated radius prunes and costs no recall") {
+    // Force the LSH branch (exactMaxQueries = 0). The calibrated radius is
+    // an upper bound on every query's true k-th-neighbor distance (sample
+    // k-th >= full-corpus k-th), so relative to the full-sphere radius 2.0
+    // the radius filter drops NO true top-k neighbor — the output at the
+    // same bucket params must be identical, while the radius itself is a
+    // real bound (< 2.0) that lets the bucket join prune.
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("id"), col("embedding").as("arr"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("arr"))
+    val r = Similarity.calibratedRadius(queries, corpus, k = 3, sampleN = 1000)
+    info(s"calibrated radius = $r")
+    assert(r < 2.0, s"calibration degenerated to the full sphere: $r")
+    val annCalibrated = Similarity.annTopK(emb, "vec_id", "embedding",
         _.filter(col("vec_id") < 5), k = 3,
-        bucketLength = 1.0, numHashTables = 12) // the q72 operating point
+        bucketLength = 1.0, numHashTables = 12, exactMaxQueries = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
-    assert(ann == exact, s"ann=$ann exact=$exact")
-    // The default (tighter) params remain a genuine ANN trade-off: high
-    // recall, not guaranteed equality.
-    val annDefault = Similarity.annTopK(emb, "vec_id", "embedding",
+    val annFullSphere = Similarity.annTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3,
+        bucketLength = 1.0, numHashTables = 12, radius = 2.0,
+        exactMaxQueries = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(annCalibrated == annFullSphere,
+      s"calibrated=$annCalibrated fullSphere=$annFullSphere")
+    // Default (tighter) bucket params remain a genuine ANN trade-off:
+    // high recall vs exact, not guaranteed equality.
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
         _.filter(col("vec_id") < 5), k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactPairs = exact.map { case (q, v, _) => (q, v) }
-    val recall = exactPairs.count(annDefault.contains).toDouble / exactPairs.size
+    val annDefault = Similarity.annTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3, exactMaxQueries = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(annDefault.contains).toDouble / exact.size
     assert(recall >= 0.8, s"default-param recall=$recall")
   }
 
@@ -172,7 +201,7 @@ class OpsSuite extends SparkTestBase {
     val full = Similarity.ivfTopK(indexed, model,
         emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(full == exact, s"ivf(nprobe=14)=$full exact=$exact")
+    assert(full == exact, s"ivf(nprobe=16)=$full exact=$exact")
   }
 
   test("dedupCorpus removes exact and near duplicates, keeps lowest id") {
@@ -311,6 +340,14 @@ class OpsSuite extends SparkTestBase {
         Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m3 == m1)
+    // a weight too small to claim a bucket fails fast instead of silently
+    // producing an empty split (ADVICE r2): 0.002% of 10000 buckets
+    // rounds to the previous threshold
+    val ex = intercept[IllegalArgumentException] {
+      ops.Sampling.hashSplit(docs.select("doc_id"), "doc_id",
+        Seq(("train", 99.998), ("tiny", 0.002)), buckets = 10000)
+    }
+    assert(ex.getMessage.contains("buckets"))
   }
 
   test("stratifiedSample: per-stratum fractions honored") {
@@ -378,6 +415,43 @@ class OpsSuite extends SparkTestBase {
       "k", "ts", "rts", Seq("p"), "forward")
       .collect().map(r => r.getString(2) -> r.getString(3)).toMap
     assert(tied == Map("e" -> "b"))
+  }
+
+  test("AsOf nearest applies tolerance per candidate before selection") {
+    import spark.implicits._
+    // probe at 100: backward candidate at 60 (gap 40, FAILS tol<=20),
+    // forward candidate at 115 (gap 15, passes). pandas merge_asof picks
+    // the nearest SURVIVING candidate → "fwd"; tolerance-after-selection
+    // (the round-2 bug, ADVICE r2) would null it out.
+    val left = Seq((1L, 100L, "e")).toDF("k", "ts", "ev")
+    val right = Seq((1L, 60L, "back"), (1L, 115L, "fwd")).toDF("k", "rts", "p")
+    val got = ops.AsOf.join(left, right, "k", "ts", "rts", Seq("p"),
+        "nearest", Some((l, r) => abs(l - r) <= lit(20)))
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(got == Map("e" -> "fwd"), s"got=$got")
+    // both candidates out of tolerance → null match survives
+    val none = ops.AsOf.join(left, right, "k", "ts", "rts", Seq("p"),
+        "nearest", Some((l, r) => abs(l - r) <= lit(5)))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(none == Map("e" -> None), s"got=$none")
+  }
+
+  test("AsOf nearest rejects DATE ts columns (silent null-cast trap)") {
+    import spark.implicits._
+    // DATE casts to NULL double non-ANSI, which would silently always
+    // prefer the backward candidate — fail fast instead (ADVICE r2).
+    val left = Seq(("2024-01-10", 1L)).toDF("d", "k")
+      .select(col("k"), col("d").cast("date").as("ts"))
+    val right = Seq(("2024-01-05", 1L, "p1")).toDF("d", "k", "p")
+      .select(col("k"), col("d").cast("date").as("rts"), col("p"))
+    val ex = intercept[IllegalArgumentException] {
+      ops.AsOf.join(left, right, "k", "ts", "rts", Seq("p"), "nearest")
+    }
+    assert(ex.getMessage.contains("nearest"))
+    // backward on DATE still works (no distance arithmetic involved)
+    val back = ops.AsOf.join(left, right, "k", "ts", "rts", Seq("p"))
+      .collect().map(_.getString(2)).toSeq
+    assert(back == Seq("p1"))
   }
 
   test("AsOf.join equals the q19 window formulation on events") {

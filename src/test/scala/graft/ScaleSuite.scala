@@ -43,6 +43,24 @@ class ScaleSuite extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("saltedAggregate rejects empty and non-decomposable agg specs") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(li, Seq("l_returnflag"), "l_orderkey", 8, Nil)
+    }
+    // avg does not re-combine losslessly across salts — rejected up front
+    // (compose it as sum+count; scaladoc documents the recipe)
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(li, Seq("l_returnflag"), "l_orderkey", 8,
+        Seq(("l_quantity", "avg", "a")))
+    }
+    assert(ex.getMessage.contains("avg"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(li, Seq("l_returnflag"), "l_orderkey", 0,
+        Seq(("l_quantity", "sum", "s")))
+    }
+  }
+
   test("saltedJoin equals plain equi-join") {
     val orders = Tables.table(spark, sf0001, "orders")
     val customer = Tables.table(spark, sf0001, "customer")
@@ -139,6 +157,7 @@ class ScaleSuite extends SparkTestBase {
       "q17_cross_join",        // 5×25 Cartesian by definition
       "q23b_scalar_subquery",  // scalar subquery joins a 1-row relation
       "q62_cosine_topk",       // all-pairs vs 5 broadcast query vectors
+      "q72_ann_topk",          // exact dispatch: 5-query side → q62 shape
       "q66_similar_pairs",     // thresholded all-pairs (vec_id < 200)
       "q64_tfidf",             // CROSS JOIN with a 1-row count relation
       "q76_ivf_topk",          // query×centroid probe (both tiny, broadcast)
