@@ -153,6 +153,84 @@ object Dedup {
           .partitionBy("__h").orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__h", "__rk")
 
+  /** The persistable MinHash index row for each doc: (id, features, sig).
+    * `features` is the binary HashingTF shingle vector (sparse — one entry
+    * per distinct shingle, needed so candidate pairs can be confirmed with
+    * the exact Jaccard), `sig` the MinHash signature array.
+    *
+    * MinHashLSH's hash coefficients are drawn from the SEED ALONE (the fit
+    * learns nothing from data), so signatures computed in different runs —
+    * or different batches, years apart — with the same (shingleN,
+    * numHashTables, numFeatures) are mutually joinable. That is what makes
+    * the signature table a valid standing index for a 100 TB corpus:
+    * persist it once, append per batch, never re-shingle old documents. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashTables: Int = 8,
+                        numFeatures: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Registry.registerAll(spark)
+    docs.createOrReplaceTempView("minhash_sig_in")
+    val shingled = spark.sql(
+      s"""SELECT $idCol AS id, collect_set(shingle) AS sh FROM (
+         |  SELECT $idCol, shingles($textCol, $shingleN) FROM minhash_sig_in
+         |) GROUP BY $idCol""".stripMargin)
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val vecs = tf.transform(shingled).select("id", "features")
+    minHashModel(vecs, numHashTables).transform(vecs)
+      .select("id", "features", "sig")
+  }
+
+  /** Seed-deterministic MinHash model; coefficients depend only on
+    * (numHashTables, seed), never on the fitted data. */
+  private def minHashModel(vecs: DataFrame, numHashTables: Int) =
+    new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashTables).setSeed(42L).fit(vecs)
+
+  /** Incremental near-dedup — the LSH analogue of
+    * [[incrementalExactDedup]], closing the operational loop for a
+    * standing corpus: only the NEW batch is shingled and signed; the
+    * standing corpus participates through its persisted signature table
+    * (from [[minHashSignatures]], same shingleN/numHashTables/numFeatures)
+    * and is never recomputed or re-read as text.
+    *
+    * A new doc is dropped when it has Jaccard >= threshold against any
+    * corpus doc, or against a lower-id doc within the batch. Both checks
+    * are banded bucket equi-joins on signatures with exact Jaccard
+    * confirmation on candidates — never all-pairs.
+    *
+    * Returns (kept new rows, their signature rows) — append the latter to
+    * the standing table to complete the increment. */
+  def incrementalMinHashNearDup(newDocs: DataFrame, idCol: String,
+                                textCol: String, corpusSigs: DataFrame,
+                                shingleN: Int = 3, threshold: Double = 0.8,
+                                numHashTables: Int = 8,
+                                numFeatures: Int = 1 << 20): (DataFrame, DataFrame) = {
+    val batchSigs = minHashSignatures(newDocs, idCol, textCol, shingleN,
+      numHashTables, numFeatures).cache()
+    // Fit on a projection WITHOUT the output column (MLlib refuses to fit
+    // when outputCol already exists); the fit is seed-only anyway.
+    val model = minHashModel(batchSigs.select("id", "features"), numHashTables)
+    val dist = 1.0 - threshold
+    // Both sides already carry the model's outputCol, so
+    // approxSimilarityJoin reuses the signatures instead of recomputing —
+    // including the persisted corpus side.
+    val vsCorpus = model.approxSimilarityJoin(corpusSigs, batchSigs, dist,
+        "jaccard_dist")
+      .select(col("datasetB.id").as("victim"))
+    val withinBatch = model.approxSimilarityJoin(batchSigs, batchSigs, dist,
+        "jaccard_dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetB.id").as("victim"))
+    val victims = vsCorpus.union(withinBatch).distinct()
+    val kept = newDocs.join(victims,
+      newDocs(idCol) === victims("victim"), "left_anti")
+    val keptSigs = batchSigs.join(victims,
+      batchSigs("id") === victims("victim"), "left_anti")
+    (kept, keptSigs)
+  }
+
   /** 64-bit SimHash of a token stream: sign-sum of per-token xxhash64
     * bits, weighted by token frequency. One pass via [[graft.functions
     * .SimHashAgg]] — a single 64-slot vote buffer per doc in the map-side

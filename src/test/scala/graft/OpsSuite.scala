@@ -320,6 +320,48 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("incrementalMinHashNearDup: batch joins persisted corpus signatures") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").filter(col("doc_id") < 300)
+    // Persist the standing index through parquet — the corpus side of the
+    // incremental join is the reloaded table, never the corpus text.
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("graft_minhash_sigs").toString
+    Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(sigDir)
+    val corpusSigs = spark.read.parquet(sigDir)
+    // batch: 5 exact copies of corpus docs, 50 fixture docs, one
+    // within-batch duplicate, one genuinely-new synthetic doc
+    val copies = corpus.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val fresh = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val batchDup = fresh.filter(col("doc_id") === 300)
+      .withColumn("doc_id", lit(20000L))
+    val novel = Seq((30000L, "zz qq xx ww vv uu tt ss rr pp"))
+      .toDF("doc_id", "text")
+    val batch = copies.unionByName(fresh).unionByName(batchDup)
+      .unionByName(novel)
+    val (kept, keptSigs) = Dedup.incrementalMinHashNearDup(
+      batch, "doc_id", "text", corpusSigs)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // controlled rows: copies and the within-batch dup drop, novel stays
+    assert((10000L to 10004L).forall(!keptIds.contains(_)), keptIds.toString)
+    assert(!keptIds.contains(20000L) && keptIds.contains(30000L))
+    assert(keptIds.contains(300L)) // lowest id of the within-batch pair
+    // EQUIVALENCE vs a full recompute over corpus ∪ batch: signatures are
+    // seed-deterministic, so the incremental victim set must match the
+    // batch-side victims of the monolithic join exactly.
+    val fullPairs = Dedup.minHashNearDupPairs(
+        corpus.unionByName(batch), "doc_id", "text")
+      .select(col("b")).as[Long].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == batchIds -- fullPairs,
+      s"incremental kept=$keptIds full-recompute kept=${batchIds -- fullPairs}")
+    // the appended signature rows cover exactly the kept docs
+    assert(keptSigs.select("id").as[Long].collect().toSet == keptIds)
+  }
+
   test("hashSplit: disjoint, exhaustive, deterministic, proportional") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
