@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
+import graft.ops.Dedup
+
 /** Structured Streaming surface (SURVEY.md §2.8 ST1–ST8).
   *
   * The reference's streaming capability was Kafka micro-batch pipelines;
@@ -129,6 +131,64 @@ object Streams {
         col("c_ts") <= col("p_ts"))
       .select(col("user_id"), col("p_id"), col("c_id"),
         col("p_ts"), col("c_ts"), col("p_value"))
+  }
+
+  /** ST4 × L1 (VERDICT r2 item 4): streaming incremental exact dedup of a
+    * document stream against a STANDING corpus digest store — the
+    * production shape of a training-data ingest, where the dedup horizon
+    * must be the full corpus history, not the watermark window that bounds
+    * ST4's in-flight state.
+    *
+    * Each micro-batch runs [[graft.ops.Dedup.incrementalExactDedup]]
+    * against every digest persisted by earlier batches plus any seeded
+    * corpus digests, writes the kept rows to `outDir/batch_<id>`, and
+    * appends the kept rows' digests to `digestDir/batch_<id>`. Seed the
+    * standing corpus by writing [[graft.ops.Dedup.contentDigests]] to
+    * `digestDir/batch_seed` before starting.
+    *
+    * Crash-safety: both writes go to per-batch-id directories in OVERWRITE
+    * mode, and a batch EXCLUDES ITS OWN digest dir from the anti-join side,
+    * so checkpoint replay after a failure regenerates identical output —
+    * the naive append-digests design would self-poison on replay (the
+    * replayed batch finds its own digests and drops every row).
+    *
+    * Scale: per-batch work is one anti-join on 32-byte digests (AQE
+    * broadcasts the batch side when small); the standing set lives in
+    * parquet, never in the streaming state store, so state is O(1) in
+    * corpus size. Digest-dir compaction (many small batch dirs → one) is
+    * an offline concern, same as any streaming file sink. */
+  def runIncrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+                          digestDir: String, outDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val dPath = new org.apache.hadoop.fs.Path(digestDir)
+        val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(dPath)) Array.empty[String]
+          else fs.listStatus(dPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+              && s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        val prior =
+          if (priorDirs.nonEmpty) spark.read.parquet(priorDirs.toSeq: _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__h",
+                org.apache.spark.sql.types.StringType))))
+        val kept = Dedup.incrementalExactDedup(batch, idCol, textCol, prior)
+          .cache()
+        kept.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        kept.select(sha2(col(textCol), 256).as("__h")).distinct()
+          .write.mode("overwrite").parquet(s"$digestDir/batch_$id")
+        kept.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
   }
 
   /** Run a streaming DataFrame to a named in-memory sink until all

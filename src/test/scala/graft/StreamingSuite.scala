@@ -223,6 +223,56 @@ class StreamingSuite extends SparkTestBase {
     assert(n1 == n2 && n1 > 0, s"$n1 vs $n2")
   }
 
+  test("streaming incremental dedup: digest-store anti-join equals sequential batch, replay-safe") {
+    import graft.ops.Dedup
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 100)       // standing corpus
+    val a = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+    val aDup = corpus.filter(col("doc_id") < 5)         // vs-corpus dups
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val b = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+    val bDupOfA = a.filter(col("doc_id") === 100)       // cross-BATCH dup
+      .withColumn("doc_id", lit(20000L))
+    val batchA = a.unionByName(aDup)
+    val batchB = b.unionByName(bDupOfA)
+
+    val root = Files.createTempDirectory("graft-incdedup").toString
+    val srcDir = s"$root/src"; val digestDir = s"$root/digests"
+    val outDir = s"$root/out"
+    // seed the standing corpus digest set
+    Dedup.contentDigests(corpus, "text")
+      .write.parquet(s"$digestDir/batch_seed")
+    // two source files → two micro-batches under maxFilesPerTrigger=1
+    batchA.coalesce(1).write.parquet(s"$srcDir/f1")
+    val stream0 = spark.readStream.schema(batchA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalDedup(stream0, "doc_id", "text", digestDir, outDir)
+    batchB.coalesce(1).write.parquet(s"$srcDir/f2")
+    val stream1 = spark.readStream.schema(batchA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalDedup(stream1, "doc_id", "text", digestDir, outDir)
+
+    val got = spark.read.parquet(s"$outDir/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    // oracle: the same increments applied sequentially with the batch API
+    val keptA = Dedup.incrementalExactDedup(batchA, "doc_id", "text",
+      Dedup.contentDigests(corpus, "text"))
+    val digests2 = Dedup.contentDigests(corpus, "text")
+      .union(Dedup.contentDigests(keptA, "text")).distinct()
+    val keptB = Dedup.incrementalExactDedup(batchB, "doc_id", "text", digests2)
+    val want = (keptA.select("doc_id").as[Long].collect() ++
+      keptB.select("doc_id").as[Long].collect()).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(!got.exists(_ >= 10000L)) // every injected dup dropped
+    // restart idempotence: re-running with the same checkpoint adds nothing
+    val stream2 = spark.readStream.schema(batchA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalDedup(stream2, "doc_id", "text", digestDir, outDir)
+    val after = spark.read.parquet(s"$outDir/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == got)
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
