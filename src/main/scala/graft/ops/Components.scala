@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the missing half of dedup at
+  * corpus scale (SURVEY.md §2.8c L1/L2 composition): near-duplicate
+  * detection yields PAIRS, but the unit of removal is the duplicate
+  * CLUSTER (a re-crawled page matches yesterday's copy, which matches the
+  * original — transitively one group). Pair-wise victim selection already
+  * handles chains correctly for b-side removal, but only components give
+  * the cluster id needed for reporting, canonical-doc assignment, and
+  * group-size caps.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * is two shuffle-by-node aggregations over the edge list; the edge set
+  * converges to stars rooted at each component's minimum node in
+  * O(log² n) rounds INDEPENDENT of component diameter — plain min-label
+  * propagation needs diameter rounds, and near-dup chains (each crawl a
+  * near-copy of the previous) make diameter unbounded at 100 TB. No
+  * driver-side graph state: the driver sees only a per-round convergence
+  * checksum; lineage is cut with localCheckpoint each round so the plan
+  * does not grow with iterations (use reliable checkpointing on a
+  * cluster with dynamic executors).
+  */
+object Components {
+
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}); attach every strictly-larger neighbor to it
+    val m = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    // point every edge from the larger to the smaller endpoint
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val m = dir.groupBy("u").agg(min("v").as("m")) // all v < u ⇒ m < u
+    val out = dir.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+    out.filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Connected components of the undirected graph given by `edges`.
+    * Returns (node, component) for every node incident to at least one
+    * non-self edge, where component = the minimum node id of its
+    * component (isolated nodes are their own trivial components and are
+    * simply absent — left-join and coalesce to self when needed).
+    * Node ids must be numeric (they are compared with min/least). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    var e = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint()
+    var converged = false
+    var it = 0
+    // Convergence = the (count, order-free XOR hash) checksum is a
+    // fixpoint. Checksum equality on equal counts is what a 1000-executor
+    // run would use too — an exact set compare would be two more shuffles
+    // per round. (XOR, not SUM: hash sums overflow under ANSI mode.)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cs = checksum(e)
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val csNext = checksum(next)
+      converged = csNext == cs
+      cs = csNext
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Converged edge set is a union of stars (child, root). A root has no
+    // outgoing edge, so label it with itself via least().
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("node"), least(col("u"), col("mv")).as("component"))
+  }
+
+  /** Cluster report: component id (= the surviving minimum doc id of the
+    * duplicate group) and member count. */
+  def componentSummary(components: DataFrame): DataFrame =
+    components.groupBy("component").agg(count(lit(1)).as("size"))
+}

@@ -655,6 +655,82 @@ object ScaleOps {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
         .orderBy("split")
+    },
+
+    // Duplicate CLUSTERS, not pairs: connected components of the exact
+    // n-gram Jaccard graph (the q61 edge set) via alternating
+    // large-star/small-star — O(log² n) shuffle rounds independent of
+    // component diameter. The oracle recomputes components with a
+    // recursive transitive-closure CTE (fine at fixture scale; the Spark
+    // side is the one that has to survive 100 TB).
+    dfQ("q83_dup_components",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) AS s
+        |  FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |edges AS (
+        |  SELECT da u, db v
+        |  FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |  WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6),
+        |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n)
+        |SELECT n AS node, MIN(r) AS component FROM reach
+        |GROUP BY n ORDER BY node""".stripMargin) { (s, d) =>
+      Tables.register(s, d)
+      graft.functions.Registry.registerAll(s)
+      val edges = s.sql(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, shingle AS s
+          |  FROM (SELECT doc_id, shingles(text, 3) FROM documents WHERE doc_id < 500)),
+          |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT da, db
+          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6""".stripMargin)
+      graft.ops.Components.connectedComponents(edges, "da", "db")
+        .orderBy("node")
+    },
+
+    // Gap-based sessionization (30-minute inactivity breaks the session):
+    // both engines express the identical lag + cumulative-boundary-sum
+    // plan; one shuffle on the user key.
+    dfQ("q84_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        |  FROM events WHERE user_id < 50),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) session_seq
+        |  FROM o)
+        |SELECT user_id, session_seq, COUNT(*) n,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') start_s,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') end_s,
+        |  ROUND(SUM(value), 2) sum_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      graft.ops.Sessionize.sessionStats(
+          Tables.table(s, d, "events").filter(col("user_id") < 50),
+          "user_id", "ts", "event_id", gapSeconds = 1800, valueCol = "value")
+        .select(col("user_id"), col("session_seq"), col("n"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_seq")
     }
   )
 }

@@ -362,6 +362,71 @@ class OpsSuite extends SparkTestBase {
     assert(keptSigs.select("id").as[Long].collect().toSet == keptIds)
   }
 
+  test("connectedComponents equals union-find on chains, cliques, random graphs") {
+    import spark.implicits._
+    // reference union-find
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    def check(edges: Seq[(Long, Long)], label: String): Unit = {
+      val got = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(edges).filter { case (k, _) =>
+        edges.exists(e => (e._1 == k || e._2 == k) && e._1 != e._2) }
+      assert(got == want, s"$label: got=$got want=$want")
+    }
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)), "chain+clique+pair")
+    // 150-hop path: label propagation would need 150 rounds; star
+    // contraction must finish within the default 25.
+    check((0L until 150L).map(i => (i, i + 1)), "diameter-150 chain")
+    val rnd = new scala.util.Random(7)
+    check(Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).distinct, "random-120")
+    // self-loops and duplicate edges are ignored
+    check(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)), "degenerate")
+  }
+
+  test("componentSummary sizes match the duplicate clusters") {
+    import spark.implicits._
+    val comp = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+    val sizes = Components.componentSummary(comp)
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 3L, 7L -> 2L))
+  }
+
+  test("sessionize: gap boundary semantics and per-user numbering") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0), // u1 s1
+      (1L, ts("2024-01-01 10:29:00"), 2L, 2.0), // u1 s1 (29 min <= gap)
+      (1L, ts("2024-01-01 10:59:00"), 3L, 4.0), // u1 s1 (30 min = gap, inclusive)
+      (1L, ts("2024-01-01 11:29:01"), 4L, 8.0), // u1 s2 (30m01s > gap)
+      (2L, ts("2024-01-01 09:00:00"), 5L, 16.0) // u2 s1 (independent numbering)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Sessionize.sessionize(events, "user_id", "ts", "event_id", 1800)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L), got.toString)
+    val stats = Sessionize.sessionStats(events, "user_id", "ts", "event_id",
+        1800, "value")
+      .select("user_id", "session_seq", "n", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stats == Set((1L, 1L, 3L, 7.0), (1L, 2L, 1L, 8.0), (2L, 1L, 1L, 16.0)))
+  }
+
   test("hashSplit: disjoint, exhaustive, deterministic, proportional") {
     import spark.implicits._
     val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
