@@ -200,16 +200,61 @@ object Similarity {
     (model.transform(vecs).select("id", "cell", "nv", "arr"), model)
   }
 
-  /** IVF query: probe the `nprobe` nearest cells per query vector, exact
-    * cosine within the probed cells only. */
+  /** The persistable centroid table of a fitted IVF quantizer:
+    * (cell, centroid). Write this plus the `ivfIndex` assignment table to
+    * parquet and the index is a STANDING structure — queries (and
+    * incremental appends, which only need cell assignment) run against
+    * the reloaded tables without refitting k-means or re-reading corpus
+    * vectors. The table is nlist rows — broadcast-sized at any corpus
+    * scale. */
+  def ivfCentroids(model: org.apache.spark.ml.clustering.KMeansModel,
+                   spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    // full double fidelity: the quantizer's assignment rule must be
+    // reproducible from the persisted table alone
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Assign new vectors to cells of a STANDING index using only the
+    * persisted centroid table — the incremental-append path (no refit;
+    * the coarse quantizer is frozen, as in every production IVF). Uses
+    * the same rule as the k-means fit: minimum euclidean distance in the
+    * L2-normalized space, lowest cell on ties. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("d2"), col("cell"))
+    val dbl = transform(col("arr"), _.cast("double"))
+    val n = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+    val nvArr = when(n === lit(0.0), dbl).otherwise(transform(dbl, _ / n))
+    emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
+      .withColumn("nva", nvArr)
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("arr"), col("cell"),
+        aggregate(zip_with(col("nva"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("prn", row_number().over(w))
+      .filter(col("prn") === 1)
+      .select("id", "cell", "arr")
+  }
+
+  /** IVF query against the model in memory (delegates to the
+    * table-driven path — same plan). */
   def ivfTopK(indexed: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
-              queryIds: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+              queryIds: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
+    ivfTopKFromTables(indexed,
+      ivfCentroids(model, indexed.sparkSession), queryIds, k, nprobe)
+
+  /** IVF query from the persisted (assignments, centroids) tables: probe
+    * the `nprobe` nearest cells per query vector, exact cosine within the
+    * probed cells only. `indexed` needs (id, cell, arr) — the `nv` column
+    * from the in-memory build is not required. */
+  def ivfTopKFromTables(indexed: DataFrame, centroids: DataFrame,
+                        queryIds: DataFrame, k: Int,
+                        nprobe: Int = 4): DataFrame = {
     val spark = indexed.sparkSession
     graft.functions.Registry.registerAll(spark)
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
     val q = indexed.join(broadcast(queryIds.select(col(queryIds.columns.head).as("qid"))),
         col("id") === col("qid"))
       .select(col("id").as("q"), col("arr").as("qarr"))

@@ -362,6 +362,36 @@ class OpsSuite extends SparkTestBase {
     assert(keptSigs.select("id").as[Long].collect().toSet == keptIds)
   }
 
+  test("IVF index round-trips through parquet: query + append without refit") {
+    import spark.implicits._
+    val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    indexed.select("id", "cell", "arr").write.parquet(s"$dir/assignments")
+    Similarity.ivfCentroids(model, spark).write.parquet(s"$dir/centroids")
+    val rAssign = spark.read.parquet(s"$dir/assignments")
+    val rCent = spark.read.parquet(s"$dir/centroids")
+    val qids = emb.filter(col("vec_id") < 5).select("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q", "v", "rn").as[(Long, Long, Int)].collect().toSet
+    // reloaded tables answer identically to the in-memory model
+    val mem = rows(Similarity.ivfTopK(indexed, model, qids, k = 3, nprobe = 16))
+    val disk = rows(Similarity.ivfTopKFromTables(rAssign, rCent, qids, k = 3,
+      nprobe = 16))
+    assert(mem == disk)
+    // the frozen quantizer assigns appended vectors to the same cells the
+    // fit-time transform chose (same nearest-centroid rule)
+    val appended = Similarity.ivfAssign(emb, "vec_id", "embedding", rCent)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toMap
+    val fitCells = indexed.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    val agree = appended.count { case (id, c) => fitCells(id) == c }
+    // cosine-nearest vs euclidean-nearest can differ only for vectors
+    // near a cell boundary; on L2-normalized vectors they coincide.
+    assert(agree >= (fitCells.size * 0.95).toInt,
+      s"$agree/${fitCells.size} assignments agree")
+  }
+
   test("connectedComponents equals union-find on chains, cliques, random graphs") {
     import spark.implicits._
     // reference union-find
