@@ -191,6 +191,52 @@ object Streams {
     q
   }
 
+  /** ST4 × L2: streaming incremental NEAR-dedup — [[runIncrementalDedup]]
+    * with the LSH tier in place of content digests. Each micro-batch is
+    * shingled and MinHash-signed ONCE, joined (banded bucket equi-join +
+    * exact-Jaccard confirm) against the signature rows persisted by
+    * earlier batches and the seeded corpus (`sigDir/batch_seed`, written
+    * with [[graft.ops.Dedup.minHashSignatures]] — same shingleN /
+    * numHashTables / numFeatures, signatures are seed-deterministic so
+    * they stay mutually joinable across runs), then appends its kept
+    * signatures. Same per-batch-id overwrite + exclude-own-dir layout as
+    * the exact tier, so checkpoint replay is idempotent.
+    *
+    * Scale: the stream state store holds NOTHING (foreachBatch only);
+    * per-batch cost is batch-side signing plus a bucket join against the
+    * standing signature table — corpus text is never re-read. */
+  def runIncrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
+                              sigDir: String, outDir: String,
+                              shingleN: Int = 3, threshold: Double = 0.8,
+                              numHashTables: Int = 8,
+                              numFeatures: Int = 1 << 20): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val sPath = new org.apache.hadoop.fs.Path(sigDir)
+        val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(sPath)) Array.empty[String]
+          else fs.listStatus(sPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+              && s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        require(priorDirs.nonEmpty,
+          s"seed the standing corpus first: write minHashSignatures to $sigDir/batch_seed")
+        val corpusSigs = spark.read.parquet(priorDirs.toSeq: _*)
+        val (kept, keptSigs) = Dedup.incrementalMinHashNearDup(
+          batch, idCol, textCol, corpusSigs, shingleN, threshold,
+          numHashTables, numFeatures)
+        kept.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        keptSigs.write.mode("overwrite").parquet(s"$sigDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available data is processed (Trigger.AvailableNow —
     * deterministic replay, ST8). Returns the completed query. */

@@ -273,6 +273,42 @@ class StreamingSuite extends SparkTestBase {
     assert(after == got)
   }
 
+  test("streaming incremental near-dedup: LSH tier over persisted signatures") {
+    import graft.ops.Dedup
+    val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 100)
+    val root = Files.createTempDirectory("graft-incneardup").toString
+    val srcDir = s"$root/src"; val sigDir = s"$root/sigs"; val out = s"$root/out"
+    Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .write.parquet(s"$sigDir/batch_seed")
+    // batch: fresh docs + exact copies of corpus docs (Jaccard 1.0) + one
+    // within-batch copy — same construction the batch-API test pins down
+    val fresh = docs.filter(col("doc_id") >= 100 && col("doc_id") < 140)
+    val copies = corpus.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val batchDup = fresh.filter(col("doc_id") === 100)
+      .withColumn("doc_id", lit(20000L))
+    val batch = fresh.unionByName(copies).unionByName(batchDup)
+    batch.coalesce(1).write.parquet(s"$srcDir/f1")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalNearDedup(stream, "doc_id", "text", sigDir, out)
+    val keptIds = spark.read.parquet(s"$out/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    // oracle: the batch-API incremental call over the same seeded corpus
+    val (wantKept, _) = Dedup.incrementalMinHashNearDup(
+      batch, "doc_id", "text", spark.read.parquet(s"$sigDir/batch_seed"))
+    val want = wantKept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == want, s"missing=${want -- keptIds} extra=${keptIds -- want}")
+    assert((10000L to 10004L).forall(!keptIds.contains(_)))
+    assert(!keptIds.contains(20000L) && keptIds.contains(100L))
+    // the signature store grew by exactly the kept docs
+    val stored = spark.read.parquet(s"$sigDir/batch_*")
+      .select("id").as[Long].collect().toSet
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(stored == corpusIds ++ keptIds)
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
