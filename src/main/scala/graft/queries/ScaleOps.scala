@@ -731,6 +731,72 @@ object ScaleOps {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id", "session_seq")
-    }
+    },
+
+    // TPC-H Q13 shape: outer join with a join-side filter, per-customer
+    // order counts, then the count-of-counts distribution. The
+    // LEFT-JOIN-then-double-GROUP-BY is the canonical "distribution of
+    // activity" plan: both aggregations shuffle on their own key, the
+    // second one tiny.
+    sameQ("q85_custdist",
+      """SELECT c_count, COUNT(*) custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // TPC-H Q14 shape: conditional-aggregate share over a fact-dim join
+    // restricted to one month — the filter prunes at the parquet scan and
+    // the part side broadcasts.
+    sameQ("q86_promo_share",
+      """SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+        |    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+        |  / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin),
+
+    // TPC-H Q15 shape: aggregate view + scalar-subquery MAX selection.
+    // Revenue is rounded BEFORE the max comparison so cross-engine
+    // float-summation order cannot flip the winner.
+    sameQ("q87_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin),
+
+    // TPC-H Q17 shape: per-part correlated scalar AVG subquery gating the
+    // fact rows — Catalyst decorrelates it into an aggregate + join, the
+    // plan that survives scale (never a per-row subquery execution).
+    sameQ("q88_small_qty_revenue",
+      """SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin),
+
+    // TPC-H Q9 shape: five-way snowflake join with a LIKE filter on the
+    // part dim, grouped by nation and order year. Dims broadcast; the
+    // fact shuffles once for the aggregation.
+    sameQ("q89_profit_by_nation",
+      """SELECT n.n_name AS nation,
+        |       CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }
