@@ -797,6 +797,36 @@ object ScaleOps {
         |JOIN orders o ON o.o_orderkey = l.l_orderkey
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |WHERE p.p_name LIKE '%red%'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // int8 embedding quantization: the oracle recomputes the identical
+    // integer codes (float→double cast, IEEE division, floor — all
+    // bit-reproducible cross-engine; that is why the quantizer is defined
+    // with floor(x/s + 0.5) instead of an engine round()), so the check
+    // covers the per-element quantization itself via integer aggregates.
+    dfQ("q90_quantize_int8",
+      """SELECT vec_id,
+        |  CAST(list_sum(qv) AS BIGINT) q_sum,
+        |  CAST(list_min(qv) AS BIGINT) q_min,
+        |  CAST(list_max(qv) AS BIGINT) q_max
+        |FROM (
+        |  SELECT vec_id,
+        |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x ->
+        |           GREATEST(-127, LEAST(127,
+        |             CAST(FLOOR(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)))) END qv
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0 sc
+        |    FROM embeddings) t) u
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      graft.ops.Quantize.quantizeInt8(
+          Tables.table(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          array_min(col("q_vec")).cast("bigint").as("q_min"),
+          array_max(col("q_vec")).cast("bigint").as("q_max"))
+        .orderBy("vec_id")
+    }
   )
 }

@@ -392,6 +392,39 @@ class OpsSuite extends SparkTestBase {
       s"$agree/${fitCells.size} assignments agree")
   }
 
+  test("int8 quantization: error bound, scale-zero, and top-k recall survive") {
+    import spark.implicits._
+    val q = Quantize.quantizeInt8(emb, "embedding").cache()
+    // per-element reconstruction error <= scale/2 (+ float cast ulp)
+    val deq = Quantize.dequantizeFloat(q, "deq")
+    val worst = deq.select(max(aggregate(
+      zip_with(transform(col("embedding"), _.cast("double")),
+        transform(col("deq"), _.cast("double")),
+        (a, b) => abs(a - b)) , lit(0.0), (acc, x) => greatest(acc, x))
+      / col("q_scale"))).head().getDouble(0)
+    assert(worst <= 0.5 + 1e-6, s"worst relative error $worst")
+    // range respected
+    val (qmin, qmax) = q.select(
+      min(array_min(col("q_vec"))), max(array_max(col("q_vec"))))
+      .as[(Byte, Byte)].head()
+    assert(qmin >= -127 && qmax <= 127)
+    // zero vector: scale 0, all-zero codes
+    val z = Quantize.quantizeInt8(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("id", "v"), "v")
+    assert(z.select("q_scale").head().getDouble(0) == 0.0)
+    assert(z.select("q_vec").head().getSeq[Byte](0).forall(_ == 0))
+    // top-k over dequantized vectors keeps high overlap with exact top-k
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+      _.filter(col("vec_id") < 10), k = 10)
+      .select("q", "v").as[(Long, Long)].collect().toSet
+    val deqEmb = deq.select(col("vec_id"), col("deq").as("embedding"))
+    val approx = Similarity.exactTopK(deqEmb, "vec_id", "embedding",
+      _.filter(col("vec_id") < 10), k = 10)
+      .select("q", "v").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 top-k recall $recall")
+  }
+
   test("connectedComponents equals union-find on chains, cliques, random graphs") {
     import spark.implicits._
     // reference union-find
