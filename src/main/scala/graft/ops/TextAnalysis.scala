@@ -88,6 +88,94 @@ object TextAnalysis {
     docs.select(col(idCol),
       expr(s"winnow($textCol, $k, $w)").as("fingerprints"))
   }
+
+  /** PII patterns for [[redactPii]] — RE2/Java-regex common subset (no
+    * backreferences, no lookaround) so any engine applies them
+    * identically. Ordered: longest/most-specific first so an email is not
+    * half-eaten by the phone pattern. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "ssn"   -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  /** Redact PII spans (email, phone, IPv4, SSN shapes) to `[PII]`,
+    * appending the redacted text and the number of redacted spans. A
+    * chained codegen'd regexp_replace projection — no shuffle; the span
+    * count comes from the same patterns via regexp_count so the report
+    * needs no second pass over matches. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String,
+                token: String = "[PII]"): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, p)) =>
+      regexp_replace(c, p, token)
+    }
+    // count AFTER each earlier pattern's redaction (mirrors the replace
+    // chain) so overlapping shapes are not double-counted
+    val counts = PiiPatterns.zipWithIndex.map { case ((_, p), i) =>
+      val pre = PiiPatterns.take(i).foldLeft(col(textCol)) {
+        case (c, (_, q)) => regexp_replace(c, q, token)
+      }
+      regexp_count(pre, lit(p))
+    }
+    docs.withColumn("text_redacted", redacted)
+      .withColumn("n_redactions",
+        counts.reduce(_ + _).cast("long"))
+  }
+
+  /** Intra-document repetition metrics (Gopher/RefinedWeb-style quality
+    * signals): the fraction of word n-gram OCCURRENCES that are repeats
+    * of an earlier occurrence in the same document, and the share held by
+    * the single most frequent n-gram. High values mark boilerplate and
+    * degenerate generations. One shingle explode + per-doc aggregation —
+    * shuffles (doc, shingle) pairs, never documents. */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Registry.registerAll(spark)
+    docs.createOrReplaceTempView("rep_in")
+    spark.sql(
+      s"""SELECT $idCol,
+         |  CAST(SUM(c) AS BIGINT) n_grams,
+         |  ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) dup_frac,
+         |  ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) top_gram_share
+         |FROM (
+         |  SELECT $idCol, shingle, COUNT(*) c
+         |  FROM (SELECT $idCol, shingles($textCol, $n) FROM rep_in)
+         |  GROUP BY $idCol, shingle)
+         |GROUP BY $idCol""".stripMargin)
+  }
+
+  /** Benchmark-contamination score: the fraction of each document's
+    * distinct word n-grams that also occur anywhere in `bench` — the
+    * decontamination primitive of a training-data pipeline (drop or flag
+    * docs overlapping an eval set). Both sides reduce to DISTINCT
+    * (id, shingle) / (shingle) sets and meet in one equi-join ON the
+    * shingle — shuffle is by n-gram, never documents × benchmarks. The
+    * benchmark side is typically tiny → AQE broadcasts it. */
+  def contaminationScore(docs: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Registry.registerAll(spark)
+    docs.createOrReplaceTempView("cont_docs")
+    bench.createOrReplaceTempView("cont_bench")
+    spark.sql(
+      s"""WITH d AS (
+         |  SELECT DISTINCT $idCol, shingle s
+         |  FROM (SELECT $idCol, shingles($textCol, $n) FROM cont_docs)),
+         |b AS (
+         |  SELECT DISTINCT shingle s
+         |  FROM (SELECT shingles($textCol, $n) FROM cont_bench)),
+         |hits AS (
+         |  SELECT d.$idCol, COUNT(*) hit
+         |  FROM d JOIN b ON d.s = b.s GROUP BY d.$idCol),
+         |tot AS (SELECT $idCol, COUNT(*) total FROM d GROUP BY $idCol)
+         |SELECT tot.$idCol,
+         |  CAST(tot.total AS BIGINT) n_shingles,
+         |  CAST(COALESCE(hits.hit, 0) AS BIGINT) n_contaminated,
+         |  ROUND(COALESCE(hits.hit, 0) / CAST(tot.total AS DOUBLE), 6) contamination
+         |FROM tot LEFT JOIN hits ON tot.$idCol = hits.$idCol""".stripMargin)
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic. Small on purpose —

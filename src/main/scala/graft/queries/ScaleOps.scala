@@ -827,6 +827,85 @@ object ScaleOps {
           array_min(col("q_vec")).cast("bigint").as("q_min"),
           array_max(col("q_vec")).cast("bigint").as("q_max"))
         .orderBy("vec_id")
+    },
+
+    // PII redaction end-to-end: the fixture text carries no PII, so the
+    // query deterministically INJECTS one email/phone/IP/SSN per doc and
+    // the oracle replays the identical injection + the identical ordered
+    // redaction chain (RE2/Java-regex common-subset patterns; DuckDB needs
+    // the 'g' flag for replace-all parity). The hash of the redacted text
+    // checks the actual span boundaries, not just the counts.
+    dfQ("q91_redact_pii",
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CONCAT(text, ' contact user', doc_id, '@example.com ip 10.0.',
+        |           doc_id % 256, '.7 call +1-555-123-4567 ssn 123-45-6789') t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t,
+        |  REGEXP_REPLACE(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') u FROM inj),
+        |r2 AS (SELECT doc_id, t, u,
+        |  REGEXP_REPLACE(u, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?', '[PII]', 'g') v FROM r1),
+        |r3 AS (SELECT doc_id, t, u, v,
+        |  REGEXP_REPLACE(v, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g') w FROM r2),
+        |r4 AS (SELECT doc_id, t, u, v, w,
+        |  REGEXP_REPLACE(w, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g') x FROM r3)
+        |SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + LEN(REGEXP_EXTRACT_ALL(u, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?'))
+        |     + LEN(REGEXP_EXTRACT_ALL(v, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + LEN(REGEXP_EXTRACT_ALL(w, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) n_redactions,
+        |  SHA256(x) redacted_sha
+        |FROM r4 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val injected = Tables.table(s, d, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com ip 10.0."),
+          col("doc_id") % 256, lit(".7 call +1-555-123-4567 ssn 123-45-6789"))
+          .as("t"))
+      graft.ops.TextAnalysis.redactPii(injected, "doc_id", "t")
+        .select(col("doc_id"), col("n_redactions"),
+          sha2(col("text_redacted"), 256).as("redacted_sha"))
+        .orderBy("doc_id")
+    },
+
+    // Intra-document repetition (Gopher-style quality signal): duplicate
+    // n-gram occurrence fraction + top-gram share, from one shingle
+    // explode and a per-doc aggregation.
+    dfQ("q92_repetition",
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') ws FROM documents),
+        |grams AS (SELECT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) s
+        |          FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, s, COUNT(*) c FROM grams GROUP BY doc_id, s)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) n_grams,
+        |  ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) dup_frac,
+        |  ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) top_gram_share
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.repetitionScore(
+          Tables.table(s, d, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: fraction of each training doc's distinct
+    // 5-grams appearing anywhere in the "eval set" (a disjoint fixture
+    // slice). Shuffle is by n-gram; the bench side broadcasts under AQE.
+    dfQ("q93_contamination",
+      """WITH dt AS (SELECT doc_id, STRING_SPLIT(text,' ') ws FROM documents WHERE doc_id < 200),
+        |d AS (SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3],' ',ws[i+4]) s
+        |      FROM dt CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws)-3, 1))) t(i)),
+        |bt AS (SELECT doc_id, STRING_SPLIT(text,' ') ws FROM documents WHERE doc_id >= 400),
+        |b AS (SELECT DISTINCT CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3],' ',ws[i+4]) s
+        |      FROM bt CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws)-3, 1))) t(i)),
+        |hits AS (SELECT d.doc_id, COUNT(*) hit FROM d JOIN b ON d.s = b.s GROUP BY d.doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) total FROM d GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.total AS BIGINT) n_shingles,
+        |  CAST(COALESCE(hits.hit, 0) AS BIGINT) n_contaminated,
+        |  ROUND(COALESCE(hits.hit, 0) / CAST(tot.total AS DOUBLE), 6) contamination
+        |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+        |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      graft.ops.TextAnalysis.contaminationScore(
+          docs.filter(col("doc_id") < 200),
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
     }
   )
 }

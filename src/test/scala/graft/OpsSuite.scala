@@ -392,6 +392,56 @@ class OpsSuite extends SparkTestBase {
       s"$agree/${fitCells.size} assignments agree")
   }
 
+  test("redactPii: spans replaced, counts right, clean text untouched") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "call +1-555-123-4567 or 44-202-555-0199 now"),
+      (3L, "host 192.168.0.1 ssn 123-45-6789"),
+      (4L, "no pii here at all"),
+      (5L, "two mails a@b.io and c@d.co")
+    ).toDF("id", "t")
+    val out = TextAnalysis.redactPii(in, "id", "t")
+      .select("id", "text_redacted", "n_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("mail me at [PII] today", 1L)))
+    assert(out(2L) == (("call [PII] or [PII] now", 2L)))
+    assert(out(3L) == (("host [PII] ssn [PII]", 2L)))
+    assert(out(4L) == (("no pii here at all", 0L)))
+    assert(out(5L) == (("two mails [PII] and [PII]", 2L)))
+  }
+
+  test("repetitionScore: known duplicate-gram fractions") {
+    import spark.implicits._
+    // "a b a b a b" → 3-grams: "a b a","b a b","a b a","b a b" : 4 grams,
+    // 2 distinct → dup_frac 0.5, top share 0.5
+    val in = Seq((1L, "a b a b a b"), (2L, "w x y z q")).toDF("id", "t")
+    val out = TextAnalysis.repetitionScore(in, "id", "t", n = 3)
+      .select("id", "n_grams", "dup_frac", "top_gram_share")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 0.5, 0.5)))
+    assert(out(2L) == ((3L, 0.0, round6(1.0 / 3))))
+  }
+
+  test("contaminationScore: overlap fractions against a benchmark set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 5-gram
+      (2L, "totally unrelated words with nothing shared here")
+    ).toDF("id", "t")
+    val bench = Seq((99L, "quick brown fox jumps over everything")).toDF("id", "t")
+    val out = TextAnalysis.contaminationScore(docs, bench, "id", "t", n = 5)
+      .select("id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1 has 5 distinct 5-grams; exactly "quick brown fox jumps over"
+    // appears in bench
+    assert(out(1L) == ((5L, 1L)))
+    assert(out(2L)._2 == 0L)
+  }
+
+  private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
+
   test("int8 quantization: error bound, scale-zero, and top-k recall survive") {
     import spark.implicits._
     val q = Quantize.quantizeInt8(emb, "embedding").cache()
