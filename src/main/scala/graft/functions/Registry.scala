@@ -13,6 +13,23 @@ object Registry {
       "shingles", exprs => Shingles(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
       "winnow", exprs => Winnow(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    // Spark's runtime-filter bloom expressions, surfaced as SQL functions
+    // (they are not in the public registry, but they ARE the engine-native
+    // bloom implementation — codegen'd probe, sketch-library build).
+    fr.createOrReplaceTempFunction(
+      "bloom_agg", {
+        case Seq(c)       => new org.apache.spark.sql.catalyst.expressions
+          .aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)    => new org.apache.spark.sql.catalyst.expressions
+          .aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions
+          .aggregate.BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg takes 1-3 args, got ${other.size}")
+      }, "scala_udf")
+    fr.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs => new org.apache.spark.sql.catalyst
+        .expressions.BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("geomean", F.udaf(GeoMean))
   }
 }

@@ -137,6 +137,47 @@ object Dedup {
   def contentDigests(docs: DataFrame, textCol: String): DataFrame =
     docs.select(sha2(col(textCol), 256).as("__h")).distinct()
 
+  /** A Bloom filter over the standing corpus's content digests — the
+    * broadcastable membership summary an incremental pipeline builds once
+    * per epoch (NOT per batch) and persists next to the digest set. At
+    * 1e9 docs and 3% fpp this is ~900 MB of bits summarizing 32 GB of
+    * digests. Built with Spark's own runtime-filter bloom aggregate in
+    * one pass over the digest set. */
+  def corpusDigestBloom(corpusDigests: DataFrame, expectedItems: Long,
+                        fpp: Double = 0.03): Array[Byte] = {
+    graft.functions.Registry.registerAll(corpusDigests.sparkSession)
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    corpusDigests
+      .agg(expr(s"bloom_agg(xxhash64(__h), ${expectedItems}L, ${numBits}L)"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[incrementalExactDedup]] with a Bloom prefilter: rows whose digest
+    * the filter has definitely never seen (no false negatives) skip the
+    * corpus anti-join entirely — only the "maybe" rows (true dups +
+    * fpp·batch false positives) shuffle against the digest set. With a
+    * realistic dup rate the anti-join input drops from |batch| to
+    * ~(dups + 3% of batch), while the result stays EXACTLY equal to the
+    * unfiltered operator (asserted in the suite): false positives are
+    * resolved by the exact join, and false negatives cannot occur. */
+  def incrementalExactDedupBloom(newDocs: DataFrame, idCol: String,
+                                 textCol: String, corpusDigests: DataFrame,
+                                 bloom: Array[Byte]): DataFrame = {
+    graft.functions.Registry.registerAll(newDocs.sparkSession)
+    val hashed = newDocs.withColumn("__h", sha2(col(textCol), 256))
+    val probe = call_function("bloom_might_contain",
+      lit(bloom), xxhash64(col("__h")))
+    val maybe = hashed.filter(probe)
+      .join(corpusDigests, Seq("__h"), "left_anti")
+    val fresh = hashed.filter(!probe)
+    fresh.unionByName(maybe)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__h").orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__h", "__rk")
+  }
+
   /** Incremental exact dedup — the operational mode of a standing corpus
     * receiving batch increments: drop new docs whose content already
     * exists in the corpus digest set (anti-join on the 32-byte digest,

@@ -906,6 +906,35 @@ object ScaleOps {
           docs.filter(col("doc_id") < 200),
           docs.filter(col("doc_id") >= 400), "doc_id", "text", n = 5)
         .orderBy("doc_id")
+    },
+
+    // Sequence packing: cut the doc_id-ordered BPE-token stream into
+    // 512-token context windows. The engine side computes the global
+    // offset with a distributed prefix sum (range partition + broadcast
+    // partition bases — NO single-task global window); the oracle is the
+    // direct single-window formulation, so the check also proves the
+    // distributed prefix sum equals the sequential one.
+    dfQ("q94_context_pack",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, toks,
+        |    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks AS off
+        |  FROM t)
+        |SELECT doc_id, toks, off AS token_offset,
+        |  off // 512 AS pack_first,
+        |  GREATEST(off // 512, (off + toks - 1) // 512) AS pack_last,
+        |  GREATEST(off // 512, (off + toks - 1) // 512) - off // 512 AS n_cuts
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = graft.ops.TextAnalysis.tokenCounts(
+          Tables.table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("bpe_tokens").as("toks"))
+      graft.ops.Packing.contextPack(toks, "doc_id", "toks", budget = 512L)
+        .select("doc_id", "toks", "token_offset", "pack_first", "pack_last",
+          "n_cuts")
+        .orderBy("doc_id")
     }
   )
 }

@@ -320,6 +320,55 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("contextPack: exact offsets, boundary cuts, partition-count invariance") {
+    import spark.implicits._
+    // budget 10: doc sizes 4,4,4 → third doc straddles packs 0/1; a
+    // 25-token doc spans 3 packs (2 cuts); zero-size doc stays put
+    val in = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 25L), (5L, 0L), (6L, 3L))
+      .toDF("id", "toks")
+    def run(parts: Int) = Packing.contextPack(in, "id", "toks", 10L, parts)
+      .select("id", "token_offset", "pack_first", "pack_last", "n_cuts")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(3)
+    assert(got == Set(
+      (1L, 0L, 0L, 0L, 0L),
+      (2L, 4L, 0L, 0L, 0L),
+      (3L, 8L, 0L, 1L, 1L),   // straddles the 10-token boundary
+      (4L, 12L, 1L, 3L, 2L),  // 25 tokens → spans packs 1,2,3
+      (5L, 37L, 3L, 3L, 0L),  // zero-size: pack_last clamps to pack_first
+      (6L, 37L, 3L, 3L, 0L)), got.toString)
+    // the distributed prefix sum is independent of the partition count
+    assert(run(1) == got && run(7) == got)
+  }
+
+  test("bloom-prefiltered incremental dedup equals the exact operator") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").filter(col("doc_id") < 300)
+    val digests = Dedup.contentDigests(corpus, "text").cache()
+    val bloom = Dedup.corpusDigestBloom(digests, expectedItems = 1000)
+    // batch = 50 fresh docs + 20 corpus dups + 1 within-batch dup
+    val fresh = docs.select("doc_id", "text")
+      .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val dups = corpus.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 5000L)
+    val batchDup = fresh.filter(col("doc_id") === 300)
+      .withColumn("doc_id", lit(9000L))
+    val batch = fresh.unionByName(dups).unionByName(batchDup)
+    val got = Dedup.incrementalExactDedupBloom(batch, "doc_id", "text",
+        digests, bloom)
+      .select("doc_id").as[Long].collect().toSet
+    val want = Dedup.incrementalExactDedup(batch, "doc_id", "text", digests)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && got == (300L until 350L).toSet,
+      s"bloom=$got exact=$want")
+    // no false negatives by construction: every true dup must probe true
+    val probed = batch.withColumn("__h", sha2(col("text"), 256))
+      .filter(call_function("bloom_might_contain",
+        lit(bloom), xxhash64(col("__h"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert((5000L until 5020L).toSet.subsetOf(probed))
+  }
+
   test("incrementalMinHashNearDup: batch joins persisted corpus signatures") {
     import spark.implicits._
     val corpus = docs.select("doc_id", "text").filter(col("doc_id") < 300)
