@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch merge patterns — the load-side staples of an ETL engine
+  * (SURVEY.md §3: the reference's pipelines land batches into standing
+  * tables; these are the two canonical landing semantics).
+  *
+  * Formats like Delta/Iceberg implement MERGE INTO natively; on plain
+  * parquet the same semantics are two joins. Both operators here are
+  * pure DataFrame transforms — the caller owns the rewrite of the
+  * target table (overwrite or partition swap), keeping the operators
+  * engine-agnostic and oracle-testable.
+  */
+object Merge {
+
+  /** Upsert: rows from `updates` replace target rows with the same key;
+    * unmatched update rows are inserts. Within one batch, multiple
+    * updates to a key resolve to the one with the highest `versionCol`
+    * (ties: the operator requires a total order — use a unique version).
+    * Shuffles both sides once on the key (or broadcasts the small one —
+    * left to AQE). */
+  def upsert(target: DataFrame, updates: DataFrame, keyCol: String,
+             versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(versionCol).desc)
+    val latest = updates
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    target.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(latest)
+  }
+
+  /** SCD Type-2 apply: maintain a dimension history with
+    * (valid_from, valid_to) validity intervals, `valid_to` NULL = open.
+    *
+    * For each update (latest per key within the batch, by `tsCol`):
+    * if the key's open row differs on any of `attrCols`, the open row is
+    * closed at the update ts and a new open row starts there; identical
+    * attributes are a no-op (idempotent re-loads); unknown keys insert a
+    * new open row. History rows (valid_to set) pass through untouched.
+    *
+    * One shuffle on the key; attribute comparison is a null-safe struct
+    * equality, so NULL attribute values compare stably. */
+  def scd2Apply(current: DataFrame, updates: DataFrame, keyCol: String,
+                tsCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Apply needs at least one tracked attribute")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc)
+    val latest = updates
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .select(col(keyCol) +: col(tsCol).as("__uts") +:
+        attrCols.map(a => col(a).as(s"__u_$a")): _*)
+    val history = current.filter(col("valid_to").isNotNull)
+    val open = current.filter(col("valid_to").isNull)
+    val joined = open.join(latest, Seq(keyCol), "full_outer")
+    val changed = struct(attrCols.map(col): _*) =!=
+      struct(attrCols.map(a => col(s"__u_$a")): _*)
+    val hasOpen = col("valid_from").isNotNull
+    val hasUpd = col("__uts").isNotNull
+    // open rows: unchanged keys keep their row; superseded rows close
+    val keptOpen = joined.filter(hasOpen && (!hasUpd || !changed))
+      .select(open.columns.map(col): _*)
+    val closed = joined.filter(hasOpen && hasUpd && changed)
+      .select(open.columns.map {
+        case "valid_to" => col("__uts").as("valid_to")
+        case c          => col(c)
+      }: _*)
+    val opened = joined.filter(hasUpd && (!hasOpen || changed))
+      .select(open.columns.map {
+        case "valid_from" => col("__uts").as("valid_from")
+        case "valid_to"   => lit(null).cast(
+          open.schema("valid_to").dataType).as("valid_to")
+        case c if attrCols.contains(c) => col(s"__u_$c").as(c)
+        case c            => col(c)
+      }: _*)
+    history.unionByName(keptOpen).unionByName(closed).unionByName(opened)
+  }
+}

@@ -935,6 +935,71 @@ object ScaleOps {
         .select("doc_id", "toks", "token_offset", "pack_first", "pack_last",
           "n_cuts")
         .orderBy("doc_id")
+    },
+
+    // Upsert landing semantics (MERGE INTO on plain parquet): updated
+    // keys replaced, unknown keys inserted. The oracle is the direct
+    // NOT-IN + UNION formulation.
+    dfQ("q95_upsert",
+      """WITH target AS (
+        |  SELECT c_custkey k, c_mktsegment seg, ROUND(c_acctbal, 2) bal,
+        |         CAST(1 AS BIGINT) ver FROM customer),
+        |upd AS (
+        |  SELECT c_custkey k, c_mktsegment seg, ROUND(c_acctbal + 1000, 2) bal,
+        |         CAST(2 AS BIGINT) ver FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW', 0.0, CAST(2 AS BIGINT)
+        |  FROM customer WHERE c_custkey < 5)
+        |SELECT k, seg, bal, ver FROM (
+        |  SELECT * FROM target WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL SELECT * FROM upd) m
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val target = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"),
+        lit(1L).as("ver"))
+      val upd = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") + 1000, 2).as("bal"), lit(2L).as("ver"))
+        .unionByName(c.filter(col("c_custkey") < 5)
+          .select((col("c_custkey") + 1000000).as("k"), lit("NEW").as("seg"),
+            lit(0.0).as("bal"), lit(2L).as("ver")))
+      graft.ops.Merge.upsert(target, upd, "k", "ver").orderBy("k")
+    },
+
+    // SCD Type-2 apply over the customer dimension: every fifth key moves
+    // segment (close the open row at ts 100, open a new one), every
+    // eleventh key gets an identical update (must be a no-op — the
+    // idempotent-reload property).
+    dfQ("q96_scd2",
+      """WITH cur AS (
+        |  SELECT c_custkey k, c_mktsegment seg, CAST(0 AS BIGINT) valid_from,
+        |         CAST(NULL AS BIGINT) valid_to FROM customer),
+        |changed AS (
+        |  SELECT c.k FROM cur c WHERE c.k % 5 = 0 AND c.seg <> 'MOVED')
+        |SELECT k, seg, valid_from, valid_to FROM (
+        |  SELECT c.k, c.seg, c.valid_from, c.valid_to FROM cur c
+        |  WHERE c.k NOT IN (SELECT k FROM changed)
+        |  UNION ALL
+        |  SELECT c.k, c.seg, c.valid_from, CAST(100 AS BIGINT)
+        |  FROM cur c JOIN changed ch ON c.k = ch.k
+        |  UNION ALL
+        |  SELECT ch.k, 'MOVED', CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM changed ch) m
+        |ORDER BY k, valid_from""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val current = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), lit(0L).as("valid_from"),
+        lit(null).cast("bigint").as("valid_to"))
+      val updates = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"), lit("MOVED").as("seg"),
+          lit(100L).as("ts"))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0
+            && col("c_custkey") % 5 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            lit(100L).as("ts")))
+      graft.ops.Merge.scd2Apply(current, updates, "k", "ts", Seq("seg"))
+        .orderBy("k", "valid_from")
     }
   )
 }

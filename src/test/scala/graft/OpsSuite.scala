@@ -320,6 +320,50 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("upsert: replace-by-key, insert unknown keys, latest version wins") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 10))
+      .toDF("k", "v", "ver")
+    val updates = Seq((2L, "b2", 11), (2L, "b3", 12), (4L, "d", 11))
+      .toDF("k", "v", "ver")
+    val got = Merge.upsert(target, updates, "k", "ver")
+      .select("k", "v", "ver").as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a", 10), (2L, "b3", 12), (3L, "c", 10),
+      (4L, "d", 11)))
+  }
+
+  test("scd2Apply: close-and-open on change, no-op on identical, insert new") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "gold", 100L, Some(200L)),   // history row — untouched
+      (1L, "plat", 200L, None),         // open, will change
+      (2L, "silver", 100L, None),       // open, identical update → no-op
+      (3L, "bronze", 100L, None)        // open, no update
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "diamond", 250L), (1L, "ruby", 300L), // latest (300) wins
+      (2L, "silver", 300L),                      // identical → no-op
+      (9L, "new", 300L)                          // unknown key → insert
+    ).toDF("k", "tier", "ts")
+    val got = Merge.scd2Apply(current, updates, "k", "ts", Seq("tier"))
+      .select("k", "tier", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, "gold", 100L, Some(200L)),
+      (1L, "plat", 200L, Some(300L)),  // closed at update ts
+      (1L, "ruby", 300L, None),        // new open row, latest update
+      (2L, "silver", 100L, None),      // idempotent no-op
+      (3L, "bronze", 100L, None),
+      (9L, "new", 300L, None)), got.toString)
+    // re-applying the same batch is a no-op (idempotent loads)
+    val again = Merge.scd2Apply(
+      Merge.scd2Apply(current, updates, "k", "ts", Seq("tier")),
+      updates, "k", "ts", Seq("tier"))
+      .select("k", "tier", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(again == got)
+  }
+
   test("contextPack: exact offsets, boundary cuts, partition-count invariance") {
     import spark.implicits._
     // budget 10: doc sizes 4,4,4 → third doc straddles packs 0/1; a
