@@ -114,6 +114,39 @@ class ScaleSuite extends SparkTestBase {
     assert(!plan.contains("Join"), "as-of must not plan a join operator")
   }
 
+  test("Sessionize plans one shuffle on the user key (DESIGN.md claim)") {
+    val ev = Tables.table(spark, sf0001, "events").filter(col("user_id") < 20)
+    val plan = graft.ops.Sessionize.sessionize(ev, "user_id", "ts",
+      "event_id", 1800).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    assert(!plan.contains("Join"), "sessionize must not plan a join")
+  }
+
+  test("contextPack plans a range exchange + broadcast base join, no global window") {
+    import spark.implicits._
+    val in = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "toks")
+    val plan = graft.ops.Packing.contextPack(in, "id", "toks", 100L, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"),
+      "prefix sum must range-partition the data")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "partition bases must broadcast, not shuffle")
+    // the DATA window must be keyed by partition id (the tiny bases
+    // window — ≤ nParts rows — is the only unpartitioned one)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"data window not keyed by partition id:\n${plan.take(1500)}")
+  }
+
+  test("contaminationScore plans shingle equi-joins, never doc×bench pairs") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = graft.ops.TextAnalysis.contaminationScore(
+      docs.filter(col("doc_id") < 200), docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", n = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "must stay an equi-join")
+  }
+
   test("MinHash-LSH scales: 20x-replicated corpus yields planted pairs, not N²") {
     // Build a 10,000-doc corpus: each sf0.01 document (500 distinct texts)
     // replicated 20x with a distinct appended token, so every base doc
