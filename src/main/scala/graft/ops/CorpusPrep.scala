@@ -32,6 +32,33 @@ object CorpusPrep {
       input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, kept: Long)
 
+  /** Distribution-relative quality gate: drop the bottom `dropFrac` of
+    * documents by a quality metric (default: stopword ratio, the
+    * strongest single prose signal of [[TextAnalysis.qualityColumns]]).
+    * Fixed thresholds go stale as the crawl mix drifts; a quantile cut
+    * tracks the distribution. The cutoff is one approx_percentile
+    * aggregate (t-digest, mergeable — a single tiny job at any corpus
+    * size); the gate itself is a projection filter. The approximation
+    * moves the cutoff, never the ordering: everything kept is at least
+    * as good as everything dropped. */
+  def qualityQuantileGate(docs: DataFrame, textCol: String,
+                          dropFrac: Double,
+                          metric: Option[org.apache.spark.sql.Column] = None,
+                          accuracy: Int = 10000): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    if (dropFrac == 0) docs
+    else {
+      val m = metric.getOrElse(
+        TextAnalysis.qualityColumns(textCol).toMap.apply("stopword_ratio"))
+      val withM = docs.withColumn("__m", m)
+      val cut = withM
+        .agg(expr(s"approx_percentile(__m, $dropFrac, $accuracy)"))
+        .head().getDouble(0)
+      withM.filter(col("__m") >= cut).drop("__m")
+    }
+  }
+
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               cfg: PrepConfig = PrepConfig()): (DataFrame, PrepReport) = {
     // The quality metrics and language guess are pure codegen'd

@@ -152,6 +152,20 @@ class IoSuite extends SparkTestBase {
     df.unpersist()
   }
 
+  test("T-IO7: parquet schema evolution — mergeSchema unifies drifted parts") {
+    import spark.implicits._
+    val out = tmp()
+    // two batches of the same feed, schema drifted between them (a new
+    // column appeared) — the standing-table read must see the union
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$out/t/p1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$out/t/p2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$out/t/p*")
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
   test("T-IO6: partitioned parquet write → partition pruning at read") {
     val out = tmp()
     val li = Tables.table(spark, sf0001, "lineitem")

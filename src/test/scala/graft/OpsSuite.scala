@@ -320,6 +320,27 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("qualityQuantileGate drops ~the bottom fraction, order-correctly") {
+    import spark.implicits._
+    val in = docs.select("doc_id", "text")
+    val kept = CorpusPrep.qualityQuantileGate(in, "text", dropFrac = 0.2)
+    val (n0, n1) = (in.count().toDouble, kept.count().toDouble)
+    assert(n1 / n0 >= 0.6 && n1 / n0 <= 0.95, s"kept ${n1 / n0}")
+    // order-correct: every kept doc scores >= every dropped doc's metric
+    val m = TextAnalysis.qualityColumns("text").toMap.apply("stopword_ratio")
+    val scored = in.withColumn("m", m)
+    val minKept = scored.join(kept.select("doc_id"), Seq("doc_id"))
+      .agg(min("m")).head().getDouble(0)
+    val maxDropped = scored.join(kept.select("doc_id"), Seq("doc_id"),
+      "left_anti").agg(max("m")).head().getDouble(0)
+    assert(maxDropped <= minKept, s"dropped max $maxDropped > kept min $minKept")
+    // dropFrac 0 is the identity
+    assert(CorpusPrep.qualityQuantileGate(in, "text", 0.0).count() == n0)
+    intercept[IllegalArgumentException] {
+      CorpusPrep.qualityQuantileGate(in, "text", 1.0)
+    }
+  }
+
   test("upsert: replace-by-key, insert unknown keys, latest version wins") {
     import spark.implicits._
     val target = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 10))
