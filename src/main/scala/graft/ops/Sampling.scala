@@ -54,4 +54,45 @@ object Sampling {
                        fractions: Map[String, Double],
                        seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Mixture sampling — the data-mixing primitive of a pretraining run:
+    * each source (the value of `sourceCol`) is kept at its own rate,
+    * e.g. code ×1.0, web ×0.3, forums ×0.1. Deterministic MD5-bucket
+    * rule per row (the q82 anchor), so the mixture is reproducible and
+    * auditable by an independent engine, and re-runs on grown sources
+    * keep previously-selected rows selected. Unlisted sources drop
+    * (rate 0). Pure projection filter — no shuffle, no RNG. */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    rates: Map[String, Double],
+                    buckets: Int = 10000): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val b = hashBucket(col(idCol), buckets)
+    val threshold = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r * buckets)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+
+  /** Per-group cap — the diversity limit of a curation pipeline (at most
+    * `cap` documents per domain/language/source): deterministic keep
+    * rule = the `cap` members with the smallest MD5 bucket (ties broken
+    * by id), so the survivors are a stable pseudo-random subset, not
+    * whatever partition order produced. One shuffle on the group key. */
+  def groupCap(df: DataFrame, groupCol: String, idCol: String,
+               cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+
+  /** Deterministic epoch shuffle: a reproducible pseudo-random total
+    * order — ORDER BY md5(epoch ‖ id). Different epochs give different,
+    * fixed permutations; any engine reproduces the order. The sort is
+    * Spark's usual range-partitioned distributed sort. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
+    df.orderBy(md5(concat_ws("#", lit(epoch), col(idCol).cast("string"))),
+      col(idCol))
 }

@@ -1000,6 +1000,37 @@ object ScaleOps {
             lit(100L).as("ts")))
       graft.ops.Merge.scd2Apply(current, updates, "k", "ts", Seq("seg"))
         .orderBy("k", "valid_from")
+    },
+
+    // Mixture sampling: per-language keep rates on the documents table,
+    // MD5-bucket rule — the oracle recomputes the per-row decision, so
+    // the mixture is verified row-by-row, not by proportions.
+    dfQ("q97_mixture_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 b
+        |  FROM documents) t
+        |WHERE b < (CASE lang WHEN 'en' THEN 10000.0 WHEN 'de' THEN 5000.0
+        |                     WHEN 'fr' THEN 2500.0 ELSE 0.0 END)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.mixtureSample(
+          Tables.table(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Per-language diversity cap: at most 40 docs per language, kept by
+    // smallest MD5 bucket (stable pseudo-random survivors). The oracle
+    // replays the identical window rule.
+    dfQ("q98_group_cap",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741824, doc_id) rk
+        |  FROM documents) t
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.groupCap(
+          Tables.table(s, d, "documents"), "lang", "doc_id", cap = 40)
+        .select("doc_id", "lang").orderBy("doc_id")
     }
   )
 }

@@ -320,6 +320,60 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("mixtureSample: per-source rates, deterministic, grow-stable") {
+    import spark.implicits._
+    val in = docs.select("doc_id", "lang")
+    val rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+    val got = Sampling.mixtureSample(in, "lang", "doc_id", rates)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val inLang = in.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.getOrElse("en", 0L) == inLang("en")) // rate 1.0 keeps all
+    rates.foreach { case (l, r) =>
+      if (r < 1.0 && inLang.contains(l)) {
+        val frac = byLang.getOrElse(l, 0L).toDouble / inLang(l)
+        assert(math.abs(frac - r) < 0.15, s"$l kept $frac want ~$r")
+      }
+    }
+    assert(!byLang.keySet.exists(l => !rates.contains(l))) // unlisted drop
+    // determinism + grow-stability: selection on a subset is the
+    // restriction of the full selection
+    val sub = Sampling.mixtureSample(in.filter(col("doc_id") < 200),
+      "lang", "doc_id", rates).select("doc_id").as[Long].collect().toSet
+    val full = got.select("doc_id").as[Long].collect().toSet
+    assert(sub == full.filter(_ < 200))
+  }
+
+  test("groupCap: at most cap per group, stable survivors") {
+    import spark.implicits._
+    val in = docs.select("doc_id", "lang")
+    val capped = Sampling.groupCap(in, "lang", "doc_id", cap = 40)
+    val sizes = capped.groupBy("lang").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 40), sizes.mkString(","))
+    // groups under the cap keep everything
+    val small = in.groupBy("lang").count().filter(col("count") <= 40)
+      .select("lang").as[String].collect().toSet
+    small.foreach { l =>
+      assert(capped.filter(col("lang") === l).count() ==
+        in.filter(col("lang") === l).count())
+    }
+    // deterministic across runs
+    val again = Sampling.groupCap(in, "lang", "doc_id", cap = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("epochShuffle: reproducible permutation, different per epoch") {
+    import spark.implicits._
+    val in = docs.select("doc_id").limit(200)
+    def order(epoch: Long) = Sampling.epochShuffle(in, "doc_id", epoch)
+      .select("doc_id").as[Long].collect().toSeq
+    val e1 = order(1); val e1b = order(1); val e2 = order(2)
+    assert(e1 == e1b)                     // reproducible
+    assert(e1 != e2)                      // epoch changes the permutation
+    assert(e1.toSet == e2.toSet)          // same rows, different order
+    assert(e1 != e1.sorted)               // actually shuffled
+  }
+
   test("qualityQuantileGate drops ~the bottom fraction, order-correctly") {
     import spark.implicits._
     val in = docs.select("doc_id", "text")
