@@ -83,10 +83,24 @@ class PipelineSuite extends SparkTestBase {
   }
 
   test("example feeds run through the CLI entry point") {
+    // the sessions feed reads the ns-timestamp events fixture directly
+    // (PipelineRunner's own EtlSession sets this; the suite session must too)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
-        "normalize_docs_feed.json", "seeded_lookup_feed.json")) {
+        "normalize_docs_feed.json", "seeded_lookup_feed.json",
+        "user_sessions_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
+    // the declarative sessionize feed equals the Sessionize operator
+    val sess = spark.read.parquet("/tmp/graft-example-out/user_sessions")
+      .select("user_id", "session_seq", "n")
+      .collect().map(_.toString).toSet
+    val want = graft.ops.Sessionize.sessionStats(
+        Tables.table(spark, sf0001, "events"), "user_id", "ts", "event_id",
+        1800, "value")
+      .select("user_id", "session_seq", "n")
+      .collect().map(_.toString).toSet
+    assert(sess == want && sess.nonEmpty)
     val tiers = spark.read.parquet("/tmp/graft-example-out/nations_by_tier")
     // 25 nations over 5 regions, seeded inline via the 'values' source
     assert(tiers.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
