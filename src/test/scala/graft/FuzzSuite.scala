@@ -288,6 +288,66 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("30 random date-expression queries agree between Spark and DuckDB") {
+    // 7th axis: random compositions from the ANSI-common date set over
+    // orders — EXTRACT, DATE_TRUNC, LAST_DAY, +INTERVAL, GREATEST/LEAST
+    // and CASE over them. Dates are a classic drift area (trunc result
+    // types, interval arithmetic, month boundaries); everything is cast
+    // to DATE so both engines compare the same lexical form.
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("SET TimeZone='UTC'")
+      st.execute(
+        s"CREATE VIEW orders AS SELECT * FROM '$sf0001/orders.parquet'")
+      val d = "CAST(o_orderdate AS DATE)"
+      def dateExpr: Gen[String] = Gen.oneOf(
+        Gen.oneOf("month", "quarter", "year")
+          .map(u => s"CAST(DATE_TRUNC('$u', $d) AS DATE)"),
+        Gen.choose(1, 90).map(k => s"CAST($d + INTERVAL $k DAY AS DATE)"),
+        Gen.const(s"LAST_DAY($d)"),
+        Gen.oneOf("1996-06-15", "1997-01-01", "1998-03-31")
+          .map(lit => s"GREATEST($d, DATE '$lit')"),
+        Gen.oneOf("1996-06-15", "1997-12-01")
+          .map(lit => s"LEAST($d, DATE '$lit')"))
+      def numExpr: Gen[String] = Gen.oneOf(
+        Gen.oneOf("YEAR", "MONTH", "DAY")
+          .map(f => s"CAST(EXTRACT($f FROM $d) AS BIGINT)"),
+        Gen.choose(2, 6)
+          .map(m => s"CAST(MOD(EXTRACT(MONTH FROM $d), $m) AS BIGINT)"))
+      def caseExpr: Gen[String] = for {
+        k <- Gen.choose(2, 11); t <- dateExpr; e <- dateExpr
+      } yield s"CASE WHEN EXTRACT(MONTH FROM $d) > $k THEN $t ELSE $e END"
+      val qGen = for {
+        e1 <- dateExpr; e2 <- numExpr; e3 <- caseExpr
+        lim <- Gen.choose(40, 120)
+      } yield
+        s"""SELECT o_orderkey, $e1 a, $e2 b, $e3 c
+           |FROM orders WHERE o_orderkey < 3000
+           |ORDER BY o_orderkey LIMIT $lim""".stripMargin
+      val queries = (1 to 30).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(33000L + i)))
+      assert(queries.size >= 25)
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()
+          .map(r => (0 until r.length).map(i =>
+            Option(r.get(i)).map(_.toString).getOrElse("\\N")).mkString("|"))
+        val rs = st.executeQuery(sql)
+        val md = rs.getMetaData
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (1 to md.getColumnCount).map(i =>
+            Option(r.getObject(i)).map(_.toString).getOrElse("\\N")).mkString("|")
+        }.toSeq
+        if (sr.toSeq != dr)
+          Some(s"sql=${sql.replace('\n', ' ')} " +
+            s"first-diff=${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("80 random predicate trees agree between Spark and DuckDB") {
     Tables.register(spark, sf0001)
     val conn = DriverManager.getConnection("jdbc:duckdb:")
