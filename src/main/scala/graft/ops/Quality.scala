@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality layer: column profiling and declarative expectations —
+  * the validation surface an ETL framework runs against every landed
+  * batch (row counts, null/distinct profiles, uniqueness, referential
+  * integrity, accepted values).
+  *
+  * Both operators are single-pass by construction: the profiler computes
+  * every column's statistics in ONE aggregation over one scan (not a
+  * scan per column), and each expectation is one aggregate or one
+  * anti-join. At 100 TB the difference between profiling in one pass and
+  * per-column passes is the whole game.
+  */
+object Quality {
+
+  /** Per-column profile: one output row per column with count, nulls,
+    * distinct (exact), min/max (as strings — type-stable across mixed
+    * schemas). Single aggregation; the per-column stats are parallel
+    * aggregate expressions over one scan. For very wide tables at scale,
+    * swap `countDistinct` for `approx_count_distinct`. */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__dst_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = count(lit(1)).as("__total")
+    val row = df.agg(total, aggs: _*).head()
+    val totalN = row.getAs[Long]("__total")
+    cols.map { c =>
+      (c, totalN, totalN - row.getAs[Long](s"__cnt_$c"),
+        row.getAs[Long](s"__dst_$c"),
+        Option(row.getAs[String](s"__min_$c")),
+        Option(row.getAs[String](s"__max_$c")))
+    }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+  }
+
+  sealed trait Expectation { def name: String }
+  final case class NotNull(colName: String) extends Expectation {
+    val name = s"not_null($colName)"
+  }
+  final case class Unique(cols: Seq[String]) extends Expectation {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+  final case class AcceptedValues(colName: String, values: Seq[String])
+      extends Expectation {
+    val name = s"accepted_values($colName)"
+  }
+  /** Every non-null value of `colName` exists in `ref`'s `refCol`
+    * (referential integrity, checked with a left-anti join — shuffle by
+    * the key, the ref side deduplicated first). */
+  final case class RefIntegrity(colName: String, ref: DataFrame,
+                                refCol: String) extends Expectation {
+    val name = s"ref_integrity($colName)"
+  }
+
+  /** Evaluate expectations against `df`; returns (expectation, violations)
+    * rows. All single-aggregate checks collapse into ONE pass over the
+    * data; each referential check adds one anti-join. */
+  def expect(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(expectations.nonEmpty, "no expectations given")
+    val aggChecks: Seq[(String, Column)] = expectations.collect {
+      case e @ NotNull(c) =>
+        e.name -> count(when(col(c).isNull, 1))
+      case e @ AcceptedValues(c, vs) =>
+        e.name -> count(when(col(c).isNotNull && !col(c).isin(vs: _*), 1))
+    }
+    val aggRows: Seq[(String, Long)] =
+      if (aggChecks.isEmpty) Nil
+      else {
+        val row = df.agg(aggChecks.head._2.as("c0"),
+          aggChecks.tail.zipWithIndex.map { case ((_, a), i) =>
+            a.as(s"c${i + 1}") }: _*).head()
+        aggChecks.zipWithIndex.map { case ((n, _), i) =>
+          n -> row.getLong(i) }
+      }
+    val uniqueRows: Seq[(String, Long)] = expectations.collect {
+      case e @ Unique(cs) =>
+        val dups = df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(coalesce(sum(col("n") - 1), lit(0L))).head().getLong(0)
+        e.name -> dups
+    }
+    val refRows: Seq[(String, Long)] = expectations.collect {
+      case e @ RefIntegrity(c, ref, rc) =>
+        val violations = df.filter(col(c).isNotNull)
+          .join(ref.select(col(rc).as(c)).distinct(), Seq(c), "left_anti")
+          .count()
+        e.name -> violations
+    }
+    (aggRows ++ uniqueRows ++ refRows)
+      .toDF("expectation", "violations")
+  }
+}

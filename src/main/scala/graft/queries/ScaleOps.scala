@@ -1031,6 +1031,90 @@ object ScaleOps {
       graft.ops.Sampling.groupCap(
           Tables.table(s, d, "documents"), "lang", "doc_id", cap = 40)
         .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Single-pass column profiler (count/nulls/exact-distinct/min/max per
+    // column from ONE aggregation over one scan). Oracle restricted to
+    // integer/string columns, where the min/max string casts are
+    // lexically identical across engines.
+    dfQ("q99_profile",
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", COUNT(*) n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) n_nulls,
+        |    COUNT(DISTINCT o_orderkey) n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) min_s, CAST(MAX(o_orderkey) AS VARCHAR) max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        |  FROM orders) t
+        |ORDER BY "column"""".stripMargin) { (s, d) =>
+      graft.ops.Quality.profile(Tables.table(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"))
+        .orderBy("column")
+    },
+
+    // Declarative expectations (the per-batch validation an ETL framework
+    // runs): violations are INJECTED deterministically — three rows with
+    // a NULL FK + bad status + duplicated key, two rows with an orphan
+    // FK — and the oracle recomputes every violation count.
+    dfQ("q100_expectations",
+      """WITH top3 AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 3),
+        |top2 AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2),
+        |t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), 'X' FROM top3
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, CAST(-12345 AS BIGINT), o_orderstatus FROM top2)
+        |SELECT * FROM (
+        |  SELECT 'accepted_values(o_orderstatus)' expectation,
+        |    CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT) violations
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'not_null(o_custkey)',
+        |    CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM t
+        |  UNION ALL
+        |  SELECT 'ref_integrity(o_custkey)',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t
+        |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |       ON t.o_custkey = c.c_custkey
+        |     WHERE t.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
+        |       SELECT o_orderkey, COUNT(*) n FROM t GROUP BY o_orderkey
+        |       HAVING COUNT(*) > 1) d)) v
+        |ORDER BY expectation""".stripMargin) { (s, d) =>
+      import graft.ops.Quality._
+      val o = Tables.table(s, d, "orders")
+      val top3 = o.orderBy("o_orderkey").limit(3)
+      val top2 = o.orderBy("o_orderkey").limit(2)
+      val target = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .unionByName(top3.select(col("o_orderkey"),
+          lit(null).cast("bigint").as("o_custkey"),
+          lit("X").as("o_orderstatus")))
+        .unionByName(top2.select((col("o_orderkey") + 5000000).as("o_orderkey"),
+          lit(-12345L).as("o_custkey"), col("o_orderstatus")))
+      expect(target, Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        RefIntegrity("o_custkey", Tables.table(s, d, "customer"), "c_custkey")))
+        .orderBy("expectation")
     }
   )
 }

@@ -320,6 +320,32 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("Quality.profile and expect: known stats and violation counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), "F"), (2L, Some("b"), "O"), (2L, None, "F"),
+      (3L, Some("a"), "Z")
+    ).toDF("k", "v", "st")
+    val prof = Quality.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(prof("k") == ((4L, 0L, 3L)))
+    assert(prof("v") == ((4L, 1L, 2L)))
+    val ref = Seq(1L, 3L).toDF("rk")
+    val out = Quality.expect(df, Seq(
+      Quality.NotNull("v"), Quality.Unique(Seq("k")),
+      Quality.AcceptedValues("st", Seq("F", "O")),
+      Quality.RefIntegrity("k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "not_null(v)" -> 1L,
+      "unique(k)" -> 1L,          // key 2 appears twice → 1 extra
+      "accepted_values(st)" -> 1L, // 'Z'
+      "ref_integrity(k)" -> 2L),   // both k=2 rows missing from ref
+      out.toString)
+    intercept[IllegalArgumentException] { Quality.expect(df, Nil) }
+  }
+
   test("mixtureSample: per-source rates, deterministic, grow-stable") {
     import spark.implicits._
     val in = docs.select("doc_id", "lang")
