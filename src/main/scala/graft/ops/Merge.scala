@@ -32,6 +32,36 @@ object Merge {
       .unionByName(latest)
   }
 
+  /** Snapshot diff — change-data-capture between two versions of a
+    * keyed table: one row per key that was inserted, deleted, or changed
+    * (null-safe struct comparison over `compareCols`), tagged in
+    * `change_type`. One full-outer join on the key; unchanged keys are
+    * filtered before the tag projection so the output is only the delta
+    * — the thing a downstream incremental pipeline consumes. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    // presence flags are sentinel columns, so keys survive even when all
+    // their attribute values are null
+    val withFlags = oldDf.select(col(keyCol) +:
+        compareCols.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__op", lit(1))
+      .join(newDf.select(col(keyCol) +:
+          compareCols.map(c => col(c).as(s"__n_$c")): _*)
+        .withColumn("__np", lit(1)), Seq(keyCol), "full_outer")
+    val changed = struct(compareCols.map(c => col(s"__o_$c")): _*) =!=
+      struct(compareCols.map(c => col(s"__n_$c")): _*)
+    withFlags
+      .withColumn("change_type",
+        when(col("__op").isNull, lit("insert"))
+          .when(col("__np").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol) +: col("change_type") +:
+        compareCols.flatMap(c =>
+          Seq(col(s"__o_$c").as(s"old_$c"), col(s"__n_$c").as(s"new_$c"))): _*)
+  }
+
   /** SCD Type-2 apply: maintain a dimension history with
     * (valid_from, valid_to) validity intervals, `valid_to` NULL = open.
     *

@@ -95,4 +95,28 @@ object Sampling {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
     df.orderBy(md5(concat_ws("#", lit(epoch), col(idCol).cast("string"))),
       col(idCol))
+
+  /** Deterministic weight-proportional sample of `k` rows: the
+    * Efraimidis–Spirakis A-Res rule (priority = u^(1/w), take the top
+    * k) with the uniform u derived from the MD5 bucket instead of an
+    * RNG — so the sample is reproducible and auditable like every other
+    * sampler here, and rows with twice the weight have (exactly) twice
+    * the inclusion odds in the limit. Priorities are computed as a
+    * projection; selection is one global top-k (rank via ln(u)/w, which
+    * is monotone with u^(1/w) and numerically safer). Zero-weight rows
+    * never win over positive-weight rows. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, buckets: Int = 1 << 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // u in (0, 1]: shift the bucket by one so u is never 0
+    val u = (hashBucket(col(idCol), buckets) + 1).cast("double") / buckets
+    val priority = when(col(weightCol) > 0, log(u) / col(weightCol))
+      .otherwise(lit(Double.NegativeInfinity))
+    // larger priority wins (log u is negative; dividing by a larger
+    // weight moves it toward 0)
+    df.withColumn("__p", priority)
+      .orderBy(col("__p").desc, col(idCol))
+      .limit(k)
+      .drop("__p")
+  }
 }

@@ -1115,6 +1115,57 @@ object ScaleOps {
         AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
         RefIntegrity("o_custkey", Tables.table(s, d, "customer"), "c_custkey")))
         .orderBy("expectation")
+    },
+
+    // Snapshot diff (CDC between table versions): deletions, updates,
+    // and inserts injected deterministically; the oracle is the direct
+    // full-outer-join formulation with IS DISTINCT FROM.
+    dfQ("q101_snapshot_diff",
+      """WITH old AS (SELECT c_custkey k, c_mktsegment seg FROM customer),
+        |new AS (
+        |  SELECT c_custkey k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END seg
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, 'FRESH' FROM customer WHERE c_custkey < 5)
+        |SELECT k, change_type, old_seg, new_seg FROM (
+        |  SELECT COALESCE(o.k, n.k) k,
+        |    CASE WHEN o.k IS NULL THEN 'insert'
+        |         WHEN n.k IS NULL THEN 'delete'
+        |         WHEN o.seg IS DISTINCT FROM n.seg THEN 'update' END change_type,
+        |    o.seg old_seg, n.seg new_seg
+        |  FROM old o FULL OUTER JOIN new n ON o.k = n.k) t
+        |WHERE change_type IS NOT NULL ORDER BY k""".stripMargin) { (s, d) =>
+      val c = Tables.table(s, d, "customer")
+      val oldDf = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"))
+      val newDf = c.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 7 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        .unionByName(c.filter(col("c_custkey") < 5)
+          .select((col("c_custkey") + 9000000).as("k"), lit("FRESH").as("seg")))
+      graft.ops.Merge.snapshotDiff(oldDf, newDf, "k", Seq("seg"))
+        .orderBy("k")
+    },
+
+    // Deterministic weight-proportional sampling (Efraimidis–Spirakis
+    // priorities on the MD5-derived uniform): longer documents win more
+    // often; the oracle recomputes the identical priorities and top-k.
+    dfQ("q102_weighted_sample",
+      """WITH w AS (
+        |  SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) wt,
+        |    (CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       % 1048576 + 1) / 1048576.0 u
+        |  FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, LN(u) / wt p FROM w
+        |  ORDER BY p DESC, doc_id LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+        .withColumn("wt", length(col("text")).cast("double"))
+      graft.ops.Sampling.weightedSample(docs, "doc_id", "wt", k = 50)
+        .select("doc_id").orderBy("doc_id")
     }
   )
 }

@@ -320,6 +320,45 @@ class OpsSuite extends SparkTestBase {
     assert(kept == (300L until 350L).toSet) // fresh only, lowest id per dup
   }
 
+  test("snapshotDiff: inserts, deletes, updates, null-safe comparison") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val newDf = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (5L, Some("e"))).toDF("k", "v")
+    val got = Merge.snapshotDiff(oldDf, newDf, "k", Seq("v"))
+      .select("k", "change_type", "old_v", "new_v")
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    // k=1 unchanged, k=3 null==null unchanged (null-safe), k=2 update,
+    // k=4 delete, k=5 insert
+    assert(got == Set(
+      (2L, "update", Some("b"), Some("B")),
+      (4L, "delete", Some("d"), None),
+      (5L, "insert", None, Some("e"))), got.toString)
+  }
+
+  test("weightedSample: deterministic, weight-proportional in aggregate") {
+    import spark.implicits._
+    // two weight classes: heavy (w=100) and light (w=1), 200 rows each;
+    // a k=100 sample must be dominated by heavy rows
+    val rows = (0L until 200L).map(i => (i, 100.0)) ++
+      (200L until 400L).map(i => (i, 1.0))
+    val df = rows.toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(df, "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 100)
+    val heavy = s1.count(_ < 200L)
+    assert(heavy >= 85, s"heavy-class rows in sample: $heavy/100")
+    // zero-weight rows never selected while positive-weight rows remain
+    val withZero = ((0L until 50L).map(i => (i, 0.0)) ++
+      (50L until 100L).map(i => (i, 1.0))).toDF("id", "w")
+    val z = Sampling.weightedSample(withZero, "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(z == (50L until 100L).toSet)
+  }
+
   test("Quality.profile and expect: known stats and violation counts") {
     import spark.implicits._
     val df = Seq(
