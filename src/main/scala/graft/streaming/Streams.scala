@@ -237,6 +237,49 @@ object Streams {
     q
   }
 
+  /** Streaming upsert into a standing keyed table on plain parquet —
+    * the landing mode of a CDC/update feed. Each micro-batch applies
+    * [[graft.ops.Merge.upsert]] (latest `versionCol` wins within the
+    * batch, matched keys replaced, new keys inserted) against the most
+    * recent table version and writes the result as `tableDir/v_<batchId>`.
+    *
+    * Replay safety, same discipline as the incremental-dedup runners: a
+    * batch reads the highest version with id STRICTLY BELOW its own (the
+    * seed `v_seed` counts as -1) and overwrites its own dir, so a crash
+    * replay reproduces the identical version chain. Old versions are the
+    * table's history — retention/compaction is an offline concern, as
+    * with any versioned-table layout. Seed the table by writing the
+    * initial state to `tableDir/v_seed`. */
+  def runUpsert(updates: DataFrame, keyCol: String, versionCol: String,
+                tableDir: String): StreamingQuery = {
+    val q = updates.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val tPath = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (!fs.exists(tPath)) Array.empty[(Long, String)]
+          else fs.listStatus(tPath).collect {
+            case s if s.isDirectory && s.getPath.getName == "v_seed" =>
+              (-1L, s.getPath.toString)
+            case s if s.isDirectory && s.getPath.getName.startsWith("v_") &&
+                s.getPath.getName.drop(2).forall(_.isDigit) =>
+              (s.getPath.getName.drop(2).toLong, s.getPath.toString)
+          }
+        val prior = versions.filter(_._1 < id).sortBy(-_._1).headOption
+        require(prior.nonEmpty,
+          s"seed the standing table first: write the initial state to $tableDir/v_seed")
+        val current = spark.read.parquet(prior.get._2)
+        graft.ops.Merge.upsert(current, batch, keyCol, versionCol)
+          .write.mode("overwrite").parquet(s"$tableDir/v_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$tableDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available data is processed (Trigger.AvailableNow —
     * deterministic replay, ST8). Returns the completed query. */

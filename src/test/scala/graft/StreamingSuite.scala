@@ -309,6 +309,47 @@ class StreamingSuite extends SparkTestBase {
     assert(stored == corpusIds ++ keptIds)
   }
 
+  test("streaming upsert: versioned standing table equals sequential batch merge") {
+    import graft.ops.Merge
+    val root = Files.createTempDirectory("graft-upsert").toString
+    val srcDir = s"$root/src"; val tableDir = s"$root/table"
+    val c = Tables.table(spark, sf0001, "customer")
+    val target = c.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), lit(0L).as("ver"))
+    target.write.parquet(s"$tableDir/v_seed")
+    // batch 1: change segment for keys %3, version 1; batch 2: a later
+    // version for a subset plus brand-new keys
+    val b1 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit("B1").as("seg"), lit(1L).as("ver"))
+    val b2 = c.filter(col("c_custkey") % 6 === 0)
+      .select(col("c_custkey").as("k"), lit("B2").as("seg"), lit(2L).as("ver"))
+      .unionByName(c.filter(col("c_custkey") < 3)
+        .select((col("c_custkey") + 700000).as("k"), lit("NEW").as("seg"),
+          lit(2L).as("ver")))
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runUpsert(stream(), "k", "ver", tableDir)
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    Streams.runUpsert(stream(), "k", "ver", tableDir)
+
+    val fs = new java.io.File(tableDir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v_") && n != "v_seed")
+      .map(_.drop(2).toLong).sorted
+    val latest = spark.read.parquet(s"$tableDir/v_${fs.last}")
+    val want = Merge.upsert(Merge.upsert(target, b1, "k", "ver"),
+      b2, "k", "ver")
+    assert(rowsOf(latest) == rowsOf(want))
+    // replay with the same checkpoint adds no version and changes nothing
+    Streams.runUpsert(stream(), "k", "ver", tableDir)
+    val after = new java.io.File(tableDir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v_") && n != "v_seed")
+      .map(_.drop(2).toLong).sorted
+    assert(after.toSeq == fs.toSeq)
+    assert(rowsOf(spark.read.parquet(s"$tableDir/v_${after.last}")) ==
+      rowsOf(want))
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
