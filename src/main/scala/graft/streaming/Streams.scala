@@ -251,7 +251,23 @@ object Streams {
     * with any versioned-table layout. Seed the table by writing the
     * initial state to `tableDir/v_seed`. */
   def runUpsert(updates: DataFrame, keyCol: String, versionCol: String,
-                tableDir: String): StreamingQuery = {
+                tableDir: String): StreamingQuery =
+    runVersionedMerge(updates, tableDir,
+      (current, batch) => graft.ops.Merge.upsert(current, batch, keyCol,
+        versionCol))
+
+  /** Streaming SCD Type-2: [[runUpsert]]'s versioned-table discipline
+    * with [[graft.ops.Merge.scd2Apply]] as the merge — each micro-batch
+    * closes/opens validity intervals in the dimension history. Same seed
+    * (`v_seed`) and replay guarantees. */
+  def runScd2(updates: DataFrame, keyCol: String, tsCol: String,
+              attrCols: Seq[String], tableDir: String): StreamingQuery =
+    runVersionedMerge(updates, tableDir,
+      (current, batch) => graft.ops.Merge.scd2Apply(current, batch, keyCol,
+        tsCol, attrCols))
+
+  private def runVersionedMerge(updates: DataFrame, tableDir: String,
+      merge: (DataFrame, DataFrame) => DataFrame): StreamingQuery = {
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
@@ -270,7 +286,7 @@ object Streams {
         require(prior.nonEmpty,
           s"seed the standing table first: write the initial state to $tableDir/v_seed")
         val current = spark.read.parquet(prior.get._2)
-        graft.ops.Merge.upsert(current, batch, keyCol, versionCol)
+        merge(current, batch)
           .write.mode("overwrite").parquet(s"$tableDir/v_$id")
         ()
       }

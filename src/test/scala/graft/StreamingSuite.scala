@@ -350,6 +350,41 @@ class StreamingSuite extends SparkTestBase {
       rowsOf(want))
   }
 
+  test("streaming SCD2: dimension history equals sequential batch apply") {
+    import graft.ops.Merge
+    val root = Files.createTempDirectory("graft-scd2").toString
+    val srcDir = s"$root/src"; val tableDir = s"$root/table"
+    val c = Tables.table(spark, sf0001, "customer").filter(col("c_custkey") < 200)
+    val current = c.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), lit(0L).as("valid_from"),
+      lit(null).cast("bigint").as("valid_to"))
+    current.write.parquet(s"$tableDir/v_seed")
+    val b1 = c.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("k"), lit("S1").as("seg"), lit(100L).as("ts"))
+    val b2 = c.filter(col("c_custkey") % 8 === 0)
+      .select(col("c_custkey").as("k"), lit("S2").as("seg"), lit(200L).as("ts"))
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runScd2(stream(), "k", "ts", Seq("seg"), tableDir)
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    Streams.runScd2(stream(), "k", "ts", Seq("seg"), tableDir)
+    val vs = new java.io.File(tableDir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v_") && n != "v_seed").map(_.drop(2).toLong).sorted
+    val latest = spark.read.parquet(s"$tableDir/v_${vs.last}")
+    val want = Merge.scd2Apply(
+      Merge.scd2Apply(current, b1, "k", "ts", Seq("seg")),
+      b2, "k", "ts", Seq("seg"))
+    assert(rowsOf(latest) == rowsOf(want))
+    // a %8 key carries full history: open row closed at 100, S1 closed
+    // at 200, S2 open
+    val k8 = latest.filter(col("k") === 8).orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(k8.head._2 == 0L && k8.head._3 == 100L)
+    assert(k8.last._1 == "S2" && k8.last._3 == -1L)
+  }
+
   test("ST7: foreachBatch micro-batch bridge and file sink write the full stream") {
     val out1 = Files.createTempDirectory("graft-st7a").toString
     Streams.runForeachBatch(
