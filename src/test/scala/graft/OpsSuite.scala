@@ -743,6 +743,28 @@ class OpsSuite extends SparkTestBase {
     check(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L)), "degenerate")
   }
 
+  test("round-3 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(noEdges, "a", "b").count() == 0)
+    val selfOnly = Seq((7L, 7L)).toDF("a", "b")
+    assert(Components.connectedComponents(selfOnly, "a", "b").count() == 0)
+    val noDocs = Seq.empty[(Long, Long)].toDF("id", "toks")
+    assert(Packing.contextPack(noDocs, "id", "toks", 10L).count() == 0)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(Sessionize.sessionize(noEvents, "user_id", "ts", "event_id",
+      60).count() == 0)
+    val target = Seq((1L, "a", 1L)).toDF("k", "v", "ver")
+    val noUpd = Seq.empty[(Long, String, Long)].toDF("k", "v", "ver")
+    assert(Merge.upsert(target, noUpd, "k", "ver")
+      .as[(Long, String, Long)].collect().toSeq == Seq((1L, "a", 1L)))
+    val single = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      9L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    assert(Sessionize.sessionize(single, "user_id", "ts", "event_id", 60)
+      .select("session_seq").as[Long].head() == 1L)
+  }
+
   test("componentSummary sizes match the duplicate clusters") {
     import spark.implicits._
     val comp = Components.connectedComponents(
