@@ -145,6 +145,21 @@ object TextAnalysis {
          |GROUP BY $idCol""".stripMargin)
   }
 
+  /** Canonical text normalization — the first stage of every dedup
+    * pipeline (exact dedup is only as good as its canonical form):
+    * lowercase, strip control characters, collapse whitespace runs to
+    * single spaces, trim. A chained codegen'd projection; patterns are
+    * RE2/Java common subset so any engine reproduces the canonical
+    * form byte-for-byte. */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[\\x00-\\x1F\\x7F]", " "),
+      " {2,}", " "))
+
+  def normalizeDocs(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs.withColumn("text_norm", normalize(col(textCol)))
+
   /** Benchmark-contamination score: the fraction of each document's
     * distinct word n-grams that also occur anywhere in `bench` — the
     * decontamination primitive of a training-data pipeline (drop or flag

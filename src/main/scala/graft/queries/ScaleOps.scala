@@ -1166,6 +1166,27 @@ object ScaleOps {
         .withColumn("wt", length(col("text")).cast("double"))
       graft.ops.Sampling.weightedSample(docs, "doc_id", "wt", k = 50)
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // Canonical text normalization (the stage exact dedup depends on):
+    // messy whitespace/control chars injected deterministically, the
+    // oracle replays the identical normalization chain and hashes the
+    // canonical form — byte-for-byte cross-engine.
+    dfQ("q103_normalize",
+      """SELECT doc_id,
+        |  SHA256(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    LOWER(CONCAT(text, CHR(9), 'MIXED  Case', CHR(10), '  tail  ')),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g'))) norm_sha,
+        |  CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    LOWER(CONCAT(text, CHR(9), 'MIXED  Case', CHR(10), '  tail  ')),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS BIGINT) norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val messy = Tables.table(s, d, "documents")
+        .withColumn("t", concat(col("text"), lit("\tMIXED  Case\n  tail  ")))
+      graft.ops.TextAnalysis.normalizeDocs(messy, "doc_id", "t")
+        .select(col("doc_id"), sha2(col("text_norm"), 256).as("norm_sha"),
+          length(col("text_norm")).cast("bigint").as("norm_len"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -106,6 +106,30 @@ class FunctionsSuite extends SparkTestBase {
     assert(spark.sql("SELECT shingles('a b c', 0)").collect().isEmpty)
   }
 
+  test("count_min_sketch heavy hitters: estimates bounded by eps over true counts") {
+    // The engine-native frequency sketch for 100 TB heavy-hitter queries:
+    // estimate(t) >= true(t) always, and <= true(t) + eps*N with high
+    // probability. Verified against exact token counts on the fixture.
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    Tables.register(spark, sf0001)
+    val toks = spark.sql(
+      "SELECT explode(split(text, ' ')) w FROM documents").filter(col("w") =!= "")
+    val eps = 0.001
+    val bytes = toks.agg(
+      expr(s"count_min_sketch(w, ${eps}d, 0.99d, 42)")).head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy("w").count().orderBy(desc("count"), col("w"))
+      .limit(20).as[(String, Long)].collect()
+    val n = toks.count()
+    exact.foreach { case (w, c) =>
+      val est = cms.estimateCount(w)
+      assert(est >= c, s"$w: sketch underestimated $est < $c")
+      assert(est <= c + (eps * n).toLong + 1,
+        s"$w: estimate $est exceeds bound ${c + (eps * n).toLong}")
+    }
+  }
+
   test("geomean equals exp(avg(ln(x))) on lineitem quantities") {
     functions.Registry.registerAll(spark)
     Tables.register(spark, sf0001)
