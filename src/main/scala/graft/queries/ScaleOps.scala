@@ -1187,6 +1187,39 @@ object ScaleOps {
         .select(col("doc_id"), sha2(col("text_norm"), 256).as("norm_sha"),
           length(col("text_norm")).cast("bigint").as("norm_len"))
         .orderBy("doc_id")
-    }
+    },
+
+    // TPC-H Q6 shape: the forecast-revenue filter aggregate — every
+    // predicate reaches the parquet scan (PushedFilters), one partial+
+    // final aggregation, no shuffle of data rows.
+    sameQ("q104_forecast_revenue",
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    // TPC-H Q8 shape: eight-way snowflake (part, lineitem, supplier,
+    // orders, customer, nation x2, region) with a conditional market
+    // share per year. All dims broadcast; the fact shuffles once.
+    sameQ("q105_market_share",
+      """SELECT o_year,
+        |  ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |        / SUM(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) o_year,
+        |         l.l_extendedprice * (1 - l.l_discount) volume,
+        |         n2.n_name nation
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+        |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
   )
 }
