@@ -575,20 +575,28 @@ class OpsSuite extends SparkTestBase {
       .toDF("doc_id", "text")
     val batch = copies.unionByName(fresh).unionByName(batchDup)
       .unionByName(novel)
+    // plus a genuine NEAR-dup (trailing edit, Jaccard < 1): corpus doc 7
+    // with two appended tokens — must still be caught via the signature
+    // join, not just exact copies
+    val nearDup = corpus.filter(col("doc_id") === 7)
+      .select(lit(40000L).as("doc_id"),
+        concat(col("text"), lit(" tail token")).as("text"))
+    val batchN = batch.unionByName(nearDup)
     val (kept, keptSigs) = Dedup.incrementalMinHashNearDup(
-      batch, "doc_id", "text", corpusSigs)
+      batchN, "doc_id", "text", corpusSigs)
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     // controlled rows: copies and the within-batch dup drop, novel stays
     assert((10000L to 10004L).forall(!keptIds.contains(_)), keptIds.toString)
     assert(!keptIds.contains(20000L) && keptIds.contains(30000L))
+    assert(!keptIds.contains(40000L), "trailing-edit near-dup not caught")
     assert(keptIds.contains(300L)) // lowest id of the within-batch pair
     // EQUIVALENCE vs a full recompute over corpus ∪ batch: signatures are
     // seed-deterministic, so the incremental victim set must match the
     // batch-side victims of the monolithic join exactly.
     val fullPairs = Dedup.minHashNearDupPairs(
-        corpus.unionByName(batch), "doc_id", "text")
+        corpus.unionByName(batchN), "doc_id", "text")
       .select(col("b")).as[Long].collect().toSet
-    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val batchIds = batchN.select("doc_id").as[Long].collect().toSet
     assert(keptIds == batchIds -- fullPairs,
       s"incremental kept=$keptIds full-recompute kept=${batchIds -- fullPairs}")
     // the appended signature rows cover exactly the kept docs
