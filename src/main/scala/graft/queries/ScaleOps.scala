@@ -163,7 +163,7 @@ object ScaleOps {
     // F1 completion: instr / concat_ws / reverse / ltrim / rtrim.
     sameQ("q44b_string_breadth",
       """SELECT p_partkey,
-        |       INSTR(p_name, 'a') ia,
+        |       CAST(INSTR(p_name, 'a') AS BIGINT) ia,
         |       CONCAT_WS('-', p_brand, p_type) cw,
         |       REVERSE(p_brand) rv,
         |       LTRIM(CONCAT('  ', p_name)) lt,
@@ -712,24 +712,28 @@ object ScaleOps {
         |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
         |  FROM events WHERE user_id < 50),
         |s AS (
-        |  SELECT *, SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
+        |  SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1800 SECOND
         |                     THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS UNBOUNDED PRECEDING) session_seq
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq
         |  FROM o)
         |SELECT user_id, session_seq, COUNT(*) n,
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') start_s,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') end_s,
-        |  ROUND(SUM(value), 2) sum_value
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) sum_value
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      // The per-session value sum goes through an exact DECIMAL accumulator
+      // on both engines: double addition is order-sensitive at the last ulp,
+      // so a shuffle-order change could flip ROUND at a .xx5 boundary.
       graft.ops.Sessionize.sessionStats(
-          Tables.table(s, d, "events").filter(col("user_id") < 50),
+          Tables.table(s, d, "events").filter(col("user_id") < 50)
+            .withColumn("value", col("value").cast("decimal(18,4)")),
           "user_id", "ts", "event_id", gapSeconds = 1800, valueCol = "value")
         .select(col("user_id"), col("session_seq"), col("n"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
-          round(col("sum_value"), 2).as("sum_value"))
+          round(col("sum_value"), 2).cast("double").as("sum_value"))
         .orderBy("user_id", "session_seq")
     },
 
@@ -921,7 +925,8 @@ object ScaleOps {
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, toks,
-        |    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks AS off
+        |    CAST(SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks
+        |         AS BIGINT) AS off
         |  FROM t)
         |SELECT doc_id, toks, off AS token_offset,
         |  off // 512 AS pack_first,
