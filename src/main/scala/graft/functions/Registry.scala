@@ -32,4 +32,12 @@ object Registry {
         .expressions.BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("geomean", F.udaf(GeoMean))
   }
+
+  /** [[CosineSimilarity]] as a typed Column — for Scala call sites that
+    * build one term per literal centroid and don't want an `expr(...)`
+    * SQL round-trip per term. Resolves through the session function
+    * registry, so [[registerAll]] must have run on the session. */
+  def cosineSim(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.call_function("cosine_similarity", a, b)
 }

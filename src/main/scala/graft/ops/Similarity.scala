@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
@@ -184,67 +183,142 @@ object Similarity {
     out
   }
 
-  /** IVF index: assign every vector to its nearest of `nlist` k-means
-    * centroids. Returns (id, cell, nv). Build-once, query-many. */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 16): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
-      .withColumn("nv", normalizedVec(col("arr")))
-    // Random init + few iterations: an IVF coarse quantizer only needs a
-    // balanced partition of the space, not converged clusters — kmeans||
-    // init rounds dominate the fit cost and buy nothing here.
-    val km = new KMeans().setK(nlist).setFeaturesCol("nv")
-      .setPredictionCol("cell").setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-    val model = km.fit(vecs)
-    (model.transform(vecs).select("id", "cell", "nv", "arr"), model)
+  /** Driver-local Lloyd's k-means over the (bounded) training sample.
+    * An IVF coarse quantizer only needs a balanced partition of the
+    * space, and faiss-style practice trains it on a few thousand sampled
+    * points regardless of corpus size — so the iterative part never
+    * belongs on the cluster. Running it on the driver makes the fit
+    * deterministic (fixed seed, fixed accumulation order: distributed
+    * k-means sums partials in shuffle order, so its centroids drift
+    * between runs at the last ulp) and replaces MLlib's per-iteration
+    * job storm with zero jobs. Ties assign to the lowest cell. */
+  private def localKMeans(pts: Array[Array[Double]], k: Int, maxIter: Int,
+                          seed: Long): Array[Array[Double]] = {
+    val n = pts.length
+    val dim = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = rnd.shuffle(pts.indices.toVector).take(k)
+      .map(i => pts(i).clone).toArray
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var j = 0
+          val ct = centers(c); val p = pts(i)
+          while (j < dim) { val t = p(j) - ct(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c } // strict < keeps the lowest cell on ties
+          c += 1
+        }
+        if (assign(i) != best) { moved = true; assign(i) = best }
+        i += 1
+      }
+      val sums = Array.fill(centers.length, dim)(0.0)
+      val cnt = new Array[Int](centers.length)
+      var p = 0
+      while (p < n) {
+        val a = assign(p); cnt(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += pts(p)(j); j += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        } else {
+          centers(c) = pts(rnd.nextInt(n)).clone // empty cell: reseed
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
-  /** The persistable centroid table of a fitted IVF quantizer:
-    * (cell, centroid). Write this plus the `ivfIndex` assignment table to
-    * parquet and the index is a STANDING structure — queries (and
-    * incremental appends, which only need cell assignment) run against
-    * the reloaded tables without refitting k-means or re-reading corpus
-    * vectors. The table is nlist rows — broadcast-sized at any corpus
-    * scale. */
-  def ivfCentroids(model: org.apache.spark.ml.clustering.KMeansModel,
-                   spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  /** IVF index: assign every vector to its nearest of `nlist` centroids.
+    * Returns (assignments(id, cell, arr), centroids(cell, centroid)).
+    * Build-once, query-many.
+    *
+    * The coarse quantizer trains on a deterministic hash-ordered sample
+    * of at most `trainSample` vectors (bounded driver memory at ANY
+    * corpus size — faiss trains its quantizers the same way), then every
+    * vector is assigned in ONE map-only pass via [[ivfAssign]]. Total
+    * cluster work: one column-pruned scan for the sample top-k plus one
+    * scan for assignment — no iterative distributed fitting. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, trainSample: Int = 4096,
+               maxIter: Int = 10): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
     import spark.implicits._
+    require(nlist > 0, s"nlist must be positive, got $nlist")
+    val dbl = transform(col("__v"), _.cast("double"))
+    val nrm = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+    val nv = when(nrm === lit(0.0), dbl).otherwise(transform(dbl, _ / nrm))
+    val sampled = emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("id")), col("id")) // deterministic pseudo-random top-k
+      .limit(trainSample) // TakeOrdered first: normalization runs on winners only
+      .select(col("id"), nv.as("nva"))
+      .collect() // bounded: ≤ trainSample × dim doubles, corpus-size independent
+    require(sampled.nonEmpty, "ivfIndex: empty input")
+    val pts = sampled.map(_.getSeq[Double](1).toArray)
+    val kEff = math.min(nlist, pts.length)
+    val centers = localKMeans(pts, kEff, maxIter, seed = 42L)
     // full double fidelity: the quantizer's assignment rule must be
     // reproducible from the persisted table alone
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-      .toSeq.toDF("cell", "centroid")
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    (ivfAssign(emb, idCol, vecCol, centroids), centroids)
   }
 
-  /** Assign new vectors to cells of a STANDING index using only the
-    * persisted centroid table — the incremental-append path (no refit;
-    * the coarse quantizer is frozen, as in every production IVF). Uses
-    * the same rule as the k-means fit: minimum euclidean distance in the
-    * L2-normalized space, lowest cell on ties. */
+  /** Assign vectors to cells of a STANDING index using only the
+    * (nlist-row) centroid table — the build path and the
+    * incremental-append path (no refit; the coarse quantizer is frozen,
+    * as in every production IVF). The centroids inline as literal
+    * expressions, so assignment is a PURE PROJECTION with zero joins and
+    * zero shuffles: argmin of euclidean distance in L2-normalized space
+    * (lowest cell on ties), computed as
+    *   |x̂ − c|² = 1 + |c|² − 2·x̂·c,   x̂·c = cos(arr, c)·|c|
+    * so the per-centroid kernel is one codegen'd [[graft.functions
+    * .CosineSimilarity]] dot product — no interpreted higher-order
+    * lambdas in the corpus-sized pass. Zero vectors (cos → NULL) fall
+    * back to dot 0, which shifts every cell's score by the same constant
+    * and preserves the original all-ties → lowest-cell behavior. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("d2"), col("cell"))
-    val dbl = transform(col("arr"), _.cast("double"))
-    val n = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
-    val nvArr = when(n === lit(0.0), dbl).otherwise(transform(dbl, _ / n))
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getAs[Number]("cell").intValue(),
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    // array_min over (d², cell) structs: field-wise ordering = argmin with
+    // lowest-cell tiebreak, all inside whole-stage codegen.
+    val best = array_min(array(cents.map { case (cell, cvec) =>
+      val c2 = cvec.map(x => x * x).sum
+      val cn = math.sqrt(c2)
+      struct(
+        (lit(1.0 + c2) - lit(2.0 * cn) *
+          coalesce(graft.functions.Registry.cosineSim(
+            col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
+        lit(cell).as("cell"))
+    }: _*))
     emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
-      .withColumn("nva", nvArr)
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("arr"), col("cell"),
-        aggregate(zip_with(col("nva"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d2"))
-      .withColumn("prn", row_number().over(w))
-      .filter(col("prn") === 1)
+      .withColumn("cell", best.getField("cell"))
       .select("id", "cell", "arr")
   }
 
-  /** IVF query against the model in memory (delegates to the
+  /** IVF query against an in-memory index build (delegates to the
     * table-driven path — same plan). */
-  def ivfTopK(indexed: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+  def ivfTopK(indexed: DataFrame, centroids: DataFrame,
               queryIds: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
-    ivfTopKFromTables(indexed,
-      ivfCentroids(model, indexed.sparkSession), queryIds, k, nprobe)
+    ivfTopKFromTables(indexed, centroids, queryIds, k, nprobe)
 
   /** IVF query from the persisted (assignments, centroids) tables: probe
     * the `nprobe` nearest cells per query vector, exact cosine within the

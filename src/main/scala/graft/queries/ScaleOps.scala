@@ -627,9 +627,9 @@ object ScaleOps {
         |  WHERE a.vec_id < 5) t
         |WHERE rn <= 3 ORDER BY q, rn""".stripMargin) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      val (indexed, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding",
         nlist = 16)
-      Similarity.ivfTopK(indexed, model,
+      Similarity.ivfTopK(indexed, centroids,
         emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 16)
         .withColumn("sim", round(col("sim"), 6))
         .withColumn("rn", col("rn").cast("bigint"))

@@ -174,12 +174,12 @@ class OpsSuite extends SparkTestBase {
   }
 
   test("IVF top-k: well-formed results, recall measured vs exact") {
-    val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
+    val (indexed, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding", 16)
     // On this fixture the vectors are near-random in high dim, so coarse
     // cells separate true neighbors; nprobe=8 (half the cells) is the
     // honest operating point for recall here — real embedding corpora
     // cluster far better and run nprobe << nlist.
-    val res = Similarity.ivfTopK(indexed, model,
+    val res = Similarity.ivfTopK(indexed, centroids,
       emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 8)
       .collect()
     val byQ = res.groupBy(_.getLong(0))
@@ -198,7 +198,7 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.6, s"recall=$recall — raise nprobe if this regresses")
     // q76's operating point (exhaustive probe) must EQUAL exact — that
     // licenses its SQL oracle.
-    val full = Similarity.ivfTopK(indexed, model,
+    val full = Similarity.ivfTopK(indexed, centroids,
         emb.filter(col("vec_id") < 5).select("vec_id"), k = 3, nprobe = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == exact, s"ivf(nprobe=16)=$full exact=$exact")
@@ -605,18 +605,18 @@ class OpsSuite extends SparkTestBase {
 
   test("IVF index round-trips through parquet: query + append without refit") {
     import spark.implicits._
-    val (indexed, model) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+    val (indexed, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding",
       nlist = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     indexed.select("id", "cell", "arr").write.parquet(s"$dir/assignments")
-    Similarity.ivfCentroids(model, spark).write.parquet(s"$dir/centroids")
+    centroids.write.parquet(s"$dir/centroids")
     val rAssign = spark.read.parquet(s"$dir/assignments")
     val rCent = spark.read.parquet(s"$dir/centroids")
     val qids = emb.filter(col("vec_id") < 5).select("vec_id")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("q", "v", "rn").as[(Long, Long, Int)].collect().toSet
     // reloaded tables answer identically to the in-memory model
-    val mem = rows(Similarity.ivfTopK(indexed, model, qids, k = 3, nprobe = 16))
+    val mem = rows(Similarity.ivfTopK(indexed, centroids, qids, k = 3, nprobe = 16))
     val disk = rows(Similarity.ivfTopKFromTables(rAssign, rCent, qids, k = 3,
       nprobe = 16))
     assert(mem == disk)
