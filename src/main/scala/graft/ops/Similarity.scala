@@ -320,6 +320,40 @@ object Similarity {
               queryIds: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
     ivfTopKFromTables(indexed, centroids, queryIds, k, nprobe)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication that only compares embeddings INSIDE the same
+    * k-means cell — the published recipe for embedding-space dedup at
+    * web-corpus scale, because the all-pairs graph is quadratic but
+    * within-cell pairs are ~N²/nlist for balanced cells. A row is
+    * dropped when a lower-id row in its cell has cosine ≥ `threshold`
+    * (the keep-lowest-id greedy rule every other dedup tier here uses).
+    *
+    * Exact duplicates always share a cell (identical vectors get
+    * identical centroid distances), so exact-dup recall is 1.0 by
+    * construction; near-dup pairs split across a cell boundary are
+    * missed — that is SemDeDup's documented recall trade-off, bounded by
+    * the containment property in the test suite (removals are always a
+    * subset of the true ≥ threshold pair graph). Shuffles once on cell;
+    * size `nlist` so N/nlist fits a task's pair loop (at 100 TB that
+    * means nlist in the thousands, and the nlist-row centroid table
+    * still broadcasts). Returns (kept, droppedPairs). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nlist: Int = 16,
+               trainSample: Int = 4096): (DataFrame, DataFrame) = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val (indexed, _) = ivfIndex(emb, idCol, vecCol, nlist, trainSample)
+    val a = indexed.select(col("cell"), col("id").as("a"), col("arr").as("va"))
+    val b = indexed.select(col("cell"), col("id").as("b"), col("arr").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        expr("cosine_similarity(va, vb)").as("sim"))
+      .filter(col("sim") >= threshold)
+    val victims = pairs.select(col("b").as("__victim")).distinct()
+    val kept = emb.join(victims, emb(idCol) === col("__victim"), "left_anti")
+    (kept, pairs)
+  }
+
   /** IVF query from the persisted (assignments, centroids) tables: probe
     * the `nprobe` nearest cells per query vector, exact cosine within the
     * probed cells only. `indexed` needs (id, cell, arr) — the `nv` column

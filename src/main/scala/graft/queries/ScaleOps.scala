@@ -1225,6 +1225,80 @@ object ScaleOps {
         |  JOIN region r ON r.r_regionkey = n1.n_regionkey
         |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
         |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO') t
-        |GROUP BY o_year ORDER BY o_year""".stripMargin)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin),
+
+    // RAG chunking: overlapping 256-char windows every 192 chars, with
+    // provenance offsets. Pure generator + substring projection — the
+    // oracle re-derives the identical windows, so the chunk-count
+    // formula, offsets, and boundary behavior are all hash-checked.
+    dfQ("q106_char_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, text, LENGTH(text) len FROM documents),
+        |n AS (
+        |  SELECT doc_id, text, len,
+        |         GREATEST(1, (len - 64 + 191) // 192) nc FROM t),
+        |c AS (
+        |  SELECT doc_id, text, len, UNNEST(RANGE(0, nc)) ci FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) chunk_seq,
+        |  CAST(ci * 192 AS BIGINT) chunk_start,
+        |  CAST(LEAST(256, len - ci * 192) AS BIGINT) chunk_len,
+        |  SUBSTRING(text, CAST(ci * 192 + 1 AS INT), 256) chunk_text
+        |FROM c ORDER BY doc_id, chunk_seq""".stripMargin) { (s, d) =>
+      graft.ops.Chunking.charChunks(
+          Tables.table(s, d, "documents"), "doc_id", "text",
+          size = 256, overlap = 64)
+        .orderBy("doc_id", "chunk_seq")
+    },
+
+    // DSIR importance weights: score every document against the German
+    // subcorpus as the target domain. The oracle recomputes the full
+    // smoothed log-likelihood-ratio pipeline (two vocab counts, joint
+    // smoothing, per-occurrence sum), so the weights themselves are
+    // hash-checked, not just the plumbing.
+    dfQ("q107_importance",
+      """WITH swf AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) w
+        |        FROM documents) WHERE w <> ''),
+        |twf AS (
+        |  SELECT w
+        |  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) w
+        |        FROM documents WHERE lang = 'de') WHERE w <> ''),
+        |sv AS (SELECT w, COUNT(*) cs FROM swf GROUP BY w),
+        |tv AS (SELECT w, COUNT(*) ct FROM twf GROUP BY w),
+        |voc AS (
+        |  SELECT COALESCE(sv.w, tv.w) w, COALESCE(cs, 0) cs, COALESCE(ct, 0) ct
+        |  FROM sv FULL OUTER JOIN tv ON sv.w = tv.w),
+        |tot AS (SELECT CAST(SUM(cs) AS BIGINT) ts, CAST(SUM(ct) AS BIGINT) tt,
+        |               COUNT(*) v FROM voc),
+        |wt AS (SELECT w, LN((ct + 1.0) / (tt + v)) - LN((cs + 1.0) / (ts + v)) wt
+        |       FROM voc CROSS JOIN tot)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+        |       ROUND(SUM(wt.wt), 6) score
+        |FROM swf s JOIN wt ON s.w = wt.w
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      graft.ops.Importance.importanceWeights(
+          docs, docs.filter(col("lang") === "de"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // SemDeDup over the embeddings table: within-cell cosine >= 0.45
+    // (the fixture's planted near-dups sit just above 0.4 — see q77),
+    // keep-lowest-id. The exact removal set depends on the quantizer's
+    // cell boundaries, so there is no SQL oracle; the containment and
+    // exact-dup-recall properties live in OpsSuite, and this row pins
+    // the report shape + driver rows-only check.
+    sparkOnly("q108_semdedup") { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val (kept, pairs) = Similarity.semDedup(
+        emb, "vec_id", "embedding", threshold = 0.45, nlist = 16)
+      val spark = s
+      import spark.implicits._
+      Seq((emb.count(), kept.count(), pairs.count()))
+        .toDF("input", "kept", "dropped_pairs")
+    }
   )
 }

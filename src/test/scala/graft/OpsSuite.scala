@@ -1043,4 +1043,96 @@ class OpsSuite extends SparkTestBase {
     assert(resized.forall(m => m.meta.width == 32 && m.meta.height == 32))
     assert(resized.forall(_.payload.nonEmpty))
   }
+
+  test("charChunks: coverage, offsets, overlap reconstruction, edge lengths") {
+    import spark.implicits._
+    val size = 64; val overlap = 16; val stride = size - overlap
+    val chunks = Chunking.charChunks(docs, "doc_id", "text", size, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(chunks.keySet == texts.keySet, "every doc must be chunked")
+    chunks.foreach { case (id, cs) =>
+      val text = texts(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length), "seq gapless")
+      sorted.foreach { case (_, seq, start, len, body) =>
+        assert(start == seq * stride)
+        assert(len == math.min(size.toLong, text.length - start))
+        assert(len > 0, "no empty chunks on non-empty docs")
+        assert(body == text.substring(start.toInt, (start + len).toInt))
+      }
+      // windows cover the text: last window's end reaches the text's end
+      val (_, _, lastStart, lastLen, _) = sorted.last
+      assert(lastStart + lastLen == text.length)
+      // overlap reconstruction: dropping each window's first `overlap`
+      // chars (after the first window) re-concatenates to the original
+      val rebuilt = sorted.head._5 +
+        sorted.tail.map(_._5.substring(overlap)).mkString
+      assert(rebuilt == text)
+    }
+    // edge lengths: shorter than size, exactly size, one over, empty
+    val edge = Seq((1L, "x" * 10), (2L, "y" * 64), (3L, "z" * 65), (4L, ""))
+      .toDF("doc_id", "text")
+    val e = Chunking.charChunks(edge, "doc_id", "text", size, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(e == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 1))
+    intercept[IllegalArgumentException] {
+      Chunking.charChunks(edge, "doc_id", "text", size = 10, overlap = 10)
+    }
+  }
+
+  test("importanceWeights: target-like docs outscore source-like docs") {
+    import spark.implicits._
+    val source = Seq(
+      (1L, "aa aa aa aa"), // pure target-vocabulary doc
+      (2L, "bb bb bb bb"), // pure source-only doc
+      (3L, "aa bb aa bb")  // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "aa aa aa aa aa aa")).toDF("doc_id", "text")
+    val w = Importance.importanceWeights(source, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w.values.forall(_._1 == 4L), "n_tokens counts occurrences")
+    assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2,
+      s"monotone in target affinity: $w")
+    // hand-check doc 1: vocab {aa, bb}, cs(aa)=6, cs(bb)=6, ct(aa)=6,
+    // ct(bb)=0, ts=12, tt=6, v=2 → wt(aa)=ln(7/8)-ln(7/14); score=4·wt
+    val expected = 4.0 * (math.log(7.0 / 8.0) - math.log(7.0 / 14.0))
+    assert(math.abs(w(1L)._2 - expected) < 1e-9, s"${w(1L)._2} vs $expected")
+    // hashed variant with collision-free bucket count: identical scores
+    val h = Importance.hashedImportanceWeights(source, target, "doc_id",
+        "text", buckets = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w.foreach { case (id, (_, s)) =>
+      assert(math.abs(h(id) - s) < 1e-9, s"hashed diverges for doc $id")
+    }
+  }
+
+  test("semDedup: exact dups always removed; removals subset of true pairs") {
+    import spark.implicits._
+    val planted = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") === 3).select(
+        lit(99999L).as("vec_id"), col("embedding")))
+    val (kept, pairs) = Similarity.semDedup(planted, "vec_id", "embedding",
+      threshold = 0.45, nlist = 8)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    // identical vectors share a cell by construction → exact dup caught,
+    // lowest id survives
+    assert(!keptIds.contains(99999L) && keptIds.contains(3L))
+    // containment: every dropped pair is a true >= threshold pair
+    val dropped = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    val truePairs = Similarity.exactNearDupPairs(planted, "vec_id",
+        "embedding", threshold = 0.4499)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(dropped.subsetOf(truePairs), "semDedup must not invent pairs")
+    // partition: kept + distinct victims = input
+    val victims = pairs.select("b").as[Long].collect().toSet
+    assert(keptIds.size + victims.size == planted.count())
+    assert((keptIds & victims).isEmpty)
+  }
 }

@@ -194,7 +194,8 @@ class ScaleSuite extends SparkTestBase {
       "q66_similar_pairs",     // thresholded all-pairs (vec_id < 200)
       "q64_tfidf",             // CROSS JOIN with a 1-row count relation
       "q76_ivf_topk",          // query×centroid probe (both tiny, broadcast)
-      "q77_embedding_neardup") // LSH-pruned pair generation
+      "q77_embedding_neardup", // LSH-pruned pair generation
+      "q107_importance")       // CROSS JOIN with the 1-row totals relation
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
