@@ -116,7 +116,8 @@ object Streams {
     * one watermark-width window of each side per key partition — bounded,
     * like the windowed aggregations. */
   def purchaseClickJoin(events: DataFrame,
-                        watermark: String = "30 minutes"): DataFrame = {
+                        watermark: String = "30 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"),
         col("event_id").as("p_id"), col("value").as("p_value"))
@@ -125,10 +126,14 @@ object Streams {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", watermark)
+    // joinType "left_outer": purchases with NO click in the preceding
+    // hour still emit (null click columns) — but only once the global
+    // watermark passes the purchase's join window, because until then a
+    // matching click could still arrive. Same evictable state as inner.
     purchases.join(clicks,
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"), joinType)
       .select(col("user_id"), col("p_id"), col("c_id"),
         col("p_ts"), col("c_ts"), col("p_value"))
   }

@@ -127,6 +127,45 @@ class StreamingSuite extends SparkTestBase {
     assert(rowsOf(memTable("st9")) == rowsOf(batch))
   }
 
+  test("ST9c: LEFT OUTER interval join emits unmatched purchases after watermark") {
+    import spark.implicits._
+    // MemoryStream so the watermark can be pushed past the data by
+    // sentinels: outer-null rows only emit once the global watermark
+    // clears the purchase's join window.
+    val input = MemoryStream[(Long, Timestamp, String, Long, Double)](spark)
+    val df = input.toDF()
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+    val q = Streams.purchaseClickJoin(df, watermark = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("st9c")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 100L, 5.0),
+        (1L, Timestamp.valueOf("2024-01-01 11:30:00"), "click", 200L, 0.0),
+        (2L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 101L, 7.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 201L, 0.0), // >1h before
+        (3L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 102L, 9.0)) // no click
+      input.addData(data)
+      q.processAllAvailable()
+      // sentinels on BOTH sides push both watermarks ~10h past the data;
+      // neither can join backwards, and the sentinel purchase itself stays
+      // unemitted (its own window never closes)
+      input.addData(Seq(
+        (9L, Timestamp.valueOf("2024-01-01 22:00:00"), "purchase", 900L, 0.0),
+        (10L, Timestamp.valueOf("2024-01-01 22:00:00"), "click", 901L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("st9c")
+        .select(col("p_id"), col("c_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      // purchase 100 matched click 200; 101 and 102 emit with null click
+      // (201 is outside the 1-hour bound); the sentinel purchase's own
+      // window never closes, so it stays withheld in state
+      assert(got == Set((100L, 200L), (101L, -1L), (102L, -1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static join: micro-batches join a broadcast dimension, equals batch") {
     import spark.implicits._
     // static dim: user tier lookup — broadcast into every micro-batch
