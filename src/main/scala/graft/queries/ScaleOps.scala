@@ -1285,6 +1285,41 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // PSI drift gate between two halves of the event log: equal-width
+    // buckets anchored at the REFERENCE half's exact min/max, ε-floored
+    // shares. The oracle recomputes the full pipeline, so bucket edges,
+    // clamping, smoothing, and the PSI sum itself are all hash-checked.
+    dfQ("q109_psi_drift",
+      """WITH ref AS (SELECT value x FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |cur AS (SELECT value x FROM events WHERE user_id % 2 <> 0 AND value IS NOT NULL),
+        |bounds AS (SELECT MIN(x) lo, MAX(x) hi FROM ref),
+        |rb AS (
+        |  SELECT LEAST(9, GREATEST(0, CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(FLOOR((x - lo) * 10 / (hi - lo)) AS INT) END)) b,
+        |    COUNT(*) nr
+        |  FROM ref CROSS JOIN bounds GROUP BY 1),
+        |cb AS (
+        |  SELECT LEAST(9, GREATEST(0, CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(FLOOR((x - lo) * 10 / (hi - lo)) AS INT) END)) b,
+        |    COUNT(*) nc
+        |  FROM cur CROSS JOIN bounds GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(nr, 0) nr, COALESCE(nc, 0) nc
+        |  FROM rb FULL OUTER JOIN cb ON rb.b = cb.b),
+        |t AS (
+        |  SELECT nr, nc,
+        |    GREATEST(CAST(nc AS DOUBLE) / GREATEST(SUM(nc) OVER (), 1), 1e-6) pc,
+        |    GREATEST(CAST(nr AS DOUBLE) / GREATEST(SUM(nr) OVER (), 1), 1e-6) pr
+        |  FROM j)
+        |SELECT 'value' AS "column", ROUND(SUM((pc - pr) * LN(pc / pr)), 6) psi,
+        |  CAST(SUM(nr) AS BIGINT) n_ref, CAST(SUM(nc) AS BIGINT) n_cur
+        |FROM t""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events")
+      graft.ops.Drift.psi(ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 =!= 0), Seq("value"), buckets = 10)
+        .withColumn("psi", round(col("psi"), 6))
+    },
+
     // SemDeDup over the embeddings table: within-cell cosine >= 0.45
     // (the fixture's planted near-dups sit just above 0.4 — see q77),
     // keep-lowest-id. The exact removal set depends on the quantizer's

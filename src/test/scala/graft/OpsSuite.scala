@@ -1113,6 +1113,31 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("psi drift: identical ~0, shifted large, constant column 0") {
+    import spark.implicits._
+    val ref = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    // same distribution → psi ≈ 0
+    val same = Drift.psi(ref, ref, Seq("v")).collect().head
+    assert(same.getString(0) == "v")
+    assert(math.abs(same.getDouble(1)) < 1e-12)
+    assert(same.getLong(2) == 2000 && same.getLong(3) == 2000)
+    // hard shift: everything lands in the top reference bucket
+    val shifted = ref.withColumn("v", col("v") + 1000.0)
+    val big = Drift.psi(ref, shifted, Seq("v")).collect().head.getDouble(1)
+    assert(big > 0.25, s"hard shift must trip the gate: $big")
+    // constant column degenerates to one bucket on both sides → 0
+    val const = ref.withColumn("v", lit(7.0))
+    val c = Drift.psi(const, const, Seq("v")).collect().head.getDouble(1)
+    assert(c == 0.0)
+    // multi-column output: one row per column, column labels preserved
+    val multi = Drift.psi(ref.withColumn("w", col("v") * 2),
+      ref.withColumn("w", col("v") * 2), Seq("v", "w")).collect()
+    assert(multi.map(_.getString(0)).toSet == Set("v", "w"))
+    intercept[IllegalArgumentException] { Drift.psi(ref, ref, Seq()) }
+    intercept[IllegalArgumentException] { Drift.psi(ref, ref, Seq("v"), 1) }
+  }
+
   test("semDedup: exact dups always removed; removals subset of true pairs") {
     import spark.implicits._
     val planted = emb.select("vec_id", "embedding").unionByName(

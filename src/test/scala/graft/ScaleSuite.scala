@@ -195,7 +195,8 @@ class ScaleSuite extends SparkTestBase {
       "q64_tfidf",             // CROSS JOIN with a 1-row count relation
       "q76_ivf_topk",          // query×centroid probe (both tiny, broadcast)
       "q77_embedding_neardup", // LSH-pruned pair generation
-      "q107_importance")       // CROSS JOIN with the 1-row totals relation
+      "q107_importance",       // CROSS JOIN with the 1-row totals relation
+      "q109_psi_drift")        // CROSS JOIN with the 1-row min/max bounds
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
