@@ -320,6 +320,101 @@ object Similarity {
               queryIds: DataFrame, k: Int, nprobe: Int = 4): DataFrame =
     ivfTopKFromTables(indexed, centroids, queryIds, k, nprobe)
 
+  /** Product-quantization index (Jégou et al. 2011): split each
+    * L2-normalized vector into `m` subvectors and store only the index
+    * of the nearest of `kCent` per-subspace codebook centroids — m bytes
+    * per vector (64-dim float32 at m=8 → 32× compression). Codebooks
+    * train on the same bounded deterministic sample as [[ivfIndex]]
+    * (driver-local Lloyd per subspace, fixed seeds); encoding is ONE
+    * map-only pass through the codegen'd `pq_encode` expression with the
+    * codebook attached as a JVM reference object. Returns
+    * (encoded(id, code, arr), codebooks). At 100 TB the code column is
+    * what a query-time scan reads — m bytes a row instead of 4·d. */
+  def pqIndex(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, kCent: Int = 16, trainSample: Int = 4096,
+              maxIter: Int = 10): (DataFrame, Array[Array[Array[Double]]]) = {
+    val spark = emb.sparkSession
+    graft.functions.Registry.registerAll(spark)
+    require(m > 0 && kCent > 1 && kCent <= 256,
+      s"pqIndex: need m > 0 and 2..256 centroids, got m=$m k=$kCent")
+    val dbl = transform(col("__v"), _.cast("double"))
+    val nrm = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+    val nv = when(nrm === lit(0.0), dbl).otherwise(transform(dbl, _ / nrm))
+    val sampled = emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(trainSample)
+      .select(nv.as("nva"))
+      .collect()
+    require(sampled.nonEmpty, "pqIndex: empty input")
+    val pts = sampled.map(_.getSeq[Double](0).toArray)
+    val dim = pts.head.length
+    require(dim % m == 0, s"pqIndex: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val kEff = math.min(kCent, pts.length)
+    val codebooks = Array.tabulate(m) { s =>
+      localKMeans(pts.map(_.slice(s * dsub, (s + 1) * dsub)), kEff,
+        maxIter, seed = 42L + s)
+    }
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val encoded = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
+      .withColumn("code", call_function("pq_encode", col("arr"), cbLit))
+    (encoded, codebooks)
+  }
+
+  /** ADC top-k over a PQ index: per query, rank the whole corpus from
+    * the m-byte codes via a per-query lookup table (subspace × centroid
+    * partial squared distances, built on the driver and broadcast with
+    * the query), keep `rerankFactor`·k candidates, then re-rank those by
+    * the exact codegen'd cosine on the raw vectors — the standard
+    * ADC + re-rank pipeline. Query side follows the exactTopK broadcast
+    * regime (small query count); the corpus side reads codes only until
+    * re-rank touches the survivors. */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             queryIds: DataFrame, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    require(k > 0 && rerankFactor >= 1, s"pqTopK: bad k=$k factor=$rerankFactor")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qv = encoded
+      .join(broadcast(queryIds.select(col(queryIds.columns.head).as("qid"))),
+        col("id") === col("qid"))
+      .select(col("id"), transform(col("arr"), _.cast("double")).as("qa"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qv.nonEmpty, "pqTopK: no query vectors found")
+    val luts = qv.map { case (qid, raw) =>
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      val q = if (n == 0.0) raw else raw.map(_ / n)
+      val lut = Array.tabulate(m) { s =>
+        codebooks(s).map { c =>
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val t = q(s * dsub + j) - c(j); d += t * t; j += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+      (qid, raw.toSeq, lut)
+    }.toSeq
+    val lutDf = luts.toDF("q", "qarr", "lut")
+    val wAdc = Window.partitionBy("q").orderBy(col("adist"), col("v"))
+    val w = Window.partitionBy("q").orderBy(desc("sim"), col("v"))
+    encoded.crossJoin(broadcast(lutDf))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("qarr"), col("id").as("v"), col("arr"),
+        call_function("pq_adc", col("code"), col("lut")).as("adist"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * rerankFactor)
+      .select(col("q"), col("v"),
+        expr("cosine_similarity(qarr, arr)").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q", "v", "sim", "rn")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication that only compares embeddings INSIDE the same
     * k-means cell — the published recipe for embedding-space dedup at

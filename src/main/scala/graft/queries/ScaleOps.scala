@@ -1285,6 +1285,21 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Product-quantization top-k: 8-byte codes (32× compression), ADC
+    // candidate ranking from the codes alone, exact-cosine re-rank of
+    // the survivors. Approximate by design → rows-only driver check;
+    // recall/determinism properties live in OpsSuite.
+    sparkOnly("q110_pq_topk") { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val (encoded, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
+        m = 8, kCent = 64)
+      Similarity.pqTopK(encoded, cb,
+          emb.filter(col("vec_id") < 5).select("vec_id"), k = 3,
+          rerankFactor = 16)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q", "rn")
+    },
+
     // PSI drift gate between two halves of the event log: equal-width
     // buckets anchored at the REFERENCE half's exact min/max, ε-floored
     // shares. The oracle recomputes the full pipeline, so bucket edges,

@@ -1113,6 +1113,61 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("pq_adc: hand-computed lookup; code byte past LUT row is NULL") {
+    import spark.implicits._
+    functions.Registry.registerAll(spark)
+    val df = Seq((Array[Byte](1, 0), Seq(Seq(10.0, 20.0), Seq(30.0, 40.0))),
+        (Array[Byte](1, 5), Seq(Seq(10.0, 20.0), Seq(30.0, 40.0))))
+      .toDF("code", "lut")
+      .select(expr("pq_adc(code, lut)").as("d"))
+      .collect()
+    assert(df(0).getDouble(0) == 20.0 + 30.0)
+    assert(df(1).isNullAt(0), "out-of-range code byte must yield NULL")
+  }
+
+  test("pqIndex/pqTopK: 8-byte codes, deterministic, recall after re-rank") {
+    import spark.implicits._
+    val (encoded, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, kCent = 64)
+    assert(cb.length == 8 && cb.forall(_.length == 64))
+    val codes = encoded.select("id", "code").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(codes.values.forall(_.length == 8), "64-dim → 8 one-byte codes")
+    // deterministic: a rebuilt index produces identical codes
+    val (encoded2, _) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, kCent = 64)
+    val codes2 = encoded2.select("id", "code").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(codes.keySet == codes2.keySet &&
+      codes.forall { case (id, c) => c.sameElements(codes2(id)) })
+    // ADC + exact re-rank recall vs the exact scan. rerankFactor 16 →
+    // 48 exact cosines per query out of 500 corpus vectors (~10×
+    // pruning) — near-random 64-dim fixtures need the wider re-rank;
+    // clustered real corpora run the default 4.
+    val res = Similarity.pqTopK(encoded, cb,
+      emb.filter(col("vec_id") < 5).select("vec_id"), k = 3,
+      rerankFactor = 16)
+      .collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 3)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"PQ recall@3 (m=8, k=64, rerank 16x): $recall")
+    // near-random 64-dim fixtures are PQ's worst case; real embedding
+    // corpora cluster. The re-rank stage still lifts this well above the
+    // no-rerank ADC ranking — assert a floor with margin under the
+    // measured value so regressions (not noise) trip it.
+    assert(recall >= 0.8, s"recall=$recall — check codebook training")
+  }
+
   test("psi drift: identical ~0, shifted large, constant column 0") {
     import spark.implicits._
     val ref = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble))

@@ -196,7 +196,8 @@ class ScaleSuite extends SparkTestBase {
       "q76_ivf_topk",          // query×centroid probe (both tiny, broadcast)
       "q77_embedding_neardup", // LSH-pruned pair generation
       "q107_importance",       // CROSS JOIN with the 1-row totals relation
-      "q109_psi_drift")        // CROSS JOIN with the 1-row min/max bounds
+      "q109_psi_drift",        // CROSS JOIN with the 1-row min/max bounds
+      "q110_pq_topk")          // ADC scan vs 5 broadcast query LUTs
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
