@@ -1285,6 +1285,28 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Inverted index over the document corpus: term → sorted posting
+    // list. Postings canonicalize to a comma-joined string for the
+    // cross-engine hash (typed-array dumps are driver-serialization-
+    // fragile — the q53 lesson); the list CONTENT and ORDER are still
+    // fully checked.
+    dfQ("q111_inverted_index",
+      """WITH sw AS (
+        |  SELECT DISTINCT doc_id, w
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) w
+        |        FROM documents) WHERE w <> '')
+        |SELECT w term, CAST(COUNT(*) AS BIGINT) df,
+        |  STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) postings
+        |FROM sw GROUP BY w HAVING COUNT(*) >= 25
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      graft.ops.Indexing.invertedIndex(
+          Tables.table(s, d, "documents"), "doc_id", "text", minDf = 25L)
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy("term")
+    },
+
     // Product-quantization top-k: 8-byte codes (32× compression), ADC
     // candidate ranking from the codes alone, exact-cosine re-rank of
     // the survivors. Approximate by design → rows-only driver check;
@@ -1343,11 +1365,16 @@ object ScaleOps {
     // the report shape + driver rows-only check.
     sparkOnly("q108_semdedup") { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val (kept, pairs) = Similarity.semDedup(
+      val (_, pairs) = Similarity.semDedup(
         emb, "vec_id", "embedding", threshold = 0.45, nlist = 16)
+      // one pass over the pair set: kept = input − distinct victims
+      // (running kept.count() would re-execute the within-cell join)
+      val n = emb.count()
+      val r = pairs.agg(count(lit(1)).as("dp"),
+        countDistinct("b").as("victims")).head()
       val spark = s
       import spark.implicits._
-      Seq((emb.count(), kept.count(), pairs.count()))
+      Seq((n, n - r.getLong(1), r.getLong(0)))
         .toDF("input", "kept", "dropped_pairs")
     }
   )

@@ -1113,6 +1113,31 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("invertedIndex: distinct df, sorted postings, minDf/maxDfShare gates") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the dog ran ran")) // repeated term counts once per doc
+      .toDF("doc_id", "text")
+    val idx = Indexing.invertedIndex(corpus, "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Long](2)))
+      .toMap
+    assert(idx("the") == (3L, Seq(1L, 2L, 3L)))
+    assert(idx("cat") == (2L, Seq(1L, 2L)))
+    assert(idx("ran") == (2L, Seq(2L, 3L)), "df is per-doc, not occurrences")
+    assert(idx("sat") == (1L, Seq(1L)))
+    // minDf drops singletons; maxDfShare drops the stopword head
+    val gated = Indexing.invertedIndex(corpus, "doc_id", "text",
+        minDf = 2L, maxDfShare = 0.67)
+      .collect().map(_.getString(0)).toSet
+    assert(gated == Set("cat", "ran"), s"got $gated")
+    intercept[IllegalArgumentException] {
+      Indexing.invertedIndex(corpus, "doc_id", "text", minDf = 0L)
+    }
+  }
+
   test("pq_adc: hand-computed lookup; code byte past LUT row is NULL") {
     import spark.implicits._
     functions.Registry.registerAll(spark)

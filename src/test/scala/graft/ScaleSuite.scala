@@ -197,7 +197,8 @@ class ScaleSuite extends SparkTestBase {
       "q77_embedding_neardup", // LSH-pruned pair generation
       "q107_importance",       // CROSS JOIN with the 1-row totals relation
       "q109_psi_drift",        // CROSS JOIN with the 1-row min/max bounds
-      "q110_pq_topk")          // ADC scan vs 5 broadcast query LUTs
+      "q110_pq_topk",          // ADC scan vs 5 broadcast query LUTs
+      "q111_inverted_index")   // CROSS JOIN with the 1-row doc-count relation
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
