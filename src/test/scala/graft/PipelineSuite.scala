@@ -88,9 +88,15 @@ class PipelineSuite extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
-        "user_sessions_feed.json")) {
+        "user_sessions_feed.json", "chunked_docs_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
+    // the chunking feed output obeys the operator's coverage contract
+    val chunks = spark.read.parquet("/tmp/graft-example-out/chunked_docs")
+    assert(chunks.count() > 0)
+    assert(chunks.filter(col("chunk_len") <= 0).count() == 0)
+    assert(chunks.filter(col("chunk_start") =!= col("chunk_seq") * 192)
+      .count() == 0)
     // the declarative sessionize feed equals the Sessionize operator
     val sess = spark.read.parquet("/tmp/graft-example-out/user_sessions")
       .select("user_id", "session_seq", "n")
