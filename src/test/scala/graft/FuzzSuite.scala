@@ -375,4 +375,54 @@ class FuzzSuite extends SparkTestBase {
       assert(failures.isEmpty, failures.take(3).mkString("\n"))
     } finally conn.close()
   }
+
+  test("12 random chunking geometries agree between Spark and DuckDB") {
+    // 8th axis: the q106 window-count/offset formula across the
+    // (size, overlap) space, not just the corpus query's 256/64 point.
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW documents AS SELECT * FROM '$sf0001/documents.parquet'")
+      val geomGen = for {
+        size <- Gen.choose(8, 400)
+        overlap <- Gen.choose(0, size - 1)
+      } yield (size, overlap)
+      val geoms = (1 to 12).flatMap(i =>
+        geomGen.apply(Gen.Parameters.default, Seed(7000L + i)))
+      assert(geoms.size >= 10)
+      val failures = geoms.flatMap { case (size, overlap) =>
+        val stride = size - overlap
+        val sr = ops.Chunking.charChunks(
+            Tables.table(spark, sf0001, "documents"), "doc_id", "text",
+            size, overlap)
+          .orderBy("doc_id", "chunk_seq")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4)))
+          .toSeq
+        val rs = st.executeQuery(
+          s"""WITH n AS (
+             |  SELECT doc_id, text, LENGTH(text) len,
+             |         GREATEST(1, (LENGTH(text) - $overlap + ${stride - 1}) // $stride) nc
+             |  FROM documents),
+             |c AS (SELECT doc_id, text, len, UNNEST(RANGE(0, nc)) ci FROM n)
+             |SELECT doc_id, ci, ci * $stride,
+             |  LEAST($size, len - ci * $stride),
+             |  SUBSTRING(text, CAST(ci * $stride + 1 AS INT), $size)
+             |FROM c ORDER BY doc_id, ci""".stripMargin)
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5))
+        }.toSeq
+        if (sr != dr)
+          Some(s"size=$size overlap=$overlap spark=${sr.size} rows " +
+            s"duck=${dr.size} rows; first diff: " +
+            sr.zip(dr).find { case (a, b) => a != b }.orElse(
+              Some((sr.drop(dr.size).headOption, dr.drop(sr.size).headOption))))
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
 }

@@ -123,6 +123,42 @@ class ScaleSuite extends SparkTestBase {
     assert(!plan.contains("Join"), "sessionize must not plan a join")
   }
 
+  test("charChunks plans a pure generate projection: zero exchanges, zero joins") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = graft.ops.Chunking.charChunks(docs, "doc_id", "text", 256, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "explode must plan a Generate")
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), "chunking must not join")
+  }
+
+  test("ivfAssign plans a pure projection: zero exchanges, zero joins") {
+    import spark.implicits._
+    val cents = Seq((0, Seq.fill(64)(0.1)), (1, Seq.fill(64)(-0.1)))
+      .toDF("cell", "centroid")
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val plan = graft.ops.Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cell assignment must be map-only:\n$plan")
+    assert(!plan.contains("Join"),
+      "centroids must inline as literals, not join")
+  }
+
+  test("invertedIndex plans the two classic IR shuffles plus the count broadcast") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text",
+        minDf = 2L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // (term, doc) distinct + groupBy(term) + the doc-count side's own
+    // distinct; the count relation itself reaches the main plan broadcast
+    assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "doc-count relation must broadcast")
+  }
+
   test("contextPack plans a range exchange + broadcast base join, no global window") {
     import spark.implicits._
     val in = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "toks")
