@@ -356,10 +356,45 @@ object Similarity {
       localKMeans(pts.map(_.slice(s * dsub, (s + 1) * dsub)), kEff,
         maxIter, seed = 42L + s)
     }
+    (pqAssign(emb, idCol, vecCol, codebooks), codebooks)
+  }
+
+  /** Encode vectors with FROZEN codebooks — the build path and the
+    * incremental-append path (new batches encode against the standing
+    * codebooks without retraining, like [[ivfAssign]]). One map-only
+    * pass through the codegen'd `pq_encode`. */
+  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val encoded = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
+    emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
       .withColumn("code", call_function("pq_encode", col("arr"), cbLit))
-    (encoded, codebooks)
+  }
+
+  /** The persistable codebook table: one row per (subspace, centroid).
+    * Write this plus the encoded table to parquet and the PQ index is a
+    * STANDING structure — m·kCent rows, broadcast-sized at any corpus
+    * scale. [[pqCodebooksFromTable]] reloads it for queries and frozen
+    * appends. */
+  def pqCodebooks(codebooks: Array[Array[Array[Double]]],
+                  spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq.toDF("subspace", "centroid_id", "centroid")
+  }
+
+  /** Reload codebooks persisted via [[pqCodebooks]] (full double
+    * fidelity — encodes reproduce bit-identically). */
+  def pqCodebooksFromTable(table: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = table.select("subspace", "centroid_id", "centroid").collect()
+      .map(r => (r.getAs[Number]("subspace").intValue(),
+        r.getAs[Number]("centroid_id").intValue(),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    require(rows.nonEmpty, "pqCodebooksFromTable: empty codebook table")
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }.toArray
   }
 
   /** ADC top-k over a PQ index: per query, rank the whole corpus from

@@ -1193,6 +1193,28 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.8, s"recall=$recall — check codebook training")
   }
 
+  test("PQ codebooks round-trip through parquet: frozen append encodes identically") {
+    import spark.implicits._
+    val (encoded, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, kCent = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.pqCodebooks(cb, spark).write.parquet(s"$dir/codebooks")
+    val reloaded = Similarity.pqCodebooksFromTable(
+      spark.read.parquet(s"$dir/codebooks"))
+    assert(reloaded.length == cb.length)
+    cb.zip(reloaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    // frozen-codebook append reproduces the fit-time codes bit-for-bit
+    val fit = encoded.select("id", "code").as[(Long, Array[Byte])]
+      .collect().toMap
+    val appended = Similarity.pqAssign(emb, "vec_id", "embedding", reloaded)
+      .select("id", "code").as[(Long, Array[Byte])].collect().toMap
+    assert(fit.keySet == appended.keySet)
+    assert(fit.forall { case (id, c) => c.sameElements(appended(id)) })
+  }
+
   test("psi drift: identical ~0, shifted large, constant column 0") {
     import spark.implicits._
     val ref = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble))
