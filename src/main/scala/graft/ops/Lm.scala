@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet-style gate: score
+  * every document by its average bigram log-likelihood under a LM
+  * trained on a trusted TARGET corpus (docs that "read like" the target
+  * score high; boilerplate/gibberish scores low). One level up from
+  * [[Importance]]'s unigram ratio: bigrams see local word order.
+  *
+  * Add-one smoothing over the target vocabulary:
+  *   P(w | p) = (c₂(p,w) + 1) / (c₁(p) + |V|)
+  * so unseen bigrams and unseen history words both stay finite (an
+  * unseen history scores 1/|V| per token). Documents with fewer than
+  * two tokens produce no bigrams and drop out, same as every LM
+  * perplexity tool.
+  *
+  * Scale shape: the LM is two count tables (bigram + history) built
+  * with one shuffle each on the TARGET corpus — vocabulary-sized,
+  * corpus-size independent, persistable and reusable across batches.
+  * Scoring joins the exploded source bigrams against them (broadcast
+  * when the LM is small, shuffle otherwise — AQE's call) and aggregates
+  * per doc. No windows, no driver loops.
+  */
+object Lm {
+
+  /** Filtered lower-cased token array (empty tokens removed) — the
+    * engine-wide reproducible tokenization. */
+  private def toks(textCol: Column): Column =
+    filter(split(lower(textCol), " "), _ =!= "")
+
+  /** (id, p, w) bigram pairs; docs with < 2 tokens yield none. */
+  private def bigrams(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val ws = toks(col(textCol))
+    val pairs = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("p"), b.as("w"))))
+      .otherwise(array())
+    df.select(col(idCol).as("id"), explode(pairs).as("bg"))
+      .select(col("id"), col("bg.p").as("p"), col("bg.w").as("w"))
+  }
+
+  /** (id, n_bigrams, score): score = mean ln P(w|p) under the
+    * target-trained smoothed bigram LM. More negative = less
+    * target-like. */
+  def bigramScore(source: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val tb = bigrams(target, idCol, textCol)
+    val c2 = tb.groupBy("p", "w").agg(count(lit(1)).as("n2"))
+    val c1 = tb.groupBy("p").agg(count(lit(1)).as("n1"))
+    val v = target.select(explode(toks(col(textCol))).as("u"))
+      .agg(countDistinct("u").as("nv"))
+    bigrams(source, idCol, textCol)
+      .join(c2, Seq("p", "w"), "left_outer")
+      .join(c1, Seq("p"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        log((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("n1"), lit(0L)) + col("nv"))).as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), avg("lp").as("score"))
+  }
+}

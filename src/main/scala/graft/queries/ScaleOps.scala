@@ -1285,6 +1285,47 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Bigram-LM quality gate (CCNet shape): every document scored by its
+    // mean bigram log-likelihood under an add-one-smoothed LM trained on
+    // the German subcorpus. The oracle rebuilds the LM and the smoothed
+    // probabilities from scratch, so counts, smoothing, OOV handling,
+    // and the per-doc average are all hash-checked.
+    dfQ("q112_bigram_lm",
+      """WITH tw AS (
+        |  SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') ws
+        |  FROM documents WHERE lang = 'de'),
+        |tb AS (
+        |  SELECT ws[i] p, ws[i+1] w
+        |  FROM tw CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) t(i)),
+        |c2 AS (SELECT p, w, COUNT(*) n2 FROM tb GROUP BY p, w),
+        |c1 AS (SELECT p, COUNT(*) n1 FROM tb GROUP BY p),
+        |v AS (SELECT COUNT(DISTINCT u) nv
+        |      FROM (SELECT UNNEST(ws) u FROM tw)),
+        |sw AS (
+        |  SELECT doc_id,
+        |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') ws
+        |  FROM documents),
+        |sb AS (
+        |  SELECT doc_id, ws[i] p, ws[i+1] w
+        |  FROM sw CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) t(i)),
+        |j AS (
+        |  SELECT doc_id,
+        |    LN((COALESCE(n2, 0) + 1.0) / (COALESCE(n1, 0) + nv)) lp
+        |  FROM sb
+        |  LEFT JOIN c2 ON sb.p = c2.p AND sb.w = c2.w
+        |  LEFT JOIN c1 ON sb.p = c1.p
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+        |       ROUND(AVG(lp), 6) score
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      graft.ops.Lm.bigramScore(docs, docs.filter(col("lang") === "de"),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
     // Inverted index over the document corpus: term → sorted posting
     // list. Postings canonicalize to a comma-joined string for the
     // cross-engine hash (typed-array dumps are driver-serialization-

@@ -1193,6 +1193,35 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.8, s"recall=$recall — check codebook training")
   }
 
+  test("bigramScore: hand-computed LM; target-like text outscores shuffled text") {
+    import spark.implicits._
+    val target = Seq((10L, "a b c")).toDF("doc_id", "text")
+    // LM: bigrams (a,b),(b,c); c1(a)=1,c1(b)=1; V={a,b,c}=3
+    val source = Seq(
+      (1L, "a b"),  // seen bigram: ln((1+1)/(1+3))
+      (2L, "b a"),  // unseen bigram, seen history: ln((0+1)/(1+3))
+      (3L, "x y"),  // unseen history: ln((0+1)/(0+3))
+      (4L, "a")     // no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val got = Lm.bigramScore(source, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_._1 == 1L))
+    assert(math.abs(got(1L)._2 - math.log(2.0 / 4.0)) < 1e-12)
+    assert(math.abs(got(2L)._2 - math.log(1.0 / 4.0)) < 1e-12)
+    assert(math.abs(got(3L)._2 - math.log(1.0 / 3.0)) < 1e-12)
+    // fixture-level sanity: German docs outscore everything else under a
+    // German-trained LM (the gate this operator exists for)
+    val byLang = Lm.bigramScore(docs, docs.filter(col("lang") === "de"),
+        "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy("lang").agg(avg("score").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("de") > byLang.filter(_._1 != "de").values.max,
+      s"German LM must prefer German docs: $byLang")
+  }
+
   test("PQ codebooks round-trip through parquet: frozen append encodes identically") {
     import spark.implicits._
     val (encoded, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",

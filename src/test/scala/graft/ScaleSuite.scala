@@ -234,7 +234,8 @@ class ScaleSuite extends SparkTestBase {
       "q107_importance",       // CROSS JOIN with the 1-row totals relation
       "q109_psi_drift",        // CROSS JOIN with the 1-row min/max bounds
       "q110_pq_topk",          // ADC scan vs 5 broadcast query LUTs
-      "q111_inverted_index")   // CROSS JOIN with the 1-row doc-count relation
+      "q111_inverted_index",   // CROSS JOIN with the 1-row doc-count relation
+      "q112_bigram_lm")        // CROSS JOIN with the 1-row vocab-size relation
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
