@@ -196,6 +196,35 @@ object Streams {
     q
   }
 
+  /** ST × L17: streaming drift monitor — every micro-batch is PSI-scored
+    * against a STANDING reference snapshot (the quality gate a
+    * training-data ingest runs before a batch lands: did the incoming
+    * value/length/score distribution move?). One psi row per (batch,
+    * column) lands in `outDir/batch_<id>` — per-batch-id overwrite, so
+    * checkpoint replay rewrites identical rows instead of duplicating
+    * them (the same idempotence layout as the dedup runners).
+    *
+    * Scale: the stream state store holds nothing (foreachBatch only);
+    * per-batch cost is [[graft.ops.Drift.psi]]'s bucket counts — the
+    * reference side's bucket table could be precomputed, but the
+    * reference scan is one aggregation and the monitor stays a
+    * two-liner; swap in a cached reference DataFrame if it dominates. */
+  def runDriftMonitor(cur: DataFrame, reference: DataFrame,
+                      cols: Seq[String], outDir: String,
+                      buckets: Int = 10): StreamingQuery = {
+    val q = cur.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Drift.psi(reference, batch, cols, buckets)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST4 × L2: streaming incremental NEAR-dedup — [[runIncrementalDedup]]
     * with the LSH tier in place of content digests. Each micro-batch is
     * shingled and MinHash-signed ONCE, joined (banded bucket equi-join +

@@ -262,6 +262,34 @@ class StreamingSuite extends SparkTestBase {
     assert(n1 == n2 && n1 > 0, s"$n1 vs $n2")
   }
 
+  test("streaming drift monitor: per-batch PSI equals the batch operator") {
+    import spark.implicits._
+    val ref = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "value")
+    val same = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "value")
+    val shifted = (0 until 1000).map(i => (i.toLong, (i % 100) + 1000.0))
+      .toDF("id", "value")
+    val root = Files.createTempDirectory("graft-drift").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"
+    same.coalesce(1).write.parquet(s"$srcDir/f1")
+    shifted.coalesce(1).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(ref.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runDriftMonitor(stream, ref, Seq("value"), outDir)
+    // two batches, one psi row each; identify them by magnitude
+    val psis = spark.read.parquet(s"$outDir/batch_*")
+      .select("psi").as[Double].collect().sorted
+    assert(psis.length == 2)
+    assert(math.abs(psis.head) < 1e-9, s"same-distribution batch: $psis")
+    assert(psis.last > 0.25, s"shifted batch must trip the gate: $psis")
+    // values equal the batch operator exactly (order-insensitive)
+    val batchVals = Set(
+      graft.ops.Drift.psi(ref, same, Seq("value")).collect().head.getDouble(1),
+      graft.ops.Drift.psi(ref, shifted, Seq("value")).collect().head.getDouble(1))
+    assert(psis.toSet == batchVals)
+  }
+
   test("streaming incremental dedup: digest-store anti-join equals sequential batch, replay-safe") {
     import graft.ops.Dedup
     val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
