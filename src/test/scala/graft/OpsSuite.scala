@@ -1081,6 +1081,17 @@ class OpsSuite extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
       .groupBy(_._1).view.mapValues(_.length).toMap
     assert(e == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 1))
+    // multi-byte text: offsets/lengths count CHARACTERS (length/substr
+    // semantics), so windows never split a code point's bytes
+    val uni = Seq((9L, "héllo wörld ça va 日本語 तथा €" * 8))
+      .toDF("doc_id", "text")
+    val uc = Chunking.charChunks(uni, "doc_id", "text", 50, 10)
+      .orderBy("chunk_seq").collect()
+    val utext = uni.head().getString(1)
+    val urebuilt = uc.head.getString(4) +
+      uc.tail.map(_.getString(4).substring(10)).mkString
+    assert(urebuilt == utext, "unicode reconstruction must be lossless")
+    assert(uc.forall(r => r.getString(4).length == r.getLong(3)))
     intercept[IllegalArgumentException] {
       Chunking.charChunks(edge, "doc_id", "text", size = 10, overlap = 10)
     }
