@@ -181,4 +181,24 @@ class IoSuite extends SparkTestBase {
     val expected = li.filter(col("l_returnflag") === "R").count()
     assert(back.count() == expected && expected > 0)
   }
+
+  test("T-IO8: small-file compaction preserves data, shrinks file count") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("docs").toString
+    docs.repartition(20).write.parquet(dir) // the small-files pathology
+    val before = docs.collect().map(_.toString).sorted.toSeq
+    val report = graft.ops.Compact.compactDir(spark, dir,
+      targetBytes = 512L << 20, sortCol = Some("doc_id"))
+    assert(report.filesBefore >= 20)
+    assert(report.filesAfter == 1, s"expected 1 target-sized file: $report")
+    assert(report.rows == before.length)
+    // data survives byte-for-byte (as values)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // sortCol produced range-partitioned files → re-compaction is a no-op
+    val again = graft.ops.Compact.compactDir(spark, dir,
+      targetBytes = 512L << 20, sortCol = Some("doc_id"))
+    assert(again.filesBefore == 1 && again.rows == before.length)
+  }
 }
