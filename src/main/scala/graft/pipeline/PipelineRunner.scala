@@ -21,10 +21,15 @@ object PipelineRunner {
   def runJson(spark: SparkSession, json: String): PipelineReport =
     run(spark, PipelineSpec.fromJson(json))
 
-  def runFile(spark: SparkSession, path: String): PipelineReport =
-    runJson(spark, new String(
+  /** Dispatches on extension: `.xml` feeds parse via
+    * [[PipelineSpec.fromXml]], everything else as JSON. */
+  def runFile(spark: SparkSession, path: String): PipelineReport = {
+    val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (path.endsWith(".xml")) run(spark, PipelineSpec.fromXml(text))
+    else runJson(spark, text)
+  }
 
   def run(spark: SparkSession, spec: PipelineSpec): PipelineReport = {
     graft.functions.Registry.registerAll(spark)

@@ -56,6 +56,59 @@ object PipelineSpec {
     parsed
   }
 
+  /** Parse a spec from XML text — the reference framework's other feed
+    * format. Same fields as the JSON form:
+    *
+    * {{{
+    * <pipeline name="...">
+    *   <extract view="v" format="parquet" path="...">
+    *     <option key="k" value="v"/>
+    *   </extract>
+    *   <transform view="t" sql="SELECT ..."/>        <!-- or -->
+    *   <transform view="t"><sql>SELECT ...</sql></transform>
+    *   <transform view="u" className="pkg.Stage" inputs="a,b"/>
+    *   <load format="parquet" path="..." mode="overwrite"
+    *         partitionBy="c1,c2" coalesce="2" source="t"/>
+    * </pipeline>
+    * }}}
+    *
+    * Multi-line SQL goes in a `<sql>` child element; everything else is
+    * attributes. Comma-separated lists for `inputs`/`partitionBy`. */
+  def fromXml(xml: String): PipelineSpec = {
+    val root = scala.xml.XML.loadString(xml)
+    require(root.label == "pipeline", s"expected <pipeline>, got <${root.label}>")
+    def attr(n: scala.xml.Node, a: String): Option[String] =
+      n.attribute(a).map(_.text).filter(_.nonEmpty)
+    def opts(n: scala.xml.Node): Map[String, String] =
+      (n \ "option").map(o => (o \@ "key") -> (o \@ "value")).toMap
+    def csv(s: Option[String]): Seq[String] =
+      s.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val spec = PipelineSpec(
+      name = root \@ "name",
+      extracts = (root \ "extract").map { e =>
+        ExtractSpec(view = e \@ "view", format = e \@ "format",
+          path = e \@ "path", schema = attr(e, "schema"), options = opts(e))
+      },
+      transforms = (root \ "transform").map { t =>
+        val sqlChild = (t \ "sql").headOption.map(_.text.trim).filter(_.nonEmpty)
+        TransformSpec(view = t \@ "view",
+          sql = attr(t, "sql").orElse(sqlChild),
+          className = attr(t, "className"),
+          inputs = csv(attr(t, "inputs")))
+      },
+      loads = (root \ "load").map { l =>
+        LoadSpec(format = l \@ "format", path = l \@ "path",
+          source = attr(l, "source"),
+          mode = attr(l, "mode").getOrElse("overwrite"),
+          partitionBy = csv(attr(l, "partitionBy")),
+          coalesce = attr(l, "coalesce").map(_.toInt),
+          repartition = attr(l, "repartition").map(_.toInt),
+          options = opts(l), table = attr(l, "table"))
+      })
+    validate(spec)
+    spec
+  }
+
   def validate(spec: PipelineSpec): Unit = {
     require(spec.name.nonEmpty, "pipeline: name is required")
     require(spec.extracts.nonEmpty, "pipeline: at least one extract")

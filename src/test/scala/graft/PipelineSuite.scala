@@ -91,6 +91,18 @@ class PipelineSuite extends SparkTestBase {
         "user_sessions_feed.json", "chunked_docs_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
+    // the XML feed format (the reference framework's other spec syntax)
+    // parses, runs, and produces the same rows as its JSON sibling
+    PipelineRunner.runFile(spark,
+      "/root/repo/examples/pricing_summary_feed.xml")
+    val viaXml = spark.read
+      .parquet("/tmp/graft-example-out/pricing_summary_xml")
+      .collect().map(_.toString).sorted.toSeq
+    val viaJson = spark.read
+      .parquet("/tmp/graft-example-out/pricing_parquet")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaXml.nonEmpty && viaXml == viaJson,
+      "XML and JSON specs of the same feed must agree")
     // the chunking feed output obeys the operator's coverage contract
     val chunks = spark.read.parquet("/tmp/graft-example-out/chunked_docs")
     assert(chunks.count() > 0)
