@@ -1285,6 +1285,47 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Schema conformance: the landing-zone stage that coerces a drifting
+    // input schema onto the contract DDL — casts, typed NULLs for
+    // missing columns, extras dropped. The oracle is the direct CAST
+    // projection, so the operator's column selection, ordering, and
+    // cast semantics are all hash-checked.
+    dfQ("q113_schema_conform",
+      """SELECT CAST(l_orderkey AS INT) l_orderkey,
+        |       CAST(l_linenumber AS SMALLINT) l_linenumber,
+        |       CAST(l_quantity AS DECIMAL(12,2)) l_quantity,
+        |       CAST(l_shipdate AS DATE) l_shipdate,
+        |       CAST(NULL AS VARCHAR) l_ghost
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      graft.ops.Schema.conform(
+          Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 100),
+          "l_orderkey INT, l_linenumber SMALLINT, " +
+            "l_quantity DECIMAL(12,2), l_shipdate DATE, l_ghost STRING")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Struct flattening: nested → parent_child leaf columns, a pure
+    // projection. The Spark side BUILDS the nested struct then flattens
+    // it; the oracle selects the leaves directly — equality proves the
+    // flattener's naming and field routing.
+    dfQ("q114_flatten",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_quantity meta_qty,
+        |       l_tax meta_rates_tax,
+        |       l_discount meta_rates_disc
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val nested = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          struct(col("l_quantity").as("qty"),
+            struct(col("l_tax").as("tax"),
+              col("l_discount").as("disc")).as("rates")).as("meta"))
+      graft.ops.Schema.flatten(nested)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Bigram-LM quality gate (CCNet shape): every document scored by its
     // mean bigram log-likelihood under an add-one-smoothed LM trained on
     // the German subcorpus. The oracle rebuilds the LM and the smoothed

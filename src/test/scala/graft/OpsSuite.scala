@@ -1124,6 +1124,37 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  test("Schema ops: flatten naming, sanitize collisions, conform modes") {
+    import spark.implicits._
+    // flatten: nested structs → joined leaf names; arrays pass through
+    val nested = Seq((1L, ("a", (2.0, true)), Seq(1, 2)))
+      .toDF("id", "outer", "arr")
+      .select(col("id"), struct(col("outer._1").as("s"),
+        struct(col("outer._2._1").as("x"),
+          col("outer._2._2").as("f")).as("inner")).as("outer"), col("arr"))
+    val flat = Schema.flatten(nested)
+    assert(flat.columns.toSeq ==
+      Seq("id", "outer_s", "outer_inner_x", "outer_inner_f", "arr"))
+    assert(flat.head() == org.apache.spark.sql.Row(1L, "a", 2.0, true, Seq(1, 2)))
+    // sanitize: messy headers → snake_case; collisions refuse
+    val messy = Seq((1, 2, 3)).toDF(" First Name ", "order-total($)", "9lives")
+    assert(Schema.sanitizeColumns(messy).columns.toSeq ==
+      Seq("first_name", "order_total", "c_9lives"))
+    intercept[IllegalArgumentException] {
+      Schema.sanitizeColumns(Seq((1, 2)).toDF("a b", "a-b"))
+    }
+    // conform permissive: bad values → NULL, missing column → typed NULL
+    val drift = Seq(("1", "x"), ("oops", "y")).toDF("a", "b")
+    val conformed = Schema.conform(drift, "a INT, b STRING, c DOUBLE")
+      .collect()
+    assert(conformed(0) == org.apache.spark.sql.Row(1, "x", null))
+    assert(conformed(1) == org.apache.spark.sql.Row(null, "y", null))
+    // strict: missing column is an error at plan time
+    intercept[IllegalArgumentException] {
+      Schema.conform(drift, "a INT, zz STRING", strict = true)
+    }
+  }
+
   test("invertedIndex: distinct df, sorted postings, minDf/maxDfShare gates") {
     import spark.implicits._
     val corpus = Seq(
