@@ -31,6 +31,41 @@ object PipelineRunner {
     else runJson(spark, text)
   }
 
+  /** Validate a spec against the real catalog without executing any
+    * load: extracts and transforms are resolved and ANALYZED (so schema
+    * errors, missing columns, and bad SQL all surface), and each load's
+    * would-be physical plan is returned as text. The dry run triggers
+    * zero jobs — analysis and planning are driver-side only. */
+  def dryRun(spark: SparkSession, spec: PipelineSpec): Seq[(String, String)] = {
+    graft.functions.Registry.registerAll(spark)
+    spec.extracts.foreach { e =>
+      Sources.read(spark, e.format, e.path, e.schema, e.options)
+        .createOrReplaceTempView(e.view)
+    }
+    spec.transforms.foreach { tr =>
+      val df: DataFrame = (tr.sql, tr.className) match {
+        case (Some(sql), _) => spark.sql(sql)
+        case (_, Some(cls)) =>
+          val stage = Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[TransformStage]
+          stage(spark, tr.inputs.map(v => v -> spark.table(v)).toMap)
+        case _ => throw new IllegalStateException(s"transform ${tr.view}")
+      }
+      df.queryExecution.assertAnalyzed()
+      df.createOrReplaceTempView(tr.view)
+    }
+    val defaultSource = spec.transforms.lastOption.map(_.view)
+      .orElse(spec.extracts.headOption.map(_.view))
+    spec.loads.map { l =>
+      val src = l.source.orElse(defaultSource).getOrElse(
+        throw new IllegalArgumentException("load: no source view"))
+      val target = l.table.getOrElse(l.path)
+      s"$src -> ${l.format}:$target" ->
+        spark.table(src).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+  }
+
   def run(spark: SparkSession, spec: PipelineSpec): PipelineReport = {
     graft.functions.Registry.registerAll(spark)
 
@@ -103,6 +138,19 @@ object PipelineRunner {
       master = sys.env.getOrElse("SPARK_MASTER", "local[*]"),
       appName = "graft-pipeline")
     try {
+      if (args.contains("--dry-run")) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(specPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val spec = if (specPath.endsWith(".xml")) PipelineSpec.fromXml(text)
+                   else PipelineSpec.fromJson(text)
+        dryRun(spark, spec).foreach { case (target, plan) =>
+          println(s"== $target ==")
+          println(plan)
+        }
+        println(s"pipeline ${spec.name}: dry run OK (no loads executed)")
+        return
+      }
       val report = runFile(spark, specPath)
       reportPath.foreach(p => java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), reportJson(report)))

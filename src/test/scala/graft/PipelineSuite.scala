@@ -82,6 +82,28 @@ class PipelineSuite extends SparkTestBase {
     assert(segs.nonEmpty && segs.forall(s => s == s.toUpperCase))
   }
 
+  test("dry run analyzes and plans every load without writing anything") {
+    val specText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/examples/pricing_summary_feed.json")))
+    val spec = PipelineSpec.fromJson(specText)
+    val out = java.nio.file.Files.createTempDirectory("graft_dry").toString
+    val redirected = spec.copy(loads = spec.loads.map(l =>
+      l.copy(path = s"$out/${l.format}")))
+    val plans = PipelineRunner.dryRun(spark, redirected)
+    assert(plans.size == redirected.loads.size)
+    plans.foreach { case (target, plan) =>
+      assert(target.contains("->"))
+      assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+        s"plan for $target should reach the source scan:\n${plan.take(500)}")
+    }
+    // nothing was written
+    assert(!new java.io.File(s"$out/parquet").exists())
+    // a broken spec fails the dry run with an analysis error
+    val broken = redirected.copy(transforms = Seq(
+      TransformSpec(view = "bad", sql = Some("SELECT no_such_col FROM lineitem"))))
+    intercept[Exception] { PipelineRunner.dryRun(spark, broken) }
+  }
+
   test("example feeds run through the CLI entry point") {
     // the sessions feed reads the ns-timestamp events fixture directly
     // (PipelineRunner's own EtlSession sets this; the suite session must too)
