@@ -36,9 +36,14 @@ object Importance {
                       tgtTerms: DataFrame): DataFrame = {
     val sv = srcTerms.groupBy("w").agg(count(lit(1)).as("cs"))
     val tv = tgtTerms.groupBy("w").agg(count(lit(1)).as("ct"))
+    // vocabulary-sized and consumed twice (weights + totals): cached,
+    // because Catalyst does not dedupe common subplans — without this
+    // the two corpus-sized term aggregations and the full-outer join
+    // run twice (read in the q107 plan audit)
     val voc = sv.join(tv, Seq("w"), "full_outer")
       .select(col("w"), coalesce(col("cs"), lit(0L)).as("cs"),
         coalesce(col("ct"), lit(0L)).as("ct"))
+      .cache()
     val tot = voc.agg(sum("cs").as("ts"), sum("ct").as("tt"),
       count(lit(1)).as("v"))
     voc.crossJoin(broadcast(tot))

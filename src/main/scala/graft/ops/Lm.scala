@@ -49,8 +49,12 @@ object Lm {
   def bigramScore(source: DataFrame, target: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
     val tb = bigrams(target, idCol, textCol)
-    val c2 = tb.groupBy("p", "w").agg(count(lit(1)).as("n2"))
-    val c1 = tb.groupBy("p").agg(count(lit(1)).as("n1"))
+    // c2 is vocabulary-sized and feeds both the score join and c1 —
+    // cache it, and DERIVE c1 by re-aggregating c2 (Σ_w c₂(p,w) =
+    // c₁(p)) so the corpus-sized bigram explode is scanned once, not
+    // twice (Catalyst does not dedupe common subplans)
+    val c2 = tb.groupBy("p", "w").agg(count(lit(1)).as("n2")).cache()
+    val c1 = c2.groupBy("p").agg(sum("n2").as("n1"))
     val v = target.select(explode(toks(col(textCol))).as("u"))
       .agg(countDistinct("u").as("nv"))
     bigrams(source, idCol, textCol)
