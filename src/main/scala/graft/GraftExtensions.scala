@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, Shingles, Winnow}
+import graft.functions.{CosineSimilarity, PqAdc, PqEncode, Shingles, Winnow}
 
 /** Spark-idiomatic injection point for the engine's custom expressions:
   *
@@ -36,5 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Winnow].getName, "winnow"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Winnow(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqAdc(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqEncode.fromLiteral(exprs(0), exprs(1))))
   }
 }

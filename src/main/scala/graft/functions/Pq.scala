@@ -142,6 +142,22 @@ case class PqEncode(child: Expression,
     copy(child = newChild)
 }
 
+object PqEncode {
+  /** Builder for SQL registration: materializes the foldable codebook
+    * literal into the JVM `double[][][]` the expression references, so
+    * the generated encode loop never walks ArrayData for centroids. */
+  def fromLiteral(child: Expression, cbExpr: Expression): PqEncode = {
+    require(cbExpr.foldable,
+      "pq_encode: codebook argument must be a foldable literal")
+    val outer = cbExpr.eval().asInstanceOf[ArrayData]
+    val cb = Array.tabulate(outer.numElements()) { i =>
+      val mid = outer.getArray(i)
+      Array.tabulate(mid.numElements())(j => mid.getArray(j).toDoubleArray())
+    }
+    PqEncode(child, cb)
+  }
+}
+
 /** `pq_adc(binary, array<array<double>>) -> double`: asymmetric-distance
   * lookup — Σ_i lut[i][code[i]]. The LUT is per-query (subspace ×
   * centroid partial distances), built once on the driver for broadcast

@@ -33,21 +33,8 @@ object Registry {
     fr.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
-      "pq_encode", { exprs =>
-        // The codebook argument must be a literal: it is materialized at
-        // resolution time into a JVM double[][][] reference object so the
-        // generated encode loop never walks ArrayData for centroids.
-        val cbExpr = exprs(1)
-        require(cbExpr.foldable,
-          "pq_encode: codebook argument must be a foldable literal")
-        val outer = cbExpr.eval().asInstanceOf[
-          org.apache.spark.sql.catalyst.util.ArrayData]
-        val cb = Array.tabulate(outer.numElements()) { i =>
-          val mid = outer.getArray(i)
-          Array.tabulate(mid.numElements())(j => mid.getArray(j).toDoubleArray())
-        }
-        PqEncode(exprs(0), cb)
-      }, "scala_udf")
+      "pq_encode", exprs => PqEncode.fromLiteral(exprs(0), exprs(1)),
+      "scala_udf")
     spark.udf.register("geomean", F.udaf(GeoMean))
   }
 

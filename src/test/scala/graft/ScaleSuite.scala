@@ -266,6 +266,18 @@ class ScaleSuite extends SparkTestBase {
       assert(sh.toSeq == Seq("a b", "b c"))
       assert(s2.sql("SELECT size(winnow('abcdefghij', 3, 2))")
         .collect()(0).getInt(0) > 0)
+      // PQ kernels: encode against an inline literal codebook, score via ADC
+      val code = s2.sql(
+        """SELECT pq_encode(array(1.0D, 0.0D),
+          |  array(array(array(1.0D), array(0.0D)),
+          |        array(array(9.0D), array(0.0D))))""".stripMargin)
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(code.toSeq == Seq[Byte](0, 1),
+        s"s0: 1.0 → centroid 0; s1: 0.0 → centroid 1; got ${code.toSeq}")
+      val adc = s2.sql(
+        "SELECT pq_adc(X'0001', array(array(5.0D, 9.0D), array(2.0D, 3.0D)))")
+        .collect()(0).getDouble(0)
+      assert(adc == 5.0 + 3.0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
