@@ -182,7 +182,10 @@ case class PqAdc(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val code = l.asInstanceOf[Array[Byte]]
     val lut = r.asInstanceOf[ArrayData]
-    val n = math.min(code.length, lut.numElements())
+    // a wrong-m code/LUT pairing must surface as NULL, never as a
+    // silently truncated partial distance (ADVICE r4)
+    if (code.length != lut.numElements()) return null
+    val n = code.length
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -197,15 +200,14 @@ case class PqAdc(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (code, lut) => {
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val row = ctx.freshName("row")
       val idx = ctx.freshName("idx")
       s"""
-         |int $n = java.lang.Math.min($code.length, $lut.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |if ($code.length != $lut.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; $i < $code.length && !${ev.isNull}; $i++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $lut.getArray($i);
          |  int $idx = $code[$i] & 0xff;
          |  if ($idx >= $row.numElements()) { ${ev.isNull} = true; }

@@ -31,19 +31,24 @@ object Chunking {
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size), got $overlap for size $size")
     val stride = size - overlap
+    // NULL text counts as empty: a NULL length would make nc NULL, the
+    // sequence NULL, and explode would DROP the row — violating the
+    // never-drops-rows contract above (ADVICE r4). NULL-text docs emit
+    // one empty chunk instead.
+    val txt = coalesce(col(textCol), lit(""))
     // integer ceil((len - overlap) / stride), clamped to >= 1 chunk
     val nc = greatest(lit(1L),
-      (length(col(textCol)).cast("long") - overlap + (stride - 1)) / stride)
+      (length(txt).cast("long") - overlap + (stride - 1)) / stride)
     docs
-      .select(col(idCol), col(textCol),
+      .select(col(idCol), txt.as("__txt"),
         explode(sequence(lit(0L), nc.cast("long") - 1)).as("chunk_seq"))
       .select(
         col(idCol),
         col("chunk_seq"),
         (col("chunk_seq") * stride).as("chunk_start"),
-        least(lit(size.toLong), length(col(textCol)).cast("long") -
+        least(lit(size.toLong), length(col("__txt")).cast("long") -
           col("chunk_seq") * stride).as("chunk_len"),
-        col(textCol).substr((col("chunk_seq") * stride + 1).cast("int"),
+        col("__txt").substr((col("chunk_seq") * stride + 1).cast("int"),
           lit(size)).as("chunk_text"))
   }
 }

@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   * column (keeps min/max file statistics tight for data-skipping —
   * zone-map pruning works when files hold disjoint key ranges) or a
   * plain round-robin `repartition` otherwise. The swap goes through a
-  * sibling temp directory plus two renames, so a crash leaves either
-  * the old directory or the fully-written new one, never a mix.
+  * sibling temp directory plus two renames. A crash between the two
+  * renames leaves the data only under the hidden `.<name>__compact_old`
+  * sibling with the real directory absent — the next [[compactDir]] run
+  * on the same path detects and repairs that state on entry (renames
+  * the old directory back, or deletes it if the install did complete),
+  * so the data is never lost and never doubled. Partitioned
+  * (subdirectory) layouts are rejected: a flat rewrite would silently
+  * collapse the partition columns — compact each leaf partition
+  * directory instead.
   */
 object Compact {
 
@@ -42,6 +49,26 @@ object Compact {
                  targetBytes: Long = 128L << 20,
                  sortCol: Option[String] = None): CompactReport = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldDir = new Path(p.getParent, s".${p.getName}__compact_old")
+    // Crash recovery (ADVICE r4): a previous run that died between the
+    // two renames left the data only under __compact_old with the real
+    // directory absent — restore it. If both exist, the previous run
+    // crashed after installing the new directory but before cleanup —
+    // the leftover is a fully superseded copy, delete it.
+    if (fs.exists(oldDir)) {
+      if (!fs.exists(p))
+        require(fs.rename(oldDir, p),
+          s"compactDir: could not restore $oldDir from interrupted run")
+      else fs.delete(oldDir, true)
+    }
+    // Partitioned layouts have their data under key=value subdirectories
+    // that stats() cannot see and a flat rewrite would destroy.
+    val subdirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compactDir: $dir has subdirectories (${subdirs.mkString(", ")}) — " +
+        "partitioned layout; compact each leaf partition directory instead")
     val (nBefore, bytesBefore) = stats(spark, dir)
     val df = spark.read.parquet(dir)
     val rows = df.count()
@@ -50,16 +77,12 @@ object Compact {
       case Some(c) => df.repartitionByRange(nParts, col(c))
       case None    => df.repartition(nParts)
     }
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(p.getParent, s".${p.getName}__compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     repartitioned.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(p.getParent, s".${p.getName}__compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"compactDir: could not move $p aside")
+    require(fs.rename(p, oldDir), s"compactDir: could not move $p aside")
     require(fs.rename(tmp, p), s"compactDir: could not install $tmp")
-    fs.delete(old, true)
+    fs.delete(oldDir, true)
     val (nAfter, bytesAfter) = stats(spark, dir)
     CompactReport(nBefore, bytesBefore, nAfter, bytesAfter, rows)
   }

@@ -18,46 +18,64 @@ import org.apache.spark.sql.functions._
   * with ε-floored shares so empty buckets stay finite. The usual field
   * reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate.
   *
-  * Scale shape: one aggregation on the reference for (min, max), one
-  * single-pass grouped count per side (shuffle on ≤ `buckets` keys —
-  * the bucket-count table is buckets-sized regardless of corpus size),
-  * one tiny join of the two count tables. Out-of-range current values
-  * clamp into the edge buckets, so schema-compatible batches can never
-  * error the gate.
+  * Scale shape — single-pass across ALL monitored columns (the
+  * [[Quality.profile]] pattern; VERDICT r4 #4 — the per-column loop
+  * cost ~3k scans for k columns as a standing per-batch monitor): ONE
+  * aggregation on the reference computes every column's (min, max); ONE
+  * stacked projection per side emits (column, bucket) pairs for every
+  * column from a single scan; ONE grouped count per side (shuffle on
+  * ≤ k·`buckets` keys — corpus-size independent); one tiny join of the
+  * two count tables. Out-of-range current values clamp into the edge
+  * buckets, so schema-compatible batches can never error the gate.
   */
 object Drift {
 
-  /** One row per column: (column, psi, n_ref, n_cur). */
+  /** One row per column: (column, psi, n_ref, n_cur), in `cols` order. */
   def psi(ref: DataFrame, cur: DataFrame, cols: Seq[String],
           buckets: Int = 10, epsilon: Double = 1e-6): DataFrame = {
     require(cols.nonEmpty, "psi: need at least one column")
     require(buckets >= 2, s"psi: need >= 2 buckets, got $buckets")
     require(epsilon > 0, s"psi: epsilon must be positive, got $epsilon")
-    cols.map(c => psiOne(ref, cur, c, buckets, epsilon))
-      .reduce(_ unionByName _)
-  }
-
-  private def psiOne(ref: DataFrame, cur: DataFrame, c: String,
-                     buckets: Int, epsilon: Double): DataFrame = {
-    val bounds = ref.agg(min(col(c).cast("double")).as("lo"),
-      max(col(c).cast("double")).as("hi"))
+    // one reference pass: every column's exact (min, max)
+    val boundAggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("double")).as(s"lo_$i"),
+        max(col(c).cast("double")).as(s"hi_$i"))
+    }
+    val bounds = ref.agg(boundAggs.head, boundAggs.tail: _*)
+    // ref and cur tag-and-union into ONE stream so the bounds broadcast,
+    // the stacked bucket projection, and the grouped count each appear
+    // exactly once in the plan (Catalyst does not dedupe common
+    // subtrees — a per-side bucketed() helper would scan the bounds
+    // subtree twice). Side totals then pivot out of the single count
+    // table with conditional sums, which also replaces the old
+    // full-outer join of two count tables.
+    def tagged(df: DataFrame, side: String): DataFrame =
+      df.select(lit(side).as("__side") +:
+        cols.map(c => col(c).cast("double").as(c)): _*)
     // clamped equal-width bucket index on [lo, hi]; degenerate lo == hi
-    // puts everything in bucket 0 on both sides → PSI 0
-    def bucketed(df: DataFrame): DataFrame =
-      df.select(col(c).cast("double").as("x"))
-        .filter(col("x").isNotNull)
-        .crossJoin(broadcast(bounds))
-        .select(least(lit(buckets - 1), greatest(lit(0),
-          when(col("hi") === col("lo"), lit(0)).otherwise(
-            floor((col("x") - col("lo")) * buckets /
-              (col("hi") - col("lo"))).cast("int"))))
-          .as("b"))
-        .groupBy("b").agg(count(lit(1)).as("n"))
-    val r = bucketed(ref).withColumnRenamed("n", "nr")
-    val k = bucketed(cur).withColumnRenamed("n", "nc")
-    // the joined bucket table is <= `buckets` rows — the global window
-    // for the share denominators runs over that tiny table, never data
-    val w = org.apache.spark.sql.expressions.Window
+    // puts everything in bucket 0 on both sides → PSI 0. All columns
+    // stack into (column, bucket) pairs in ONE projection over ONE scan;
+    // NULL values drop per column, exactly as a per-column loop would.
+    val counts = tagged(ref, "r").unionByName(tagged(cur, "c"))
+      .crossJoin(broadcast(bounds))
+      .select(col("__side"),
+        explode(array(cols.zipWithIndex.map { case (c, i) =>
+          val x = col(c)
+          val lo = col(s"lo_$i"); val hi = col(s"hi_$i")
+          struct(lit(c).as("column"), x.as("x"),
+            least(lit(buckets - 1), greatest(lit(0),
+              when(hi === lo, lit(0)).otherwise(
+                floor((x - lo) * buckets / (hi - lo)).cast("int"))))
+              .as("b"))
+        }: _*)).as("cb"))
+      .filter(col("cb.x").isNotNull)
+      .select(col("__side"), col("cb.column").as("column"), col("cb.b").as("b"))
+      .groupBy("column", "b")
+      .agg(sum(when(col("__side") === "r", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("__side") === "c", 1L).otherwise(0L)).as("nc"))
+    // the count table is <= k·buckets rows — the per-column window for
+    // the share denominators runs over that tiny table, never data
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("column")
       .rowsBetween(Long.MinValue, Long.MaxValue)
     // greatest(total, 1): an empty side divides 0/1 instead of erroring
     // under ANSI, and its shares floor to ε like any empty bucket
@@ -65,13 +83,16 @@ object Drift {
       lit(epsilon))
     val pr = greatest(col("nr") / greatest(sum("nr").over(w), lit(1L)),
       lit(epsilon))
-    r.join(k, Seq("b"), "full_outer")
-      .select(coalesce(col("nr"), lit(0L)).as("nr"),
-        coalesce(col("nc"), lit(0L)).as("nc"))
-      .select(col("nr"), col("nc"),
+    val order = map(cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(i))
+    }: _*)
+    counts
+      .select(col("column"), col("nr"), col("nc"),
         ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy("column")
       .agg(sum("term").as("psi"), sum("nr").as("n_ref"),
         sum("nc").as("n_cur"))
-      .select(lit(c).as("column"), col("psi"), col("n_ref"), col("n_cur"))
+      .orderBy(order(col("column")))
+      .select(col("column"), col("psi"), col("n_ref"), col("n_cur"))
   }
 }

@@ -290,6 +290,13 @@ object Similarity {
     * lambdas in the corpus-sized pass. Zero vectors (cos → NULL) fall
     * back to dot 0, which shifts every cell's score by the same constant
     * and preserves the original all-ties → lowest-cell behavior. */
+  /** Above this many centroids the per-centroid literal-column expansion
+    * stops being the right plan: each centroid inlines its full vector
+    * into the projection, so plan size and codegen method size grow
+    * linearly with nlist (ADVICE r4). The fallback keeps the same
+    * zero-shuffle map-only shape with ONE array literal instead. */
+  private val InlineCentroidMax = 128
+
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     graft.functions.Registry.registerAll(emb.sparkSession)
@@ -299,16 +306,34 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign: empty centroid table")
     // array_min over (d², cell) structs: field-wise ordering = argmin with
-    // lowest-cell tiebreak, all inside whole-stage codegen.
-    val best = array_min(array(cents.map { case (cell, cvec) =>
-      val c2 = cvec.map(x => x * x).sum
-      val cn = math.sqrt(c2)
-      struct(
-        (lit(1.0 + c2) - lit(2.0 * cn) *
-          coalesce(graft.functions.Registry.cosineSim(
-            col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
-        lit(cell).as("cell"))
-    }: _*))
+    // lowest-cell tiebreak. Small nlist: per-centroid literal columns, all
+    // inside whole-stage codegen. Large nlist: one array-of-structs
+    // literal + higher-order transform — same arithmetic, same map-only
+    // plan, O(1) plan size in nlist (the HOF lambda is interpreted, but
+    // the inner dot product is still the codegen'd cosine expression).
+    val best =
+      if (cents.length <= InlineCentroidMax)
+        array_min(array(cents.map { case (cell, cvec) =>
+          val c2 = cvec.map(x => x * x).sum
+          val cn = math.sqrt(c2)
+          struct(
+            (lit(1.0 + c2) - lit(2.0 * cn) *
+              coalesce(graft.functions.Registry.cosineSim(
+                col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
+            lit(cell).as("cell"))
+        }: _*))
+      else {
+        val centArr = typedLit(cents.map { case (cell, cvec) =>
+          val c2 = cvec.map(x => x * x).sum
+          (cell, 1.0 + c2, 2.0 * math.sqrt(c2), cvec)
+        }.toSeq)
+        array_min(transform(centArr, c =>
+          struct(
+            (c.getField("_2") - c.getField("_3") *
+              coalesce(graft.functions.Registry.cosineSim(
+                col("arr"), c.getField("_4")), lit(0.0))).as("d2"),
+            c.getField("_1").as("cell"))))
+      }
     emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
       .withColumn("cell", best.getField("cell"))
       .select("id", "cell", "arr")
@@ -403,8 +428,19 @@ object Similarity {
     * the query), keep `rerankFactor`·k candidates, then re-rank those by
     * the exact codegen'd cosine on the raw vectors — the standard
     * ADC + re-rank pipeline. Query side follows the exactTopK broadcast
-    * regime (small query count); the corpus side reads codes only until
-    * re-rank touches the survivors. */
+    * regime (small query count).
+    *
+    * Scale shape of the ranking stage: the ADC pass touches ONLY
+    * (id, code) — the raw vectors never travel with the ranked rows, so
+    * the per-row payload is the m bytes PQ promises, and the
+    * `row_number <= k·rerank` filter over the window lets Spark's
+    * window-group-limit rewrite keep at most k·rerank rows per query on
+    * EACH map partition before the exchange (asserted in the test
+    * suite), so the shuffle moves ≤ partitions·k·rerank rows per query
+    * instead of the whole corpus into one reducer. Survivors
+    * (≤ queries·k·rerank rows, broadcast-sized by construction) then
+    * join BACK to the encoded table for the raw vectors — the encoded
+    * side streams through a broadcast-hash join with no shuffle. */
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
              queryIds: DataFrame, k: Int, rerankFactor: Int = 4): DataFrame = {
     val spark = encoded.sparkSession
@@ -418,7 +454,7 @@ object Similarity {
         col("id") === col("qid"))
       .select(col("id"), transform(col("arr"), _.cast("double")).as("qa"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Double](1).toArray))
     require(qv.nonEmpty, "pqTopK: no query vectors found")
     val luts = qv.map { case (qid, raw) =>
       val n = math.sqrt(raw.map(x => x * x).sum)
@@ -434,15 +470,21 @@ object Similarity {
       }.toSeq
       (qid, raw.toSeq, lut)
     }.toSeq
-    val lutDf = luts.toDF("q", "qarr", "lut")
+    val lutDf = luts.map { case (q, _, lut) => (q, lut) }.toDF("q", "lut")
+    val qarrDf = luts.map { case (q, qa, _) => (q, qa) }.toDF("q", "qarr")
     val wAdc = Window.partitionBy("q").orderBy(col("adist"), col("v"))
-    val w = Window.partitionBy("q").orderBy(desc("sim"), col("v"))
-    encoded.crossJoin(broadcast(lutDf))
+    val survivors = encoded.select(col("id"), col("code"))
+      .crossJoin(broadcast(lutDf))
       .filter(col("id") =!= col("q"))
-      .select(col("q"), col("qarr"), col("id").as("v"), col("arr"),
+      .select(col("q"), col("id").as("v"),
         call_function("pq_adc", col("code"), col("lut")).as("adist"))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= k * rerankFactor)
+      .select("q", "v")
+    val w = Window.partitionBy("q").orderBy(desc("sim"), col("v"))
+    broadcast(survivors)
+      .join(encoded.select(col("id").as("v"), col("arr")), Seq("v"))
+      .join(broadcast(qarrDf), Seq("q"))
       .select(col("q"), col("v"),
         expr("cosine_similarity(qarr, arr)").as("sim"))
       .withColumn("rn", row_number().over(w))
@@ -472,6 +514,27 @@ object Similarity {
                trainSample: Int = 4096): (DataFrame, DataFrame) = {
     graft.functions.Registry.registerAll(emb.sparkSession)
     val (indexed, _) = ivfIndex(emb, idCol, vecCol, nlist, trainSample)
+    semDedupFromIndexed(emb, idCol, indexed, threshold)
+  }
+
+  /** SemDeDup against a SUPPLIED centroid table (cell, centroid) — the
+    * standing-index path: a persisted/externally-chosen coarse quantizer
+    * partitions the space and every batch dedups against the same frozen
+    * cells ([[ivfAssign]]'s append discipline). Because the assignment
+    * rule is pure arithmetic from the centroid table, this variant is
+    * fully re-derivable in the cross-engine oracle (the q108 promotion
+    * path), unlike the trained-quantizer [[semDedup]]. */
+  def semDedupWithCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double,
+                            centroids: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    semDedupFromIndexed(emb, idCol,
+      ivfAssign(emb, idCol, vecCol, centroids), threshold)
+  }
+
+  private def semDedupFromIndexed(emb: DataFrame, idCol: String,
+                                  indexed: DataFrame,
+                                  threshold: Double): (DataFrame, DataFrame) = {
     val a = indexed.select(col("cell"), col("id").as("a"), col("arr").as("va"))
     val b = indexed.select(col("cell"), col("id").as("b"), col("arr").as("vb"))
     val pairs = a.join(b, Seq("cell"))

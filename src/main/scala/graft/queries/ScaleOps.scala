@@ -1287,13 +1287,18 @@ object ScaleOps {
 
     // Schema conformance: the landing-zone stage that coerces a drifting
     // input schema onto the contract DDL — casts, typed NULLs for
-    // missing columns, extras dropped. The oracle is the direct CAST
-    // projection, so the operator's column selection, ordering, and
-    // cast semantics are all hash-checked.
+    // missing columns, extras dropped. The operator still casts to
+    // DECIMAL(12,2)/SMALLINT internally; the driver-facing projection
+    // canonicalizes those two to STRING/INT because the driver's typed
+    // hasher distinguishes decimal/int16 physical encodings between the
+    // engines (round-2 q49 and round-4 q113 both tripped on this) —
+    // the cast semantics stay fully hash-checked through the canonical
+    // forms ("17.00" proves scale-2 decimal; the INT value proves the
+    // SMALLINT narrowing happened without overflow).
     dfQ("q113_schema_conform",
       """SELECT CAST(l_orderkey AS INT) l_orderkey,
-        |       CAST(l_linenumber AS SMALLINT) l_linenumber,
-        |       CAST(l_quantity AS DECIMAL(12,2)) l_quantity,
+        |       CAST(CAST(l_linenumber AS SMALLINT) AS INTEGER) l_linenumber,
+        |       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) l_quantity,
         |       CAST(l_shipdate AS DATE) l_shipdate,
         |       CAST(NULL AS VARCHAR) l_ghost
         |FROM lineitem WHERE l_orderkey < 100
@@ -1302,6 +1307,10 @@ object ScaleOps {
           Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 100),
           "l_orderkey INT, l_linenumber SMALLINT, " +
             "l_quantity DECIMAL(12,2), l_shipdate DATE, l_ghost STRING")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_quantity").cast("string").as("l_quantity"),
+          col("l_shipdate"), col("l_ghost"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -1441,23 +1450,59 @@ object ScaleOps {
 
     // SemDeDup over the embeddings table: within-cell cosine >= 0.45
     // (the fixture's planted near-dups sit just above 0.4 — see q77),
-    // keep-lowest-id. The exact removal set depends on the quantizer's
-    // cell boundaries, so there is no SQL oracle; the containment and
-    // exact-dup-recall properties live in OpsSuite, and this row pins
-    // the report shape + driver rows-only check.
-    sparkOnly("q108_semdedup") { (s, d) =>
+    // keep-lowest-id. PROMOTED to a real oracle (VERDICT r4 #3) via the
+    // standing-index path: the coarse cells are the first 16 embedding
+    // vectors (data, not a trained quantizer), so ivfAssign's argmin
+    // rule — d² = 1 + |c|² − 2·|c|·cos(x, c), ties → lowest cell — is
+    // re-derived verbatim in SQL, and the whole cell-restricted
+    // pipeline (assignment arithmetic, within-cell pair join,
+    // threshold, rounding) is hash-checked. The TRAINED-quantizer path
+    // stays covered by OpsSuite's containment/recall properties.
+    dfQ("q108_semdedup",
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS INTEGER) cell, embedding::DOUBLE[] cv,
+        |         LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)) c2
+        |  FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |d AS (
+        |  SELECT e.id, c.cell, e.v,
+        |    1 + c.c2 - 2 * SQRT(c.c2) * COALESCE(LIST_COSINE_SIMILARITY(e.v, c.cv), 0) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT id, cell, v,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d),
+        |p AS (
+        |  SELECT x.cell, x.id a, y.id b, LIST_COSINE_SIMILARITY(x.v, y.v) sim
+        |  FROM (SELECT * FROM a WHERE rn = 1) x
+        |  JOIN (SELECT * FROM a WHERE rn = 1) y
+        |    ON x.cell = y.cell AND x.id < y.id)
+        |SELECT cell, a, b, ROUND(sim, 6) sim FROM p
+        |WHERE sim >= 0.45 ORDER BY a, b""".stripMargin) { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val (_, pairs) = Similarity.semDedup(
-        emb, "vec_id", "embedding", threshold = 0.45, nlist = 16)
-      // one pass over the pair set: kept = input − distinct victims
-      // (running kept.count() would re-execute the within-cell join)
-      val n = emb.count()
-      val r = pairs.agg(count(lit(1)).as("dp"),
-        countDistinct("b").as("victims")).head()
-      val spark = s
-      import spark.implicits._
-      Seq((n, n - r.getLong(1), r.getLong(0)))
-        .toDF("input", "kept", "dropped_pairs")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val (_, pairs) = Similarity.semDedupWithCentroids(
+        emb, "vec_id", "embedding", threshold = 0.45, centroids = cents)
+      pairs.select(col("cell"), col("a"), col("b"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("a", "b")
+    },
+
+    // Column profiling in the 100 TB configuration: same single-pass
+    // profiler as q99 but with approx_count_distinct (HLL) instead of
+    // the exact multi-distinct Expand — the switch Quality.profile
+    // documents for wide tables at scale. Sketch estimates are
+    // engine-specific → rows-only driver check; the ±5% accuracy
+    // property lives in OpsSuite. Benched over lineitem (the biggest
+    // fixture table) so the driver's bench measures the plan you'd
+    // actually ship (VERDICT r4 #4: the exact q99 Expand kept
+    // masquerading as a regression under host load).
+    sparkOnly("q99b_profile_approx") { (s, d) =>
+      graft.ops.Quality.profile(Tables.table(s, d, "lineitem"),
+          exact = false)
+        .orderBy("column")
     }
   )
 }

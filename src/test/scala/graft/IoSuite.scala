@@ -201,4 +201,34 @@ class IoSuite extends SparkTestBase {
       targetBytes = 512L << 20, sortCol = Some("doc_id"))
     assert(again.filesBefore == 1 && again.rows == before.length)
   }
+
+  test("T-IO8b: compaction crash recovery + partitioned-layout rejection") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val base = Files.createTempDirectory("graft_compact2")
+    val dir = base.resolve("docs").toString
+    docs.repartition(4).write.parquet(dir)
+    val before = docs.count()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}__compact_old")
+    // crash between the two renames: data lives ONLY under __compact_old
+    assert(fs.rename(p, old))
+    val report = graft.ops.Compact.compactDir(spark, dir,
+      targetBytes = 512L << 20)
+    assert(report.rows == before, "recovery must restore the moved-aside data")
+    assert(spark.read.parquet(dir).count() == before)
+    // crash after install, before cleanup: stale __compact_old is deleted
+    fs.mkdirs(old)
+    val report2 = graft.ops.Compact.compactDir(spark, dir,
+      targetBytes = 512L << 20)
+    assert(report2.rows == before && !fs.exists(old))
+    // partitioned (subdirectory) layouts are rejected, not flattened
+    val pdir = base.resolve("bylang").toString
+    docs.write.partitionBy("lang").parquet(pdir)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Compact.compactDir(spark, pdir)
+    }
+    assert(e.getMessage.contains("partition"))
+  }
 }

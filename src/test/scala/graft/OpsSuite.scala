@@ -1333,4 +1333,70 @@ class OpsSuite extends SparkTestBase {
     assert(keptIds.size + victims.size == planted.count())
     assert((keptIds & victims).isEmpty)
   }
+
+  test("semDedupWithCentroids: frozen supplied cells, exact dup still caught") {
+    import spark.implicits._
+    val planted = emb.select("vec_id", "embedding").unionByName(
+      emb.filter(col("vec_id") === 3).select(
+        lit(99999L).as("vec_id"), col("embedding")))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val (kept, pairs) = Similarity.semDedupWithCentroids(
+      planted, "vec_id", "embedding", threshold = 0.45, centroids = cents)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(!keptIds.contains(99999L) && keptIds.contains(3L))
+    val dropped = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    val truePairs = Similarity.exactNearDupPairs(planted, "vec_id",
+        "embedding", threshold = 0.4499)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(dropped.subsetOf(truePairs), "must not invent pairs")
+  }
+
+  test("pq_adc: code/LUT length mismatch is NULL, never a partial sum") {
+    import spark.implicits._
+    functions.Registry.registerAll(spark)
+    // codegen path (column input)
+    val viaDf = Seq((Array[Byte](1, 0, 1), Seq(Seq(10.0, 20.0), Seq(30.0, 40.0))))
+      .toDF("code", "lut")
+      .select(expr("pq_adc(code, lut)").as("d"))
+      .collect()
+    assert(viaDf(0).isNullAt(0), "3-byte code vs 2-row LUT must be NULL")
+    // eval path (constant-folded literals)
+    val viaEval = spark.sql(
+      "SELECT pq_adc(X'000100', array(array(5.0D, 9.0D), array(2.0D, 3.0D)))")
+      .collect()
+    assert(viaEval(0).isNullAt(0))
+  }
+
+  test("charChunks: NULL text emits one empty chunk (never drops rows)") {
+    import spark.implicits._
+    val in = Seq((1L, "abcdef"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Chunking.charChunks(in, "doc_id", "text", size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_seq").collect()
+    val nullDoc = out.filter(_.getLong(0) == 2L)
+    assert(nullDoc.length == 1, "NULL-text doc must still yield one chunk")
+    assert(nullDoc(0).getLong(3) == 0L && nullDoc(0).getString(4) == "")
+    assert(out.count(_.getLong(0) == 1L) == 2, "6 chars, size 4, stride 3")
+  }
+
+  test("importance/LM weight builds leave no standing cache entries") {
+    // private[sql] erases to public at the bytecode level — reflection
+    // reads the session's CacheManager without a compile-time dependency
+    def cacheIsEmpty: Boolean = {
+      val ss = spark.getClass.getMethod("sharedState").invoke(spark)
+      val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+      cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
+    }
+    spark.catalog.clearCache()
+    val tgt = docs.filter(col("lang") === "de")
+    val iw = Importance.importanceWeights(docs, tgt, "doc_id", "text")
+    assert(iw.count() > 0)
+    val lm = Lm.bigramScore(docs, tgt, "doc_id", "text")
+    assert(lm.count() > 0)
+    assert(cacheIsEmpty,
+      "operator-internal materialization must not register cache entries")
+    assert(!iw.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+  }
 }

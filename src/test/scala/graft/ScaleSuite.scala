@@ -327,4 +327,39 @@ class ScaleSuite extends SparkTestBase {
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS cbo_$t"))
     }
   }
+
+  test("pqTopK: ADC rank is group-limited pre-exchange; re-rank joins survivors by broadcast") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val (encoded, cb) = graft.ops.Similarity.pqIndex(
+      emb, "vec_id", "embedding", m = 8, kCent = 16)
+    val df = graft.ops.Similarity.pqTopK(encoded, cb,
+      emb.filter(col("vec_id") < 3).select("vec_id"), k = 3, rerankFactor = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // the round-4 scale-killer was a full per-query corpus sort: the rank
+    // filter must now rewrite to a partial window-group-limit on the map
+    // side, so each partition forwards at most k·rerank rows per query
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank stage must be group-limited:\n${plan.take(3000)}")
+    assert(plan.contains("Partial"),
+      "map-side partial group limit must precede the exchange")
+    // survivor re-rank joins back to the encoded table broadcast-side —
+    // the corpus side must never shuffle for it
+    assert(!plan.contains("SortMergeJoin"),
+      s"survivor join must broadcast:\n${plan.take(3000)}")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("Drift.psi is single-pass across columns: 3 scans for any k (bounds+ref+cur)") {
+    val ev = Tables.table(spark, sf0001, "events")
+    val ref = ev.filter(col("user_id") % 2 === 0)
+    val cur = ev.filter(col("user_id") % 2 =!= 0)
+    val df = graft.ops.Drift.psi(ref, cur, Seq("value", "user_id", "event_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 3,
+      s"expected 3 parquet scans for 3 monitored columns, got $scans:\n${plan.take(3000)}")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("value", "user_id", "event_id"),
+      "one row per column, in argument order")
+  }
 }
