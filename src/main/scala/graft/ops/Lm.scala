@@ -71,4 +71,34 @@ object Lm {
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), avg("lp").as("score"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): split a scored corpus into head/middle/tail by
+    * score terciles (head = most target-like). The thresholds come from
+    * ONE percentile aggregation — a `probs.length`-element row broadcast
+    * back into a map-only label projection. Deliberately NOT an
+    * ntile-over-everything window: a global ntile is a single-reducer
+    * sort of the corpus, while this plan touches the data twice with no
+    * global sort at any size. Labels compare on the 6-dp-rounded score
+    * so the bucket edges are engine-reproducible. */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String = "score",
+                        probs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                        labels: Seq[String] =
+                          Seq("tail", "middle", "head")): DataFrame = {
+    require(labels.length == probs.length + 1,
+      s"need ${probs.length + 1} labels for ${probs.length} cut points")
+    require(probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
+      s"cut points must be ascending in (0,1): $probs")
+    val s = round(col(scoreCol), 6)
+    val th = scored.agg(expr(
+      s"percentile(round($scoreCol, 6), array(${probs.mkString(", ")}))")
+      .as("__th"))
+    val bucket = probs.indices.reverse.foldLeft(lit(labels.last): Column) {
+      case (acc, i) =>
+        when(s <= element_at(col("__th"), i + 1), lit(labels(i))).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket", bucket)
+      .drop("__th")
+  }
 }

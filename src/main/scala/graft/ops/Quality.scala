@@ -44,6 +44,58 @@ object Quality {
     }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
   }
 
+  /** Robust per-column outlier detection: modified z-score on the
+    * median/MAD (median absolute deviation) scale — the robust
+    * alternative to mean/stddev gates, immune to the outliers it is
+    * hunting. A value is an outlier when |x − median| > z · 1.4826 · MAD
+    * (1.4826 = the normal-consistency constant; z = 3.5 is the classic
+    * Iglewicz–Hoaglin cutoff). One row per column:
+    * (column, median, mad, n, n_outliers), in `cols` order.
+    *
+    * Scale shape: three passes regardless of column count — one
+    * stacked percentile aggregation for all medians, one for all MADs
+    * (needs the medians first; exact medians are inherently two-pass),
+    * one stacked count. The two intermediate rows broadcast. Exact
+    * percentiles shuffle per-column sorted values once each; for
+    * very wide tables swap in approx_percentile the same way
+    * [[profile]] swaps countDistinct. */
+  def madOutliers(df: DataFrame, cols: Seq[String],
+                  z: Double = 3.5): DataFrame = {
+    require(cols.nonEmpty, "madOutliers: need at least one column")
+    require(z > 0, s"madOutliers: z must be positive, got $z")
+    val kConst = 1.4826
+    def x(c: String): Column = col(c).cast("double")
+    val medAggs = cols.zipWithIndex.map { case (c, i) =>
+      percentile(x(c), lit(0.5)).as(s"med_$i")
+    }
+    val meds = df.agg(medAggs.head, medAggs.tail: _*)
+    val madAggs = cols.zipWithIndex.map { case (c, i) =>
+      percentile(abs(x(c) - col(s"med_$i")), lit(0.5)).as(s"mad_$i")
+    }
+    val mads = df.crossJoin(broadcast(meds))
+      .agg(madAggs.head, madAggs.tail: _*)
+    val stats = meds.crossJoin(mads)
+    val counted = df.crossJoin(broadcast(stats))
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), x(c).as("x"),
+          col(s"med_$i").as("med"), col(s"mad_$i").as("mad"),
+          (abs(x(c) - col(s"med_$i")) >
+            lit(z * kConst) * col(s"mad_$i")).as("out"))
+      }: _*)).as("cb"))
+      .filter(col("cb.x").isNotNull)
+      .groupBy(col("cb.column").as("column"))
+      .agg(round(first(col("cb.med")), 6).as("median"),
+        round(first(col("cb.mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("cb.out"), 1L).otherwise(0L)).as("n_outliers"))
+    val order = map(cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), lit(i))
+    }: _*)
+    counted.orderBy(order(col("column")))
+      .select(col("column"), col("median"), col("mad"),
+        col("n"), col("n_outliers"))
+  }
+
   sealed trait Expectation { def name: String }
   final case class NotNull(colName: String) extends Expectation {
     val name = s"not_null($colName)"

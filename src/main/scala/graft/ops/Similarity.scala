@@ -297,45 +297,55 @@ object Similarity {
     * zero-shuffle map-only shape with ONE array literal instead. */
   private val InlineCentroidMax = 128
 
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame): DataFrame = {
-    graft.functions.Registry.registerAll(emb.sparkSession)
+  /** Driver-side snapshot of a (cell, centroid) table — nlist rows,
+    * bounded at any corpus size. */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Double])] = {
     val cents = centroids.select("cell", "centroid").collect()
       .map(r => (r.getAs[Number]("cell").intValue(),
         r.getSeq[Double](r.fieldIndex("centroid"))))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    require(cents.nonEmpty, "empty centroid table")
+    cents
+  }
+
+  /** The argmin-cell expression shared by [[ivfAssign]] and
+    * [[ivfPqIndex]] — see ivfAssign's scaladoc for the arithmetic. */
+  private def cellExpr(cents: Array[(Int, Seq[Double])]): Column =
+    if (cents.length <= InlineCentroidMax)
+      array_min(array(cents.map { case (cell, cvec) =>
+        val c2 = cvec.map(x => x * x).sum
+        val cn = math.sqrt(c2)
+        struct(
+          (lit(1.0 + c2) - lit(2.0 * cn) *
+            coalesce(graft.functions.Registry.cosineSim(
+              col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
+          lit(cell).as("cell"))
+      }: _*)).getField("cell")
+    else {
+      val centArr = typedLit(cents.map { case (cell, cvec) =>
+        val c2 = cvec.map(x => x * x).sum
+        (cell, 1.0 + c2, 2.0 * math.sqrt(c2), cvec)
+      }.toSeq)
+      array_min(transform(centArr, c =>
+        struct(
+          (c.getField("_2") - c.getField("_3") *
+            coalesce(graft.functions.Registry.cosineSim(
+              col("arr"), c.getField("_4")), lit(0.0))).as("d2"),
+          c.getField("_1").as("cell")))).getField("cell")
+    }
+
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val cents = collectCentroids(centroids)
     // array_min over (d², cell) structs: field-wise ordering = argmin with
     // lowest-cell tiebreak. Small nlist: per-centroid literal columns, all
     // inside whole-stage codegen. Large nlist: one array-of-structs
     // literal + higher-order transform — same arithmetic, same map-only
     // plan, O(1) plan size in nlist (the HOF lambda is interpreted, but
     // the inner dot product is still the codegen'd cosine expression).
-    val best =
-      if (cents.length <= InlineCentroidMax)
-        array_min(array(cents.map { case (cell, cvec) =>
-          val c2 = cvec.map(x => x * x).sum
-          val cn = math.sqrt(c2)
-          struct(
-            (lit(1.0 + c2) - lit(2.0 * cn) *
-              coalesce(graft.functions.Registry.cosineSim(
-                col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
-            lit(cell).as("cell"))
-        }: _*))
-      else {
-        val centArr = typedLit(cents.map { case (cell, cvec) =>
-          val c2 = cvec.map(x => x * x).sum
-          (cell, 1.0 + c2, 2.0 * math.sqrt(c2), cvec)
-        }.toSeq)
-        array_min(transform(centArr, c =>
-          struct(
-            (c.getField("_2") - c.getField("_3") *
-              coalesce(graft.functions.Registry.cosineSim(
-                col("arr"), c.getField("_4")), lit(0.0))).as("d2"),
-            c.getField("_1").as("cell"))))
-      }
     emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
-      .withColumn("cell", best.getField("cell"))
+      .withColumn("cell", cellExpr(cents))
       .select("id", "cell", "arr")
   }
 
@@ -475,6 +485,103 @@ object Similarity {
     val wAdc = Window.partitionBy("q").orderBy(col("adist"), col("v"))
     val survivors = encoded.select(col("id"), col("code"))
       .crossJoin(broadcast(lutDf))
+      .filter(col("id") =!= col("q"))
+      .select(col("q"), col("id").as("v"),
+        call_function("pq_adc", col("code"), col("lut")).as("adist"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * rerankFactor)
+      .select("q", "v")
+    val w = Window.partitionBy("q").orderBy(desc("sim"), col("v"))
+    broadcast(survivors)
+      .join(encoded.select(col("id").as("v"), col("arr")), Seq("v"))
+      .join(broadcast(qarrDf), Seq("q"))
+      .select(col("q"), col("v"),
+        expr("cosine_similarity(qarr, arr)").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q", "v", "sim", "rn")
+  }
+
+  /** Fused IVF+PQ index build (the faiss IVFPQ composition): ONE
+    * map-only projection assigns each vector its coarse cell AND its
+    * m-byte PQ code — zero joins, zero shuffles, both kernels codegen'd.
+    * Returns (id, cell, code, arr). Persist (this table minus arr's
+    * hot copies, the centroid table, the codebook table) and the index
+    * is a standing structure: query-time scans read `nprobe` cells'
+    * worth of m-byte codes — the multiplicative pruning (nprobe/nlist ×
+    * m/4d bytes) that makes billion-vector search tractable. */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame,
+                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val cents = collectCentroids(centroids)
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
+      .withColumn("cell", cellExpr(cents))
+      .withColumn("code", call_function("pq_encode", col("arr"), cbLit))
+      .select("id", "cell", "code", "arr")
+  }
+
+  /** IVF+PQ top-k: probe the `nprobe` best cells per query (ranked on
+    * the driver against the nlist-row centroid snapshot — zero jobs),
+    * ADC-rank only the probed cells' codes, then exact-rerank the
+    * survivors. The scan side of the rank stage touches (cell, id,
+    * code) only and meets the per-query probe list in a broadcast
+    * equi-join ON cell; the rank filter group-limits map-side like
+    * [[pqTopK]]. The full faiss-style query pipeline, in three bounded
+    * stages. */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame,
+                codebooks: Array[Array[Array[Double]]],
+                queryIds: DataFrame, k: Int, nprobe: Int = 4,
+                rerankFactor: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    graft.functions.Registry.registerAll(spark)
+    require(k > 0 && nprobe > 0 && rerankFactor >= 1,
+      s"ivfPqTopK: bad k=$k nprobe=$nprobe factor=$rerankFactor")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val cents = collectCentroids(centroids)
+    val qv = encoded
+      .join(broadcast(queryIds.select(col(queryIds.columns.head).as("qid"))),
+        col("id") === col("qid"))
+      .select(col("id"), transform(col("arr"), _.cast("double")).as("qa"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Double](1).toArray))
+    require(qv.nonEmpty, "ivfPqTopK: no query vectors found")
+    def lutOf(raw: Array[Double]): Seq[Seq[Double]] = {
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      val q = if (n == 0.0) raw else raw.map(_ / n)
+      Seq.tabulate(m) { s =>
+        codebooks(s).map { c =>
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val t = q(s * dsub + j) - c(j); d += t * t; j += 1
+          }
+          d
+        }.toSeq
+      }
+    }
+    // probe ranking on the driver, same metric as ivfAssign:
+    // d² = 1 + |c|² − 2|c|·cos(q, c), ascending, ties → lowest cell
+    def probesOf(raw: Array[Double]): Seq[Int] = {
+      val qn = math.sqrt(raw.map(x => x * x).sum)
+      cents.map { case (cell, cvec) =>
+        val c2 = cvec.map(x => x * x).sum
+        val dot = cvec.zipWithIndex.map { case (c, i) => c * raw(i) }.sum
+        val cos = if (qn == 0.0 || c2 == 0.0) 0.0 else dot / (qn * math.sqrt(c2))
+        (1.0 + c2 - 2.0 * math.sqrt(c2) * cos, cell)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    }
+    val probeDf = qv.flatMap { case (qid, raw) =>
+      val lut = lutOf(raw)
+      probesOf(raw).map(cell => (qid, cell, lut))
+    }.toSeq.toDF("q", "cell", "lut")
+    val qarrDf = qv.map { case (qid, raw) => (qid, raw.toSeq) }.toSeq
+      .toDF("q", "qarr")
+    val wAdc = Window.partitionBy("q").orderBy(col("adist"), col("v"))
+    val survivors = encoded.select(col("id"), col("cell"), col("code"))
+      .join(broadcast(probeDf), Seq("cell"))
       .filter(col("id") =!= col("q"))
       .select(col("q"), col("id").as("v"),
         call_function("pq_adc", col("code"), col("lut")).as("adist"))

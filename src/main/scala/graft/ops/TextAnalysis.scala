@@ -145,6 +145,70 @@ object TextAnalysis {
          |GROUP BY $idCol""".stripMargin)
   }
 
+  /** The Gopher rules' required-stopword list (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): a document must contain at least
+    * `minStopHits` distinct words from this list to count as prose. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): word count in [minWords, maxWords], mean
+    * word length in [minMeanLen, maxMeanLen], at least `minAlphaFrac` of
+    * words containing an alphabetic character, and at least
+    * `minStopHits` distinct required stopwords present. Emits the
+    * metrics plus the composite `keep` verdict. Pure projection over
+    * array builtins — no shuffle, no UDF; ratios are rounded BEFORE the
+    * threshold comparison so the verdict is reproducible cross-engine
+    * (a raw double compare at the boundary is an engine-ulp coin flip). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val toks = filter(split(col(textCol), " "), _ =!= "")
+    val n = size(toks).cast("long")
+    val totChars = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = round(totChars.cast("double") /
+      greatest(n, lit(1L)).cast("double"), 4)
+    val alphaFrac = round(
+      size(filter(toks, _.rlike("[A-Za-z]"))).cast("double") /
+        greatest(n, lit(1L)).cast("double"), 6)
+    val stopHits = GopherStopwords
+      .map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    docs.select(col(idCol),
+      n.as("n_words"), meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"),
+      (n.between(minWords, maxWords) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        alphaFrac >= minAlphaFrac &&
+        stopHits >= minStopHits).as("keep"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): keep only lines that end in terminal punctuation, have at
+    * least `minLineWords` words, and contain no code/boilerplate markers
+    * (curly brace, "javascript", "lorem ipsum"). Emits line counts, the
+    * cleaned text (kept lines re-joined), and a document-level `keep`
+    * (at least `minKeptLines` surviving lines). Pure projection over
+    * array builtins — no shuffle, no UDF. */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String,
+                minLineWords: Int = 5, minKeptLines: Int = 1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def lineOk(ln: Column): Column =
+      ln.rlike("[.!?\"]$") &&
+        size(filter(split(ln, " "), w => w =!= "")) >= minLineWords &&
+        !lower(ln).contains("lorem ipsum") &&
+        !ln.contains("{") &&
+        !lower(ln).contains("javascript")
+    val kept = filter(lines, lineOk _)
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      concat_ws("\n", kept).as("text_clean"),
+      (size(kept) >= minKeptLines).as("keep"))
+  }
+
   /** Canonical text normalization — the first stage of every dedup
     * pipeline (exact dedup is only as good as its canonical form):
     * lowercase, strip control characters, collapse whitespace runs to

@@ -1503,6 +1503,207 @@ object ScaleOps {
       graft.ops.Quality.profile(Tables.table(s, d, "lineitem"),
           exact = false)
         .orderBy("column")
+    },
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1): word-count band,
+    // mean-word-length band, alphabetic-word share, required-stopword
+    // hits, composite keep. The oracle recomputes every metric AND the
+    // verdict, so the thresholds and the rounded-before-compare
+    // semantics are hash-checked. minWords/minStopHits chosen so the
+    // fixture yields a mixed keep column.
+    dfQ("q115_gopher_rules",
+      """WITH t AS (
+        |  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> '') ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(LEN(ws) AS BIGINT) n_words,
+        |    ROUND(CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, w -> LEN(w))), 0) AS DOUBLE)
+        |      / GREATEST(LEN(ws), 1), 4) mean_word_len,
+        |    ROUND(CAST(LEN(LIST_FILTER(ws, w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / GREATEST(LEN(ws), 1), 6) alpha_frac,
+        |    CAST((CASE WHEN LIST_CONTAINS(ws, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN LIST_CONTAINS(ws, 'with') THEN 1 ELSE 0 END) AS BIGINT) stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        |  ((n_words BETWEEN 55 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 1) keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.gopherRules(
+          Tables.table(s, d, "documents"), "doc_id", "text",
+          minWords = 55, minStopHits = 1)
+        .orderBy("doc_id")
+    },
+
+    // C4 line filters (Raffel et al. 2020 §2.2) over a synthetic
+    // multi-line view of the corpus (the fixture docs are single-line):
+    // line 1 = the doc text with terminal punctuation (kept), line 2 =
+    // the one-word source field (dropped: too short, no punctuation),
+    // line 3 = a lorem-ipsum marker line (dropped), line 4 = a 5-word
+    // closing line (kept). The oracle recomputes the per-line predicate,
+    // the kept-line re-join, and the verdict.
+    dfQ("q116_c4_filters",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CONCAT_WS(CHR(10), CONCAT(text, ' end.'), source,
+        |      'lorem ipsum dolor sit amet.',
+        |      CONCAT('count words ', lang, ' here ok.')) txt
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, STRING_SPLIT(txt, CHR(10)) lines,
+        |    LIST_FILTER(STRING_SPLIT(txt, CHR(10)), ln ->
+        |      REGEXP_MATCHES(ln, '[.!?"]$')
+        |      AND LEN(LIST_FILTER(STRING_SPLIT(ln, ' '), w -> w <> '')) >= 5
+        |      AND NOT CONTAINS(LOWER(ln), 'lorem ipsum')
+        |      AND NOT CONTAINS(ln, '{')
+        |      AND NOT CONTAINS(LOWER(ln), 'javascript')) kept
+        |  FROM t)
+        |SELECT doc_id, CAST(LEN(lines) AS BIGINT) n_lines,
+        |  CAST(LEN(kept) AS BIGINT) n_kept,
+        |  ARRAY_TO_STRING(kept, CHR(10)) text_clean,
+        |  LEN(kept) >= 1 keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val multiline = Tables.table(s, d, "documents")
+        .select(col("doc_id"), concat_ws("\n",
+          concat(col("text"), lit(" end.")), col("source"),
+          lit("lorem ipsum dolor sit amet."),
+          concat(lit("count words "), col("lang"), lit(" here ok.")))
+          .as("txt"))
+      graft.ops.TextAnalysis.c4Filters(multiline, "doc_id", "txt")
+        .orderBy("doc_id")
+    },
+
+    // Z-order (Morton) codes over (l_partkey, l_suppkey): the layout
+    // key behind multi-column data skipping. The oracle recomputes the
+    // exact integer rank scaling and the full bit interleave, so the
+    // clustering key a 100 TB OPTIMIZE-ZORDER would sort by is
+    // hash-checked value-for-value. (The file-level range-shrink effect
+    // of zorderBy itself is asserted in the test suite.)
+    dfQ("q117_zorder",
+      s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 200),
+         |b AS (SELECT MIN(l_partkey) xlo, MAX(l_partkey) xhi,
+         |             MIN(l_suppkey) ylo, MAX(l_suppkey) yhi FROM src),
+         |s AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ((l_partkey - xlo) * 255) // GREATEST(xhi - xlo, 1) xi,
+         |    ((l_suppkey - ylo) * 255) // GREATEST(yhi - ylo, 1) yi
+         |  FROM src CROSS JOIN b)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(${(0 until 8).flatMap(i => Seq(
+              s"(((xi >> $i) & 1) << ${2 * i})",
+              s"(((yi >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS BIGINT) z
+         |FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      graft.ops.Layout.withZ(
+          Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 200),
+          "l_partkey", "l_suppkey", bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // CCNet perplexity buckets (Wenzek et al. 2020): head/middle/tail
+    // by score terciles under the q112 bigram LM. The oracle rebuilds
+    // the LM, the per-doc scores, AND the percentile thresholds, so the
+    // bucketing rule (interpolated terciles over rounded scores,
+    // inclusive upper edges) is hash-checked end to end.
+    dfQ("q118_ccnet_buckets",
+      """WITH tw AS (
+        |  SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') ws
+        |  FROM documents WHERE lang = 'de'),
+        |tb AS (
+        |  SELECT ws[i] p, ws[i+1] w
+        |  FROM tw CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) t(i)),
+        |c2 AS (SELECT p, w, COUNT(*) n2 FROM tb GROUP BY p, w),
+        |c1 AS (SELECT p, COUNT(*) n1 FROM tb GROUP BY p),
+        |v AS (SELECT COUNT(DISTINCT u) nv
+        |      FROM (SELECT UNNEST(ws) u FROM tw)),
+        |sw AS (
+        |  SELECT doc_id,
+        |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') ws
+        |  FROM documents),
+        |sb AS (
+        |  SELECT doc_id, ws[i] p, ws[i+1] w
+        |  FROM sw CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) t(i)),
+        |j AS (
+        |  SELECT doc_id,
+        |    LN((COALESCE(n2, 0) + 1.0) / (COALESCE(n1, 0) + nv)) lp
+        |  FROM sb
+        |  LEFT JOIN c2 ON sb.p = c2.p AND sb.w = c2.w
+        |  LEFT JOIN c1 ON sb.p = c1.p
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, ROUND(AVG(lp), 6) score FROM j GROUP BY doc_id),
+        |th AS (
+        |  SELECT PERCENTILE_CONT(1.0/3) WITHIN GROUP (ORDER BY score) t1,
+        |         PERCENTILE_CONT(2.0/3) WITHIN GROUP (ORDER BY score) t2
+        |  FROM sc)
+        |SELECT doc_id, score,
+        |  CASE WHEN score <= t1 THEN 'tail'
+        |       WHEN score <= t2 THEN 'middle' ELSE 'head' END bucket
+        |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val scored = graft.ops.Lm.bigramScore(docs,
+        docs.filter(col("lang") === "de"), "doc_id", "text")
+      graft.ops.Lm.perplexityBuckets(scored, "score")
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"),
+          col("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Fused IVF+PQ (the faiss IVFPQ composition): coarse cells prune
+    // WHICH codes are scanned, PQ codes prune HOW MUCH is read per row,
+    // exact re-rank restores precision on the survivors. Approximate by
+    // design → rows-only driver check; the nprobe=nlist ≡ flat-PQ
+    // equality and partial-probe recall live in OpsSuite.
+    sparkOnly("q119_ivfpq_topk") { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val (_, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = 16)
+      val (_, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
+        m = 8, kCent = 64)
+      val encoded = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        centroids, cb)
+      Similarity.ivfPqTopK(encoded, centroids, cb,
+          emb.filter(col("vec_id") < 5).select("vec_id"), k = 3,
+          nprobe = 8, rerankFactor = 16)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("q", "rn")
+    },
+
+    // Robust outlier gate: modified z-score on the median/MAD scale over
+    // the event values. The oracle recomputes both exact percentiles and
+    // the Iglewicz–Hoaglin cutoff, so the medians, MADs, and outlier
+    // counts are hash-checked cross-engine.
+    dfQ("q120_mad_outliers",
+      """WITH e AS (SELECT CAST(value AS DOUBLE) v, CAST(user_id AS DOUBLE) u
+        |           FROM events),
+        |med AS (
+        |  SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) mv,
+        |         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY u) mu FROM e),
+        |mad AS (
+        |  SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY ABS(v - mv)) dv,
+        |         PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY ABS(u - mu)) du
+        |  FROM e CROSS JOIN med)
+        |SELECT "column", median, mad, n, n_outliers FROM (
+        |  SELECT 'value' AS "column", ROUND(mv, 6) median, ROUND(dv, 6) mad,
+        |    CAST(COUNT(v) AS BIGINT) n,
+        |    CAST(SUM(CASE WHEN ABS(v - mv) > 3.5 * 1.4826 * dv
+        |         THEN 1 ELSE 0 END) AS BIGINT) n_outliers,
+        |    0 AS ord
+        |  FROM e CROSS JOIN med CROSS JOIN mad GROUP BY mv, dv
+        |  UNION ALL
+        |  SELECT 'user_id', ROUND(mu, 6), ROUND(du, 6),
+        |    CAST(COUNT(u) AS BIGINT),
+        |    CAST(SUM(CASE WHEN ABS(u - mu) > 3.5 * 1.4826 * du
+        |         THEN 1 ELSE 0 END) AS BIGINT),
+        |    1
+        |  FROM e CROSS JOIN med CROSS JOIN mad GROUP BY mu, du) t
+        |ORDER BY ord""".stripMargin) { (s, d) =>
+      graft.ops.Quality.madOutliers(Tables.table(s, d, "events"),
+        Seq("value", "user_id"))
     }
   )
 }

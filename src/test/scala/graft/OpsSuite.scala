@@ -1334,6 +1334,43 @@ class OpsSuite extends SparkTestBase {
     assert((keptIds & victims).isEmpty)
   }
 
+  test("ivfPqTopK: full probe equals flat PQ; fused codes bit-identical") {
+    import spark.implicits._
+    val (_, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8)
+    val (encodedPq, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, kCent = 64)
+    val fused = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      centroids, cb)
+    // the fused single-projection build must encode exactly like pqAssign
+    val a = fused.select("id", "code").as[(Long, Array[Byte])].collect().toMap
+    val b = encodedPq.select("id", "code").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(a.keySet == b.keySet &&
+      a.forall { case (id, c) => c.sameElements(b(id)) })
+    val q = emb.filter(col("vec_id") < 5).select("vec_id")
+    // probing every cell → candidate set is the whole corpus → the flat
+    // PQ ranking, row for row
+    val full = Similarity.ivfPqTopK(fused, centroids, cb, q, k = 3,
+        nprobe = 8, rerankFactor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val flat = Similarity.pqTopK(encodedPq, cb, q, k = 3, rerankFactor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == flat, "nprobe = nlist must reproduce the flat PQ ranking")
+    // partial probe: k results per query survive, recall measured (the
+    // near-random fixture makes partial probing lossy — q76 notes)
+    val part = Similarity.ivfPqTopK(fused, centroids, cb, q, k = 3,
+        nprobe = 4, rerankFactor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.size == 15, "3 results for each of 5 queries")
+    val exact = Similarity.exactTopK(emb, "vec_id", "embedding",
+        _.filter(col("vec_id") < 5), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(part.contains).toDouble / exact.size
+    info(s"IVFPQ recall@3 (nprobe 4/8, rerank 16x): $recall")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+  }
+
   test("semDedupWithCentroids: frozen supplied cells, exact dup still caught") {
     import spark.implicits._
     val planted = emb.select("vec_id", "embedding").unionByName(

@@ -235,7 +235,9 @@ class ScaleSuite extends SparkTestBase {
       "q109_psi_drift",        // CROSS JOIN with the 1-row min/max bounds
       "q110_pq_topk",          // ADC scan vs 5 broadcast query LUTs
       "q111_inverted_index",   // CROSS JOIN with the 1-row doc-count relation
-      "q112_bigram_lm")        // CROSS JOIN with the 1-row vocab-size relation
+      "q112_bigram_lm",        // CROSS JOIN with the 1-row vocab-size relation
+      "q118_ccnet_buckets",    // CROSS JOIN with the 1-row tercile thresholds
+      "q120_mad_outliers")     // CROSS JOIN with the 1-row median/MAD stats
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -347,6 +349,33 @@ class ScaleSuite extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"survivor join must broadcast:\n${plan.take(3000)}")
     assert(df.collect().nonEmpty)
+  }
+
+  test("zorderBy: every output file holds a small rectangle in BOTH dimensions") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .resolve("li").toString
+    graft.ops.Layout.zorderBy(li, "l_partkey", "l_suppkey",
+      bits = 16, nFiles = 8).write.parquet(dir)
+    val g = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("double"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
+    val (gx, gy) = (g.getDouble(0), g.getDouble(1))
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).cast("double").as("sx"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double").as("sy"))
+      .agg(avg("sx"), avg("sy"), count(lit(1))).head()
+    val (sx, sy, nf) = (spans.getDouble(0), spans.getDouble(1), spans.getLong(2))
+    assert(nf >= 4, s"expected multiple z-range files, got $nf")
+    // 8 z-range partitions split the leading interleaved bits: each file
+    // must cover a FRACTION of both key ranges — the property plain
+    // single-key sorting cannot give — with area ~1/8 of the global box
+    assert(sx < 0.75 * gx, s"avg partkey span $sx vs global $gx")
+    assert(sy < 0.75 * gy, s"avg suppkey span $sy vs global $gy")
+    assert((sx / gx) * (sy / gy) < 0.3,
+      s"files must cover small rectangles: ${(sx / gx) * (sy / gy)}")
   }
 
   test("Drift.psi is single-pass across columns: 3 scans for any k (bounds+ref+cur)") {
