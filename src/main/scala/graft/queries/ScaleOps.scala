@@ -1704,6 +1704,75 @@ object ScaleOps {
         |ORDER BY ord""".stripMargin) { (s, d) =>
       graft.ops.Quality.madOutliers(Tables.table(s, d, "events"),
         Seq("value", "user_id"))
-    }
+    },
+
+    // TPC-H Q2 shape (min-cost supplier per part; the fixtures lack
+    // partsupp, so lineitem is the part↔supplier bridge): per-key agg →
+    // per-part min → rejoin on the min. Costs are rounded BEFORE the
+    // equality so the min-match is cross-engine stable. The decorrelated
+    // agg-join-agg-rejoin plan is the one Catalyst produces for the
+    // correlated original anyway.
+    // Accumulation in EXACT integer cents (per-row conversion is
+    // deterministic; BIGINT sums are order-independent), because a
+    // double AVG differs across engines in the last ulp and a value on
+    // a half-cent boundary then rounds differently (the q84 lesson —
+    // caught at sf0.001 in round-5 dev).
+    sameQ("q121_min_cost_supplier",
+      """WITH ps AS (
+        |  SELECT l_partkey pk, l_suppkey sk,
+        |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) sc,
+        |         COUNT(*) n
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |a AS (SELECT pk, sk,
+        |        ROUND(CAST(sc AS DOUBLE) / (100 * n), 2) supply_cost FROM ps),
+        |m AS (SELECT pk, MIN(supply_cost) mc FROM a GROUP BY pk)
+        |SELECT a.pk p_partkey, a.sk s_suppkey, a.supply_cost
+        |FROM a JOIN m ON a.pk = m.pk AND a.supply_cost = m.mc
+        |WHERE a.pk < 200
+        |ORDER BY p_partkey, s_suppkey""".stripMargin),
+
+    // TPC-H Q11 shape: per-group value vs a GLOBAL scalar-subquery
+    // threshold over the same aggregate — the share-of-total gate
+    // (1.5× the mean per-part value, so the selected tail is non-empty
+    // at every scale factor). Both sides of the predicate round to
+    // cents first (double SUM accumulation order differs per engine).
+    sameQ("q122_value_share",
+      """WITH pv AS (
+        |  SELECT l_partkey pk, SUM(l_extendedprice * l_quantity) v
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT pk, ROUND(v, 2) total_value
+        |FROM pv
+        |WHERE ROUND(v, 2) > (SELECT ROUND(AVG(v) * 1.5, 2) FROM pv)
+        |ORDER BY total_value DESC, pk""".stripMargin),
+
+    // TPC-H Q16 shape: distinct-supplier counts per brand with a NOT IN
+    // exclusion subquery (negative-balance suppliers stand in for the
+    // comment-matched ones — the fixture supplier table has no comment).
+    sameQ("q123_supplier_cnt",
+      """SELECT p.p_brand, COUNT(DISTINCT l.l_suppkey) supplier_cnt
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand
+        |ORDER BY supplier_cnt DESC, p.p_brand""".stripMargin),
+
+    // TPC-H Q20 shape: suppliers selected through a nested IN — an IN
+    // subquery over a grouped volume CTE gated by another IN plus a
+    // scalar-subquery threshold (relative, so the selection is
+    // non-empty at every scale factor; quantity sums are
+    // integer-valued, so the compare is exact cross-engine).
+    sameQ("q124_volume_suppliers",
+      """WITH vol AS (
+        |  SELECT l_suppkey sk, SUM(l_quantity) q
+        |  FROM lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE 's%')
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT sk FROM vol WHERE q > (SELECT AVG(q) * 1.2 FROM vol))
+        |ORDER BY s.s_suppkey""".stripMargin)
   )
 }
