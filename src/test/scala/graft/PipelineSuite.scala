@@ -110,7 +110,8 @@ class PipelineSuite extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
-        "user_sessions_feed.json", "chunked_docs_feed.json")) {
+        "user_sessions_feed.json", "chunked_docs_feed.json",
+        "quality_gate_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
     // the XML feed format (the reference framework's other spec syntax)
@@ -131,6 +132,11 @@ class PipelineSuite extends SparkTestBase {
     assert(chunks.filter(col("chunk_len") <= 0).count() == 0)
     assert(chunks.filter(col("chunk_start") =!= col("chunk_seq") * 192)
       .count() == 0)
+    // the quality-gate feed keeps only rule-passing docs
+    val gate = spark.read.parquet("/tmp/graft-example-out/quality_gate")
+    assert(gate.count() > 0)
+    assert(gate.filter(col("n_words") < 55 || col("stop_hits") < 1)
+      .count() == 0, "kept docs must satisfy the gate thresholds")
     // the declarative sessionize feed equals the Sessionize operator
     val sess = spark.read.parquet("/tmp/graft-example-out/user_sessions")
       .select("user_id", "session_seq", "n")
