@@ -21,16 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of two pre-scaled ranks, each in [0, 2^bits):
-    * bit i of x lands at position 2i, bit i of y at 2i+1 (y owns the
-    * top bit, so the leading splits alternate y, x, y, …). */
-  def mortonCode(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  /** N-column Morton interleave of pre-scaled ranks, each in
+    * [0, 2^bits): bit i of column j lands at position i·n + j (the
+    * last column owns the top bit, so leading splits round-robin the
+    * columns highest-order first). */
+  def mortonCodeN(xs: Seq[Column], bits: Int): Column = {
+    val n = xs.length
+    require(n >= 2, s"need at least 2 columns to interleave, got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits·columns must fit a long: $bits × $n")
+    xs.zipWithIndex.flatMap { case (x, j) =>
+      (0 until bits).map(i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n + j))
     }.reduce(_ + _).cast("long")
   }
+
+  /** Two-column form: bit i of x at 2i, bit i of y at 2i+1. */
+  def mortonCode(x: Column, y: Column, bits: Int): Column =
+    mortonCodeN(Seq(x, y), bits)
 
   /** Exact integer rank of `c` in [0, 2^bits) given inclusive bounds:
     * ((c − lo) · (2^bits − 1)) div max(hi − lo, 1). Integral `div`
@@ -41,31 +49,39 @@ object Layout {
       (c.cast("long") - lit(lo)) * lit((1L << bits) - 1),
       lit(math.max(hi - lo, 1L)))
 
-  /** Append the Morton code of (cx, cy) as column `z`. Bounds come from
-    * one (min, max) aggregation — four scalars, corpus-size
+  /** Append the Morton code of the given columns as column `z`. Bounds
+    * come from one (min, max) aggregation — 2·n scalars, corpus-size
     * independent. */
-  def withZ(df: DataFrame, cx: String, cy: String,
-            bits: Int = 16): DataFrame = {
-    val r = df.agg(min(col(cx).cast("long")), max(col(cx).cast("long")),
-      min(col(cy).cast("long")), max(col(cy).cast("long"))).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"withZ: no non-null values in $cx/$cy")
-    val z = mortonCode(
-      scaledRank(col(cx), r.getLong(0), r.getLong(1), bits),
-      scaledRank(col(cy), r.getLong(2), r.getLong(3), bits), bits)
-    df.withColumn("z", z)
+  def withZN(df: DataFrame, cs: Seq[String], bits: Int = 16): DataFrame = {
+    val boundAggs = cs.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val ranks = cs.zipWithIndex.map { case (c, j) =>
+      require(!r.isNullAt(2 * j), s"withZ: no non-null values in $c")
+      scaledRank(col(c), r.getLong(2 * j), r.getLong(2 * j + 1), bits)
+    }
+    df.withColumn("z", mortonCodeN(ranks, bits))
   }
 
+  /** Two-column form of [[withZN]]. */
+  def withZ(df: DataFrame, cx: String, cy: String,
+            bits: Int = 16): DataFrame = withZN(df, Seq(cx, cy), bits)
+
   /** Cluster `df` into `nFiles` z-ordered range partitions (write each
-    * partition as one file and every file holds a small (cx, cy)
-    * rectangle — the data-skipping layout). The z column is internal
-    * and dropped from the output. */
-  def zorderBy(df: DataFrame, cx: String, cy: String,
-               bits: Int = 16, nFiles: Int = 8): DataFrame = {
+    * partition as one file and every file holds a small hyper-rectangle
+    * in the clustered columns — the data-skipping layout). The z column
+    * is internal and dropped from the output. */
+  def zorderByN(df: DataFrame, cs: Seq[String],
+                bits: Int = 16, nFiles: Int = 8): DataFrame = {
     require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
-    withZ(df, cx, cy, bits)
+    withZN(df, cs, bits)
       .repartitionByRange(nFiles, col("z"))
       .sortWithinPartitions("z")
       .drop("z")
   }
+
+  /** Two-column form of [[zorderByN]]. */
+  def zorderBy(df: DataFrame, cx: String, cy: String,
+               bits: Int = 16, nFiles: Int = 8): DataFrame =
+    zorderByN(df, Seq(cx, cy), bits, nFiles)
 }

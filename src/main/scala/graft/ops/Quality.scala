@@ -56,21 +56,28 @@ object Quality {
     * stacked percentile aggregation for all medians, one for all MADs
     * (needs the medians first; exact medians are inherently two-pass),
     * one stacked count. The two intermediate rows broadcast. Exact
-    * percentiles shuffle per-column sorted values once each; for
-    * very wide tables swap in approx_percentile the same way
-    * [[profile]] swaps countDistinct. */
+    * percentiles shuffle per-column sorted values once each;
+    * `exact = false` swaps in `approx_percentile` (t-digest — a
+    * mergeable sketch, so the median passes become partial-aggregate
+    * map-side combines with sketch-sized shuffles) the same way
+    * [[profile]] swaps countDistinct — the 100 TB mode; an
+    * approximate median moves the cutoff slightly, never the
+    * robustness property. */
   def madOutliers(df: DataFrame, cols: Seq[String],
-                  z: Double = 3.5): DataFrame = {
+                  z: Double = 3.5, exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "madOutliers: need at least one column")
     require(z > 0, s"madOutliers: z must be positive, got $z")
     val kConst = 1.4826
     def x(c: String): Column = col(c).cast("double")
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(10000))
     val medAggs = cols.zipWithIndex.map { case (c, i) =>
-      percentile(x(c), lit(0.5)).as(s"med_$i")
+      med(x(c)).as(s"med_$i")
     }
     val meds = df.agg(medAggs.head, medAggs.tail: _*)
     val madAggs = cols.zipWithIndex.map { case (c, i) =>
-      percentile(abs(x(c) - col(s"med_$i")), lit(0.5)).as(s"mad_$i")
+      med(abs(x(c) - col(s"med_$i"))).as(s"mad_$i")
     }
     val mads = df.crossJoin(broadcast(meds))
       .agg(madAggs.head, madAggs.tail: _*)

@@ -1418,6 +1418,24 @@ class OpsSuite extends SparkTestBase {
     assert(out.count(_.getLong(0) == 1L) == 2, "6 chars, size 4, stride 3")
   }
 
+  test("madOutliers: exact vs approx mode agree on medians and outliers") {
+    val ev = Tables.table(spark, sf0001, "events")
+    val exact = Quality.madOutliers(ev, Seq("value", "user_id")).collect()
+    val approx = Quality.madOutliers(ev, Seq("value", "user_id"),
+      exact = false).collect()
+    assert(exact.map(_.getString(0)).toSeq == Seq("value", "user_id"))
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      // t-digest medians within 5% of exact on the fixture distribution
+      assert(math.abs(e.getDouble(1) - a.getDouble(1)) <=
+        0.05 * math.max(math.abs(e.getDouble(1)), 1.0), s"$e vs $a")
+      assert(e.getLong(3) == a.getLong(3)) // n identical
+      // outlier counts within a small band of each other
+      assert(math.abs(e.getLong(4) - a.getLong(4)) <=
+        math.max(5L, e.getLong(4) / 10))
+    }
+  }
+
   test("importance/LM weight builds leave no standing cache entries") {
     // private[sql] erases to public at the bytecode level — reflection
     // reads the session's CacheManager without a compile-time dependency

@@ -378,6 +378,32 @@ class ScaleSuite extends SparkTestBase {
       s"files must cover small rectangles: ${(sx / gx) * (sy / gy)}")
   }
 
+  test("zorderByN: three clustered columns all shrink per file") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_orderkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3")
+      .resolve("li").toString
+    graft.ops.Layout.zorderByN(li,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"),
+      bits = 16, nFiles = 8).write.parquet(dir)
+    val g = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("double"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double"),
+      (max("l_orderkey") - min("l_orderkey")).cast("double")).head()
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).cast("double").as("sx"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double").as("sy"),
+        (max("l_orderkey") - min("l_orderkey")).cast("double").as("sz"))
+      .agg(avg("sx"), avg("sy"), avg("sz")).head()
+    // 8 files = the top 3 interleaved bits = one leading bit per
+    // dimension: every dimension is split, none is sacrificed
+    val fracs = (0 until 3).map(i => spans.getDouble(i) / g.getDouble(i))
+    assert(fracs.forall(_ < 0.85), s"per-file spans: $fracs")
+    assert(fracs.product < 0.4,
+      s"files must cover small boxes, got volume ${fracs.product}")
+  }
+
   test("Drift.psi is single-pass across columns: 3 scans for any k (bounds+ref+cur)") {
     val ev = Tables.table(spark, sf0001, "events")
     val ref = ev.filter(col("user_id") % 2 === 0)

@@ -466,4 +466,33 @@ class StreamingSuite extends SparkTestBase {
     assert(files.count() ==
       batchEvents.filter(col("user_id") < 10).count())
   }
+
+  test("quality gates run unchanged on streams: gopherRules per micro-batch equals batch") {
+    // the corpus gates are stateless projections, so the streaming form
+    // IS the batch operator applied to the streaming DataFrame — no
+    // foreachBatch wrapper, no state store, append mode
+    val input = MemoryStream[(Long, String)](spark)
+    val gated = graft.ops.TextAnalysis.gopherRules(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 3, minStopHits = 1)
+    val q = gated.writeStream.format("memory").queryName("gate_stream")
+      .outputMode(OutputMode.Append()).start()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "xx"),
+      (3L, "a b c d e f g h"),
+      (4L, "with four of the words that count here"))
+    try {
+      input.addData(docs.take(2))
+      q.processAllAvailable()
+      input.addData(docs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.ops.TextAnalysis.gopherRules(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 3, minStopHits = 1)
+    assert(rowsOf(memTable("gate_stream")) == rowsOf(batch))
+    // and the verdicts are the interesting mixed set, not all-true
+    assert(memTable("gate_stream").filter(col("keep")).count() == 2)
+  }
 }
