@@ -1773,6 +1773,30 @@ object ScaleOps {
         |FROM supplier s
         |WHERE s.s_suppkey IN (
         |  SELECT sk FROM vol WHERE q > (SELECT AVG(q) * 1.2 FROM vol))
-        |ORDER BY s.s_suppkey""".stripMargin)
+        |ORDER BY s.s_suppkey""".stripMargin),
+
+    // GROUP BY ALL (both engines since Spark 3.4 / DuckDB 0.6): the
+    // grouping keys are inferred from the non-aggregate select items —
+    // the modern spelling analysts actually write. (QUALIFY was
+    // considered and rejected: DuckDB has it, Spark 4.1 does not.)
+    sameQ("q125_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) n,
+        |       ROUND(SUM(o_totalprice), 2) rev
+        |FROM orders WHERE o_custkey < 100
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+
+    // LATERAL correlated subquery: per outer row, a dependent top-k
+    // scan — the decorrelation path Catalyst must get right (rewritten
+    // internally to a window, but the USER writes the lateral form).
+    sameQ("q126_lateral_topk",
+      """SELECT p.p_partkey, t.l_orderkey, t.l_quantity
+        |FROM part p,
+        |LATERAL (
+        |  SELECT l_orderkey, l_quantity FROM lineitem
+        |  WHERE l_partkey = p.p_partkey
+        |  ORDER BY l_quantity DESC, l_orderkey LIMIT 2) t
+        |WHERE p.p_partkey < 60
+        |ORDER BY p.p_partkey, t.l_quantity DESC, t.l_orderkey""".stripMargin)
   )
 }
