@@ -76,12 +76,15 @@ object Quality {
       med(x(c)).as(s"med_$i")
     }
     val meds = df.agg(medAggs.head, medAggs.tail: _*)
-    val madAggs = cols.zipWithIndex.map { case (c, i) =>
+    // the MAD pass carries the (constant, crossJoined) medians through
+    // with first() so the stats row comes out of ONE aggregation —
+    // meds.crossJoin(mads) would re-execute the median pass (Catalyst
+    // does not dedupe the shared subtree; read in the q120 plan audit)
+    val statAggs = cols.zipWithIndex.map { case (c, i) =>
       med(abs(x(c) - col(s"med_$i"))).as(s"mad_$i")
-    }
-    val mads = df.crossJoin(broadcast(meds))
-      .agg(madAggs.head, madAggs.tail: _*)
-    val stats = meds.crossJoin(mads)
+    } ++ cols.indices.map(i => first(col(s"med_$i")).as(s"med_$i"))
+    val stats = df.crossJoin(broadcast(meds))
+      .agg(statAggs.head, statAggs.tail: _*)
     val counted = df.crossJoin(broadcast(stats))
       .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
         struct(lit(c).as("column"), x(c).as("x"),
