@@ -425,4 +425,73 @@ class FuzzSuite extends SparkTestBase {
       assert(failures.isEmpty, failures.take(3).mkString("\n"))
     } finally conn.close()
   }
+
+  test("15 random conformance DDLs agree between Spark and DuckDB") {
+    // 9th axis: Schema.conform across random target schemas — column
+    // selection, ordering, typed-NULL ghosts, extras dropped, casts.
+    // Cast targets are restricted to cross-engine-deterministic pairs:
+    // integer sources cast anywhere, strings/doubles stay put (Spark
+    // truncates double→int, DuckDB rounds — a REAL dialect divergence
+    // this axis must not trip on; the corpus pins the safe forms).
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW lineitem AS SELECT * FROM '$sf0001/lineitem.parquet'")
+      val intSrc = Seq("l_partkey", "l_suppkey", "l_linenumber")
+      val strSrc = Seq("l_returnflag", "l_linestatus")
+      val dblSrc = Seq("l_quantity", "l_discount")
+      val duckType = Map("INT" -> "INTEGER", "BIGINT" -> "BIGINT",
+        "DOUBLE" -> "DOUBLE", "STRING" -> "VARCHAR")
+      val fieldGen: Gen[(String, String)] = Gen.oneOf(
+        for {
+          c <- Gen.oneOf(intSrc)
+          t <- Gen.oneOf("INT", "BIGINT", "DOUBLE", "STRING")
+        } yield (c, t),
+        Gen.oneOf(strSrc).map(c => (c, "STRING")),
+        Gen.oneOf(dblSrc).map(c => (c, "DOUBLE")),
+        for {
+          n <- Gen.choose(1, 99)
+          t <- Gen.oneOf("INT", "STRING", "DOUBLE")
+        } yield (s"ghost_$n", t))
+      val schemaGen: Gen[Seq[(String, String)]] = for {
+        n <- Gen.choose(2, 5)
+        fs <- Gen.listOfN(n, fieldGen)
+      } yield (("l_orderkey", "BIGINT") +: ("l_linenumber", "INT") +:
+        fs).distinctBy(_._1)
+      val schemas = (1 to 15).flatMap(i =>
+        schemaGen.apply(Gen.Parameters.default, Seed(9100L + i)))
+      assert(schemas.size >= 13)
+      val failures = schemas.flatMap { fields =>
+        val ddl = fields.map { case (n, t) => s"$n $t" }.mkString(", ")
+        val sr = ops.Schema.conform(
+            Tables.table(spark, sf0001, "lineitem")
+              .filter(org.apache.spark.sql.functions.col("l_orderkey") < 300),
+            ddl)
+          .orderBy("l_orderkey", "l_linenumber")
+          .collect()
+          .map(r => (0 until r.length).map(i =>
+            if (r.isNullAt(i)) "NULL" else String.valueOf(r.get(i))).mkString("|"))
+          .toSeq
+        val sel = fields.map { case (n, t) =>
+          if (n.startsWith("ghost_")) s"CAST(NULL AS ${duckType(t)}) $n"
+          else s"CAST($n AS ${duckType(t)}) $n"
+        }.mkString(", ")
+        val rs = st.executeQuery(
+          s"""SELECT $sel FROM lineitem WHERE l_orderkey < 300
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          fields.indices.map { i =>
+            val v = r.getObject(i + 1)
+            if (v == null) "NULL" else String.valueOf(v)
+          }.mkString("|")
+        }.toSeq
+        if (sr != dr)
+          Some(s"ddl=[$ddl] spark=${sr.size} duck=${dr.size}; first diff: " +
+            sr.zip(dr).find { case (a, b) => a != b })
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
 }
