@@ -119,4 +119,29 @@ object Sampling {
       .limit(k)
       .drop("__p")
   }
+
+  /** Cross-split near-duplicate leakage report — the audit every
+    * train/test split needs before an eval number is trusted: a near-dup
+    * pair with one member in train and one in test leaks the answer.
+    * `pairs` is any near-dup pair set (exact Jaccard, MinHash, SemDeDup —
+    * all tiers here emit (a, b) pairs); `assign` is a [[hashSplit]]-style
+    * (id, split) table. Returns one row per unordered split pair with
+    * the pair count and a `leaked` flag on the cross-split rows.
+    *
+    * Scale shape: two equi-joins on the id (the assignment side is a
+    * projection of the corpus — AQE broadcasts it when small) and one
+    * grouped count on ≤ splits² keys. The expensive part — the pair
+    * set — is an input, so the audit composes with whichever dedup tier
+    * already ran instead of re-mining pairs. */
+  def splitLeakage(pairs: DataFrame, assign: DataFrame, idCol: String,
+                   aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val sa = assign.select(col(idCol).as(aCol), col("split").as("__sa"))
+    val sb = assign.select(col(idCol).as(bCol), col("split").as("__sb"))
+    pairs.join(sa, Seq(aCol)).join(sb, Seq(bCol))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
 }

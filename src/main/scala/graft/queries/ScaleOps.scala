@@ -1786,6 +1786,62 @@ object ScaleOps {
         |GROUP BY ALL
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
 
+    // Cross-split leakage audit: the q83 exact-Jaccard near-dup pair
+    // set joined against the q82 MD5 train/val/test assignment — pairs
+    // straddling a split boundary leak eval answers into training. The
+    // oracle re-derives the pair mining, the split rule, AND the
+    // unordered-pair grouping, so the whole audit is hash-checked.
+    dfQ("q127_split_leakage",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) s
+        |  FROM (SELECT doc_id, STRING_SPLIT(text,' ') ws
+        |        FROM documents WHERE doc_id < 500)
+        |  CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |edges AS (
+        |  SELECT da, db
+        |  FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |  WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6),
+        |spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b < 8000 THEN 'train'
+        |         WHEN b < 9000 THEN 'val' ELSE 'test' END split
+        |  FROM (SELECT doc_id,
+        |          CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 b
+        |        FROM documents) h),
+        |j AS (
+        |  SELECT LEAST(x.split, y.split) split_a,
+        |         GREATEST(x.split, y.split) split_b
+        |  FROM edges JOIN spl x ON x.doc_id = da JOIN spl y ON y.doc_id = db)
+        |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) n_pairs,
+        |       split_a <> split_b leaked
+        |FROM j GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin) { (s, d) =>
+      Tables.register(s, d)
+      graft.functions.Registry.registerAll(s)
+      val pairs = s.sql(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, shingle AS s
+          |  FROM (SELECT doc_id, shingles(text, 3) FROM documents WHERE doc_id < 500)),
+          |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT da, db
+          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6""".stripMargin)
+      val assign = graft.ops.Sampling.hashSplit(
+        Tables.table(s, d, "documents").select("doc_id"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      graft.ops.Sampling.splitLeakage(pairs, assign, "doc_id", "da", "db")
+        .orderBy("split_a", "split_b")
+    },
+
     // LATERAL correlated subquery: per outer row, a dependent top-k
     // scan — the decorrelation path Catalyst must get right (rewritten
     // internally to a window, but the USER writes the lateral form).

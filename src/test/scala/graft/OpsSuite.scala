@@ -1418,6 +1418,23 @@ class OpsSuite extends SparkTestBase {
     assert(out.count(_.getLong(0) == 1L) == 2, "6 chars, size 4, stride 3")
   }
 
+  test("splitLeakage: cross-split pairs flagged, within-split pairs not") {
+    import spark.implicits._
+    val assign = Seq((1L, "train"), (2L, "train"), (3L, "test"),
+      (4L, "val")).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val rep = Sampling.splitLeakage(pairs, assign, "doc_id")
+      .orderBy("split_a", "split_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rep.toSeq == Seq(
+      ("test", "train", 2L, true),  // (1,3) and (2,3), unordered pair
+      ("test", "val", 1L, true),    // (3,4)
+      ("train", "train", 1L, false))) // (1,2) stays unflagged
+  }
+
   test("madOutliers: exact vs approx mode agree on medians and outliers") {
     val ev = Tables.table(spark, sf0001, "events")
     val exact = Quality.madOutliers(ev, Seq("value", "user_id")).collect()
