@@ -225,6 +225,31 @@ object Streams {
     q
   }
 
+  /** ST13 × L3+: streaming append into a STANDING IVF similarity index —
+    * each micro-batch of embeddings is assigned to the frozen coarse
+    * cells ([[graft.ops.Similarity.ivfAssign]]: the centroids inline as
+    * literals, so the per-batch pass is a pure map-only projection with
+    * zero joins) and lands under a per-batch-id directory. The same
+    * frozen-quantizer append discipline as the batch path — no refit,
+    * ever — which is what keeps cell ids stable across years of
+    * batches; queries read the union of batch dirs with
+    * [[graft.ops.Similarity.ivfTopKFromTables]]. Per-batch-id overwrite
+    * makes checkpoint replay idempotent (a replayed batch rewrites the
+    * identical rows). The stream state store holds nothing. */
+  def runIvfAppend(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, outDir: String): StreamingQuery = {
+    val q = emb.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Similarity.ivfAssign(batch, idCol, vecCol, centroids)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST4 × L2: streaming incremental NEAR-dedup — [[runIncrementalDedup]]
     * with the LSH tier in place of content digests. Each micro-batch is
     * shingled and MinHash-signed ONCE, joined (banded bucket equi-join +

@@ -467,6 +467,44 @@ class StreamingSuite extends SparkTestBase {
       batchEvents.filter(col("user_id") < 10).count())
   }
 
+  test("ST13: streaming IVF append equals batch assignment; replay idempotent") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val (_, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8)
+    // stream the same vectors in two micro-batches through the frozen cells
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq.map { case (id, v) =>
+        (id, v.toSeq)
+      }
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val out = Files.createTempDirectory("graft-ivf-append").toString
+    input.addData(rows.take(rows.size / 2))
+    input.addData(rows.drop(rows.size / 2))
+    Streams.runIvfAppend(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, out)
+    val streamed = spark.read.parquet(s"$out/batch_*")
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    val direct = Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(streamed == direct,
+      "streaming frozen-cell assignment must equal the batch operator")
+    // replay: rewriting a batch id from the same input reproduces
+    // identical rows (AvailableNow may have coalesced the adds, so the
+    // batch's own id set defines its input)
+    val b0 = spark.read.parquet(s"$out/batch_0")
+      .collect().map(_.toString).sorted.toSeq
+    val ids0 = spark.read.parquet(s"$out/batch_0")
+      .select("id").as[Long].collect().toSet
+    Similarity.ivfAssign(
+        rows.filter(r => ids0.contains(r._1)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(s"$out/batch_0")
+    val b0b = spark.read.parquet(s"$out/batch_0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(b0 == b0b, "replayed batch must rewrite identical rows")
+  }
+
   test("quality gates run unchanged on streams: gopherRules per micro-batch equals batch") {
     // the corpus gates are stateless projections, so the streaming form
     // IS the batch operator applied to the streaming DataFrame — no
