@@ -66,6 +66,41 @@ object PipelineRunner {
     }
   }
 
+  /** Column-level lineage per load (see [[Lineage]]): resolve the feed
+    * like [[dryRun]] — zero jobs — and return, for every load, the
+    * map from each output column to the `view.column` leaves that feed
+    * it. The impact-analysis entry point a feed repository runs in CI
+    * next to the dry run. */
+  def lineage(spark: SparkSession,
+              spec: PipelineSpec): Seq[(String, Map[String, Set[String]])] = {
+    graft.functions.Registry.registerAll(spark)
+    spec.extracts.foreach { e =>
+      Sources.read(spark, e.format, e.path, e.schema, e.options)
+        .createOrReplaceTempView(e.view)
+    }
+    spec.transforms.foreach { tr =>
+      val df: DataFrame = (tr.sql, tr.className) match {
+        case (Some(sql), _) => spark.sql(sql)
+        case (_, Some(cls)) =>
+          val stage = Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[TransformStage]
+          stage(spark, tr.inputs.map(v => v -> spark.table(v)).toMap)
+        case _ => throw new IllegalStateException(s"transform ${tr.view}")
+      }
+      df.queryExecution.assertAnalyzed()
+      df.createOrReplaceTempView(tr.view)
+    }
+    val defaultSource = spec.transforms.lastOption.map(_.view)
+      .orElse(spec.extracts.headOption.map(_.view))
+    spec.loads.map { l =>
+      val src = l.source.orElse(defaultSource).getOrElse(
+        throw new IllegalArgumentException("load: no source view"))
+      val target = l.table.getOrElse(l.path)
+      s"$src -> ${l.format}:$target" ->
+        Lineage.columnLineage(spark.table(src))
+    }
+  }
+
   def run(spark: SparkSession, spec: PipelineSpec): PipelineReport = {
     graft.functions.Registry.registerAll(spark)
 
@@ -138,12 +173,22 @@ object PipelineRunner {
       master = sys.env.getOrElse("SPARK_MASTER", "local[*]"),
       appName = "graft-pipeline")
     try {
-      if (args.contains("--dry-run")) {
+      if (args.contains("--dry-run") || args.contains("--lineage")) {
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(specPath)),
           java.nio.charset.StandardCharsets.UTF_8)
         val spec = if (specPath.endsWith(".xml")) PipelineSpec.fromXml(text)
                    else PipelineSpec.fromJson(text)
+        if (args.contains("--lineage")) {
+          lineage(spark, spec).foreach { case (target, cols) =>
+            println(s"== $target ==")
+            cols.toSeq.sortBy(_._1).foreach { case (c, srcs) =>
+              println(s"  $c <- ${srcs.toSeq.sorted.mkString(", ")}")
+            }
+          }
+          println(s"pipeline ${spec.name}: lineage OK (no loads executed)")
+          return
+        }
         dryRun(spark, spec).foreach { case (target, plan) =>
           println(s"== $target ==")
           println(plan)

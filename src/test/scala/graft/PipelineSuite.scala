@@ -160,6 +160,39 @@ class PipelineSuite extends SparkTestBase {
     assert(seg.count() == 5) // five market segments, partitioned layout
   }
 
+  test("column lineage resolves outputs to their leaf view.columns, zero jobs") {
+    // the pricing feed: aggregates over lineitem with a filter — every
+    // output column must trace to exactly its contributing leaves, and
+    // the filter column (l_shipdate) must NOT appear (value lineage)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/examples/pricing_summary_feed.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val spec = PipelineSpec.fromJson(text)
+    val lin = PipelineRunner.lineage(spark, spec)
+    assert(lin.size == 2) // parquet + csv load, same source view
+    val cols = lin.head._2
+    assert(cols("sum_qty") == Set("lineitem.l_quantity"))
+    assert(cols("sum_base") == Set("lineitem.l_extendedprice"))
+    assert(cols("avg_disc") == Set("lineitem.l_discount"))
+    assert(cols("l_returnflag") == Set("lineitem.l_returnflag"))
+    assert(cols("n") == Set.empty, "COUNT(*) reads no column")
+    // multi-source: a join feed attributes each output to its own side,
+    // expressions to the union of their references; CTEs resolve
+    graft.Tables.register(spark, sf0001)
+    val joined = spark.sql(
+      """WITH big AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |             FROM orders WHERE o_totalprice > 1000)
+        |SELECT c.c_name, big.o_orderkey,
+        |       big.o_totalprice * 2 AS doubled,
+        |       CONCAT(c.c_name, '-', big.o_orderkey) AS tag
+        |FROM big JOIN customer c ON big.o_custkey = c.c_custkey""".stripMargin)
+    val m = Lineage.columnLineage(joined)
+    assert(m("c_name") == Set("customer.c_name"))
+    assert(m("o_orderkey") == Set("orders.o_orderkey"))
+    assert(m("doubled") == Set("orders.o_totalprice"))
+    assert(m("tag") == Set("customer.c_name", "orders.o_orderkey"))
+  }
+
   test("load-side coalesce caps output file count") {
     val out = tmp()
     val spec = s"""{
