@@ -137,8 +137,27 @@ object PipelineRunner {
         case (_, Some(n)) => df0.coalesce(n)
         case _            => df0
       }
-      Sinks.write(df, l.format, l.path, l.mode,
-        l.partitionBy, l.options, l.table)
+      if (l.mode == "upsert") {
+        // declarative MERGE-INTO landing: latest-wins per key against
+        // the standing parquet target, installed with the crash-safe
+        // directory swap (the merged plan READS the target dir, so a
+        // plain overwrite would truncate its own input)
+        val key = l.key.getOrElse(
+          throw new IllegalArgumentException("upsert load: 'key' required"))
+        val ver = l.versionCol.getOrElse(
+          throw new IllegalArgumentException("upsert load: 'versionCol' required"))
+        Sinks.recoverSwap(df, l.path)
+        val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(l.path)))
+            graft.ops.Merge.upsert(spark.read.parquet(l.path), df, key, ver)
+          else df
+        Sinks.writeParquetSwapped(merged, l.path)
+      } else {
+        Sinks.write(df, l.format, l.path, l.mode,
+          l.partitionBy, l.options, l.table)
+      }
       LoadReport(l.format, l.table.getOrElse(l.path), src)
     }
 

@@ -31,12 +31,14 @@ final case class LoadSpec(
     format: String,
     path: String = "",
     source: Option[String] = None,        // defaults to the last transform's view
-    mode: String = "overwrite",
+    mode: String = "overwrite",           // overwrite | append | ... | upsert
     partitionBy: Seq[String] = Nil,
     coalesce: Option[Int] = None,         // cap output file count (no shuffle)
     repartition: Option[Int] = None,      // exact output parallelism (shuffle)
     options: Map[String, String] = Map.empty,
-    table: Option[String] = None)         // for format=table (saveAsTable)
+    table: Option[String] = None,         // for format=table (saveAsTable)
+    key: Option[String] = None,           // mode=upsert: the merge key
+    versionCol: Option[String] = None)    // mode=upsert: latest-wins order
 
 final case class PipelineSpec(
     name: String,
@@ -103,7 +105,8 @@ object PipelineSpec {
           partitionBy = csv(attr(l, "partitionBy")),
           coalesce = attr(l, "coalesce").map(_.toInt),
           repartition = attr(l, "repartition").map(_.toInt),
-          options = opts(l), table = attr(l, "table"))
+          options = opts(l), table = attr(l, "table"),
+          key = attr(l, "key"), versionCol = attr(l, "versionCol"))
       })
     validate(spec)
     spec
@@ -126,6 +129,12 @@ object PipelineSpec {
       require(l.format.nonEmpty, "load: format is required")
       l.source.foreach(s => require(known.contains(s),
         s"load: unknown source view '$s' (known: ${known.mkString(", ")})"))
+      if (l.mode == "upsert") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=upsert supports parquet targets only")
+        require(l.key.isDefined && l.versionCol.isDefined,
+          "load: mode=upsert requires 'key' and 'versionCol'")
+      }
     }
   }
 }

@@ -48,4 +48,44 @@ object Sinks {
         s"unknown sink format '$other'")
     }
   }
+
+  /** Repair a swap interrupted by a crash: data only under the hidden
+    * `__swap_old` sibling means the second rename never ran — restore
+    * it; old + live both present means cleanup never ran — drop the
+    * superseded copy. Call before reading a swap-written directory. */
+  def recoverSwap(df: DataFrame, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}__swap_old")
+    if (fs.exists(old)) {
+      if (!fs.exists(p))
+        require(fs.rename(old, p),
+          s"recoverSwap: could not restore $old from interrupted swap")
+      else fs.delete(old, true)
+    }
+  }
+
+  /** Overwrite `dir` with `df` even when `df`'s plan READS `dir` (the
+    * upsert-load shape: merged = existing ∪ updates): materialize into a
+    * hidden sibling first, then install with two renames — a plain
+    * overwrite would truncate its own input. Same crash discipline as
+    * [[graft.ops.Compact.compactDir]]; an interrupted swap is repaired
+    * by the next [[recoverSwap]]. */
+  def writeParquetSwapped(df: DataFrame, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}__swap_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}__swap_old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"writeParquetSwapped: could not move $p")
+    require(fs.rename(tmp, p), s"writeParquetSwapped: could not install $tmp")
+    fs.delete(old, true)
+  }
 }

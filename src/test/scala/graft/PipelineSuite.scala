@@ -82,6 +82,47 @@ class PipelineSuite extends SparkTestBase {
     assert(segs.nonEmpty && segs.forall(s => s == s.toUpperCase))
   }
 
+  test("T-P4: declarative upsert load merges latest-wins into a standing target") {
+    val out = tmp() + "/target"
+    def spec(rows: Seq[String]) = PipelineSpec("tp4",
+      extracts = Seq(ExtractSpec("updates", "values",
+        path = rows.mkString("\n"),
+        schema = Some("k BIGINT, v STRING, ver BIGINT"))),
+      loads = Seq(LoadSpec("parquet", out, mode = "upsert",
+        key = Some("k"), versionCol = Some("ver"))))
+    // first batch creates the target
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":1,"v":"a","ver":1}""", """{"k":2,"v":"b","ver":1}""")))
+    // second batch: update k=2, insert k=3 with two versions (latest wins)
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":2,"v":"b2","ver":2}""", """{"k":3,"v":"c1","ver":1}""",
+      """{"k":3,"v":"c2","ver":2}""")))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("ver"))).toSet
+    assert(got == Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c2", 2L)))
+    // re-applying the same batch is a no-op (idempotent landing)
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":2,"v":"b2","ver":2}""", """{"k":3,"v":"c1","ver":1}""",
+      """{"k":3,"v":"c2","ver":2}""")))
+    val again = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("ver"))).toSet
+    assert(again == got)
+    // spec validation: upsert requires parquet + key + versionCol
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("csv", out, mode = "upsert",
+          key = Some("k"), versionCol = Some("ver")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "upsert"))))
+    }
+  }
+
   test("dry run analyzes and plans every load without writing anything") {
     val specText = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/examples/pricing_summary_feed.json")))
