@@ -12,7 +12,8 @@ import graft.sources.{Sinks, Sources}
   * view through the sink dispatch. All of it is one lazy Catalyst tree per
   * load — the runner performs no driver-side data movement.
   */
-final case class LoadReport(format: String, target: String, source: String)
+final case class LoadReport(format: String, target: String, source: String,
+                            rows: Long = -1L)
 final case class PipelineReport(
     name: String, extracts: Int, transforms: Int, loads: Seq[LoadReport])
 
@@ -132,11 +133,19 @@ object PipelineRunner {
       val df0 = spark.table(src)
       // Output-file-count control: coalesce narrows without a shuffle;
       // repartition forces an exchange for exact write parallelism.
-      val df = (l.repartition, l.coalesce) match {
+      val df1 = (l.repartition, l.coalesce) match {
         case (Some(n), _) => df0.repartition(n)
         case (_, Some(n)) => df0.coalesce(n)
         case _            => df0
       }
+      // written-row count rides the SAME job via observe() — the
+      // reference persisted per-load status rows; a count() would
+      // re-execute the whole plan
+      val obs = new org.apache.spark.sql.Observation()
+      val df = df1.observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+      def observedRows: Long =
+        scala.util.Try(obs.get("rows").asInstanceOf[Long]).getOrElse(-1L)
       if (l.mode == "upsert") {
         // declarative MERGE-INTO landing: latest-wins per key against
         // the standing parquet target, installed with the crash-safe
@@ -146,19 +155,29 @@ object PipelineRunner {
           throw new IllegalArgumentException("upsert load: 'key' required"))
         val ver = l.versionCol.getOrElse(
           throw new IllegalArgumentException("upsert load: 'versionCol' required"))
-        Sinks.recoverSwap(df, l.path)
+        // the un-observed df1: Merge.upsert consumes the updates twice
+        // (latest-wins ranking + the union), which would double-count a
+        // CollectMetrics node — observe the MERGED plan instead, so the
+        // reported figure is the standing row count after the merge
+        Sinks.recoverSwap(df1, l.path)
         val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val merged =
+        val mergedObs = new org.apache.spark.sql.Observation()
+        val merged0 =
           if (fs.exists(new org.apache.hadoop.fs.Path(l.path)))
-            graft.ops.Merge.upsert(spark.read.parquet(l.path), df, key, ver)
-          else df
+            graft.ops.Merge.upsert(spark.read.parquet(l.path), df1, key, ver)
+          else df1
+        val merged = merged0.observe(mergedObs, org.apache.spark.sql
+          .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
         Sinks.writeParquetSwapped(merged, l.path)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
       } else {
         Sinks.write(df, l.format, l.path, l.mode,
           l.partitionBy, l.options, l.table)
+        LoadReport(l.format, l.table.getOrElse(l.path), src, observedRows)
       }
-      LoadReport(l.format, l.table.getOrElse(l.path), src)
     }
 
     PipelineReport(spec.name, spec.extracts.size, spec.transforms.size,
@@ -171,7 +190,7 @@ object PipelineRunner {
   def reportJson(r: PipelineReport): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val loads = r.loads.map(l =>
-      s"""{"format":${q(l.format)},"target":${q(l.target)},"source":${q(l.source)}}""")
+      s"""{"format":${q(l.format)},"target":${q(l.target)},"source":${q(l.source)},"rows":${l.rows}}""")
       .mkString("[", ",", "]")
     s"""{"name":${q(r.name)},"extracts":${r.extracts},"transforms":${r.transforms},"loads":$loads}"""
   }

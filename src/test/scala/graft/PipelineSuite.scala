@@ -40,6 +40,11 @@ class PipelineSuite extends SparkTestBase {
     assert(back.count() > 0)
     assert(back.columns.sorted.toSeq ==
       Seq("l_linestatus", "l_returnflag", "n", "sum_qty"))
+    // the report's row count rode the write job itself (observe(),
+    // not a second pass) and matches what landed
+    assert(report.loads.head.rows == back.count(),
+      s"observed ${report.loads.head.rows} vs ${back.count()}")
+    assert(PipelineRunner.reportJson(report).contains("\"rows\":"))
   }
 
   test("T-P2: multi-source join, multi-sink (parquet + csv)") {
@@ -94,9 +99,11 @@ class PipelineSuite extends SparkTestBase {
     PipelineRunner.run(spark, spec(Seq(
       """{"k":1,"v":"a","ver":1}""", """{"k":2,"v":"b","ver":1}""")))
     // second batch: update k=2, insert k=3 with two versions (latest wins)
-    PipelineRunner.run(spark, spec(Seq(
+    val r2 = PipelineRunner.run(spark, spec(Seq(
       """{"k":2,"v":"b2","ver":2}""", """{"k":3,"v":"c1","ver":1}""",
       """{"k":3,"v":"c2","ver":2}""")))
+    assert(r2.loads.head.rows == 3L,
+      s"upsert reports the standing row count: ${r2.loads.head.rows}")
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
         r.getAs[Long]("ver"))).toSet
