@@ -310,4 +310,44 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Corpus-level LINE deduplication (the RefinedWeb recipe, Penedo et
+    * al. 2023, arXiv:2306.01116 §3.3: boilerplate lines — headers,
+    * nav bars, cookie banners — repeat across millions of pages and
+    * survive document-level dedup): every line keeps only its FIRST
+    * occurrence in the corpus (smallest (doc, position)); later
+    * occurrences drop, and documents reassemble from their surviving
+    * lines in original order. Documents whose every line occurred
+    * earlier disappear (they contained nothing new).
+    *
+    * Returns (id, n_lines, n_kept, text_dedup). Scale shape: the
+    * positional explode feeds a grouped min per distinct line (shuffle
+    * by line — the aggregate carries an 8+4-byte struct, not
+    * documents) and the join back by line; reassembly is one per-doc
+    * aggregation (shuffle by id). Never all-pairs, never a global
+    * sort. The first-occurrence table subtree scans the corpus a
+    * second time — at 100 TB, persist it like the MinHash signature
+    * table if the same corpus dedups repeatedly. */
+  def lineDedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val splitCol = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // n_lines rides the exploded rows so reassembly needs no extra
+    // corpus join
+    val lines = docs.select(col(idCol).as("id"),
+        size(splitCol).cast("long").as("n_lines"),
+        posexplode(splitCol))
+      .toDF("id", "n_lines", "pos", "line")
+    val firstOcc = lines.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("line"), col("f.id").as("fid"), col("f.pos").as("fpos"))
+    lines.join(firstOcc, Seq("line"))
+      .filter(col("id") === col("fid") && col("pos") === col("fpos"))
+      .groupBy("id")
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          _.getField("line")), sep).as("text_dedup"))
+      .select("id", "n_lines", "n_kept", "text_dedup")
+  }
 }

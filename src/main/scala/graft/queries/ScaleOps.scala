@@ -1842,6 +1842,48 @@ object ScaleOps {
         .orderBy("split_a", "split_b")
     },
 
+    // Corpus-level line dedup (RefinedWeb §3.3): every line keeps only
+    // its first (doc, position) occurrence — run over the q116
+    // synthetic multi-line view, where the boilerplate lines (source
+    // names, the lorem marker, the per-lang closer) repeat across
+    // docs and the doc text lines do not. The oracle re-derives the
+    // first-occurrence rule and the ordered reassembly, so the whole
+    // operator is hash-checked.
+    dfQ("q128_line_dedup",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    STRING_SPLIT(CONCAT_WS(CHR(10), CONCAT(text, ' end.'), source,
+        |      'lorem ipsum dolor sit amet.',
+        |      CONCAT('count words ', lang, ' here ok.')), CHR(10)) ls
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(LEN(ls) AS BIGINT) n_lines,
+        |         CAST(i - 1 AS BIGINT) pos, ls[i] line
+        |  FROM t CROSS JOIN UNNEST(RANGE(1, LEN(ls) + 1)) u(i)),
+        |first AS (
+        |  -- lexicographic (doc_id, pos) min encoded as doc_id*4 + pos:
+        |  -- the synthetic view always has exactly 4 lines per doc
+        |  SELECT line, MIN(doc_id * 4 + pos) k FROM lines GROUP BY line),
+        |kept AS (
+        |  SELECT l.doc_id, l.n_lines, l.pos, l.line
+        |  FROM lines l JOIN first f ON l.line = f.line
+        |  WHERE l.doc_id * 4 + l.pos = f.k)
+        |SELECT doc_id, ANY_VALUE(n_lines) n_lines,
+        |  CAST(COUNT(*) AS BIGINT) n_kept,
+        |  STRING_AGG(line, CHR(10) ORDER BY pos) text_dedup
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val multiline = Tables.table(s, d, "documents")
+        .select(col("doc_id"), concat_ws("\n",
+          concat(col("text"), lit(" end.")), col("source"),
+          lit("lorem ipsum dolor sit amet."),
+          concat(lit("count words "), col("lang"), lit(" here ok.")))
+          .as("txt"))
+      graft.ops.Dedup.lineDedupCorpus(multiline, "doc_id", "txt")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          col("text_dedup"))
+        .orderBy("doc_id")
+    },
+
     // LATERAL correlated subquery: per outer row, a dependent top-k
     // scan — the decorrelation path Catalyst must get right (rewritten
     // internally to a window, but the USER writes the lateral form).

@@ -1418,6 +1418,29 @@ class OpsSuite extends SparkTestBase {
     assert(out.count(_.getLong(0) == 1L) == 2, "6 chars, size 4, stride 3")
   }
 
+  test("lineDedupCorpus: first occurrence survives, all-dup docs vanish") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ngamma"),   // loses its boiler line to doc 1
+      (3L, "alpha\nboiler"),   // every line seen before → disappears
+      (4L, "boiler\nboiler")   // intra-doc repeat: only pos 0 would win,
+                               // but doc 1 already owns the line
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupCorpus(in, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, "alpha\nboiler\nbeta"),
+      (2L, 2L, 1L, "gamma")))
+    // order preservation with a gap: kept lines keep original order
+    val gap = Dedup.lineDedupCorpus(
+      Seq((1L, "x\ny\nz"), (2L, "a\ny\nb")).toDF("doc_id", "text"),
+      "doc_id", "text").filter(col("id") === 2L).head()
+    assert(gap.getString(3) == "a\nb")
+  }
+
   test("splitLeakage: cross-split pairs flagged, within-split pairs not") {
     import spark.implicits._
     val assign = Seq((1L, "train"), (2L, "train"), (3L, "test"),
