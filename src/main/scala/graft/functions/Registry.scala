@@ -35,6 +35,9 @@ object Registry {
     fr.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode.fromLiteral(exprs(0), exprs(1)),
       "scala_udf")
+    fr.createOrReplaceTempFunction(
+      "bpe_segment", exprs => BpeSegment.fromLiteral(exprs(0), exprs(1)),
+      "scala_udf")
     spark.udf.register("geomean", F.udaf(GeoMean))
   }
 

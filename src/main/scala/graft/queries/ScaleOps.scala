@@ -1706,6 +1706,20 @@ object ScaleOps {
         Seq("value", "user_id"))
     },
 
+    // BPE tokenizer induction: merges learned driver-side from the
+    // bounded word-frequency table (the IVF/PQ training discipline),
+    // vocabulary applied back through the codegen'd bpe_segment kernel.
+    // The merge sequence is data-derived and iterative → no SQL oracle
+    // (rows-only); known-answer merges, kernel-vs-replay equivalence,
+    // losslessness, and mass conservation live in OpsSuite.
+    sparkOnly("q129_bpe_vocab") { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val merges = graft.ops.Bpe.train(docs, "doc_id", "text",
+        numMerges = 50)
+      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy(desc("n"), col("token")).limit(50)
+    },
+
     // TPC-H Q2 shape (min-cost supplier per part; the fixtures lack
     // partsupp, so lineitem is the part↔supplier bridge): per-key agg →
     // per-part min → rejoin on the min. Costs are rounded BEFORE the

@@ -1418,6 +1418,48 @@ class OpsSuite extends SparkTestBase {
     assert(out.count(_.getLong(0) == 1L) == 2, "6 chars, size 4, stride 3")
   }
 
+  test("BPE: known-answer merges; kernel equals rank-order replay; lossless") {
+    import spark.implicits._
+    // hand-checkable merge sequence: (a,b) wins 25, then (ab,</w>) 15,
+    // then (ab, ab</w>) 10
+    val m = Bpe.trainOnCounts(Seq(("abab", 10L), ("ab", 5L)), numMerges = 3)
+    assert(m == Seq(("a", "b"), ("ab", "</w>"), ("ab", "ab</w>")))
+    // the greedy lowest-rank kernel must equal replaying the merges in
+    // rank order (the standard BPE equivalence) on real corpus words
+    val merges = Bpe.train(docs, "doc_id", "text", numMerges = 40)
+    assert(merges.size == 40)
+    def replay(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toArray :+ "</w>"
+      merges.foreach(mm => syms = Bpe.applyMerge(syms, mm))
+      syms.toSeq
+    }
+    val words = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().as[String].collect()
+    graft.functions.Registry.registerAll(spark)
+    val viaKernel = words.toSeq.toDF("w")
+      .select(col("w"), Bpe.segmentCol(col("w"), merges).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(viaKernel(w) == replay(w), s"word '$w'")
+      // segmentation is lossless: tokens concatenate back to word</w>
+      assert(viaKernel(w).mkString == w + "</w>")
+    }
+    // merge table round-trip preserves order
+    val rt = Bpe.mergesFromTable(Bpe.mergesTable(merges, spark))
+    assert(rt == merges)
+    // token counts conserve mass: Σ n over tokens = Σ segments
+    val total = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .agg(sum("n")).head().getLong(0)
+    val expected = words.toSeq.toDF("w")
+      .select(col("w"), size(Bpe.segmentCol(col("w"), merges)).as("k"))
+      .as[(String, Int)].collect().toMap
+    val fromWords = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").as[String].collect()
+      .map(w => expected(w).toLong).sum
+    assert(total == fromWords)
+  }
+
   test("lineDedupCorpus: first occurrence survives, all-dup docs vanish") {
     import spark.implicits._
     val in = Seq(
