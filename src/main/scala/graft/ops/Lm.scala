@@ -91,7 +91,7 @@ object Lm {
       s"cut points must be ascending in (0,1): $probs")
     val s = round(col(scoreCol), 6)
     val th = scored.agg(expr(
-      s"percentile(round($scoreCol, 6), array(${probs.mkString(", ")}))")
+      s"percentile(round(`$scoreCol`, 6), array(${probs.mkString(", ")}))")
       .as("__th"))
     val bucket = probs.indices.reverse.foldLeft(lit(labels.last): Column) {
       case (acc, i) =>

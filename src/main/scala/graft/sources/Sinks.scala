@@ -83,6 +83,9 @@ object Sinks {
       s".${p.getName}__swap_old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    // a stale __swap_old (caller skipped recoverSwap) would fail the
+    // move-aside rename; the live directory is `p`, so it is superseded
+    if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(p))
       require(fs.rename(p, old), s"writeParquetSwapped: could not move $p")
     require(fs.rename(tmp, p), s"writeParquetSwapped: could not install $tmp")
