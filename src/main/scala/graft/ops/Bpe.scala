@@ -110,16 +110,19 @@ object Bpe {
     call_function("bpe_segment", wordCol,
       typedLit(merges.map(m => Seq(m._1, m._2))))
 
-  /** Tokenize the corpus with a learned vocabulary: explode words,
-    * segment each through the codegen'd kernel — map-only except the
-    * final per-token count. Returns (token, n) frequencies (the
-    * vocabulary report; join the exploded form for per-doc tokens). */
+  /** Corpus token frequencies under a learned vocabulary. Words repeat
+    * massively, so the kernel segments each DISTINCT word once on the
+    * vocabulary-sized frequency table and the per-token counts are
+    * frequency-weighted sums — the per-occurrence formulation would run
+    * the segmentation loop corpus-many times for identical results.
+    * (Per-doc tokenization, when needed, is the map-only
+    * [[segmentCol]] projection over the exploded corpus.) */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     graft.functions.Registry.registerAll(docs.sparkSession)
-    docs.select(explode(split(lower(col(textCol)), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .select(explode(segmentCol(col("word"), merges)).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
+    wordFreqs(docs, idCol, textCol)
+      .select(explode(segmentCol(col("word"), merges)).as("token"),
+        col("freq"))
+      .groupBy("token").agg(sum("freq").as("n"))
   }
 }

@@ -573,16 +573,21 @@ object Similarity {
         (1.0 + c2 - 2.0 * math.sqrt(c2) * cos, cell)
       }.sortBy(identity).take(nprobe).map(_._2).toSeq
     }
-    val probeDf = qv.flatMap { case (qid, raw) =>
-      val lut = lutOf(raw)
-      probesOf(raw).map(cell => (qid, cell, lut))
-    }.toSeq.toDF("q", "cell", "lut")
+    // probe pairs and LUTs broadcast SEPARATELY: a combined table would
+    // carry each query's m×kCent LUT nprobe times (at 10k queries ×
+    // nprobe 32 that inflates the broadcast ~32×)
+    val probePairs = qv.flatMap { case (qid, raw) =>
+      probesOf(raw).map(cell => (qid, cell))
+    }.toSeq.toDF("q", "cell")
+    val lutDf = qv.map { case (qid, raw) => (qid, lutOf(raw)) }.toSeq
+      .toDF("q", "lut")
     val qarrDf = qv.map { case (qid, raw) => (qid, raw.toSeq) }.toSeq
       .toDF("q", "qarr")
     val wAdc = Window.partitionBy("q").orderBy(col("adist"), col("v"))
     val survivors = encoded.select(col("id"), col("cell"), col("code"))
-      .join(broadcast(probeDf), Seq("cell"))
+      .join(broadcast(probePairs), Seq("cell"))
       .filter(col("id") =!= col("q"))
+      .join(broadcast(lutDf), Seq("q"))
       .select(col("q"), col("id").as("v"),
         call_function("pq_adc", col("code"), col("lut")).as("adist"))
       .withColumn("arn", row_number().over(wAdc))
