@@ -23,11 +23,13 @@ object PipelineRunner {
     run(spark, PipelineSpec.fromJson(json))
 
   /** Dispatches on extension: `.xml` feeds parse via
-    * [[PipelineSpec.fromXml]], everything else as JSON. */
-  def runFile(spark: SparkSession, path: String): PipelineReport = {
-    val text = new String(
+    * [[PipelineSpec.fromXml]], everything else as JSON. `params` bind
+    * the spec's `${name}` placeholders (run date, environment roots). */
+  def runFile(spark: SparkSession, path: String,
+              params: Map[String, String] = Map.empty): PipelineReport = {
+    val text = PipelineSpec.substitute(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.charset.StandardCharsets.UTF_8), params)
     if (path.endsWith(".xml")) run(spark, PipelineSpec.fromXml(text))
     else runJson(spark, text)
   }
@@ -204,6 +206,13 @@ object PipelineRunner {
     val reportPath = args.sliding(2).collectFirst {
       case Array("--report", p) => p
     }
+    // repeated --param name=value pairs bind ${name} in the spec text
+    val params = args.sliding(2).collect {
+      case Array("--param", kv) =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"--param expects name=value, got '$kv'")
+        kv.take(i) -> kv.drop(i + 1)
+    }.toMap
     // EtlSession for parity with StreamingRunner: GraftExtensions, the
     // nanosAsLong flag (ns-timestamp parquet like events.parquet would
     // otherwise fail PARQUET_TYPE_ILLEGAL), AQE, UTC (ADVICE r1).
@@ -212,9 +221,10 @@ object PipelineRunner {
       appName = "graft-pipeline")
     try {
       if (args.contains("--dry-run") || args.contains("--lineage")) {
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(specPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val text = PipelineSpec.substitute(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(specPath)),
+            java.nio.charset.StandardCharsets.UTF_8), params)
         val spec = if (specPath.endsWith(".xml")) PipelineSpec.fromXml(text)
                    else PipelineSpec.fromJson(text)
         if (args.contains("--lineage")) {
@@ -234,7 +244,7 @@ object PipelineRunner {
         println(s"pipeline ${spec.name}: dry run OK (no loads executed)")
         return
       }
-      val report = runFile(spark, specPath)
+      val report = runFile(spark, specPath, params)
       reportPath.foreach(p => java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), reportJson(report)))
       println(s"pipeline ${report.name}: ${report.extracts} extracts, " +

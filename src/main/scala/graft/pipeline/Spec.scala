@@ -49,6 +49,32 @@ final case class PipelineSpec(
 object PipelineSpec {
   implicit private val formats: Formats = DefaultFormats
 
+  /** Substitute `${name}` placeholders in raw spec text — the run-date /
+    * environment parameterization every feed repository needs (one spec
+    * file, many scheduled instantiations). Unknown placeholders fail
+    * fast with the full list, so a typo'd parameter never reaches the
+    * catalog as a literal `${date}` path. Substitution is textual and
+    * happens BEFORE parsing, so parameters can appear anywhere: paths,
+    * SQL, options, names. */
+  def substitute(text: String, params: Map[String, String]): String = {
+    val pattern = java.util.regex.Pattern.compile("\\$\\{([A-Za-z0-9_]+)\\}")
+    val m = pattern.matcher(text)
+    val missing = scala.collection.mutable.LinkedHashSet.empty[String]
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      params.get(m.group(1)) match {
+        case Some(v) => m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(v))
+        case None => missing += m.group(1)
+      }
+    }
+    m.appendTail(sb)
+    require(missing.isEmpty,
+      s"spec: unbound parameters: ${missing.mkString(", ")} " +
+        s"(provided: ${params.keys.toSeq.sorted.mkString(", ")})")
+    sb.toString
+  }
+
   /** Parse a spec from JSON text; fails fast with a clear message on
     * missing/malformed sections (the reference validated feed files before
     * running them — same contract). */
@@ -57,6 +83,12 @@ object PipelineSpec {
     validate(parsed)
     parsed
   }
+
+  def fromJson(json: String, params: Map[String, String]): PipelineSpec =
+    fromJson(substitute(json, params))
+
+  def fromXml(xml: String, params: Map[String, String]): PipelineSpec =
+    fromXml(substitute(xml, params))
 
   /** Parse a spec from XML text — the reference framework's other feed
     * format. Same fields as the JSON form:

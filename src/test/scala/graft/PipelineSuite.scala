@@ -130,6 +130,34 @@ class PipelineSuite extends SparkTestBase {
     }
   }
 
+  test("spec parameterization: ${name} binds anywhere; unbound names fail fast") {
+    val out = tmp()
+    val dir = java.nio.file.Files.createTempDirectory("graft-param")
+    val specFile = dir.resolve("feed.json")
+    java.nio.file.Files.writeString(specFile, s"""{
+      "name": "param-feed-$${env}",
+      "extracts": [
+        {"view": "lineitem", "format": "parquet",
+         "path": "$${root}/lineitem.parquet"}],
+      "transforms": [
+        {"view": "t", "sql": "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey < $${maxkey}"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/run_$${env}"}]
+    }""")
+    val report = PipelineRunner.runFile(spark, specFile.toString,
+      Map("env" -> "dev", "root" -> sf0001, "maxkey" -> "50"))
+    assert(report.name == "param-feed-dev")
+    val back = spark.read.parquet(s"$out/run_dev")
+    assert(back.count() > 0)
+    assert(back.agg(max(col("l_orderkey"))).head().getLong(0) < 50)
+    // a typo'd parameter must fail fast, not land a literal ${date} path
+    val e = intercept[IllegalArgumentException] {
+      PipelineRunner.runFile(spark, specFile.toString, Map("env" -> "dev"))
+    }
+    assert(e.getMessage.contains("unbound parameters"))
+    assert(e.getMessage.contains("root"))
+  }
+
   test("dry run analyzes and plans every load without writing anything") {
     val specText = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/repo/examples/pricing_summary_feed.json")))
