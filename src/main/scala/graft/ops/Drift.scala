@@ -95,4 +95,40 @@ object Drift {
       .orderBy(order(col("column")))
       .select(col("column"), col("psi"), col("n_ref"), col("n_cur"))
   }
+
+  /** PSI over a CATEGORICAL column — the variant for language mixes,
+    * source shares, IVF-cell occupancy (feed it `ivfAssign`'s cell
+    * column and it monitors embedding-space drift of a standing
+    * similarity index): categories are their own buckets, no
+    * range anchoring needed. Same ε-floored share formula and field
+    * thresholds as [[psi]]; categories absent from one side floor to ε
+    * like any empty bucket (so NEW categories in the current batch
+    * raise PSI — exactly the alert wanted). NULL categories count as
+    * their own bucket (a drifting null rate is drift). One grouped
+    * count per side on the category keyspace; the tag-and-union keeps
+    * it to one scan of each input. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, c: String,
+                     epsilon: Double = 1e-6): DataFrame = {
+    require(epsilon > 0, s"psiCategorical: epsilon must be positive")
+    val counts = ref.select(col(c).cast("string").as("category"))
+      .withColumn("__side", lit("r"))
+      .unionByName(cur.select(col(c).cast("string").as("category"))
+        .withColumn("__side", lit("c")))
+      .groupBy("category")
+      .agg(sum(when(col("__side") === "r", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("__side") === "c", 1L).otherwise(0L)).as("nc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val pc = greatest(col("nc") / greatest(sum("nc").over(w), lit(1L)),
+      lit(epsilon))
+    val pr = greatest(col("nr") / greatest(sum("nr").over(w), lit(1L)),
+      lit(epsilon))
+    counts
+      .select(col("category"), col("nr"), col("nc"),
+        ((pc - pr) * log(pc / pr)).as("term"))
+      .agg(sum("term").as("psi"), sum("nr").as("n_ref"),
+        sum("nc").as("n_cur"), count(lit(1)).as("n_categories"))
+      .select(lit(c).as("column"), col("psi"), col("n_ref"),
+        col("n_cur"), col("n_categories"))
+  }
 }

@@ -1706,6 +1706,37 @@ object ScaleOps {
         Seq("value", "user_id"))
     },
 
+    // Categorical PSI: language-mix drift between the two halves of the
+    // document corpus — categories are their own buckets (the variant
+    // that also monitors IVF-cell occupancy of a standing similarity
+    // index). The oracle recomputes counts, ε-floored shares, and the
+    // PSI sum.
+    dfQ("q130_psi_categorical",
+      """WITH t AS (
+        |  SELECT CAST(lang AS VARCHAR) category,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'r' ELSE 'c' END side
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT category,
+        |    SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) nr,
+        |    SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) nc
+        |  FROM t GROUP BY category),
+        |p AS (
+        |  SELECT nr, nc,
+        |    GREATEST(CAST(nc AS DOUBLE) / GREATEST(SUM(nc) OVER (), 1), 1e-6) pc,
+        |    GREATEST(CAST(nr AS DOUBLE) / GREATEST(SUM(nr) OVER (), 1), 1e-6) pr
+        |  FROM cnt)
+        |SELECT 'lang' AS "column", ROUND(SUM((pc - pr) * LN(pc / pr)), 6) psi,
+        |  CAST(SUM(nr) AS BIGINT) n_ref, CAST(SUM(nc) AS BIGINT) n_cur,
+        |  CAST(COUNT(*) AS BIGINT) n_categories
+        |FROM p""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      graft.ops.Drift.psiCategorical(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "lang")
+        .withColumn("psi", round(col("psi"), 6))
+    },
+
     // BPE tokenizer induction: merges learned driver-side from the
     // bounded word-frequency table (the IVF/PQ training discipline),
     // vocabulary applied back through the codegen'd bpe_segment kernel.

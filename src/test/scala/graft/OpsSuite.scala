@@ -1311,6 +1311,26 @@ class OpsSuite extends SparkTestBase {
     intercept[IllegalArgumentException] { Drift.psi(ref, ref, Seq("v"), 1) }
   }
 
+  test("psiCategorical: identical ~0; swapped category trips; nulls count") {
+    import spark.implicits._
+    val ref = (Seq.fill(100)("en") ++ Seq.fill(50)("de")).toDF("lang")
+    val same = Drift.psiCategorical(ref, ref, "lang").head()
+    assert(same.getString(0) == "lang")
+    assert(math.abs(same.getDouble(1)) < 1e-12)
+    assert(same.getLong(2) == 150 && same.getLong(3) == 150)
+    // a category replaced by a NEW one must trip the gate (both the
+    // vanished and the novel category floor to ε on one side)
+    val swapped = (Seq.fill(100)("en") ++ Seq.fill(50)("fr")).toDF("lang")
+    val big = Drift.psiCategorical(ref, swapped, "lang").head()
+    assert(big.getDouble(1) > 0.25, s"psi ${big.getDouble(1)}")
+    assert(big.getLong(4) == 3, "en, de, fr are three categories")
+    // a drifting null rate is drift: nulls are their own bucket
+    val withNulls = (Seq.fill(100)(Option("en")) ++
+      Seq.fill(50)(Option.empty[String])).toDF("lang")
+    val n = Drift.psiCategorical(ref, withNulls, "lang").head()
+    assert(n.getDouble(1) > 0.25)
+  }
+
   test("semDedup: exact dups always removed; removals subset of true pairs") {
     import spark.implicits._
     val planted = emb.select("vec_id", "embedding").unionByName(
