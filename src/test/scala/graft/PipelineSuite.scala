@@ -156,6 +156,18 @@ class PipelineSuite extends SparkTestBase {
     }
     assert(e.getMessage.contains("unbound parameters"))
     assert(e.getMessage.contains("root"))
+    // the shipped parameterized CDC example: two batches through the
+    // upsert load, parameters binding the batch id, rows, and target
+    val tgt = s"$out/cdc"
+    PipelineRunner.runFile(spark, "/root/repo/examples/cdc_upsert_feed.json",
+      Map("batch" -> "1", "target" -> tgt,
+        "rows" -> """{\"k\":1,\"v\":\"a\",\"ver\":1}"""))
+    PipelineRunner.runFile(spark, "/root/repo/examples/cdc_upsert_feed.json",
+      Map("batch" -> "2", "target" -> tgt,
+        "rows" -> """{\"k\":1,\"v\":\"a2\",\"ver\":2}"""))
+    val cdc = spark.read.parquet(tgt).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(cdc == Set((1L, "a2")))
   }
 
   test("dry run analyzes and plans every load without writing anything") {
