@@ -644,6 +644,52 @@ object Similarity {
       ivfAssign(emb, idCol, vecCol, centroids), threshold)
   }
 
+  /** Incremental SemDeDup — the admit-a-batch mode every standing
+    * corpus runs (the embedding-tier sibling of
+    * [[Dedup.incrementalExactDedup]] / `incrementalMinHashNearDup`):
+    * the batch is assigned to the FROZEN cells of the standing index,
+    * compared only against standing rows in the same cells plus
+    * earlier rows of its own batch, and batch rows with a ≥ threshold
+    * neighbor drop. Standing rows are NEVER dropped (they are already
+    * admitted — that asymmetry is what makes replay safe), and they
+    * dominate REGARDLESS of id order: earlier-admitted wins across
+    * batches (the incrementalExactDedup convention), lowest id wins
+    * within a batch. Returns
+    * (kept batch rows, dropped pairs); append the kept rows' frozen
+    * assignments to the standing table ([[ivfAssign]]) and the index
+    * stays consistent for the next batch.
+    *
+    * Scale shape: one map-only assignment pass over the BATCH, one
+    * equi-join on cell against the standing assignments (the standing
+    * corpus is never re-assigned or re-scanned beyond its persisted
+    * (id, cell, arr) table), one within-batch cell join — batch-sized,
+    * not corpus-sized, per admission. */
+  def incrementalSemDedup(batch: DataFrame, standing: DataFrame,
+                          idCol: String, vecCol: String,
+                          threshold: Double,
+                          centroids: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.Registry.registerAll(batch.sparkSession)
+    val b = ivfAssign(batch, idCol, vecCol, centroids)
+    val bSide = b.select(col("cell"), col("id").as("b"), col("arr").as("vb"))
+    val vsStanding = standing
+      .select(col("cell"), col("id").as("a"), col("arr").as("va"))
+      .join(bSide, Seq("cell"))
+      .select(col("cell"), col("a"), col("b"),
+        expr("cosine_similarity(va, vb)").as("sim"))
+      .filter(col("sim") >= threshold)
+    val aSide = b.select(col("cell"), col("id").as("a"), col("arr").as("va"))
+    val withinBatch = aSide.join(bSide, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        expr("cosine_similarity(va, vb)").as("sim"))
+      .filter(col("sim") >= threshold)
+    val pairs = vsStanding.unionByName(withinBatch)
+    val victims = pairs.select(col("b").as("__victim")).distinct()
+    val kept = batch.join(victims, batch(idCol) === col("__victim"),
+      "left_anti")
+    (kept, pairs)
+  }
+
   private def semDedupFromIndexed(emb: DataFrame, idCol: String,
                                   indexed: DataFrame,
                                   threshold: Double): (DataFrame, DataFrame) = {

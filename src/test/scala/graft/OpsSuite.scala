@@ -1391,6 +1391,46 @@ class OpsSuite extends SparkTestBase {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("incrementalSemDedup: standing dominates, batch keep-lowest-id, equals monolithic") {
+    import spark.implicits._
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val standingRows = emb.filter(col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    val standing = Similarity.ivfAssign(standingRows, "vec_id", "embedding",
+      cents)
+    // batch: the 300+ tail, an exact copy of standing vec 42 with a
+    // LOWER id than anything standing (earlier-admitted must still
+    // win), and an exact within-batch copy of vec 350
+    val tail = emb.filter(col("vec_id") >= 300).select("vec_id", "embedding")
+    val batch = tail
+      .unionByName(emb.filter(col("vec_id") === 42).select(
+        lit(-1L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") === 350).select(
+        lit(99999L).as("vec_id"), col("embedding")))
+    val (kept, pairs) = Similarity.incrementalSemDedup(batch, standing,
+      "vec_id", "embedding", threshold = 0.45, centroids = cents)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(!keptIds.contains(-1L),
+      "standing twin dominates even over a lower batch id")
+    assert(!keptIds.contains(99999L) && keptIds.contains(350L),
+      "within-batch exact copy: lowest id survives")
+    // standing rows never appear as victims
+    val victims = pairs.select("b").as[Long].collect().toSet
+    assert(victims.forall(v => v == -1L || v == 99999L || v >= 300))
+    // with batch ids strictly above standing ids, admit-batch equals the
+    // monolithic run restricted to the batch
+    val (keptTail, _) = Similarity.incrementalSemDedup(tail, standing,
+      "vec_id", "embedding", threshold = 0.45, centroids = cents)
+    val (monoKept, _) = Similarity.semDedupWithCentroids(
+      standingRows.unionByName(tail), "vec_id", "embedding",
+      threshold = 0.45, centroids = cents)
+    assert(keptTail.select("vec_id").as[Long].collect().toSet ==
+      monoKept.filter(col("vec_id") >= 300).select("vec_id")
+        .as[Long].collect().toSet)
+  }
+
   test("semDedupWithCentroids: frozen supplied cells, exact dup still caught") {
     import spark.implicits._
     val planted = emb.select("vec_id", "embedding").unionByName(
