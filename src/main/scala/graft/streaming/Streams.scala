@@ -250,6 +250,52 @@ object Streams {
     q
   }
 
+  /** ST14 × L16+: streaming incremental SEMANTIC dedup — the embedding
+    * tier of the admit-a-batch family ([[runIncrementalDedup]] exact,
+    * [[runIncrementalNearDedup]] MinHash): each micro-batch runs
+    * [[graft.ops.Similarity.incrementalSemDedup]] against the standing
+    * per-batch-id assignment table (frozen cells from `centroids` —
+    * seed the table with `assignDir/batch_seed` written by
+    * [[graft.ops.Similarity.ivfAssign]]), writes its kept rows, and
+    * appends THEIR assignments for the next batch. Same
+    * exclude-own-dir + per-batch-id overwrite layout as the other
+    * tiers, so checkpoint replay is idempotent; the state store holds
+    * nothing and the standing corpus is never re-scanned beyond its
+    * assignment table. */
+  def runIncrementalSemDedup(emb: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, assignDir: String,
+                             outDir: String,
+                             threshold: Double = 0.45): StreamingQuery = {
+    import graft.ops.Similarity
+    val q = emb.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val aPath = new org.apache.hadoop.fs.Path(assignDir)
+        val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(aPath)) Array.empty[String]
+          else fs.listStatus(aPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+              && s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        val standing =
+          if (priorDirs.nonEmpty) spark.read.parquet(priorDirs.toSeq: _*)
+          else Similarity.ivfAssign(batch.limit(0), idCol, vecCol, centroids)
+        val (kept, _) = Similarity.incrementalSemDedup(batch, standing,
+          idCol, vecCol, threshold, centroids)
+        val keptC = kept.cache()
+        keptC.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        Similarity.ivfAssign(keptC, idCol, vecCol, centroids)
+          .write.mode("overwrite").parquet(s"$assignDir/batch_$id")
+        keptC.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST4 × L2: streaming incremental NEAR-dedup — [[runIncrementalDedup]]
     * with the LSH tier in place of content digests. Each micro-batch is
     * shingled and MinHash-signed ONCE, joined (banded bucket equi-join +

@@ -505,6 +505,47 @@ class StreamingSuite extends SparkTestBase {
     assert(b0 == b0b, "replayed batch must rewrite identical rows")
   }
 
+  test("ST14: streaming incremental semDedup equals the batch operator; assignments append") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val base = java.nio.file.Files.createTempDirectory("graft-semdd")
+    val (assignDir, outDir) = (s"$base/assign", s"$base/out")
+    // seed the standing corpus: the first 300 vectors, pre-assigned
+    val standingRows = emb.filter(col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    Similarity.ivfAssign(standingRows, "vec_id", "embedding", cents)
+      .write.parquet(s"$assignDir/batch_seed")
+    // stream the tail plus an exact copy of standing vec 42
+    val batchRows = emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding")
+      .unionByName(emb.filter(col("vec_id") === 42)
+        .select(lit(90000L).as("vec_id"), col("embedding")))
+    val rows = batchRows.as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData(rows)
+    Streams.runIncrementalSemDedup(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, assignDir, outDir)
+    val streamedKept = spark.read.parquet(s"$outDir/batch_*")
+      .select("vec_id").as[Long].collect().toSet
+    // equality vs the batch operator over the same admission
+    val standing = Similarity.ivfAssign(standingRows, "vec_id",
+      "embedding", cents)
+    val (expectKept, _) = Similarity.incrementalSemDedup(batchRows,
+      standing, "vec_id", "embedding", 0.45, cents)
+    assert(streamedKept ==
+      expectKept.select("vec_id").as[Long].collect().toSet)
+    assert(!streamedKept.contains(90000L), "standing twin must drop")
+    // kept rows' assignments joined the standing table for the future
+    val standingNow = spark.read.parquet(s"$assignDir/batch_*")
+      .select("id").as[Long].collect().toSet
+    assert(standingNow ==
+      standingRows.select("vec_id").as[Long].collect().toSet ++ streamedKept)
+  }
+
   test("quality gates run unchanged on streams: gopherRules per micro-batch equals batch") {
     // the corpus gates are stateless projections, so the streaming form
     // IS the batch operator applied to the streaming DataFrame — no
