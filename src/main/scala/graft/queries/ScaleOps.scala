@@ -1706,6 +1706,54 @@ object ScaleOps {
         Seq("value", "user_id"))
     },
 
+    // Incremental SemDeDup (admit-a-batch): standing corpus = vectors
+    // < 300, batch = the rest; same supplied-centroid assignment rule
+    // as q108, so the oracle re-derives the standing×batch and
+    // within-batch cell-restricted pair sets exactly — the dominance
+    // asymmetry (standing never drops) is checked through the pair
+    // direction (a = standing or lower batch id, b = batch victim).
+    dfQ("q131_incremental_semdedup",
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS INTEGER) cell, embedding::DOUBLE[] cv,
+        |         LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)) c2
+        |  FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |d AS (
+        |  SELECT e.id, c.cell, e.v,
+        |    1 + c.c2 - 2 * SQRT(c.c2) * COALESCE(LIST_COSINE_SIMILARITY(e.v, c.cv), 0) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT id, cell, v,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d),
+        |asn AS (SELECT id, cell, v FROM a WHERE rn = 1),
+        |standing AS (SELECT * FROM asn WHERE id < 300),
+        |batch AS (SELECT * FROM asn WHERE id >= 300),
+        |p AS (
+        |  SELECT s.cell, s.id a, b.id b,
+        |         LIST_COSINE_SIMILARITY(s.v, b.v) sim
+        |  FROM standing s JOIN batch b ON s.cell = b.cell
+        |  UNION ALL
+        |  SELECT x.cell, x.id, y.id, LIST_COSINE_SIMILARITY(x.v, y.v)
+        |  FROM batch x JOIN batch y ON x.cell = y.cell AND x.id < y.id)
+        |SELECT cell, a, b, ROUND(sim, 6) sim FROM p
+        |WHERE sim >= 0.45 ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val standing = Similarity.ivfAssign(
+        emb.filter(col("vec_id") < 300).select("vec_id", "embedding"),
+        "vec_id", "embedding", cents)
+      val (_, pairs) = Similarity.incrementalSemDedup(
+        emb.filter(col("vec_id") >= 300).select("vec_id", "embedding"),
+        standing, "vec_id", "embedding", threshold = 0.45,
+        centroids = cents)
+      pairs.select(col("cell"), col("a"), col("b"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("a", "b")
+    },
+
     // Categorical PSI: language-mix drift between the two halves of the
     // document corpus — categories are their own buckets (the variant
     // that also monitors IVF-cell occupancy of a standing similarity
