@@ -426,6 +426,59 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("12 random z-order geometries agree between Spark and DuckDB") {
+    // 10th axis: Layout.withZ across random bit widths and column
+    // pairs — the exact-integer rank scaling and the full interleave,
+    // not just the corpus query's (partkey, suppkey, 8-bit) point.
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW lineitem AS SELECT * FROM '$sf0001/lineitem.parquet'")
+      val colsPool = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      val geomGen = for {
+        bits <- Gen.choose(2, 12)
+        cx <- Gen.oneOf(colsPool)
+        cy <- Gen.oneOf(colsPool.filterNot(_ == cx))
+      } yield (bits, cx, cy)
+      val geoms = (1 to 12).flatMap(i =>
+        geomGen.apply(Gen.Parameters.default, Seed(9900L + i)))
+      assert(geoms.size >= 10)
+      val failures = geoms.flatMap { case (bits, cx, cy) =>
+        val sr = graft.ops.Layout.withZ(
+            Tables.table(spark, sf0001, "lineitem")
+              .filter(org.apache.spark.sql.functions.col("l_orderkey") < 400),
+            cx, cy, bits)
+          .select("l_orderkey", "l_linenumber", "z")
+          .orderBy("l_orderkey", "l_linenumber")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        val k = (1L << bits) - 1
+        val terms = (0 until bits).flatMap(i => Seq(
+          s"(((xi >> $i) & 1) << ${2 * i})",
+          s"(((yi >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        val rs = st.executeQuery(
+          s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 400),
+             |b AS (SELECT MIN($cx) xlo, MAX($cx) xhi,
+             |             MIN($cy) ylo, MAX($cy) yhi FROM src),
+             |s AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    (($cx - xlo) * $k) // GREATEST(xhi - xlo, 1) xi,
+             |    (($cy - ylo) * $k) // GREATEST(yhi - ylo, 1) yi
+             |  FROM src CROSS JOIN b)
+             |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) z
+             |FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (r.getLong(1), r.getInt(2), r.getLong(3))
+        }.toSeq
+        if (sr != dr)
+          Some(s"bits=$bits cx=$cx cy=$cy: spark=${sr.size} duck=${dr.size}; " +
+            s"first diff ${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("15 random conformance DDLs agree between Spark and DuckDB") {
     // 9th axis: Schema.conform across random target schemas — column
     // selection, ordering, typed-NULL ghosts, extras dropped, casts.
