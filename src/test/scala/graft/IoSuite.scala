@@ -202,6 +202,30 @@ class IoSuite extends SparkTestBase {
     assert(again.filesBefore == 1 && again.rows == before.length)
   }
 
+  test("T-IO9: dynamic partition overwrite replaces only touched partitions") {
+    val nation = Tables.table(spark, sf0001, "nation")
+    val dir = tmp() + "/nation_by_region"
+    Sinks.write(nation, "parquet", dir, mode = "overwrite",
+      partitionBy = Seq("n_regionkey"))
+    val before = spark.read.parquet(dir)
+    val beforeOther = before.filter(col("n_regionkey") =!= 1).count()
+    assert(before.filter(col("n_regionkey") === 1).count() > 0)
+    // incremental reload of ONE region through the sink option —
+    // static overwrite would wipe the whole table
+    val reload = nation.filter(col("n_regionkey") === 1)
+      .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+    Sinks.write(reload, "parquet", dir, mode = "overwrite",
+      partitionBy = Seq("n_regionkey"),
+      options = Map("partitionOverwriteMode" -> "dynamic"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("n_regionkey") =!= 1).count() == beforeOther,
+      "untouched partitions must survive the dynamic overwrite")
+    val r1 = after.filter(col("n_regionkey") === 1)
+    assert(r1.count() > 0 &&
+      r1.filter(!col("n_name").endsWith("_v2")).count() == 0,
+      "the touched partition must hold only the reloaded rows")
+  }
+
   test("T-IO8b: compaction crash recovery + partitioned-layout rejection") {
     val docs = Tables.table(spark, sf0001, "documents")
     val base = Files.createTempDirectory("graft_compact2")
