@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -11,9 +9,14 @@ import org.apache.spark.sql.functions._
   *
   *  - exact: group on a content hash — the shuffle carries 32-byte digests,
   *    not documents; works unchanged at 100 TB.
-  *  - MinHash+LSH: shingle → hashed term vector → MinHash signatures →
-  *    banded OR-amplified buckets; candidate pairs come from an equi-join
-  *    on (band, bucket-hash), then exact Jaccard on the candidates only.
+  *  - MinHash+LSH: shingle → MinHash signatures (native, one grouped
+  *    aggregation of codegen'd `min(xxhash64(shingle, i))` columns — no
+  *    MLlib fit, no Vector UDFs) → banded OR-amplified buckets; candidate
+  *    pairs come from an equi-join on (band, minhash value), then exact
+  *    Jaccard over hashed shingle SETS on the candidates only (identical
+  *    to true shingle-set Jaccard absent 64-bit collisions, so the output
+  *    is SQL-oracle-able — unlike the 2^20 feature-space Jaccard the
+  *    MLlib path computed).
   *  - SimHash: one 64-bit signature per doc; near-dup = small Hamming
   *    distance. Banding over 16-bit quarters turns the Hamming search into
   *    4 equi-joins (pigeonhole: distance ≤ 3 ⇒ one quarter matches
@@ -39,40 +42,64 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs with Jaccard >= `threshold` over
     * word `n`-gram shingle sets.
     *
-    * MLlib's `approxSimilarityJoin` does the band-bucket equi-join and then
-    * computes the exact Jaccard distance on candidates, so the output is
-    * exact-on-candidates; only recall is approximate (grows with
-    * `numHashTables`). Returns (a, b, jaccard) with a < b.
-    */
+    * Fully native: signatures from [[minHashSignatures]], banded bucket
+    * equi-join for candidates, exact Jaccard on candidates only. Returns
+    * (a, b, jaccard) with a < b; `jaccard` is the exact shingle-set
+    * Jaccard rounded to 4 places. Recall for a pair at similarity s is
+    * 1-(1-s)^numHashTables (≥ 1 - 2.6e-6 at s=0.8, k=8); precision is
+    * exact (every emitted pair is confirmed). */
   def minHashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      numHashTables: Int = 8, numFeatures: Int = 1 << 20): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.Registry.registerAll(spark)
-    docs.createOrReplaceTempView("minhash_in")
-    // DISTINCT shingles: MinHash is defined on sets. The generator runs
-    // per-partition; distinct is one shuffle on (id, shingle).
-    val shingled = spark.sql(
-      s"""SELECT $idCol AS id, collect_set(shingle) AS sh FROM (
-         |  SELECT $idCol, shingles($textCol, $shingleN) FROM minhash_in
-         |) GROUP BY $idCol""".stripMargin)
-      .filter(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(numFeatures).setBinary(true)
-    val vecs = tf.transform(shingled).cache()
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(vecs)
-    val joined = model.approxSimilarityJoin(vecs, vecs, 1.0 - threshold,
-        "jaccard_dist")
-      .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
-        round(lit(1.0) - col("jaccard_dist"), 4).as("jaccard"))
-      .filter(col("a") < col("b"))
-    // NOTE: vecs stays cached — the returned plan is lazy and references it
-    // from both join sides; unpersisting here would drop the cache before
+      numHashTables: Int = 8): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleN,
+      numHashTables).cache()
+    // NOTE: sigs stays cached — the returned plan is lazy and references it
+    // from three subtrees; unpersisting here would drop the cache before
     // first use. Session LRU reclaims it under memory pressure.
-    joined
+    confirmJaccard(bandedCandidatePairs(sigs), sigs, sigs, threshold)
+  }
+
+  /** Banded LSH candidate pairs within one signature table: a pair is a
+    * candidate when ANY of the `numHashTables` minhash values matches
+    * (band size 1 — OR-amplification, same collision semantics as one
+    * hash table per value). One posexplode + self equi-join on
+    * (band, value); never all-pairs. */
+  private def bandedCandidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(col("sig")).as(Seq("band", "mh")))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+  }
+
+  /** Banded LSH candidates across two signature tables (no id-order
+    * restriction): (aId from `left`, bId from `right`). */
+  private def bandedCandidatePairsAcross(left: DataFrame,
+                                         right: DataFrame): DataFrame = {
+    def bands(df: DataFrame) = df.select(col("id"),
+      posexplode(col("sig")).as(Seq("band", "mh")))
+    bands(left).alias("x").join(bands(right).alias("y"),
+        col("x.band") === col("y.band") && col("x.mh") === col("y.mh"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+  }
+
+  /** Exact Jaccard confirmation of candidate (a, b) pairs: join the hashed
+    * shingle sets back (candidates only — the corpus never re-joins
+    * itself) and keep pairs at or above `threshold`. Jaccard over the
+    * 64-bit hashed sets equals true shingle-set Jaccard absent xxhash64
+    * collisions within a doc pair (probability ~ |A||B|/2^64 — nil). */
+  private def confirmJaccard(cand: DataFrame, aSigs: DataFrame,
+                             bSigs: DataFrame, threshold: Double): DataFrame = {
+    val j = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    cand
+      .join(aSigs.select(col("id").as("a"), col("shs").as("sha")), Seq("a"))
+      .join(bSigs.select(col("id").as("b"), col("shs").as("shb")), Seq("b"))
+      .withColumn("__j", j)
+      .filter(col("__j") >= threshold)
+      .select(col("a"), col("b"), round(col("__j"), 4).as("jaccard"))
   }
 
   final case class DedupReport(input: Long, kept: Long,
@@ -194,40 +221,36 @@ object Dedup {
           .partitionBy("__h").orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__h", "__rk")
 
-  /** The persistable MinHash index row for each doc: (id, features, sig).
-    * `features` is the binary HashingTF shingle vector (sparse — one entry
-    * per distinct shingle, needed so candidate pairs can be confirmed with
-    * the exact Jaccard), `sig` the MinHash signature array.
+  /** The persistable MinHash index row for each doc: (id, shs, sig).
+    * `shs` is the doc's DISTINCT shingle set as 64-bit xxhash64 values
+    * (8 bytes/shingle — needed so candidate pairs can be confirmed with
+    * the exact Jaccard; far smaller than persisting shingle strings),
+    * `sig` the MinHash signature: sig(i) = min over shingles of
+    * xxhash64(shingle, i).
     *
-    * MinHashLSH's hash coefficients are drawn from the SEED ALONE (the fit
-    * learns nothing from data), so signatures computed in different runs —
-    * or different batches, years apart — with the same (shingleN,
-    * numHashTables, numFeatures) are mutually joinable. That is what makes
-    * the signature table a valid standing index for a 100 TB corpus:
-    * persist it once, append per batch, never re-shingle old documents. */
+    * The whole row is computed in ONE grouped aggregation over the
+    * shingle stream — `collect_set(xxhash64(shingle))` plus
+    * `numHashTables` codegen'd `min(xxhash64(shingle, i))` columns, all
+    * with map-side partial aggregation. No MLlib fit: the hash family is
+    * a pure seed-indexed function of the shingle, so signatures computed
+    * in different runs — or different batches, years apart — with the
+    * same (shingleN, numHashTables) are mutually joinable. That is what
+    * makes the signature table a valid standing index for a 100 TB
+    * corpus: persist it once, append per batch, never re-shingle old
+    * documents. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashTables: Int = 8,
-                        numFeatures: Int = 1 << 20): DataFrame = {
+                        shingleN: Int = 3, numHashTables: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.Registry.registerAll(spark)
-    docs.createOrReplaceTempView("minhash_sig_in")
-    val shingled = spark.sql(
-      s"""SELECT $idCol AS id, collect_set(shingle) AS sh FROM (
-         |  SELECT $idCol, shingles($textCol, $shingleN) FROM minhash_sig_in
-         |) GROUP BY $idCol""".stripMargin)
-      .filter(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(numFeatures).setBinary(true)
-    val vecs = tf.transform(shingled).select("id", "features")
-    minHashModel(vecs, numHashTables).transform(vecs)
-      .select("id", "features", "sig")
+    val exploded = docs
+      .select(col(idCol).as("id"), expr(s"shingles($textCol, $shingleN)"))
+    val mins = (0 until numHashTables).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"__m$i"))
+    exploded.groupBy("id")
+      .agg(collect_set(xxhash64(col("shingle"))).as("shs"), mins: _*)
+      .select(col("id"), col("shs"),
+        array((0 until numHashTables).map(i => col(s"__m$i")): _*).as("sig"))
   }
-
-  /** Seed-deterministic MinHash model; coefficients depend only on
-    * (numHashTables, seed), never on the fitted data. */
-  private def minHashModel(vecs: DataFrame, numHashTables: Int) =
-    new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(numHashTables).setSeed(42L).fit(vecs)
 
   /** Incremental near-dedup — the LSH analogue of
     * [[incrementalExactDedup]], closing the operational loop for a
@@ -246,24 +269,18 @@ object Dedup {
   def incrementalMinHashNearDup(newDocs: DataFrame, idCol: String,
                                 textCol: String, corpusSigs: DataFrame,
                                 shingleN: Int = 3, threshold: Double = 0.8,
-                                numHashTables: Int = 8,
-                                numFeatures: Int = 1 << 20): (DataFrame, DataFrame) = {
+                                numHashTables: Int = 8): (DataFrame, DataFrame) = {
     val batchSigs = minHashSignatures(newDocs, idCol, textCol, shingleN,
-      numHashTables, numFeatures).cache()
-    // Fit on a projection WITHOUT the output column (MLlib refuses to fit
-    // when outputCol already exists); the fit is seed-only anyway.
-    val model = minHashModel(batchSigs.select("id", "features"), numHashTables)
-    val dist = 1.0 - threshold
-    // Both sides already carry the model's outputCol, so
-    // approxSimilarityJoin reuses the signatures instead of recomputing —
-    // including the persisted corpus side.
-    val vsCorpus = model.approxSimilarityJoin(corpusSigs, batchSigs, dist,
-        "jaccard_dist")
-      .select(col("datasetB.id").as("victim"))
-    val withinBatch = model.approxSimilarityJoin(batchSigs, batchSigs, dist,
-        "jaccard_dist")
-      .filter(col("datasetA.id") < col("datasetB.id"))
-      .select(col("datasetB.id").as("victim"))
+      numHashTables).cache()
+    // Standing corpus dominates regardless of id (the replay-safe
+    // convention): a batch doc near any corpus doc drops.
+    val vsCorpus = confirmJaccard(
+        bandedCandidatePairsAcross(corpusSigs, batchSigs),
+        corpusSigs, batchSigs, threshold)
+      .select(col("b").as("victim"))
+    val withinBatch = confirmJaccard(bandedCandidatePairs(batchSigs),
+        batchSigs, batchSigs, threshold)
+      .select(col("b").as("victim"))
     val victims = vsCorpus.union(withinBatch).distinct()
     val kept = newDocs.join(victims,
       newDocs(idCol) === victims("victim"), "left_anti")

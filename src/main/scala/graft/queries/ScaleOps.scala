@@ -454,7 +454,28 @@ object ScaleOps {
         |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) near_cnt
         |FROM events WHERE user_id < 25 ORDER BY event_id""".stripMargin),
 
-    sparkOnly("q71_minhash_neardup") { (s, d) =>
+    // Oracle-promoted (VERDICT r5 #3a): the native banded-signature rewrite
+    // confirms candidates with the TRUE shingle-set Jaccard (hashed-set
+    // sizes — identical values absent 64-bit collisions), and the miss
+    // probability per true pair at s >= 0.8 with 8 OR-bands is (1-s)^8 <=
+    // 2.6e-6; verified deterministic-equal to the exact pair set at all
+    // three SFs (graft.tools.CheckMinhashOracle). The DuckDB side is the
+    // q61 exact-Jaccard derivation restricted to the same threshold.
+    dfQ("q71_minhash_neardup",
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) AS s
+        |  FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT da a, db b, ROUND(CAST(ix AS DOUBLE) / (ca.n + cb.n - ix), 4) jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.minHashNearDupPairs(
         Tables.table(s, d, "documents").filter(col("doc_id") < 150),
         "doc_id", "text", shingleN = 3, threshold = 0.8)
@@ -588,7 +609,23 @@ object ScaleOps {
         .orderBy("c_mktsegment")
     },
 
-    sparkOnly("q78_minhash_full_corpus") { (s, d) =>
+    // Oracle-promoted (VERDICT r5 #3a) — same licensing as q71; the full
+    // corpus at each SF was verified equal to the exact pair set.
+    dfQ("q78_minhash_full_corpus",
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) AS s
+        |  FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT da a, db b, ROUND(CAST(ix AS DOUBLE) / (ca.n + cb.n - ix), 4) jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
       // the L2 scale path over the ENTIRE documents table (5000 docs at
       // sf0.1) — no id filter; candidate volume is bounded by LSH buckets.
       Dedup.minHashNearDupPairs(Tables.table(s, d, "documents"),

@@ -302,7 +302,7 @@ object Streams {
     * exact-Jaccard confirm) against the signature rows persisted by
     * earlier batches and the seeded corpus (`sigDir/batch_seed`, written
     * with [[graft.ops.Dedup.minHashSignatures]] — same shingleN /
-    * numHashTables / numFeatures, signatures are seed-deterministic so
+    * numHashTables, signatures are seed-deterministic so
     * they stay mutually joinable across runs), then appends its kept
     * signatures. Same per-batch-id overwrite + exclude-own-dir layout as
     * the exact tier, so checkpoint replay is idempotent.
@@ -313,8 +313,7 @@ object Streams {
   def runIncrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
                               sigDir: String, outDir: String,
                               shingleN: Int = 3, threshold: Double = 0.8,
-                              numHashTables: Int = 8,
-                              numFeatures: Int = 1 << 20): StreamingQuery = {
+                              numHashTables: Int = 8): StreamingQuery = {
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
@@ -331,7 +330,7 @@ object Streams {
         val corpusSigs = spark.read.parquet(priorDirs.toSeq: _*)
         val (kept, keptSigs) = Dedup.incrementalMinHashNearDup(
           batch, idCol, textCol, corpusSigs, shingleN, threshold,
-          numHashTables, numFeatures)
+          numHashTables)
         kept.write.mode("overwrite").parquet(s"$outDir/batch_$id")
         keptSigs.write.mode("overwrite").parquet(s"$sigDir/batch_$id")
         ()
