@@ -53,10 +53,16 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val canary = results.collectFirst { case (k, v, _) if k.startsWith("q01") => v }
+    // A restricted run must say so in the artifact itself (ADVICE r6):
+    // "only" lists the active SPARK_GRAFT_ONLY filter, null = full corpus.
+    val onlyField = only
+      .map(_.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
+      .getOrElse("null")
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec"""" +
         s""","canary_q01_sec":${canary.map("%.3f".format(_)).getOrElse("null")}""" +
-        s""","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+        s""","n_queries":${results.size},"only":$onlyField""" +
+        s""","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -307,6 +307,11 @@ object Streams {
     * signatures. Same per-batch-id overwrite + exclude-own-dir layout as
     * the exact tier, so checkpoint replay is idempotent.
     *
+    * COMPATIBILITY: `sigDir` must hold NATIVE (id, shs, sig) rows — a
+    * directory seeded by the pre-round-6 MLlib signature path is not
+    * readable (schema + hash family both changed; see
+    * [[graft.ops.Dedup.minHashSignatures]]); re-seed it once.
+    *
     * Scale: the stream state store holds NOTHING (foreachBatch only);
     * per-batch cost is batch-side signing plus a bucket join against the
     * standing signature table — corpus text is never re-read. */

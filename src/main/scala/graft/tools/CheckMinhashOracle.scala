@@ -8,9 +8,12 @@ import graft.ops.Dedup
 /** One-off check: does minHashNearDupPairs equal the exact Jaccard pair
   * set on the fixtures at each SF? (Licenses the q71/q78 oracle
   * promotion — the hash family is deterministic, so matching once means
-  * matching every run.) */
+  * matching every run.) Exits nonzero on any mismatch so it can gate a
+  * script; the same assertion also runs in OpsSuite at sf0.001/sf0.01
+  * ("q71/q78 oracle guard") — this tool adds the sf0.1 pass. */
 object CheckMinhashOracle {
   def main(args: Array[String]): Unit = {
+    var failed = false
     val spark = EtlSession.create("local[32]", 32, "check-minhash")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
@@ -41,7 +44,9 @@ object CheckMinhashOracle {
       println(s"$sf q78: exact=${e78.size} lsh=${l78.size} equal=${e78 == l78}")
       if (e71 != l71) println(s"  q71 diff: missed=${(e71 -- l71).take(5)} extra=${(l71 -- e71).take(5)}")
       if (e78 != l78) println(s"  q78 diff: missed=${(e78 -- l78).take(5)} extra=${(l78 -- e78).take(5)}")
+      failed ||= e71 != l71 || e78 != l78
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

@@ -52,6 +52,49 @@ class OpsSuite extends SparkTestBase {
       "LSH must not report pairs below threshold")
   }
 
+  test("q71/q78 oracle guard: minHashNearDupPairs EQUALS exact Jaccard pair set" +
+      " (sf0.001 + sf0.01, filtered + full corpus)") {
+    // This is the in-suite regression guard for the q71/q78 oracle
+    // promotion (VERDICT r6 #3 / ADVICE r6): the driver's DuckDB oracle is
+    // the EXACT threshold-restricted Jaccard pair set, which is only a
+    // valid oracle while the LSH operator emits exactly that set on the
+    // fixtures. Any change to shingleN / numHashTables / the hash family /
+    // the banding scheme that breaks the equality must fail HERE, not one
+    // driver round later. (Determinism makes this sound: the hash family
+    // is seed-indexed xxhash64, so equal once = equal every run.)
+    functions.Registry.registerAll(spark)
+    for (dir <- Seq(sf0001, sf001)) {
+      val corpus = Tables.table(spark, dir, "documents")
+      corpus.createOrReplaceTempView("docs_guard")
+      def exactPairs(filter: String): Set[(Long, Long)] = spark.sql(
+        s"""WITH sh AS (
+           |  SELECT DISTINCT doc_id, shingle AS s
+           |  FROM (SELECT doc_id, shingles(text, 3) FROM docs_guard $filter)),
+           |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT da, db FROM inter
+           |JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+           |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lshPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        Dedup.minHashNearDupPairs(df, "doc_id", "text",
+          shingleN = 3, threshold = 0.8, numHashTables = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e71 = exactPairs("WHERE doc_id < 150")
+      val l71 = lshPairs(corpus.filter(col("doc_id") < 150))
+      assert(l71 == e71, s"$dir q71 shape: missed=${(e71 -- l71).take(5)} " +
+        s"extra=${(l71 -- e71).take(5)}")
+      val e78 = exactPairs("")
+      val l78 = lshPairs(corpus)
+      assert(l78 == e78, s"$dir q78 shape: missed=${(e78 -- l78).take(5)} " +
+        s"extra=${(l78 -- e78).take(5)}")
+      assert(e78.nonEmpty, s"$dir: fixture should contain planted near-dups")
+    }
+  }
+
   test("SimHash: identical docs distance 0; near-dups close; finds planted pair") {
     import spark.implicits._
     val synthetic = Seq(
