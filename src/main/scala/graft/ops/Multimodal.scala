@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * metadata, plus decode / feature-extract / resize / frame-sample
   * operators.
   *
-  * The Spark-side plumbing is real: schemas, per-partition batched
-  * processing (the Scala analogue of `mapInPandas` — an iterator of rows
-  * per partition, never a driver collect), deterministic outputs, tested
-  * shapes. The codec itself is STUBBED deterministically (no image/audio
-  * libraries ship in this environment): "decoding" derives features from
-  * the payload bytes via a fixed histogram transform, so tests are exact
-  * and the operator swaps to a real codec by replacing one function.
+  * The Spark-side plumbing is per-partition batched processing (the Scala
+  * analogue of `mapInPandas` — an iterator of rows per partition, never a
+  * driver collect). Decoding is REAL for the formats the JDK ships codecs
+  * for — PNG/JPEG/BMP via `javax.imageio`, WAV via `javax.sound.sampled`
+  * (see [[MediaCodec]]) — and falls back to a deterministic byte-histogram
+  * stub for container formats with no JDK codec (mp4 video); the fallback
+  * is visible in the output (`decoded = false` per row), never silent.
   */
 object Multimodal {
 
@@ -22,35 +22,53 @@ object Multimodal {
                        durationMs: Long)
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                       meta: MediaMeta)
-  case class MediaFeatures(media_id: Long, kind: String,
-                           features: Array[Float], n_bytes: Long)
+  case class MediaFeatures(media_id: Long, kind: String, format: String,
+                           features: Array[Float], n_bytes: Long,
+                           decoded: Boolean)
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
                    payload: Array[Byte])
 
+  /** Audio rows are synthesized at this PCM sample rate. */
+  val AudioSampleRate = 8000
+
   /** Deterministic synthetic media table derived from the documents
-    * fixture: payload = UTF-8 bytes of the text (an opaque blob as far as
-    * the pipeline is concerned), kind/metadata derived from doc_id. */
+    * fixture. Image and audio payloads are REAL encoded containers
+    * (PNG pixels / WAV sine tones, pure functions of doc_id and the
+    * text length — see [[MediaCodec.syntheticPng]]/`syntheticWav`), so
+    * the decode path downstream exercises genuine codecs; video payloads
+    * are opaque blobs (UTF-8 text bytes) standing in for a container
+    * the JDK cannot decode. Encoding runs inside the map — executor-side,
+    * never on the driver. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        (id % 3) match {
+          case 0 =>
+            val w = 32 + (id % 8).toInt * 8
+            val h = 32 + (id % 5).toInt * 8
+            MediaRow(id, "image",
+              MediaCodec.syntheticPng(w, h, id, text.length),
+              MediaMeta("png", w, h, durationMs = 0L))
+          case 1 =>
+            val durMs = 1000L + (id % 10) * 100    // 1.0-1.9 s, bounded
+            val freq = 200.0 + (id % 20) * 20.0
+            MediaRow(id, "audio",
+              MediaCodec.syntheticWav(AudioSampleRate, durMs, freq, 12000),
+              MediaMeta("wav", 0, 0, durMs))
+          case _ =>
+            val durMs = 1000L + (id % 30) * 100    // 1.0-3.9 s, bounded
+            MediaRow(id, "video", text.getBytes("UTF-8"),
+              MediaMeta("mp4", 64, 64, durMs))
         }
-        val bytes = text.getBytes("UTF-8")
-        MediaRow(id, kind, bytes,
-          MediaMeta(format = kind match {
-            case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
-          }, width = 64 + (id % 8).toInt * 32,
-            height = 64 + (id % 5).toInt * 32,
-            durationMs = if (kind == "image") 0L else 1000L + id * 10))
     }
   }
 
-  /** STUB codec: a 16-bin byte histogram, L1-normalized. Replace with a
-    * real decoder (JPEG/PNG/PCM) to productionize; the operator contract
-    * (binary in, fixed-dim float features out) is unchanged. */
+  /** STUB codec for formats without a JDK decoder: a `dim`-bin byte
+    * histogram, L1-normalized. Deterministic, so tests stay exact; the
+    * operator contract (binary in, fixed-dim float features out) matches
+    * the real codec paths. */
   def stubDecodeFeatures(payload: Array[Byte], dim: Int = 16): Array[Float] = {
     val hist = new Array[Float](dim)
     var i = 0
@@ -63,34 +81,54 @@ object Multimodal {
   }
 
   /** Feature extraction over batched partitions — the mapInPandas-shaped
-    * path: one iterator pass per partition, constant memory, no shuffle. */
+    * path: one iterator pass per partition, constant memory, no shuffle.
+    * Dispatches per row on the container format: real image/audio stats
+    * where the JDK has a codec ([[MediaCodec.featureVector]] documents
+    * the slot layout), stub histogram otherwise (`decoded = false`). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        MediaFeatures(m.media_id, m.kind,
-          stubDecodeFeatures(m.payload, dim), m.payload.length.toLong)
+        val (feats, ok) = MediaCodec.featureVector(m.meta.format, m.payload, dim)
+        MediaFeatures(m.media_id, m.kind, m.meta.format, feats,
+          m.payload.length.toLong, ok)
       }
     }
   }
 
-  /** Resize: metadata transform + stub payload rewrite (truncation keeps
-    * it deterministic; a real impl re-encodes). Pure projection. */
+  /** Resize: REAL for image rows — decode, nearest-neighbor rescale,
+    * re-encode PNG (deterministic bytes; the format field follows the
+    * re-encode). Non-image rows (or undecodable payloads) keep the stub
+    * byte-truncation rewrite so the operator is total. Pure per-row
+    * projection either way — no shuffle. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
-      val scale = math.max(1, (m.meta.width.toLong * m.meta.height)
-        / math.max(1, w.toLong * h)).toInt
-      m.copy(payload = m.payload.grouped(scale).map(_.head).toArray,
-        meta = m.meta.copy(width = w, height = h))
+      val real =
+        if (MediaCodec.isImageFormat(m.meta.format))
+          MediaCodec.resizeImage(m.payload, w, h)
+        else None
+      real match {
+        case Some(bytes) =>
+          m.copy(payload = bytes,
+            meta = m.meta.copy(format = "png", width = w, height = h))
+        case None =>
+          val scale = math.max(1, (m.meta.width.toLong * m.meta.height)
+            / math.max(1, w.toLong * h)).toInt
+          m.copy(payload = m.payload.grouped(scale).map(_.head).toArray,
+            meta = m.meta.copy(width = w, height = h))
+      }
     }
   }
 
   /** Frame sampling for video rows: one frame every `everyMs`, payload
-    * stub-sliced from the source blob. flatMap = Catalyst Generate-shaped:
-    * streams per partition, output can exceed input rowcount safely. */
+    * stub-sliced from the source blob (no JDK mp4 demuxer exists; a real
+    * impl swaps the slice for a demuxer call — the iterator shape,
+    * schema, and output cardinality are what this operator pins down).
+    * flatMap = Catalyst Generate-shaped: streams per partition, output
+    * can exceed input rowcount safely. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -1068,13 +1068,93 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
-  test("multimodal plumbing: schemas, feature dims, frames, resize") {
+  test("media codec golden: PNG decode stats match hand-computed pixels") {
+    // 3×2 image with explicit pixels — every stat is computed by hand.
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq(                       // (x, y, r, g, b)
+      (0, 0, 255, 0, 0), (1, 0, 0, 255, 0), (2, 0, 0, 0, 255),
+      (0, 1, 255, 255, 255), (1, 1, 0, 0, 0), (2, 1, 128, 128, 128))
+    px.foreach { case (x, y, r, g, b) =>
+      img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val bytes = MediaCodec.pngBytes(img)
+    val s = MediaCodec.decodeImage(bytes).get
+    assert(s.width == 3 && s.height == 2 && s.bands == 3)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(close(s.meanR, px.map(_._3).sum / 6.0))
+    assert(close(s.meanG, px.map(_._4).sum / 6.0))
+    assert(close(s.meanB, px.map(_._5).sum / 6.0))
+    val lumas = px.map(p => (p._3 + p._4 + p._5) / 3.0)
+    assert(close(s.meanLuma, lumas.sum / 6.0))
+    assert(close(s.minLuma, lumas.min) && close(s.maxLuma, lumas.max))
+    val m = lumas.sum / 6.0
+    assert(close(s.stdLuma,
+      math.sqrt(lumas.map(l => (l - m) * (l - m)).sum / 6.0)))
+    // and through the dispatch: decoded = true, slot layout as documented
+    val (feats, ok) = MediaCodec.featureVector("png", bytes, 16)
+    assert(ok && feats(0) == 3f && feats(1) == 2f && feats(2) == 3f)
+    assert(feats.drop(10).forall(_ == 0f), "zero padding past slot 9")
+  }
+
+  test("media codec golden: WAV decode stats match hand-computed samples") {
+    val samples = Array[Short](1000, -1000, 1000, -1000, 0, 500)
+    val bytes = MediaCodec.wavFromPcm(samples, 8000)
+    val s = MediaCodec.decodeWav(bytes).get
+    assert(s.sampleRate == 8000.0 && s.channels == 1 && s.sampleBits == 16)
+    assert(s.frames == samples.length.toLong)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(close(s.meanAbs, samples.map(v => math.abs(v.toDouble)).sum / 6))
+    assert(close(s.rms,
+      math.sqrt(samples.map(v => v.toDouble * v).sum / 6)))
+    assert(s.minSample == -1000.0 && s.maxSample == 1000.0)
+    // sign changes at indices 1,2,3 and 5 (0 is not a crossing by itself:
+    // -1000 -> 0 keeps sign-nonpositive, 0 -> 500 crosses)
+    assert(s.zeroCrossings == 4, s"zc=${s.zeroCrossings}")
+    val (feats, ok) = MediaCodec.featureVector("wav", bytes, 16)
+    assert(ok && feats(0) == 8000f && feats(1) == 1f && feats(3) == 6f)
+  }
+
+  test("media codec: real resize — decode, rescale, re-encode round-trip") {
+    val src = MediaCodec.syntheticPng(8, 8, seed = 7L, mix = 3)
+    val out = MediaCodec.resizeImage(src, 4, 2).get
+    val s = MediaCodec.decodeImage(out).get
+    assert(s.width == 4 && s.height == 2)
+    // nearest-neighbor of a deterministic pattern is itself deterministic
+    assert(java.util.Arrays.equals(out,
+      MediaCodec.resizeImage(src, 4, 2).get))
+    // non-image bytes refuse rather than fabricate
+    assert(MediaCodec.resizeImage("not an image".getBytes, 4, 4).isEmpty)
+    assert(MediaCodec.decodeWav("not audio".getBytes).isEmpty)
+  }
+
+  test("multimodal: fixture media decodes through REAL codecs end-to-end") {
     val media = Multimodal.mediaFromDocuments(docs.limit(60))
+    val rows = media.collect().map(m => m.media_id -> m).toMap
     val feats = Multimodal.extractFeatures(media, dim = 16).collect()
     assert(feats.length == 60)
     feats.foreach { f =>
       assert(f.features.length == 16)
-      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // L1-normalized
+      f.kind match {
+        case "image" =>
+          // real javax.imageio decode: width/height slots equal the PNG's
+          // actual pixel dims, which equal the row's metadata
+          assert(f.decoded && f.format == "png")
+          val meta = rows(f.media_id).meta
+          assert(f.features(0) == meta.width.toFloat, s"id=${f.media_id}")
+          assert(f.features(1) == meta.height.toFloat)
+        case "audio" =>
+          // real javax.sound.sampled decode: sample-rate slot + frame
+          // count = rate × duration
+          assert(f.decoded && f.format == "wav")
+          assert(f.features(0) == Multimodal.AudioSampleRate.toFloat)
+          val meta = rows(f.media_id).meta
+          assert(f.features(3) ==
+            (Multimodal.AudioSampleRate * meta.durationMs / 1000).toFloat)
+        case "video" =>
+          // documented stub fallback: histogram, L1-normalized
+          assert(!f.decoded && f.format == "mp4")
+          assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+      }
     }
     val frames = Multimodal.sampleFrames(media, everyMs = 500L)
     val byMedia = frames.collect().groupBy(_.media_id)
@@ -1085,6 +1165,11 @@ class OpsSuite extends SparkTestBase {
     val resized = Multimodal.resize(media, 32, 32).collect()
     assert(resized.forall(m => m.meta.width == 32 && m.meta.height == 32))
     assert(resized.forall(_.payload.nonEmpty))
+    // image rows re-encoded for real: the resized payload DECODES to 32×32
+    resized.filter(_.kind == "image").foreach { m =>
+      val s = MediaCodec.decodeImage(m.payload).get
+      assert(s.width == 32 && s.height == 32)
+    }
   }
 
   test("charChunks: coverage, offsets, overlap reconstruction, edge lengths") {
