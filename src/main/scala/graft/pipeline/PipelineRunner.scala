@@ -13,9 +13,16 @@ import graft.sources.{Sinks, Sources}
   * load — the runner performs no driver-side data movement.
   */
 final case class LoadReport(format: String, target: String, source: String,
-                            rows: Long = -1L)
+                            rows: Long = -1L, status: String = "ok",
+                            attempts: Int = 1, error: Option[String] = None)
 final case class PipelineReport(
     name: String, extracts: Int, transforms: Int, loads: Seq[LoadReport])
+
+/** A load exhausted its retry budget and the spec did not opt into
+  * `continueOnError` — siblings after it did not run. Status rows for
+  * everything that DID run (including the failure) were written first. */
+final class PipelineLoadException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
 
 object PipelineRunner {
 
@@ -129,9 +136,55 @@ object PipelineRunner {
       spec.transforms.lastOption.map(_.view)
         .orElse(spec.extracts.headOption.map(_.view))
 
-    val loadReports = spec.loads.map { l =>
+    // Per-load retry with exponential backoff + failure isolation
+    // (VERDICT r6 #6): each load gets 1 + retries attempts; a load that
+    // exhausts them either records "failed" and lets siblings run
+    // (continueOnError) or aborts the pipeline AFTER status rows for
+    // everything that ran are persisted. Retrying a load is safe because
+    // every sink mode is an overwrite, an append of this load's own
+    // output, or the crash-safe swap — a half-written first attempt is
+    // replaced, not doubled.
+    val loadReports = scala.collection.mutable.ArrayBuffer.empty[LoadReport]
+    spec.loads.foreach { l =>
       val src = l.source.orElse(defaultSource).getOrElse(
         throw new IllegalArgumentException("load: no source view"))
+      val target = l.table.getOrElse(l.path)
+      val maxAttempts = 1 + l.retries.getOrElse(0)
+      val backoff = l.retryBackoffMs.getOrElse(100L)
+      var attempt = 0
+      var done: Option[LoadReport] = None
+      var lastErr: Throwable = null
+      while (done.isEmpty && attempt < maxAttempts) {
+        attempt += 1
+        try done = Some(executeLoad(spark, l, src).copy(attempts = attempt))
+        catch { case e: Exception =>
+          lastErr = e
+          if (attempt < maxAttempts) Thread.sleep(backoff << (attempt - 1))
+        }
+      }
+      loadReports += done.getOrElse {
+        val failed = LoadReport(l.format, target, src, -1L, "failed",
+          attempt, Some(Option(lastErr.getMessage).getOrElse(
+            lastErr.getClass.getName)))
+        if (!l.continueOnError.getOrElse(false)) {
+          writeStatus(spark, spec, (loadReports :+ failed).toSeq)
+          throw new PipelineLoadException(
+            s"pipeline ${spec.name}: load $src -> ${l.format}:$target " +
+              s"failed after $attempt attempt(s)", lastErr)
+        }
+        failed
+      }
+    }
+    writeStatus(spark, spec, loadReports.toSeq)
+
+    PipelineReport(spec.name, spec.extracts.size, spec.transforms.size,
+      loadReports.toSeq)
+  }
+
+  /** One attempt of one load — the original single-shot body of
+    * [[run]]'s load loop. */
+  private def executeLoad(spark: SparkSession, l: LoadSpec,
+                          src: String): LoadReport = {
       val df0 = spark.table(src)
       // Output-file-count control: coalesce narrows without a shuffle;
       // repartition forces an exchange for exact write parallelism.
@@ -180,11 +233,34 @@ object PipelineRunner {
           l.partitionBy, l.options, l.table)
         LoadReport(l.format, l.table.getOrElse(l.path), src, observedRows)
       }
-    }
-
-    PipelineReport(spec.name, spec.extracts.size, spec.transforms.size,
-      loadReports)
   }
+
+  /** Persist one status row per load attempt outcome to the RDBMS named
+    * by `statusJdbc` — the reference framework's job-status table
+    * (SURVEY.md §0.2), previously trimmed to the status FILE
+    * ([[reportJson]], which remains the fallback). Append-mode JDBC
+    * through the registered DuckDB dialect (S6); the row carries the
+    * retry count, so an operator can see flakiness that retries papered
+    * over. No-op when the spec has no statusJdbc. */
+  private def writeStatus(spark: SparkSession, spec: PipelineSpec,
+                          reports: Seq[LoadReport]): Unit =
+    spec.statusJdbc.foreach { url =>
+      if (reports.nonEmpty) {
+        import spark.implicits._
+        val ts = new java.sql.Timestamp(System.currentTimeMillis())
+        val rows = reports.zipWithIndex.map { case (r, i) =>
+          (spec.name, i, r.format, r.target, r.source, r.status,
+            r.attempts, r.rows, r.error.orNull, ts)
+        }
+        val df = rows.toDF("pipeline", "load_idx", "format", "target",
+          "source", "status", "attempts", "rows", "error", "run_ts")
+          .coalesce(1) // a handful of rows; one JDBC connection, not 8
+        Sinks.write(df, "jdbc", "", mode = "append", options = Map(
+          "url" -> url,
+          "dbtable" -> spec.statusTable.getOrElse("graft_job_status"),
+          "driver" -> "org.duckdb.DuckDBDriver"))
+      }
+    }
 
   /** Serialize a report as one JSON object (no external deps; the
     * reference persisted job status to an RDBMS — offline we write a
@@ -192,7 +268,9 @@ object PipelineRunner {
   def reportJson(r: PipelineReport): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val loads = r.loads.map(l =>
-      s"""{"format":${q(l.format)},"target":${q(l.target)},"source":${q(l.source)},"rows":${l.rows}}""")
+      s"""{"format":${q(l.format)},"target":${q(l.target)},"source":${q(l.source)},"rows":${l.rows}""" +
+        s""","status":${q(l.status)},"attempts":${l.attempts}""" +
+        s""","error":${l.error.map(q).getOrElse("null")}}""")
       .mkString("[", ",", "]")
     s"""{"name":${q(r.name)},"extracts":${r.extracts},"transforms":${r.transforms},"loads":$loads}"""
   }

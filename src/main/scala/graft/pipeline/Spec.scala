@@ -38,13 +38,18 @@ final case class LoadSpec(
     options: Map[String, String] = Map.empty,
     table: Option[String] = None,         // for format=table (saveAsTable)
     key: Option[String] = None,           // mode=upsert: the merge key
-    versionCol: Option[String] = None)    // mode=upsert: latest-wins order
+    versionCol: Option[String] = None,    // mode=upsert: latest-wins order
+    retries: Option[Int] = None,          // extra attempts after a failure (default 0)
+    retryBackoffMs: Option[Long] = None,  // base backoff, doubles per attempt (default 100)
+    continueOnError: Option[Boolean] = None) // failed load doesn't abort siblings (default false)
 
 final case class PipelineSpec(
     name: String,
     extracts: Seq[ExtractSpec],
     transforms: Seq[TransformSpec] = Nil,
-    loads: Seq[LoadSpec] = Nil)
+    loads: Seq[LoadSpec] = Nil,
+    statusJdbc: Option[String] = None,    // JDBC URL for per-load status rows
+    statusTable: Option[String] = None)   // status table name (default graft_job_status)
 
 object PipelineSpec {
   implicit private val formats: Formats = DefaultFormats
@@ -119,6 +124,8 @@ object PipelineSpec {
       s.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val spec = PipelineSpec(
       name = root \@ "name",
+      statusJdbc = attr(root, "statusJdbc"),
+      statusTable = attr(root, "statusTable"),
       extracts = (root \ "extract").map { e =>
         ExtractSpec(view = e \@ "view", format = e \@ "format",
           path = e \@ "path", schema = attr(e, "schema"), options = opts(e))
@@ -138,7 +145,10 @@ object PipelineSpec {
           coalesce = attr(l, "coalesce").map(_.toInt),
           repartition = attr(l, "repartition").map(_.toInt),
           options = opts(l), table = attr(l, "table"),
-          key = attr(l, "key"), versionCol = attr(l, "versionCol"))
+          key = attr(l, "key"), versionCol = attr(l, "versionCol"),
+          retries = attr(l, "retries").map(_.toInt),
+          retryBackoffMs = attr(l, "retryBackoffMs").map(_.toLong),
+          continueOnError = attr(l, "continueOnError").map(_.toBoolean))
       })
     validate(spec)
     spec
@@ -159,6 +169,7 @@ object PipelineSpec {
     val known = (spec.extracts.map(_.view) ++ spec.transforms.map(_.view)).toSet
     spec.loads.foreach { l =>
       require(l.format.nonEmpty, "load: format is required")
+      l.retries.foreach(r => require(r >= 0, "load: retries must be >= 0"))
       l.source.foreach(s => require(known.contains(s),
         s"load: unknown source view '$s' (known: ${known.mkString(", ")})"))
       if (l.mode == "upsert") {

@@ -16,6 +16,14 @@ class SegmentUpperStage extends TransformStage {
     inputs("customer").withColumn("c_mktsegment", upper(col("c_mktsegment")))
 }
 
+/** Shared fault-injection counter for T-P6 (top-level object: the UDF
+  * closure and the asserting test must see the SAME static state; in
+  * local mode every task runs in this JVM). */
+object FailInjector {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = calls.set(0)
+}
+
 /** T-P1..T-P3 (SURVEY.md §3.3): the declarative spec layer end-to-end. */
 class PipelineSuite extends SparkTestBase {
 
@@ -322,6 +330,127 @@ class PipelineSuite extends SparkTestBase {
     // report serializes to parseable JSON
     val json = PipelineRunner.reportJson(report)
     assert(json.contains("\"name\":\"chain\"") && json.contains("\"transforms\":3"))
+  }
+
+  test("T-P5: statusJdbc persists one status row per load through DuckDB JDBC") {
+    val out = tmp()
+    val db = s"${tmp()}/status5.duckdb"
+    val spec = s"""{
+      "name": "tp5",
+      "statusJdbc": "jdbc:duckdb:$db",
+      "extracts": [
+        {"view": "nation", "format": "parquet", "path": "$sf0001/nation.parquet"}],
+      "transforms": [
+        {"view": "t", "sql": "SELECT n_regionkey, COUNT(*) n FROM nation GROUP BY n_regionkey"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/a"},
+        {"format": "csv", "path": "$out/b"}]
+    }"""
+    val report = PipelineRunner.runJson(spark, spec)
+    assert(report.loads.forall(l => l.status == "ok" && l.attempts == 1))
+    val status = graft.sources.Sources.read(spark, "jdbc", "", options = Map(
+      "url" -> s"jdbc:duckdb:$db", "dbtable" -> "graft_job_status",
+      "driver" -> "org.duckdb.DuckDBDriver")).collect()
+    assert(status.length == 2)
+    val byIdx = status.map(r => r.getAs[Number]("load_idx").intValue() -> r).toMap
+    assert(byIdx(0).getAs[String]("status") == "ok")
+    assert(byIdx(0).getAs[String]("format") == "parquet")
+    assert(byIdx(1).getAs[String]("format") == "csv")
+    assert(status.forall(_.getAs[Number]("rows").longValue() > 0))
+    assert(status.forall(_.getAs[String]("pipeline") == "tp5"))
+  }
+
+  test("T-P6: a flaky load retries with backoff and records the attempt count") {
+    FailInjector.reset()
+    spark.udf.register("fail_first_call",
+      (x: Long) => {
+        if (FailInjector.calls.getAndIncrement() == 0)
+          throw new RuntimeException("injected transient failure")
+        x
+      })
+    val out = tmp()
+    val db = s"${tmp()}/status6.duckdb"
+    val spec = s"""{
+      "name": "tp6",
+      "statusJdbc": "jdbc:duckdb:$db",
+      "extracts": [
+        {"view": "nation", "format": "parquet", "path": "$sf0001/nation.parquet"}],
+      "transforms": [
+        {"view": "t", "sql": "SELECT fail_first_call(n_nationkey) k FROM nation"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/flaky", "retries": 2,
+         "retryBackoffMs": 10}]
+    }"""
+    val report = PipelineRunner.runJson(spark, spec)
+    // first attempt hit the injected failure, second succeeded — both
+    // visible in the report AND the persisted status row
+    assert(report.loads.head.status == "ok")
+    assert(report.loads.head.attempts == 2, s"attempts=${report.loads.head.attempts}")
+    assert(spark.read.parquet(s"$out/flaky").count() > 0)
+    val status = graft.sources.Sources.read(spark, "jdbc", "", options = Map(
+      "url" -> s"jdbc:duckdb:$db", "dbtable" -> "graft_job_status",
+      "driver" -> "org.duckdb.DuckDBDriver")).collect()
+    assert(status.length == 1)
+    assert(status.head.getAs[String]("status") == "ok")
+    assert(status.head.getAs[Number]("attempts").intValue() == 2)
+  }
+
+  test("T-P7: continueOnError isolates a failing load from its siblings") {
+    val out = tmp()
+    val db = s"${tmp()}/status7.duckdb"
+    val spec = s"""{
+      "name": "tp7",
+      "statusJdbc": "jdbc:duckdb:$db",
+      "extracts": [
+        {"view": "nation", "format": "parquet", "path": "$sf0001/nation.parquet"}],
+      "loads": [
+        {"format": "jdbc", "source": "nation", "continueOnError": true,
+         "retries": 1, "retryBackoffMs": 10,
+         "options": {"url": "jdbc:nosuchdb:broken", "dbtable": "x"}},
+        {"format": "parquet", "source": "nation", "path": "$out/ok"}]
+    }"""
+    val report = PipelineRunner.runJson(spark, spec)
+    assert(report.loads.size == 2)
+    assert(report.loads(0).status == "failed")
+    assert(report.loads(0).attempts == 2, "retry budget exhausted first")
+    assert(report.loads(0).error.nonEmpty)
+    assert(report.loads(1).status == "ok", "sibling must still run")
+    assert(spark.read.parquet(s"$out/ok").count() == 25)
+    val status = graft.sources.Sources.read(spark, "jdbc", "", options = Map(
+      "url" -> s"jdbc:duckdb:$db", "dbtable" -> "graft_job_status",
+      "driver" -> "org.duckdb.DuckDBDriver")).collect()
+    assert(status.map(_.getAs[String]("status")).sorted.toSeq ==
+      Seq("failed", "ok"))
+    val json = PipelineRunner.reportJson(report)
+    assert(json.contains("\"status\":\"failed\"") && json.contains("\"attempts\":2"))
+  }
+
+  test("T-P8: without continueOnError a failed load aborts AFTER status lands") {
+    val out = tmp()
+    val db = s"${tmp()}/status8.duckdb"
+    val spec = s"""{
+      "name": "tp8",
+      "statusJdbc": "jdbc:duckdb:$db",
+      "extracts": [
+        {"view": "nation", "format": "parquet", "path": "$sf0001/nation.parquet"}],
+      "loads": [
+        {"format": "parquet", "source": "nation", "path": "$out/first"},
+        {"format": "jdbc", "source": "nation",
+         "options": {"url": "jdbc:nosuchdb:broken", "dbtable": "x"}}]
+    }"""
+    intercept[PipelineLoadException] {
+      PipelineRunner.runJson(spark, spec)
+    }
+    assert(spark.read.parquet(s"$out/first").count() == 25,
+      "the load before the failure completed")
+    // the status table still recorded the successful load AND the failure
+    val status = graft.sources.Sources.read(spark, "jdbc", "", options = Map(
+      "url" -> s"jdbc:duckdb:$db", "dbtable" -> "graft_job_status",
+      "driver" -> "org.duckdb.DuckDBDriver")).collect()
+    assert(status.map(_.getAs[String]("status")).sorted.toSeq ==
+      Seq("failed", "ok"))
+    assert(status.find(_.getAs[String]("status") == "failed")
+      .get.getAs[String]("error") != null)
   }
 
   test("spec validation rejects malformed pipelines") {
