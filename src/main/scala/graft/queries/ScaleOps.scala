@@ -17,6 +17,15 @@ import Support._
   */
 object ScaleOps {
 
+  /** q129b's FIXED, well-formed merge table (rank order; every operand is
+    * a base character or the output of an earlier merge — the property
+    * that makes greedy lowest-rank application equal rank-order replay,
+    * asserted over the fixture vocabulary in OpsSuite). Chosen to fire on
+    * the fixture's frequent words (join, hash, batch, scan, row, ...). */
+  val q129bMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "h" -> "</w>", "a" -> "n", "e" -> "</w>", "r" -> "o",
+    "j" -> "o", "jo" -> "i", "joi" -> "n", "s" -> "c", "o" -> "w")
+
   val defs: Seq[Q] = Seq(
 
     dfQ("q68_quality_score",
@@ -1841,6 +1850,37 @@ object ScaleOps {
         numMerges = 50)
       graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
         .orderBy(desc("n"), col("token")).limit(50)
+    },
+
+    // q129b (VERDICT r6 #4): induction (q129) is rows-only, but APPLYING a
+    // FIXED merge table is deterministic and exactly SQL-replayable, so the
+    // segmentation kernel itself gets a hash oracle. The DuckDB side
+    // replays the merges in rank order over a space-separated symbol
+    // string (' c h a r s </w> '): one merge = REPLACE(' l r ' -> ' lr ')
+    // iterated to fixpoint — 5 unrolled passes suffice because fixture
+    // words are <= 8 chars (<= 10 symbols) and one non-overlapping
+    // left-to-right pass merges at least every other occurrence. Greedy
+    // lowest-rank application (the kernel) equals rank-order replay
+    // because the table is well-formed — every operand is a base char or
+    // an earlier merge's output (the OpsSuite fixed-table property
+    // asserts this on the full fixture vocabulary).
+    dfQ("q129b_bpe_segment_fixed", {
+      val symExpr = "' ' || REGEXP_REPLACE(word, '(.)', '\\1 ', 'g') || '</w> '"
+      val replayed = q129bMerges.foldLeft(symExpr) { case (e, (l, r)) =>
+        (1 to 5).foldLeft(e)((acc, _) => s"REPLACE($acc, ' $l $r ', ' $l$r ')")
+      }
+      s"""WITH words AS (
+         |  SELECT w AS word, COUNT(*) AS freq FROM (
+         |    SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |seg AS (SELECT $replayed AS s, freq FROM words),
+         |tok AS (SELECT UNNEST(STRING_SPLIT(TRIM(s), ' ')) AS token, freq FROM seg)
+         |SELECT token, CAST(SUM(freq) AS BIGINT) AS n FROM tok
+         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Bpe.tokenCounts(Tables.table(s, d, "documents"),
+          "doc_id", "text", q129bMerges)
+        .orderBy(desc("n"), col("token")).limit(100)
     },
 
     // TPC-H Q2 shape (min-cost supplier per part; the fixtures lack

@@ -1648,6 +1648,43 @@ class OpsSuite extends SparkTestBase {
     assert(total == fromWords)
   }
 
+  test("q129b fixed merge table: well-formed; kernel equals rank-order replay") {
+    import spark.implicits._
+    val merges = graft.queries.ScaleOps.q129bMerges
+    // well-formedness: every operand is a single char or an earlier
+    // merge's output — the property licensing the q129b oracle's
+    // rank-order replay formulation
+    val produced = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (l, r) =>
+      for (sym <- Seq(l, r))
+        assert(sym.length == 1 || sym == "</w>" || produced.contains(sym),
+          s"operand '$sym' is neither a base symbol nor an earlier output")
+      produced += l + r
+    }
+    // greedy lowest-rank kernel == sequential rank-order replay over the
+    // ENTIRE fixture vocabulary (same check the learned-merge test does,
+    // but for the fixed table the driver hashes against DuckDB)
+    def replay(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toArray :+ "</w>"
+      merges.foreach(mm => syms = Bpe.applyMerge(syms, mm))
+      syms.toSeq
+    }
+    val words = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().as[String].collect()
+    graft.functions.Registry.registerAll(spark)
+    val viaKernel = words.toSeq.toDF("w")
+      .select(col("w"), Bpe.segmentCol(col("w"), merges).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(viaKernel(w) == replay(w), s"word '$w'")
+      assert(viaKernel(w).mkString == w + "</w>", s"lossless '$w'")
+    }
+    // and the planted merges actually fire on the fixture (the oracle
+    // would be vacuous if segmentation never merged anything)
+    assert(viaKernel.values.exists(_.exists(_.length > 1)),
+      "at least one multi-char token must appear")
+  }
+
   test("lineDedupCorpus: first occurrence survives, all-dup docs vanish") {
     import spark.implicits._
     val in = Seq(
