@@ -293,9 +293,16 @@ object Similarity {
   /** Above this many centroids the per-centroid literal-column expansion
     * stops being the right plan: each centroid inlines its full vector
     * into the projection, so plan size and codegen method size grow
-    * linearly with nlist (ADVICE r4). The fallback keeps the same
-    * zero-shuffle map-only shape with ONE array literal instead. */
-  private val InlineCentroidMax = 128
+    * linearly with nlist (ADVICE r4) — and past the JIT's huge-method
+    * bytecode limit the generated code runs INTERPRETED, which is the
+    * worst of both worlds. Measured on a 50k-row 64-dim corpus
+    * (AnnBench probe, round 7): warm assignment at nlist=16 inline
+    * ≈ 3.4 s, nlist=32 inline ≈ 9.4 s, nlist=64 inline ≈ 15.5 s, while
+    * the array-literal fallback is FLAT ≈ 3.4 s even at nlist=200. The
+    * threshold sits at the crossover; the fallback keeps the same
+    * zero-shuffle map-only shape with ONE array literal (interpreted
+    * HOF lambda around the codegen'd cosine kernel). */
+  private val InlineCentroidMax = 16
 
   /** Driver-side snapshot of a (cell, centroid) table — nlist rows,
     * bounded at any corpus size. */

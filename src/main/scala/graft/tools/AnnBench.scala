@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{EtlSession, Tables}
+import graft.ops.Similarity
+
+/** ANN benchmark at a volume that exercises pruning (VERDICT r6 #2):
+  * the sf0.1 embeddings fixture is 2,000 rows — small enough that every
+  * ANN tier is dominated by fixed setup (codegen compile, quantizer
+  * training, plan overhead), so its bench numbers measure overhead, not
+  * throughput. This tool:
+  *
+  *  1. synthesizes a DETERMINISTIC clustered embedding table
+  *     (`ANN_N` rows, default 200k; 64-dim, 64 planted clusters —
+  *     splitmix64-hashed centers + scaled hash noise, no RNG state),
+  *     which is the regime where IVF cell pruning actually pays;
+  *  2. times exact brute-force top-k vs IVF vs PQ(+rerank) vs fused
+  *     IVF+PQ — build and query separately — and measures each tier's
+  *     recall against the exact result;
+  *  3. re-times the q119 fixture-scale pipeline twice in one session
+  *     (cold then warm) to attribute its fixture-scale seconds to
+  *     one-time compile/setup vs steady-state work.
+  *
+  * Prints ONE JSON line; numbers are recorded in BASELINE.md §v6.
+  */
+object AnnBench {
+
+  /** splitmix64 of (a, b) → double in [-1, 1]. Pure, seedless. */
+  private def h(a: Long, b: Long): Double = {
+    var z = a * 0x9E3779B97F4A7C15L + b * 0xD1B54A32D192ED03L + 0x8CB92BA72F3D8DD7L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q", "v").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+      .toSet
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("ANN_N", "200000").toInt
+    val dim = 64; val clusters = 64; val k = 10; val nQueries = 100
+    val spark = EtlSession.create("local[32]", 32, "graft-ann-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // Deterministic hierarchical corpus — the structure real embedding
+    // data has and uniform noise lacks: 64 coarse clusters (topics; what
+    // IVF prunes on), and inside each cluster sibling GROUPS of ~20
+    // sharing a direction (near-duplicate pages; what top-k retrieves),
+    // plus small per-id jitter. A query's true top-10 are its siblings
+    // (cos ≈ 0.999), well separated from same-cluster non-siblings
+    // (cos ≈ 0.9) — so recall measures whether a tier can rank real
+    // neighbors, not whether it can break ties between equidistant noise.
+    val emb = spark.range(n).map { id =>
+      val c = id % clusters            // coarse cluster
+      val g = (id / clusters) / 20     // sibling group within the cluster
+      (id, Array.tabulate(dim)(d =>
+        (h(c * 7919L + 13L, d) + 0.35 * h(c * 104729L + g, d + 53)
+          + 0.05 * h(id, d + 101)).toFloat))
+    }.toDF("vec_id", "embedding").repartition(32).cache()
+    emb.count()
+    val queryIds = emb.select("vec_id").filter(col("vec_id") < nQueries)
+    def queryFilter(df: DataFrame) = df.filter(col("vec_id") < nQueries)
+
+    // exact brute-force: nQueries × n codegen'd cosines
+    val (exactSet, exactSec) = time {
+      pairs(Similarity.exactTopK(emb, "vec_id", "embedding", queryFilter, k))
+    }
+    def recall(s: Set[(Long, Long)]): Double =
+      exactSet.count(s.contains).toDouble / exactSet.size
+
+    // IVF: build (train + assign) then partial-probe query
+    val ((indexed, centroids), ivfBuildSec) = time {
+      val (ix, c) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = clusters, trainSample = 8192)
+      val cached = ix.cache(); cached.count()
+      (cached, c)
+    }
+    val ((ivfSet, ivfQuerySec), _) = time {
+      time(pairs(Similarity.ivfTopK(indexed, centroids, queryIds, k, nprobe = 8)))
+    }
+
+    // PQ: encode then ADC + exact rerank over the FULL corpus codes
+    val ((encoded, codebooks), pqBuildSec) = time {
+      val (_, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
+        m = 8, kCent = 64, trainSample = 8192)
+      val enc = Similarity.pqAssign(emb, "vec_id", "embedding", cb).cache()
+      enc.count()
+      (enc, cb)
+    }
+    val (pqSet, pqQuerySec) = time {
+      pairs(Similarity.pqTopK(encoded, codebooks, queryIds, k, rerankFactor = 8))
+    }
+
+    // fused IVF+PQ: ADC only inside probed cells, then exact rerank
+    val (ivfpqEncoded, ivfpqBuildSec) = time {
+      val e = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        centroids, codebooks).cache()
+      e.count(); e
+    }
+    val (ivfpqSet, ivfpqQuerySec) = time {
+      pairs(Similarity.ivfPqTopK(ivfpqEncoded, centroids, codebooks,
+        queryIds, k, nprobe = 8, rerankFactor = 8))
+    }
+
+    // q119 fixture-scale attribution: same pipeline as the corpus query,
+    // cold (first execution in this session: codegen compile + quantizer
+    // fit) vs warm (second execution, plans and kernels already compiled)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def q119(): Long = {
+      val fe = Tables.table(spark, sfDir, "embeddings")
+      val (_, cents) = Similarity.ivfIndex(fe, "vec_id", "embedding", nlist = 16)
+      val (_, cb) = Similarity.pqIndex(fe, "vec_id", "embedding", m = 8, kCent = 64)
+      val enc = Similarity.ivfPqIndex(fe, "vec_id", "embedding", cents, cb)
+      Similarity.ivfPqTopK(enc, cents, cb,
+        fe.filter(col("vec_id") < 5).select("vec_id"), k = 3,
+        nprobe = 8, rerankFactor = 16).count()
+    }
+    val (_, fixtureColdSec) = time(q119())
+    val (_, fixtureWarmSec) = time(q119())
+    // per-stage split of the WARM fixture run: quantizer training
+    // (driver-local k-means — corpus-size independent) vs encode vs query
+    val fe = Tables.table(spark, sfDir, "embeddings")
+    val ((cents119, cb119), fixtureTrainSec) = time {
+      val (_, c) = Similarity.ivfIndex(fe, "vec_id", "embedding", nlist = 16)
+      val (_, b) = Similarity.pqIndex(fe, "vec_id", "embedding", m = 8, kCent = 64)
+      (c, b)
+    }
+    val (enc119, fixtureEncodeSec) = time {
+      val e = Similarity.ivfPqIndex(fe, "vec_id", "embedding", cents119, cb119)
+        .cache()
+      e.count(); e
+    }
+    val (_, fixtureQuerySec) = time {
+      Similarity.ivfPqTopK(enc119, cents119, cb119,
+        fe.filter(col("vec_id") < 5).select("vec_id"), k = 3,
+        nprobe = 8, rerankFactor = 16).count()
+    }
+
+    def f(d: Double) = "%.3f".format(d)
+    println(
+      s"""{"n":$n,"dim":$dim,"clusters":$clusters,"k":$k,"n_queries":$nQueries""" +
+        s""","exact_sec":${f(exactSec)}""" +
+        s""","ivf_build_sec":${f(ivfBuildSec)},"ivf_query_sec":${f(ivfQuerySec)},"ivf_recall":${f(recall(ivfSet))}""" +
+        s""","pq_build_sec":${f(pqBuildSec)},"pq_query_sec":${f(pqQuerySec)},"pq_recall":${f(recall(pqSet))}""" +
+        s""","ivfpq_build_sec":${f(ivfpqBuildSec)},"ivfpq_query_sec":${f(ivfpqQuerySec)},"ivfpq_recall":${f(recall(ivfpqSet))}""" +
+        s""","fixture_q119_cold_sec":${f(fixtureColdSec)},"fixture_q119_warm_sec":${f(fixtureWarmSec)}""" +
+        s""","fixture_q119_train_sec":${f(fixtureTrainSec)},"fixture_q119_encode_sec":${f(fixtureEncodeSec)},"fixture_q119_query_sec":${f(fixtureQuerySec)}}""")
+    spark.stop()
+  }
+}

@@ -1648,6 +1648,28 @@ class OpsSuite extends SparkTestBase {
     assert(total == fromWords)
   }
 
+  test("ivfAssign: inline and array-literal centroid paths agree") {
+    // The assignment expression has two plans — per-centroid literal
+    // columns (nlist <= InlineCentroidMax, fully codegen'd) and one
+    // array-of-structs literal with a HOF argmin (large nlist, flat cost;
+    // the AnnBench probe showed the inline plan degrades past the JIT
+    // huge-method limit). Same geometry through both paths must assign
+    // identically: a 17th absurdly-far centroid flips the plan to the
+    // HOF path without ever winning a vector.
+    import spark.implicits._
+    val (_, c16) = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+    val far = Seq((16, Seq.fill(64)(-1000.0))).toDF("cell", "centroid")
+    val inline = Similarity.ivfAssign(emb, "vec_id", "embedding", c16)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hof = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        c16.unionByName(far))
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hof.values.forall(_ != 16), "far centroid must never win")
+    assert(inline == hof, "both plans must produce identical assignments")
+  }
+
   test("q129b fixed merge table: well-formed; kernel equals rank-order replay") {
     import spark.implicits._
     val merges = graft.queries.ScaleOps.q129bMerges

@@ -134,15 +134,21 @@ class ScaleSuite extends SparkTestBase {
 
   test("ivfAssign plans a pure projection: zero exchanges, zero joins") {
     import spark.implicits._
-    val cents = Seq((0, Seq.fill(64)(0.1)), (1, Seq.fill(64)(-0.1)))
-      .toDF("cell", "centroid")
     val emb = Tables.table(spark, sf0001, "embeddings")
-    val plan = graft.ops.Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"cell assignment must be map-only:\n$plan")
-    assert(!plan.contains("Join"),
-      "centroids must inline as literals, not join")
+    // both assignment plans — per-centroid inline literals (small nlist)
+    // and the single array-literal HOF fallback (large nlist) — must stay
+    // map-only: zero exchanges, zero joins
+    for (nCents <- Seq(2, 20)) {
+      val cents = (0 until nCents)
+        .map(i => (i, Seq.tabulate(64)(d => 0.1 * ((i + d) % 7 - 3))))
+        .toDF("cell", "centroid")
+      val plan = graft.ops.Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"cell assignment (nlist=$nCents) must be map-only:\n$plan")
+      assert(!plan.contains("Join"),
+        s"centroids (nlist=$nCents) must inline as literals, not join")
+    }
   }
 
   test("invertedIndex plans the two classic IR shuffles plus the count broadcast") {
