@@ -141,21 +141,8 @@ object TextAnalysis {
     // directly), and both shuffles carry (id, hash) instead of
     // (id, ~25-byte text) — the same hashed-shingle licensing as the
     // MinHash confirm path (counts differ from string grouping only on
-    // an intra-document 64-bit collision, ~k²/2^64 per doc). Word
-    // semantics match `shingles(text, n)`: split on single spaces,
-    // empties dropped, docs with fewer than n words emit nothing.
-    val ws = filter(split(col(textCol), " "), w => w =!= "")
-    val grams = docs
-      .select(col(idCol), ws.as("__ws"))
-      .select(col(idCol), col("__ws"),
-        // the when-guard matters: sequence(1, 0) would count DOWN, so a
-        // doc with < n words must yield NULL (explode drops it), not a
-        // descending index range
-        explode(when(size(col("__ws")) >= n,
-          sequence(lit(1), size(col("__ws")) - (n - 1)))).as("__i"))
-      .select(col(idCol),
-        xxhash64((0 until n).map(j =>
-          element_at(col("__ws"), col("__i") + j)): _*).as("__h"))
+    // an intra-document 64-bit collision, ~k²/2^64 per doc).
+    val grams = hashedWordGrams(docs, Seq(idCol), textCol, n)
     grams.groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
@@ -180,6 +167,25 @@ object TextAnalysis {
     * array builtins — no shuffle, no UDF; ratios are rounded BEFORE the
     * threshold comparison so the verdict is reproducible cross-engine
     * (a raw double compare at the boundary is an engine-ulp coin flip). */
+  /** (keyCols..., __h) — one row per word n-gram OCCURRENCE, where `__h`
+    * is the multi-arg xxhash64 of the n word slots. The string n-gram is
+    * never built. Word semantics match `shingles(text, n)`: split on
+    * single spaces, empties dropped, rows with fewer than n words emit
+    * nothing (the when-guard matters: Spark's sequence(1, 0) would count
+    * DOWN, so short docs must yield NULL — explode drops it — not a
+    * descending index range). */
+  private def hashedWordGrams(df: DataFrame, keyCols: Seq[String],
+                              textCol: String, n: Int): DataFrame = {
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    df.select(keyCols.map(col) :+ ws.as("__ws"): _*)
+      .select(keyCols.map(col) :+ col("__ws") :+
+        explode(when(size(col("__ws")) >= n,
+          sequence(lit(1), size(col("__ws")) - (n - 1)))).as("__i"): _*)
+      .select(keyCols.map(col) :+
+        xxhash64((0 until n).map(j =>
+          element_at(col("__ws"), col("__i") + j)): _*).as("__h"): _*)
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50, maxWords: Long = 100000,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
@@ -254,26 +260,21 @@ object TextAnalysis {
   def contaminationScore(docs: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.Registry.registerAll(spark)
-    docs.createOrReplaceTempView("cont_docs")
-    bench.createOrReplaceTempView("cont_bench")
-    spark.sql(
-      s"""WITH d AS (
-         |  SELECT DISTINCT $idCol, shingle s
-         |  FROM (SELECT $idCol, shingles($textCol, $n) FROM cont_docs)),
-         |b AS (
-         |  SELECT DISTINCT shingle s
-         |  FROM (SELECT shingles($textCol, $n) FROM cont_bench)),
-         |hits AS (
-         |  SELECT d.$idCol, COUNT(*) hit
-         |  FROM d JOIN b ON d.s = b.s GROUP BY d.$idCol),
-         |tot AS (SELECT $idCol, COUNT(*) total FROM d GROUP BY $idCol)
-         |SELECT tot.$idCol,
-         |  CAST(tot.total AS BIGINT) n_shingles,
-         |  CAST(COALESCE(hits.hit, 0) AS BIGINT) n_contaminated,
-         |  ROUND(COALESCE(hits.hit, 0) / CAST(tot.total AS DOUBLE), 6) contamination
-         |FROM tot LEFT JOIN hits ON tot.$idCol = hits.$idCol""".stripMargin)
+    // Hashed n-grams end to end (the repetitionScore licensing): both
+    // DISTINCT reductions and the equi-join run on 8-byte hashes, the
+    // n-gram strings are never materialized, and the broadcast of the
+    // bench side shrinks by the same factor.
+    val d = hashedWordGrams(docs, Seq(idCol), textCol, n).distinct()
+    val b = hashedWordGrams(bench, Nil, textCol, n).distinct()
+    val hits = d.join(b, Seq("__h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hit"))
+    val tot = d.groupBy(col(idCol)).agg(count(lit(1)).as("total"))
+    tot.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        col("total").cast("long").as("n_shingles"),
+        coalesce(col("hit"), lit(0L)).cast("long").as("n_contaminated"),
+        round(coalesce(col("hit"), lit(0L)) / col("total").cast("double"), 6)
+          .as("contamination"))
   }
 }
 
