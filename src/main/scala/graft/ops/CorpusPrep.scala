@@ -85,8 +85,11 @@ object CorpusPrep {
       (g.getLong(0), g.getLong(1), g.getLong(2))
     val afterLangDf = flagged.filter(col("__ql")).drop("__q", "__ql").cache()
 
+    // afterLang IS dedupCorpus's input count — pass it down so the
+    // report costs no extra corpus scan
     val (cleaned, dedupReport) = Dedup.dedupCorpus(
-      afterLangDf, idCol, textCol, cfg.shingleN, cfg.nearDupThreshold)
+      afterLangDf, idCol, textCol, cfg.shingleN, cfg.nearDupThreshold,
+      knownInput = Some(afterLang))
 
     (cleaned, PrepReport(
       input = input,

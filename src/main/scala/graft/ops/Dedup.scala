@@ -138,8 +138,13 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, threshold: Double = 0.8,
                   numHashTables: Int = 8,
-                  simHashPrefilter: Boolean = false): (DataFrame, DedupReport) = {
-    val input = docs.count()
+                  simHashPrefilter: Boolean = false,
+                  knownInput: Option[Long] = None): (DataFrame, DedupReport) = {
+    // `knownInput`: callers that already counted the corpus (CorpusPrep's
+    // gate aggregation) pass it so the report needs no extra scan here.
+    // (An observe() on the exact-dedup subtree was tried instead and
+    // REJECTED: the CollectMetrics node defeated cached-plan reuse across
+    // the three consumers and ran q79 at ~2× — measured round 7.)
     val exact = docs
       .withColumn("__h", sha2(col(textCol), 256))
       .withColumn("__rk", row_number().over(
@@ -148,6 +153,7 @@ object Dedup {
       .filter(col("__rk") === 1).drop("__h", "__rk")
       .cache() // reused by the LSH pass, the anti-join, and both counts
     val afterExact = exact.count()
+    val input = knownInput.getOrElse(docs.count())
     val nearInput =
       if (!simHashPrefilter) exact
       else {
