@@ -204,12 +204,22 @@ class PipelineSuite extends SparkTestBase {
     // the sessions feed reads the ns-timestamp events fixture directly
     // (PipelineRunner's own EtlSession sets this; the suite session must too)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a stale status DB from a previous test run would accumulate rows
+    new java.io.File("/tmp/graft-example-out/monitored_status.duckdb").delete()
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
         "user_sessions_feed.json", "chunked_docs_feed.json",
-        "quality_gate_feed.json")) {
+        "quality_gate_feed.json", "monitored_load_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
+    // the monitored feed persisted one status row per load via JDBC
+    val monStatus = graft.sources.Sources.read(spark, "jdbc", "",
+      options = Map(
+        "url" -> "jdbc:duckdb:/tmp/graft-example-out/monitored_status.duckdb",
+        "dbtable" -> "graft_job_status",
+        "driver" -> "org.duckdb.DuckDBDriver")).collect()
+    assert(monStatus.length == 2 &&
+      monStatus.forall(_.getAs[String]("status") == "ok"))
     // the XML feed format (the reference framework's other spec syntax)
     // parses, runs, and produces the same rows as its JSON sibling
     PipelineRunner.runFile(spark,
