@@ -288,6 +288,66 @@ class FuzzSuite extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("40 random LIKE-pattern queries agree between Spark and DuckDB") {
+    // 11th axis: random LIKE patterns (wildcards in random positions,
+    // literal fragments sampled from the value alphabet, NOT LIKE, and
+    // an ESCAPE variant) evaluated per row — pattern-matching semantics
+    // are a classic dialect-drift hotspot (% greediness is fine, but
+    // '_' vs multibyte, escape handling, and empty-pattern edge cases
+    // differ across engines) that the corpus's fixed q04/q04b probes
+    // only sample.
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW part AS SELECT * FROM '$sf0001/part.parquet'")
+      val frag = Gen.oneOf("a", "b", "r", "st", "ow", "li", "e", "an")
+      val hole = Gen.oneOf("%", "_", "__", "%_")
+      def patGen: Gen[String] = for {
+        n <- Gen.choose(1, 3)
+        parts <- Gen.listOfN(n, for {
+          f <- frag; h <- hole
+        } yield f + h)
+        lead <- Gen.oneOf("", "%")
+      } yield lead + parts.mkString
+      val exprGen: Gen[String] = Gen.oneOf(
+        for { c <- Gen.oneOf("p_name", "p_type"); p <- patGen }
+          yield s"$c LIKE '$p'",
+        for { c <- Gen.oneOf("p_name", "p_type"); p <- patGen }
+          yield s"$c NOT LIKE '$p'",
+        // escaped literal underscore/percent: pattern built so the
+        // escape character is load-bearing
+        for { c <- Gen.oneOf("p_name", "p_brand"); f <- frag }
+          yield s"$c LIKE CONCAT('%', '$f', '!_%') ESCAPE '!'")
+      val qGen = for {
+        e1 <- exprGen; e2 <- exprGen
+        lim <- Gen.choose(60, 150)
+      } yield
+        s"""SELECT p_partkey, $e1 a, $e2 b
+           |FROM part ORDER BY p_partkey LIMIT $lim""".stripMargin
+      val queries = (1 to 40).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(37000L + i)))
+      assert(queries.size >= 30)
+      val failures = queries.flatMap { sql =>
+        val sr = spark.sql(sql).collect()
+          .map(r => (0 until r.length).map(i =>
+            Option(r.get(i)).map(_.toString).getOrElse("\\N")).mkString("|"))
+        val rs = st.executeQuery(sql)
+        val md = rs.getMetaData
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (1 to md.getColumnCount).map(i =>
+            Option(r.getObject(i)).map(_.toString).getOrElse("\\N")).mkString("|")
+        }.toSeq
+        if (sr.toSeq != dr)
+          Some(s"sql=${sql.replace('\n', ' ')} " +
+            s"first-diff=${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
+
   test("30 random date-expression queries agree between Spark and DuckDB") {
     // 7th axis: random compositions from the ANSI-common date set over
     // orders — EXTRACT, DATE_TRUNC, LAST_DAY, +INTERVAL, GREATEST/LEAST
