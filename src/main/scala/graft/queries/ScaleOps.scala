@@ -1883,6 +1883,70 @@ object ScaleOps {
         .orderBy(desc("n"), col("token")).limit(100)
     },
 
+    // URL function family (F1 breadth): deterministic URLs synthesized
+    // from the documents fixture, parsed with Spark's parse_url; the
+    // oracle re-derives host/path/query-param/protocol with anchored
+    // regexes (DuckDB has no parse_url).
+    sqlQ("q132_url_funcs",
+      """WITH u AS (
+        |  SELECT doc_id, CONCAT('https://', source, '.example.com/', lang,
+        |    '/doc/', CAST(doc_id AS STRING), '?ref=r',
+        |    CAST(doc_id % 7 AS STRING), '&page=',
+        |    CAST(doc_id % 3 AS STRING)) url
+        |  FROM documents)
+        |SELECT doc_id, parse_url(url, 'HOST') host,
+        |       parse_url(url, 'PATH') path,
+        |       parse_url(url, 'QUERY', 'ref') refparam,
+        |       parse_url(url, 'PROTOCOL') proto
+        |FROM u ORDER BY doc_id""".stripMargin,
+      """WITH u AS (
+        |  SELECT doc_id, CONCAT('https://', source, '.example.com/', lang,
+        |    '/doc/', CAST(doc_id AS VARCHAR), '?ref=r',
+        |    CAST(doc_id % 7 AS VARCHAR), '&page=',
+        |    CAST(doc_id % 3 AS VARCHAR)) url
+        |  FROM documents)
+        |SELECT doc_id, REGEXP_EXTRACT(url, 'https?://([^/]+)', 1) host,
+        |       REGEXP_EXTRACT(url, 'https?://[^/]+(/[^?]*)', 1) path,
+        |       REGEXP_EXTRACT(url, '[?&]ref=([^&]*)', 1) refparam,
+        |       REGEXP_EXTRACT(url, '^([a-z]+):', 1) proto
+        |FROM u ORDER BY doc_id""".stripMargin),
+
+    // Edit distance (F1 breadth; identical function in both engines):
+    // consecutive-doc text prefixes — the cheap fuzzy-similarity kernel
+    // curation pipelines use for titles/URLs where shingling is overkill.
+    sameQ("q133_edit_distance",
+      """SELECT a.doc_id da, b.doc_id db,
+        |       CAST(LEVENSHTEIN(SUBSTRING(a.text, 1, 30),
+        |                        SUBSTRING(b.text, 1, 30)) AS BIGINT) dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 100 ORDER BY da""".stripMargin),
+
+    // Bitwise family (F4 breadth): &, |, xor, shifts, bit_count, NOT —
+    // the DuckDB dialect spells xor/shifts differently (^ is POWER
+    // there), so both texts are explicit and every output is cast to a
+    // fixed width.
+    sqlQ("q134_bitwise",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey & 255 AS BIGINT) band,
+        |  CAST(l_orderkey | 16 AS BIGINT) bor,
+        |  CAST(l_orderkey ^ l_partkey AS BIGINT) bxor,
+        |  CAST(shiftleft(l_linenumber, 3) AS BIGINT) shl,
+        |  CAST(shiftright(l_orderkey, 2) AS BIGINT) shr,
+        |  CAST(bit_count(l_orderkey) AS INT) bc,
+        |  CAST(~l_linenumber AS BIGINT) neg
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey & 255 AS BIGINT) band,
+        |  CAST(l_orderkey | 16 AS BIGINT) bor,
+        |  CAST(xor(l_orderkey, l_partkey) AS BIGINT) bxor,
+        |  CAST(l_linenumber << 3 AS BIGINT) shl,
+        |  CAST(l_orderkey >> 2 AS BIGINT) shr,
+        |  CAST(bit_count(l_orderkey) AS INT) bc,
+        |  CAST(~l_linenumber AS BIGINT) neg
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // TPC-H Q2 shape (min-cost supplier per part; the fixtures lack
     // partsupp, so lineitem is the part↔supplier bridge): per-key agg →
     // per-part min → rejoin on the min. Costs are rounded BEFORE the
