@@ -1947,6 +1947,49 @@ object ScaleOps {
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // Time-series resample + gap fill + locf (ops/Resample): hourly
+    // buckets per user densified onto each user's [min,max] grid, with
+    // the value sum forward-filled across gaps. DuckDB has no IGNORE
+    // NULLS, so the oracle's locf is the independent running-count-of-
+    // observations + join formulation (same cross-check style as q36b);
+    // its grid comes from lateral generate_series. Sums go through an
+    // exact DECIMAL accumulator on both engines (q84's convention).
+    dfQ("q135_resample_locf",
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) bucket,
+        |         COUNT(*) n,
+        |         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) sv
+        |  FROM events WHERE user_id < 6 GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(bucket) lo, MAX(bucket) hi FROM b GROUP BY 1),
+        |g AS (SELECT s.user_id, gs.bucket
+        |      FROM s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi,
+        |                         INTERVAL 1 HOUR)) bucket) gs),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, COALESCE(b.n, 0) n,
+        |         COUNT(b.sv) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) obs_n
+        |  FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket),
+        |o AS (
+        |  SELECT user_id, sv,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket) pn
+        |  FROM b)
+        |SELECT j.user_id, strftime(j.bucket, '%Y-%m-%d %H:%M:%S') bucket_s,
+        |       j.n, o.sv filled_sv
+        |FROM j LEFT JOIN o ON o.user_id = j.user_id AND o.pn = j.obs_n
+        |ORDER BY j.user_id, bucket_s""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events").filter(col("user_id") < 6)
+        .withColumn("value", col("value").cast("decimal(18,4)"))
+      val sparse = graft.ops.Resample.bucketAgg(ev, "user_id", "ts", "hour",
+        Seq("n" -> count(lit(1)),
+            "sv" -> round(sum(col("value")), 2).cast("double")))
+      val dense = graft.ops.Resample.gapFill(sparse, "user_id", 3600L)
+      graft.ops.Resample.forwardFill(dense, "user_id", Seq("sv"))
+        .select(col("user_id"),
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_s"),
+          coalesce(col("n"), lit(0L)).as("n"), col("sv").as("filled_sv"))
+        .orderBy("user_id", "bucket_s")
+    },
+
     // TPC-H Q2 shape (min-cost supplier per part; the fixtures lack
     // partsupp, so lineitem is the part↔supplier bridge): per-key agg →
     // per-part min → rejoin on the min. Costs are rounded BEFORE the

@@ -1765,6 +1765,69 @@ class OpsSuite extends SparkTestBase {
     }
   }
 
+  // --- time-series resample / gap fill / fill strategies -----------------
+
+  test("resample: gapFill densifies each key's span; locf matches reference") {
+    val ev = Tables.table(spark, sf0001, "events").filter(col("user_id") < 4)
+    val sparse = Resample.bucketAgg(ev, "user_id", "ts", "hour",
+      Seq("n" -> count(lit(1)), "sv" -> sum(col("value"))))
+    val dense = Resample.gapFill(sparse, "user_id", 3600L)
+    // span coverage: per key, exactly (hi-lo)/step + 1 grid rows
+    val spans = sparse.groupBy("user_id")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi")).collect()
+    val denseRows = dense.collect()
+    val byKey = denseRows.groupBy(_.getLong(0))
+    for (s <- spans) {
+      val k = s.getLong(0)
+      val expect =
+        (s.getTimestamp(2).getTime - s.getTimestamp(1).getTime) / 3600000L + 1
+      assert(byKey(k).length == expect, s"grid size for key $k")
+    }
+    // genuine gaps exist, and a gap row carries no aggregate values
+    assert(denseRows.exists(_.isNullAt(2)))
+    assert(denseRows.filter(_.isNullAt(2)).forall(_.isNullAt(3)))
+    // locf: every filled value equals the last observation at or before it
+    val obs = sparse.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(3)))
+    val filled = Resample.forwardFill(dense, "user_id", Seq("sv")).collect()
+    for (r <- filled) {
+      val (k, t) = (r.getLong(0), r.getTimestamp(1).getTime)
+      val expect = obs.filter(o => o._1 == k && o._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert((if (r.isNullAt(3)) None else Some(r.getDouble(3))) == expect,
+        s"locf at ($k, $t)")
+    }
+  }
+
+  test("resample: interpolate is linear between observations, null at edges") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val dense = Seq(
+      ("a", ts(0), None: Option[Double]), ("a", ts(1), Some(1.0)),
+      ("a", ts(2), None: Option[Double]), ("a", ts(3), None: Option[Double]),
+      ("a", ts(4), Some(4.0)), ("a", ts(5), None: Option[Double]))
+      .toDF("k", "bucket", "v")
+    val got = Resample.interpolate(dense, "k", "v")
+      .orderBy("bucket").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(got.toSeq == Seq(None, Some(1.0), Some(2.0), Some(3.0),
+      Some(4.0), None))
+  }
+
+  test("resample: gapFill fails fast when a key's grid would explode") {
+    import spark.implicits._
+    val sparse = Seq(
+      ("k", java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 1L))
+      .toDF("k", "bucket", "n")
+    val ex = intercept[Exception] {
+      Resample.gapFill(sparse, "k", 1L, maxBucketsPerKey = 1000L).count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + chain(t.getCause)
+    assert(chain(ex).contains("maxBucketsPerKey"))
+  }
+
   test("importance/LM weight builds leave no standing cache entries") {
     // private[sql] erases to public at the bytecode level — reflection
     // reads the session's CacheManager without a compile-time dependency
