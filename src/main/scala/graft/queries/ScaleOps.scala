@@ -1990,6 +1990,90 @@ object ScaleOps {
         .orderBy("user_id", "bucket_s")
     },
 
+    // URL curation stage (ops/UrlCuration — the C4/RefinedWeb stage-1
+    // recipe): deterministic URLs synthesized over documents with
+    // IP-literal hosts, binary-download extensions, tracking-spam query
+    // strings, and blocklisted tokens mixed in; registered domains
+    // extracted, two domains blocklisted away, and the per-domain review
+    // stats aggregated. Spark resolves hosts/paths with parse_url; the
+    // oracle re-derives everything with anchored regexes — independent
+    // mechanisms, same semantics.
+    dfQ("q136_url_curation",
+      """WITH u AS (
+        |  SELECT doc_id, source, LENGTH(text) score,
+        |    CASE
+        |      WHEN doc_id % 17 = 0 THEN CONCAT('http://10.0.',
+        |        CAST(doc_id % 256 AS VARCHAR), '.1/dl/file',
+        |        CAST(doc_id AS VARCHAR), '.zip')
+        |      WHEN doc_id % 13 = 0 THEN CONCAT('https://www.', source, '-',
+        |        CAST(doc_id % 3 AS VARCHAR), '.org/get/tool',
+        |        CAST(doc_id AS VARCHAR), '.exe')
+        |      WHEN doc_id % 23 = 0 THEN CONCAT('https://', source, '-',
+        |        CAST(doc_id % 3 AS VARCHAR), '.org/casino/page',
+        |        CAST(doc_id AS VARCHAR))
+        |      WHEN doc_id % 19 = 0 THEN CONCAT('https://', source, '-',
+        |        CAST(doc_id % 3 AS VARCHAR),
+        |        '.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10')
+        |      ELSE CONCAT('https://blog.', source, '-',
+        |        CAST(doc_id % 3 AS VARCHAR), '.org/post/',
+        |        CAST(doc_id AS VARCHAR))
+        |    END url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, score,
+        |    LOWER(REGEXP_EXTRACT(url, 'https?://([^/?]+)', 1)) h,
+        |    LOWER(COALESCE(REGEXP_EXTRACT(url, 'https?://[^/?]+(/[^?]*)', 1),
+        |                   '')) path,
+        |    COALESCE(REGEXP_EXTRACT(url, '\?(.*)$', 1), '') q
+        |  FROM u),
+        |f AS (
+        |  SELECT doc_id, score,
+        |    CASE WHEN REGEXP_MATCHES(h, '^\d{1,3}(\.\d{1,3}){3}$') THEN h
+        |         ELSE REGEXP_EXTRACT(REGEXP_REPLACE(h, '^www\.', ''),
+        |                             '([^.]+\.[^.]+)$', 1) END dom,
+        |    (REGEXP_MATCHES(h, '^\d{1,3}(\.\d{1,3}){3}$')
+        |     OR REGEXP_MATCHES(path, '\.(exe|zip|gz|tar|dmg|apk|iso)$')
+        |     OR (CASE WHEN q = '' THEN 0
+        |              ELSE LEN(STRING_SPLIT(q, '&')) END) > 8
+        |     OR REGEXP_MATCHES(CONCAT(h, '/', path), '(casino|viagra)'))
+        |      flagged
+        |  FROM p)
+        |SELECT dom, COUNT(*) n_docs,
+        |       CAST(ROUND(AVG(score), 4) AS DOUBLE) mean_score,
+        |       CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+        |         n_flagged
+        |FROM f WHERE dom NOT IN ('src0-0.org', 'src5-1.org')
+        |GROUP BY dom ORDER BY dom""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.table(s, d, "documents")
+        .withColumn("score", length(col("text")))
+        .withColumn("url", expr(
+          """CASE
+            |  WHEN doc_id % 17 = 0 THEN CONCAT('http://10.0.',
+            |    CAST(doc_id % 256 AS STRING), '.1/dl/file',
+            |    CAST(doc_id AS STRING), '.zip')
+            |  WHEN doc_id % 13 = 0 THEN CONCAT('https://www.', source, '-',
+            |    CAST(doc_id % 3 AS STRING), '.org/get/tool',
+            |    CAST(doc_id AS STRING), '.exe')
+            |  WHEN doc_id % 23 = 0 THEN CONCAT('https://', source, '-',
+            |    CAST(doc_id % 3 AS STRING), '.org/casino/page',
+            |    CAST(doc_id AS STRING))
+            |  WHEN doc_id % 19 = 0 THEN CONCAT('https://', source, '-',
+            |    CAST(doc_id % 3 AS STRING),
+            |    '.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10')
+            |  ELSE CONCAT('https://blog.', source, '-',
+            |    CAST(doc_id % 3 AS STRING), '.org/post/',
+            |    CAST(doc_id AS STRING))
+            |END""".stripMargin))
+      val blocked = Seq("src0-0.org", "src5-1.org").toDF("domain")
+      val kept = graft.ops.UrlCuration.dropBlockedDomains(docs, "url", blocked)
+      graft.ops.UrlCuration.domainStats(kept, "url", "score")
+        .select(col("domain").as("dom"), col("n_docs"),
+          round(col("mean_score"), 4).cast("double").as("mean_score"),
+          col("n_flagged"))
+        .orderBy("dom")
+    },
+
     // TPC-H Q2 shape (min-cost supplier per part; the fixtures lack
     // partsupp, so lineitem is the part↔supplier bridge): per-key agg →
     // per-part min → rejoin on the min. Costs are rounded BEFORE the

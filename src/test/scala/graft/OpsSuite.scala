@@ -1828,6 +1828,41 @@ class OpsSuite extends SparkTestBase {
     assert(chain(ex).contains("maxBucketsPerKey"))
   }
 
+  // --- URL curation -------------------------------------------------------
+
+  test("url curation: registered domain heuristic + public-suffix override") {
+    import spark.implicits._
+    val df = Seq(
+      "https://www.example.com/a", "https://a.b.example.com/x",
+      "https://news.bbc.co.uk/story", "https://bbc.co.uk/story",
+      "http://10.1.2.3/x.zip", "https://single/x").toDF("url")
+    val got = df.select(UrlCuration.registeredDomain(col("url"),
+      Seq("co.uk")).as("d")).as[String].collect().toSeq
+    assert(got == Seq("example.com", "example.com", "bbc.co.uk",
+      "bbc.co.uk", "10.1.2.3", "single"))
+    // without the suffix list, co.uk collapses to the naive last-two
+    val naive = df.select(UrlCuration.registeredDomain(col("url")).as("d"))
+      .as[String].collect().toSeq
+    assert(naive(2) == "co.uk" && naive(3) == "co.uk")
+  }
+
+  test("url curation: per-domain cap is exact and deterministic") {
+    import spark.implicits._
+    val df = (0L until 30L)
+      .map(i => (i, s"https://blog.example${i % 2}.com/p/$i"))
+      .toDF("id", "url")
+    val c1 = UrlCuration.capPerDomain(df, "url", "id", 5)
+    assert(c1.count() == 10)
+    val perDom = c1
+      .groupBy(UrlCuration.registeredDomain(col("url")).as("d")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDom == Map("example0.com" -> 5L, "example1.com" -> 5L))
+    val ids1 = c1.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = UrlCuration.capPerDomain(df, "url", "id", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("importance/LM weight builds leave no standing cache entries") {
     // private[sql] erases to public at the bytecode level — reflection
     // reads the session's CacheManager without a compile-time dependency
