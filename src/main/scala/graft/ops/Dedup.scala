@@ -390,4 +390,31 @@ object Dedup {
           _.getField("line")), sep).as("text_dedup"))
       .select("id", "n_lines", "n_kept", "text_dedup")
   }
+
+  /** Canonical-document selection — the final step of fuzzy dedup:
+    * given near-dup component assignments (`node`, `component`, e.g.
+    * from [[Components.connectedComponents]] over an LSH pair set),
+    * keep ONE document per component — the best `scoreCol`, ties to the
+    * lowest id — and every unassigned document as its own canonical.
+    * This is what turns "we found the duplicate clusters" into "this is
+    * the corpus we train on", keeping the highest-quality copy instead
+    * of an arbitrary one.
+    *
+    * Output is the surviving docs with a resolved `component` column
+    * (singletons get their own id). One broadcast-or-shuffle join on
+    * the id plus one per-component window; component assignments are
+    * tiny relative to the corpus (only docs that appear in some pair),
+    * so the join's build side stays small at any scale. */
+  def canonicalByQuality(docs: DataFrame, idCol: String,
+                         components: DataFrame,
+                         scoreCol: String): DataFrame = {
+    val asg = docs.join(
+      components.select(col("node").as(idCol), col("component")),
+      Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))
+    asg.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
 }

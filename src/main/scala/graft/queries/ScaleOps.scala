@@ -756,6 +756,64 @@ object ScaleOps {
         .orderBy("node")
     },
 
+    // Canonical-document selection (Dedup.canonicalByQuality): the q83
+    // component set resolved to ONE kept doc per near-dup cluster — the
+    // longest text wins, ties to the lowest id — plus every
+    // out-of-cluster doc as its own canonical. The oracle replays the
+    // transitive closure recursively, then picks survivors with the
+    // same window rule.
+    dfQ("q137_canonical_select",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) AS s
+        |  FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |edges AS (
+        |  SELECT da u, db v
+        |  FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        |  WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6),
+        |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n),
+        |comp AS (SELECT n AS node, MIN(r) AS component FROM reach GROUP BY n),
+        |asg AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) component,
+        |         LENGTH(d.text) score
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |  WHERE d.doc_id < 500),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+        |    ORDER BY score DESC, doc_id) rn FROM asg)
+        |SELECT doc_id, component, CAST(score AS BIGINT) score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.register(s, d)
+      graft.functions.Registry.registerAll(s)
+      val edges = s.sql(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, shingle AS s
+          |  FROM (SELECT doc_id, shingles(text, 3) FROM documents WHERE doc_id < 500)),
+          |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT da, db
+          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6""".stripMargin)
+      val comp = graft.ops.Components.connectedComponents(edges, "da", "db")
+      val docs = Tables.table(s, d, "documents").filter(col("doc_id") < 500)
+        .withColumn("score", length(col("text")).cast("long"))
+      graft.ops.Dedup.canonicalByQuality(docs, "doc_id", comp, "score")
+        .select("doc_id", "component", "score").orderBy("doc_id")
+    },
+
     // Gap-based sessionization (30-minute inactivity breaks the session):
     // both engines express the identical lag + cumulative-boundary-sum
     // plan; one shuffle on the user key.

@@ -1828,6 +1828,17 @@ class OpsSuite extends SparkTestBase {
     assert(chain(ex).contains("maxBucketsPerKey"))
   }
 
+  test("canonical selection: ties break to the lowest id; singletons survive") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 5L), (9L, 7L)).toDF("id", "score")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "component")
+    val kept = Dedup.canonicalByQuality(d, "id", comp, "score")
+      .select("id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // id 1 beats the tied id 2, id 3 loses on score, id 9 is a singleton
+    assert(kept == Set((1L, 1L), (9L, 9L)))
+  }
+
   // --- URL curation -------------------------------------------------------
 
   test("url curation: registered domain heuristic + public-suffix override") {
