@@ -756,6 +756,56 @@ object ScaleOps {
         .orderBy("node")
     },
 
+    // Regression-aggregate breadth (A7 family completion): the SQL:2003
+    // linear-fit aggregates — identical function names and definitions
+    // in both engines; results rounded like the other moment-based
+    // stats (q28's convention).
+    sameQ("q139_regr_aggs",
+      """SELECT l_linenumber,
+        |  CAST(COUNT(*) AS BIGINT) n,
+        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) slope,
+        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) icept,
+        |  ROUND(REGR_R2(l_extendedprice, l_quantity), 4) r2,
+        |  ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) ax,
+        |  ROUND(REGR_AVGY(l_extendedprice, l_quantity), 2) ay
+        |FROM lineitem GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin),
+
+    // Linear quality classifier (ops/Classifier — the fasttext-style
+    // filtering stage of modern pretraining pipelines): a fixed
+    // bag-of-words weight vector scores every document as
+    // sigmoid(bias + Σ weight(token)) with term-frequency weighting.
+    // Spark runs the ZERO-shuffle map-literal projection; the oracle is
+    // the independent explode + join + re-aggregate formulation. All
+    // weights are dyadic so the raw sums are exact in double — only the
+    // sigmoid needs rounding.
+    dfQ("q138_linear_classifier",
+      """WITH w(token, weight) AS (VALUES
+        |    ('fast',0.75),('slow',-1.25),('big',0.5),('small',-0.5),
+        |    ('spark',1.0),('dup',-2.0),('scan',0.25),('merge',-0.25),
+        |    ('the',0.125),('data',0.375)),
+        |t AS (SELECT doc_id,
+        |        UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+')) tok
+        |      FROM documents),
+        |s AS (SELECT t.doc_id, SUM(w.weight) sw
+        |      FROM t JOIN w ON w.token = t.tok GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(ROUND(1/(1+EXP(-(-0.5 + COALESCE(s.sw, 0)))), 4) AS DOUBLE)
+        |    score,
+        |  (1/(1+EXP(-(-0.5 + COALESCE(s.sw, 0)))) >= 0.5) kept
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val weights = Map("fast" -> 0.75, "slow" -> -1.25, "big" -> 0.5,
+        "small" -> -0.5, "spark" -> 1.0, "dup" -> -2.0, "scan" -> 0.25,
+        "merge" -> -0.25, "the" -> 0.125, "data" -> 0.375)
+      graft.ops.Classifier.scoreWithMap(
+          Tables.table(s, d, "documents"), "text", weights, bias = -0.5)
+        .select(col("doc_id"),
+          round(col("score"), 4).cast("double").as("score"),
+          (col("score") >= 0.5).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // Canonical-document selection (Dedup.canonicalByQuality): the q83
     // component set resolved to ONE kept doc per near-dup cluster — the
     // longest text wins, ties to the lowest id — plus every

@@ -1839,6 +1839,26 @@ class OpsSuite extends SparkTestBase {
     assert(kept == Set((1L, 1L), (9L, 9L)))
   }
 
+  test("linear classifier: map-literal projection ≡ broadcast-join path") {
+    import spark.implicits._
+    val weights = Map("fast" -> 0.75, "slow" -> -1.25, "spark" -> 1.0,
+      "dup" -> -2.0, "the" -> 0.125)
+    val viaMap = Classifier.scoreWithMap(docs, "text", weights, bias = -0.5)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    val viaJoin = Classifier.scoreWithJoin(docs, "doc_id", "text",
+        weights.toSeq.toDF("token", "weight"), bias = -0.5)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaMap.keySet == viaJoin.keySet)
+    // dyadic weights: both paths sum exactly, so scores match bit-for-bit
+    for ((k, v) <- viaMap) assert(v == viaJoin(k), s"doc $k")
+    // and the map path's plan is join- and exchange-free
+    val plan = Classifier.scoreWithMap(docs, "text", weights, -0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.toLowerCase.contains("exchange"))
+  }
+
   // --- URL curation -------------------------------------------------------
 
   test("url curation: registered domain heuristic + public-suffix override") {
