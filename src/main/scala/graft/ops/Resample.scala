@@ -30,11 +30,13 @@ object Resample {
     * `unit` is a `date_trunc` unit (hour/day/…); `aggs` are named
     * aggregate expressions evaluated per bucket. */
   def bucketAgg(events: DataFrame, keyCol: String, tsCol: String,
-                unit: String, aggs: Seq[(String, Column)]): DataFrame =
+                unit: String, aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty, "bucketAgg needs at least one aggregate")
     events
       .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** Densify sparse buckets onto each key's full [min, max] grid at
     * `stepSeconds` spacing. Missing buckets appear with NULL aggregate

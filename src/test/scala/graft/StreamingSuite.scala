@@ -574,4 +574,28 @@ class StreamingSuite extends SparkTestBase {
     // and the verdicts are the interesting mixed set, not all-true
     assert(memTable("gate_stream").filter(col("keep")).count() == 2)
   }
+
+  test("stateless curation projections stream unchanged: classifier + URL flags") {
+    // scoreWithMap and withUrlFlags are pure projections, so the same
+    // composition must run as an Append stream with no watermark and
+    // converge to the batch result row-for-row
+    val schema = spark.read.parquet(s"$sf0001/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$sf0001/documents*.parquet")
+    val weights = Map("fast" -> 0.75, "slow" -> -1.25, "dup" -> -2.0)
+    def curate(df: DataFrame): DataFrame =
+      graft.ops.UrlCuration.withUrlFlags(
+        graft.ops.Classifier.scoreWithMap(df, "text", weights, bias = -0.5)
+          .withColumn("url", concat(lit("https://"), col("source"),
+            lit(".example.com/d/"), col("doc_id"))),
+        "url")
+        .select(col("doc_id"), col("score"), col("url_ip_host"),
+          col("url_bad_ext"), col("url_long_query"))
+    Streams.runToMemory(curate(stream), "curation_stream",
+      OutputMode.Append())
+    val batch = curate(Tables.table(spark, sf0001, "documents"))
+    assert(rowsOf(memTable("curation_stream")) == rowsOf(batch))
+    assert(memTable("curation_stream").count() > 0)
+  }
 }
