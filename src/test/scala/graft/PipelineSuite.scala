@@ -209,7 +209,8 @@ class PipelineSuite extends SparkTestBase {
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
         "user_sessions_feed.json", "chunked_docs_feed.json",
-        "quality_gate_feed.json", "monitored_load_feed.json")) {
+        "quality_gate_feed.json", "monitored_load_feed.json",
+        "curation_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
     // the monitored feed persisted one status row per load via JDBC
@@ -238,6 +239,13 @@ class PipelineSuite extends SparkTestBase {
     assert(chunks.filter(col("chunk_len") <= 0).count() == 0)
     assert(chunks.filter(col("chunk_start") =!= col("chunk_seq") * 192)
       .count() == 0)
+    // the curation feed keeps only classifier-passing docs — a real,
+    // non-trivial split of the corpus
+    val curated = spark.read.parquet("/tmp/graft-example-out/curation_kept")
+    val nDocs = Tables.table(spark, sf0001, "documents").count()
+    assert(curated.count() > 0 && curated.count() < nDocs)
+    assert(curated.filter(col("score") < 0.5 || col("score") > 1.0)
+      .count() == 0, "kept docs must clear the score threshold")
     // the quality-gate feed keeps only rule-passing docs
     val gate = spark.read.parquet("/tmp/graft-example-out/quality_gate")
     assert(gate.count() > 0)

@@ -123,6 +123,24 @@ class ScaleSuite extends SparkTestBase {
     assert(!plan.contains("Join"), "sessionize must not plan a join")
   }
 
+  test("Resample gapFill+locf plans one scan, two hash shuffles, no join") {
+    val ev = Tables.table(spark, sf0001, "events").filter(col("user_id") < 6)
+    val sparse = graft.ops.Resample.bucketAgg(ev, "user_id", "ts", "hour",
+      Seq("n" -> count(lit(1))))
+    val filled = graft.ops.Resample.forwardFill(
+      graft.ops.Resample.gapFill(sparse, "user_id", 3600L),
+      "user_id", Seq("n"))
+    val plan = filled.queryExecution.executedPlan.toString
+    // the span+bucket-map formulation: the input is read ONCE, densified
+    // map-side, and never joined back
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), "gap fill must not plan a join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected 2 hash exchanges (bucket agg, per-key agg+window), got $exchanges")
+  }
+
   test("charChunks plans a pure generate projection: zero exchanges, zero joins") {
     val docs = Tables.table(spark, sf0001, "documents")
     val plan = graft.ops.Chunking.charChunks(docs, "doc_id", "text", 256, 64)
