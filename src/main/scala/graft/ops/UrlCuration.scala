@@ -54,6 +54,11 @@ object UrlCuration {
                      Seq("exe", "zip", "gz", "tar", "dmg", "apk", "iso"),
                    blockedTokens: Seq[String] = Seq("casino", "viagra"),
                    maxParams: Int = 8): DataFrame = {
+    // an empty alternation would turn the regexes into match-everything /
+    // match-dot patterns — fail fast instead
+    require(badExtensions.nonEmpty, "badExtensions must be non-empty")
+    require(blockedTokens.nonEmpty, "blockedTokens must be non-empty")
+    require(maxParams > 0, s"maxParams must be positive, got $maxParams")
     val u = col(urlCol)
     val path = lower(coalesce(parse_url(u, lit("PATH")), lit("")))
     val query = coalesce(parse_url(u, lit("QUERY")), lit(""))

@@ -756,6 +756,21 @@ object ScaleOps {
         .orderBy("node")
     },
 
+    // Bitwise/boolean aggregate breadth: BIT_AND/BIT_OR/BIT_XOR and
+    // BOOL_AND/BOOL_OR group aggregates plus interpolating MEDIAN —
+    // identical names and semantics in both engines (results fixed-width
+    // cast; median rounded like the other order statistics).
+    sameQ("q140_bit_bool_aggs",
+      """SELECT l_linenumber,
+        |  CAST(BIT_AND(l_orderkey) AS BIGINT) b_and,
+        |  CAST(BIT_OR(l_orderkey) AS BIGINT) b_or,
+        |  CAST(BIT_XOR(l_orderkey) AS BIGINT) b_xor,
+        |  BOOL_AND(l_quantity > 1) all_multi,
+        |  BOOL_OR(l_discount > 0.09) any_deep_disc,
+        |  CAST(ROUND(MEDIAN(l_extendedprice), 2) AS DOUBLE) med_price
+        |FROM lineitem GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin),
+
     // Regression-aggregate breadth (A7 family completion): the SQL:2003
     // linear-fit aggregates — identical function names and definitions
     // in both engines; results rounded like the other moment-based
