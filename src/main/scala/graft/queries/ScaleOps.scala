@@ -756,6 +756,35 @@ object ScaleOps {
         .orderBy("node")
     },
 
+    // Recursive CTE (WITH RECURSIVE landed in Spark 4 as UnionLoop):
+    // hierarchy traversal — nation keys arranged as an implicit binary
+    // tree (children of k are 2k+1, 2k+2), walked from the root with
+    // depth and materialized path. Same construct in DuckDB; only the
+    // string-cast spelling differs.
+    sqlQ("q141_recursive_cte",
+      """WITH RECURSIVE h(node, depth, path) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), 0,
+        |         CAST(n_nationkey AS STRING)
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1,
+        |         CONCAT(h.path, '.', CAST(n.n_nationkey AS STRING))
+        |  FROM nation n JOIN h ON n.n_nationkey = h.node * 2 + 1
+        |                       OR n.n_nationkey = h.node * 2 + 2)
+        |SELECT node, CAST(depth AS BIGINT) depth, path FROM h
+        |ORDER BY node""".stripMargin,
+      """WITH RECURSIVE h(node, depth, path) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), 0,
+        |         CAST(n_nationkey AS VARCHAR)
+        |  FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), h.depth + 1,
+        |         CONCAT(h.path, '.', CAST(n.n_nationkey AS VARCHAR))
+        |  FROM nation n JOIN h ON n.n_nationkey = h.node * 2 + 1
+        |                       OR n.n_nationkey = h.node * 2 + 2)
+        |SELECT node, CAST(depth AS BIGINT) depth, path FROM h
+        |ORDER BY node""".stripMargin),
+
     // Bitwise/boolean aggregate breadth: BIT_AND/BIT_OR/BIT_XOR and
     // BOOL_AND/BOOL_OR group aggregates plus interpolating MEDIAN —
     // identical names and semantics in both engines (results fixed-width
