@@ -1507,7 +1507,7 @@ object ScaleOps {
         |       CAST(l_shipdate AS DATE) l_shipdate,
         |       CAST(NULL AS VARCHAR) l_ghost
         |FROM lineitem WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin) { (s, d) =>
       graft.ops.Schema.conform(
           Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 100),
           "l_orderkey INT, l_linenumber SMALLINT, " +
@@ -1516,7 +1516,7 @@ object ScaleOps {
           col("l_linenumber").cast("int").as("l_linenumber"),
           col("l_quantity").cast("string").as("l_quantity"),
           col("l_shipdate"), col("l_ghost"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
     },
 
     // Struct flattening: nested → parent_child leaf columns, a pure
@@ -1529,7 +1529,8 @@ object ScaleOps {
         |       l_tax meta_rates_tax,
         |       l_discount meta_rates_disc
         |FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, meta_qty, meta_rates_tax,
+        |  meta_rates_disc""".stripMargin) { (s, d) =>
       val nested = Tables.table(s, d, "lineitem")
         .filter(col("l_orderkey") < 200)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -1537,7 +1538,8 @@ object ScaleOps {
             struct(col("l_tax").as("tax"),
               col("l_discount").as("disc")).as("rates")).as("meta"))
       graft.ops.Schema.flatten(nested)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "meta_qty",
+          "meta_rates_tax", "meta_rates_disc")
     },
 
     // Bigram-LM quality gate (CCNet shape): every document scored by its
@@ -1802,12 +1804,12 @@ object ScaleOps {
          |  CAST(${(0 until 8).flatMap(i => Seq(
               s"(((xi >> $i) & 1) << ${2 * i})",
               s"(((yi >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS BIGINT) z
-         |FROM s ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+         |FROM s ORDER BY l_orderkey, l_linenumber, z""".stripMargin) { (s, d) =>
       graft.ops.Layout.withZ(
           Tables.table(s, d, "lineitem").filter(col("l_orderkey") < 200),
           "l_partkey", "l_suppkey", bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"), col("z"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "z")
     },
 
     // CCNet perplexity buckets (Wenzek et al. 2020): head/middle/tail
@@ -2087,7 +2089,7 @@ object ScaleOps {
         |  CAST(bit_count(l_orderkey) AS INT) bc,
         |  CAST(~l_linenumber AS BIGINT) neg
         |FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, bxor""".stripMargin,
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_orderkey & 255 AS BIGINT) band,
         |  CAST(l_orderkey | 16 AS BIGINT) bor,
@@ -2097,7 +2099,7 @@ object ScaleOps {
         |  CAST(bit_count(l_orderkey) AS INT) bc,
         |  CAST(~l_linenumber AS BIGINT) neg
         |FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |ORDER BY l_orderkey, l_linenumber, bxor""".stripMargin),
 
     // Time-series resample + gap fill + locf (ops/Resample): hourly
     // buckets per user densified onto each user's [min,max] grid, with

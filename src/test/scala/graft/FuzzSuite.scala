@@ -607,4 +607,80 @@ class FuzzSuite extends SparkTestBase {
       assert(failures.isEmpty, failures.take(3).mkString("\n"))
     } finally conn.close()
   }
+
+  test("30 random bitwise-expression queries agree between Spark and DuckDB") {
+    // 12th axis: bitwise operator trees over the integer key columns,
+    // rendered PER DIALECT (Spark spells xor `^` and shifts
+    // shiftleft/shiftright; DuckDB spells them xor() and <</>> — and ^
+    // means POWER there, so identical-text fuzzing would silently test
+    // the wrong operator). Shift amounts are bounded literals over
+    // masked operands so neither engine can hit overflow semantics;
+    // bit_count operands are masked non-negative for the same reason.
+    Tables.register(spark, sf0001)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW lineitem AS SELECT * FROM '$sf0001/lineitem.parquet'")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      // (sparkSql, duckSql) pairs of the same expression
+      def leaf: Gen[(String, String)] = Gen.oneOf(
+        Gen.oneOf(cols).map(c =>
+          (s"CAST($c AS BIGINT)", s"CAST($c AS BIGINT)")),
+        Gen.choose(0L, 1023L).map(v => (v.toString, v.toString)))
+      def node(depth: Int): Gen[(String, String)] =
+        if (depth == 0) leaf
+        else {
+          val sub = node(depth - 1)
+          Gen.frequency(
+            3 -> (for { (ls, ld) <- sub; (rs, rd) <- sub }
+              yield (s"($ls & $rs)", s"($ld & $rd)")),
+            3 -> (for { (ls, ld) <- sub; (rs, rd) <- sub }
+              yield (s"($ls | $rs)", s"($ld | $rd)")),
+            3 -> (for { (ls, ld) <- sub; (rs, rd) <- sub }
+              yield (s"($ls ^ $rs)", s"xor($ld, $rd)")),
+            1 -> (for { (ls, ld) <- sub; n <- Gen.choose(0, 16) }
+              yield (s"SHIFTLEFT(CAST(($ls & 255) AS INT), $n)",
+                s"((($ld) & 255) << $n)")),
+            1 -> (for { (ls, ld) <- sub; n <- Gen.choose(0, 16) }
+              yield (s"SHIFTRIGHT(CAST(($ls & 255) AS INT), $n)",
+                s"((($ld) & 255) >> $n)")),
+            1 -> sub.map { case (s1, d1) => (s"(~$s1)", s"(~$d1)") },
+            1 -> sub.map { case (s1, d1) =>
+              (s"CAST(BIT_COUNT($s1 & 1023) AS BIGINT)",
+                s"CAST(BIT_COUNT($d1 & 1023) AS BIGINT)") })
+        }
+      val qGen = for {
+        (e1s, e1d) <- node(2); (e2s, e2d) <- node(3)
+        lim <- Gen.choose(50, 150)
+      } yield (
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
+        // projected expressions join the sort key — rows that still tie
+        // are bit-identical and LIMIT may pick any of them
+        s"SELECT l_orderkey, l_linenumber, $e1s a, $e2s b FROM lineitem " +
+          s"ORDER BY l_orderkey, l_linenumber, a, b LIMIT $lim",
+        s"SELECT l_orderkey, l_linenumber, $e1d a, $e2d b FROM lineitem " +
+          s"ORDER BY l_orderkey, l_linenumber, a, b LIMIT $lim")
+      val queries = (1 to 30).flatMap(i =>
+        qGen.apply(Gen.Parameters.default, Seed(23000L + i)))
+      assert(queries.size >= 25)
+      val failures = queries.flatMap { case (sparkSql, duckSql) =>
+        val sr = spark.sql(sparkSql).collect().map { r =>
+          (0 until r.length).map(i =>
+            Option(r.get(i)).map(_.toString).getOrElse("\\N")).mkString("|")
+        }.toSeq
+        val rs = st.executeQuery(duckSql)
+        val md = rs.getMetaData
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (1 to md.getColumnCount).map(i =>
+            Option(r.getObject(i)).map(_.toString).getOrElse("\\N")).mkString("|")
+        }.toSeq
+        if (sr != dr)
+          Some(s"spark=[${sparkSql.take(200)}] duck=[${duckSql.take(200)}] " +
+            s"first-diff=${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
 }
