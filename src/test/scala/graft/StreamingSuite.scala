@@ -598,4 +598,28 @@ class StreamingSuite extends SparkTestBase {
     assert(rowsOf(memTable("curation_stream")) == rowsOf(batch))
     assert(memTable("curation_stream").count() > 0)
   }
+
+  test("streamed bucket aggregates feed batch gap fill (lambda handoff)") {
+    // the standard lambda split for time series: the stream maintains the
+    // sparse per-(key, bucket) aggregates, a batch pass densifies and
+    // fills — the handoff contract is just the (key, bucket, aggs) schema
+    val streamed = Streams.eventsStream(spark, sf0001)
+      .filter(col("user_id") < 4)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("bucket"), col("n"))
+    Streams.runToMemory(streamed, "resample_sparse")
+    val viaStream = graft.ops.Resample.forwardFill(
+      graft.ops.Resample.gapFill(memTable("resample_sparse"),
+        "user_id", 3600L), "user_id", Seq("n"))
+    val direct = graft.ops.Resample.forwardFill(
+      graft.ops.Resample.gapFill(
+        graft.ops.Resample.bucketAgg(
+          batchEvents.filter(col("user_id") < 4), "user_id", "ts", "hour",
+          Seq("n" -> count(lit(1)))), "user_id", 3600L),
+      "user_id", Seq("n"))
+    assert(rowsOf(viaStream) == rowsOf(direct))
+    assert(viaStream.count() > 0)
+  }
 }
