@@ -141,6 +141,18 @@ class ScaleSuite extends SparkTestBase {
       s"expected 2 hash exchanges (bucket agg, per-key agg+window), got $exchanges")
   }
 
+  test("groupCap ranks map-side via WindowGroupLimit (skew guard)") {
+    // the per-group cap is a row_number ≤ k filter; Spark 4 must push it
+    // down as a WindowGroupLimit partial limit BEFORE the exchange, so a
+    // hot key ships at most k·mappers rows instead of its whole group —
+    // this is what keeps domain caps safe on skewed corpora
+    val docs = Tables.table(spark, sf0001, "documents")
+    val plan = graft.ops.Sampling.groupCap(docs, "lang", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"group cap must plan a map-side group limit:\n${plan.take(1500)}")
+  }
+
   test("charChunks plans a pure generate projection: zero exchanges, zero joins") {
     val docs = Tables.table(spark, sf0001, "documents")
     val plan = graft.ops.Chunking.charChunks(docs, "doc_id", "text", 256, 64)
