@@ -130,11 +130,17 @@ object Streams {
     // hour still emit (null click columns) — but only once the global
     // watermark passes the purchase's join window, because until then a
     // matching click could still arrive. Same evictable state as inner.
-    purchases.join(clicks,
+    val joined = purchases.join(clicks,
       col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"), joinType)
-      .select(col("user_id"), col("p_id"), col("c_id"),
+    // "left_semi": purchases with at least one preceding-hour click,
+    // emitted once with no click columns — same watermark-evicted state
+    if (joinType == "left_semi")
+      joined.select(col("user_id"), col("p_id"), col("p_ts"),
+        col("p_value"))
+    else
+      joined.select(col("user_id"), col("p_id"), col("c_id"),
         col("p_ts"), col("c_ts"), col("p_value"))
   }
 

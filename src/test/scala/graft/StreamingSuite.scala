@@ -127,6 +127,32 @@ class StreamingSuite extends SparkTestBase {
     assert(rowsOf(memTable("st9")) == rowsOf(batch))
   }
 
+  test("ST9d: LEFT SEMI interval join equals batch semi join") {
+    Streams.runToMemory(
+      Streams.purchaseClickJoin(Streams.eventsStream(spark, sf0001),
+        joinType = "left_semi"), "st9d", OutputMode.Append())
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"), "left_semi")
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("p_value"))
+    assert(memTable("st9d").count() > 0)
+    // semi emits each purchase at most once: never more rows than the
+    // inner join (at this SF each match happens to be 1:1, so equality
+    // is legitimate — the row-set check below carries the semantics)
+    val innerCount = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts")).count()
+    assert(memTable("st9d").count() <= innerCount)
+    assert(rowsOf(memTable("st9d")) == rowsOf(batch))
+  }
+
   test("ST9c: LEFT OUTER interval join emits unmatched purchases after watermark") {
     import spark.implicits._
     // MemoryStream so the watermark can be pushed past the data by
