@@ -756,6 +756,118 @@ object ScaleOps {
         .orderBy("node")
     },
 
+    // END-TO-END curation pipeline, hash-checked as ONE query: linear
+    // classifier gate (raw-sum ≥ 0 ⟺ score ≥ 0.5 — exact, dyadic
+    // weights) → registered-domain blocklist → near-dup canonical
+    // selection (q83 edge set over the SURVIVORS, best-text-length per
+    // component) → per-domain cap by MD5 order. The oracle replays every
+    // stage: join-agg classifier, regex domains, recursive transitive
+    // closure, the same two window rules. This is the "would a user get
+    // the same corpus?" check for the whole curation stack composed.
+    dfQ("q142_curation_pipeline",
+      """WITH RECURSIVE
+        |w(token, weight) AS (VALUES
+        |    ('fast',0.75),('slow',-1.25),('big',0.5),('small',-0.5),
+        |    ('spark',1.0),('dup',-2.0),('scan',0.25),('merge',-0.25),
+        |    ('the',0.125),('data',0.375)),
+        |base AS (SELECT doc_id, source, text FROM documents
+        |         WHERE doc_id < 500),
+        |tkn AS (SELECT doc_id,
+        |          UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+')) tok
+        |        FROM base),
+        |sw AS (SELECT t.doc_id, SUM(w.weight) s
+        |       FROM tkn t JOIN w ON w.token = t.tok GROUP BY t.doc_id),
+        |scored AS (
+        |  SELECT b.doc_id, b.source, b.text,
+        |         1/(1+EXP(-(-0.5 + COALESCE(sw.s, 0)))) score
+        |  FROM base b LEFT JOIN sw ON sw.doc_id = b.doc_id),
+        |gated AS (SELECT * FROM scored WHERE score >= 0.5),
+        |kept AS (
+        |  SELECT *, CONCAT(source, '-', CAST(doc_id % 3 AS VARCHAR),
+        |                   '.org') dom
+        |  FROM gated
+        |  WHERE CONCAT(source, '-', CAST(doc_id % 3 AS VARCHAR), '.org')
+        |        NOT IN ('src0-0.org', 'src5-1.org')),
+        |toks AS (SELECT doc_id, STRING_SPLIT(text,' ') ws FROM kept),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) s
+        |  FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |edges AS (
+        |  SELECT da u, db v
+        |  FROM inter JOIN cnt ca ON ca.doc_id = da
+        |             JOIN cnt cb ON cb.doc_id = db
+        |  WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6),
+        |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n),
+        |comp AS (SELECT n AS node, MIN(r) AS component FROM reach
+        |         GROUP BY n),
+        |asg AS (
+        |  SELECT k.doc_id, COALESCE(c.component, k.doc_id) component,
+        |         LENGTH(k.text) q, k.score, k.dom
+        |  FROM kept k LEFT JOIN comp c ON c.node = k.doc_id),
+        |canon AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+        |      ORDER BY q DESC, doc_id) rn FROM asg) t0 WHERE rn = 1),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dom
+        |      ORDER BY CAST(CONCAT('0x', SUBSTRING(MD5(
+        |          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % 1073741824, doc_id) rk
+        |    FROM canon) t1 WHERE rk <= 3)
+        |SELECT doc_id, component,
+        |       CAST(ROUND(score, 4) AS DOUBLE) score,
+        |       CAST(q AS BIGINT) qscore
+        |FROM capped ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.register(s, d)
+      graft.functions.Registry.registerAll(s)
+      val weights = Map("fast" -> 0.75, "slow" -> -1.25, "big" -> 0.5,
+        "small" -> -0.5, "spark" -> 1.0, "dup" -> -2.0, "scan" -> 0.25,
+        "merge" -> -0.25, "the" -> 0.125, "data" -> 0.375)
+      val docs = Tables.table(s, d, "documents").filter(col("doc_id") < 500)
+      val gated = graft.ops.Classifier
+        .scoreWithMap(docs, "text", weights, bias = -0.5)
+        .filter(col("score") >= 0.5)
+        .withColumn("url", concat(lit("https://blog."), col("source"),
+          lit("-"), (col("doc_id") % 3).cast("string"), lit(".org/post/"),
+          col("doc_id").cast("string")))
+      import s.implicits._
+      val kept = graft.ops.UrlCuration.dropBlockedDomains(gated, "url",
+        Seq("src0-0.org", "src5-1.org").toDF("domain"))
+      kept.createOrReplaceTempView("curation_kept")
+      val edges = s.sql(
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, shingle AS s
+          |  FROM (SELECT doc_id, shingles(text, 3) FROM curation_kept)),
+          |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id da, b.doc_id db, COUNT(*) ix
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT da, db
+          |FROM inter JOIN cnt ca ON ca.doc_id = da
+          |           JOIN cnt cb ON cb.doc_id = db
+          |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.6""".stripMargin)
+      val comp = graft.ops.Components.connectedComponents(edges, "da", "db")
+      val canon = graft.ops.Dedup.canonicalByQuality(
+        kept.withColumn("qscore", length(col("text")).cast("long")),
+        "doc_id", comp, "qscore")
+      graft.ops.UrlCuration.capPerDomain(canon, "url", "doc_id", cap = 3)
+        .select(col("doc_id"), col("component"),
+          round(col("score"), 4).cast("double").as("score"),
+          col("qscore"))
+        .orderBy("doc_id")
+    },
+
     // Recursive CTE (WITH RECURSIVE landed in Spark 4 as UnionLoop):
     // hierarchy traversal — nation keys arranged as an implicit binary
     // tree (children of k are 2k+1, 2k+2), walked from the root with
