@@ -841,8 +841,11 @@ object ScaleOps {
           lit("-"), (col("doc_id") % 3).cast("string"), lit(".org/post/"),
           col("doc_id").cast("string")))
       import s.implicits._
+      // `kept` feeds three subtrees (shingle-edge SQL via the view, the
+      // canonical join, and through it the cap); without a cache the
+      // classifier explode + anti-join recompute per subtree.
       val kept = graft.ops.UrlCuration.dropBlockedDomains(gated, "url",
-        Seq("src0-0.org", "src5-1.org").toDF("domain"))
+        Seq("src0-0.org", "src5-1.org").toDF("domain")).cache()
       kept.createOrReplaceTempView("curation_kept")
       val edges = s.sql(
         """WITH sh AS (
