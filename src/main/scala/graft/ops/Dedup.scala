@@ -317,26 +317,51 @@ object Dedup {
     * .SimHashAgg]] — a single 64-slot vote buffer per doc in the map-side
     * partial (the 64×`SUM(CASE)` formulation it replaced scanned every
     * token row 64 times). Deterministic. */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashWith(docs, idCol, textCol, xxhash64(_))
+
+  /** [[simHash]] with a caller-supplied per-token hash column builder.
+    * The algorithm is hash-family agnostic (sign-sum of bits, one
+    * 64-slot vote buffer per doc); the default family is xxhash64. A
+    * REPLAYABLE family — e.g. the low 32 bits of md5, which every SQL
+    * engine can compute — makes the whole operator verifiable by an
+    * independent engine (q73b's DuckDB oracle). A hash narrower than 64
+    * bits degrades gracefully: the missing high bits vote strictly
+    * negative (sum = -n < 0) and emit 0. */
+  def simHashWith(docs: DataFrame, idCol: String, textCol: String,
+                  tokenHash: Column => Column): DataFrame = {
     val simhashUdaf = udaf(graft.functions.SimHashAgg)
     docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
-      .select(col("id"), xxhash64(col("w")).as("h"))
+      .select(col("id"), tokenHash(col("w")).cast("long").as("h"))
       .groupBy("id").agg(simhashUdaf(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance <= maxDist
     * (maxDist <= 3 for exactness via 4-band pigeonhole). Output (a, b,
-    * hamming) with a < b, distinct. */
+    * hamming) with a < b, distinct.
+    *
+    * `tokenHash`/`bits` select the hash family (default xxhash64/64).
+    * The 4 pigeonhole bands span `bits/4` bits each, so a narrower
+    * family keeps the pigeonhole guarantee (some band of the effective
+    * signature must match exactly when hamming <= 3) instead of
+    * degenerating into everyone-matches-on-the-zero-bands. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 3): DataFrame = {
+                          maxDist: Int = 3,
+                          tokenHash: Column => Column = xxhash64(_),
+                          bits: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for <= 3")
-    val sigs = simHash(docs, idCol, textCol).cache()
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64,
+      s"bits must be a multiple of 4 in [4,64], got $bits")
+    val bandWidth = bits / 4
+    val bandMask = if (bandWidth == 16) 0xFFFFL else (1L << bandWidth) - 1L
+    val sigs = simHashWith(docs, idCol, textCol, tokenHash).cache()
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          col("simhash").bitwiseAND(lit(0xFFFFL << (16 * b))).as("key"))
+          col("simhash").bitwiseAND(lit(bandMask << (bandWidth * b)))
+            .as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))

@@ -523,6 +523,52 @@ object ScaleOps {
         .orderBy("a", "b")
     },
 
+    // The SimHash OPERATOR under a hash oracle (the q129b move: q73's
+    // xxhash64 family is Spark-only, so q73 stays rows-only — but the
+    // operator is hash-family agnostic, and with the token hash set to
+    // the low 32 bits of md5 BOTH engines can compute every vote).
+    // DuckDB replays the full algorithm: per-occurrence ±1 votes on 32
+    // bit positions, strict-positive sign → signature, the same 4×8-bit
+    // pigeonhole bands, Hamming ≤ 3 confirm via bit_count(xor). Any
+    // change to the vote rule, banding, or confirm logic breaks the
+    // hash. Spark runs the REAL Dedup.simHashNearDupPairs (one UDAF
+    // pass, banded equi-join — never all-pairs); the oracle may go
+    // quadratic, it only has 150 docs.
+    dfQ("q73b_simhash_md5",
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) w
+        |  FROM documents WHERE doc_id < 150),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(CONCAT('0x', SUBSTRING(MD5(w), 1, 8)) AS BIGINT) h
+        |  FROM tok WHERE w <> ''),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        |  FROM h CROSS JOIN UNNEST(RANGE(0, 32)) t(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) s
+        |  FROM votes GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id a, b.doc_id b,
+        |         BIT_COUNT(XOR(a.s, b.s)) hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  CROSS JOIN UNNEST(RANGE(0, 4)) t(bd)
+        |  WHERE (a.s & (255::BIGINT << (8 * bd)))
+        |          = (b.s & (255::BIGINT << (8 * bd)))
+        |    AND BIT_COUNT(XOR(a.s, b.s)) <= 3)
+        |SELECT a, b, CAST(hamming AS INTEGER) hamming
+        |FROM pairs ORDER BY a, b""".stripMargin) { (s, d) =>
+      val md5h = (w: org.apache.spark.sql.Column) =>
+        conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+      Dedup.simHashNearDupPairs(
+          Tables.table(s, d, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text", maxDist = 3, tokenHash = md5h, bits = 32)
+        .orderBy("a", "b")
+    },
+
     // Oracle-promoted (VERDICT r2 item 5): the winnow kernel is exactly
     // SQL-expressible for this operating point. With k=5 and ASCII text the
     // max Karp-Rabin value is ~5.6e11 < 2^63, so the kernel's wrapping

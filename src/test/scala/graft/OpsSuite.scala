@@ -114,6 +114,34 @@ class OpsSuite extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("SimHash 32-bit md5 family: banded pairs == brute-force Hamming<=3") {
+    // The q73b oracle promotion's local guard: with the replayable
+    // 32-bit family the 4 pigeonhole bands are 8 bits each, and the
+    // banded candidate join must return EXACTLY the brute-force
+    // Hamming<=3 pair set (pigeonhole: <=3 flipped bits leave some
+    // 8-bit band untouched). A change to the vote rule, band layout, or
+    // confirm logic fails here before it fails at the driver's oracle.
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val docs = Tables.table(spark, sf0001, "documents")
+      .filter(col("doc_id") < 150)
+    val md5h = (w: org.apache.spark.sql.Column) =>
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+    val banded = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+        maxDist = 3, tokenHash = md5h, bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simHashWith(docs, "doc_id", "text", md5h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture should contain close simhash pairs")
+    // And the 32-bit family really is 32-bit: no signature has high bits.
+    assert(sigs.forall { case (_, s) => (s >>> 32) == 0L })
+  }
+
   test("annTopK dispatches small query sides to the exact broadcast scan") {
     // A 5-vector query side is below exactMaxQueries, so annTopK IS
     // exactTopK — equality by construction (this is what licenses q72's
