@@ -2236,6 +2236,30 @@ object ScaleOps {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id < 100 ORDER BY da""".stripMargin),
 
+    // The fuzzy JOIN as an operator (q133 above is the scalar): all
+    // pairs within edit distance 5 on 40-char prefixes, found by the
+    // lossless length-band equi-join (|len diff| <= k ⟹ same/adjacent
+    // floor(len/(k+1)) bucket; 3x probe replication) + thresholded
+    // levenshtein confirm — never a cross product. The oracle is the
+    // quadratic definition; it only has 300 docs. OpsSuite separately
+    // asserts banded == naive on Spark and that the plan has no
+    // Cartesian/BNLJ node.
+    dfQ("q143_fuzzy_join",
+      """WITH p AS (
+        |  SELECT doc_id, SUBSTRING(text, 1, 40) s
+        |  FROM documents WHERE doc_id < 1000)
+        |SELECT a.doc_id a, b.doc_id b,
+        |       CAST(LEVENSHTEIN(a.s, b.s) AS INTEGER) dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE LEVENSHTEIN(a.s, b.s) <= 5
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      graft.ops.FuzzyJoin.editDistancePairs(
+          Tables.table(s, d, "documents").filter(col("doc_id") < 1000)
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("s")),
+          "doc_id", "s", maxDist = 5)
+        .orderBy("a", "b")
+    },
+
     // Bitwise family (F4 breadth): &, |, xor, shifts, bit_count, NOT —
     // the DuckDB dialect spells xor/shifts differently (^ is POWER
     // there), so both texts are explicit and every output is cast to a

@@ -142,6 +142,31 @@ class OpsSuite extends SparkTestBase {
     assert(sigs.forall { case (_, s) => (s >>> 32) == 0L })
   }
 
+  test("FuzzyJoin: length-banded pairs == quadratic definition; no Cartesian") {
+    import org.apache.spark.sql.functions.{col, substring, levenshtein, lit}
+    val p = Tables.table(spark, sf0001, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+    val banded = FuzzyJoin.editDistancePairs(p, "doc_id", "s", maxDist = 5)
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = p.select(col("doc_id").as("ida"), col("s").as("sa"))
+    val b = p.select(col("doc_id").as("idb"), col("s").as("sb"))
+    val naive = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), levenshtein(col("sa"), col("sb")).as("d"))
+      .filter(col("d") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive,
+      s"missed=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    assert(naive.nonEmpty, "fixture should contain close prefixes")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unexpected plan:\n$plan")
+    // Degenerate maxDist = 0 is exact-match pairing, still banded.
+    val z = FuzzyJoin.editDistancePairs(p, "doc_id", "s", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(z.forall(_._3 == 0))
+  }
+
   test("annTopK dispatches small query sides to the exact broadcast scan") {
     // A 5-vector query side is below exactMaxQueries, so annTopK IS
     // exactTopK — equality by construction (this is what licenses q72's
