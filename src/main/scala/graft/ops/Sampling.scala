@@ -27,7 +27,14 @@ object Sampling {
     * engine-reproducible; thresholds are integral buckets. */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)],
-                buckets: Int = 10000): DataFrame = {
+                buckets: Int = 10000): DataFrame =
+    hashSplitOn(df, col(idCol), splits, buckets)
+
+  /** [[hashSplit]] with an arbitrary key expression (the core the
+    * row-id and grouped splits share). */
+  def hashSplitOn(df: DataFrame, key: Column,
+                  splits: Seq[(String, Double)],
+                  buckets: Int = 10000): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "positive weights")
     val total = splits.map(_._2).sum
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _)
@@ -39,12 +46,34 @@ object Sampling {
       s"split weights too small for $buckets buckets (thresholds " +
         s"${thresholds.mkString(",")} must be strictly increasing); " +
         "raise `buckets` or merge tiny splits")
-    val b = hashBucket(col(idCol), buckets)
+    val b = hashBucket(key, buckets)
     val assign = splits.map(_._1).zip(thresholds).init
       .foldRight(lit(splits.last._1)) { case ((name, t), rest) =>
         when(b < t, name).otherwise(rest)
       }
     df.withColumn("split", assign)
+  }
+
+  /** Leakage-safe split: every row sharing the (possibly multi-column)
+    * group key lands in the SAME split. Splitting a corpus by row id
+    * leaks — near-duplicates, pages from one site, chunks of one
+    * document end up straddling train/test and inflating eval. Hashing
+    * the GROUP key instead makes the group atomic: the whole site /
+    * document / author moves as one unit. Weights therefore apportion
+    * GROUPS, not rows — a corpus dominated by a few huge groups will
+    * see row-level proportions drift, which is the correct trade
+    * (the alternative IS the leak). Same MD5 anchor as [[hashSplit]];
+    * multi-column keys join on U+0001 (CHR(1) in the DuckDB replay —
+    * must not appear inside key values), so an independent engine
+    * reproduces the assignment. Pure projection — no shuffle, no
+    * group-by. */
+  def groupedHashSplit(df: DataFrame, groupCols: Seq[String],
+                       splits: Seq[(String, Double)],
+                       buckets: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val key = concat_ws("\u0001",
+      groupCols.map(c => col(c).cast("string")): _*)
+    hashSplitOn(df, key, splits, buckets)
   }
 
   /** Stratified sample: per-stratum fractions (seeded Bernoulli per

@@ -2260,6 +2260,36 @@ object ScaleOps {
         .orderBy("a", "b")
     },
 
+    // Leakage-safe GROUPED split (q82 splits rows; this splits GROUPS):
+    // every (source, lang) group lands atomically in one split — the
+    // hash key is the group, not the row. The oracle replays the same
+    // CHR(1)-joined MD5 assignment; atomicity is load-bearing in the
+    // hash compare, because a leaky per-row assignment would emit
+    // multiple rows per group (different splits) and change the row
+    // count. One row per group, ORDER BY the group key → deterministic.
+    dfQ("q144_grouped_split",
+      """WITH g AS (
+        |  SELECT source, lang, doc_id,
+        |    CAST(CONCAT('0x', SUBSTRING(MD5(
+        |        CONCAT_WS(CHR(1), source, lang)), 1, 8)) AS BIGINT)
+        |      % 10000 b
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, lang, doc_id,
+        |    CASE WHEN b < 8000 THEN 'train'
+        |         WHEN b < 9000 THEN 'val' ELSE 'test' END split
+        |  FROM g)
+        |SELECT source, lang, split, COUNT(*) n_docs, MIN(doc_id) min_id
+        |FROM a GROUP BY source, lang, split
+        |ORDER BY source, lang""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.groupedHashSplit(
+          Tables.table(s, d, "documents"), Seq("source", "lang"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("source", "lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy("source", "lang")
+    },
+
     // Bitwise family (F4 breadth): &, |, xor, shifts, bit_count, NOT —
     // the DuckDB dialect spells xor/shifts differently (^ is POWER
     // there), so both texts are explicit and every output is cast to a

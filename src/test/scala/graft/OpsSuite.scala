@@ -929,6 +929,26 @@ class OpsSuite extends SparkTestBase {
     assert(ex.getMessage.contains("buckets"))
   }
 
+  test("groupedHashSplit: groups atomic; single-key == hashSplit on key") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    // Atomicity — the leakage-safety contract: each (source, lang)
+    // group maps to exactly one split.
+    val assigned = ops.Sampling.groupedHashSplit(
+      docs, Seq("source", "lang"), splits)
+    val perGroup = assigned.groupBy("source", "lang")
+      .agg(countDistinct(col("split")).as("k"))
+      .collect().map(_.getLong(2))
+    assert(perGroup.nonEmpty && perGroup.forall(_ == 1L))
+    // A single-column group key degenerates to hashSplit on that column.
+    val g1 = ops.Sampling.groupedHashSplit(docs, Seq("source"), splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val h1 = ops.Sampling.hashSplit(docs, "source", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g1 == h1)
+  }
+
   test("stratifiedSample: per-stratum fractions honored") {
     val frac = Map("en" -> 0.5, "de" -> 1.0)
     val sampled = ops.Sampling.stratifiedSample(
