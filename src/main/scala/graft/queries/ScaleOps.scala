@@ -2290,6 +2290,51 @@ object ScaleOps {
         .orderBy("source", "lang")
     },
 
+    // Vocabulary pruning / OOV gate: induce the corpus top-1000 token
+    // vocabulary (ties at the cut → lexicographically smaller token;
+    // total order, so both engines derive the identical set), score
+    // every document's out-of-vocabulary share, gate at 20%, report
+    // per language. All rates are ONE double division of exact integer
+    // counts — no cross-engine float accumulation; the per-language
+    // micro-average divides the SUMMED counts for the same reason.
+    dfQ("q145_oov_gate",
+      """WITH tk AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) freq FROM tok GROUP BY token
+        |    ORDER BY freq DESC, token LIMIT 1000)),
+        |st AS (
+        |  SELECT t.doc_id, COUNT(*) n_tokens,
+        |         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) oov
+        |  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        |  GROUP BY t.doc_id),
+        |r AS (
+        |  SELECT d.lang,
+        |         COALESCE(s.n_tokens, 0) n_tokens,
+        |         COALESCE(s.oov, 0) oov,
+        |         ROUND(CAST(COALESCE(s.oov, 0) AS DOUBLE)
+        |               / GREATEST(COALESCE(s.n_tokens, 0), 1), 6) rate
+        |  FROM documents d LEFT JOIN st s ON d.doc_id = s.doc_id)
+        |SELECT lang, COUNT(*) n_docs,
+        |       SUM(CASE WHEN rate <= 0.2 THEN 1 ELSE 0 END) n_pass,
+        |       ROUND(CAST(SUM(oov) AS DOUBLE)
+        |             / GREATEST(SUM(n_tokens), 1), 6) micro_oov
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val vocab = graft.ops.Vocab.induceVocab(docs, "text", 1000)
+      graft.ops.Vocab.oovRate(docs, "doc_id", "text", vocab)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("oov_rate") <= 0.2, 1L).otherwise(0L)).as("n_pass"),
+          round(sum("oov_tokens").cast("double") /
+            greatest(sum("n_tokens"), lit(1L)), 6).as("micro_oov"))
+        .orderBy("lang")
+    },
+
     // Bitwise family (F4 breadth): &, |, xor, shifts, bit_count, NOT —
     // the DuckDB dialect spells xor/shifts differently (^ is POWER
     // there), so both texts are explicit and every output is cast to a

@@ -949,6 +949,40 @@ class OpsSuite extends SparkTestBase {
     assert(g1 == h1)
   }
 
+  test("Vocab: induction deterministic top-K; OOV known answers; gate") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "xyzzy quux"),
+      (4L, "")).toDF("doc_id", "text")
+    // K=3: freqs the=3, sat=2, rest 1 → ties at the cut break
+    // lexicographically: cat < dog < mat < on < quux < xyzzy.
+    val v3 = ops.Vocab.induceVocab(tiny, "text", 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(v3.toSeq == Seq("the" -> 3L, "sat" -> 2L, "cat" -> 1L))
+    // OOV against that vocab: doc1 = 2 OOV of 6 (on, mat), doc2 = 1 of
+    // 3 (dog), doc3 = 2 of 2, doc4 zero-token → kept with rate 0.
+    val rates = ops.Vocab.oovRate(tiny, "doc_id", "text",
+        ops.Vocab.induceVocab(tiny, "text", 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rates(1L) == ((6L, 2L, 0.333333)))
+    assert(rates(2L) == ((3L, 1L, 0.333333)))
+    assert(rates(3L) == ((2L, 2L, 1.0)))
+    assert(rates(4L) == ((0L, 0L, 0.0)))
+    // Gate at 0.5 keeps docs 1, 2 and the empty doc; drops doc 3.
+    val kept = ops.Vocab.oovGate(tiny, "doc_id", "text",
+        ops.Vocab.induceVocab(tiny, "text", 3), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+    // Full-vocab OOV is identically zero on the corpus fixture.
+    val full = ops.Vocab.induceVocab(docs, "text", 1000000)
+    val nonzero = ops.Vocab.oovRate(docs, "doc_id", "text", full)
+      .filter(col("oov_rate") > 0).count()
+    assert(nonzero == 0L)
+  }
+
   test("stratifiedSample: per-stratum fractions honored") {
     val frac = Map("en" -> 0.5, "de" -> 1.0)
     val sampled = ops.Sampling.stratifiedSample(
