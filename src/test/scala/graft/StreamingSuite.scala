@@ -647,5 +647,19 @@ class StreamingSuite extends SparkTestBase {
       "user_id", Seq("n"))
     assert(rowsOf(viaStream) == rowsOf(direct))
     assert(viaStream.count() > 0)
+    // Same handoff through the OTHER fill strategy: linear
+    // interpolation over the streamed sparse aggregates must equal the
+    // all-batch pipeline too (the contract is the (key, bucket, aggs)
+    // schema, not which fill rides on top).
+    val viaStreamInterp = graft.ops.Resample.interpolate(
+      graft.ops.Resample.gapFill(memTable("resample_sparse"),
+        "user_id", 3600L), "user_id", "n")
+    val directInterp = graft.ops.Resample.interpolate(
+      graft.ops.Resample.gapFill(
+        graft.ops.Resample.bucketAgg(
+          batchEvents.filter(col("user_id") < 4), "user_id", "ts", "hour",
+          Seq("n" -> count(lit(1)))), "user_id", 3600L),
+      "user_id", "n")
+    assert(rowsOf(viaStreamInterp) == rowsOf(directInterp))
   }
 }
