@@ -416,6 +416,60 @@ object Dedup {
       .select("id", "n_lines", "n_kept", "text_dedup")
   }
 
+  /** Cross-document repeated n-gram (boilerplate SPAN) removal — the
+    * sub-line sibling of [[lineDedupCorpus]]: token n-grams that occur
+    * in at least `minDf` DISTINCT documents are boilerplate (injected
+    * templates, disclaimers, navigation fragments that do not respect
+    * line boundaries), and every position covered by any occurrence of
+    * a boilerplate n-gram is excised; documents reassemble from their
+    * surviving tokens in original order. Unlike first-occurrence line
+    * dedup, ALL occurrences drop — a fragment repeated across `minDf`
+    * documents is template noise, not content with a rightful first
+    * copy.
+    *
+    * Returns (id, n_tokens, n_kept, text_clean); untouched documents
+    * pass through with text_clean == original text, fully-boilerplate
+    * documents survive with n_kept = 0 and empty text. Scale shape:
+    * the n-gram explode is a linear (n·tokens) projection; the
+    * document-frequency aggregate shuffles by gram with two-phase
+    * distinct (the aggregate carries grams, not documents); flagging
+    * is one equi-join on gram; the cover anti-join and reassembly
+    * shuffle by (id, pos) / id. Never all-pairs, never a global
+    * sort. */
+  def boilerplateNgramRemoval(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int = 5,
+                              minDf: Int = 3): DataFrame = {
+    require(n >= 2, "n-gram size must be >= 2")
+    require(minDf >= 2, "minDf < 2 would flag every gram")
+    val toks = split(col(textCol), " ")
+    val tokens = docs.select(col(idCol).as("id"), posexplode(toks))
+      .toDF("id", "pos", "token")
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("id", "gpos", "gram")
+    val boiler = grams.groupBy("gram")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    val covered = grams.join(boiler, Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
+    docs.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+      .join(kept.groupBy("id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            _.getField("token")), " ").as("text_clean")),
+        Seq("id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("text_clean"))
+  }
+
   /** Canonical-document selection — the final step of fuzzy dedup:
     * given near-dup component assignments (`node`, `component`, e.g.
     * from [[Components.connectedComponents]] over an LSH pair set),

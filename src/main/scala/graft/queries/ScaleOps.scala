@@ -2335,6 +2335,53 @@ object ScaleOps {
         .orderBy("lang")
     },
 
+    // Cross-document boilerplate SPAN removal (the sub-line sibling of
+    // q128's line dedup): 5-grams occurring in >= 3 distinct documents
+    // are template noise; every covered token position is excised and
+    // documents reassemble from survivors in order. The oracle
+    // re-derives the whole rule — positional tokenization, n-gram
+    // document frequency, cover expansion, anti-join, ordered
+    // reassembly — so the operator is hash-checked end to end,
+    // including the untouched documents passing through verbatim.
+    dfQ("q146_boilerplate_spans",
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') tk FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) pos, tk[i] token
+        |  FROM t CROSS JOIN UNNEST(RANGE(1, LEN(tk) + 1)) u(i)),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+        |         ARRAY_TO_STRING(tk[i:i+4], ' ') gram
+        |  FROM t CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(tk) - 3, 1))) u(i)),
+        |bp AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) >= 3),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.off cpos
+        |  FROM g JOIN bp USING (gram)
+        |  CROSS JOIN UNNEST(RANGE(0, 5)) o(off)),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.token
+        |  FROM tok k LEFT JOIN cov c
+        |    ON k.doc_id = c.doc_id AND k.pos = c.cpos
+        |  WHERE c.cpos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_kept,
+        |         STRING_AGG(token, ' ' ORDER BY pos) text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(LEN(t.tk) AS BIGINT) n_tokens,
+        |       COALESCE(a.n_kept, 0) n_kept,
+        |       COALESCE(a.text_clean, '') text_clean
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Dedup.boilerplateNgramRemoval(
+          Tables.table(s, d, "documents"), "doc_id", "text",
+          n = 5, minDf = 3)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_kept"), col("text_clean"))
+        .orderBy("doc_id")
+    },
+
     // Bitwise family (F4 breadth): &, |, xor, shifts, bit_count, NOT —
     // the DuckDB dialect spells xor/shifts differently (^ is POWER
     // there), so both texts are explicit and every output is cast to a

@@ -1837,6 +1837,30 @@ class OpsSuite extends SparkTestBase {
     assert(gap.getString(3) == "a\nb")
   }
 
+  test("boilerplateNgramRemoval: covered spans excised, others verbatim") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "a b c d"),  // "a b" covers pos 0-1
+      (2L, "a b x y"),
+      (3L, "z a b q"),  // covers pos 1-2
+      (4L, "a b"),      // fully boilerplate → empty survivor
+      (5L, "p q r")     // untouched → verbatim pass-through
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateNgramRemoval(in, "doc_id", "text",
+        n = 2, minDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, "c d"),
+      (2L, 4L, 2L, "x y"),
+      (3L, 4L, 2L, "z q"),
+      (4L, 2L, 0L, ""),
+      (5L, 3L, 3L, "p q r")))
+    // ALL occurrences drop (no first-copy survivor), unlike line dedup.
+    assert(!out.exists(_._4.contains("a b")))
+  }
+
   test("splitLeakage: cross-split pairs flagged, within-split pairs not") {
     import spark.implicits._
     val assign = Seq((1L, "train"), (2L, "train"), (3L, "test"),
