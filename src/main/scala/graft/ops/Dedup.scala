@@ -438,23 +438,41 @@ object Dedup {
     * sort. */
   def boilerplateNgramRemoval(docs: DataFrame, idCol: String,
                               textCol: String, n: Int = 5,
-                              minDf: Int = 3): DataFrame = {
-    require(n >= 2, "n-gram size must be >= 2")
+                              minDf: Int = 3): DataFrame =
+    exciseNgrams(docs, idCol, textCol,
+      boilerplateNgrams(docs, idCol, textCol, n, minDf), n)
+
+  /** The boilerplate set alone: token n-grams occurring in at least
+    * `minDf` distinct documents. One (gram) column — persist it as the
+    * standing table for [[exciseNgrams]] over later batches (the
+    * frozen-index discipline the IVF append and MinHash signature
+    * tables use). */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, minDf: Int = 3): DataFrame = {
     require(minDf >= 2, "minDf < 2 would flag every gram")
-    val toks = split(col(textCol), " ")
-    val tokens = docs.select(col(idCol).as("id"), posexplode(toks))
-      .toDF("id", "pos", "token")
-    val grams = docs.select(col(idCol).as("id"),
-        posexplode(when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => array_join(slice(toks, i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))))
-      .toDF("id", "gpos", "gram")
-    val boiler = grams.groupBy("gram")
+    ngramOccurrences(docs, idCol, textCol, n)
+      .groupBy("gram")
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
       .select("gram")
-    val covered = grams.join(boiler, Seq("gram"))
+  }
+
+  /** Excise every position covered by an occurrence of a gram in the
+    * SUPPLIED `boiler` set (one `gram` column). Splitting this from
+    * the induction makes the operator admit-a-batch capable: induce
+    * once over the standing corpus, then excise any later batch — a
+    * frozen boiler set makes removal depend on nothing but the batch
+    * and the standing table, so the identical composition runs per
+    * micro-batch over a stream
+    * ([[graft.streaming.Streams.runBoilerplateExcision]]). */
+  def exciseNgrams(docs: DataFrame, idCol: String, textCol: String,
+                   boiler: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, "n-gram size must be >= 2")
+    val toks = split(col(textCol), " ")
+    val tokens = docs.select(col(idCol).as("id"), posexplode(toks))
+      .toDF("id", "pos", "token")
+    val covered = ngramOccurrences(docs, idCol, textCol, n)
+      .join(boiler.select("gram"), Seq("gram"))
       .select(col("id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
@@ -468,6 +486,19 @@ object Dedup {
         Seq("id"), "left")
       .na.fill(0L, Seq("n_kept"))
       .na.fill("", Seq("text_clean"))
+  }
+
+  /** Positional n-gram occurrences (id, gpos, gram) — linear n·tokens
+    * projection, shared by induction and excision. */
+  private def ngramOccurrences(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("id"),
+        posexplode(when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("id", "gpos", "gram")
   }
 
   /** Canonical-document selection — the final step of fuzzy dedup:

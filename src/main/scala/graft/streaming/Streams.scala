@@ -231,6 +231,33 @@ object Streams {
     q
   }
 
+  /** ST × L1++: streaming boilerplate-span excision against a FROZEN
+    * boiler set — each micro-batch of documents is cleaned by
+    * [[graft.ops.Dedup.exciseNgrams]] with the standing n-gram table
+    * induced once over the seed corpus ([[graft.ops.Dedup
+    * .boilerplateNgrams]]; the frozen-index discipline the IVF append
+    * uses: no re-induction, ever, so a document cleans identically no
+    * matter which batch delivers it). Per-batch-id overwrite, so
+    * checkpoint replay rewrites identical rows.
+    *
+    * Scale: state store holds nothing; the boiler table is the only
+    * standing state and is corpus-frequency-pruned (grams seen in >=
+    * minDf docs), orders of magnitude smaller than the corpus. */
+  def runBoilerplateExcision(docs: DataFrame, idCol: String,
+                             textCol: String, boiler: DataFrame,
+                             outDir: String, n: Int = 5): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Dedup.exciseNgrams(batch, idCol, textCol, boiler, n)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST13 × L3+: streaming append into a STANDING IVF similarity index —
     * each micro-batch of embeddings is assigned to the frozen coarse
     * cells ([[graft.ops.Similarity.ivfAssign]]: the centroids inline as

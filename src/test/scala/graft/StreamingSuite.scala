@@ -572,6 +572,37 @@ class StreamingSuite extends SparkTestBase {
       standingRows.select("vec_id").as[Long].collect().toSet ++ streamedKept)
   }
 
+  test("streaming boilerplate excision against a frozen boiler set equals batch") {
+    import graft.ops.Dedup
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    // induce the standing boiler set ONCE over the seed half
+    val seed = docs.filter(col("doc_id") < 250)
+    val boiler = Dedup.boilerplateNgrams(seed, "doc_id", "text",
+      n = 3, minDf = 3).cache()
+    boiler.count()
+    // stream the other half through the frozen set, two micro-batches
+    val tail = docs.filter(col("doc_id") >= 250)
+    val rows = tail.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(rows.take(rows.size / 2))
+    input.addData(rows.drop(rows.size / 2))
+    val base = java.nio.file.Files.createTempDirectory("graft-boiler")
+    Streams.runBoilerplateExcision(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", boiler, s"$base/out", n = 3)
+    val streamed = spark.read.parquet(s"$base/out/batch_*")
+      .collect().map(_.toString).sorted.toSeq
+    // ≡ the batch excision over the same admission — micro-batch
+    // boundaries cannot matter because the boiler set is frozen
+    val expect = Dedup.exciseNgrams(tail, "doc_id", "text", boiler, n = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == expect)
+    assert(streamed.nonEmpty)
+    // the frozen set actually bites: something was excised
+    assert(spark.read.parquet(s"$base/out/batch_*")
+      .filter(col("n_kept") < col("n_tokens")).count() > 0)
+  }
+
   test("quality gates run unchanged on streams: gopherRules per micro-batch equals batch") {
     // the corpus gates are stateless projections, so the streaming form
     // IS the batch operator applied to the streaming DataFrame — no
