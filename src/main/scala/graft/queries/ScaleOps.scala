@@ -2382,6 +2382,24 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Ordered string aggregation (SQL:2023 LISTAGG, new in Spark 4):
+    // the WITHIN GROUP (ORDER BY) form — the in-group order is part of
+    // the result, so the hash compare checks it; DuckDB spells the
+    // same thing STRING_AGG(x, sep ORDER BY x).
+    sqlQ("q147_listagg",
+      """SELECT n.n_name,
+        |  listagg(c.c_name, ',') WITHIN GROUP (ORDER BY c.c_name) names,
+        |  CAST(COUNT(*) AS BIGINT) n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey < 120
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+      """SELECT n.n_name,
+        |  STRING_AGG(c.c_name, ',' ORDER BY c.c_name) AS names,
+        |  CAST(COUNT(*) AS BIGINT) n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey < 120
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+
     // Bitwise family (F4 breadth): &, |, xor, shifts, bit_count, NOT —
     // the DuckDB dialect spells xor/shifts differently (^ is POWER
     // there), so both texts are explicit and every output is cast to a
