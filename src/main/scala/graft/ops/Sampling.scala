@@ -117,6 +117,31 @@ object Sampling {
       .filter(col("__rk") <= cap).drop("__rk")
   }
 
+  /** Token-budget sampling — the "take N tokens per source" primitive
+    * of a training-mix build (mixture weights are specified in TOKENS,
+    * not documents, because that is what the model trains on):
+    * within each group, documents are taken in deterministic MD5-hash
+    * order (ties by id — a stable pseudo-random order any engine
+    * reproduces) while the RUNNING token total stays within `budget`.
+    * Strict prefix rule: the first document that would overflow the
+    * budget stops the group — simple, auditable, and exactly
+    * replayable as a cumulative-sum window in SQL; the budget error is
+    * at most one document.
+    *
+    * `tokenCol` is the per-document token count (precomputed — pair
+    * with [[TextAnalysis.tokenCounts]]). One shuffle on the group key
+    * for the per-group window; no global sort. */
+  def tokenBudgetSample(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget).drop("__cum")
+  }
+
   /** Deterministic epoch shuffle: a reproducible pseudo-random total
     * order — ORDER BY md5(epoch ‖ id). Different epochs give different,
     * fixed permutations; any engine reproduces the order. The sort is

@@ -2382,6 +2382,41 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Token-budget sampling: per source, documents are taken in
+    // deterministic MD5 order while the running whitespace-token total
+    // stays within 2000 — mixture weights in TOKENS, not documents.
+    // The oracle replays the identical hash order and cumulative-sum
+    // prefix rule, so the hash compare pins the selection itself (the
+    // survivor id set), not just its size.
+    dfQ("q148_token_budget",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) nt,
+        |    CAST(CONCAT('0x', SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1073741824 h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, nt,
+        |    SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                  ROWS UNBOUNDED PRECEDING) cum
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+        |       SUM(nt) total_tokens, MIN(doc_id) min_id, MAX(doc_id) max_id,
+        |       CAST(SUM(doc_id) AS BIGINT) id_sum
+        |FROM r WHERE cum <= 2000
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+      graft.ops.Sampling.tokenBudgetSample(docs, "source", "doc_id",
+          "nt", 2000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    },
+
     // Ordered string aggregation (SQL:2023 LISTAGG, new in Spark 4):
     // the WITHIN GROUP (ORDER BY) form — the in-group order is part of
     // the result, so the hash compare checks it; DuckDB spells the

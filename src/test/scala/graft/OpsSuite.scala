@@ -983,6 +983,34 @@ class OpsSuite extends SparkTestBase {
     assert(nonzero == 0L)
   }
 
+  test("tokenBudgetSample: maximal prefix per group, driver replay equal") {
+    val in = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val kept = ops.Sampling.tokenBudgetSample(in, "source", "doc_id",
+        "nt", 1500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the rule on the driver: hash order, accumulate, stop at
+    // the first overflow — must match the operator exactly
+    val rows = in.withColumn("h", ops.Sampling.hashBucket(col("doc_id"),
+        1 << 30))
+      .select("source", "h", "doc_id", "nt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).values.flatMap { g =>
+      var cum = 0L
+      g.sortBy(t => (t._2, t._3)).takeWhile { t =>
+        cum += t._4; cum <= 1500L
+      }.map(_._3).toSeq
+    }.toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty)
+    // budget holds per group
+    val totals = ops.Sampling.tokenBudgetSample(in, "source", "doc_id",
+        "nt", 1500L)
+      .groupBy("source").agg(sum("nt").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.forall(_ <= 1500L))
+  }
+
   test("stratifiedSample: per-stratum fractions honored") {
     val frac = Map("en" -> 0.5, "de" -> 1.0)
     val sampled = ops.Sampling.stratifiedSample(
