@@ -2382,6 +2382,42 @@ object ScaleOps {
         .orderBy("doc_id")
     },
 
+    // Higher statistical moments (A7 breadth): Spark's skewness /
+    // kurtosis are the POPULATION moments (g1, excess g2); DuckDB's
+    // are the sample-adjusted estimators (G1, G2), so the Spark text
+    // applies the standard conversion explicitly — the same value two
+    // textbooks would print. Sample sizes here are thousands per
+    // group, so the adjustment is small but exact.
+    sqlQ("q149_skew_kurtosis",
+      """SELECT l_returnflag,
+        |  ROUND(sk * SQRT(n * (n-1)) / (n-2), 4) skew,
+        |  ROUND(((n-1) / ((n-2) * (n-3))) * ((n+1) * ku + 6), 4) kurt
+        |FROM (SELECT l_returnflag, skewness(l_quantity) sk,
+        |             kurtosis(l_quantity) ku,
+        |             CAST(COUNT(*) AS DOUBLE) n
+        |      FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  ROUND(skewness(l_quantity), 4) skew,
+        |  ROUND(kurtosis(l_quantity), 4) kurt
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // TRY_CAST (F6 breadth): null-on-failure casting — identical
+    // syntax and semantics on both engines, exercised over strings
+    // that alternate between parseable and garbage.
+    sameQ("q150_try_cast",
+      """SELECT l_orderkey, l_linenumber,
+        |  TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+        |                THEN CAST(l_orderkey AS STRING)
+        |                ELSE CONCAT(CAST(l_orderkey AS STRING), 'x')
+        |           END AS BIGINT) maybe_key,
+        |  TRY_CAST(CONCAT('20', CAST(10 + l_linenumber AS STRING),
+        |                  '-01-01') AS DATE) maybe_date,
+        |  TRY_CAST('nope' AS DOUBLE) always_null
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // Token-budget sampling: per source, documents are taken in
     // deterministic MD5 order while the running whitespace-token total
     // stays within 2000 — mixture weights in TOKENS, not documents.
