@@ -153,6 +153,40 @@ class ScaleSuite extends SparkTestBase {
       s"group cap must plan a map-side group limit:\n${plan.take(1500)}")
   }
 
+  test("oovRate plans a broadcast join on the vocab, never a corpus shuffle by token") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val vocab = graft.ops.Vocab.induceVocab(docs, "text", 1000)
+    val plan = graft.ops.Vocab.oovRate(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    // the vocab side is top-K rows and must broadcast into the
+    // membership probe — the corpus-sized exploded token stream must
+    // not shuffle to meet it
+    assert(plan.contains("BroadcastHashJoin [token"),
+      s"vocab membership must be a broadcast join on token:\n${plan.take(1500)}")
+    // exactly ONE token shuffle is legitimate: the induction's
+    // frequency aggregate (map-side partial first, so it carries
+    // (token, count) rows, not the corpus)
+    val tokenExchanges = "hashpartitioning\\(token".r.findAllIn(plan).size
+    assert(tokenExchanges == 1,
+      s"expected only the induction agg to shuffle by token, got $tokenExchanges")
+    assert(plan.contains("partial_count"),
+      "induction frequency agg must combine map-side")
+  }
+
+  test("tokenBudgetSample plans one shuffle on the group key, no global sort") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val plan = graft.ops.Sampling.tokenBudgetSample(docs, "source",
+        "doc_id", "nt", 2000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "the running-sum window must not plan a global sort")
+    assert(!plan.contains("Join"), "token budget must not plan a join")
+  }
+
   test("charChunks plans a pure generate projection: zero exchanges, zero joins") {
     val docs = Tables.table(spark, sf0001, "documents")
     val plan = graft.ops.Chunking.charChunks(docs, "doc_id", "text", 256, 64)
