@@ -468,24 +468,28 @@ object Dedup {
   def exciseNgrams(docs: DataFrame, idCol: String, textCol: String,
                    boiler: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, "n-gram size must be >= 2")
-    val toks = split(col(textCol), " ")
-    val tokens = docs.select(col(idCol).as("id"), posexplode(toks))
-      .toDF("id", "pos", "token")
-    val covered = ngramOccurrences(docs, idCol, textCol, n)
+    // Covered positions travel as ONE set per AFFECTED document (the
+    // collect_set dedups overlapping spans), so the corpus itself is
+    // never exploded into a token-level shuffle: excision is an
+    // indexed higher-order filter on the in-row token array after one
+    // join against the (affected docs only) cut sets. Position sets
+    // are bounded by document length — driver-safe, skew-safe.
+    val cuts = ngramOccurrences(docs, idCol, textCol, n)
       .join(boiler.select("gram"), Seq("gram"))
       .select(col("id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
-      .distinct()
-    val kept = tokens.join(covered, Seq("id", "pos"), "left_anti")
-    docs.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
-      .join(kept.groupBy("id").agg(
-          count(lit(1)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("token")))),
-            _.getField("token")), " ").as("text_clean")),
-        Seq("id"), "left")
-      .na.fill(0L, Seq("n_kept"))
-      .na.fill("", Seq("text_clean"))
+      .groupBy("id").agg(collect_set(col("pos")).as("cuts"))
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("id"), toks.as("__toks"))
+      .join(cuts, Seq("id"), "left")
+      .withColumn("__kept",
+        when(col("cuts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"),
+            (_, i) => !array_contains(col("cuts"), i))))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_clean"))
   }
 
   /** Positional n-gram occurrences (id, gpos, gram) — linear n·tokens
