@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column (SURVEY.md §2.8c;
+  * builder brief "similarity search — scale path").
+  *
+  * [[Similarity.ivfIndex]] trains its coarse quantizer on a bounded
+  * driver-side sample — the faiss discipline, corpus-size independent but
+  * sample-quality bound. This operator closes the gap for corpora where
+  * the sample under-represents the distribution: full-corpus Lloyd
+  * refinement where each iteration is ONE column-pruned scan + ONE
+  * shuffle (the cell aggregation), with all per-row work codegen'd.
+  *
+  * Scale shape per [[lloydStep]]:
+  *   - assignment is a PURE PROJECTION — centroids inline as literals
+  *     (same inline-vs-array-literal crossover as [[Similarity.ivfAssign]],
+  *     measured in BASELINE.md v6), zero joins, zero broadcasts;
+  *   - the update is one hash aggregation with map-side partials over
+  *     `dim` codegen'd SUM columns — k×dim driver state, never row data;
+  *   - distances use |x−c|² = |x|² + |c|² − 2·x·c with the dot product
+  *     through the codegen'd [[graft.functions.CosineSimilarity]] kernel
+  *     (x·c = cos(x,c)·|x|·|c|); |x|² is constant across centroids so the
+  *     argmin drops it. Zero vectors (cos → NULL) coalesce to dot 0 and
+  *     land in the lowest-norm cell, ties to the lowest cell id — the
+  *     deterministic convention shared with ivfAssign.
+  *
+  * Determinism contract (what lets q151 carry a DuckDB hash oracle): on
+  * integer-valued inputs the update sums are exact in doubles and the
+  * mean divides ONCE, so a single Lloyd step hash-replays cross-engine;
+  * the suite additionally pins Spark's float argmin to the exact integer
+  * argmin on the fixtures (OpsSuite "lloyd assignment matches exact").
+  */
+object Clustering {
+
+  /** Same measured JIT-huge-method crossover as Similarity (BASELINE.md
+    * v6: inline literal columns degrade past ~16 centroids; the
+    * array-literal higher-order fallback stays flat to nlist=200). */
+  private val InlineCentroidMax = 16
+
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Double])] = {
+    // numeric-tolerant: centroid arrays may be integer-typed (e.g. a
+    // FLOOR-quantized grid, q151) — everything runs in doubles internally
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getAs[Number]("cell").intValue(),
+        r.getSeq[Number](r.fieldIndex("centroid")).map(_.doubleValue)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    cents
+  }
+
+  /** argmin cell over RAW (unnormalized) L2 distance, up to the per-row
+    * |x|² constant: min over c of (|c|² − 2·|c|·cos(arr,c)·xn). Expects
+    * columns `arr` (the vector) and `xn` (its L2 norm, computed once per
+    * row). Struct field-wise min = lowest-cell tie-break. */
+  private def cellExpr(cents: Array[(Int, Seq[Double])]): Column =
+    if (cents.length <= InlineCentroidMax)
+      array_min(array(cents.map { case (cell, cvec) =>
+        val c2 = cvec.map(x => x * x).sum
+        struct(
+          (lit(c2) - lit(2.0 * math.sqrt(c2)) * col("xn") *
+            coalesce(graft.functions.Registry.cosineSim(
+              col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
+          lit(cell).as("cell"))
+      }: _*)).getField("cell")
+    else {
+      val centArr = typedLit(cents.map { case (cell, cvec) =>
+        val c2 = cvec.map(x => x * x).sum
+        (cell, c2, 2.0 * math.sqrt(c2), cvec)
+      }.toSeq)
+      array_min(transform(centArr, c =>
+        struct(
+          (c.getField("_2") - c.getField("_3") * col("xn") *
+            coalesce(graft.functions.Registry.cosineSim(
+              col("arr"), c.getField("_4")), lit(0.0))).as("d2"),
+          c.getField("_1").as("cell")))).getField("cell")
+    }
+
+  private def withAssignment(emb: DataFrame, idCol: String, vecCol: String,
+                             cents: Array[(Int, Seq[Double])]): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val dbl = transform(col(vecCol), _.cast("double"))
+    emb.select(col(idCol).as("id"), dbl.as("arr"))
+      .withColumn("xn", sqrt(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("cell", cellExpr(cents))
+  }
+
+  /** Nearest-centroid assignment: (id, cell, arr). Map-only — zero
+    * shuffles, zero joins (plan-asserted in OpsSuite). */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame =
+    withAssignment(emb, idCol, vecCol, collectCentroids(centroids))
+      .select("id", "cell", "arr")
+
+  /** ONE Lloyd update: assign every vector, recompute per-cell means.
+    * Returns (cell, centroid, n) for OBSERVED cells only — empty-cell
+    * policy belongs to the caller ([[refineCentroids]] keeps the previous
+    * centroid; a pure step stays oracle-able). One scan, one shuffle;
+    * the `dim` SUM columns aggregate with map-side partials. */
+  def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val dim = cents.head._2.length
+    val sums = (0 until dim).map(d =>
+      sum(element_at(col("arr"), d + 1)).as(s"__s$d"))
+    withAssignment(emb, idCol, vecCol, cents)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cell"),
+        array((0 until dim).map(d => col(s"__s$d") / col("n")): _*)
+          .as("centroid"),
+        col("n"))
+  }
+
+  /** Total within-cluster squared L2 — the Lloyd objective. One row
+    * (inertia, n); used by the suite to assert monotone improvement. */
+  def inertia(emb: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val terms = cents.map { case (_, cvec) =>
+      val c2 = cvec.map(x => x * x).sum
+      lit(c2) - lit(2.0 * math.sqrt(c2)) * col("xn") *
+        coalesce(graft.functions.Registry.cosineSim(
+          col("arr"), typedLit(cvec)), lit(0.0))
+    }
+    withAssignment(emb, idCol, vecCol, cents)
+      .withColumn("d2", col("xn") * col("xn") + array_min(array(terms: _*)))
+      .agg(sum(col("d2")).as("inertia"), count(lit(1)).as("n"))
+  }
+
+  /** Deterministic seeds: the k vectors winning the hash-ordered top-k
+    * (the [[Similarity.ivfIndex]] sampling rule — pseudo-random spread,
+    * reproducible, TakeOrdered so only k rows ever reach the driver). */
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val rows = emb
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(k)
+      .collect() // ≤ k × dim doubles
+    require(rows.nonEmpty, "seedCentroids: empty input")
+    rows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** Full-corpus Lloyd refinement: `iters` × [[lloydStep]], carrying the
+    * previous centroid through for cells that went empty (deterministic —
+    * no reseed randomness; the standing cell ids stay stable, which is
+    * what lets a refined quantizer drop into [[Similarity.ivfAssign]] /
+    * `ivfTopKFromTables` unchanged). Early-stops on a fixed point.
+    * Driver state per iteration: k×dim doubles. */
+  def refineCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var current = collectCentroids(centroids).toSeq
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val curDf = current.toDF("cell", "centroid")
+      val updated = lloydStep(emb, idCol, vecCol, curDf)
+        .select("cell", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+      val next = current.map { case (cell, prev) =>
+        (cell, updated.getOrElse(cell, prev))
+      }
+      moved = next != current
+      current = next
+      it += 1
+    }
+    current.toDF("cell", "centroid")
+  }
+
+  /** Seeded full-corpus k-means: deterministic seeds + Lloyd refinement.
+    * Returns (assignments(id, cell, arr), centroids(cell, centroid)) —
+    * the [[Similarity.ivfIndex]] contract, trained on the WHOLE corpus
+    * instead of a driver sample. */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 5): (DataFrame, DataFrame) = {
+    val cents = refineCentroids(emb, idCol, vecCol,
+      seedCentroids(emb, idCol, vecCol, k), iters)
+    (assign(emb, idCol, vecCol, cents), cents)
+  }
+}

@@ -250,6 +250,34 @@ object TextAnalysis {
                     textCol: String): DataFrame =
     docs.withColumn("text_norm", normalize(col(textCol)))
 
+  /** HTML → text extraction — stage zero of a web-crawl corpus (the
+    * trafilatura/jusText job, reduced to its deterministic core):
+    * drop `<script>`/`<style>` subtrees and comments, strip remaining
+    * tags to spaces, decode the named entities that appear in running
+    * text, collapse whitespace. A chained codegen'd projection — no
+    * shuffle, no UDF; patterns avoid backreferences and stay in the
+    * RE2/Java common subset so the rule replays on any engine (q152's
+    * DuckDB oracle runs these exact patterns). `&amp;` decodes LAST —
+    * the single-pass convention that keeps `&amp;lt;` a literal
+    * `&lt;` instead of double-decoding to `<`. */
+  def stripHtml(textCol: Column): Column = {
+    val noScript = regexp_replace(textCol,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def stripHtmlDocs(docs: DataFrame, idCol: String,
+                    htmlCol: String): DataFrame =
+    docs.select(col(idCol), stripHtml(col(htmlCol)).as("text"))
+
   /** Benchmark-contamination score: the fraction of each document's
     * distinct word n-grams that also occur anywhere in `bench` — the
     * decontamination primitive of a training-data pipeline (drop or flag

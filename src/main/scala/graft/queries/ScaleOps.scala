@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import Support._
 
 /** Training-data-pipeline operators as contract queries (builder brief +
@@ -2813,6 +2813,97 @@ object ScaleOps {
         |  WHERE l_partkey = p.p_partkey
         |  ORDER BY l_quantity DESC, l_orderkey LIMIT 2) t
         |WHERE p.p_partkey < 60
-        |ORDER BY p.p_partkey, t.l_quantity DESC, t.l_orderkey""".stripMargin)
+        |ORDER BY p.p_partkey, t.l_quantity DESC, t.l_orderkey""".stripMargin),
+
+    // One distributed Lloyd update (ops/Clustering — the full-corpus
+    // refinement path behind the sample-trained IVF quantizer). Inputs
+    // quantize to an integer grid (FLOOR, not ROUND — no half-way
+    // ambiguity cross-engine), so the per-cell sums are exact in doubles
+    // and the mean divides ONCE; the oracle re-derives the argmin
+    // assignment with exact BIGINT dot products and replays the update
+    // per (cell, dim). Spark's float argmin ≡ the exact integer argmin
+    // is additionally pinned in OpsSuite at sf0.001/sf0.01.
+    dfQ("q151_lloyd_step",
+      """WITH e AS (
+        |  SELECT vec_id id,
+        |    LIST_TRANSFORM(embedding::DOUBLE[],
+        |                   x -> CAST(FLOOR(x*1000) AS BIGINT)) v
+        |  FROM embeddings),
+        |c AS (SELECT CAST(id AS INTEGER) cell, v cv FROM e WHERE id < 8),
+        |d AS (
+        |  SELECT e.id, c.cell, e.v,
+        |    LIST_DOT_PRODUCT(e.v, e.v) + LIST_DOT_PRODUCT(c.cv, c.cv)
+        |      - 2 * LIST_DOT_PRODUCT(e.v, c.cv) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT id, v, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) n, CAST(u.i AS INTEGER) dim,
+        |       ROUND(CAST(SUM(v[u.i]) AS DOUBLE) / COUNT(*), 6) m
+        |FROM a CROSS JOIN UNNEST(RANGE(1, 65)) u(i)
+        |WHERE rn = 1
+        |GROUP BY cell, u.i
+        |ORDER BY cell, dim""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000)).as("vq"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("vq").as("centroid"))
+      Clustering.lloydStep(emb, "vec_id", "vq", cents)
+        .select(col("cell"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("cell"), col("n"), (col("dim") + 1).cast("int").as("dim"),
+          round(col("m"), 6).as("m"))
+        .orderBy("cell", "dim")
+    },
+
+    // HTML → text extraction (TextAnalysis.stripHtml — web-crawl stage
+    // zero). Both engines synthesize the SAME wrapper document (script
+    // with a `<` inside it, style block, comment, entities, the doc text
+    // as the body) and the oracle replays the exact strip patterns, so
+    // the hash pins script/style subtree removal, tag stripping, entity
+    // decode ORDER (&amp; last), and whitespace collapse byte-for-byte.
+    dfQ("q152_html_strip",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css">body { color: #333; }</style>' ||
+        |    '</head><body><h1>Q&amp;A #' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><script>if (1 < 2) { var x = "y"; }</script><p>' ||
+        |    text ||
+        |    '</p><!-- id:' || CAST(doc_id AS VARCHAR) ||
+        |    ' --><br/>&nbsp;&lt;end&gt;</body></html>' html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, REGEXP_REPLACE(html,
+        |  '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g') t FROM h),
+        |s2 AS (SELECT doc_id, REGEXP_REPLACE(t,
+        |  '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') t FROM s1),
+        |s3 AS (SELECT doc_id, REGEXP_REPLACE(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') t FROM s2),
+        |s4 AS (SELECT doc_id, REGEXP_REPLACE(t,
+        |  '(?s)<[^>]*>', ' ', 'g') t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') t FROM s4)
+        |SELECT doc_id, TRIM(REGEXP_REPLACE(t, '\s+', ' ', 'g')) AS text
+        |FROM s5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val idStr = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), idStr,
+        lit("</title><style type=\"text/css\">body { color: #333; }</style>"),
+        lit("</head><body><h1>Q&amp;A #"), idStr,
+        lit("</h1><script>if (1 < 2) { var x = \"y\"; }</script><p>"),
+        col("text"),
+        lit("</p><!-- id:"), idStr,
+        lit(" --><br/>&nbsp;&lt;end&gt;</body></html>"))
+      TextAnalysis.stripHtmlDocs(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id")
+    }
   )
 }

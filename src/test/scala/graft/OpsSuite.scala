@@ -2071,4 +2071,132 @@ class OpsSuite extends SparkTestBase {
       "operator-internal materialization must not register cache entries")
     assert(!iw.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
   }
+
+  // --- distributed Lloyd k-means (ops/Clustering, q151) -------------------
+
+  test("lloyd assignment matches the exact integer argmin" +
+      " (inline AND array-literal centroid paths)") {
+    // q151's oracle replays assignment with exact BIGINT dot products;
+    // this pins Spark's float formulation (c² − 2·|c|·cos·|x|) to the
+    // exact argmin on the quantized grid, on BOTH plan shapes: k=8 takes
+    // the inline-literal codegen path, k=20 the array-literal fallback.
+    val embQ = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("double")).as("vq"))
+    val rows = embQ.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for (k <- Seq(8, 20)) {
+      val centsDf = embQ.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"), col("vq").as("centroid"))
+      val cents = centsDf.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val expected = rows.map { case (id, v) =>
+        val best = cents.map { case (cell, c) =>
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          (d, cell)
+        }.min // lowest distance, then lowest cell — the shared tie-break
+        (id, best._2)
+      }.toMap
+      val got = Clustering.assign(embQ, "vec_id", "vq", centsDf)
+        .select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == expected, s"k=$k")
+    }
+  }
+
+  test("lloyd refinement: inertia is monotonically non-increasing," +
+      " and a fixed point is stable") {
+    def inertiaOf(c: org.apache.spark.sql.DataFrame): Double =
+      Clustering.inertia(emb, "vec_id", "embedding", c)
+        .collect()(0).getDouble(0)
+    var cur = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+    var last = inertiaOf(cur)
+    for (i <- 1 to 4) {
+      cur = Clustering.refineCentroids(emb, "vec_id", "embedding", cur,
+        iters = 1)
+      val now = inertiaOf(cur)
+      assert(now <= last * (1 + 1e-9) + 1e-6, s"iter $i: $now > $last")
+      last = now
+    }
+    // convergence: refine to a fixed point, then one more step moves nothing
+    val converged = Clustering.refineCentroids(emb, "vec_id", "embedding",
+      cur, iters = 50)
+    val again = Clustering.refineCentroids(emb, "vec_id", "embedding",
+      converged, iters = 1)
+    val a = converged.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val b = again.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca == cb)
+      va.zip(vb).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * (1 + math.abs(x)), s"cell $ca")
+      }
+    }
+  }
+
+  test("clustering plans: assign is map-only; lloydStep is one exchange," +
+      " no join") {
+    val cents = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+    val aPlan = Clustering.assign(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), aPlan)
+    assert(!aPlan.contains("Join"), aPlan)
+    val sPlan = Clustering.lloydStep(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Join"), sPlan)
+    assert("Exchange".r.findAllIn(sPlan).length == 1, sPlan)
+  }
+
+  test("full-corpus Lloyd refinement improves the sample-trained IVF" +
+      " quantizer and drops into the IVF query path unchanged") {
+    // a deliberately small training sample → suboptimal quantizer; the
+    // refinement runs in the SAME space the IVF quantizer lives in
+    // (L2-normalized), then the refined table feeds ivfAssign directly
+    val dbl = transform(col("embedding"), _.cast("double"))
+    val nrm = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+    val embN = emb.select(col("vec_id"),
+      when(nrm === lit(0.0), dbl)
+        .otherwise(transform(dbl, _ / nrm)).as("v"))
+    val (_, sampleCents) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8, trainSample = 32)
+    def inertiaOf(c: org.apache.spark.sql.DataFrame): Double =
+      Clustering.inertia(embN, "vec_id", "v", c).collect()(0).getDouble(0)
+    val refined = Clustering.refineCentroids(embN, "vec_id", "v",
+      sampleCents, iters = 10)
+    assert(inertiaOf(refined) <= inertiaOf(sampleCents) * (1 + 1e-9),
+      "refinement must not worsen the Lloyd objective")
+    // contract compatibility: (cell, centroid) feeds the standing-index path
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", refined)
+    assert(assigned.columns.toSeq == Seq("id", "cell", "arr"))
+    assert(assigned.select("cell").distinct().count() >= 2)
+  }
+
+  // --- HTML -> text extraction (TextAnalysis.stripHtml, q152) -------------
+
+  test("stripHtml: subtree removal, tag strip, entity decode order," +
+      " whitespace collapse") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a<script>var x = '<p>not text</p>';</script>b"),
+      (3L, "<style>p { color: red; }</style>text"),
+      (4L, "x<!-- <p>gone</p> -->y"),
+      (5L, "A&amp;lt;B &nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+      (6L, "  lots   of \n whitespace  "),
+      (7L, "<SCRIPT TYPE=\"x\">upper</SCRIPT>kept")
+    ).toDF("id", "html")
+    val got = TextAnalysis.stripHtmlDocs(rows, "id", "html")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "Hello world")
+    assert(got(2L) == "a b") // script SUBTREE gone, including its markup text
+    assert(got(3L) == "text")
+    assert(got(4L) == "x y")
+    // &amp; decodes LAST: "&amp;lt;" is the literal text "&lt;", never "<"
+    assert(got(5L) == "A&lt;B <tag> \"q\" 's'")
+    assert(got(6L) == "lots of whitespace")
+    assert(got(7L) == "kept") // (?i) covers SHOUTING markup
+  }
 }
