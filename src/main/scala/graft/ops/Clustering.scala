@@ -51,17 +51,18 @@ object Clustering {
   }
 
   /** argmin cell over RAW (unnormalized) L2 distance, up to the per-row
-    * |x|² constant: min over c of (|c|² − 2·|c|·cos(arr,c)·xn). Expects
-    * columns `arr` (the vector) and `xn` (its L2 norm, computed once per
-    * row). Struct field-wise min = lowest-cell tie-break. */
-  private def cellExpr(cents: Array[(Int, Seq[Double])]): Column =
+    * |x|² constant: min over c of (|c|² − 2·|c|·cos(arr,c)·xn), where
+    * `arr` is the vector expression and `xn` its L2 norm (computed once
+    * per row). Struct field-wise min = lowest-cell tie-break. */
+  private def argminCellExpr(cents: Array[(Int, Seq[Double])],
+                             arr: Column, xn: Column): Column =
     if (cents.length <= InlineCentroidMax)
       array_min(array(cents.map { case (cell, cvec) =>
         val c2 = cvec.map(x => x * x).sum
         struct(
-          (lit(c2) - lit(2.0 * math.sqrt(c2)) * col("xn") *
+          (lit(c2) - lit(2.0 * math.sqrt(c2)) * xn *
             coalesce(graft.functions.Registry.cosineSim(
-              col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
+              arr, typedLit(cvec)), lit(0.0))).as("d2"),
           lit(cell).as("cell"))
       }: _*)).getField("cell")
     else {
@@ -71,11 +72,14 @@ object Clustering {
       }.toSeq)
       array_min(transform(centArr, c =>
         struct(
-          (c.getField("_2") - c.getField("_3") * col("xn") *
+          (c.getField("_2") - c.getField("_3") * xn *
             coalesce(graft.functions.Registry.cosineSim(
-              col("arr"), c.getField("_4")), lit(0.0))).as("d2"),
+              arr, c.getField("_4")), lit(0.0))).as("d2"),
           c.getField("_1").as("cell")))).getField("cell")
     }
+
+  private def cellExpr(cents: Array[(Int, Seq[Double])]): Column =
+    argminCellExpr(cents, col("arr"), col("xn"))
 
   private def withAssignment(emb: DataFrame, idCol: String, vecCol: String,
                              cents: Array[(Int, Seq[Double])]): DataFrame = {
@@ -187,5 +191,121 @@ object Clustering {
     val cents = refineCentroids(emb, idCol, vecCol,
       seedCentroids(emb, idCol, vecCol, k), iters)
     (assign(emb, idCol, vecCol, cents), cents)
+  }
+
+  // --- PQ codebook refinement --------------------------------------------
+
+  /** The exploded (subspace, sv, svn, cell) view shared by the PQ-Lloyd
+    * paths: per row, every subspace's slice is emitted map-side
+    * (Generate — no shuffle), its norm computed once, and the cell
+    * chosen by a per-subspace CASE over the argmin expression, so ALL
+    * m sub-quantizers assign in ONE pass over the corpus. */
+  private def pqExploded(emb: DataFrame, vecCol: String,
+                         codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val dbl = transform(col(vecCol), _.cast("double"))
+    val parts = (0 until m).map { s =>
+      struct(lit(s).as("subspace"),
+        slice(dbl, s * dsub + 1, dsub).as("sv"))
+    }
+    val cellCol = (0 until m).foldLeft(lit(-1): Column) { (acc, s) =>
+      val cents = codebooks(s).zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+      when(col("subspace") === s,
+        argminCellExpr(cents, col("sv"), col("svn"))).otherwise(acc)
+    }
+    emb.select(explode(array(parts: _*)).as("p"))
+      .select(col("p.subspace").as("subspace"), col("p.sv").as("sv"))
+      .withColumn("svn", sqrt(aggregate(col("sv"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("cell", cellCol)
+  }
+
+  /** ONE Lloyd update of EVERY PQ sub-quantizer in a single job:
+    * (subspace, cell, centroid, n) for observed (subspace, cell) pairs.
+    * The explode is map-side; the only shuffle is the
+    * (subspace, cell)-keyed aggregation of `dsub` SUM columns with
+    * map-side partials — m·k groups of partial rows, never vectors.
+    * Operates on the vectors AS GIVEN (no normalization) so a single
+    * step is oracle-able on an integer grid (q153);
+    * [[refinePqCodebooks]] layers the PqEncode normalization
+    * convention on top. */
+  def pqLloydStep(emb: DataFrame, idCol: String, vecCol: String,
+                  codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
+    val dsub = codebooks.head.head.length
+    val sums = (0 until dsub).map(d =>
+      sum(element_at(col("sv"), d + 1)).as(s"__s$d"))
+    pqExploded(emb, vecCol, codebooks)
+      .groupBy("subspace", "cell")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("subspace"), col("cell"),
+        array((0 until dsub).map(d => col(s"__s$d") / col("n")): _*)
+          .as("centroid"),
+        col("n"))
+  }
+
+  /** Total PQ sub-quantization error (the sum over subspaces of the
+    * Lloyd objective on the sub-vectors) — one row (err, n_rows). */
+  def pqQuantError(emb: DataFrame, idCol: String, vecCol: String,
+                   codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val d2Col = (0 until m).foldLeft(lit(0.0): Column) { (acc, s) =>
+      val terms = codebooks(s).map { cvec =>
+        val c2 = cvec.map(x => x * x).sum
+        lit(c2) - lit(2.0 * math.sqrt(c2)) * col("svn") *
+          coalesce(graft.functions.Registry.cosineSim(
+            col("sv"), typedLit(cvec.toSeq)), lit(0.0))
+      }
+      when(col("subspace") === s,
+        col("svn") * col("svn") + array_min(array(terms: _*))).otherwise(acc)
+    }
+    pqExploded(emb, vecCol, codebooks)
+      .withColumn("d2", d2Col)
+      .agg(sum(col("d2")).as("err"),
+        (count(lit(1)) / m).cast("long").as("n_rows"))
+  }
+
+  /** Full-corpus Lloyd refinement of sample-trained PQ codebooks
+    * ([[Similarity.pqIndex]] trains on a bounded driver sample — same
+    * discipline, same gap as the IVF coarse quantizer). Vectors
+    * normalize exactly as the codegen'd `pq_encode` kernel does (zero
+    * vectors pass through), so refined codebooks drop into
+    * [[Similarity.pqAssign]] / `pqTopK` / the persisted
+    * [[Similarity.pqCodebooks]] table unchanged. Empty (subspace, cell)
+    * pairs keep their previous centroid; early-stops on a fixed point.
+    * Driver state per iteration: m·k·dsub doubles. */
+  def refinePqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                        codebooks: Array[Array[Array[Double]]],
+                        iters: Int = 5): Array[Array[Array[Double]]] = {
+    val dbl = transform(col(vecCol), _.cast("double"))
+    val nrm = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+    val nv = when(nrm === lit(0.0), dbl).otherwise(transform(dbl, _ / nrm))
+    val base = emb.select(col(idCol).as("id"), nv.as("__nv"))
+    var cur = codebooks.map(_.map(_.clone))
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val updated = pqLloydStep(base, "id", "__nv", cur)
+        .select("subspace", "cell", "centroid").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).toArray)).toMap
+      moved = false
+      val next = Array.tabulate(cur.length) { s =>
+        Array.tabulate(cur(s).length) { c =>
+          updated.get((s, c)) match {
+            case Some(v) =>
+              if (!java.util.Arrays.equals(v, cur(s)(c))) moved = true
+              v
+            case None => cur(s)(c) // empty cell: keep previous
+          }
+        }
+      }
+      cur = next
+      it += 1
+    }
+    cur
   }
 }

@@ -2904,6 +2904,62 @@ object ScaleOps {
       TextAnalysis.stripHtmlDocs(
           docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
         .orderBy("doc_id")
+    },
+
+    // One distributed Lloyd update of EVERY PQ sub-quantizer in a single
+    // job (Clustering.pqLloydStep — the full-corpus refinement path
+    // behind the sample-trained pqIndex codebooks). m=8 subspaces of
+    // dsub=8 over the 64-dim embeddings, codebooks = the first 4
+    // vectors' slices; the same FLOOR integer grid as q151, so per-
+    // (subspace, cell) sub-vector sums are exact and the oracle replays
+    // the per-subspace argmin with exact BIGINT dot products.
+    dfQ("q153_pq_lloyd_step",
+      """WITH e AS (
+        |  SELECT vec_id id,
+        |    LIST_TRANSFORM(embedding::DOUBLE[],
+        |                   x -> CAST(FLOOR(x*1000) AS BIGINT)) v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT id, CAST(s.s AS INTEGER) subspace,
+        |         v[s.s*8+1 : s.s*8+8] sv
+        |  FROM e CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) s) s),
+        |cb AS (
+        |  SELECT subspace, CAST(id AS INTEGER) cell, sv cv
+        |  FROM sub WHERE id < 4),
+        |d AS (
+        |  SELECT t.id, t.subspace, t.sv, c.cell,
+        |    LIST_DOT_PRODUCT(t.sv, t.sv) + LIST_DOT_PRODUCT(c.cv, c.cv)
+        |      - 2 * LIST_DOT_PRODUCT(t.sv, c.cv) d2
+        |  FROM sub t JOIN cb c ON c.subspace = t.subspace),
+        |a AS (
+        |  SELECT id, subspace, sv, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY id, subspace
+        |                       ORDER BY d2, cell) rn
+        |  FROM d)
+        |SELECT subspace, cell, CAST(COUNT(*) AS BIGINT) n,
+        |       CAST(u.i AS INTEGER) dim,
+        |       ROUND(CAST(SUM(sv[u.i]) AS DOUBLE) / COUNT(*), 6) m
+        |FROM a CROSS JOIN UNNEST(RANGE(1, 9)) u(i)
+        |WHERE rn = 1
+        |GROUP BY subspace, cell, u.i
+        |ORDER BY subspace, cell, dim""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000)).as("vq"))
+      val cbRows = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .collect() // 4 rows — the supplied-codebook fixture, like q108
+        .map(_.getSeq[Long](1).map(_.toDouble).toArray)
+      val codebooks = Array.tabulate(8) { sub =>
+        cbRows.map(_.slice(sub * 8, (sub + 1) * 8))
+      }
+      Clustering.pqLloydStep(emb, "vec_id", "vq", codebooks)
+        .select(col("subspace"), col("cell"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("subspace"), col("cell"), col("n"),
+          (col("dim") + 1).cast("int").as("dim"),
+          round(col("m"), 6).as("m"))
+        .orderBy("subspace", "cell", "dim")
     }
   )
 }

@@ -283,6 +283,29 @@ object Streams {
     q
   }
 
+  /** ST13's PQ sibling: stream micro-batches ENCODE against FROZEN
+    * codebooks (the incremental-append discipline of a standing PQ
+    * index — no retrain; `codebooks` is the persisted
+    * [[graft.ops.Similarity.pqCodebooks]] table, reloaded once on the
+    * driver, m·kCent rows). Same per-batch-id overwrite layout as
+    * [[runIvfAppend]], so checkpoint replay rewrites identical rows;
+    * the encoded batches union with the standing encoded table for
+    * `pqTopK` queries. */
+  def runPqAppend(emb: DataFrame, idCol: String, vecCol: String,
+                  codebooks: DataFrame, outDir: String): StreamingQuery = {
+    val cbs = graft.ops.Similarity.pqCodebooksFromTable(codebooks)
+    val q = emb.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Similarity.pqAssign(batch, idCol, vecCol, cbs)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST14 × L16+: streaming incremental SEMANTIC dedup — the embedding
     * tier of the admit-a-batch family ([[runIncrementalDedup]] exact,
     * [[runIncrementalNearDedup]] MinHash): each micro-batch runs

@@ -2174,6 +2174,90 @@ class OpsSuite extends SparkTestBase {
     assert(assigned.select("cell").distinct().count() >= 2)
   }
 
+  test("pq lloyd step matches the exact per-subspace reference" +
+      " (all subspaces in one job)") {
+    // driver-exact replay of q153's rule: FLOOR-quantized grid, argmin
+    // per (row, subspace) with exact arithmetic, per-(subspace, cell)
+    // sub-vector means
+    val embQ = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("double")).as("vq"))
+    val rows = embQ.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val m = 8; val dsub = 8
+    val cbRows = rows.filter(_._1 < 4).sortBy(_._1).map(_._2)
+    val codebooks = Array.tabulate(m) { s =>
+      cbRows.map(_.slice(s * dsub, (s + 1) * dsub))
+    }
+    val expected = rows.flatMap { case (_, v) =>
+      (0 until m).map { s =>
+        val sv = v.slice(s * dsub, (s + 1) * dsub)
+        val best = codebooks(s).zipWithIndex.map { case (c, cell) =>
+          var d = 0.0; var j = 0
+          while (j < dsub) { val t = sv(j) - c(j); d += t * t; j += 1 }
+          (d, cell)
+        }.min
+        ((s, best._2), sv)
+      }
+    }.groupBy(_._1).map { case (k, svs) =>
+      val n = svs.length
+      val mean = (0 until dsub).map(d => svs.map(_._2(d)).sum / n).toVector
+      (k, (n.toLong, mean))
+    }
+    val got = Clustering.pqLloydStep(embQ, "vec_id", "vq", codebooks)
+      .collect().map { r =>
+        ((r.getInt(0), r.getInt(1)),
+          (r.getLong(3), r.getSeq[Double](2).toVector))
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (n, mean)) =>
+      val (en, emean) = expected(k)
+      assert(n == en, s"$k")
+      mean.zip(emean).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * (1 + math.abs(x)), s"$k")
+      }
+    }
+  }
+
+  test("pq codebook refinement reduces sub-quantization error and drops" +
+      " into pqAssign unchanged") {
+    val (_, sampleCbs) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, kCent = 8, trainSample = 32) // deliberately under-sampled
+    def errOf(cbs: Array[Array[Array[Double]]]): Double = {
+      // pqQuantError runs on the vectors as given — feed it the SAME
+      // normalized view refinePqCodebooks trains on
+      val dbl = transform(col("embedding"), _.cast("double"))
+      val nrm = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+      val embN = emb.select(col("vec_id"),
+        when(nrm === lit(0.0), dbl)
+          .otherwise(transform(dbl, _ / nrm)).as("v"))
+      Clustering.pqQuantError(embN, "vec_id", "v", cbs)
+        .collect()(0).getDouble(0)
+    }
+    val refined = Clustering.refinePqCodebooks(emb, "vec_id", "embedding",
+      sampleCbs, iters = 5)
+    assert(errOf(refined) <= errOf(sampleCbs) * (1 + 1e-9),
+      "refinement must not worsen the sub-quantization objective")
+    // contract compatibility: same (m, kCent, dsub) shape, encodes run
+    assert(refined.length == sampleCbs.length &&
+      refined.head.length == sampleCbs.head.length &&
+      refined.head.head.length == sampleCbs.head.head.length)
+    val enc = Similarity.pqAssign(emb, "vec_id", "embedding", refined)
+    assert(enc.columns.toSeq == Seq("id", "arr", "code"))
+    val codes = enc.select("code").collect().map(_.getAs[Array[Byte]](0))
+    assert(codes.forall(_.length == 8)) // m bytes per row — PQ's promise
+    assert(codes.flatten.forall(c => c >= 0 && c < 8))
+  }
+
+  test("pq lloyd step plan: map-side explode, one exchange, no join") {
+    val cbs = Array.fill(4)(Array.fill(4)(Array.fill(16)(0.5)))
+    val plan = Clustering.pqLloydStep(emb, "vec_id", "embedding", cbs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   // --- HTML -> text extraction (TextAnalysis.stripHtml, q152) -------------
 
   test("stripHtml: subtree removal, tag strip, entity decode order," +

@@ -531,6 +531,49 @@ class StreamingSuite extends SparkTestBase {
     assert(b0 == b0b, "replayed batch must rewrite identical rows")
   }
 
+  test("ST13b: streaming PQ append encodes bit-identically to batch" +
+      " against frozen persisted codebooks") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val (_, cbs) = Similarity.pqIndex(emb, "vec_id", "embedding",
+      m = 8, kCent = 8)
+    // persist → reload: the streaming path sees only the TABLE form,
+    // so this also pins the round-trip the standing index relies on
+    val base = Files.createTempDirectory("graft-pq-append").toString
+    Similarity.pqCodebooks(cbs, spark).write.parquet(s"$base/codebooks")
+    val cbTable = spark.read.parquet(s"$base/codebooks")
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq.map { case (id, v) =>
+        (id, v.toSeq)
+      }
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val out = s"$base/out"
+    input.addData(rows.take(rows.size / 2))
+    input.addData(rows.drop(rows.size / 2))
+    Streams.runPqAppend(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cbTable, out)
+    def codeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Byte]] =
+      df.select("id", "code").collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val streamed = codeMap(spark.read.parquet(s"$out/batch_*"))
+    val direct = codeMap(
+      Similarity.pqAssign(emb, "vec_id", "embedding", cbs))
+    assert(streamed == direct,
+      "streaming frozen-codebook encode must equal the batch operator")
+    // replay: rewriting a batch id from the same input reproduces
+    // identical rows
+    val ids0 = spark.read.parquet(s"$out/batch_0")
+      .select("id").as[Long].collect().toSet
+    val b0 = codeMap(spark.read.parquet(s"$out/batch_0"))
+    Similarity.pqAssign(
+        rows.filter(r => ids0.contains(r._1)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        Similarity.pqCodebooksFromTable(cbTable))
+      .write.mode("overwrite").parquet(s"$out/batch_0")
+    val b0b = codeMap(spark.read.parquet(s"$out/batch_0"))
+    assert(b0 == b0b, "replayed batch must rewrite identical rows")
+  }
+
   test("ST14: streaming incremental semDedup equals the batch operator; assignments append") {
     import graft.ops.Similarity
     val emb = Tables.table(spark, sf0001, "embeddings")
