@@ -114,6 +114,35 @@ object AnnBench {
         queryIds, k, nprobe = 8, rerankFactor = 8))
     }
 
+    // Full-corpus Lloyd refinement (ops/Clustering): one refinement
+    // iteration over ALL n rows in the quantizer's normalized space —
+    // the per-iteration price a standing index pays to close the
+    // sample-quality gap at volume — then the refined centroids through
+    // the unchanged IVF assign + query path, with recall.
+    val dblB = transform(col("embedding"), _.cast("double"))
+    val nrmB = sqrt(aggregate(dblB, lit(0.0), (acc, x) => acc + x * x))
+    val embN = emb.select(col("vec_id"),
+      when(nrmB === lit(0.0), dblB)
+        .otherwise(transform(dblB, _ / nrmB)).as("v"))
+    val (refinedCents, lloydIterSec) = time {
+      graft.ops.Clustering.refineCentroids(embN, "vec_id", "v",
+        centroids, iters = 1)
+    }
+    val (refIndexed, refAssignSec) = time {
+      val ix = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        refinedCents).cache()
+      ix.count(); ix
+    }
+    val (refSet, refQuerySec) = time {
+      pairs(Similarity.ivfTopK(refIndexed, refinedCents, queryIds, k,
+        nprobe = 8))
+    }
+    // one all-subspace PQ codebook refinement iteration (same corpus)
+    val (_, pqLloydIterSec) = time {
+      graft.ops.Clustering.refinePqCodebooks(emb, "vec_id", "embedding",
+        codebooks, iters = 1)
+    }
+
     // q119 fixture-scale attribution: same pipeline as the corpus query,
     // cold (first execution in this session: codegen compile + quantizer
     // fit) vs warm (second execution, plans and kernels already compiled)
@@ -155,6 +184,8 @@ object AnnBench {
         s""","ivf_build_sec":${f(ivfBuildSec)},"ivf_query_sec":${f(ivfQuerySec)},"ivf_recall":${f(recall(ivfSet))}""" +
         s""","pq_build_sec":${f(pqBuildSec)},"pq_query_sec":${f(pqQuerySec)},"pq_recall":${f(recall(pqSet))}""" +
         s""","ivfpq_build_sec":${f(ivfpqBuildSec)},"ivfpq_query_sec":${f(ivfpqQuerySec)},"ivfpq_recall":${f(recall(ivfpqSet))}""" +
+        s""","lloyd_iter_sec":${f(lloydIterSec)},"ivf_refined_assign_sec":${f(refAssignSec)},"ivf_refined_query_sec":${f(refQuerySec)},"ivf_refined_recall":${f(recall(refSet))}""" +
+        s""","pq_lloyd_iter_sec":${f(pqLloydIterSec)}""" +
         s""","fixture_q119_cold_sec":${f(fixtureColdSec)},"fixture_q119_warm_sec":${f(fixtureWarmSec)}""" +
         s""","fixture_q119_train_sec":${f(fixtureTrainSec)},"fixture_q119_encode_sec":${f(fixtureEncodeSec)},"fixture_q119_query_sec":${f(fixtureQuerySec)}}""")
     spark.stop()
