@@ -38,11 +38,15 @@ object Tables {
   /** events with ts normalized ns→µs (truncating, matching DuckDB). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .select(
-        col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.select(
+      col("event_id"), ts.as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
   private val registered =
