@@ -11,14 +11,29 @@ import org.apache.spark.sql.functions._
   * custom SQL functions, so both the SQL surface and the DataFrame operators
   * can run against a scale-factor directory.
   *
-  * `events.ts` is nanosecond-precision parquet (`INT64 TIMESTAMP(NANOS)`),
-  * which Spark 4 refuses to read by default. We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (ts arrives as nanos-since-epoch
-  * BIGINT) and normalize to microsecond timestamps with integer division —
-  * exactly the truncation DuckDB applies when it reads the same file, so both
-  * engines see identical µs values (SURVEY.md §1.2, validated cross-engine).
+  * `events.ts` has shipped in two fixture layouts across driver rounds:
+  * legacy `INT64 TIMESTAMP(NANOS)` (which Spark 4 refuses to read unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` turns it into a nanos BIGINT)
+  * and native `TIMESTAMP(MICROS)`. [[tsNormalized]] dispatches on the decoded
+  * type: a `LongType` ts is nanos-as-long and gets `div 1000` truncation to µs
+  * — exactly the truncation DuckDB applies to the same file — while a native
+  * timestamp passes through. The conf is set before every read because the
+  * legacy layout cannot even be *schema-decoded* without it (the footer
+  * conversion throws), and it is a no-op for micros files.
   */
 object Tables {
+
+  /** Normalize the events `ts` column to µs timestamps for either fixture
+    * layout (see object scaladoc). Shared by the batch reader below and the
+    * streaming reader in [[graft.streaming.Streams.eventsStream]] so a future
+    * fixture change is fixed in exactly one place. */
+  def tsNormalized(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
 
   /** Plain tables readable without any legacy flag. */
   private val plain = Seq(
@@ -39,13 +54,8 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
     raw.select(
-      col("event_id"), ts.as("ts"),
+      col("event_id"), tsNormalized(raw.schema).as("ts"),
       col("user_id"), col("event_type"), col("value"), col("props"))
   }
 

@@ -31,6 +31,8 @@ object Registry {
       "bloom_might_contain", exprs => new org.apache.spark.sql.catalyst
         .expressions.BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
+      "normalize_ts", exprs => NormalizeTs(exprs(0)), "scala_udf")
+    fr.createOrReplaceTempFunction(
       "pq_adc", exprs => PqAdc(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode.fromLiteral(exprs(0), exprs(1)),

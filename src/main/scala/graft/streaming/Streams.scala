@@ -28,17 +28,12 @@ object Streams {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ts = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
-    }
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$sfDir/events*.parquet") // glob: file source needs a dir/glob base
 
       .select(
-        col("event_id"), ts.as("ts"),
+        col("event_id"), graft.Tables.tsNormalized(schema).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
   }
 

@@ -151,4 +151,23 @@ class FunctionsSuite extends SparkTestBase {
         |FROM lineitem""".stripMargin).collect()(0)
     assert(math.abs(approx - exact).toDouble / exact <= 0.05)
   }
+
+  test("normalize_ts: SQL twin matches Tables.tsNormalized on the fixture " +
+      "and truncates nanos-as-long identically") {
+    functions.Registry.registerAll(spark)
+    // current fixture layout: SQL function ≡ the batch/streaming Column helper
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw.createOrReplaceTempView("events_raw_nts")
+    val viaSql = spark.sql(
+      "SELECT event_id, normalize_ts(ts) ts FROM events_raw_nts")
+    val viaHelper = raw.select(col("event_id"),
+      Tables.tsNormalized(raw.schema).as("ts"))
+    assert(viaSql.exceptAll(viaHelper).isEmpty &&
+      viaHelper.exceptAll(viaSql).isEmpty)
+    // legacy layout branch: a BIGINT input is nanos and must floor to µs
+    val Row(ts: java.sql.Timestamp) = spark.sql(
+      "SELECT normalize_ts(1700000000123456789)").collect()(0)
+    assert(ts.getTime == 1700000000123L) // ms part of the truncated µs value
+    assert(ts.getNanos == 123456000)     // ns floor-truncated to µs precision
+  }
 }

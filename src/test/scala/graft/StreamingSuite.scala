@@ -245,7 +245,7 @@ class StreamingSuite extends SparkTestBase {
         "schemaFromParquet": "$sf0001/events.parquet"
       },
       "transforms": [
-        {"view": "norm", "sql": "SELECT event_id, timestamp_micros(CAST(ts/1000 AS LONG)) AS ts, user_id, event_type, value FROM raw_stream"},
+        {"view": "norm", "sql": "SELECT event_id, normalize_ts(ts) AS ts, user_id, event_type, value FROM raw_stream"},
         {"view": "hourly", "sql": "SELECT window(ts, '1 hour').start ws, event_type, COUNT(*) n FROM norm GROUP BY window(ts, '1 hour'), event_type"}],
       "sink": {"format": "memory", "outputMode": "complete",
                "queryName": "spec_out"},
