@@ -15,7 +15,7 @@ object SparkEntry {
   /** All contract queries, in corpus order. */
   val corpus: Seq[Q] =
     Relational.defs ++ Windows.defs ++ Scalars.defs ++ TextVec.defs ++
-      ScaleOps.defs
+      ScaleOps.defs ++ Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -93,4 +93,64 @@ object Components {
     * duplicate group) and member count. */
   def componentSummary(components: DataFrame): DataFrame =
     components.groupBy("component").agg(count(lit(1)).as("size"))
+
+  /** Fixed-iteration PageRank in EXACT scaled-integer arithmetic — the
+    * centrality companion to [[connectedComponents]] (rank pages inside a
+    * crawl graph, weight canonical-document choice, spot link farms).
+    *
+    * Floating-point PageRank is not cross-engine reproducible: the
+    * per-node contribution sum is order-dependent in IEEE doubles, so two
+    * runs (or two engines) can differ in final ulps. Here ranks are
+    * integers in units of `scale⁻¹` ("micro-rank" at the default), every
+    * contribution is an integral division (floor), and integer sums are
+    * order-free — the result is bit-identical on any engine and any
+    * partitioning, which is also what makes the operator oracle-able.
+    * The per-step floor loss is < outdeg(u) micro-ranks per node, a
+    * one-sided deterministic bias that vanishes as `scale` grows.
+    *
+    * Semantics (undirected: the edge list is symmetrized, so every node
+    * has outdeg ≥ 1 and there are no dangling nodes):
+    *   pr₀(v)    = scale div n
+    *   prₜ₊₁(v) = (100−damp)·scale div (100·n)
+    *             + damp · Σ_{u→v} (prₜ(u) div outdeg(u)) div 100
+    *
+    * Scale shape: the edge list and degree table are computed once and
+    * cached; each iteration is one edges⋈pr shuffle join on the source
+    * node plus one shuffle aggregation on the destination — 2 shuffles
+    * per round, like a components round. pr is localCheckpoint'd per
+    * iteration so lineage stays flat (reliable checkpointing on a real
+    * cluster). Driver state: node count only. */
+  def pageRankExact(edges: DataFrame, aCol: String, bCol: String,
+                    iters: Int = 3, scale: Long = 1000000L,
+                    dampPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    val base = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg")).cache()
+    val n = deg.count() // node count; bounded driver state (one long)
+    require(n > 0, "pageRankExact: empty graph")
+    val teleport = ((100L - dampPct) * scale) / (100L * n)
+    var pr = deg.select(col("u").as("node"), lit(scale / n).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "u")
+        .join(pr, e("u") === pr("node"))
+        .select(col("v"), call_function("div", col("pr"), col("outdeg")).as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+      val next = deg.select(col("u").as("node"))
+        .join(contrib, col("node") === contrib("v"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            call_function("div", lit(dampPct) * coalesce(col("s"), lit(0L)),
+              lit(100L))).as("pr"))
+        .localCheckpoint()
+      pr.unpersist()
+      pr = next
+    }
+    pr
+  }
 }

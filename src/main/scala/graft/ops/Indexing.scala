@@ -44,4 +44,54 @@ object Indexing {
         col("df") <= lit(maxDfShare) * col("__n"))
       .drop("__n")
   }
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf form
+    * ln(1 + (N − df + ½)/(df + ½))) for a literal term query over the
+    * corpus — the classic "find training docs about X" probe, and the
+    * scoring layer on top of [[invertedIndex]]'s posting lists.
+    *
+    * Scale shape: one token explode; per-doc lengths and the corpus
+    * (Σdl, N) stats are one aggregation each; the query-term postings
+    * (tf) shuffle on (doc, term) but are pre-filtered to the query's
+    * terms, so downstream joins against the per-term df (≤ |terms| rows)
+    * and the stats row are broadcasts. No driver-side state beyond the
+    * literal term list.
+    *
+    * Determinism: the per-doc score is a SUM of per-term doubles, and
+    * IEEE addition is order-dependent — a plain aggregation would be
+    * partitioning-dependent in final ulps. The per-term scores are
+    * folded in SORTED term order (collect_list → array_sort →
+    * aggregate), so the float result is bit-identical on any
+    * partitioning and any engine that replays the same fold order —
+    * which is what makes BM25 oracle-able cross-engine. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy("doc").agg(count(lit(1)).as("dl")).cache()
+    // exact integer corpus totals; ONE division to a double at use site
+    val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(countDistinct("doc").as("dfq"))
+    val scored = tf
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot").cast("double") / col("nd"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("nd") - col("dfq") + lit(0.5)) /
+          (col("dfq") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("doc").agg(
+      count(lit(1)).as("n_terms"),
+      aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+  }
 }

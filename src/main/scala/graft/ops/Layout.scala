@@ -84,4 +84,50 @@ object Layout {
   def zorderBy(df: DataFrame, cx: String, cy: String,
                bits: Int = 16, nFiles: Int = 8): DataFrame =
     zorderByN(df, Seq(cx, cy), bits, nFiles)
+
+  /** Zone-map pruning report — the "did the layout actually help?"
+    * measurement that should gate any OPTIMIZE ZORDER run. Rows are
+    * assigned to `chunks` equal-WIDTH key-range chunks per candidate
+    * layout key (chunk = (key − lo)·chunks div (hi − lo + 1), a pure
+    * projection — the model of range-partitioned files without a
+    * global sort), per-chunk (min, max) zone maps are computed for the
+    * two probe columns, and a box predicate xLo..xHi × yLo..yHi is
+    * tested against each chunk's rectangle. One summary row per layout:
+    * how many chunks (and rows) a zone-map-pruning scan must read.
+    *
+    * All integer arithmetic, so the report is engine-exact. Per layout:
+    * one 2-scalar bounds aggregation (driver state: two longs) + one
+    * grouped aggregation on ≤ `chunks` keys. A linearly-sorted layout
+    * key gives chunks spanning the full (x, y) space — nearly every
+    * chunk intersects the box; a z-order key gives small rectangles and
+    * prunes most of them (asserted in the suite). */
+  def pruningReport(df: DataFrame, layouts: Seq[(String, Column)],
+                    chunks: Int, xCol: String, yCol: String,
+                    xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    require(chunks >= 1, s"chunks must be positive, got $chunks")
+    require(layouts.nonEmpty, "pruningReport: no layouts")
+    layouts.map { case (name, key) =>
+      val keyed = df.select(key.cast("long").as("k"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      val r = keyed.agg(min("k"), max("k")).head()
+      require(!r.isNullAt(0), s"pruningReport: no non-null keys in $name")
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val chunk = call_function("div",
+        (col("k") - lit(lo)) * lit(chunks.toLong), lit(hi - lo + 1L))
+      val zones = keyed.groupBy(chunk.as("chunk"))
+        .agg(count(lit(1)).as("rows"),
+          min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+        .withColumn("hit",
+          !(col("xmax") < xLo || col("xmin") > xHi ||
+            col("ymax") < yLo || col("ymin") > yHi))
+      zones.agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("chunks_hit"),
+          sum("rows").as("rows_total"),
+          sum(when(col("hit"), col("rows")).otherwise(0L)).as("rows_read"))
+        .select(lit(name).as("layout"), col("n_chunks"), col("chunks_hit"),
+          col("rows_total"), col("rows_read"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -198,4 +198,47 @@ object Sampling {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
+
+  /** Temperature-smoothed mixture allocation (the T5/PaLM α-sampling
+    * rule): given per-source sizes n_i, allocate a document budget
+    * proportionally to n_i^α — α = 1 is proportional, α = 0 uniform,
+    * α ≈ 0.3–0.7 upweights small high-quality sources without drowning
+    * in the largest crawl. Returns one row per source with its exact
+    * integer allocation; allocations sum to the budget via
+    * largest-remainder rounding (floor each ideal share, then +1 to the
+    * largest fractional remainders, ties to the lexicographically
+    * smallest source).
+    *
+    * Scale shape: one grouped count over the corpus, then everything
+    * runs on the per-source aggregate — cardinality = #sources, bounded
+    * and tiny, so the single-partition windows here are windows over a
+    * handful of rows, not the corpus. Determinism: Σ n_i^α is an IEEE
+    * sum, so it is folded in sorted source order (the bm25 discipline);
+    * every downstream comparison is then engine-reproducible. */
+  def temperatureAllocation(df: DataFrame, sourceCol: String,
+                            alpha: Double, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", pow(col("n_docs").cast("double"), lit(alpha)))
+    // order-free total: sorted-order fold over the (tiny) source list
+    val tot = counts.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("sumw"))
+    val ideal = counts.crossJoin(broadcast(tot))
+      .withColumn("ideal", lit(budget.toDouble) * col("w") / col("sumw"))
+      .withColumn("base", floor(col("ideal")).cast("long"))
+      .withColumn("frac", col("ideal") - col("base"))
+    // leftover = budget − Σ base; the Σ and the remainder rank are
+    // windows over #sources rows (see scaladoc) — not corpus-sized
+    val leftover = lit(budget) - sum("base").over(W.partitionBy())
+    val rk = row_number().over(
+      W.partitionBy().orderBy(col("frac").desc, col("source")))
+    ideal
+      .withColumn("alloc",
+        col("base") + when(rk <= leftover, 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("alloc"))
+  }
 }

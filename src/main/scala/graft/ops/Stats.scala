@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Descriptive multi-column statistics computed the scale-right way:
+  * everything from ONE scan, ONE aggregation.
+  *
+  * The naive correlation matrix loops `df.stat.corr(a, b)` over pairs —
+  * k·(k−1)/2 full scans of a 100 TB table. Here all pairwise moments ride
+  * a single Aggregate (Spark's corr/covar are single-pass streaming
+  * aggregates with map-side partials), the one-row result is exploded to
+  * long format driver-free, and the scan reads only the k probed columns
+  * (column pruning reaches the parquet scan — asserted in the suite).
+  */
+object Stats {
+
+  /** Long-format Pearson correlation + sample covariance over every
+    * unordered column pair: (col_a, col_b, corr, cov) with col_a < col_b
+    * in the given order. One job, one scan, one shuffle-free final row.
+    * NULLs are handled pairwise (Spark/ANSI corr semantics: rows where
+    * either side is NULL are skipped for that pair). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(corr(col(a), col(b)).as(s"__corr_${a}_$b"),
+        covar_samp(col(a), col(b)).as(s"__cov_${a}_$b"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__corr_${a}_$b").as("corr"), col(s"__cov_${a}_$b").as("cov"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+}

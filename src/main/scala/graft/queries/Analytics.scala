@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Components, Indexing, Layout, Sampling, Stats}
+import Support._
+
+/** Round-8 analytics + pipeline additions (SURVEY.md §2 breadth):
+  * PIVOT/UNPIVOT reshaping, single-pass correlation matrices, zone-map
+  * pruning measurement, exact-integer PageRank, BM25 retrieval, and
+  * temperature-smoothed mixture allocation.
+  */
+object Analytics {
+
+  /** Shared morton-interleave SQL fragment (the q117 formulation) for
+    * oracles that must replay the z-order code bit-for-bit. */
+  private def mortonSql(bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"(((xi >> $i) & 1) << ${2 * i})",
+      s"(((yi >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  val defs: Seq[Q] = Seq(
+
+    // PIVOT — the wide reshaping operator (RelationalGroupedDataset
+    // .pivot with EXPLICIT values: implicit value discovery is an extra
+    // corpus scan and a nondeterministic column order, both wrong at
+    // 100 TB). Spark leaves empty cells NULL (including counts — pivot
+    // rewrites aggregates over an impossible predicate), DuckDB's
+    // conditional COUNT yields 0, so the count columns are COALESCE'd
+    // on the Spark side to pin one semantics.
+    dfQ("q154_pivot",
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) f_qty,
+        |  CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) f_n,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) o_qty,
+        |  CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) o_n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("f_qty"), coalesce(col("F_n"), lit(0L)).as("f_n"),
+          col("O_qty").as("o_qty"), coalesce(col("O_n"), lit(0L)).as("o_n"))
+        .orderBy("l_returnflag")
+    },
+
+    // UNPIVOT (SQL:2016 / Dataset.unpivot): long reshaping — the
+    // measure matrix melts to (keys, measure, val) rows. A pure
+    // narrow projection+generate, no shuffle. (l_orderkey,
+    // l_linenumber) is NOT unique in the fixture, so the sort covers
+    // every projected column — the round-7 row-order lesson.
+    dfQ("q155_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' measure, l_quantity val
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin) { (s, d) =>
+      Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+    },
+
+    // Single-pass correlation/covariance matrix (ops/Stats): all pairs
+    // from ONE scan — the naive per-pair df.stat.corr loop is
+    // k(k−1)/2 scans of a 100 TB table. q28 is the single-pair
+    // precedent for cross-engine corr agreement at 4dp.
+    dfQ("q156_corr_matrix",
+      """SELECT * FROM (
+        |  SELECT 'l_discount' col_a, 'l_extendedprice' col_b,
+        |    ROUND(CORR(l_discount, l_extendedprice), 4) corr,
+        |    ROUND(COVAR_SAMP(l_discount, l_extendedprice), 4) cov
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_quantity',
+        |    ROUND(CORR(l_discount, l_quantity), 4), ROUND(COVAR_SAMP(l_discount, l_quantity), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax',
+        |    ROUND(CORR(l_discount, l_tax), 4), ROUND(COVAR_SAMP(l_discount, l_tax), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_quantity',
+        |    ROUND(CORR(l_extendedprice, l_quantity), 4), ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax',
+        |    ROUND(CORR(l_extendedprice, l_tax), 4), ROUND(COVAR_SAMP(l_extendedprice, l_tax), 4)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax',
+        |    ROUND(CORR(l_quantity, l_tax), 4), ROUND(COVAR_SAMP(l_quantity, l_tax), 4)
+        |  FROM lineitem) t
+        |ORDER BY col_a, col_b""".stripMargin) { (s, d) =>
+      Stats.corrMatrix(Tables.table(s, d, "lineitem"),
+          Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .select(col("col_a"), col("col_b"),
+          round(col("corr"), 4).as("corr"), round(col("cov"), 4).as("cov"))
+        .orderBy("col_a", "col_b")
+    },
+
+    // Zone-map pruning report (ops/Layout.pruningReport): DOES the
+    // z-order layout beat the natural sort for a 2-D box probe? Chunks
+    // are equal-width key ranges (pure integer projection), zone maps
+    // are per-chunk (min,max), and the oracle replays rank scaling,
+    // the full bit interleave, chunking, and the box test — the whole
+    // measurement is hash-checked. The suite asserts the z layout
+    // reads fewer chunks than the natural one.
+    dfQ("q157_pruning_report",
+      s"""WITH b AS (SELECT MIN(l_partkey) xlo, MAX(l_partkey) xhi,
+         |             MIN(l_suppkey) ylo, MAX(l_suppkey) yhi FROM lineitem),
+         |sc AS (
+         |  SELECT l_orderkey, l_partkey x, l_suppkey y,
+         |    ((l_partkey - xlo) * 255) // GREATEST(xhi - xlo, 1) xi,
+         |    ((l_suppkey - ylo) * 255) // GREATEST(yhi - ylo, 1) yi
+         |  FROM lineitem CROSS JOIN b),
+         |z AS (SELECT l_orderkey, x, y,
+         |        CAST(${mortonSql(8)} AS BIGINT) z FROM sc),
+         |kn AS (SELECT MIN(l_orderkey) lo, MAX(l_orderkey) hi FROM z),
+         |cn AS (
+         |  SELECT ((l_orderkey - lo) * 64) // (hi - lo + 1) chunk,
+         |    COUNT(*) nr, MIN(x) xmin, MAX(x) xmax, MIN(y) ymin, MAX(y) ymax
+         |  FROM z CROSS JOIN kn GROUP BY 1),
+         |kz AS (SELECT MIN(z) lo, MAX(z) hi FROM z),
+         |cz AS (
+         |  SELECT ((z - lo) * 64) // (hi - lo + 1) chunk,
+         |    COUNT(*) nr, MIN(x) xmin, MAX(x) xmax, MIN(y) ymin, MAX(y) ymax
+         |  FROM z CROSS JOIN kz GROUP BY 1),
+         |rep AS (
+         |  SELECT 'natural' layout, CAST(COUNT(*) AS BIGINT) n_chunks,
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40 OR ymax < 1 OR ymin > 4)
+         |             THEN 1 ELSE 0 END) AS BIGINT) chunks_hit,
+         |    CAST(SUM(nr) AS BIGINT) rows_total,
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40 OR ymax < 1 OR ymin > 4)
+         |             THEN nr ELSE 0 END) AS BIGINT) rows_read
+         |  FROM cn
+         |  UNION ALL
+         |  SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40 OR ymax < 1 OR ymin > 4)
+         |             THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(nr) AS BIGINT),
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40 OR ymax < 1 OR ymin > 4)
+         |             THEN nr ELSE 0 END) AS BIGINT)
+         |  FROM cz)
+         |SELECT * FROM rep ORDER BY layout""".stripMargin) { (s, d) =>
+      val withz = Layout.withZ(Tables.table(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", bits = 8)
+      Layout.pruningReport(withz,
+          Seq(("natural", col("l_orderkey")), ("zorder", col("z"))),
+          chunks = 64, "l_partkey", "l_suppkey",
+          xLo = 1L, xHi = 40L, yLo = 1L, yHi = 4L)
+        .orderBy("layout")
+    },
+
+    // Exact-integer PageRank (ops/Components.pageRankExact) over the
+    // symmetrized part↔supplier co-occurrence graph (node id = 2·part /
+    // 2·supp+1 keeps the key spaces disjoint). Integer micro-ranks make
+    // the iteration order-free and bit-identical on any engine, so all
+    // three unrolled iterations hash-check — floats would differ in
+    // final ulps per partitioning.
+    dfQ("q158_pagerank",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_partkey * 2 u, l_suppkey * 2 + 1 v
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) outdeg FROM e GROUP BY u),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) nn FROM deg),
+        |pr0 AS (SELECT u node, 1000000 // nn pr FROM deg CROSS JOIN n),
+        |c1 AS (
+        |  SELECT e.v node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) s
+        |  FROM e JOIN pr0 p ON e.u = p.node JOIN deg d ON d.u = e.u
+        |  GROUP BY e.v),
+        |pr1 AS (
+        |  SELECT deg.u node,
+        |    (15 * 1000000) // (100 * nn) + (85 * COALESCE(c1.s, 0)) // 100 pr
+        |  FROM deg CROSS JOIN n LEFT JOIN c1 ON c1.node = deg.u),
+        |c2 AS (
+        |  SELECT e.v node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) s
+        |  FROM e JOIN pr1 p ON e.u = p.node JOIN deg d ON d.u = e.u
+        |  GROUP BY e.v),
+        |pr2 AS (
+        |  SELECT deg.u node,
+        |    (15 * 1000000) // (100 * nn) + (85 * COALESCE(c2.s, 0)) // 100 pr
+        |  FROM deg CROSS JOIN n LEFT JOIN c2 ON c2.node = deg.u),
+        |c3 AS (
+        |  SELECT e.v node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) s
+        |  FROM e JOIN pr2 p ON e.u = p.node JOIN deg d ON d.u = e.u
+        |  GROUP BY e.v),
+        |pr3 AS (
+        |  SELECT deg.u node,
+        |    (15 * 1000000) // (100 * nn) + (85 * COALESCE(c3.s, 0)) // 100 pr
+        |  FROM deg CROSS JOIN n LEFT JOIN c3 ON c3.node = deg.u)
+        |SELECT node, CAST(pr AS BIGINT) pr FROM pr3 ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select((col("l_partkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+      Components.pageRankExact(edges, "u", "v", iters = 3)
+        .orderBy("node")
+    },
+
+    // BM25 ranked retrieval (ops/Indexing.bm25) for a 3-term query.
+    // Constants are dyadic (k1 = 1.5, b = 0.75 ⇒ k1+1 = 2.5, 1−b =
+    // 0.25 — exact in binary, unlike the textbook 1.2 whose +1 is a
+    // round-to-even tie), corpus stats divide ONCE, and the per-doc
+    // term sum folds in sorted term order on both engines, so the
+    // score is reproducible to the last ulp and rounds stably at 6dp.
+    dfQ("q159_bm25",
+      """WITH tk AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) term
+        |    FROM documents) t WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) dl FROM tk GROUP BY doc_id),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) tot, CAST(COUNT(*) AS BIGINT) nd FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf FROM tk
+        |  WHERE term IN ('data', 'fast', 'spark') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) dfq
+        |        FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    LN(1 + (nd - dfq + 0.5) / (dfq + 0.5)) * (tf * (1.5 + 1)) /
+        |      (tf + 1.5 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / nd))) s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |cum AS (
+        |  SELECT doc_id,
+        |    SUM(s) OVER (PARTITION BY doc_id ORDER BY term
+        |                 ROWS UNBOUNDED PRECEDING) cs,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY term DESC) rn,
+        |    COUNT(*) OVER (PARTITION BY doc_id) nt
+        |  FROM sc)
+        |SELECT doc_id, CAST(nt AS BIGINT) n_terms, ROUND(cs, 6) score
+        |FROM cum WHERE rn = 1
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Indexing.bm25(Tables.table(s, d, "documents"), "doc_id", "text",
+          Seq("data", "fast", "spark"), k1 = 1.5, b = 0.75)
+        .select(col("doc").as("doc_id"), col("n_terms"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    // Temperature-smoothed mixture allocation (ops/Sampling
+    // .temperatureAllocation, α = 0.5): the per-source budget a
+    // T5-style mixture gives the training sampler. English-only docs
+    // so the per-source sizes actually vary. α = ½ routes through
+    // SQRT (IEEE-exact on both engines, unlike POWER); the remainder
+    // ranking and ±1 distribution are fully replayed by the oracle.
+    dfQ("q160_temp_mixture",
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+        |         SQRT(CAST(COUNT(*) AS DOUBLE)) w
+        |  FROM documents WHERE lang = 'en' GROUP BY source),
+        |t AS (
+        |  SELECT source, w,
+        |    SUM(w) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) cw
+        |  FROM c),
+        |tot AS (SELECT cw sumw FROM t ORDER BY source DESC LIMIT 1),
+        |f AS (
+        |  SELECT source, n_docs,
+        |    CAST(FLOOR(10000 * w / sumw) AS BIGINT) base,
+        |    10000 * w / sumw - FLOOR(10000 * w / sumw) frac
+        |  FROM c CROSS JOIN tot),
+        |l AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) lv FROM f),
+        |r AS (
+        |  SELECT source, n_docs, base,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) rk
+        |  FROM f)
+        |SELECT source, n_docs,
+        |  base + CASE WHEN rk <= lv THEN 1 ELSE 0 END alloc
+        |FROM r CROSS JOIN l ORDER BY source""".stripMargin) { (s, d) =>
+      Sampling.temperatureAllocation(
+          Tables.table(s, d, "documents").filter(col("lang") === "en"),
+          "source", alpha = 0.5, budget = 10000L)
+        .orderBy("source")
+    }
+  )
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Properties for the round-8 analytics operators: single-scan moment
+  * matrices, exact-integer PageRank, BM25, zone-map pruning reports,
+  * temperature mixture allocation. Cross-engine value checks live in
+  * the corpus oracle (q154–q160); these pin the plan shapes, the exact
+  * arithmetic, and the invariants the oracle can't see. */
+class AnalyticsSuite extends SparkTestBase {
+
+  import spark.implicits._
+
+  // --- Stats.corrMatrix ---------------------------------------------------
+
+  test("corrMatrix: every pair from ONE parquet scan, values match per-pair corr") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val cols = Seq("l_discount", "l_quantity", "l_tax")
+    val m = Stats.corrMatrix(li, cols)
+    val plan = m.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected exactly 1 scan, got $scans in:\n$plan")
+    val got = m.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (i <- cols.indices; j <- (i + 1) until cols.size) {
+      val exp = li.stat.corr(cols(i), cols(j))
+      val v = got((cols(i), cols(j)))
+      assert(math.abs(exp - v) < 1e-9, s"${cols(i)}×${cols(j)}: $exp vs $v")
+    }
+  }
+
+  // --- Components.pageRankExact -------------------------------------------
+
+  test("pageRankExact matches an exact driver-side integer replay on a known graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Components.pageRankExact(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver-side replay of the documented semantics, in exact Longs
+    val sym = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nodes = sym.map(_._1)
+    val outdeg = sym.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n = nodes.size.toLong
+    val scale = 1000000L
+    val teleport = (15L * scale) / (100L * n)
+    var pr = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 3) {
+      val in = nodes.map { v =>
+        v -> sym.toSeq.collect { case (u, `v`) => pr(u) / outdeg(u) }.sum
+      }.toMap
+      pr = nodes.map(v => v -> (teleport + (85L * in(v)) / 100L)).toMap
+    }
+    assert(got == pr, s"got=$got expected=$pr")
+  }
+
+  test("pageRankExact is partitioning-invariant and floor loss is bounded") {
+    val edges = Tables.table(spark, sf0001, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+    val a = Components.pageRankExact(edges, "u", "v", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Components.pageRankExact(edges.repartition(7), "u", "v", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "integer PageRank must be bit-identical across partitionings")
+    // floors only LOSE mass: total ≤ scale, and per iteration the loss is
+    // < |E| (contribution floors) + 2n (damp + teleport floors)
+    val n = a.size.toLong
+    val e = edges.distinct().count() * 2
+    val total = a.toSeq.map(_._2).sum
+    assert(total <= 1000000L, s"mass grew: $total")
+    assert(total >= 1000000L - 2 * (e + 2 * n) - n,
+      s"lost too much mass: $total (n=$n, e=$e)")
+  }
+
+  // --- Indexing.bm25 ------------------------------------------------------
+
+  test("bm25 matches a hand-computed reference with the sorted-fold order") {
+    val docs = Seq(
+      (1L, "spark data spark"),
+      (2L, "data lake"),
+      (3L, "fast spark engine here")).toDF("id", "text")
+    val got = Indexing.bm25(docs, "id", "text", Seq("spark", "data"),
+        k1 = 1.5, b = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // replay the exact operator arithmetic (same op order, same fold order)
+    val corpus = Map(1L -> Seq("spark", "data", "spark"),
+      2L -> Seq("data", "lake"), 3L -> Seq("fast", "spark", "engine", "here"))
+    val dl = corpus.map { case (d, ts) => d -> ts.size.toLong }
+    val nd = corpus.size.toLong
+    val avgdl = dl.values.sum.toDouble / nd
+    val terms = Seq("spark", "data")
+    val dfq = terms.map(t =>
+      t -> corpus.count { case (_, ts) => ts.contains(t) }.toLong).toMap
+    def score(d: Long): (Long, Double) = {
+      val matched = terms.flatMap { t =>
+        val tf = corpus(d).count(_ == t).toLong
+        if (tf == 0) None else Some(t -> {
+          val idf = math.log(1.0 + (nd - dfq(t) + 0.5) / (dfq(t) + 0.5))
+          idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl(d) / avgdl))
+        })
+      }.sortBy(_._1)
+      (matched.size.toLong, matched.map(_._2).foldLeft(0.0)(_ + _))
+    }
+    Seq(1L, 2L, 3L).foreach { d =>
+      val (en, es) = score(d)
+      val (gn, gs) = got(d)
+      assert(gn == en && math.abs(gs - es) < 1e-12, s"doc $d: $gs vs $es")
+    }
+    // doc 1 (two 'spark' hits + 'data', short) must outrank doc 2 and 3
+    assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
+  }
+
+  test("bm25 score is partitioning-invariant (sorted fold kills IEEE order noise)") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val t = Seq("data", "fast", "spark")
+    val a = Indexing.bm25(docs, "doc_id", "text", t, k1 = 1.5, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b2 = Indexing.bm25(docs.repartition(13), "doc_id", "text", t,
+        k1 = 1.5, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b2, "bm25 must be bit-identical across partitionings")
+  }
+
+  // --- Layout.pruningReport -----------------------------------------------
+
+  test("pruningReport: z-order reads fewer chunks than the natural sort for a box") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val withz = Layout.withZ(li, "l_partkey", "l_suppkey", bits = 8)
+    val rep = Layout.pruningReport(withz,
+        Seq(("natural", col("l_orderkey")), ("zorder", col("z"))),
+        chunks = 64, "l_partkey", "l_suppkey", 1L, 20L, 1L, 3L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, hitN, totalN, readN) = rep("natural")
+    val (_, hitZ, totalZ, readZ) = rep("zorder")
+    assert(totalN == totalZ, "both layouts must cover all rows")
+    assert(hitZ < hitN,
+      s"z-order should prune more: zorder hit $hitZ vs natural $hitN")
+    // no false negatives: every matching row lives in a hit chunk
+    val matching = li.filter(col("l_partkey").between(1, 20) &&
+      col("l_suppkey").between(1, 3)).count()
+    assert(readN >= matching && readZ >= matching,
+      s"zone maps dropped matching rows: $readN/$readZ < $matching")
+  }
+
+  // --- Sampling.temperatureAllocation -------------------------------------
+
+  test("temperatureAllocation: sums to budget, endpoints and monotonicity hold") {
+    val df = (Seq.fill(100)("big") ++ Seq.fill(50)("mid") ++
+      Seq.fill(10)("small") ++ Seq.fill(1)("tiny"))
+      .zipWithIndex.toDF("src", "i")
+    def alloc(alpha: Double): Map[String, Long] =
+      Sampling.temperatureAllocation(df, "src", alpha, 1000L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val a0 = alloc(0.0); val aHalf = alloc(0.5); val a1 = alloc(1.0)
+    Seq(a0, aHalf, a1).foreach(a => assert(a.values.sum == 1000L, a))
+    // α = 0: uniform
+    assert(a0.values.toSet == Set(250L), a0)
+    // α = 1: proportional (1000·n/161, largest-remainder)
+    assert(a1("big") == 621L && a1("mid") == 311L &&
+      a1("small") == 62L && a1("tiny") == 6L, a1)
+    // monotone in n at every α; temperature compresses the big:small gap
+    Seq(a0, aHalf, a1).foreach { a =>
+      assert(a("big") >= a("mid") && a("mid") >= a("small") &&
+        a("small") >= a("tiny"), a)
+    }
+    assert(aHalf("big") < a1("big") && aHalf("tiny") > a1("tiny"),
+      s"α=0.5 should shift budget from big to tiny: $aHalf vs $a1")
+  }
+}
