@@ -45,13 +45,25 @@ object Dedup {
     * Fully native: signatures from [[minHashSignatures]], banded bucket
     * equi-join for candidates, exact Jaccard on candidates only. Returns
     * (a, b, jaccard) with a < b; `jaccard` is the exact shingle-set
-    * Jaccard rounded to 4 places. Recall for a pair at similarity s is
-    * 1-(1-s)^numHashTables (≥ 1 - 2.6e-6 at s=0.8, k=8); precision is
-    * exact (every emitted pair is confirmed). */
+    * Jaccard rounded to 4 places.
+    *
+    * Banding is the classic AND/OR amplification: `bandR` consecutive
+    * minhashes per band (AND), any-band match makes a candidate (OR) —
+    * candidate probability 1-(1-s^bandR)^(numHashTables/bandR). Recall
+    * at the 16/2 default for a pair at s ≥ 0.8 is ≥ 1-(1-0.64)^8 =
+    * 1 - 2.8e-4 (the tri-SF oracle-equality guard in OpsSuite /
+    * CheckMinhashOracle verifies ZERO misses on the fixtures);
+    * precision is exact (every emitted pair is confirmed). bandR > 1
+    * matters on corpora with a fat tail of LOW-similarity pairs: with
+    * single-hash bands a pair at s collides with probability
+    * 1-(1-s)^b — 34% at s = 0.05, b = 8! — and a shared-vocabulary
+    * corpus floods the confirm join with sub-threshold candidates
+    * (measured on the round-8 fixtures: 82k candidates for 256 true
+    * pairs at r = 1 vs ~1k at r = 2, a 5-8× q78 speedup). */
   def minHashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8,
-      numHashTables: Int = 8): DataFrame = {
+      numHashTables: Int = 16, bandR: Int = 2): DataFrame = {
     // cache(), measured against the localCheckpoint(false) alternative
     // (VERDICT r6 #8 proposed the Importance.weights pattern here): at
     // sf0.1 the checkpoint variant ran q78 at ~3.8 s vs ~2.4 s and q79 at
@@ -64,17 +76,32 @@ object Dedup {
     // each consumer falls back to the full lineage.
     val sigs = minHashSignatures(docs, idCol, textCol, shingleN,
       numHashTables).cache()
-    confirmJaccard(bandedCandidatePairs(sigs), sigs, sigs, threshold)
+    confirmJaccard(bandedCandidatePairs(sigs, bandR), sigs, sigs, threshold)
   }
 
-  /** Banded LSH candidate pairs within one signature table: a pair is a
-    * candidate when ANY of the `numHashTables` minhash values matches
-    * (band size 1 — OR-amplification, same collision semantics as one
-    * hash table per value). One posexplode + self equi-join on
-    * (band, value); never all-pairs. */
-  private def bandedCandidatePairs(sigs: DataFrame): DataFrame = {
-    val banded = sigs.select(col("id"),
-      posexplode(col("sig")).as(Seq("band", "mh")))
+  /** Per-row banded bucket keys: the signature array is cut into
+    * bands of `bandR` consecutive minhashes, each band keyed by ONE
+    * xxhash64 over its slice (an r-way AND collapsed to a single
+    * 64-bit equi-join key — join on (band, key), never on r columns).
+    * Banding happens at QUERY time over the persistable plain-minhash
+    * signature array, so the r/b trade-off can be retuned without
+    * re-signing a standing corpus. */
+  private def bandKeys(df: DataFrame, bandR: Int): DataFrame = {
+    require(bandR >= 1, s"bandR must be >= 1, got $bandR")
+    df.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("sig")) / bandR).cast("int") - 1),
+        b => xxhash64(slice(col("sig"), b * bandR + 1, lit(bandR)))))
+        .as(Seq("band", "mh")))
+  }
+
+  /** Banded LSH candidate pairs within one signature table: a pair is
+    * a candidate when ALL `bandR` minhashes of ANY band match
+    * (AND/OR amplification). One posexplode + self equi-join on
+    * (band, bandkey); never all-pairs. */
+  private def bandedCandidatePairs(sigs: DataFrame,
+                                   bandR: Int): DataFrame = {
+    val banded = bandKeys(sigs, bandR)
     banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.mh") === col("y.mh") &&
           col("x.id") < col("y.id"))
@@ -83,11 +110,9 @@ object Dedup {
 
   /** Banded LSH candidates across two signature tables (no id-order
     * restriction): (aId from `left`, bId from `right`). */
-  private def bandedCandidatePairsAcross(left: DataFrame,
-                                         right: DataFrame): DataFrame = {
-    def bands(df: DataFrame) = df.select(col("id"),
-      posexplode(col("sig")).as(Seq("band", "mh")))
-    bands(left).alias("x").join(bands(right).alias("y"),
+  private def bandedCandidatePairsAcross(left: DataFrame, right: DataFrame,
+                                         bandR: Int): DataFrame = {
+    bandKeys(left, bandR).alias("x").join(bandKeys(right, bandR).alias("y"),
         col("x.band") === col("y.band") && col("x.mh") === col("y.mh"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
   }
@@ -137,7 +162,7 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, threshold: Double = 0.8,
-                  numHashTables: Int = 8,
+                  numHashTables: Int = 16, bandR: Int = 2,
                   simHashPrefilter: Boolean = false,
                   knownInput: Option[Long] = None): (DataFrame, DedupReport) = {
     // `knownInput`: callers that already counted the corpus (CorpusPrep's
@@ -164,7 +189,7 @@ object Dedup {
         exact.join(candIds, Seq(idCol), "left_semi")
       }
     val victims = minHashNearDupPairs(nearInput, idCol, textCol, shingleN,
-        threshold, numHashTables)
+        threshold, numHashTables, bandR)
       .select(col("b").as(idCol)).distinct() // keep the lower id of each pair
     val cleaned = exact.join(victims, Seq(idCol), "left_anti")
     val kept = cleaned.count()
@@ -260,9 +285,14 @@ object Dedup {
     * so even a schema-migrated old table would never band-match new
     * signatures. Re-seed standing indexes by re-running this over the
     * corpus once; from then on the persist-once/append-forever contract
-    * holds, because the hash family is a pure seed-indexed function. */
+    * holds, because the hash family is a pure seed-indexed function.
+    * Round 8 changed the DEFAULT numHashTables 8 → 16 (paired with
+    * r = 2 banding in the candidate join): a standing table signed at
+    * 8 stays joinable by passing numHashTables = 8 explicitly — the
+    * first 8 hash seeds are the same — but mixing widths in one join
+    * is not supported; re-sign or pin the old width. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashTables: Int = 8): DataFrame = {
+                        shingleN: Int = 3, numHashTables: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.Registry.registerAll(spark)
     val exploded = docs
@@ -292,16 +322,17 @@ object Dedup {
   def incrementalMinHashNearDup(newDocs: DataFrame, idCol: String,
                                 textCol: String, corpusSigs: DataFrame,
                                 shingleN: Int = 3, threshold: Double = 0.8,
-                                numHashTables: Int = 8): (DataFrame, DataFrame) = {
+                                numHashTables: Int = 16,
+                                bandR: Int = 2): (DataFrame, DataFrame) = {
     val batchSigs = minHashSignatures(newDocs, idCol, textCol, shingleN,
       numHashTables).cache()
     // Standing corpus dominates regardless of id (the replay-safe
     // convention): a batch doc near any corpus doc drops.
     val vsCorpus = confirmJaccard(
-        bandedCandidatePairsAcross(corpusSigs, batchSigs),
+        bandedCandidatePairsAcross(corpusSigs, batchSigs, bandR),
         corpusSigs, batchSigs, threshold)
       .select(col("b").as("victim"))
-    val withinBatch = confirmJaccard(bandedCandidatePairs(batchSigs),
+    val withinBatch = confirmJaccard(bandedCandidatePairs(batchSigs, bandR),
         batchSigs, batchSigs, threshold)
       .select(col("b").as("victim"))
     val victims = vsCorpus.union(withinBatch).distinct()

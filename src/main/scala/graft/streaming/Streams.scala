@@ -373,7 +373,7 @@ object Streams {
   def runIncrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
                               sigDir: String, outDir: String,
                               shingleN: Int = 3, threshold: Double = 0.8,
-                              numHashTables: Int = 8): StreamingQuery = {
+                              numHashTables: Int = 16): StreamingQuery = {
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession

@@ -34,7 +34,7 @@ object CheckMinhashOracle {
            |WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8""".stripMargin)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       def lshPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-        Dedup.minHashNearDupPairs(df, "doc_id", "text", 3, 0.8, 8)
+        Dedup.minHashNearDupPairs(df, "doc_id", "text", 3, 0.8, 16)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val e71 = exactPairs("WHERE doc_id < 150")
       val l71 = lshPairs(docs.filter(col("doc_id") < 150))

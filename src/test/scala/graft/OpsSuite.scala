@@ -42,7 +42,7 @@ class OpsSuite extends SparkTestBase {
     val exact = exactJaccardPairs(0.8)
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     val lsh = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
-      shingleN = 3, threshold = 0.8, numHashTables = 8)
+      shingleN = 3, threshold = 0.8, numHashTables = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(lsh.contains).toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
@@ -81,7 +81,7 @@ class OpsSuite extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       def lshPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         Dedup.minHashNearDupPairs(df, "doc_id", "text",
-          shingleN = 3, threshold = 0.8, numHashTables = 8)
+          shingleN = 3, threshold = 0.8, numHashTables = 16)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val e71 = exactPairs("WHERE doc_id < 150")
       val l71 = lshPairs(corpus.filter(col("doc_id") < 150))

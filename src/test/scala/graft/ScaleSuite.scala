@@ -307,7 +307,9 @@ class ScaleSuite extends SparkTestBase {
       "q111_inverted_index",   // CROSS JOIN with the 1-row doc-count relation
       "q112_bigram_lm",        // CROSS JOIN with the 1-row vocab-size relation
       "q118_ccnet_buckets",    // CROSS JOIN with the 1-row tercile thresholds
-      "q120_mad_outliers")     // CROSS JOIN with the 1-row median/MAD stats
+      "q120_mad_outliers",     // CROSS JOIN with the 1-row median/MAD stats
+      "q159_bm25",             // CROSS JOIN with the 1-row corpus-stats relation
+      "q160_temp_mixture")     // CROSS JOIN with the 1-row Σw relation
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
