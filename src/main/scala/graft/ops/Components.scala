@@ -94,6 +94,48 @@ object Components {
   def componentSummary(components: DataFrame): DataFrame =
     components.groupBy("component").agg(count(lit(1)).as("size"))
 
+  /** Per-node triangle counts — the local clustering signal (spam/link-farm
+    * detection in a crawl graph, community density next to
+    * [[connectedComponents]]'s reachability).
+    *
+    * The naive wedge join keys wedges on their CENTER node, so a hub of
+    * degree d generates d² wedges — the "curse of the last reducer" at
+    * 100 TB. Degree orientation (Suri & Vassilvitskii, WWW'11) fixes the
+    * skew: direct every edge from its lower-(degree, id) endpoint to the
+    * higher one, and only enumerate wedges from each node's OUT-edges.
+    * Out-degree is then O(√E) for ANY graph, so the worst wedge list per
+    * node is E — not d² — and the join keys spread. Three shuffles total:
+    * degree agg, wedge self-join on the source, closure equi-join of the
+    * wedge's (far, far) pair against the canonical edge set. Exact
+    * integer counts — engine-reproducible and oracle-able. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cache()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.alias("x").join(oriented.alias("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tri = wedges.join(canon,
+        least(col("b"), col("c")) === col("u") &&
+          greatest(col("b"), col("c")) === col("v"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
   /** Fixed-iteration PageRank in EXACT scaled-integer arithmetic — the
     * centrality companion to [[connectedComponents]] (rank pages inside a
     * crawl graph, weight canonical-document choice, spot link farms).

@@ -106,6 +106,36 @@ object Quality {
         col("n"), col("n_outliers"))
   }
 
+  /** Per-group winsorization — clip a value column at its group's exact
+    * [pLo, pHi] percentiles, the standard outlier treatment before
+    * normalization or mean-based statistics (a fat-tailed quality score
+    * or length column otherwise lets one crawl artifact move the mean).
+    *
+    * Scale shape: ONE grouped percentile aggregation (two
+    * `percentile()` columns per group — Spark's exact interpolating
+    * percentile, a single-pass mergeable aggregate) broadcast-joined
+    * back, then clipping is a pure projection. For the sketch-sized
+    * 100 TB mode swap `exact = false` (approx_percentile / t-digest,
+    * the [[madOutliers]] dial). Returns the input plus
+    * `<valueCol>_w` (clipped value), `lo`, `hi`. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val x = col(valueCol).cast("double")
+    def pct(p: Double): Column =
+      if (exact) percentile(x, lit(p))
+      else approx_percentile(x, lit(p), lit(10000))
+    val bounds = df.groupBy(col(groupCol))
+      .agg(pct(pLo).as("lo"), pct(pHi).as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        when(x < col("lo"), col("lo"))
+          .when(x > col("hi"), col("hi"))
+          .otherwise(x))
+  }
+
   sealed trait Expectation { def name: String }
   final case class NotNull(colName: String) extends Expectation {
     val name = s"not_null($colName)"

@@ -286,6 +286,74 @@ object Analytics {
           Tables.table(s, d, "documents").filter(col("lang") === "en"),
           "source", alpha = 0.5, budget = 10000L)
         .orderBy("source")
+    },
+
+    // Per-node triangle counts (ops/Components.triangleCounts) over the
+    // part-co-occurrence graph (parts folded mod 300 so the graph is
+    // dense enough to contain triangles at every SF). Degree
+    // orientation bounds the wedge fan-out by O(√E) per node — the
+    // Suri-Vassilvitskii fix for the last-reducer hub problem — and
+    // the oracle replays the whole count with plain 3-way joins, so
+    // the orientation trick is verified against the textbook
+    // definition, not against itself.
+    dfQ("q161_triangles",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (
+        |  SELECT DISTINCT a.p u, b.p v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |t AS (
+        |  SELECT e1.u a, e1.v b, e2.v c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) triangles FROM (
+        |  SELECT a node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t) x
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      Components.triangleCounts(e, "pa", "pb").orderBy("node")
+    },
+
+    // Per-group winsorization (ops/Quality.winsorize): clip
+    // l_extendedprice at its group's exact [p05, p95] — ONE grouped
+    // percentile aggregation broadcast back, clipping as a projection.
+    // The oracle recomputes bounds, clip counts, and the winsorized
+    // mean (float AVG is safe here: the cross-engine sum-order noise is
+    // ~1e-9 relative on this magnitude, far under the 4dp round).
+    dfQ("q162_winsorize",
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY l_extendedprice) lo,
+        |    PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CAST(COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS BIGINT) n_lo,
+        |  CAST(COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS BIGINT) n_hi,
+        |  ROUND(AVG(CASE WHEN l_extendedprice < lo THEN lo
+        |            WHEN l_extendedprice > hi THEN hi
+        |            ELSE l_extendedprice END), 4) w_mean,
+        |  ROUND(MAX(lo), 4) lo, ROUND(MAX(hi), 4) hi
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      graft.ops.Quality.winsorize(Tables.table(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_extendedprice") < col("lo"), 1)).as("n_lo"),
+          count(when(col("l_extendedprice") > col("hi"), 1)).as("n_hi"),
+          round(avg(col("l_extendedprice_w")), 4).as("w_mean"),
+          round(max("lo"), 4).as("lo"), round(max("hi"), 4).as("hi"))
+        .orderBy("l_returnflag")
     }
   )
 }

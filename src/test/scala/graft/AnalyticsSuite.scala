@@ -149,6 +149,40 @@ class AnalyticsSuite extends SparkTestBase {
       s"zone maps dropped matching rows: $readN/$readZ < $matching")
   }
 
+  // --- Components.triangleCounts ------------------------------------------
+
+  test("triangleCounts: K4 plus a pendant edge, any input orientation") {
+    // K4 has 4 triangles; every K4 node sits in 3; the pendant node in 0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ ((4L, 5L))).toDF("a", "b")
+    val got = Components.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // flipped + duplicated edges must not change the count
+    val messy = edges.select(col("b").as("a"), col("a").as("b"))
+      .unionAll(edges)
+    val got2 = Components.triangleCounts(messy, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  // --- Quality.winsorize ---------------------------------------------------
+
+  test("winsorize: clipped values inside [lo, hi], interior untouched, " +
+      "clip fractions ≈ (pLo, 1-pHi)") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val w = Quality.winsorize(li, "l_returnflag", "l_extendedprice",
+      pLo = 0.1, pHi = 0.9).cache()
+    assert(w.filter(col("l_extendedprice_w") < col("lo") ||
+      col("l_extendedprice_w") > col("hi")).count() == 0)
+    assert(w.filter(col("l_extendedprice").between(col("lo"), col("hi")) &&
+      col("l_extendedprice_w") =!= col("l_extendedprice")).count() == 0)
+    val frac = w.filter(col("l_extendedprice") < col("lo")).count().toDouble /
+      w.count()
+    assert(frac > 0.05 && frac < 0.15, s"lo-clip fraction $frac far from 0.1")
+    w.unpersist()
+  }
+
   // --- Sampling.temperatureAllocation -------------------------------------
 
   test("temperatureAllocation: sums to budget, endpoints and monotonicity hold") {
