@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics pair over an event stream: ordered k-step funnels
+  * and cohort retention — the two queries every reference-style events
+  * pipeline ends in.
+  *
+  * Both are exact integer/timestamp computations (no floats), so the
+  * results are engine-reproducible and oracle-able.
+  */
+object Funnel {
+
+  /** Ordered funnel: step i's timestamp is the user's EARLIEST event of
+    * step i's type STRICTLY AFTER their step i−1 timestamp (and within
+    * `maxGap` of it when given — e.g. "1 hour"). Greedy-earliest is the
+    * standard funnel semantics and is optimal for reachability: taking
+    * the earliest feasible step-i time can only widen step i+1's
+    * window, so a user completes the funnel under this rule iff any
+    * event assignment completes it (no backtracking needed — which is
+    * what makes the computation k joins instead of a search).
+    *
+    * Returns one row per user who reached step 1: (user, t1 … tk),
+    * with tᵢ NULL from the first missed step on.
+    *
+    * Scale shape: k−1 equi-joins + k grouped MIN aggregations, all
+    * keyed on the user — one shuffle key throughout, so a 100 TB event
+    * log pays k passes over the (type-filtered) stream, never a
+    * per-user sort or a cross join. Carried step times ride the
+    * aggregation as MIN of a per-user constant. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             maxGap: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    def typed(st: String): DataFrame = events
+      .filter(col(typeCol) === st)
+      .select(col(userCol).as("user"), col(tsCol).as("__ts"))
+    var acc = typed(steps.head).groupBy("user").agg(min("__ts").as("t1"))
+    for (i <- 2 to steps.size) {
+      val prev = col(s"t${i - 1}")
+      val gapOk = maxGap.map(g =>
+        col("__ts") <= prev + expr(s"INTERVAL $g")).getOrElse(lit(true))
+      val aggs = (1 until i).map(j => min(col(s"t$j")).as(s"t$j")) :+
+        min(when(col("__ts") > prev && gapOk, col("__ts"))).as(s"t$i")
+      acc = acc.join(typed(steps(i - 1)), Seq("user"), "left")
+        .groupBy("user")
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    acc
+  }
+
+  /** Cohort retention: users bucketed by their FIRST-event day, then
+    * per (cohort, week offset) distinct active users. Day-level
+    * truncation + integer-day difference floor-divided to weeks keeps
+    * the bucketing free of engine week-start conventions — every
+    * quantity is an exact date/integer.
+    *
+    * Scale shape: one grouped MIN for the cohort assignment, one
+    * distinct on (user, day) — both shuffles keyed on the user — then
+    * a broadcast-friendly join back and one grouped COUNT DISTINCT on
+    * ≤ cohorts × offsets keys. */
+  def retention(events: DataFrame, userCol: String,
+                tsCol: String): DataFrame = {
+    val active = events.select(col(userCol).as("user"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val cohorts = active.groupBy("user").agg(min("day").as("cohort"))
+    active.join(cohorts, Seq("user"))
+      .groupBy(col("cohort"),
+        (datediff(col("day"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct("user").as("users"))
+  }
+}

@@ -354,6 +354,52 @@ object Analytics {
           round(avg(col("l_extendedprice_w")), 4).as("w_mean"),
           round(max("lo"), 4).as("lo"), round(max("hi"), 4).as("hi"))
         .orderBy("l_returnflag")
+    },
+
+    // Ordered signup → click → purchase funnel (ops/Funnel.funnel):
+    // per-user step times under greedy-earliest semantics (optimal for
+    // reachability — an earlier feasible step only widens the next
+    // window, so no backtracking). Exact timestamps, k user-keyed
+    // joins, and the oracle replays each step as a conditional-MIN
+    // left join, so the step semantics are hash-checked per user.
+    dfQ("q163_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id u, MIN(ts) t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.u, MIN(s1.t1) t1,
+        |    MIN(CASE WHEN e.ts > s1.t1 THEN e.ts END) t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'click'
+        |  GROUP BY s1.u),
+        |s3 AS (
+        |  SELECT s2.u, MIN(s2.t1) t1, MIN(s2.t2) t2,
+        |    MIN(CASE WHEN e.ts > s2.t2 THEN e.ts END) t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.u AND e.event_type = 'purchase'
+        |  GROUP BY s2.u)
+        |SELECT u user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.ops.Funnel.funnel(Tables.events(s, d), "user_id", "event_type",
+          "ts", Seq("signup", "click", "purchase"))
+        .select(col("user").as("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy("user_id")
+    },
+
+    // Cohort retention (ops/Funnel.retention): users bucketed by
+    // first-event day, distinct active users per (cohort, week
+    // offset). Day truncation + integer-day floor-division avoids
+    // engine week-start conventions — exact dates and integers
+    // throughout.
+    dfQ("q164_retention",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id u, CAST(ts AS DATE) AS dy FROM events),
+        |c AS (SELECT u, MIN(dy) cohort FROM a GROUP BY u)
+        |SELECT cohort, CAST((a.dy - c.cohort) // 7 AS INT) week_offset,
+        |  CAST(COUNT(DISTINCT a.u) AS BIGINT) users
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Funnel.retention(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort", "week_offset")
     }
   )
 }

@@ -183,6 +183,47 @@ class AnalyticsSuite extends SparkTestBase {
     w.unpersist()
   }
 
+  // --- Funnel -------------------------------------------------------------
+
+  test("funnel: greedy-earliest step times, gap cutoff, dropouts go NULL") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1 completes: signup 10:02 → click 10:05 → purchase 10:20
+      (1L, "signup", ts(2)), (1L, "click", ts(5)), (1L, "purchase", ts(20)),
+      // pre-signup click (10:01 < 10:02) must NOT count
+      (1L, "click", ts(1)),
+      // user 2 drops after click (purchase BEFORE the click: unreachable)
+      (2L, "signup", ts(0)), (2L, "purchase", ts(3)), (2L, "click", ts(10)),
+      // user 3 never signs up → absent from the funnel
+      (3L, "click", ts(0))).toDF("user_id", "event_type", "ts")
+    val f = graft.ops.Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(f.keySet == Set(1L, 2L))
+    assert(f(1L) == ((ts(2), ts(5), ts(20))))
+    assert(f(2L) == ((ts(0), ts(10), null)))
+    // with a 10-minute gap, user 1's purchase (15 min after click) drops
+    val g = graft.ops.Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"), maxGap = Some("10 minutes"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(3)).toMap
+    assert(g(1L) == null)
+  }
+
+  test("retention: cohorts by first-event day, distinct weekly actives") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val events = Seq(
+      (1L, d(1)), (1L, d(2)), (1L, d(9)),   // cohort 1/1: w0 (twice), w1
+      (2L, d(1)), (2L, d(16)),              // cohort 1/1: w0, w2
+      (3L, d(9)), (3L, d(10))).toDF("user_id", "ts") // cohort 1/9: w0 only
+    val r = graft.ops.Funnel.retention(events, "user_id", "ts")
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 2) -> 1L, ("2024-01-09", 0) -> 1L), r)
+  }
+
   // --- Sampling.temperatureAllocation -------------------------------------
 
   test("temperatureAllocation: sums to budget, endpoints and monotonicity hold") {
