@@ -460,6 +460,72 @@ object Streams {
     q
   }
 
+  /** ST15: streaming incremental funnel — per-user ordered-funnel
+    * snapshots maintained against a STANDING step-event store, the
+    * real-time "where is every user in the signup→…→purchase journey"
+    * feed.
+    *
+    * A pure state-machine funnel is NOT exact under out-of-order
+    * arrival: a late earlier event for step i−1 can retroactively make
+    * an already-seen step-i event eligible (greedy-earliest times only
+    * ever move EARLIER as history fills in). Exactness therefore needs
+    * the step-event history, not just the current (t₁…tₖ) tuple — so
+    * each micro-batch appends its step-typed events to the store
+    * (`storeDir/batch_<id>`, overwrite-own-dir ⇒ checkpoint-replay
+    * idempotent), recomputes [[graft.ops.Funnel.funnel]] for AFFECTED
+    * users only (semi-join on the batch's users), and writes the
+    * refreshed snapshots tagged with the batch id; [[latestFunnel]]
+    * resolves last-write-wins per user.
+    *
+    * Scale: per-batch cost ∝ store rows of affected users (the store
+    * holds only funnel-step events — a projection of the log), never
+    * the full user base; the stream state store holds nothing. */
+  def runIncrementalFunnel(events: DataFrame, userCol: String,
+                           typeCol: String, tsCol: String,
+                           steps: Seq[String], storeDir: String,
+                           outDir: String,
+                           maxGap: Option[String] = None): StreamingQuery = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val relevant = batch.filter(col(typeCol).isin(steps: _*))
+          .select(col(userCol).as("user"), col(typeCol).as("step"),
+            col(tsCol).as("ts"))
+        relevant.write.mode("overwrite").parquet(s"$storeDir/batch_$id")
+        val sPath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior = fs.listStatus(sPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+            && s.getPath.getName != s"batch_$id")
+          .map(_.getPath.toString)
+        val store =
+          if (prior.isEmpty) relevant
+          else spark.read.parquet(prior.toSeq: _*).unionByName(relevant)
+        val affected = relevant.select("user").distinct()
+        graft.ops.Funnel.funnel(
+            store.join(affected, Seq("user"), "left_semi"),
+            "user", "step", "ts", steps, maxGap)
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The current funnel table from [[runIncrementalFunnel]] output:
+    * last write per user wins. */
+  def latestFunnel(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy(col("__batch").desc)
+    spark.read.parquet(s"$outDir/batch_*")
+      .withColumn("__rk",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk", "__batch")
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink until all
     * currently-available data is processed (Trigger.AvailableNow —
     * deterministic replay, ST8). Returns the completed query. */

@@ -402,6 +402,45 @@ class StreamingSuite extends SparkTestBase {
     assert(stored == corpusIds ++ keptIds)
   }
 
+  test("streaming incremental funnel: late events refine, result ≡ batch funnel") {
+    val root = Files.createTempDirectory("graft-incfunnel").toString
+    val srcDir = s"$root/src"; val storeDir = s"$root/store"
+    val out = s"$root/out"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val steps = Seq("signup", "click", "purchase")
+    val b1 = Seq(
+      (1L, "signup", ts(10)), (1L, "click", ts(12)),
+      (2L, "click", ts(5)), (2L, "purchase", ts(6)),
+      (3L, "view", ts(1))).toDF("user_id", "event_type", "ts")
+    // batch 2: user 1 completes; user 2's LATE signup at 10:04 makes the
+    // already-stored 10:05 click + 10:06 purchase a complete funnel —
+    // the out-of-order case a pure state machine gets wrong
+    val b2 = Seq(
+      (1L, "purchase", ts(30)),
+      (2L, "signup", ts(4))).toDF("user_id", "event_type", "ts")
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    def mkStream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalFunnel(mkStream, "user_id", "event_type", "ts",
+      steps, storeDir, out)
+    def snap = Streams.latestFunnel(spark, out).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    val got = snap
+    val want = graft.ops.Funnel.funnel(b1.unionByName(b2),
+        "user_id", "event_type", "ts", steps).collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))).toMap
+    assert(got == want, s"stream=$got batch=$want")
+    assert(got(2L) == ((ts(4), ts(5), ts(6)))) // the late-signup refinement
+    assert(!got.contains(3L)) // never reached step 1
+    // checkpoint replay adds nothing
+    Streams.runIncrementalFunnel(mkStream, "user_id", "event_type", "ts",
+      steps, storeDir, out)
+    assert(snap == got)
+  }
+
   test("streaming upsert: versioned standing table equals sequential batch merge") {
     import graft.ops.Merge
     val root = Files.createTempDirectory("graft-upsert").toString
