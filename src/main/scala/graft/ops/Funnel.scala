@@ -50,6 +50,32 @@ object Funnel {
     acc
   }
 
+  /** Event-transition (first-order Markov) matrix: for each user's
+    * time-ordered event sequence, count `from → to` adjacent pairs and
+    * attach the row-normalized transition probability — the "what do
+    * users do next" journey summary and the input to next-step
+    * prediction baselines.
+    *
+    * `tieCol` breaks equal-timestamp ordering (an event id) so the
+    * sequence — and therefore the count matrix — is deterministic.
+    * Scale shape: one user-partitioned window (shuffle on the user,
+    * per-partition sort — never global), one grouped count on
+    * ≤ |types|² keys; the probability is one integer division per
+    * output row (exact longs divided once). */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    events.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum("n").over(wf), 6))
+  }
+
   /** Cohort retention: users bucketed by their FIRST-event day, then
     * per (cohort, week offset) distinct active users. Day-level
     * truncation + integer-day difference floor-divided to weeks keeps

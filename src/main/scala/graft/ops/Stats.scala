@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Descriptive multi-column statistics computed the scale-right way:
@@ -35,5 +35,34 @@ object Stats {
         col(s"__corr_${a}_$b").as("corr"), col(s"__cov_${a}_$b").as("cov"))
     }
     one.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** Per-group Welch two-sample t-test: does `valueCol` differ between
+    * the rows where `cohort` is true and the rest? Returns one row per
+    * group with both cohorts' (n, mean), the t statistic, and the
+    * Welch–Satterthwaite degrees of freedom — the A/B readout every
+    * events pipeline ends in.
+    *
+    * ONE scan, ONE aggregation: both cohorts' moments ride the same
+    * grouped aggregate as conditional columns (`avg(when(cohort, x))`
+    * skips the other cohort's rows as nulls), and the t/df formulas are
+    * a projection over the six aggregates — closed-form, no second
+    * pass, no per-cohort job. */
+  def welchT(df: DataFrame, groupCol: String, cohort: Column,
+             valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val a = when(cohort, x); val b = when(!cohort, x)
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(a).as("n1"), avg(a).as("m1"), var_samp(a).as("v1"),
+        count(b).as("n2"), avg(b).as("m2"), var_samp(b).as("v2"))
+    // squares spelled x*x, not pow(x, 2): Java Math.pow and C libm pow
+    // may differ in the last ulp, multiplication never does
+    val se1 = col("v1") / col("n1"); val se2 = col("v2") / col("n2")
+    val se = se1 + se2
+    agg
+      .withColumn("t", (col("m1") - col("m2")) / sqrt(se))
+      .withColumn("df",
+        (se * se) /
+          (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
   }
 }

@@ -400,6 +400,58 @@ object Analytics {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       graft.ops.Funnel.retention(Tables.events(s, d), "user_id", "ts")
         .orderBy("cohort", "week_offset")
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (ops/Funnel.transitions): LEAD over (ts, event_id) —
+    // the tie column makes the sequence deterministic — then a grouped
+    // count on ≤ |types|² keys; probability = one integer division.
+    dfQ("q165_transitions",
+      """WITH s AS (
+        |  SELECT event_type ft,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) nt
+        |  FROM events),
+        |c AS (
+        |  SELECT ft from_type, nt to_type, CAST(COUNT(*) AS BIGINT) n
+        |  FROM s WHERE nt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |        CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) p
+        |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      graft.ops.Funnel.transitions(Tables.events(s, d), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
+    // Welch two-sample t-test per event_type (ops/Stats.welchT): does
+    // `value` differ between even and odd user ids? Both cohorts'
+    // moments ride ONE grouped aggregation as conditional columns; the
+    // t / Welch-Satterthwaite df formulas are a projection (squares
+    // spelled x*x — pow() may ulp-differ between libm and the JVM).
+    dfQ("q166_welch_t",
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) n1,
+        |    AVG(CASE WHEN user_id % 2 = 0 THEN value END) m1,
+        |    VAR_SAMP(CASE WHEN user_id % 2 = 0 THEN value END) v1,
+        |    CAST(COUNT(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS BIGINT) n2,
+        |    AVG(CASE WHEN user_id % 2 <> 0 THEN value END) m2,
+        |    VAR_SAMP(CASE WHEN user_id % 2 <> 0 THEN value END) v2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n1, n2, ROUND(m1, 4) m1, ROUND(m2, 4) m2,
+        |  ROUND((m1 - m2) / SQRT(v1/n1 + v2/n2), 4) t,
+        |  ROUND((v1/n1 + v2/n2) * (v1/n1 + v2/n2) /
+        |        ((v1/n1) * (v1/n1) / (n1 - 1) +
+        |         (v2/n2) * (v2/n2) / (n2 - 1)), 4) df
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.ops.Stats.welchT(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          "event_type", col("user_id") % 2 === 0, "value")
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(col("m1"), 4).as("m1"), round(col("m2"), 4).as("m2"),
+          round(col("t"), 4).as("t"), round(col("df"), 4).as("df"))
+        .orderBy("event_type")
     }
   )
 }

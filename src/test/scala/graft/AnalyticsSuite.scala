@@ -224,6 +224,50 @@ class AnalyticsSuite extends SparkTestBase {
       ("2024-01-01", 2) -> 1L, ("2024-01-09", 0) -> 1L), r)
   }
 
+  // --- Funnel.transitions / Stats.welchT ----------------------------------
+
+  test("transitions: deterministic sequence, counts exact, rows normalize") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(1)), (1L, 12L, "a", ts(2)),
+      // equal timestamps: event_id breaks the tie → c before b
+      (2L, 20L, "a", ts(0)), (2L, 21L, "c", ts(1)), (2L, 22L, "b", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val t = graft.ops.Funnel.transitions(events, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(t.keySet == Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "b")))
+    assert(t(("a", "b"))._1 == 1L && t(("a", "c"))._1 == 1L)
+    assert(t(("a", "b"))._2 == 0.5 && t(("c", "b"))._2 == 1.0)
+    // per-from probabilities sum to 1 on the fixture corpus too
+    val sums = graft.ops.Funnel.transitions(Tables.events(spark, sf0001),
+        "user_id", "event_type", "ts", "event_id")
+      .groupBy("from_type").agg(sum("p").as("sp")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r))
+  }
+
+  test("welchT: one scan, identical cohorts give t ≈ 0, known shift detected") {
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+    val w = Stats.welchT(ev, "event_type", col("user_id") % 2 === 0, "value")
+    val scans = "Scan parquet".r
+      .findAllMatchIn(w.queryExecution.executedPlan.toString).size
+    assert(scans == 1, s"welchT must be a single-scan aggregation, got $scans")
+    // planted shift: even uids at mean ~0, odd uids at mean ~5, tiny spread
+    val planted = (1 to 200).map(i =>
+      ("g", i.toLong * 2, (i % 7) * 0.01)) ++ (1 to 200).map(i =>
+      ("g", i.toLong * 2 + 1, 5.0 + (i % 5) * 0.01))
+    val p = Stats.welchT(planted.toDF("g", "uid", "v"), "g",
+      col("uid") % 2 === 0, "v").head()
+    val t = p.getAs[Double]("t")
+    assert(math.abs(t) > 100, s"planted shift must be detected: t=$t")
+    // identical value distributions in both cohorts → t exactly 0
+    val sym = (1 to 400).map(i => ("g", i.toLong, ((i / 2) % 10).toDouble))
+    val t2 = Stats.welchT(sym.toDF("g", "uid", "v"), "g",
+      col("uid") % 2 === 0, "v").head().getAs[Double]("t")
+    assert(math.abs(t2) < 1e-12, s"identical cohorts should give t = 0: $t2")
+  }
+
   // --- Sampling.temperatureAllocation -------------------------------------
 
   test("temperatureAllocation: sums to budget, endpoints and monotonicity hold") {
