@@ -37,6 +37,26 @@ object Stats {
     one.select(explode(array(entries: _*)).as("e")).select("e.*")
   }
 
+  /** Equi-depth histogram — ANALYZE-style optimizer statistics: `buckets`
+    * buckets of (approximately) equal row count, built from ONE exact
+    * interpolating percentile aggregation (an array of buckets−1
+    * boundaries in a single pass) broadcast back; bucket assignment is a
+    * pure projection (count of boundaries strictly below the value).
+    * Use a power-of-two bucket count so every percentage k/buckets is
+    * binary-exact — both engines then parse identical boundary
+    * percentiles, which is what makes the histogram oracle-able. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val x = col(valueCol).cast("double")
+    val ps = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds = df.agg(percentile(x, typedLit(ps)).as("__bnds"))
+    df.crossJoin(broadcast(bnds))
+      .withColumn("bucket", size(filter(col("__bnds"), b => x > b)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(x).as("lo"), max(x).as("hi"))
+  }
+
   /** Per-group Welch two-sample t-test: does `valueCol` differ between
     * the rows where `cohort` is true and the rest? Returns one row per
     * group with both cohorts' (n, mean), the t statistic, and the

@@ -452,6 +452,53 @@ object Analytics {
           round(col("m1"), 4).as("m1"), round(col("m2"), 4).as("m2"),
           round(col("t"), 4).as("t"), round(col("df"), 4).as("df"))
         .orderBy("event_type")
+    },
+
+    // Equi-depth histogram (ops/Stats.equiDepthHistogram): 8 buckets so
+    // every boundary percentage k/8 is binary-exact; boundaries come
+    // from one exact interpolating percentile pass, assignment is a
+    // strict-below count over the broadcast boundary array. Boundary
+    // ties only arise where the boundary IS a data value (zero
+    // interpolation), which both engines produce bit-identically.
+    dfQ("q167_equidepth_hist",
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) bnds
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_extendedprice x,
+        |    CAST(LEN(LIST_FILTER(bnds, e -> x > e)) AS INT) bucket
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) n,
+        |  ROUND(MIN(x), 4) lo, ROUND(MAX(x), 4) hi
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.ops.Stats.equiDepthHistogram(
+          Tables.table(s, d, "lineitem"), "l_extendedprice", buckets = 8)
+        .select(col("bucket"), col("n"),
+          round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+        .orderBy("bucket")
+    },
+
+    // Rolling distinct-count window — a dialect bridge: Spark has no
+    // COUNT(DISTINCT) OVER, so the engine spells it
+    // size(collect_set() OVER) while the oracle uses DuckDB's native
+    // distinct window aggregate; the hash compare proves the two
+    // formulations equivalent. Partitioned by event_type (the rolling
+    // stream per type); (ts, event_id) ordering is a total order.
+    dfQ("q168_rolling_distinct",
+      """SELECT event_type, event_id,
+        |  CAST(COUNT(DISTINCT user_id) OVER (PARTITION BY event_type
+        |       ORDER BY ts, event_id
+        |       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS BIGINT) du
+        |FROM events
+        |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          size(collect_set(col("user_id")).over(w)).cast("long").as("du"))
+        .orderBy("event_type", "event_id")
     }
   )
 }

@@ -268,6 +268,27 @@ class AnalyticsSuite extends SparkTestBase {
     assert(math.abs(t2) < 1e-12, s"identical cohorts should give t = 0: $t2")
   }
 
+  // --- Stats.equiDepthHistogram --------------------------------------------
+
+  test("equiDepthHistogram: full coverage, near-equal depths, ordered ranges") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val h = Stats.equiDepthHistogram(li, "l_extendedprice", buckets = 8)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = li.count()
+    assert(h.map(_._2).sum == total, "every row lands in exactly one bucket")
+    assert(h.map(_._1).toSeq == (0 until 8), s"all 8 buckets present: $h")
+    // equi-depth: each bucket within 25% of the ideal eighth (duplicates
+    // at boundaries are the only source of imbalance)
+    h.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 8.0) < total * 0.25 / 8, s"bucket $b: $n")
+    }
+    // ranges are ordered and non-overlapping
+    h.sliding(2).foreach { case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+      assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+    }
+  }
+
   // --- Sampling.temperatureAllocation -------------------------------------
 
   test("temperatureAllocation: sums to budget, endpoints and monotonicity hold") {
