@@ -309,7 +309,8 @@ class ScaleSuite extends SparkTestBase {
       "q118_ccnet_buckets",    // CROSS JOIN with the 1-row tercile thresholds
       "q120_mad_outliers",     // CROSS JOIN with the 1-row median/MAD stats
       "q159_bm25",             // CROSS JOIN with the 1-row corpus-stats relation
-      "q160_temp_mixture")     // CROSS JOIN with the 1-row Σw relation
+      "q160_temp_mixture",     // CROSS JOIN with the 1-row Σw relation
+      "q167_equidepth_hist")   // CROSS JOIN with the 1-row boundary array
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
