@@ -381,13 +381,23 @@ object Dedup {
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxDist: Int = 3,
                           tokenHash: Column => Column = xxhash64(_),
-                          bits: Int = 64): DataFrame = {
+                          bits: Int = 64): DataFrame =
+    hammingPairs(simHashWith(docs, idCol, textCol, tokenHash).cache(),
+      maxDist, bits)
+
+  /** Banded-Hamming near-dup pairs over ANY precomputed 64-bit-or-less
+    * signature table (`id`, `simhash`) — the pigeonhole machinery behind
+    * [[simHashNearDupPairs]], reusable for other perceptual signatures
+    * (image dHash via [[Multimodal.imageNearDupPairs]]). Output
+    * (a, b, hamming) with a < b, distinct; exact for maxDist <= 3 by
+    * the 4-band pigeonhole (some band must match exactly). */
+  def hammingPairs(sigs: DataFrame, maxDist: Int = 3,
+                   bits: Int = 64): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole guarantees recall only for <= 3")
     require(bits % 4 == 0 && bits >= 4 && bits <= 64,
       s"bits must be a multiple of 4 in [4,64], got $bits")
     val bandWidth = bits / 4
     val bandMask = if (bandWidth == 16) 0xFFFFL else (1L << bandWidth) - 1L
-    val sigs = simHashWith(docs, idCol, textCol, tokenHash).cache()
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

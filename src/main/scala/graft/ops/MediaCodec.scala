@@ -153,6 +153,44 @@ object MediaCodec {
     }
   }
 
+  // --- perceptual hash ---------------------------------------------------
+
+  /** 64-bit difference hash (dHash): decode, rescale to 9×8, compare
+    * horizontally adjacent luminances — bit i set when pixel (x, y) is
+    * darker than (x+1, y). Near-identical images (re-encodes, small
+    * edits, metadata churn) land within a few bits of Hamming distance;
+    * unrelated images sit near 32. Rescale is NEAREST-NEIGHBOR like
+    * [[resizeImage]] — the engine-wide determinism discipline (bilinear
+    * kernels vary by rendering pipeline, and a hash that varies by
+    * platform can't back a standing dedup index). None when the bytes
+    * are not a decodable image. */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    val img = try ImageIO.read(new ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+    if (img == null) return None
+    val scaled = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def lum(px: Int): Int =
+      ((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)
+    var bits = 0L; var i = 0; var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(scaled.getRGB(x, y)) < lum(scaled.getRGB(x + 1, y)))
+          bits |= (1L << i)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    Some(bits)
+  }
+
   // --- resize -----------------------------------------------------------
 
   /** Decode → nearest-neighbor rescale → re-encode PNG. Nearest-neighbor

@@ -143,4 +143,30 @@ object Multimodal {
       }
     }
   }
+
+  // --- image near-dup ----------------------------------------------------
+
+  /** Per-image 64-bit perceptual dHash table (`id`, `simhash`) for the
+    * decodable image rows — the standing signature index for image
+    * dedup, persistable and appendable exactly like the MinHash /
+    * SimHash text tiers. Non-decodable payloads are dropped (they have
+    * no perceptual content to hash). */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter((m: MediaRow) => m.kind == "image")
+      .flatMap((m: MediaRow) =>
+        MediaCodec.dHash(m.payload).map(h => (m.media_id, h)))
+      .toDF("id", "simhash")
+  }
+
+  /** Image near-duplicate pairs: perceptual dHash + the banded-Hamming
+    * pigeonhole join ([[Dedup.hammingPairs]] — exact for maxDist ≤ 3,
+    * never all-pairs). The image analogue of text SimHash dedup:
+    * re-encodes, small edits, and thumbnail churn land within a few
+    * bits; unrelated images sit near 32. Output (a, b, hamming),
+    * a < b. */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+                        maxDist: Int = 3): DataFrame =
+    Dedup.hammingPairs(imageDHashes(media).cache(), maxDist)
 }

@@ -499,6 +499,27 @@ object Analytics {
         .select(col("event_type"), col("event_id"),
           size(collect_set(col("user_id")).over(w)).cast("long").as("du"))
         .orderBy("event_type", "event_id")
+    },
+
+    // Image near-dup pairs (ops/Multimodal.imageNearDupPairs):
+    // perceptual dHash over REAL decoded PNGs + the banded-Hamming
+    // pigeonhole join — the image analogue of SimHash text dedup.
+    // Media payloads are synthesized Spark-side (no SQL oracle exists
+    // for image decode → rows-only driver check; exact expectations
+    // are suite-pinned); re-encoded copies of the first image rows are
+    // planted under shifted ids and land at Hamming 0.
+    Support.sparkOnly("q169_image_neardup") { (s, d) =>
+      import graft.ops.Multimodal
+      val spark = s
+      import spark.implicits._
+      val media = Multimodal.mediaFromDocuments(
+        Tables.table(s, d, "documents"))
+      val planted = media
+        .filter((m: Multimodal.MediaRow) =>
+          m.kind == "image" && m.media_id < 60)
+        .map((m: Multimodal.MediaRow) => m.copy(media_id = m.media_id + 1000000L))
+      Multimodal.imageNearDupPairs(media.union(planted), maxDist = 3)
+        .orderBy("a", "b")
     }
   )
 }

@@ -268,6 +268,54 @@ class AnalyticsSuite extends SparkTestBase {
     assert(math.abs(t2) < 1e-12, s"identical cohorts should give t = 0: $t2")
   }
 
+  // --- Multimodal.imageNearDupPairs ----------------------------------------
+
+  test("image dHash: re-encode invariant, small edits near, structure far") {
+    import graft.ops.MediaCodec
+    val a = MediaCodec.syntheticPng(64, 48, seed = 7, mix = 3)
+    val ha = MediaCodec.dHash(a).get
+    // identical pixels through a decode→re-encode round trip → same hash
+    val re = MediaCodec.resizeImage(a, 64, 48).get
+    assert(MediaCodec.dHash(re).get == ha, "re-encode must not move the hash")
+    // small corner edit → within the pigeonhole radius
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0xFFFFFF)
+    val edited = MediaCodec.pngBytes(img)
+    val he = MediaCodec.dHash(edited).get
+    assert(java.lang.Long.bitCount(ha ^ he) <= 3,
+      s"corner edit moved ${java.lang.Long.bitCount(ha ^ he)} bits")
+    // structurally different image (checkerboard vs gradient) → far
+    val cb = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 48)
+      cb.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0) 0xFFFFFF else 0)
+    val hc = MediaCodec.dHash(MediaCodec.pngBytes(cb)).get
+    assert(java.lang.Long.bitCount(ha ^ hc) > 10,
+      s"checkerboard only ${java.lang.Long.bitCount(ha ^ hc)} bits away")
+    // non-image bytes have no hash
+    assert(MediaCodec.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs: planted copies found at Hamming 0, exact pairs") {
+    import graft.ops.Multimodal
+    val media = Multimodal.mediaFromDocuments(
+      Tables.table(spark, sf0001, "documents"))
+    val planted = media
+      .filter((m: Multimodal.MediaRow) => m.kind == "image" && m.media_id < 60)
+      .map((m: Multimodal.MediaRow) => m.copy(media_id = m.media_id + 1000000L))
+    val pairs = Multimodal.imageNearDupPairs(media.union(planted), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val plantedIds = planted.collect().map(_.media_id - 1000000L).toSet
+    assert(plantedIds.nonEmpty)
+    // every planted copy pairs with its original at distance 0
+    plantedIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000L && p._3 == 0),
+        s"planted copy of $id not found")
+    }
+    // and every reported pair really is within the radius
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   // --- Stats.equiDepthHistogram --------------------------------------------
 
   test("equiDepthHistogram: full coverage, near-equal depths, ordered ranges") {
