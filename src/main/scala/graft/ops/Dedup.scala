@@ -393,19 +393,7 @@ object Dedup {
     * the 4-band pigeonhole (some band must match exactly). */
   def hammingPairs(sigs: DataFrame, maxDist: Int = 3,
                    bits: Int = 64): DataFrame = {
-    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for <= 3")
-    require(bits % 4 == 0 && bits >= 4 && bits <= 64,
-      s"bits must be a multiple of 4 in [4,64], got $bits")
-    val bandWidth = bits / 4
-    val bandMask = if (bandWidth == 16) 0xFFFFL else (1L << bandWidth) - 1L
-    val banded = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          col("simhash").bitwiseAND(lit(bandMask << (bandWidth * b)))
-            .as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = hammingBands(sigs, maxDist, bits)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
@@ -415,6 +403,38 @@ object Dedup {
         hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
+  }
+
+  /** [[hammingPairs]] across two signature tables (no id-order
+    * restriction): (a from `left`, b from `right`, hamming) — the
+    * standing-corpus × new-batch direction of an incremental tier. */
+  def hammingPairsAcross(left: DataFrame, right: DataFrame,
+                         maxDist: Int = 3, bits: Int = 64): DataFrame = {
+    val a = hammingBands(left, maxDist, bits).alias("a")
+    val b = hammingBands(right, maxDist, bits).alias("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  private def hammingBands(sigs: DataFrame, maxDist: Int,
+                           bits: Int): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only for <= 3")
+    require(bits % 4 == 0 && bits >= 4 && bits <= 64,
+      s"bits must be a multiple of 4 in [4,64], got $bits")
+    val bandWidth = bits / 4
+    val bandMask = if (bandWidth == 16) 0xFFFFL else (1L << bandWidth) - 1L
+    sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          col("simhash").bitwiseAND(lit(bandMask << (bandWidth * b)))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Corpus-level LINE deduplication (the RefinedWeb recipe, Penedo et

@@ -169,4 +169,32 @@ object Multimodal {
   def imageNearDupPairs(media: Dataset[MediaRow],
                         maxDist: Int = 3): DataFrame =
     Dedup.hammingPairs(imageDHashes(media).cache(), maxDist)
+
+  /** Incremental image near-dedup against a STANDING dHash table (from
+    * [[imageDHashes]], persisted once and appended per batch — the same
+    * admit-a-batch discipline as [[Dedup.incrementalMinHashNearDup]]).
+    * A new image drops when it is within `maxDist` of any corpus image,
+    * or of a lower-id image within the batch; non-image rows pass
+    * through untouched (they have no perceptual hash — route them to
+    * their own dedup tier). Returns (kept media rows, their dHash rows);
+    * append the latter to the standing table to complete the
+    * increment. */
+  def incrementalImageNearDup(newMedia: Dataset[MediaRow],
+                              corpusHashes: DataFrame,
+                              maxDist: Int = 3): (Dataset[MediaRow], DataFrame) = {
+    val spark = newMedia.sparkSession
+    import spark.implicits._
+    val batchHashes = imageDHashes(newMedia).cache()
+    val vsCorpus = Dedup.hammingPairsAcross(corpusHashes, batchHashes, maxDist)
+      .select(col("b").as("victim"))
+    val within = Dedup.hammingPairs(batchHashes, maxDist)
+      .select(col("b").as("victim"))
+    val victims = vsCorpus.union(within).distinct()
+    val kept = newMedia.join(victims,
+        newMedia("media_id") === victims("victim"), "left_anti")
+      .as[MediaRow]
+    val keptHashes = batchHashes.join(victims,
+      batchHashes("id") === victims("victim"), "left_anti")
+    (kept, keptHashes)
+  }
 }

@@ -401,6 +401,46 @@ object Streams {
     q
   }
 
+  /** ST16: streaming incremental IMAGE dedup — [[runIncrementalNearDedup]]
+    * with the perceptual-dHash tier in place of MinHash text signatures.
+    * Each micro-batch of media rows is dHash-signed ONCE
+    * ([[graft.ops.Multimodal.imageDHashes]] — real decode, deterministic
+    * nearest-neighbor rescale), banded-Hamming joined against the hash
+    * rows persisted by earlier batches plus the seeded corpus
+    * (`sigDir/batch_seed`, written with `imageDHashes`), then appends
+    * its kept hashes. Same per-batch-id overwrite + exclude-own-dir
+    * layout, so checkpoint replay is idempotent. Non-image rows pass
+    * through to the output untouched. */
+  def runIncrementalImageDedup(media: DataFrame, sigDir: String,
+                               outDir: String,
+                               maxDist: Int = 3): StreamingQuery = {
+    val q = media.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val sPath = new org.apache.hadoop.fs.Path(sigDir)
+        val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(sPath)) Array.empty[String]
+          else fs.listStatus(sPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+              && s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        require(priorDirs.nonEmpty,
+          s"seed the standing corpus first: write imageDHashes to $sigDir/batch_seed")
+        val corpusHashes = spark.read.parquet(priorDirs.toSeq: _*)
+        val (kept, keptHashes) = graft.ops.Multimodal.incrementalImageNearDup(
+          batch.as[graft.ops.Multimodal.MediaRow], corpusHashes, maxDist)
+        kept.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        keptHashes.write.mode("overwrite").parquet(s"$sigDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming upsert into a standing keyed table on plain parquet —
     * the landing mode of a CDC/update feed. Each micro-batch applies
     * [[graft.ops.Merge.upsert]] (latest `versionCol` wins within the

@@ -441,6 +441,57 @@ class StreamingSuite extends SparkTestBase {
     assert(snap == got)
   }
 
+  test("streaming incremental image dedup: dHash tier over persisted hashes") {
+    import graft.ops.{MediaCodec, Multimodal}
+    val root = Files.createTempDirectory("graft-incimg").toString
+    val srcDir = s"$root/src"; val sigDir = s"$root/sigs"
+    val out = s"$root/out"
+    def mk(id: Long)(f: (Int, Int) => Int): Multimodal.MediaRow = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 48; y <- 0 until 32) {
+        val v = f(x, y) & 0xFF; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      Multimodal.MediaRow(id, "image", MediaCodec.pngBytes(img),
+        Multimodal.MediaMeta("png", 48, 32, 0L))
+    }
+    val corpus = spark.createDataset(Seq.tabulate(5)(i =>
+      mk(i.toLong)((x, _) => x * (3 + i) % 256))) // horizontal gradients
+    Multimodal.imageDHashes(corpus).write.parquet(s"$sigDir/batch_seed")
+    val fresh = Seq(
+      // alternate at y/4 so the 9×8 nearest-neighbor sample grid (row
+      // stride 4) actually sees both phases — y%2 aliases to even rows
+      mk(10L)((x, y) => if ((y / 4) % 2 == 0) x * 5 else 255 - x * 5),
+      mk(11L)((x, y) => if ((x / 6 + y / 6) % 2 == 0) 230 else 20),
+      mk(12L)((x, y) => (x * x * 3 + y * 7) % 256))
+    // precondition: fresh images are far from the corpus and each other
+    val freshH = fresh.map(m => MediaCodec.dHash(m.payload).get)
+    val corpH = corpus.collect().map(m => MediaCodec.dHash(m.payload).get)
+    for (a <- freshH; b <- corpH)
+      assert(java.lang.Long.bitCount(a ^ b) > 3, "fixture: fresh ~ corpus")
+    for (Seq(a, b) <- freshH.combinations(2))
+      assert(java.lang.Long.bitCount(a ^ b) > 3, "fixture: fresh ~ fresh")
+    val batch = spark.createDataset(fresh ++ Seq(
+      corpus.collect()(2).copy(media_id = 50L), // corpus copy → drop
+      fresh.head.copy(media_id = 60L)))         // within-batch dup → drop
+    batch.toDF().coalesce(1).write.parquet(s"$srcDir/f1")
+    val stream = spark.readStream.schema(batch.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalImageDedup(stream, sigDir, out)
+    val keptIds = spark.read.parquet(s"$out/batch_*")
+      .select("media_id").as[Long].collect().toSet
+    // oracle: the batch-API incremental call over the same seeded corpus
+    val (wantKept, _) = Multimodal.incrementalImageNearDup(batch,
+      spark.read.parquet(s"$sigDir/batch_seed"))
+    val want = wantKept.select("media_id").as[Long].collect().toSet
+    assert(keptIds == want, s"missing=${want -- keptIds} extra=${keptIds -- want}")
+    assert(keptIds == Set(10L, 11L, 12L), keptIds)
+    // the hash store grew by exactly the kept images
+    val stored = spark.read.parquet(s"$sigDir/batch_*")
+      .select("id").as[Long].collect().toSet
+    assert(stored == (0L until 5L).toSet ++ keptIds)
+  }
+
   test("streaming upsert: versioned standing table equals sequential batch merge") {
     import graft.ops.Merge
     val root = Files.createTempDirectory("graft-upsert").toString
