@@ -520,6 +520,28 @@ object Analytics {
         .map((m: Multimodal.MediaRow) => m.copy(media_id = m.media_id + 1000000L))
       Multimodal.imageNearDupPairs(media.union(planted), maxDist = 3)
         .orderBy("a", "b")
+    },
+
+    // Set-overlap similarity join with lossless prefix filtering
+    // (ops/FuzzyJoin.overlapJoin, the PPJoin principle): the oracle is
+    // the TEXTBOOK all-pairs token-intersection join, so the
+    // prefix-filter optimization is verified against the definition —
+    // every qualifying pair found, every reported overlap exact.
+    dfQ("q170_overlap_join",
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) tok
+        |    FROM documents WHERE doc_id < 400) t WHERE tok <> ''),
+        |p AS (
+        |  SELECT a.doc_id a, b.doc_id b, CAST(COUNT(*) AS BIGINT) overlap
+        |  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, overlap FROM p WHERE overlap >= 28
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      graft.ops.FuzzyJoin.overlapJoin(
+          Tables.table(s, d, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", minOverlap = 28)
+        .orderBy("a", "b")
     }
   )
 }

@@ -316,6 +316,29 @@ class AnalyticsSuite extends SparkTestBase {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  // --- FuzzyJoin.overlapJoin -----------------------------------------------
+
+  test("overlapJoin: prefix filter is lossless vs brute-force intersection") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .filter(col("doc_id") < 200).cache()
+    val got = graft.ops.FuzzyJoin.overlapJoin(docs, "doc_id", "text", 28)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bt = docs.select(col("doc_id").as("ida"),
+      filter(array_distinct(split(lower(col("text")), " ")), _ =!= "").as("ta"))
+    val want = bt.alias("x").join(bt.withColumnRenamed("ida", "idb")
+        .withColumnRenamed("ta", "tb").alias("y"),
+        col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("ov"))
+      .filter(col("ov") >= 28)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.nonEmpty, "fixture subset should contain overlapping pairs")
+    docs.unpersist()
+  }
+
   // --- Stats.equiDepthHistogram --------------------------------------------
 
   test("equiDepthHistogram: full coverage, near-equal depths, ordered ranges") {
