@@ -164,7 +164,8 @@ object Components {
     * cluster). Driver state: node count only. */
   def pageRankExact(edges: DataFrame, aCol: String, bCol: String,
                     iters: Int = 3, scale: Long = 1000000L,
-                    dampPct: Int = 85): DataFrame = {
+                    dampPct: Int = 85,
+                    seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     val base = edges
@@ -175,18 +176,40 @@ object Components {
     val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg")).cache()
     val n = deg.count() // node count; bounded driver state (one long)
     require(n > 0, "pageRankExact: empty graph")
-    val teleport = ((100L - dampPct) * scale) / (100L * n)
-    var pr = deg.select(col("u").as("node"), lit(scale / n).as("pr"))
+    // Personalized variant: teleport mass (and the initial distribution)
+    // restricted to the seed set — rank relative to the seeds, the
+    // recommendation / related-items formulation. The seed table joins
+    // as a broadcast-friendly flag column; nSeeds is the only extra
+    // driver scalar. seeds = None is classic uniform PageRank.
+    val nodes = seeds match {
+      case None =>
+        val teleport = ((100L - dampPct) * scale) / (100L * n)
+        deg.select(col("u").as("node"), lit(scale / n).as("init"),
+          lit(teleport).as("tp"))
+      case Some(sd) =>
+        val s = sd.select(col(sd.columns.head).cast("long").as("node"))
+          .distinct()
+        val flagged = deg.select(col("u").as("node"))
+          .join(s.withColumn("__seed", lit(true)), Seq("node"), "left")
+        val nSeeds = flagged.filter(col("__seed")).count()
+        require(nSeeds > 0, "pageRankExact: no seed is a graph node")
+        val teleport = ((100L - dampPct) * scale) / (100L * nSeeds)
+        flagged.select(col("node"),
+          when(col("__seed"), scale / nSeeds).otherwise(0L).as("init"),
+          when(col("__seed"), teleport).otherwise(0L).as("tp"))
+    }
+    val nodeState = nodes.cache()
+    var pr = nodeState.select(col("node"), col("init").as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e.join(deg, "u")
         .join(pr, e("u") === pr("node"))
         .select(col("v"), call_function("div", col("pr"), col("outdeg")).as("c"))
         .groupBy("v").agg(sum("c").as("s"))
-      val next = deg.select(col("u").as("node"))
+      val next = nodeState.select(col("node"), col("tp"))
         .join(contrib, col("node") === contrib("v"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (col("tp") +
             call_function("div", lit(dampPct) * coalesce(col("s"), lit(0L)),
               lit(100L))).as("pr"))
         .localCheckpoint()

@@ -542,6 +542,63 @@ object Analytics {
           Tables.table(s, d, "documents").filter(col("doc_id") < 400),
           "doc_id", "text", minOverlap = 28)
         .orderBy("a", "b")
+    },
+
+    // Personalized PageRank (q158's exact-integer machinery with the
+    // teleport and initial mass restricted to a SEED set — rank
+    // relative to the seeds, the related-items formulation). Same
+    // bit-identical integer semantics, so three unrolled iterations
+    // hash-check against the seed-conditional replay.
+    dfQ("q171_personalized_pagerank",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_partkey * 2 u, l_suppkey * 2 + 1 v
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) outdeg FROM e GROUP BY u),
+        |sd AS (SELECT CAST(COUNT(*) AS BIGINT) ns FROM deg
+        |       WHERE u % 2 = 0 AND u < 200),
+        |pr0 AS (
+        |  SELECT u node, CASE WHEN u % 2 = 0 AND u < 200
+        |    THEN 1000000 // ns ELSE 0 END pr
+        |  FROM deg CROSS JOIN sd),
+        |c1 AS (
+        |  SELECT e.v node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) s
+        |  FROM e JOIN pr0 p ON e.u = p.node JOIN deg d ON d.u = e.u
+        |  GROUP BY e.v),
+        |pr1 AS (
+        |  SELECT deg.u node, CASE WHEN deg.u % 2 = 0 AND deg.u < 200
+        |    THEN (15 * 1000000) // (100 * ns) ELSE 0 END
+        |    + (85 * COALESCE(c1.s, 0)) // 100 pr
+        |  FROM deg CROSS JOIN sd LEFT JOIN c1 ON c1.node = deg.u),
+        |c2 AS (
+        |  SELECT e.v node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) s
+        |  FROM e JOIN pr1 p ON e.u = p.node JOIN deg d ON d.u = e.u
+        |  GROUP BY e.v),
+        |pr2 AS (
+        |  SELECT deg.u node, CASE WHEN deg.u % 2 = 0 AND deg.u < 200
+        |    THEN (15 * 1000000) // (100 * ns) ELSE 0 END
+        |    + (85 * COALESCE(c2.s, 0)) // 100 pr
+        |  FROM deg CROSS JOIN sd LEFT JOIN c2 ON c2.node = deg.u),
+        |c3 AS (
+        |  SELECT e.v node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) s
+        |  FROM e JOIN pr2 p ON e.u = p.node JOIN deg d ON d.u = e.u
+        |  GROUP BY e.v),
+        |pr3 AS (
+        |  SELECT deg.u node, CASE WHEN deg.u % 2 = 0 AND deg.u < 200
+        |    THEN (15 * 1000000) // (100 * ns) ELSE 0 END
+        |    + (85 * COALESCE(c3.s, 0)) // 100 pr
+        |  FROM deg CROSS JOIN sd LEFT JOIN c3 ON c3.node = deg.u)
+        |SELECT node, CAST(pr AS BIGINT) pr FROM pr3
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+      val edges = li.select((col("l_partkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+      val seeds = li.filter(col("l_partkey") < 100)
+        .select((col("l_partkey") * 2).as("node")).distinct()
+      Components.pageRankExact(edges, "u", "v", iters = 3,
+          seeds = Some(seeds))
+        .orderBy("node")
     }
   )
 }

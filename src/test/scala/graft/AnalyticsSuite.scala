@@ -57,6 +57,40 @@ class AnalyticsSuite extends SparkTestBase {
     assert(got == pr, s"got=$got expected=$pr")
   }
 
+  test("personalized pageRankExact: all-seeds ≡ classic, single seed replayed") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val allNodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val classic = Components.pageRankExact(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allSeeded = Components.pageRankExact(edges, "a", "b", iters = 3,
+        seeds = Some(allNodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allSeeded == classic, "seeding every node must be classic PageRank")
+
+    val got = Components.pageRankExact(edges, "a", "b", iters = 3,
+        seeds = Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side replay with the seed-conditional teleport/init
+    val sym = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nodes = sym.map(_._1)
+    val outdeg = sym.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val scale = 1000000L
+    val tp = (15L * scale) / 100L // one seed
+    var pr = nodes.map(v => v -> (if (v == 1L) scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = nodes.map { v =>
+        v -> sym.toSeq.collect { case (u, `v`) => pr(u) / outdeg(u) }.sum
+      }.toMap
+      pr = nodes.map(v =>
+        v -> ((if (v == 1L) tp else 0L) + (85L * in(v)) / 100L)).toMap
+    }
+    assert(got == pr, s"got=$got expected=$pr")
+    // rank mass concentrates at/near the seed
+    assert(got(1L) > got(3L) && got(1L) > got(2L) && got(1L) > got(4L))
+  }
+
   test("pageRankExact is partitioning-invariant and floor loss is bounded") {
     val edges = Tables.table(spark, sf0001, "lineitem")
       .filter(col("l_orderkey") < 500)
