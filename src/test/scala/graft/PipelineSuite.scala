@@ -471,6 +471,27 @@ class PipelineSuite extends SparkTestBase {
       .get.getAs[String]("error") != null)
   }
 
+  test("T-P9: WinsorizeStage clips per-source n_chars inside a declarative feed") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp9",
+      "extracts": [
+        {"view": "documents", "format": "parquet", "path": "$sf0001/documents.parquet"}],
+      "transforms": [
+        {"view": "clipped", "className": "graft.pipeline.stages.WinsorizeStage",
+         "inputs": ["documents"]}],
+      "loads": [
+        {"format": "parquet", "path": "$out/clipped"}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val back = spark.read.parquet(s"$out/clipped")
+    assert(back.count() == spark.read.parquet(s"$sf0001/documents.parquet").count())
+    assert(back.filter(col("n_chars_w") < col("lo") ||
+      col("n_chars_w") > col("hi")).count() == 0)
+    assert(back.filter(col("n_chars_w") =!= col("n_chars")).count() > 0,
+      "the fixture tails should actually clip")
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")
