@@ -64,16 +64,29 @@ object Funnel {
     * output row (exact longs divided once). */
   def transitions(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, tieCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy("from_type")
-    events.withColumn("__next", lead(col(typeCol), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+    userTransitions(events, userCol, typeCol, tsCol, tieCol)
+      .groupBy("from_type", "to_type")
+      .agg(sum("n").as("n"))
       .withColumn("p",
         round(col("n").cast("double") / sum("n").over(wf), 6))
+  }
+
+  /** Per-user transition counts (user, from_type, to_type, n) — the
+    * additive decomposition of [[transitions]]: the global matrix is
+    * the plain sum over users, which is what lets an incremental
+    * maintainer snapshot per-user rows and fold them
+    * ([[graft.streaming.Streams.runIncrementalTransitions]]). */
+  def userTransitions(events: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(userCol).as("user"), col(typeCol).as("from_type"),
+        col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Cohort retention: users bucketed by their FIRST-event day, then

@@ -555,6 +555,65 @@ object Streams {
     q
   }
 
+  /** ST17: streaming incremental transition matrix — per-user Markov
+    * from→to counts maintained against a standing event store, exact
+    * under out-of-order arrival: a late event SPLICES into a user's
+    * sequence and rewrites two adjacent transitions, which a
+    * count-only running state cannot undo but the stored history can.
+    * Per-user counts are ADDITIVE across users, so each micro-batch
+    * recomputes only the batch's users from the store and snapshots
+    * their per-user rows ([[graft.ops.Funnel.userTransitions]]) tagged
+    * with the batch id; [[latestTransitions]] folds the last-write-wins
+    * per-user rows into the global matrix. Same overwrite-own-dir
+    * replay idempotence as ST15. */
+  def runIncrementalTransitions(events: DataFrame, userCol: String,
+                                typeCol: String, tsCol: String,
+                                tieCol: String, storeDir: String,
+                                outDir: String): StreamingQuery = {
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val relevant = batch.select(col(userCol).as("user"),
+          col(typeCol).as("step"), col(tsCol).as("ts"),
+          col(tieCol).as("tie"))
+        relevant.write.mode("overwrite").parquet(s"$storeDir/batch_$id")
+        val sPath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior = fs.listStatus(sPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+            && s.getPath.getName != s"batch_$id")
+          .map(_.getPath.toString)
+        val store =
+          if (prior.isEmpty) relevant
+          else spark.read.parquet(prior.toSeq: _*).unionByName(relevant)
+        val affected = relevant.select("user").distinct()
+        graft.ops.Funnel.userTransitions(
+            store.join(affected, Seq("user"), "left_semi"),
+            "user", "step", "ts", "tie")
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The global transition matrix from [[runIncrementalTransitions]]
+    * output: each user's ENTIRE latest snapshot wins (per-row
+    * last-write-wins would resurrect transitions a late splice
+    * removed), then the per-user counts fold by plain summation (they
+    * are additive across users). */
+  def latestTransitions(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user")
+    spark.read.parquet(s"$outDir/batch_*")
+      .withColumn("__mb",
+        org.apache.spark.sql.functions.max("__batch").over(w))
+      .filter(col("__batch") === col("__mb"))
+      .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+  }
+
   /** The current funnel table from [[runIncrementalFunnel]] output:
     * last write per user wins. */
   def latestFunnel(spark: SparkSession, outDir: String): DataFrame = {

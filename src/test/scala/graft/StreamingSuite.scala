@@ -441,6 +441,36 @@ class StreamingSuite extends SparkTestBase {
     assert(snap == got)
   }
 
+  test("streaming incremental transitions: late splice rewrites, ≡ batch matrix") {
+    val root = Files.createTempDirectory("graft-inctrans").toString
+    val srcDir = s"$root/src"; val storeDir = s"$root/store"
+    val out = s"$root/out"
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: u1 sees a@0 → c@10 (transition a→c); u2: a@0 → b@1
+    val b1 = Seq(
+      (1L, 100L, "a", ts(0)), (1L, 101L, "c", ts(10)),
+      (2L, 200L, "a", ts(0)), (2L, 201L, "b", ts(1)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    // batch 2: u1's LATE b@5 splices in: a→c must DISAPPEAR, replaced
+    // by a→b and b→c — the case a count-only running state cannot undo
+    val b2 = Seq((1L, 102L, "b", ts(5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIncrementalTransitions(stream, "user_id", "event_type", "ts",
+      "event_id", storeDir, out)
+    val got = Streams.latestTransitions(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.ops.Funnel.transitions(b1.unionByName(b2),
+        "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"stream=$got batch=$want")
+    assert(!got.contains(("a", "c")), "late splice must remove the a→c row")
+    assert(got(("a", "b")) == 2L && got(("b", "c")) == 1L)
+  }
+
   test("streaming incremental image dedup: dHash tier over persisted hashes") {
     import graft.ops.{MediaCodec, Multimodal}
     val root = Files.createTempDirectory("graft-incimg").toString
