@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Descriptive multi-column statistics computed the scale-right way:
@@ -84,5 +85,128 @@ object Stats {
       .withColumn("df",
         (se * se) /
           (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+  }
+
+  /** ROC-AUC for a binary classifier — the evaluation readout of every
+    * quality-classifier gate ([[graft.ops.Classifier]]): the probability
+    * a random positive outscores a random negative, ties counted half
+    * (the Mann–Whitney U formulation, which IS the area under the ROC
+    * curve with tie interpolation).
+    *
+    * Exact-integer discipline: rows first collapse to one row per
+    * (group, score) with positive/negative counts — ONE shuffle that
+    * also dedups the prefix-sum input — then a running negative count
+    * over ascending score gives each score's "negatives strictly below"
+    * in integers, and the numerator Σ pos·(2·neg_below + neg_tied)
+    * stays integral until the single final division by 2·n₁·n₀. No
+    * floating accumulation anywhere, so the value is bit-identical on
+    * any engine and partitioning (the q158/q159 discipline) and
+    * hash-oracle-able.
+    *
+    * Scale: the window runs over the DISTINCT-score table, partitioned
+    * by `groups` when given. Real classifier scores are
+    * finite-precision (quantize first if truly continuous); grouped
+    * calls never see a single-partition window. */
+  def rocAuc(df: DataFrame, score: Column, positive: Column,
+             groups: Seq[String] = Nil): DataFrame = {
+    val gcols = groups.map(col)
+    val perScore = df
+      .groupBy(gcols :+ score.as("__s"): _*)
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("__p"),
+        sum(when(positive, 0L).otherwise(1L)).as("__g"))
+    val w = (if (groups.isEmpty) Window.partitionBy()
+             else Window.partitionBy(gcols: _*))
+      .orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val negBelow = coalesce(sum(col("__g")).over(w), lit(0L))
+    val contrib2 = col("__p") * (lit(2L) * negBelow + col("__g"))
+    perScore
+      .withColumn("__c2", contrib2)
+      .groupBy(gcols: _*)
+      .agg(sum("__p").cast("long").as("n_pos"),
+        sum("__g").cast("long").as("n_neg"),
+        sum("__c2").cast("long").as("num2"))
+      .withColumn("auc",
+        // single-class groups have no ranking to score: NULL, not a
+        // divide-by-zero (ANSI mode makes x/0 an ERROR, not NaN)
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg"))))
+  }
+
+  /** Calibration table: equal-width score bins over [lo, hi) (outliers
+    * clamp to the edge bins), each with row count, positive count, the
+    * observed positive rate, and the mean score — is a score of 0.8
+    * actually right 80% of the time? Pure projection + ONE grouped
+    * aggregation. The mean accumulates in exact integer hundredths
+    * (`ROUND(score·100)`) and divides once, so bins hash-replay
+    * cross-engine; rates are single divisions of exact counts. */
+  def calibrationBins(df: DataFrame, score: Column, positive: Column,
+                      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2 && hi > lo, s"bad bin spec: $bins over [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val raw = floor((score - lit(lo)) / lit(width)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    df.select(bin.as("bin"),
+        when(positive, 1L).otherwise(0L).as("__p"),
+        round(score * 100).cast("long").as("__cents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__p").cast("long").as("pos"),
+        sum("__cents").cast("long").as("sum_cents"))
+      .withColumn("pos_rate", col("pos").cast("double") / col("n"))
+      .withColumn("mean_score",
+        col("sum_cents").cast("double") / (lit(100.0) * col("n")))
+      .drop("sum_cents")
+  }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns, with Cramér's V effect size — does language depend on
+    * source, does status depend on priority?
+    *
+    * ONE raw-data shuffle (the contingency-cell aggregation); everything
+    * after runs over the cell table, which is |A|·|B| rows — small by
+    * the definition of "categorical" — so the global windows that
+    * compute marginals, category counts, and the ordered statistic fold
+    * never touch raw data again (no second scan, no cache needed).
+    *
+    * Determinism discipline: observed counts and marginals stay
+    * integral; each cell's contribution is
+    * (o·N − r·c)²/(r·c·N) — the numerator difference exact in BIGINT,
+    * then exactly one double square and one division per cell — and the
+    * statistic folds in sorted (a, b) cell order via a running window
+    * sum (the q159 idiom), so the double result is bit-identical on any
+    * engine and partitioning, and hash-oracle-able. */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val wAll = Window.partitionBy()
+    val t = cells
+      .withColumn("r", sum("o").over(Window.partitionBy("a")))
+      .withColumn("c", sum("o").over(Window.partitionBy("b")))
+      .withColumn("n", sum("o").over(wAll))
+      .withColumn("fa", when(row_number().over(
+        Window.partitionBy("a").orderBy("b")) === 1, 1L).otherwise(0L))
+      .withColumn("fb", when(row_number().over(
+        Window.partitionBy("b").orderBy("a")) === 1, 1L).otherwise(0L))
+    val u = t
+      .withColumn("na", sum("fa").over(wAll))
+      .withColumn("nb", sum("fb").over(wAll))
+      .withColumn("d", (col("o") * col("n") - col("r") * col("c"))
+        .cast("double"))
+      .withColumn("den", col("r").cast("double") * col("c") * col("n"))
+    val cum = u
+      .withColumn("chi2", sum(col("d") * col("d") / col("den")).over(
+        Window.orderBy("a", "b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("a").desc, col("b").desc)))
+    cum.filter(col("rn") === 1)
+      .select(col("chi2"),
+        ((col("na") - 1) * (col("nb") - 1)).cast("long").as("dof"),
+        col("n").cast("long").as("n"),
+        when(least(col("na"), col("nb")) === 1, lit(null)).otherwise(
+          sqrt(col("chi2") /
+            (col("n") * least(col("na") - 1, col("nb") - 1))))
+          .as("cramers_v"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Indexing, Layout, Sampling, Stats}
+import graft.ops.{Components, Indexing, Layout, Rollup, Sampling, Stats}
 import Support._
 
 /** Round-8 analytics + pipeline additions (SURVEY.md §2 breadth):
@@ -599,6 +599,127 @@ object Analytics {
       Components.pageRankExact(edges, "u", "v", iters = 3,
           seeds = Some(seeds))
         .orderBy("node")
+    },
+
+    // Incremental rollup maintenance (ops/Rollup): a standing per-key
+    // aggregate table absorbs a pre-aggregated delta batch through the
+    // measures' monoid — count/sum add, min/max meet — without
+    // rescanning history. The oracle recomputes the rollup from ALL
+    // raw rows in one GROUP BY, so the hash proves
+    // merge(init(A), agg(B)) ≡ init(A ∪ B) exactly (sums in integer
+    // cents, the q121 discipline — double sums are merge-order
+    // sensitive, monoid state must not be).
+    dfQ("q172_incremental_rollup",
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    sum_cents,
+        |  MIN(o_orderdate) min_date, MAX(o_orderdate) max_date
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val orders = Tables.table(s, d, "orders").withColumn("cents",
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+      val measures = Seq(
+        Rollup.Measure.rowCount("n"),
+        Rollup.Measure.sumOf("sum_cents", col("cents")),
+        Rollup.Measure.minOf("min_date", col("o_orderdate")),
+        Rollup.Measure.maxOf("max_date", col("o_orderdate")))
+      val standing = Rollup.aggregate(
+        orders.filter(col("o_orderkey") % 4 =!= 0), Seq("o_custkey"),
+        measures)
+      Rollup.mergeRaw(standing, orders.filter(col("o_orderkey") % 4 === 0),
+          Seq("o_custkey"), measures)
+        .orderBy("o_custkey")
+    },
+
+    // ROC-AUC (Stats.rocAuc): Mann–Whitney rank-sum with half-credit
+    // ties, all-integer until ONE final division — the
+    // quality-classifier evaluation readout. The oracle replays the
+    // per-score collapse, the running negative prefix, and the same
+    // single division, so even the double `auc` hash-matches
+    // bit-for-bit.
+    dfQ("q173_roc_auc",
+      """WITH ps AS (
+        |  SELECT value s,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) p,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+        |      AS BIGINT) g
+        |  FROM events GROUP BY value),
+        |c AS (
+        |  SELECT p, g, COALESCE(SUM(g) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nb
+        |  FROM ps)
+        |SELECT CAST(SUM(p) AS BIGINT) n_pos, CAST(SUM(g) AS BIGINT) n_neg,
+        |  CAST(SUM(p * (2 * nb + g)) AS BIGINT) num2,
+        |  CAST(SUM(p * (2 * nb + g)) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(p) AS BIGINT) * CAST(SUM(g) AS BIGINT)) auc
+        |FROM c""".stripMargin) { (s, d) =>
+      Stats.rocAuc(Tables.table(s, d, "events"),
+        col("value"), col("event_type") === "purchase")
+    },
+
+    // Calibration bins (Stats.calibrationBins): equal-width score bins
+    // with observed positive rate and exact-integer mean score — the
+    // companion diagnostic to q173. Counts exact, rates and means are
+    // single divisions, so the whole table hash-replays.
+    dfQ("q174_calibration",
+      """SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT),
+        |    0), 7) bin,
+        |  CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) pos,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*) pos_rate,
+        |  CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS DOUBLE) / (100.0 * COUNT(*)) mean_score
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Stats.calibrationBins(Tables.table(s, d, "events"),
+          col("value"), col("event_type") === "purchase",
+          bins = 8, lo = 0.0, hi = 400.0)
+        .orderBy("bin")
+    },
+
+    // Chi-squared independence + Cramér's V (Stats.chiSquared) between
+    // two categorical columns. Cell counts and marginals stay integral;
+    // each cell contributes (o·N − r·c)²/(r·c·N) with exactly one
+    // square and one division, and the statistic folds in sorted cell
+    // order via a running window sum (the q159 discipline) — so both
+    // doubles hash-match bit-for-bit. The oracle replays the whole
+    // pipeline including the dof/V derivation.
+    dfQ("q175_chi_squared",
+      """WITH cells AS (
+        |  SELECT o_orderstatus a, o_orderpriority b,
+        |         CAST(COUNT(*) AS BIGINT) o
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (
+        |  SELECT a, b, o,
+        |    CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) r,
+        |    CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) c,
+        |    CAST(SUM(o) OVER () AS BIGINT) n,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1
+        |      THEN 1 ELSE 0 END fa,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) = 1
+        |      THEN 1 ELSE 0 END fb
+        |  FROM cells),
+        |u AS (
+        |  SELECT a, b, n,
+        |    CAST(SUM(fa) OVER () AS BIGINT) na,
+        |    CAST(SUM(fb) OVER () AS BIGINT) nb,
+        |    CAST(o * n - r * c AS DOUBLE) d,
+        |    CAST(r AS DOUBLE) * c * n den
+        |  FROM t),
+        |cum AS (
+        |  SELECT n, na, nb,
+        |    SUM(d * d / den) OVER (ORDER BY a, b
+        |      ROWS UNBOUNDED PRECEDING) chi2,
+        |    ROW_NUMBER() OVER (ORDER BY a DESC, b DESC) rn
+        |  FROM u)
+        |SELECT chi2, CAST((na - 1) * (nb - 1) AS BIGINT) dof,
+        |  CAST(n AS BIGINT) n,
+        |  SQRT(chi2 / (n * LEAST(na - 1, nb - 1))) cramers_v
+        |FROM cum WHERE rn = 1""".stripMargin) { (s, d) =>
+      Stats.chiSquared(Tables.table(s, d, "orders"),
+        "o_orderstatus", "o_orderpriority")
     }
   )
 }

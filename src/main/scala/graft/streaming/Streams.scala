@@ -614,6 +614,38 @@ object Streams {
       .groupBy("from_type", "to_type").agg(sum("n").as("n"))
   }
 
+  /** ST18: streaming incremental rollup — maintain per-key mergeable
+    * aggregate state ([[graft.ops.Rollup]]) from a stream without ever
+    * rescanning raw history. Each micro-batch folds to its own state
+    * table (`storeDir/batch_$id`, overwrite-own-dir → checkpoint-replay
+    * idempotent, the ST13/ST15 convention); the standing rollup is the
+    * monoid fold of all batch states ([[currentRollup]]) — one shuffle
+    * over pre-aggregated rows, so a replayed or out-of-order batch can
+    * never double-count and the result is independent of arrival order
+    * (asserted ≡ the batch operator in StreamingSuite). */
+  def runRollup(raw: DataFrame, keys: Seq[String],
+                measures: Seq[graft.ops.Rollup.Measure],
+                storeDir: String): StreamingQuery = {
+    val q = raw.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Rollup.aggregate(batch, keys, measures)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$storeDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The standing rollup from [[runRollup]] output: merge every batch's
+    * state table by the measures' monoid. */
+  def currentRollup(spark: SparkSession, storeDir: String, keys: Seq[String],
+                    measures: Seq[graft.ops.Rollup.Measure]): DataFrame = {
+    val states = spark.read.parquet(s"$storeDir/batch_*")
+    graft.ops.Rollup.merge(states.limit(0), states, keys, measures)
+  }
+
   /** The current funnel table from [[runIncrementalFunnel]] output:
     * last write per user wins. */
   def latestFunnel(spark: SparkSession, outDir: String): DataFrame = {

@@ -418,4 +418,156 @@ class AnalyticsSuite extends SparkTestBase {
     assert(aHalf("big") < a1("big") && aHalf("tiny") > a1("tiny"),
       s"α=0.5 should shift budget from big to tiny: $aHalf vs $a1")
   }
+
+  // --- Stats.rocAuc / calibrationBins -------------------------------------
+
+  test("rocAuc: hand-computed values, separation endpoints, tie half-credit") {
+    def auc(rows: Seq[(Double, Boolean)]): Double =
+      Stats.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head.getDouble(3)
+    // perfect separation
+    assert(auc(Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true)))
+      == 1.0)
+    // inverted
+    assert(auc(Seq((3.0, false), (4.0, false), (1.0, true), (2.0, true)))
+      == 0.0)
+    // tie: pos {1,2}, neg {2,3} → U = 0.5 → AUC = 0.125
+    assert(auc(Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false)))
+      == 0.125)
+    // all-tied degenerates to exactly one half
+    assert(auc(Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false)))
+      == 0.5)
+  }
+
+  test("rocAuc: grouped result equals per-slice global computation") {
+    val ev = Tables.table(spark, sf0001, "events")
+    val pos = col("event_type") === "purchase"
+    val grouped = Stats.rocAuc(ev, col("value"), pos, Seq("event_type"))
+    assert(grouped.collect().isEmpty == false)
+    val byLang = Stats.rocAuc(
+        ev.withColumn("g", (col("user_id") % 2).cast("string")),
+        col("value"), pos, Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    Seq("0", "1").foreach { g =>
+      val slice = Stats.rocAuc(
+        ev.filter((col("user_id") % 2).cast("string") === g),
+        col("value"), pos).collect().head.getDouble(3)
+      assert(byLang(g) == slice, s"group $g: ${byLang(g)} vs $slice")
+    }
+  }
+
+  test("calibrationBins: clamped edges, exact counts and rates") {
+    val rows = Seq((10.0, true), (60.0, false), (120.0, true),
+      (499.0, false), (-5.0, true), (60.5, true))
+      .toDF("s", "y")
+    val got = Stats.calibrationBins(rows, col("s"), col("y"),
+        bins = 8, lo = 0.0, hi = 400.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((2L, 2L, 1.0)))           // 10 and clamped -5
+    assert(got(1L) == ((2L, 1L, 0.5)))           // 60, 60.5
+    assert(got(2L) == ((1L, 1L, 1.0)))           // 120
+    assert(got(7L) == ((1L, 0L, 0.0)))           // clamped 499
+  }
+
+  // --- Stats.chiSquared ---------------------------------------------------
+
+  test("chiSquared: 2x2 closed form, exact zero under perfect independence") {
+    def expand(cells: Seq[(String, String, Int)]) =
+      cells.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }.toDF("a", "b")
+    val got = Stats.chiSquared(
+      expand(Seq(("x", "u", 10), ("x", "v", 20), ("y", "u", 30),
+        ("y", "v", 40))), "a", "b").collect().head
+    // closed form: n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    val want = 100.0 * math.pow(10 * 40 - 20 * 30, 2) /
+      (30.0 * 70.0 * 40.0 * 60.0)
+    assert(math.abs(got.getDouble(0) - want) < 1e-12,
+      s"chi2 ${got.getDouble(0)} vs $want")
+    assert(got.getLong(1) == 1L && got.getLong(2) == 100L)
+    assert(math.abs(got.getDouble(3) -
+      math.sqrt(got.getDouble(0) / 100.0)) < 1e-15)
+    // perfectly independent 2x3 (marginal products are integral): chi2 = 0
+    val indep = Stats.chiSquared(
+      expand(Seq(("x", "u", 2), ("x", "v", 4), ("x", "w", 6),
+        ("y", "u", 1), ("y", "v", 2), ("y", "w", 3))), "a", "b")
+      .collect().head
+    assert(indep.getDouble(0) == 0.0 && indep.getLong(1) == 2L)
+    assert(indep.getDouble(3) == 0.0)
+  }
+
+  test("chiSquared: ONE raw scan; windows run over the cell table only") {
+    val orders = Tables.table(spark, sf0001, "orders")
+    val plan = Stats.chiSquared(orders, "o_orderstatus", "o_orderpriority")
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
+  }
+
+  // --- Rollup -------------------------------------------------------------
+
+  private def rollupMeasures = Seq(
+    Rollup.Measure.rowCount("n"),
+    Rollup.Measure.sumOf("s", expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")),
+    Rollup.Measure.minOf("lo", col("o_totalprice")),
+    Rollup.Measure.maxOf("hi", col("o_totalprice")))
+
+  private def rollupRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  test("rollup: any split and any merge order ≡ full recompute") {
+    val orders = Tables.table(spark, sf0001, "orders")
+    val keys = Seq("o_custkey"); val ms = rollupMeasures
+    val full = rollupRows(Rollup.aggregate(orders, keys, ms))
+    val parts = (0 until 3).map(i =>
+      Rollup.aggregate(orders.filter(col("o_orderkey") % 3 === i), keys, ms))
+    val leftFold = Rollup.merge(
+      Rollup.merge(parts(0), parts(1), keys, ms), parts(2), keys, ms)
+    val revFold = Rollup.merge(parts(2),
+      Rollup.merge(parts(1), parts(0), keys, ms), keys, ms)
+    assert(rollupRows(leftFold) == full)
+    assert(rollupRows(revFold) == full)
+    // raw-delta convenience path too
+    val viaRaw = Rollup.mergeRaw(
+      Rollup.aggregate(orders.filter(col("o_orderkey") % 2 === 0), keys, ms),
+      orders.filter(col("o_orderkey") % 2 =!= 0), keys, ms)
+    assert(rollupRows(viaRaw) == full)
+  }
+
+  test("rollup: delta merge shuffles state tables, not raw history") {
+    val orders = Tables.table(spark, sf0001, "orders")
+    val keys = Seq("o_custkey"); val ms = rollupMeasures
+    val standing = Rollup.aggregate(orders, keys, ms)
+      .localCheckpoint(true) // materialized state table: no raw lineage
+    val delta = orders.filter(col("o_orderkey") % 97 === 0)
+    val plan = Rollup.mergeRaw(standing, delta, keys, ms)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"merge must rescan only the delta, got $scans scans")
+  }
+
+  test("rollup: HLL sketch measure unions losslessly across batches") {
+    val orders = Tables.table(spark, sf0001, "orders")
+    val keys = Seq("o_orderpriority")
+    val ms = Seq(Rollup.Measure.approxDistinct("d", col("o_custkey")))
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col(keys.head), Rollup.Measure.estimate(col("d")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = estimates(Rollup.aggregate(orders, keys, ms))
+    val merged = Rollup.merge(
+      Rollup.aggregate(orders.filter(col("o_orderkey") % 2 === 0), keys, ms),
+      Rollup.aggregate(orders.filter(col("o_orderkey") % 2 =!= 0), keys, ms),
+      keys, ms)
+    assert(estimates(merged) == full,
+      "union of per-batch sketches must estimate exactly like the " +
+        "single-pass sketch")
+    // and the sketch estimate tracks the exact distinct count
+    val exact = orders.groupBy(keys.head)
+      .agg(countDistinct("o_custkey").as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (k, est) =>
+      val x = exact(k)
+      assert(math.abs(est - x).toDouble / x < 0.05, s"$k: est $est exact $x")
+    }
+  }
 }

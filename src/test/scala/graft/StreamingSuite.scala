@@ -856,4 +856,46 @@ class StreamingSuite extends SparkTestBase {
       "user_id", "n")
     assert(rowsOf(viaStreamInterp) == rowsOf(directInterp))
   }
+
+  test("streaming incremental rollup: monoid fold of batch states ≡ batch aggregate") {
+    import graft.ops.Rollup
+    val root = Files.createTempDirectory("graft-rollup").toString
+    val srcDir = s"$root/src"; val storeDir = s"$root/store"
+    val all = Tables.table(spark, sf0001, "events")
+      .filter(col("user_id") < 40)
+      .select("user_id", "event_id", "event_type")
+    // two arrival files → two micro-batches with overlapping keys
+    all.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/f1")
+    all.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$srcDir/f2")
+    val measures = Seq(
+      Rollup.Measure.rowCount("n"),
+      Rollup.Measure.sumOf("s", col("event_id")),
+      Rollup.Measure.minOf("lo", col("event_id")),
+      Rollup.Measure.maxOf("hi", col("event_id")),
+      Rollup.Measure.approxDistinct("d", col("event_type")))
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runRollup(stream, Seq("user_id"), measures, storeDir)
+    def rows(df: DataFrame) = df
+      .select(col("user_id"), col("n"), col("s"), col("lo"), col("hi"),
+        Rollup.Measure.estimate(col("d")).as("d"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val got = rows(Streams.currentRollup(spark, storeDir, Seq("user_id"),
+      measures))
+    val want = rows(Rollup.aggregate(all, Seq("user_id"), measures))
+    assert(got == want)
+    // replay: re-running the same stream from a fresh checkpoint rewrites
+    // the same batch dirs — the fold cannot double-count
+    val stream2 = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runRollup(stream2, Seq("user_id"), measures, storeDir)
+    val replay = rows(Streams.currentRollup(spark, storeDir, Seq("user_id"),
+      measures))
+    assert(replay == want)
+  }
 }
