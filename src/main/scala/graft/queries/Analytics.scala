@@ -720,6 +720,36 @@ object Analytics {
         |FROM cum WHERE rn = 1""".stripMargin) { (s, d) =>
       Stats.chiSquared(Tables.table(s, d, "orders"),
         "o_orderstatus", "o_orderpriority")
+    },
+
+    // Johnson–Lindenstrauss random projection (ops/Projection): 64-dim
+    // float embeddings onto 8 MD5-derived ±1 directions. The sign
+    // family is the q73b MD5 convention (both engines compute it),
+    // and each component folds in ascending index order — Spark via
+    // the aggregate() HOF over a literal sign matrix, DuckDB via a
+    // running window sum — so the doubles hash-match bit-for-bit.
+    dfQ("q176_random_projection",
+      """WITH t AS (
+        |  SELECT vec_id, j, i,
+        |    CASE WHEN CAST(CONCAT('0x',
+        |        SUBSTRING(MD5(CONCAT('jl_', i - 1, '_', j)), 1, 1))
+        |        AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END
+        |      * CAST(embedding[i] AS DOUBLE) term
+        |  FROM embeddings
+        |  CROSS JOIN UNNEST(RANGE(0, 8)) a(j)
+        |  CROSS JOIN UNNEST(RANGE(1, 65)) b(i)),
+        |cum AS (
+        |  SELECT vec_id, j,
+        |    SUM(term) OVER (PARTITION BY vec_id, j ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) y,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY i DESC) rn
+        |  FROM t)
+        |SELECT vec_id, j, y FROM cum WHERE rn = 1
+        |ORDER BY vec_id, j""".stripMargin) { (s, d) =>
+      graft.ops.Projection.randomProjection(
+          Tables.table(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, outDim = 8)
+        .orderBy("vec_id", "j")
     }
   )
 }

@@ -503,6 +503,44 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Projection.randomProjection ----------------------------------------
+
+  test("randomProjection: sign family matches the SQL-expression replay") {
+    val probes = for (i <- Seq(0, 1, 7, 63); j <- Seq(0, 3, 7)) yield (i, j)
+    val viaSql = probes.toDF("i", "j")
+      .withColumn("s", when(
+        expr("CAST(conv(substring(md5(concat_ws('_', 'jl', i, j)), 1, 1)," +
+          " 16, 10) AS BIGINT) % 2") === 0, 1.0).otherwise(-1.0))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    probes.foreach { case (i, j) =>
+      assert(Projection.sign("jl", i, j) == viaSql((i, j)), s"($i,$j)")
+    }
+  }
+
+  test("randomProjection: partitioning-invariant bits, norms preserved in expectation") {
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Projection.randomProjection(df, "vec_id", "embedding", 64, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val a = run(emb)
+    val b = run(emb.repartition(7))
+    assert(a == b, "projection must be bit-identical under repartitioning")
+    // E||y||^2 = outDim * ||x||^2 for +-1 signs: the mean ratio over the
+    // corpus concentrates near 1
+    val normIn = emb.select(col("vec_id"),
+        aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (s, t) => s + t).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ratios = a.groupBy(_._1._1).map { case (id, _) =>
+      val y2 = (0 until 8).map(j => a((id, j.toLong))).map(y => y * y).sum
+      y2 / (8.0 * normIn(id))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
+
   // --- Rollup -------------------------------------------------------------
 
   private def rollupMeasures = Seq(
