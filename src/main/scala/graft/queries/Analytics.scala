@@ -20,6 +20,29 @@ object Analytics {
       s"(((xi >> $i) & 1) << ${2 * i})",
       s"(((yi >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
+  /** Generated CTE chain replaying [[graft.ops.Layout.withHilbertCode]]
+    * bit-for-bit: stage k reads (hx(k+1), hy(k+1), hd(k+1)) and writes
+    * (hxk, hyk, hdk) — unique names per stage, so neither engine's
+    * lateral-alias resolution can shadow an input column. Expects an
+    * initial CTE `hs{bits}` with columns (l_orderkey, x, y, hx{bits},
+    * hy{bits}, hd{bits}). */
+  private def hilbertSql(bits: Int): String =
+    ((bits - 1) to 0 by -1).map { k =>
+      val s = 1L << k; val p = k + 1
+      s"""hs$k AS (
+         |  SELECT l_orderkey, x, y,
+         |    CASE WHEN (hy$p & $s) > 0 THEN hx$p
+         |         WHEN (hx$p & $s) > 0 THEN ${s - 1} - hy$p
+         |         ELSE hy$p END hx$k,
+         |    CASE WHEN (hy$p & $s) > 0 THEN hy$p
+         |         WHEN (hx$p & $s) > 0 THEN ${s - 1} - hx$p
+         |         ELSE hx$p END hy$k,
+         |    hd$p + ${s * s} *
+         |      XOR(3 * (CASE WHEN (hx$p & $s) > 0 THEN 1 ELSE 0 END),
+         |          CASE WHEN (hy$p & $s) > 0 THEN 1 ELSE 0 END) hd$k
+         |  FROM hs$p)""".stripMargin
+    }.mkString(",\n")
+
   val defs: Seq[Q] = Seq(
 
     // PIVOT — the wide reshaping operator (RelationalGroupedDataset
@@ -750,6 +773,65 @@ object Analytics {
           Tables.table(s, d, "embeddings"), "vec_id", "embedding",
           dim = 64, outDim = 8)
         .orderBy("vec_id", "j")
+    },
+
+    // Hilbert-curve layout (Layout.withH / hilbertOrderBy) measured by
+    // the q157 pruning harness on the SAME box: the curve never jumps
+    // (consecutive indexes are grid neighbors — suite-asserted), so
+    // range-partitioned chunks get tighter rectangles than Morton's
+    // quadrant seams. The oracle replays rank scaling, all 8 unrolled
+    // quadrant-rotation stages, chunking, and the box test — exact
+    // integers end-to-end.
+    dfQ("q177_hilbert_pruning",
+      s"""WITH b AS (SELECT MIN(l_partkey) xlo, MAX(l_partkey) xhi,
+         |             MIN(l_suppkey) ylo, MAX(l_suppkey) yhi FROM lineitem),
+         |sc AS (
+         |  SELECT l_orderkey, l_partkey x, l_suppkey y,
+         |    ((l_partkey - xlo) * 255) // GREATEST(xhi - xlo, 1) xi,
+         |    ((l_suppkey - ylo) * 255) // GREATEST(yhi - ylo, 1) yi
+         |  FROM lineitem CROSS JOIN b),
+         |hs8 AS (SELECT l_orderkey, x, y, xi hx8, yi hy8,
+         |          CAST(0 AS BIGINT) hd8 FROM sc),
+         |${hilbertSql(8)},
+         |h AS (SELECT l_orderkey, x, y, CAST(hd0 AS BIGINT) h FROM hs0),
+         |kh AS (SELECT MIN(h) lo, MAX(h) hi FROM h),
+         |ch AS (
+         |  SELECT ((h - lo) * 64) // (hi - lo + 1) chunk,
+         |    COUNT(*) nr, MIN(x) xmin, MAX(x) xmax, MIN(y) ymin, MAX(y) ymax
+         |  FROM h CROSS JOIN kh GROUP BY 1),
+         |kn AS (SELECT MIN(l_orderkey) lo, MAX(l_orderkey) hi FROM h),
+         |cn AS (
+         |  SELECT ((l_orderkey - lo) * 64) // (hi - lo + 1) chunk,
+         |    COUNT(*) nr, MIN(x) xmin, MAX(x) xmax, MIN(y) ymin, MAX(y) ymax
+         |  FROM h CROSS JOIN kn GROUP BY 1),
+         |rep AS (
+         |  SELECT 'hilbert' layout, CAST(COUNT(*) AS BIGINT) n_chunks,
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40
+         |                            OR ymax < 1 OR ymin > 4)
+         |             THEN 1 ELSE 0 END) AS BIGINT) chunks_hit,
+         |    CAST(SUM(nr) AS BIGINT) rows_total,
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40
+         |                            OR ymax < 1 OR ymin > 4)
+         |             THEN nr ELSE 0 END) AS BIGINT) rows_read
+         |  FROM ch
+         |  UNION ALL
+         |  SELECT 'natural', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40
+         |                            OR ymax < 1 OR ymin > 4)
+         |             THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(nr) AS BIGINT),
+         |    CAST(SUM(CASE WHEN NOT (xmax < 1 OR xmin > 40
+         |                            OR ymax < 1 OR ymin > 4)
+         |             THEN nr ELSE 0 END) AS BIGINT)
+         |  FROM cn)
+         |SELECT * FROM rep ORDER BY layout""".stripMargin) { (s, d) =>
+      val withh = Layout.withH(Tables.table(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", bits = 8)
+      Layout.pruningReport(withh,
+          Seq(("hilbert", col("h")), ("natural", col("l_orderkey"))),
+          chunks = 64, "l_partkey", "l_suppkey",
+          xLo = 1L, xHi = 40L, yLo = 1L, yHi = 4L)
+        .orderBy("layout")
     }
   )
 }

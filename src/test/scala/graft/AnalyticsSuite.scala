@@ -503,6 +503,41 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Layout.withHilbertCode ---------------------------------------------
+
+  test("hilbert: first-order known answer, bijection + no-jump adjacency at 8x8") {
+    def grid(bits: Int) = {
+      val n = 1 << bits
+      val cells = for (x <- 0 until n; y <- 0 until n) yield (x, y)
+      Layout.withHilbertCode(cells.toDF("x", "y"), col("x"), col("y"), bits)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+    }
+    // the canonical 2x2 U: (0,0)→0 (0,1)→1 (1,1)→2 (1,0)→3
+    assert(grid(1).toMap == Map((0, 0) -> 0L, (0, 1) -> 1L,
+      (1, 1) -> 2L, (1, 0) -> 3L))
+    // 8x8: indexes are a bijection onto 0..63 and the walk never jumps
+    val g3 = grid(3)
+    assert(g3.map(_._2).sorted.toSeq == (0L until 64L), "not a bijection")
+    val byD = g3.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Array((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d-consecutive cells ($x1,$y1)→($x2,$y2)")
+    }
+  }
+
+  test("hilbert: zero-shuffle projection; prunes better than the natural order") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val withh = Layout.withH(li, "l_partkey", "l_suppkey", bits = 8)
+    val plan = withh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hilbert code must not shuffle:\n$plan")
+    val rep = Layout.pruningReport(withh,
+        Seq(("hilbert", col("h")), ("natural", col("l_orderkey"))),
+        chunks = 64, "l_partkey", "l_suppkey", 1L, 40L, 1L, 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rep("hilbert") < rep("natural"),
+      s"hilbert must read fewer rows for the box: $rep")
+  }
+
   // --- Projection.randomProjection ----------------------------------------
 
   test("randomProjection: sign family matches the SQL-expression replay") {
