@@ -832,6 +832,29 @@ object Analytics {
           chunks = 64, "l_partkey", "l_suppkey",
           xLo = 1L, xHi = 40L, yLo = 1L, yHi = 4L)
         .orderBy("layout")
+    },
+
+    // Mergeable distinct-count sketches (Rollup.Measure.approxDistinct):
+    // Datasketches HLL state per key, maintained incrementally — the
+    // standing half absorbs the delta half through hll_union_agg, and
+    // the estimate is read AFTER the merge. This is how distinct
+    // counts work at 100 TB: per-partition sketches union losslessly,
+    // raw history is never rescanned. Rows-only by design (DuckDB has
+    // no Datasketches HLL to replay); the suite pins estimate-lossless
+    // union (merged ≡ single-pass, exactly) and ≤5% error vs exact,
+    // and the ST18 streaming test folds the same measure.
+    Support.sparkOnly("q178_sketch_rollup") { (s, d) =>
+      val ev = Tables.table(s, d, "events")
+      val keys = Seq("event_type")
+      val ms = Seq(Rollup.Measure.rowCount("n"),
+        Rollup.Measure.approxDistinct("users", col("user_id")))
+      val merged = Rollup.merge(
+        Rollup.aggregate(ev.filter(col("event_id") % 2 === 0), keys, ms),
+        Rollup.aggregate(ev.filter(col("event_id") % 2 =!= 0), keys, ms),
+        keys, ms)
+      merged.select(col("event_type"), col("n"),
+          Rollup.Measure.estimate(col("users")).as("distinct_users"))
+        .orderBy("event_type")
     }
   )
 }
