@@ -94,6 +94,51 @@ object Components {
   def componentSummary(components: DataFrame): DataFrame =
     components.groupBy("component").agg(count(lit(1)).as("size"))
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree within the surviving subgraph is < k until the set is
+    * stable; return the survivors with their in-core degree. The k-core
+    * is the standard "dense enough to matter" filter on a crawl/link
+    * graph — peripheral pages with thin connectivity peel away no
+    * matter how large the raw graph is.
+    *
+    * Scale shape: the symmetrized edge list is computed once and
+    * cached; each round is two semi-joins (edge endpoints against the
+    * survivor set) + one degree aggregation — 2–3 shuffles — with the
+    * survivor table localCheckpoint'd per round (flat lineage) and one
+    * driver long (its count). Peeling is monotone, so an unchanged
+    * COUNT is an unchanged SET: the fixed-point test needs no set
+    * comparison. The fixed point is unique regardless of peel order,
+    * which is what makes the operator oracle-able by a fixed-depth
+    * unrolled replay (extra rounds past convergence are no-ops on both
+    * engines). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    def aliveDegrees(surv: DataFrame): DataFrame = e
+      .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    var surv = e.select(col("u").as("node")).distinct().localCheckpoint()
+    var n = surv.count()
+    var it = 0
+    var done = n == 0
+    while (!done && it < maxIters) {
+      val next = aliveDegrees(surv).filter(col("deg") >= k)
+        .select(col("u").as("node")).localCheckpoint()
+      val m = next.count()
+      done = m == n || m == 0
+      surv.unpersist()
+      surv = next; n = m; it += 1
+    }
+    aliveDegrees(surv)
+      .select(col("u").as("node"), col("deg").cast("long").as("core_deg"))
+  }
+
   /** Per-node triangle counts — the local clustering signal (spam/link-farm
     * detection in a crawl graph, community density next to
     * [[connectedComponents]]'s reachability).

@@ -43,6 +43,25 @@ object Analytics {
          |  FROM hs$p)""".stripMargin
     }.mkString(",\n")
 
+  /** Generated CTE chain replaying k-core peeling rounds: s{r} =
+    * survivors of s{r-1} with in-subgraph degree ≥ k. Fixed-depth
+    * unrolling is sound because the fixed point is unique and extra
+    * rounds past convergence are no-ops (fixtures converge in ≤ 6
+    * rounds; 10 leaves margin). */
+  private def kCoreSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each round references the previous one TWICE — inlining would
+      // blow the plan up 2^rounds
+      s"""s$r AS MATERIALIZED (
+         |  SELECT u node FROM (
+         |    SELECT e.u, COUNT(*) d FROM e
+         |    JOIN s${r - 1} a ON e.u = a.node
+         |    JOIN s${r - 1} b ON e.v = b.node
+         |    GROUP BY e.u) t
+         |  WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+
   val defs: Seq[Q] = Seq(
 
     // PIVOT — the wide reshaping operator (RelationalGroupedDataset
@@ -855,6 +874,34 @@ object Analytics {
       merged.select(col("event_type"), col("n"),
           Rollup.Measure.estimate(col("users")).as("distinct_users"))
         .orderBy("event_type")
+    },
+
+    // k-core decomposition (Components.kCore): peel the
+    // customer↔high-volume-part graph to its 8-core — the
+    // dense-connectivity filter a crawl-graph curation stage runs.
+    // Spark peels to the (unique) fixed point; the oracle unrolls 10
+    // rounds (no-ops past convergence), so membership AND in-core
+    // degree hash-check exactly.
+    dfQ("q179_kcore",
+      s"""WITH raw AS (
+         |  SELECT DISTINCT o_custkey * 2 u, l_partkey * 2 + 1 v
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_quantity >= 30),
+         |e AS MATERIALIZED (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+         |s0 AS MATERIALIZED (SELECT DISTINCT u node FROM e),
+         |${kCoreSql(8, 10)}
+         |SELECT e.u node, CAST(COUNT(*) AS BIGINT) core_deg
+         |FROM e JOIN s10 a ON e.u = a.node JOIN s10 b ON e.v = b.node
+         |GROUP BY e.u ORDER BY node""".stripMargin) { (s, d) =>
+      val j = Tables.table(s, d, "orders")
+        .join(Tables.table(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") >= 30)
+      Components.kCore(
+          j.select((col("o_custkey") * 2).as("u"),
+            (col("l_partkey") * 2 + 1).as("v")),
+          "u", "v", k = 8)
+        .orderBy("node")
     }
   )
 }

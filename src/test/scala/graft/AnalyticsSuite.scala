@@ -503,6 +503,47 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Components.kCore ---------------------------------------------------
+
+  test("kCore: cascading peel on a known graph; orientation-invariant") {
+    // triangle {1,2,3} + a path 3-4-5 hanging off: the 2-core is exactly
+    // the triangle, and node 4 (degree 2 initially) peels only AFTER 5
+    // goes — the cascade a one-shot degree filter misses
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Components.kCore(edges.toDF("a", "b"), "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+    // flipped orientation, same result
+    val flipped = Components.kCore(
+      edges.map(_.swap).toDF("a", "b"), "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped == got)
+    // k above the max degree: empty core
+    assert(Components.kCore(edges.toDF("a", "b"), "a", "b", k = 5)
+      .collect().isEmpty)
+    // fixture graph converges within the oracle's 10 unrolled rounds and
+    // the result is the exact driver-side fixed point
+    val j = Tables.table(spark, sf0001, "orders")
+      .join(Tables.table(spark, sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_quantity") >= 30)
+      .select((col("o_custkey") * 2).as("u"), (col("l_partkey") * 2 + 1).as("v"))
+    val core = Components.kCore(j, "u", "v", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = j.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var surv = adj.keySet
+    var it = 0
+    var stable = false
+    while (!stable && it <= 10) {
+      val next = surv.filter(u => (adj(u) & surv).size >= 8)
+      stable = next == surv; surv = next; it += 1
+    }
+    assert(stable, "fixture peel must converge within 10 rounds")
+    assert(core == surv.map(u => u -> (adj(u) & surv).size.toLong).toMap)
+  }
+
   // --- Layout.withHilbertCode ---------------------------------------------
 
   test("hilbert: first-order known answer, bijection + no-jump adjacency at 8x8") {
