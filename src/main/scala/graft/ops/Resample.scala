@@ -109,4 +109,33 @@ object Resample {
           .otherwise(lit(null).cast("double")))
       .drop("__pv", "__px", "__nv", "__nx")
   }
+
+  /** Per-key exponentially weighted moving average over a time-ordered
+    * series, seeded at the first observation:
+    * y₁ = x₁, yₜ = (1−α)·yₜ₋₁ + α·xₜ. Returns one row per key with the
+    * final smoothed level — the trend/anomaly baseline of a metrics
+    * pipeline.
+    *
+    * The recurrence is inherently sequential, so each key's series is
+    * collected into a ts-sorted array and folded left with the
+    * `aggregate` higher-order function — ONE shuffle, state bounded by
+    * the per-entity series length (the funnel/transition discipline:
+    * per-key series are bounded; this is not for million-row keys).
+    * With a dyadic α (½, ¼, …) every multiply is an exact IEEE scale
+    * and the fold order is pinned, so the double is bit-identical on
+    * any engine/partitioning — DuckDB replays it verbatim with
+    * `list_reduce(list(x ORDER BY ts), (a, b) -> a*(1−α) + b*α)`. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    val arr = sort_array(collect_list(struct(
+      col(tsCol).as("t"), col(valueCol).cast("double").as("x"))))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), arr.as("__a"))
+      .withColumn("ewma", aggregate(
+        slice(col("__a"), lit(2), greatest(size(col("__a")) - 1, lit(0))),
+        element_at(col("__a"), 1).getField("x"),
+        (acc, e) => acc * lit(1 - alpha) + e.getField("x") * lit(alpha)))
+      .drop("__a")
+  }
 }

@@ -902,6 +902,59 @@ object Analytics {
             (col("l_partkey") * 2 + 1).as("v")),
           "u", "v", k = 8)
         .orderBy("node")
+    },
+
+    // Last-touch attribution: each purchase credits the latest
+    // click/view by the same user within a 12-hour lookback — the
+    // ops/AsOf backward join with a tolerance predicate, exactly the
+    // marketing-attribution shape. Gap in exact microseconds
+    // (unix_micros ≡ epoch_us; EPOCH() seconds would truncate
+    // differently per engine). Unattributed purchases keep NULLs via
+    // the tolerance → the oracle's windowed LEFT JOIN replay.
+    dfQ("q180_attribution",
+      """WITH p AS (SELECT user_id, event_id pid, ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id tid, ts tts
+        |        FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        |  SELECT p.user_id, p.pid, p.ts, MAX(t.tts) mt
+        |  FROM p LEFT JOIN tch t ON p.user_id = t.user_id
+        |    AND t.tts <= p.ts AND t.tts >= p.ts - INTERVAL 12 HOUR
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.user_id, m.pid purchase_id, t.tid touch_id,
+        |  CAST(EPOCH_US(m.ts) - EPOCH_US(m.mt) AS BIGINT) gap_us
+        |FROM m LEFT JOIN tch t
+        |  ON t.user_id = m.user_id AND t.tts = m.mt
+        |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.table(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("touch_id"), col("ts").as("t_ts"))
+      graft.ops.AsOf.join(purchases, touches, "user_id", "ts", "ts",
+          Seq("touch_id", "t_ts"),
+          tolerance = Some((l, r) =>
+            unix_micros(l) - unix_micros(r) <= 43200000000L))
+        .select(col("user_id"), col("purchase_id"), col("touch_id"),
+          (unix_micros(col("ts")) - unix_micros(col("t_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+
+    // Per-entity EWMA (Resample.ewma, α = ½): the sequential
+    // recurrence folds a ts-sorted array left via the aggregate() HOF;
+    // a dyadic α makes every step an exact IEEE halving, so DuckDB's
+    // list_reduce over LIST(x ORDER BY ts) replays the double
+    // bit-for-bit.
+    dfQ("q181_ewma",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  LIST_REDUCE(LIST(value ORDER BY ts),
+        |              (a, b) -> a * 0.5 + b * 0.5) AS ewma
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.ops.Resample.ewma(Tables.table(s, d, "events"),
+          "user_id", "ts", "value", alpha = 0.5)
+        .orderBy("user_id")
     }
   )
 }

@@ -503,6 +503,22 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Resample.ewma ------------------------------------------------------
+
+  test("ewma: seeded recurrence known answer, dyadic-exact, partitioning-invariant") {
+    val rows = Seq((1L, 1, 4.0), (1L, 2, 8.0), (1L, 3, 16.0), (2L, 1, 7.0))
+      .toDF("k", "ts", "x")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Resample.ewma(df, "k", "ts", "x")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val got = run(rows)
+    // y1=4; y2=0.5*4+0.5*8=6; y3=0.5*6+0.5*16=11 — exact dyadic steps
+    assert(got(1L) == ((3L, 11.0)), got)
+    assert(got(2L) == ((1L, 7.0)), "single observation seeds and returns")
+    assert(run(rows.repartition(5)) == got, "must be partitioning-invariant")
+  }
+
   // --- Components.kCore ---------------------------------------------------
 
   test("kCore: cascading peel on a known graph; orientation-invariant") {
