@@ -241,4 +241,23 @@ object Sampling {
         col("base") + when(rk <= leftover, 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("alloc"))
   }
+
+  /** Leakage-safe temporal split with an embargo gap (the purged split
+    * of time-series ML): rows at or before `cutoff` train, rows after
+    * cutoff + `embargoSeconds` test, and the embargo window between is
+    * DROPPED from both — a model trained through the cutoff must not be
+    * evaluated on rows its label horizon could still touch. Pure
+    * zero-shuffle projection; microsecond-exact boundaries (both
+    * comparisons are timestamp comparisons, no epoch truncation). */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String,
+                    embargoSeconds: Long): DataFrame = {
+    require(embargoSeconds >= 0, s"embargo must be >= 0: $embargoSeconds")
+    val cut = to_timestamp(lit(cutoff))
+    val testFrom = to_timestamp(lit(cutoff)) +
+      expr(s"INTERVAL $embargoSeconds SECOND")
+    df.withColumn("split",
+      when(col(tsCol) <= cut, "train")
+        .when(col(tsCol) > testFrom, "test")
+        .otherwise("embargo"))
+  }
 }

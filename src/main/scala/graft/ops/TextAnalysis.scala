@@ -304,6 +304,84 @@ object TextAnalysis {
         round(coalesce(col("hit"), lit(0L)) / col("total").cast("double"), 6)
           .as("contamination"))
   }
+
+  /** PMI collocations — which vocabulary terms co-occur in documents far
+    * more than independence predicts (the collocation/phrase-mining
+    * signal): pmi(x, y) = ln(c_xy·N / (df_x·df_y)) over document-level
+    * co-occurrence, for pairs seen in ≥ `minPairDocs` documents.
+    *
+    * Scale shape: tokens collapse to DISTINCT (doc, token) and
+    * semi-join the supplied vocabulary FIRST, so the within-document
+    * self-join fans out quadratically only in vocabulary terms per
+    * document — bounded by |vocab|, not document length. One shuffle
+    * join on doc, one pair aggregation. Counts stay integral; the pmi
+    * argument is one exact-integer product divided once, and only the
+    * ln result is rounded — the q159 LN discipline. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame,
+                      minPairDocs: Long = 5L): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .join(vocab.select("token"), Seq("token"), "left_semi")
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val dfx = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val pairs = tk.select(col("doc"), col("token").as("tok_a"))
+      .join(tk.select(col("doc"), col("token").as("tok_b")), Seq("doc"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minPairDocs)
+    pairs
+      .join(dfx.select(col("token").as("tok_a"), col("df").as("dfa")), "tok_a")
+      .join(dfx.select(col("token").as("tok_b"), col("df").as("dfb")), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("c").cast("long").as("c"),
+        round(log((col("c") * lit(nDocs)).cast("double") /
+          (col("dfa") * col("dfb"))), 6).as("pmi"))
+  }
+
+  /** Zipf slope per group — the log-log rank-frequency regression that
+    * summarizes whether a source's token distribution looks like
+    * natural language (slope ≈ −1) or like templated/boilerplate text:
+    * one row per group with the OLS slope of log₁₀(freq) on
+    * log₁₀(rank) over the top `topK` tokens.
+    *
+    * Determinism discipline: frequencies and ranks are exact integers;
+    * the four regression sums (Σx, Σy, Σxy, Σx²) fold in rank order
+    * via running window sums over the ≤ topK-row per-group token table
+    * (the q159/q175 ordered-fold idiom), and the closed-form slope is
+    * a handful of deterministic double ops — so the rounded slope
+    * hash-replays cross-engine without trusting any engine's REGR_*
+    * accumulation order. */
+  def zipfSlope(docs: DataFrame, textCol: String, groupCol: String,
+                topK: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("g", "token").agg(count(lit(1)).as("f"))
+    val rk = row_number().over(
+      Window.partitionBy("g").orderBy(col("f").desc, col("token")))
+    val ranked = freq.withColumn("r", rk.cast("long"))
+      .filter(col("r") <= topK)
+      .withColumn("x", log10(col("r").cast("double")))
+      .withColumn("y", log10(col("f").cast("double")))
+    val wCum = Window.partitionBy("g").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranked
+      .withColumn("sx", sum("x").over(wCum))
+      .withColumn("sy", sum("y").over(wCum))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wCum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("r").desc)))
+    cum.filter(col("rn") === 1)
+      .select(col("g"), col("r").as("n_tokens"),
+        when(col("r") < 2, lit(null)).otherwise(
+          round((col("r") * col("sxy") - col("sx") * col("sy")) /
+            (col("r") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("slope"))
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic. Small on purpose —

@@ -955,6 +955,101 @@ object Analytics {
       graft.ops.Resample.ewma(Tables.table(s, d, "events"),
           "user_id", "ts", "value", alpha = 0.5)
         .orderBy("user_id")
+    },
+
+    // Leakage-safe temporal split with a 24 h embargo
+    // (Sampling.temporalSplit): train ≤ cutoff, test after
+    // cutoff + embargo, the purge window dropped from both — the
+    // time-series analogue of q144's grouped hash split. Pure
+    // projection; microsecond-exact timestamp boundaries.
+    dfQ("q182_temporal_split",
+      """SELECT event_type, split, CAST(COUNT(*) AS BIGINT) n FROM (
+        |  SELECT event_type,
+        |    CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |         WHEN ts > TIMESTAMP '2024-01-20 00:00:00'
+        |              + INTERVAL 24 HOUR THEN 'test'
+        |         ELSE 'embargo' END split
+        |  FROM events) t
+        |GROUP BY event_type, split
+        |ORDER BY event_type, split""".stripMargin) { (s, d) =>
+      Sampling.temporalSplit(Tables.table(s, d, "events"), "ts",
+          "2024-01-20 00:00:00", embargoSeconds = 86400L)
+        .groupBy("event_type", "split").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "split")
+    },
+
+    // PMI collocations (TextAnalysis.pmiCollocations): document-level
+    // co-occurrence of induced-vocabulary terms, pmi = ln(c·N/(dfx·dfy))
+    // — exact-integer counts, ONE division, only the ln rounded (the
+    // q159 LN discipline). The within-doc self-join runs AFTER the
+    // vocab semi-join, so fan-out is bounded by vocabulary terms per
+    // document, not document length.
+    dfQ("q183_pmi_collocations",
+      """WITH tk0 AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) token
+        |  FROM documents),
+        |tok AS (SELECT doc_id doc, token FROM tk0 WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) freq FROM tok GROUP BY token
+        |    ORDER BY freq DESC, token LIMIT 500)),
+        |tv AS (SELECT DISTINCT t.doc, t.token
+        |       FROM tok t JOIN vocab v USING (token)),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) n
+        |       FROM documents),
+        |dfx AS (SELECT token, CAST(COUNT(*) AS BIGINT) df
+        |        FROM tv GROUP BY token),
+        |pairs AS (
+        |  SELECT a.token tok_a, b.token tok_b, CAST(COUNT(*) AS BIGINT) c
+        |  FROM tv a JOIN tv b ON a.doc = b.doc AND a.token < b.token
+        |  GROUP BY 1, 2)
+        |SELECT tok_a, tok_b, c,
+        |  ROUND(LN(CAST(c * n AS DOUBLE) / (da.df * db.df)), 6) pmi
+        |FROM pairs JOIN dfx da ON da.token = tok_a
+        |  JOIN dfx db ON db.token = tok_b CROSS JOIN nd
+        |WHERE c >= 20
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val vocab = graft.ops.Vocab.induceVocab(docs, "text", 500)
+      graft.ops.TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+          vocab, minPairDocs = 20L)
+        .orderBy(col("pmi").desc, col("tok_a"), col("tok_b")).limit(50)
+    },
+
+    // Zipf slope per source (TextAnalysis.zipfSlope): OLS of
+    // log10(freq) on log10(rank) with the four regression sums folded
+    // in rank order via running windows — no REGR_* accumulation-order
+    // trust — and the closed-form slope rounded once. Natural-language
+    // sources sit near −1; templated text flattens.
+    dfQ("q184_zipf_slope",
+      """WITH tk AS (
+        |  SELECT source g, UNNEST(STRING_SPLIT(text, ' ')) token
+        |  FROM documents),
+        |f AS (SELECT g, token, CAST(COUNT(*) AS BIGINT) f
+        |      FROM tk WHERE token <> '' GROUP BY 1, 2),
+        |rkt AS (
+        |  SELECT g, f, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY g ORDER BY f DESC, token) AS BIGINT) r
+        |  FROM f),
+        |xy AS (
+        |  SELECT g, r, LOG10(CAST(r AS DOUBLE)) x,
+        |    LOG10(CAST(f AS DOUBLE)) y
+        |  FROM rkt WHERE r <= 2000),
+        |cum AS (
+        |  SELECT g, r,
+        |    SUM(x) OVER w sx, SUM(y) OVER w sy,
+        |    SUM(x * y) OVER w sxy, SUM(x * x) OVER w sxx,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY r DESC) rn
+        |  FROM xy
+        |  WINDOW w AS (PARTITION BY g ORDER BY r ROWS UNBOUNDED PRECEDING))
+        |SELECT g, r n_tokens,
+        |  CASE WHEN r < 2 THEN NULL
+        |       ELSE ROUND((r * sxy - sx * sy) / (r * sxx - sx * sx), 6)
+        |  END slope
+        |FROM cum WHERE rn = 1 ORDER BY g""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.zipfSlope(Tables.table(s, d, "documents"),
+          "text", "source", topK = 2000)
+        .orderBy("g")
     }
   )
 }

@@ -503,6 +503,68 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Sampling.temporalSplit / TextAnalysis.pmi + zipf -------------------
+
+  test("temporalSplit: microsecond-exact boundaries, embargo dropped from both") {
+    val cut = "2024-01-20 00:00:00"
+    val rows = Seq(
+      ("at_cut", java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+      ("in_embargo", java.sql.Timestamp.valueOf("2024-01-20 12:00:00")),
+      ("at_embargo_end", java.sql.Timestamp.valueOf("2024-01-21 00:00:00")),
+      ("after", new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-21 00:00:00").getTime + 1)))
+      .toDF("tag", "ts")
+    val got = Sampling.temporalSplit(rows, "ts", cut, 86400L)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got == Map("at_cut" -> "train", "in_embargo" -> "embargo",
+      "at_embargo_end" -> "embargo", "after" -> "test"), got)
+  }
+
+  test("pmiCollocations: independence near 0, perfect co-occurrence = ln(N/df)") {
+    // 8 docs: 'x y' always together in 4 docs; 'a' and 'b' independent
+    val docs = Seq(
+      (1L, "x y a"), (2L, "x y b"), (3L, "x y a b"), (4L, "x y"),
+      (5L, "a"), (6L, "b"), (7L, "a b"), (8L, "c")).toDF("doc_id", "text")
+    val vocab = Seq("x", "y", "a", "b", "c").toDF("token")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text", vocab,
+        minPairDocs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // x and y: df 4 each, together 4 of 8 → pmi = ln(4·8/16) = ln 2
+    assert(got(("x", "y"))._1 == 4L)
+    assert(math.abs(got(("x", "y"))._2 - math.log(2.0)) < 1e-6)
+    // a and b: df 4 each, together 2 of 8 → pmi = ln(16/16) = 0
+    assert(got(("a", "b")) == ((2L, 0.0)))
+  }
+
+  test("zipfSlope: matches a driver-side replay; partitioning-invariant") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.zipfSlope(df, "text", "source")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val got = run(docs)
+    assert(run(docs.repartition(7)) == got, "must be partitioning-invariant")
+    // driver-side replay for one source
+    val src = got.keySet.head
+    val freqs = docs.filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, f) => (-f, t) }.take(2000)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (math.log10((i + 1).toDouble), math.log10(f.toDouble)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(got(src)._2 - slope) < 1e-5,
+      s"$src: ${got(src)._2} vs $slope")
+    // a natural-ish corpus should slope downward
+    got.values.foreach { case (_, s) => assert(s < 0, got) }
+  }
+
   // --- Resample.ewma ------------------------------------------------------
 
   test("ewma: seeded recurrence known answer, dyadic-exact, partitioning-invariant") {
