@@ -59,6 +59,24 @@ object Rollup {
     def estimate(c: Column): Column = hll_sketch_estimate(c)
   }
 
+  /** Parse the declarative measure DSL used by pipeline specs
+    * (`LoadSpec(mode="rollup")`): `name=count`, `name=sum(col)`,
+    * `name=min(col)`, `name=max(col)`, `name=approx_distinct(col)`.
+    * Unknown shapes fail fast with the offending spec string. */
+  def parseMeasure(spec: String): Measure = {
+    val Fn = """^\s*(\w+)\s*=\s*(\w+)\(\s*([\w.]+)\s*\)\s*$""".r
+    val Count = """^\s*(\w+)\s*=\s*count\s*$""".r
+    spec match {
+      case Count(name)                     => Measure.rowCount(name)
+      case Fn(name, "sum", c)              => Measure.sumOf(name, col(c))
+      case Fn(name, "min", c)              => Measure.minOf(name, col(c))
+      case Fn(name, "max", c)              => Measure.maxOf(name, col(c))
+      case Fn(name, "approx_distinct", c)  => Measure.approxDistinct(name, col(c))
+      case other => throw new IllegalArgumentException(
+        s"rollup measure '$other': expected name=count|sum(c)|min(c)|max(c)|approx_distinct(c)")
+    }
+  }
+
   private def keyCols(keys: Seq[String]): Seq[Column] = keys.map(col)
 
   /** Fold raw rows into per-key state. One shuffle; every measure rides

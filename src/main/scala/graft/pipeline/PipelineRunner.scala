@@ -228,6 +228,31 @@ object PipelineRunner {
         LoadReport(l.format, l.table.getOrElse(l.path), src,
           scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
             .getOrElse(-1L))
+      } else if (l.mode == "rollup") {
+        // declarative incremental-rollup landing: the delta batch is
+        // aggregated once and folded into the standing per-key state
+        // table by the measures' monoid (graft.ops.Rollup) — history is
+        // never rescanned. Same crash-safe swap as upsert (the merged
+        // plan reads the target it replaces). NOTE: additive semantics —
+        // each run must be a NEW delta (exactly-once feed); replaying a
+        // batch is the streaming runner's job (Streams.runRollup).
+        val keys = l.rollupKeys
+        val ms = l.measures.map(graft.ops.Rollup.parseMeasure)
+        Sinks.recoverSwap(df1, l.path)
+        val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val delta = graft.ops.Rollup.aggregate(df1, keys, ms)
+        val merged0 =
+          if (fs.exists(new org.apache.hadoop.fs.Path(l.path)))
+            graft.ops.Rollup.merge(spark.read.parquet(l.path), delta, keys, ms)
+          else delta
+        val mergedObs = new org.apache.spark.sql.Observation()
+        val merged = merged0.observe(mergedObs, org.apache.spark.sql
+          .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        Sinks.writeParquetSwapped(merged, l.path)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
       } else {
         Sinks.write(df, l.format, l.path, l.mode,
           l.partitionBy, l.options, l.table)

@@ -39,6 +39,8 @@ final case class LoadSpec(
     table: Option[String] = None,         // for format=table (saveAsTable)
     key: Option[String] = None,           // mode=upsert: the merge key
     versionCol: Option[String] = None,    // mode=upsert: latest-wins order
+    rollupKeys: Seq[String] = Nil,        // mode=rollup: grouping keys
+    measures: Seq[String] = Nil,          // mode=rollup: measure DSL (see Rollup.parseMeasure)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
     retryBackoffMs: Option[Long] = None,  // base backoff, doubles per attempt (default 100)
     continueOnError: Option[Boolean] = None) // failed load doesn't abort siblings (default false)
@@ -146,6 +148,8 @@ object PipelineSpec {
           repartition = attr(l, "repartition").map(_.toInt),
           options = opts(l), table = attr(l, "table"),
           key = attr(l, "key"), versionCol = attr(l, "versionCol"),
+          rollupKeys = csv(attr(l, "rollupKeys")),
+          measures = csv(attr(l, "measures")),
           retries = attr(l, "retries").map(_.toInt),
           retryBackoffMs = attr(l, "retryBackoffMs").map(_.toLong),
           continueOnError = attr(l, "continueOnError").map(_.toBoolean))
@@ -177,6 +181,14 @@ object PipelineSpec {
           "load: mode=upsert supports parquet targets only")
         require(l.key.isDefined && l.versionCol.isDefined,
           "load: mode=upsert requires 'key' and 'versionCol'")
+      }
+      if (l.mode == "rollup") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=rollup supports parquet targets only")
+        require(l.rollupKeys.nonEmpty && l.measures.nonEmpty,
+          "load: mode=rollup requires 'rollupKeys' and 'measures'")
+        // fail at parse time, not mid-run
+        l.measures.foreach(graft.ops.Rollup.parseMeasure)
       }
     }
   }

@@ -138,6 +138,42 @@ class PipelineSuite extends SparkTestBase {
     }
   }
 
+  test("T-P10: declarative rollup load folds deltas into standing aggregate state") {
+    val out = tmp() + "/rollup_target"
+    def spec(rows: Seq[String]) = PipelineSpec("tp5",
+      extracts = Seq(ExtractSpec("delta", "values",
+        path = rows.mkString("\n"),
+        schema = Some("k STRING, x BIGINT"))),
+      loads = Seq(LoadSpec("parquet", out, mode = "rollup",
+        rollupKeys = Seq("k"),
+        measures = Seq("n=count", "s=sum(x)", "lo=min(x)", "hi=max(x)"))))
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":"a","x":10}""", """{"k":"a","x":20}""", """{"k":"b","x":5}""")))
+    val r2 = PipelineRunner.run(spark, spec(Seq(
+      """{"k":"a","x":30}""", """{"k":"c","x":1}""")))
+    assert(r2.loads.head.rows == 3L,
+      s"rollup reports the standing key count: ${r2.loads.head.rows}")
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("k") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 60L, 10L, 30L)),
+      "b" -> ((1L, 5L, 5L, 5L)),
+      "c" -> ((1L, 1L, 1L, 1L))), got)
+    // validation: rollup requires parquet + keys + parseable measures
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "rollup"))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "rollup",
+          rollupKeys = Seq("k"), measures = Seq("s=median(x)")))))
+    }
+  }
+
   test("spec parameterization: ${name} binds anywhere; unbound names fail fast") {
     val out = tmp()
     val dir = java.nio.file.Files.createTempDirectory("graft-param")
