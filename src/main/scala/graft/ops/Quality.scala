@@ -136,6 +136,48 @@ object Quality {
           .otherwise(x))
   }
 
+  /** Cross-source quantile normalization: replace each row's score by
+    * the GLOBAL score distribution's value at the row's within-group
+    * percentile rank — the calibration step that makes per-source
+    * quality scores comparable before one global threshold (a
+    * length-score of 900 chars means something different in src3 than
+    * in src17; after normalization both map onto the same global
+    * scale).
+    *
+    * Scale shape: the global distribution is summarized by `knots`+1
+    * exact percentile knots from ONE aggregation (dyadic knot count →
+    * every fraction i/knots is binary-exact, the q167 discipline) and
+    * broadcast; the within-group rank is one percent_rank window; the
+    * knot lookup + linear interpolation is a pure projection. Two
+    * shuffles total, knot state corpus-size independent.
+    *
+    * Determinism: percent_rank is (rank−1)/(n−1) — exact integers, one
+    * division — and the interpolation
+    * knot[i] + (p·knots − i)·(knot[i+1] − knot[i]) is a handful of
+    * IEEE ops on engine-identical inputs, so the normalized double
+    * hash-replays cross-engine. */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                        knots: Int = 256): DataFrame = {
+    require(knots >= 2 && (knots & (knots - 1)) == 0,
+      s"knots must be a power of two for binary-exact fractions: $knots")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(scoreCol).cast("double")
+    val ps = (0 to knots).map(_.toDouble / knots).toArray
+    val kn = df.agg(percentile(x, typedLit(ps)).as("__kn"))
+    val i = least(floor(col("__p") * knots).cast("long"), lit(knots - 1L))
+    df.withColumn("__p",
+        percent_rank().over(Window.partitionBy(groupCol).orderBy(x)))
+      .crossJoin(broadcast(kn))
+      .withColumn("__i", i)
+      .withColumn("pct", col("__p"))
+      .withColumn(s"${scoreCol}_qn",
+        element_at(col("__kn"), (col("__i") + 1).cast("int")) +
+          (col("__p") * knots - col("__i")) *
+          (element_at(col("__kn"), (col("__i") + 2).cast("int")) -
+            element_at(col("__kn"), (col("__i") + 1).cast("int"))))
+      .drop("__kn", "__i", "__p")
+  }
+
   sealed trait Expectation { def name: String }
   final case class NotNull(colName: String) extends Expectation {
     val name = s"not_null($colName)"

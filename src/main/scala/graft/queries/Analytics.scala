@@ -1050,6 +1050,41 @@ object Analytics {
       graft.ops.TextAnalysis.zipfSlope(Tables.table(s, d, "documents"),
           "text", "source", topK = 2000)
         .orderBy("g")
+    },
+
+    // Cross-source quantile normalization (Quality.quantileNormalize):
+    // within-source percent_rank mapped onto 257 exact global
+    // percentile knots (dyadic fractions — the q167 discipline) with
+    // linear interpolation, making per-source scores comparable before
+    // a global threshold. percent_rank is exact integers ÷ once; the
+    // interpolation is deterministic IEEE on engine-identical knots,
+    // so the normalized doubles hash-replay.
+    dfQ("q185_quantile_normalize",
+      s"""WITH kn AS (
+         |  SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE),
+         |    ${(0 to 256).map(i => s"$i/256.0").mkString("[", ", ", "]")}) v
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, n_chars,
+         |    PERCENT_RANK() OVER (PARTITION BY source
+         |      ORDER BY CAST(n_chars AS DOUBLE)) p
+         |  FROM documents),
+         |j AS (
+         |  SELECT doc_id, source, n_chars, p,
+         |    CAST(LEAST(FLOOR(p * 256), 255) AS BIGINT) i FROM p)
+         |SELECT doc_id, source, n_chars, p pct,
+         |  v[CAST(i + 1 AS INTEGER)] + (p * 256 - i) *
+         |    (v[CAST(i + 2 AS INTEGER)] - v[CAST(i + 1 AS INTEGER)])
+         |    n_chars_qn
+         |FROM j CROSS JOIN kn
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Quality.quantileNormalize(
+          Tables.table(s, d, "documents")
+            .select("doc_id", "source", "n_chars"),
+          "source", "n_chars", knots = 256)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
+          col("n_chars_qn"))
+        .orderBy("doc_id")
     }
   )
 }

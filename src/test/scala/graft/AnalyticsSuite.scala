@@ -503,6 +503,39 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Quality.quantileNormalize ------------------------------------------
+
+  test("quantileNormalize: endpoints map to global min/max, ranks monotone, sources aligned") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "source", "n_chars")
+    val qn = Quality.quantileNormalize(docs, "source", "n_chars")
+    val rows = qn.collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_chars"), r.getAs[Double]("pct"),
+      r.getAs[Double]("n_chars_qn")))
+    val (gmin, gmax) = (rows.map(_._2).min.toDouble, rows.map(_._2).max.toDouble)
+    rows.foreach { case (src, _, p, v) =>
+      assert(p >= 0 && p <= 1)
+      assert(v >= gmin - 1e-9 && v <= gmax + 1e-9, s"$src $v outside global")
+      if (p == 0.0) assert(v == gmin, s"p=0 must map to the global min, got $v")
+      if (p == 1.0) assert(v == gmax, s"p=1 must map to the global max, got $v")
+    }
+    // within a source, normalized scores are monotone in the raw score
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      rs.sortBy(_._2).map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-12)
+        case _           =>
+      }
+    }
+    // after normalization every source's median sits near the global
+    // median (that is the point of the calibration)
+    val gMed = rows.map(_._4).sorted.apply(rows.length / 2)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val m = rs.map(_._4).sorted.apply(rs.length / 2)
+      assert(math.abs(m - gMed) / math.max(gMed.abs, 1.0) < 0.25,
+        s"$src median $m vs global $gMed")
+    }
+  }
+
   // --- Sampling.temporalSplit / TextAnalysis.pmi + zipf -------------------
 
   test("temporalSplit: microsecond-exact boundaries, embargo dropped from both") {
