@@ -127,16 +127,21 @@ object Components {
     var n = surv.count()
     var it = 0
     var done = n == 0
+    // each round checkpoints the filtered DEGREE table (not just the
+    // node set): on convergence (m == n, the peel is monotone so equal
+    // count = equal set) the last round's degrees against the previous
+    // survivor set ARE the in-core degrees — no extra final pass
+    var coreDeg = surv.withColumn("deg", lit(0L))
     while (!done && it < maxIters) {
-      val next = aliveDegrees(surv).filter(col("deg") >= k)
-        .select(col("u").as("node")).localCheckpoint()
-      val m = next.count()
+      val nextDeg = aliveDegrees(surv).filter(col("deg") >= k)
+        .select(col("u").as("node"), col("deg")).localCheckpoint()
+      val m = nextDeg.count()
       done = m == n || m == 0
       surv.unpersist()
-      surv = next; n = m; it += 1
+      coreDeg = nextDeg
+      surv = nextDeg.select("node"); n = m; it += 1
     }
-    aliveDegrees(surv)
-      .select(col("u").as("node"), col("deg").cast("long").as("core_deg"))
+    coreDeg.select(col("node"), col("deg").cast("long").as("core_deg"))
   }
 
   /** Per-node triangle counts — the local clustering signal (spam/link-farm
