@@ -592,4 +592,55 @@ object Dedup {
     asg.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
   }
+
+  /** Sorted-neighborhood candidate pairs — the classic entity-resolution
+    * blocking method, the third candidate-generation family next to
+    * MinHash-LSH (set similarity) and SimHash (Hamming): sort the
+    * corpus by a normalized blocking key and emit every pair within
+    * `window` positions. Near-duplicates with a shared prefix/sort key
+    * land adjacent no matter how the rest of the record differs, which
+    * catches exactly the class LSH shingling dilutes (short keys,
+    * heavy shared boilerplate, id-like fields). Confirm emitted pairs
+    * with an exact measure downstream (edit distance, Jaccard — the
+    * usual tier discipline).
+    *
+    * Scale shape: NO global window. The global rank is the
+    * [[Packing]]-style two-shuffle prefix scheme — range-partition by
+    * (key, id), per-partition row_number, partition bases broadcast —
+    * deterministic (total order) and partition-count independent
+    * (suite-asserted). The windowed self-join is a banded equi-join:
+    * side A duplicates into its own and the NEXT rank bucket, so each
+    * in-window pair meets exactly once on the bucket key; never
+    * all-pairs. Output: (a, b, gap) with rank(a) < rank(b). */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String, key: Column,
+                          window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val t = docs.select(col(idCol).as("id"), key.as("k"))
+    val parted = t.repartitionByRange(nParts, col("k"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__rn",
+      row_number().over(Window.partitionBy("__pid").orderBy("k", "id"))
+        .cast("long"))
+    val wb = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local.groupBy("__pid").agg(max("__rn").as("__cnt"))
+      .withColumn("__base", coalesce(sum("__cnt").over(wb), lit(0L)))
+      .select("__pid", "__base")
+    val ranked = local.join(broadcast(bases), Seq("__pid"))
+      .select(col("id"), col("k"), (col("__base") + col("__rn")).as("r"))
+      .withColumn("__b", expr(s"(r - 1) DIV ${window}L"))
+    val left = ranked.select(col("id").as("a"), col("k").as("key_a"),
+        col("r").as("ra"), col("__b").as("band"))
+      .unionByName(ranked.select(col("id").as("a"), col("k").as("key_a"),
+        col("r").as("ra"), (col("__b") + 1).as("band")))
+    val right = ranked.select(col("id").as("b"), col("k").as("key_b"),
+      col("r").as("rb"), col("__b").as("band"))
+    left.join(right, Seq("band"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+      .select(col("a"), col("b"), (col("rb") - col("ra")).as("gap"),
+        col("key_a"), col("key_b"))
+  }
 }

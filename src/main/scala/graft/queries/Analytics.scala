@@ -1085,6 +1085,34 @@ object Analytics {
         .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
           col("n_chars_qn"))
         .orderBy("doc_id")
+    },
+
+    // Sorted-neighborhood blocking (Dedup.sortedNeighborPairs): the
+    // third candidate-generation family (vs MinHash set-similarity and
+    // SimHash Hamming) — global sort by a normalized key prefix, pairs
+    // within a 3-position window, exact edit-distance confirm. The
+    // global rank is the Packing-style two-shuffle prefix scheme (no
+    // single-partition window); the oracle replays rank, window, and
+    // confirm from the definition.
+    dfQ("q187_sorted_neighbor",
+      """WITH t AS (
+        |  SELECT doc_id id, SUBSTRING(LOWER(text), 1, 24) k
+        |  FROM documents),
+        |r AS (SELECT id, k,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY k, id) AS BIGINT) r
+        |      FROM t),
+        |p AS (
+        |  SELECT a.id a, b.id b, b.r - a.r gap, a.k key_a, b.k key_b
+        |  FROM r a JOIN r b ON b.r > a.r AND b.r <= a.r + 3)
+        |SELECT a, b, CAST(gap AS BIGINT) gap
+        |FROM p WHERE LEVENSHTEIN(key_a, key_b) <= 4
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      graft.ops.Dedup.sortedNeighborPairs(
+          Tables.table(s, d, "documents"), "doc_id",
+          substring(lower(col("text")), 1, 24), window = 3)
+        .filter(levenshtein(col("key_a"), col("key_b")) <= 4)
+        .select(col("a"), col("b"), col("gap"))
+        .orderBy("a", "b")
     }
   )
 }

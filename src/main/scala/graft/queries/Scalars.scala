@@ -118,6 +118,34 @@ object Scalars {
       """SELECT l_orderkey, ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(l_linenumber)), ',') lines
         |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
       """SELECT l_orderkey, ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') lines
-        |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+        |FROM lineitem WHERE l_orderkey < 30 GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+
+    // F8+: the Spark 4 VARIANT type — parse_json → typed path
+    // extraction (variant_get), nested navigation, and
+    // try_variant_get's null-on-missing. The oracle replays the same
+    // paths over the raw JSON text with DuckDB's JSON extractors —
+    // VARIANT is an encoding, the CONTRACT is path semantics.
+    sqlQ("q186_variant",
+      """WITH j AS (
+        |  SELECT event_id,
+        |    CONCAT('{"a": ', CAST(user_id AS STRING),
+        |           ', "b": {"c": "', event_type, '"}}') js
+        |  FROM events WHERE user_id < 25)
+        |SELECT event_id,
+        |  CAST(variant_get(parse_json(js), '$.a', 'long') AS BIGINT) a,
+        |  variant_get(parse_json(js), '$.b.c', 'string') c,
+        |  CAST(try_variant_get(parse_json(js), '$.missing', 'long')
+        |    AS BIGINT) m
+        |FROM j ORDER BY event_id""".stripMargin,
+      """WITH j AS (
+        |  SELECT event_id,
+        |    CONCAT('{"a": ', CAST(user_id AS STRING),
+        |           ', "b": {"c": "', event_type, '"}}') js
+        |  FROM events WHERE user_id < 25)
+        |SELECT event_id,
+        |  CAST(JSON_EXTRACT(js, '$.a') AS BIGINT) a,
+        |  JSON_EXTRACT_STRING(js, '$.b.c') c,
+        |  CAST(JSON_EXTRACT(js, '$.missing') AS BIGINT) m
+        |FROM j ORDER BY event_id""".stripMargin)
   )
 }

@@ -68,6 +68,18 @@ object Streams {
   def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** ST4c: `dropDuplicatesWithinWatermark` — unlike [[dedup]], the key
+    * need not include the event-time column's value in the state key
+    * semantics: two records with the SAME id but different timestamps
+    * still dedup, as long as they arrive within the watermark delay of
+    * each other. This is the CDC-replay shape (a retried producer
+    * re-emits the same id with a fresh timestamp); plain
+    * dropDuplicates would keep both forever or key on the exact ts. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserStat(user_id: Long, n: Long, sum_value: Double)
 
   /** ST5: arbitrary stateful aggregation via flatMapGroupsWithState —

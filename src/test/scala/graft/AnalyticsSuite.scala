@@ -503,6 +503,33 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Dedup.sortedNeighborPairs ------------------------------------------
+
+  test("sortedNeighborPairs: equals the brute-force rank-window definition; partition-invariant") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val key = substring(lower(col("text")), 1, 24)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborPairs(df, "doc_id", key, window = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = pairs(docs)
+    assert(pairs(docs.repartition(3)) == got,
+      "pair set must not depend on input partitioning")
+    // brute force from the definition
+    val ranked = docs.select(col("doc_id"), key.as("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1) }
+    val want = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb > ra && rb <= ra + 3
+    } yield (a, b, (rb - ra).toLong)).toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    // every pair appears exactly once (the band duplication can't double)
+    val multi = Dedup.sortedNeighborPairs(docs, "doc_id", key, 3)
+      .groupBy("a", "b").count().filter(col("count") > 1).count()
+    assert(multi == 0, "banded join must emit each pair exactly once")
+  }
+
   // --- Quality.quantileNormalize ------------------------------------------
 
   test("quantileNormalize: endpoints map to global min/max, ranks monotone, sources aligned") {

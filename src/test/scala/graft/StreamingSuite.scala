@@ -72,6 +72,23 @@ class StreamingSuite extends SparkTestBase {
     assert(memTable("st4").select("event_id").distinct().count() == 50)
   }
 
+  test("ST4c: dropDuplicatesWithinWatermark dedups same-id records with DIFFERENT timestamps") {
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val base = (1L to 30L).map(i =>
+      (i, Timestamp.valueOf(s"2024-01-01 10:${10 + (i % 40)}:00"), i * 1.0))
+    // a retried producer re-emits ids 1-10 with timestamps 2 minutes
+    // later — same id, DIFFERENT ts: plain dropDuplicates("event_id","ts")
+    // would keep both; within-watermark dedup must not
+    val retries = base.take(10).map { case (id, ts, v) =>
+      (id, new Timestamp(ts.getTime + 120000L), v) }
+    input.addData(base ++ retries)
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    Streams.runToMemory(Streams.dedupWithinWatermark(df), "st4c",
+      OutputMode.Append())
+    assert(memTable("st4c").count() == 30)
+    assert(memTable("st4c").select("event_id").distinct().count() == 30)
+  }
+
   test("ST5: flatMapGroupsWithState running stats equal batch aggregation") {
     Streams.runToMemory(
       Streams.userRunningStats(Streams.eventsStream(spark, sf0001))
