@@ -55,4 +55,19 @@ object Projection {
     df.select(col(idCol), explode(array(comps: _*)).as("e"))
       .select(col(idCol), col("e.j").as("j"), col("e.y").as("y"))
   }
+
+  /** Array-output form for downstream vector ops (ANN candidate
+    * generation): one row per id with the projected vector. Same
+    * signs, same ordered fold, no explode. */
+  def randomProjectionVec(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, outDim: Int,
+                          seed: String = "jl"): DataFrame = {
+    require(dim > 0 && outDim > 0, s"bad dims: $dim -> $outDim")
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(sign(seed, i, j))): _*)
+      aggregate(zip_with(col(vecCol), signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    df.select(col(idCol), array(comps: _*).as("yv"))
+  }
 }

@@ -146,6 +146,29 @@ object Scalars {
         |  CAST(JSON_EXTRACT(js, '$.a') AS BIGINT) a,
         |  JSON_EXTRACT_STRING(js, '$.b.c') c,
         |  CAST(JSON_EXTRACT(js, '$.missing') AS BIGINT) m
-        |FROM j ORDER BY event_id""".stripMargin)
+        |FROM j ORDER BY event_id""".stripMargin),
+
+    // F1 completion: the split_part / translate / left / right /
+    // repeat / reverse string family plus count_if and
+    // percentile_disc(0.5) — identical semantics both engines
+    // (DuckDB's discrete quantile is the same smallest-value-with-
+    // cum_dist ≥ p rule as SQL:2008 PERCENTILE_DISC).
+    sqlQ("q188_string_breadth2",
+      """SELECT p_size,
+        |  CAST(COUNT_IF(p_retailprice > 900.0) AS BIGINT) rich,
+        |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY p_retailprice) med,
+        |  MIN(CONCAT(SPLIT_PART(p_name, ' ', 2), '|',
+        |    TRANSLATE(p_brand, '#', '-'), '|', LEFT(p_name, 5), '|',
+        |    RIGHT(p_name, 4), '|', REPEAT(SUBSTRING(p_brand, 7, 1), 3), '|',
+        |    REVERSE(p_type))) probe
+        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin,
+      """SELECT p_size,
+        |  CAST(COUNT_IF(p_retailprice > 900.0) AS BIGINT) rich,
+        |  QUANTILE_DISC(p_retailprice, 0.5) med,
+        |  MIN(CONCAT(SPLIT_PART(p_name, ' ', 2), '|',
+        |    TRANSLATE(p_brand, '#', '-'), '|', LEFT(p_name, 5), '|',
+        |    RIGHT(p_name, 4), '|', REPEAT(SUBSTRING(p_brand, 7, 1), 3), '|',
+        |    REVERSE(p_type))) probe
+        |FROM part GROUP BY p_size ORDER BY p_size""".stripMargin)
   )
 }

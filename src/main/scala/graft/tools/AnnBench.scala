@@ -114,6 +114,33 @@ object AnnBench {
         queryIds, k, nprobe = 8, rerankFactor = 8))
     }
 
+    // JL random-projection tier (ops/Projection): compress 64→16 dims
+    // with the MD5 ±1 family, generate k·8 candidates by brute-force
+    // cosine in the PROJECTED space (4× less arithmetic + bandwidth per
+    // comparison), then exact-rerank the candidates on raw vectors —
+    // the cheap zero-shuffle first-stage filter ahead of the
+    // IVF/PQ tiers.
+    val (jlVec, jlBuildSec) = time {
+      val p = graft.ops.Projection.randomProjectionVec(
+        emb, "vec_id", "embedding", dim, 16).cache()
+      p.count(); p
+    }
+    val (jlSet, jlQuerySec) = time {
+      val cand = Similarity.exactTopK(jlVec, "vec_id", "yv",
+          queryFilter, k * 8)
+        .select(col("q"), col("v"))
+      val qe = emb.select(col("vec_id").as("q"), col("embedding").as("qe"))
+      val ve = emb.select(col("vec_id").as("v"), col("embedding").as("ve"))
+      val rescored = cand.join(qe, "q").join(ve, "v")
+        .select(col("q"), col("v"),
+          expr("cosine_similarity(qe, ve)").as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q").orderBy(desc("sim"), col("v"))
+      pairs(rescored.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= k))
+    }
+
     // Full-corpus Lloyd refinement (ops/Clustering): one refinement
     // iteration over ALL n rows in the quantizer's normalized space —
     // the per-iteration price a standing index pays to close the
@@ -184,6 +211,7 @@ object AnnBench {
         s""","ivf_build_sec":${f(ivfBuildSec)},"ivf_query_sec":${f(ivfQuerySec)},"ivf_recall":${f(recall(ivfSet))}""" +
         s""","pq_build_sec":${f(pqBuildSec)},"pq_query_sec":${f(pqQuerySec)},"pq_recall":${f(recall(pqSet))}""" +
         s""","ivfpq_build_sec":${f(ivfpqBuildSec)},"ivfpq_query_sec":${f(ivfpqQuerySec)},"ivfpq_recall":${f(recall(ivfpqSet))}""" +
+        s""","jl_build_sec":${f(jlBuildSec)},"jl_query_sec":${f(jlQuerySec)},"jl_recall":${f(recall(jlSet))}""" +
         s""","lloyd_iter_sec":${f(lloydIterSec)},"ivf_refined_assign_sec":${f(refAssignSec)},"ivf_refined_query_sec":${f(refQuerySec)},"ivf_refined_recall":${f(recall(refSet))}""" +
         s""","pq_lloyd_iter_sec":${f(pqLloydIterSec)}""" +
         s""","fixture_q119_cold_sec":${f(fixtureColdSec)},"fixture_q119_warm_sec":${f(fixtureWarmSec)}""" +
