@@ -1113,6 +1113,44 @@ object Analytics {
         .filter(levenshtein(col("key_a"), col("key_b")) <= 4)
         .select(col("a"), col("b"), col("gap"))
         .orderBy("a", "b")
+    },
+
+    // Composite evaluation report: the purged temporal split (q182)
+    // feeding grouped ROC-AUC (q173) in ONE query — does the score's
+    // ranking power hold from train to test, measured leakage-free?
+    // The oracle replays split assignment, the per-split rank-sum, and
+    // the single division end-to-end.
+    dfQ("q189_eval_report",
+      """WITH sp AS (
+        |  SELECT value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y,
+        |    CASE WHEN ts <= TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |         WHEN ts > TIMESTAMP '2024-01-20 00:00:00'
+        |              + INTERVAL 24 HOUR THEN 'test'
+        |         ELSE 'embargo' END split
+        |  FROM events),
+        |ps AS (
+        |  SELECT split, value s,
+        |    CAST(SUM(y) AS BIGINT) p,
+        |    CAST(SUM(1 - y) AS BIGINT) g
+        |  FROM sp WHERE split <> 'embargo' GROUP BY split, value),
+        |c AS (
+        |  SELECT split, p, g, COALESCE(SUM(g) OVER (PARTITION BY split
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) nb
+        |  FROM ps)
+        |SELECT split, CAST(SUM(p) AS BIGINT) n_pos,
+        |  CAST(SUM(g) AS BIGINT) n_neg,
+        |  CAST(SUM(p * (2 * nb + g)) AS BIGINT) num2,
+        |  CAST(SUM(p * (2 * nb + g)) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(p) AS BIGINT) * CAST(SUM(g) AS BIGINT)) auc
+        |FROM c GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      val split = Sampling.temporalSplit(Tables.table(s, d, "events"),
+          "ts", "2024-01-20 00:00:00", embargoSeconds = 86400L)
+        .filter(col("split") =!= "embargo")
+      Stats.rocAuc(split, col("value"), col("event_type") === "purchase",
+          groups = Seq("split"))
+        .orderBy("split")
     }
   )
 }

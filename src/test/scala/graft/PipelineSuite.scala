@@ -528,6 +528,28 @@ class PipelineSuite extends SparkTestBase {
       "the fixture tails should actually clip")
   }
 
+  test("T-P11: QuantileNormalizeStage calibrates per-source scores in a declarative feed") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp11",
+      "extracts": [
+        {"view": "documents", "format": "parquet", "path": "$sf0001/documents.parquet"}],
+      "transforms": [
+        {"view": "calibrated",
+         "className": "graft.pipeline.stages.QuantileNormalizeStage",
+         "inputs": ["documents"]},
+        {"view": "gated",
+         "sql": "SELECT * FROM calibrated WHERE n_chars_qn >= 200"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/gated"}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val back = spark.read.parquet(s"$out/gated")
+    assert(back.count() > 0)
+    assert(back.agg(min("n_chars_qn")).head().getDouble(0) >= 200.0)
+    assert(back.columns.contains("pct") && back.columns.contains("doc_id"))
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")
