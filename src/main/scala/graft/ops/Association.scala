@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining — the support/confidence/lift
+  * readout over any basket definition (a session's event types, an
+  * order's parts, a document's vocabulary terms). PMI (q183) is
+  * ln(lift) over document baskets; this is the general operator with
+  * the retail-analytics vocabulary.
+  *
+  * Scale shape: rows collapse to DISTINCT (basket, item) first; the
+  * within-basket self-join fans out quadratically only in distinct
+  * items per basket (sessions and orders are short). Support counts
+  * stay integral; confidence and lift are single divisions of exact
+  * integer products, so the doubles hash-replay cross-engine.
+  */
+object Association {
+
+  /** Pair rules a→b over baskets identified by `basketCols`:
+    * (item_a, item_b, c_ab, c_a, c_b, confidence = c_ab/c_a,
+    * lift = c_ab·N/(c_a·c_b)) for unordered pairs with
+    * c_ab ≥ `minSupport`, item_a < item_b. */
+  def liftPairs(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                minSupport: Long = 1L): DataFrame = {
+    require(basketCols.nonEmpty, "liftPairs needs basket key columns")
+    val bk: Seq[Column] = basketCols.map(col)
+    val b = df.select(bk :+ col(itemCol).as("item"): _*).distinct()
+    val nBaskets = b.select(bk: _*).distinct().count()
+    val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = b.select(bk :+ col("item").as("item_a"): _*)
+      .join(b.select(bk :+ col("item").as("item_b"): _*), basketCols)
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    pairs
+      .join(singles.select(col("item").as("item_a"), col("c").as("c_a")),
+        "item_a")
+      .join(singles.select(col("item").as("item_b"), col("c").as("c_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("c_ab").cast("long").as("c_ab"),
+        col("c_a").cast("long").as("c_a"), col("c_b").cast("long").as("c_b"),
+        (col("c_ab").cast("double") / col("c_a")).as("confidence"),
+        ((col("c_ab") * lit(nBaskets)).cast("double") /
+          (col("c_a") * col("c_b"))).as("lift"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics pair over an event stream: ordered k-step funnels
@@ -108,5 +109,26 @@ object Funnel {
       .groupBy(col("cohort"),
         (datediff(col("day"), col("cohort")) / 7).cast("int").as("week_offset"))
       .agg(countDistinct("user").as("users"))
+  }
+
+  /** Top-k entry paths: each user's first `maxLen` events (by ts, tie
+    * broken by `tieCol`) joined into a `>`-separated path string,
+    * counted across users — the "how do people start" readout. One
+    * window + two grouped aggregations; the per-user path rides a
+    * sorted collect bounded by `maxLen` (never the full history). */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, tieCol: String, maxLen: Int,
+               topK: Int): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, s"bad maxLen/topK: $maxLen/$topK")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val paths = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(userCol))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("__rn").as("rn"),
+          col(typeCol).as("t")))), _.getField("t"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Indexing, Layout, Rollup, Sampling, Stats}
+import graft.ops.{Components, Funnel, Indexing, Layout, Rollup, Sampling, Stats}
 import Support._
 
 /** Round-8 analytics + pipeline additions (SURVEY.md §2 breadth):
@@ -1151,6 +1151,105 @@ object Analytics {
       Stats.rocAuc(split, col("value"), col("event_type") === "purchase",
           groups = Seq("split"))
         .orderBy("split")
+    },
+
+    // Top entry paths (Funnel.topPaths): each user's first 5 events
+    // joined into a path string, counted corpus-wide — the
+    // "how do journeys start" readout. Sorted-collect per user is
+    // bounded by maxLen, not history. Ordered STRING_AGG replays it.
+    dfQ("q190_top_paths",
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) n
+        |FROM p GROUP BY path
+        |ORDER BY n DESC, path LIMIT 25""".stripMargin) { (s, d) =>
+      Funnel.topPaths(Tables.events(s, d), "user_id", "event_type",
+        "ts", "event_id", maxLen = 5, topK = 25)
+    },
+
+    // Funnel latency distribution: among signup→click→purchase
+    // completers (the q163 greedy-earliest semantics), the
+    // microsecond-exact end-to-end gap, with exact-interpolated
+    // p50/p75 (dyadic fractions both engines parse identically —
+    // the q167 percentile discipline).
+    dfQ("q191_funnel_latency",
+      """WITH s1 AS (
+        |  SELECT user_id u, MIN(ts) t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.u, MIN(s1.t1) t1,
+        |    MIN(CASE WHEN e.ts > s1.t1 THEN e.ts END) t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.u AND e.event_type = 'click'
+        |  GROUP BY s1.u),
+        |s3 AS (
+        |  SELECT s2.u, MIN(s2.t1) t1, MIN(s2.t2) t2,
+        |    MIN(CASE WHEN e.ts > s2.t2 THEN e.ts END) t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.u AND e.event_type = 'purchase'
+        |  GROUP BY s2.u),
+        |g AS (SELECT CAST(EPOCH_US(t3) - EPOCH_US(t1) AS BIGINT) gap
+        |      FROM s3 WHERE t3 IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) n,
+        |  QUANTILE_CONT(CAST(gap AS DOUBLE), 0.5) p50_us,
+        |  QUANTILE_CONT(CAST(gap AS DOUBLE), 0.75) p75_us
+        |FROM g""".stripMargin) { (s, d) =>
+      val f = Funnel.funnel(Tables.events(s, d), "user_id", "event_type",
+          "ts", Seq("signup", "click", "purchase"))
+        .filter(col("t3").isNotNull)
+        .select((unix_micros(col("t3")) - unix_micros(col("t1")))
+          .cast("double").as("gap"))
+      f.agg(count(lit(1)).cast("long").as("n"),
+        percentile(col("gap"), lit(0.5)).as("p50_us"),
+        percentile(col("gap"), lit(0.75)).as("p75_us"))
+    },
+
+    // Session market-basket rules (Association.liftPairs over
+    // Sessionize baskets): which event types co-occur within a
+    // 30-minute session beyond independence — support/confidence/lift
+    // with exact-integer counts and single divisions; the oracle
+    // replays sessionization (the q84 lag+cumsum form), basket
+    // distinct, pair mining, and both ratios.
+    dfQ("q192_market_basket",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(CASE WHEN prev IS NULL
+        |          OR ts > prev + INTERVAL 1800 SECOND
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq
+        |  FROM o),
+        |b AS (SELECT DISTINCT user_id, session_seq, event_type item FROM s),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM
+        |       (SELECT DISTINCT user_id, session_seq FROM b)),
+        |sg AS (SELECT item, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY item),
+        |pr AS (
+        |  SELECT a.item item_a, c.item item_b, CAST(COUNT(*) AS BIGINT) c_ab
+        |  FROM b a JOIN b c ON a.user_id = c.user_id
+        |    AND a.session_seq = c.session_seq AND a.item < c.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, c_ab, sa.c c_a, sb.c c_b,
+        |  CAST(c_ab AS DOUBLE) / sa.c confidence,
+        |  CAST(c_ab * n AS DOUBLE) / (sa.c * sb.c) lift
+        |FROM pr JOIN sg sa ON sa.item = item_a
+        |  JOIN sg sb ON sb.item = item_b CROSS JOIN nb
+        |WHERE c_ab >= 5
+        |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+      val sess = graft.ops.Sessionize.sessionize(Tables.events(s, d),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+      graft.ops.Association.liftPairs(sess,
+          Seq("user_id", "session_seq"), "event_type", minSupport = 5L)
+        .orderBy("item_a", "item_b")
     }
   )
 }

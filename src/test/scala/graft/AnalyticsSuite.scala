@@ -503,6 +503,25 @@ class AnalyticsSuite extends SparkTestBase {
     assert(scans == 1, s"expected 1 raw scan, got $scans:\n$plan")
   }
 
+  // --- Association.liftPairs ----------------------------------------------
+
+  test("liftPairs: hand-computed support/confidence/lift; duplicates collapse") {
+    // 4 baskets; x,y always together (lift 2); a independent of x
+    val rows = Seq(
+      (1, "x"), (1, "y"), (1, "a"), (1, "x"), // dup x collapses
+      (2, "x"), (2, "y"),
+      (3, "a"),
+      (4, "a"), (4, "b")).toDF("basket", "item")
+    val got = Association.liftPairs(rows, Seq("basket"), "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    // x,y: c_ab=2, c_x=2, c_y=2, N=4 → conf 1.0, lift 2.0
+    assert(got(("x", "y")) == ((2L, 1.0, 2.0)), got)
+    // a,x: c_ab=1, c_a=3, c_x=2 → conf 1/3, lift 4/6
+    val (c, conf, lift) = got(("a", "x"))
+    assert(c == 1L && conf == 1.0 / 3.0 && lift == 4.0 / 6.0, got)
+  }
+
   // --- Dedup.sortedNeighborPairs ------------------------------------------
 
   test("sortedNeighborPairs: equals the brute-force rank-window definition; partition-invariant") {
