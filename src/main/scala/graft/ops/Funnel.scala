@@ -131,4 +131,48 @@ object Funnel {
     paths.groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(topK)
   }
+
+  /** MATCH_RECOGNIZE-lite: classify sessions by regex motifs over their
+    * ordered event-initial strings. Each session (the [[Sessionize]]
+    * gap-based `session_seq`) becomes a compact path like `"vvcp"`
+    * (first `maxLen` events by ts/tie — the cap bounds per-session
+    * state exactly like [[topPaths]]), and every supplied
+    * (name, regex) motif is counted with a conditional sum in ONE final
+    * aggregation — not one job per motif. A session may match several
+    * motifs; `share` = sessions-matching / total-sessions, a single
+    * division of exact counts.
+    *
+    * Portability: keep motifs inside the RE2-compatible subset
+    * (literals, classes, anchors, `+ * ? |`) — Spark's `rlike` is
+    * java.util.regex and DuckDB's REGEXP_MATCHES is RE2; they agree
+    * exactly on that subset but not on backreferences/lookaround. */
+  def sessionMotifs(sessions: DataFrame, userCol: String, sessCol: String,
+                    typeCol: String, tsCol: String, tieCol: String,
+                    motifs: Seq[(String, String)],
+                    maxLen: Int = 50): DataFrame = {
+    require(motifs.nonEmpty, "sessionMotifs: need at least one motif")
+    val w = Window.partitionBy(col(userCol), col(sessCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val paths = sessions
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(userCol), col(sessCol))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("__rn").as("rn"),
+          substring(col(typeCol), 1, 1).as("c")))),
+        _.getField("c"))).as("path"))
+    val aggs = count(lit(1)).as("total") +:
+      motifs.map { case (name, re) =>
+        sum(when(col("path").rlike(re), 1L).otherwise(0L)).as(s"__m_$name")
+      }
+    val one = paths.agg(aggs.head, aggs.tail: _*)
+    val entries = motifs.map { case (name, _) =>
+      struct(lit(name).as("motif"),
+        col(s"__m_$name").cast("long").as("sessions"))
+    }
+    one.select(col("total"), explode(array(entries: _*)).as("e"))
+      .select(col("e.motif").as("motif"), col("e.sessions").as("sessions"),
+        col("total").cast("long").as("total"),
+        (col("e.sessions").cast("double") / col("total")).as("share"))
+  }
 }

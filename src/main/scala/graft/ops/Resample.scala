@@ -138,4 +138,43 @@ object Resample {
         (acc, e) => acc * lit(1 - alpha) + e.getField("x") * lit(alpha)))
       .drop("__a")
   }
+
+  /** Seasonal (day-of-week) profile per group: for each (group, dow)
+    * cell, row count, mean and sample variance of the value — the
+    * weekly-seasonality baseline a metrics pipeline subtracts before
+    * anomaly detection. ONE scan, ONE grouped aggregation; the output
+    * is |groups|·7 rows.
+    *
+    * Determinism discipline: the value is fixed-pointed by an exact
+    * IEEE power-of-two scale (`floor(value · 2^scaleBits)` — both
+    * engines floor the identical double), sums accumulate integrally
+    * (DECIMAL(38,0)), the mean divides ONCE, and the variance is the
+    * exact-integer form (n·Σx² − (Σx)²)/(n·(n−1)) with ONE division —
+    * so every double hash-replays. `dow` is computed from epoch days
+    * ((days + 4) mod 7, 0 = Sunday; 1970-01-01 was a Thursday) rather
+    * than an engine DOW function — DuckDB and Spark disagree on
+    * day-numbering conventions, epoch arithmetic is convention-free. */
+  def seasonalProfile(df: DataFrame, groupCol: String, tsCol: String,
+                      valueCol: String, scaleBits: Int = 6): DataFrame = {
+    require(scaleBits >= 0 && scaleBits <= 20, s"scaleBits: $scaleBits")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scale = (1L << scaleBits).toDouble
+    val days = call_function("div", unix_micros(col(tsCol)),
+      lit(86400000000L))
+    val dow = pmod(days + 4, lit(7L))
+    val vx = floor(col(valueCol) * lit(scale)).cast("long")
+    val g = df
+      .select(col(groupCol), dow.as("dow"), vx.as("__v"))
+      .groupBy(col(groupCol), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("__v").cast(dec38)).as("__s"),
+        sum((col("__v") * col("__v")).cast(dec38)).as("__ss"))
+    val n = col("n").cast(dec38)
+    g.select(col(groupCol), col("dow").cast("long").as("dow"),
+      col("n").cast("long").as("n"),
+      (col("__s").cast("double") / (col("n") * lit(scale))).as("mean"),
+      when(col("n") < 2, lit(null)).otherwise(
+        ((n * col("__ss") - col("__s") * col("__s")).cast("double") /
+          ((n * (n - lit(1).cast(dec38))).cast("double") * lit(scale * scale)))
+      ).as("variance"))
+  }
 }

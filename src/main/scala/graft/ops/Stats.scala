@@ -209,4 +209,128 @@ object Stats {
             (col("n") * least(col("na") - 1, col("nb") - 1))))
           .as("cramers_v"))
   }
+
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Two-predictor ordinary least squares, y = b0 + b1·x1 + b2·x2, by
+    * Cramer's rule over the centered normal equations — multivariate
+    * regression as ONE aggregation and a closed-form projection, no
+    * gradient loop, no MLlib.
+    *
+    * Inputs must be integral (scale fixed-point first — the q158/q159
+    * discipline). All nine raw moments accumulate as DECIMAL(38,0)
+    * (order-free exact integer sums; per-row products fit BIGINT by
+    * precondition), the centered sums S·· = n·Σab − Σa·Σb and Cramer
+    * determinants stay exact decimal integers (DuckDB replays them in
+    * HUGEINT), and each coefficient is ONE double division — so the
+    * doubles hash-replay cross-engine. Overflow bound: |num| < 1e38
+    * holds through ~10M rows at these fixtures' magnitudes; beyond
+    * that, switch the moment casts to double and drop the hash oracle.
+    *
+    * Returns one row: n, b0, b1, b2, r2. Degenerate designs
+    * (collinear x1/x2, constant y) yield NULL coefficients rather than
+    * an ANSI divide-by-zero error. */
+  def ols2(df: DataFrame, x1: Column, x2: Column, y: Column): DataFrame = {
+    def s(c: Column) = sum(c.cast(dec38))
+    val m = df.agg(
+      count(lit(1)).as("n"), s(x1).as("s1"), s(x2).as("s2"), s(y).as("sy"),
+      s(x1 * x1).as("s11"), s(x2 * x2).as("s22"), s(x1 * x2).as("s12"),
+      s(x1 * y).as("s1y"), s(x2 * y).as("s2y"), s(y * y).as("syy"))
+    val n = col("n").cast(dec38)
+    val sxx = n * col("s11") - col("s1") * col("s1")
+    val szz = n * col("s22") - col("s2") * col("s2")
+    val sxz = n * col("s12") - col("s1") * col("s2")
+    val sxy = n * col("s1y") - col("s1") * col("sy")
+    val szy = n * col("s2y") - col("s2") * col("sy")
+    val syy2 = n * col("syy") - col("sy") * col("sy")
+    val det = sxx * szz - sxz * sxz
+    val d = det.cast("double")
+    val b1 = (szz * sxy - sxz * szy).cast("double") / d
+    val b2 = (sxx * szy - sxz * sxy).cast("double") / d
+    m.withColumn("__b1", when(det === 0, lit(null)).otherwise(b1))
+      .withColumn("__b2", when(det === 0, lit(null)).otherwise(b2))
+      .select(col("n").cast("long").as("n"),
+        ((col("sy").cast("double") - col("__b1") * col("s1").cast("double")
+          - col("__b2") * col("s2").cast("double"))
+          / col("n").cast("double")).as("b0"),
+        col("__b1").as("b1"), col("__b2").as("b2"),
+        when(syy2 === 0, lit(null)).otherwise(
+          (col("__b1") * sxy.cast("double") + col("__b2") * szy.cast("double"))
+            / syy2.cast("double")).as("r2"))
+  }
+
+  /** Per-key autocorrelation at lags 1..maxLag over a time-ordered
+    * integral series — the seasonality/trend probe of a metrics
+    * pipeline. Computed entirely in the exact-integer identity
+    *
+    *   r_j = (n²·Σx_t·x_{t+j} − n·m·(A_j+B_j) + (n−j)·m²)
+    *         / (n²·Σx² − n·m²)
+    *
+    * where m = Σx, A_j/B_j = the first/last n−j terms' sums — every
+    * sum integral and order-free (DECIMAL(38,0)), ONE double division
+    * per lag, so values hash-replay cross-engine. The lagged products
+    * ride ONE window pass (lead(x, j) per lag) and ONE grouped
+    * aggregation; per-key state is the window buffer, bounded by the
+    * per-entity series length (the funnel/EWMA discipline). Keys with
+    * n ≤ j or zero variance get NULL at that lag. */
+  def acf(df: DataFrame, keyCol: String, tsCol: String, x: Column,
+          maxLag: Int, tieCol: String): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"maxLag in [1,8], got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val lagged = (1 to maxLag).foldLeft(
+        df.select(col(keyCol), col(tsCol), col(tieCol), x.as("__x"))) {
+      (d, j) => d
+        .withColumn(s"__l$j", lead(col("__x"), j).over(w))
+        .withColumn(s"__g$j", lag(col("__x"), j).over(w))
+    }
+    def s(c: Column) = sum(c.cast(dec38))
+    // A_j = Σ of the first n−j terms (rows with a lead-j partner);
+    // B_j = Σ of the last n−j terms (rows with a lag-j partner)
+    val aggs = Seq(count(lit(1)).as("n"), s(col("__x")).as("m"),
+      s(col("__x") * col("__x")).as("sxx")) ++
+      (1 to maxLag).flatMap { j => Seq(
+        s(col("__x") * col(s"__l$j")).as(s"c$j"),
+        s(when(col(s"__l$j").isNotNull, col("__x"))).as(s"a$j"),
+        s(when(col(s"__g$j").isNotNull, col("__x"))).as(s"b$j"))
+      }
+    val g = lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast(dec38)
+    val den = n * n * col("sxx") - n * col("m") * col("m")
+    (1 to maxLag).foldLeft(g) { (d, j) =>
+      val num = n * n * col(s"c$j") -
+        n * col("m") * (col(s"a$j") + col(s"b$j")) +
+        (n - lit(j).cast(dec38)) * col("m") * col("m")
+      d.withColumn(s"r$j",
+        when(col("n") <= j || den === lit(0).cast(dec38), lit(null))
+          .otherwise(num.cast("double") / den.cast("double")))
+    }
+      .select(col(keyCol) +: col("n").cast("long").as("n") +:
+        (1 to maxLag).map(j => col(s"r$j")): _*)
+  }
+
+  /** Two-proportion z-test — the A/B conversion readout: arm assignment
+    * and success are boolean columns, counts are exact integers from ONE
+    * conditional aggregation, and z uses the pooled-variance formula as
+    * a fixed IEEE expression tree (sqrt is correctly rounded, so the
+    * double replays cross-engine). Degenerate pools (all-success /
+    * all-failure / an empty arm) return NULL z. */
+  def twoProportionZ(df: DataFrame, armA: Column, success: Column)
+      : DataFrame = {
+    val agg = df.agg(
+      sum(when(armA, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(armA && success, 1L).otherwise(0L)).cast("long").as("s1"),
+      sum(when(!armA, 1L).otherwise(0L)).cast("long").as("n2"),
+      sum(when(!armA && success, 1L).otherwise(0L)).cast("long").as("s2"))
+    val p1 = col("s1").cast("double") / col("n1")
+    val p2 = col("s2").cast("double") / col("n2")
+    val p = (col("s1") + col("s2")).cast("double") / (col("n1") + col("n2"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    agg.withColumn("p1", when(col("n1") === 0, lit(null)).otherwise(p1))
+      .withColumn("p2", when(col("n2") === 0, lit(null)).otherwise(p2))
+      .withColumn("z",
+        when(col("n1") === 0 || col("n2") === 0, lit(null))
+          .otherwise(when(se === 0, lit(null))
+            .otherwise((col("p1") - col("p2")) / se)))
+  }
 }

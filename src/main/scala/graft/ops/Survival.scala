@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation — the churn/retention readout of an
+  * events pipeline: "what fraction of users are still active t days after
+  * their first event", with users whose observation window ends before
+  * they churn counted as censored rather than dropped (dropping them
+  * biases survival down; counting them as churned biases it up).
+  *
+  * Scale shape: subjects collapse to one row per (group, duration) with
+  * death/censor counts — ONE shuffle on (group, t) — then the at-risk
+  * counts are a descending-time running sum over that collapsed table
+  * (window over distinct durations, not subjects), and the product-limit
+  * curve folds the per-time factors in ascending-time order. Distinct
+  * durations per group bound both the window and the fold (use day/week
+  * granularity at 100 TB, never raw microseconds), so per-group state is
+  * O(distinct times), independent of subject count.
+  *
+  * Determinism: every count is integral; each factor 1 − d/n is ONE
+  * double division; the running product is an ordered left fold over the
+  * ascending-time factor array (the q181 EWMA discipline), so the
+  * survival doubles are bit-identical on any engine and partitioning —
+  * DuckDB replays the fold with `LIST_REDUCE(fs[1:i], (a,b) -> a*b)`.
+  */
+object Survival {
+
+  /** Product-limit curve from a subject table: one input row per subject
+    * with an integral `durationCol` and a boolean `observedCol` (true =
+    * the terminal event happened; false = censored at that duration).
+    * Returns one row per (group, event time): at-risk `n_risk`, deaths
+    * `d`, censored-at-t `c`, and `survival` = S(t). Censoring-only times
+    * are folded into the at-risk accounting but emit no curve row
+    * (standard KM: the curve only steps at death times). */
+  def kaplanMeier(df: DataFrame, durationCol: String, observedCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    val grp = groupCols.map(col)
+    val byT = df.groupBy(grp :+ col(durationCol).as("t"): _*)
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
+    // at-risk just before t = subjects with duration >= t: a running sum
+    // over descending t of this group's collapsed (d + c) rows
+    val wDesc = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+    val ev = risk.filter(col("d") > 0)
+    // ascending-time ordered fold: factor_i = 1 - d_i/n_i (ONE division),
+    // S at step i = ((1*f_1)*f_2)*...*f_i — prefix product via aggregate()
+    // over the slice, exactly DuckDB's LIST_REDUCE fold shape
+    val arr = ev.groupBy(grp: _*)
+      .agg(sort_array(collect_list(struct(
+        col("t"), col("d"), col("c"), col("n_risk")))).as("__a"))
+      .withColumn("__f", transform(col("__a"),
+        e => lit(1.0) - e.getField("d").cast("double") /
+          e.getField("n_risk").cast("double")))
+    arr.select(grp ++ Seq(col("__f"),
+        posexplode(col("__a")).as(Seq("__i", "__e"))): _*)
+      .select(grp ++ Seq(
+        col("__e.t").as("t"), col("__e.d").as("d"), col("__e.c").as("c"),
+        col("__e.n_risk").as("n_risk"),
+        aggregate(slice(col("__f"), lit(1), col("__i") + 1),
+          lit(1.0), (acc, f) => acc * f).as("survival")): _*)
+  }
+
+  /** Subject table for user-churn KM over the events fixture: per user,
+    * duration = whole days between first and last event, observed =
+    * the user's last event ends `quietUs` microseconds or more before
+    * the corpus's last event (quiet long enough to call churned); users
+    * still active near the corpus edge are censored. The corpus-end
+    * scalar is a broadcast one-row cross join, not a collect. */
+  def userLifetimes(events: DataFrame, userCol: String, tsCol: String,
+                    quietUs: Long): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("__first"),
+        max(unix_micros(col(tsCol))).as("__last"))
+    val corpusEnd = events.agg(max(unix_micros(col(tsCol))).as("__end"))
+    perUser.crossJoin(broadcast(corpusEnd))
+      .select(col(userCol),
+        // integral `div`, not `/`: long / long is a double divide in
+        // Spark, and a quotient landing on a representability boundary
+        // could truncate differently than DuckDB's integer `//`
+        call_function("div", col("__last") - col("__first"),
+          lit(86400000000L)).as("duration_days"),
+        (col("__last") <= col("__end") - lit(quietUs)).as("observed"))
+  }
+}

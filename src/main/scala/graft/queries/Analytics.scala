@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Funnel, Indexing, Layout, Rollup, Sampling, Stats}
+import graft.ops.{Components, Funnel, Indexing, Layout, Resample, Rollup,
+  Sampling, Stats, Survival}
 import Support._
 
 /** Round-8 analytics + pipeline additions (SURVEY.md §2 breadth):
@@ -1250,6 +1251,267 @@ object Analytics {
       graft.ops.Association.liftPairs(sess,
           Seq("user_id", "session_seq"), "event_type", minSupport = 5L)
         .orderBy("item_a", "item_b")
+    },
+
+    // Kaplan–Meier user-churn curve (Survival.kaplanMeier over
+    // Survival.userLifetimes): duration = whole days between a user's
+    // first and last event, observed = quiet ≥ 12 h before corpus
+    // end (else censored — the fixtures' users are active to the edge,
+    // so a multi-day horizon censors everyone). Counts integral; each
+    // 1 − d/n is ONE division; the product-limit curve is an
+    // ascending-time ordered fold (the q181 LIST_REDUCE discipline),
+    // so the survival doubles hash-replay.
+    dfQ("q193_kaplan_meier",
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 86400000000 t_dur,
+        |    MAX(EPOCH_US(ts)) last_us
+        |  FROM events GROUP BY user_id),
+        |ce AS (SELECT MAX(EPOCH_US(ts)) end_us FROM events),
+        |subj AS (
+        |  SELECT t_dur, last_us <= end_us - 43200000000 obs
+        |  FROM lt CROSS JOIN ce),
+        |ag AS (
+        |  SELECT t_dur t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |        CAST(SUM(d + c) OVER (ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) n_risk
+        |      FROM ag),
+        |e AS (SELECT t, d, c, n_risk FROM r WHERE d > 0),
+        |arr AS (SELECT
+        |    LIST(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |         ORDER BY t) fs,
+        |    LIST(t ORDER BY t) ts, LIST(d ORDER BY t) ds,
+        |    LIST(c ORDER BY t) cs, LIST(n_risk ORDER BY t) ns
+        |  FROM e),
+        |x AS (SELECT fs, UNNEST(ts) t, UNNEST(ds) d, UNNEST(cs) c,
+        |        UNNEST(ns) n_risk,
+        |        UNNEST(GENERATE_SERIES(1, LEN(ts))) i
+        |      FROM arr)
+        |SELECT t, d, c, n_risk,
+        |  LIST_REDUCE(fs[1:i], (a, b) -> a * b) survival
+        |FROM x ORDER BY t""".stripMargin) { (s, d) =>
+      Survival.kaplanMeier(
+          Survival.userLifetimes(Tables.events(s, d), "user_id", "ts",
+            quietUs = 43200000000L),
+          "duration_days", "observed", Seq.empty)
+        .select(col("t"), col("d"), col("c"), col("n_risk"),
+          col("survival"))
+        .orderBy("t")
+    },
+
+    // Two-predictor OLS by Cramer's rule (Stats.ols2): price-cents
+    // regressed on quantity and discount-hundredths — multivariate
+    // regression as ONE aggregation. Raw moments/centered sums/
+    // determinants all exact integers (DECIMAL(38,0) ⇄ HUGEINT), each
+    // coefficient ONE double division, so b0/b1/b2/r2 hash-replay.
+    dfQ("q194_ols",
+      """WITH t AS (
+        |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) x1,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) x2,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x1 AS HUGEINT)) s1, SUM(CAST(x2 AS HUGEINT)) s2,
+        |    SUM(CAST(y AS HUGEINT)) sy,
+        |    SUM(CAST(x1 * x1 AS HUGEINT)) s11,
+        |    SUM(CAST(x2 * x2 AS HUGEINT)) s22,
+        |    SUM(CAST(x1 * x2 AS HUGEINT)) s12,
+        |    SUM(CAST(x1 * y AS HUGEINT)) s1y,
+        |    SUM(CAST(x2 * y AS HUGEINT)) s2y,
+        |    SUM(CAST(y * y AS HUGEINT)) syy
+        |  FROM t),
+        |c AS (SELECT n, s1, s2, sy,
+        |    n * s11 - s1 * s1 sxx, n * s22 - s2 * s2 szz,
+        |    n * s12 - s1 * s2 sxz, n * s1y - s1 * sy sxy,
+        |    n * s2y - s2 * sy szy, n * syy - sy * sy syy2
+        |  FROM m),
+        |k AS (SELECT *, sxx * szz - sxz * sxz det FROM c),
+        |b AS (SELECT n, s1, s2, sy, sxy, szy, syy2,
+        |    CASE WHEN det = 0 THEN NULL ELSE
+        |      CAST(szz * sxy - sxz * szy AS DOUBLE) / CAST(det AS DOUBLE)
+        |    END b1,
+        |    CASE WHEN det = 0 THEN NULL ELSE
+        |      CAST(sxx * szy - sxz * sxy AS DOUBLE) / CAST(det AS DOUBLE)
+        |    END b2
+        |  FROM k)
+        |SELECT CAST(n AS BIGINT) n,
+        |  (CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+        |    - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) b0,
+        |  b1, b2,
+        |  CASE WHEN syy2 = 0 THEN NULL ELSE
+        |    (b1 * CAST(sxy AS DOUBLE) + b2 * CAST(szy AS DOUBLE))
+        |      / CAST(syy2 AS DOUBLE)
+        |  END r2
+        |FROM b""".stripMargin) { (s, d) =>
+      Stats.ols2(Tables.table(s, d, "lineitem"),
+        floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // Per-user autocorrelation at lags 1–3 (Stats.acf): the exact-
+    // integer identity r_j = (n²Σx·x₊ⱼ − n·m·(Aⱼ+Bⱼ) + (n−j)m²) /
+    // (n²Σx² − n·m²) — every sum order-free-integral, ONE division per
+    // lag. The value is fixed-pointed by floor(value·64) (exact IEEE
+    // power-of-two scale, identical floor on both engines).
+    dfQ("q195_acf",
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x
+        |  FROM events),
+        |l AS (SELECT user_id, x,
+        |    LEAD(x, 1) OVER w l1, LEAD(x, 2) OVER w l2,
+        |    LEAD(x, 3) OVER w l3,
+        |    LAG(x, 1) OVER w g1, LAG(x, 2) OVER w g2,
+        |    LAG(x, 3) OVER w g3
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) m, SUM(CAST(x * x AS HUGEINT)) sxx,
+        |    SUM(CAST(x * l1 AS HUGEINT)) c1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(x AS HUGEINT) END) a1,
+        |    SUM(CASE WHEN g1 IS NOT NULL THEN CAST(x AS HUGEINT) END) b1,
+        |    SUM(CAST(x * l2 AS HUGEINT)) c2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(x AS HUGEINT) END) a2,
+        |    SUM(CASE WHEN g2 IS NOT NULL THEN CAST(x AS HUGEINT) END) b2,
+        |    SUM(CAST(x * l3 AS HUGEINT)) c3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(x AS HUGEINT) END) a3,
+        |    SUM(CASE WHEN g3 IS NOT NULL THEN CAST(x AS HUGEINT) END) b3
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) n,
+        |  CASE WHEN n <= 1 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c1 - n * m * (a1 + b1) + (n - 1) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r1,
+        |  CASE WHEN n <= 2 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c2 - n * m * (a2 + b2) + (n - 2) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r2,
+        |  CASE WHEN n <= 3 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c3 - n * m * (a3 + b3) + (n - 3) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r3
+        |FROM g ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.acf(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 64).cast("long"), maxLag = 3,
+          tieCol = "event_id")
+        .orderBy("user_id")
+    },
+
+    // MATCH_RECOGNIZE-lite session motifs (Funnel.sessionMotifs): each
+    // 30-min session's ordered event-initial string classified by
+    // RE2-safe regexes, all motifs counted in ONE aggregation. The
+    // oracle replays sessionization, path building, and the regexes
+    // (java.util.regex ≡ RE2 on this subset — no backrefs/lookaround).
+    dfQ("q196_session_motifs",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(SUM(CASE WHEN prev IS NULL
+        |          OR ts > prev + INTERVAL 1800 SECOND
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq
+        |  FROM o),
+        |r AS (SELECT user_id, session_seq,
+        |    SUBSTRING(event_type, 1, 1) ch,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY ts, event_id) rn
+        |  FROM s),
+        |p AS (SELECT user_id, session_seq,
+        |    STRING_AGG(ch, '' ORDER BY rn) path
+        |  FROM r WHERE rn <= 50 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) total FROM p),
+        |m(motif, re) AS (VALUES
+        |  ('error_retry', 'e.+e'), ('pure_browse', '^[vc]+$'),
+        |  ('signup_first', '^s'), ('view_to_purchase', 'v.*p'))
+        |SELECT motif,
+        |  CAST(SUM(CASE WHEN REGEXP_MATCHES(path, re)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
+        |  total, CAST(SUM(CASE WHEN REGEXP_MATCHES(path, re)
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / total AS share
+        |FROM p CROSS JOIN m CROSS JOIN tot
+        |GROUP BY motif, total ORDER BY motif""".stripMargin) { (s, d) =>
+      val sess = graft.ops.Sessionize.sessionize(Tables.events(s, d),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+      Funnel.sessionMotifs(sess, "user_id", "session_seq", "event_type",
+          "ts", "event_id",
+          Seq("error_retry" -> "e.+e", "pure_browse" -> "^[vc]+$",
+            "signup_first" -> "^s", "view_to_purchase" -> "v.*p"),
+          maxLen = 50)
+        .orderBy("motif")
+    },
+
+    // Two-proportion z-test (Stats.twoProportionZ): users split into
+    // arms by the q82 MD5 hash-bucket parity, success = any purchase;
+    // exact integer counts from ONE conditional aggregation, z as a
+    // fixed IEEE tree over correctly-rounded sqrt — hash-replayable.
+    dfQ("q197_ab_ztest",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) conv
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT conv,
+        |    CAST(CONCAT('0x', SUBSTRING(MD5(CAST(user_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 2 = 0 arm_a
+        |  FROM u),
+        |g AS (SELECT
+        |    CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) n1,
+        |    CAST(SUM(CASE WHEN arm_a AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) s1,
+        |    CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) n2,
+        |    CAST(SUM(CASE WHEN NOT arm_a AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) s2
+        |  FROM a)
+        |SELECT n1, s1, n2, s2,
+        |  CASE WHEN n1 = 0 THEN NULL
+        |       ELSE CAST(s1 AS DOUBLE) / n1 END p1,
+        |  CASE WHEN n2 = 0 THEN NULL
+        |       ELSE CAST(s2 AS DOUBLE) / n2 END p2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE CASE WHEN SQRT(CAST(s1 + s2 AS DOUBLE) / (n1 + n2)
+        |        * (1.0 - CAST(s1 + s2 AS DOUBLE) / (n1 + n2))
+        |        * (1.0 / n1 + 1.0 / n2)) = 0 THEN NULL
+        |      ELSE (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |        / SQRT(CAST(s1 + s2 AS DOUBLE) / (n1 + n2)
+        |          * (1.0 - CAST(s1 + s2 AS DOUBLE) / (n1 + n2))
+        |          * (1.0 / n1 + 1.0 / n2)) END
+        |  END z
+        |FROM g""".stripMargin) { (s, d) =>
+      val users = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+      Stats.twoProportionZ(users,
+        Sampling.hashBucket(col("user_id"), 2) === 0, col("conv") === 1)
+    },
+
+    // Day-of-week seasonal profile (Resample.seasonalProfile): per
+    // (event_type, dow) count/mean/variance from ONE aggregation —
+    // fixed-point value scale (floor(value·64)), integral sums, exact-
+    // integer variance form, convention-free epoch-day dow.
+    dfQ("q198_seasonal_profile",
+      """WITH t AS (
+        |  SELECT event_type,
+        |    (EPOCH_US(ts) // 86400000000 + 4) % 7 dow,
+        |    CAST(FLOOR(value * 64) AS BIGINT) v
+        |  FROM events),
+        |g AS (SELECT event_type, dow, CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(v AS HUGEINT)) s, SUM(CAST(v * v AS HUGEINT)) ss
+        |  FROM t GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS BIGINT) dow, CAST(n AS BIGINT) n,
+        |  CAST(s AS DOUBLE) / (CAST(n AS BIGINT) * 64.0) mean,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    CAST(n * ss - s * s AS DOUBLE)
+        |      / (CAST(n * (n - 1) AS DOUBLE) * 4096.0)
+        |  END variance
+        |FROM g ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      Resample.seasonalProfile(Tables.events(s, d), "event_type", "ts",
+          "value", scaleBits = 6)
+        .orderBy("event_type", "dow")
     }
   )
 }

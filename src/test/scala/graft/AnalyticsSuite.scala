@@ -841,4 +841,162 @@ class AnalyticsSuite extends SparkTestBase {
       assert(math.abs(est - x).toDouble / x < 0.05, s"$k: est $est exact $x")
     }
   }
+
+  // --- Survival.kaplanMeier -----------------------------------------------
+
+  test("kaplanMeier: textbook product-limit on a hand-computed cohort") {
+    // durations (t, observed): deaths at 2 (×2), 4; censored at 3, 5
+    val subj = Seq((2L, true), (2L, true), (3L, false), (4L, true),
+      (5L, false)).toDF("dur", "obs")
+    val got = Survival.kaplanMeier(subj, "dur", "obs", Seq.empty)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    // t=2: n=5, d=2 → S=0.6; t=4: n=2 (3 censored, one at 3) → d=1 → S=0.3
+    assert(got.toSeq == Seq((2L, 2L, 5L, 0.6), (4L, 1L, 2L, 0.6 * 0.5)),
+      got.mkString(", "))
+  }
+
+  test("kaplanMeier: survival is nonincreasing and censoring only slows decline") {
+    val lt = Survival.userLifetimes(Tables.events(spark, sf0001),
+      "user_id", "ts", quietUs = 43200000000L)
+    val curve = Survival.kaplanMeier(lt, "duration_days", "observed",
+      Seq.empty).orderBy("t").collect()
+    assert(curve.nonEmpty, "fixture cohort must produce a curve")
+    val s = curve.map(_.getDouble(4))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-15 },
+      s"survival must be nonincreasing: ${s.mkString(",")}")
+    // all-observed (no censoring) KM at the last death time equals the
+    // empirical survivor fraction — the estimator's defining identity
+    val all = lt.withColumn("observed", lit(true))
+    val kmAll = Survival.kaplanMeier(all, "duration_days", "observed",
+      Seq.empty).orderBy(col("t").desc).limit(1).collect()(0)
+    assert(math.abs(kmAll.getDouble(4)) < 1e-12,
+      s"uncensored KM must hit 0 at the max duration, got $kmAll")
+  }
+
+  // --- Stats.ols2 ---------------------------------------------------------
+
+  test("ols2: recovers planted coefficients exactly on a noiseless design") {
+    // y = 7 + 3·x1 − 2·x2 over a non-collinear integer grid
+    val rows = for (a <- 0L to 9L; b <- 0L to 9L if a != b)
+      yield (a, b, 7L + 3L * a - 2L * b)
+    val df = rows.toDF("x1", "x2", "y")
+    val r = Stats.ols2(df, col("x1"), col("x2"), col("y")).collect()(0)
+    assert(r.getLong(0) == rows.size)
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-9, s"b0=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-9, s"b1=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) + 2.0) < 1e-9, s"b2=${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12, s"r2=${r.getDouble(4)}")
+  }
+
+  test("ols2: collinear design yields NULL coefficients, not an ANSI error") {
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 7L), (3L, 6L, 9L)).toDF("x1", "x2", "y")
+    val r = Stats.ols2(df, col("x1"), col("x2"), col("y")).collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3), s"expected NULL b1/b2: $r")
+  }
+
+  test("ols2: bit-identical under repartitioning (order-free decimal sums)") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.ols2(df, floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long")).collect()(0)
+    val a = run(li); val b = run(li.repartition(17, col("l_partkey")))
+    assert(a == b, s"$a vs $b")
+  }
+
+  // --- Stats.acf ----------------------------------------------------------
+
+  test("acf: known series matches a driver-side exact replay") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "ts", "x")
+    val got = Stats.acf(df, "k", "ts", col("x"), maxLag = 3, tieCol = "ts")
+      .collect()(0)
+    def ref(j: Int): Double = {
+      val n = xs.size
+      val m = xs.sum
+      val c = xs.dropRight(j).zip(xs.drop(j)).map { case (a, b) => a * b }.sum
+      val aj = xs.dropRight(j).sum; val bj = xs.drop(j).sum
+      val num = n.toLong * n * c - n * m * (aj + bj) + (n - j) * m * m
+      val den = n.toLong * n * xs.map(x => x * x).sum - n * m * m
+      num.toDouble / den.toDouble
+    }
+    (1 to 3).foreach { j =>
+      assert(math.abs(got.getDouble(1 + j) - ref(j)) < 1e-12,
+        s"lag $j: ${got.getDouble(1 + j)} vs ${ref(j)}")
+    }
+  }
+
+  test("acf: constant series → NULL (zero variance); short series → NULL lags") {
+    val const = Seq((1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L), (1L, 4L, 5L))
+      .toDF("k", "ts", "x")
+    val r = Stats.acf(const, "k", "ts", col("x"), 3, "ts").collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), s"$r")
+    val short = Seq((1L, 1L, 2L), (1L, 2L, 7L)).toDF("k", "ts", "x")
+    val r2 = Stats.acf(short, "k", "ts", col("x"), 3, "ts").collect()(0)
+    assert(!r2.isNullAt(2) && r2.isNullAt(3) && r2.isNullAt(4),
+      s"n=2 has lag-1 only: $r2")
+  }
+
+  // --- Funnel.sessionMotifs -----------------------------------------------
+
+  test("sessionMotifs: hand-built sessions classify correctly, ONE aggregation") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Long) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: [view view purchase] then (gap) [error view error];
+    // user 2: [signup]
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "view"),
+      (1L, ts(2), 3L, "purchase"),
+      (1L, ts(120), 4L, "error"), (1L, ts(121), 5L, "view"),
+      (1L, ts(122), 6L, "error"),
+      (2L, ts(0), 7L, "signup")).toDF("user_id", "ts", "event_id",
+      "event_type")
+    val sess = Sessionize.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+    val got = Funnel.sessionMotifs(sess, "user_id", "session_seq",
+        "event_type", "ts", "event_id",
+        Seq("err" -> "e.+e", "buy" -> "v.*p", "first" -> "^s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("err") == ((1L, 3L, 1.0 / 3)), got.toString)
+    assert(got("buy") == ((1L, 3L, 1.0 / 3)), got.toString)
+    assert(got("first") == ((1L, 3L, 1.0 / 3)), got.toString)
+  }
+
+  // --- Stats.twoProportionZ -----------------------------------------------
+
+  test("twoProportionZ: hand-computed pooled z; degenerate arms → NULL") {
+    // arm A: 60/100, arm B: 45/100
+    val rows = (0 until 100).map(i => (true, i < 60)) ++
+      (0 until 100).map(i => (false, i < 45))
+    val df = rows.toDF("arm", "succ")
+    val r = Stats.twoProportionZ(df, col("arm"), col("succ")).collect()(0)
+    val p = 105.0 / 200
+    val se = math.sqrt(p * (1 - p) * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getDouble(6) - (0.60 - 0.45) / se) < 1e-12, s"$r")
+    val solo = Seq((true, true), (true, false)).toDF("arm", "succ")
+    val r2 = Stats.twoProportionZ(solo, col("arm"), col("succ")).collect()(0)
+    assert(r2.isNullAt(5) && r2.isNullAt(6), s"empty arm must NULL p2/z: $r2")
+  }
+
+  // --- Resample.seasonalProfile -------------------------------------------
+
+  test("seasonalProfile: epoch-day dow convention and exact moments") {
+    // 1970-01-01 was a Thursday → dow 4; 1970-01-04 a Sunday → dow 0
+    val ev = Seq(
+      ("a", java.sql.Timestamp.valueOf("1970-01-01 10:00:00"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("1970-01-01 11:00:00"), 4.0),
+      ("a", java.sql.Timestamp.valueOf("1970-01-04 09:00:00"), 8.0))
+      .toDF("g", "ts", "v")
+    val got = Resample.seasonalProfile(ev, "g", "ts", "v", scaleBits = 6)
+      .orderBy("dow").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 4L), got.mkString(","))
+    val thu = got(1)
+    assert(thu.getLong(2) == 2L && math.abs(thu.getDouble(3) - 3.0) < 1e-12)
+    // sample variance of {2,4} = 2.0 (exact in the scaled-integer form)
+    assert(math.abs(thu.getDouble(4) - 2.0) < 1e-12, thu.toString)
+    val sun = got(0)
+    assert(sun.getLong(2) == 1L && sun.isNullAt(4), sun.toString)
+  }
 }

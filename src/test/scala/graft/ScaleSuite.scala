@@ -310,7 +310,9 @@ class ScaleSuite extends SparkTestBase {
       "q120_mad_outliers",     // CROSS JOIN with the 1-row median/MAD stats
       "q159_bm25",             // CROSS JOIN with the 1-row corpus-stats relation
       "q160_temp_mixture",     // CROSS JOIN with the 1-row Σw relation
-      "q167_equidepth_hist")   // CROSS JOIN with the 1-row boundary array
+      "q167_equidepth_hist",   // CROSS JOIN with the 1-row boundary array
+      "q185_quantile_normalize", // CROSS JOIN with the 1-row knot array
+      "q193_kaplan_meier")     // CROSS JOIN with the 1-row corpus-end scalar
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
