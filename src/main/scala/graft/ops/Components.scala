@@ -212,6 +212,50 @@ object Components {
     * per round, like a components round. pr is localCheckpoint'd per
     * iteration so lineage stays flat (reliable checkpointing on a real
     * cluster). Driver state: node count only. */
+  /** Synchronous label propagation — community detection on the
+    * undirected graph: every node starts as its own label, and each
+    * round adopts the most frequent label among its neighbors, ties
+    * broken by (count DESC, label ASC). That tie rule is what makes the
+    * algorithm deterministic and oracle-able — textbook LPA breaks ties
+    * randomly and is therefore unreproducible; with a total order on
+    * candidates the fixed-round result is a pure function of the graph,
+    * bit-identical on any engine/partitioning.
+    *
+    * Scale shape: per round, ONE edge⨝label join + a (node, label)
+    * count aggregation + a per-node argmax window — the window runs
+    * over the collapsed candidate table (≤ degree distinct labels per
+    * node), never raw edges. Labels localCheckpoint'd per round (flat
+    * lineage, the [[pageRankExact]] discipline); driver state is zero.
+    * Fixed `iters` rather than convergence detection: synchronous LPA
+    * can oscillate on bipartite structures, so production runs pick a
+    * round budget — and a fixed depth is exactly replayable by an
+    * unrolled oracle. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+    val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    var lab = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = e.join(lab, e("v") === lab("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+      val next = counts
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("__rn") === 1)
+        .select(col("u").as("node"), col("label"))
+        .localCheckpoint()
+      lab.unpersist()
+      lab = next
+    }
+    lab
+  }
+
   def pageRankExact(edges: DataFrame, aCol: String, bCol: String,
                     iters: Int = 3, scale: Long = 1000000L,
                     dampPct: Int = 85,

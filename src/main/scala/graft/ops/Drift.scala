@@ -131,4 +131,61 @@ object Drift {
       .select(lit(c).as("column"), col("psi"), col("n_ref"),
         col("n_cur"), col("n_categories"))
   }
+
+  /** Jensen–Shannon divergence between two categorical distributions
+    * (token vocabularies, event-type mixes, language histograms) — the
+    * symmetric, always-finite complement to [[psiCategorical]]: no
+    * ε floor needed because each side's zero terms vanish by the
+    * 0·ln 0 = 0 convention, and the value is bounded by ln 2.
+    *
+    *   JS(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2
+    *
+    * Scale shape: one tagged union + ONE grouped count on the category
+    * keyspace (corpus-size independent), totals via a frame-bounded
+    * window over the count table. Determinism: integral counts, shares
+    * divided once, per-term doubles folded in SORTED category order via
+    * a running window sum (the q159 discipline — IEEE addition made
+    * order-free by pinning the order), AND the ln itself quantized to
+    * the 2⁻²⁶ dyadic grid (floor(ln·2²⁶)/2²⁶ — both scalings are exact
+    * IEEE power-of-two multiplies, only the floor rounds): Java's
+    * Math.log is allowed 1 ulp of error and measurably disagrees with
+    * glibc's correctly-rounded log on real inputs (found live:
+    * ln(1.0932544676566827) differs in the last bit), so a raw ln can
+    * never be hash-compared cross-engine. 2⁻²⁶ ≈ 1.5e-8 is far below
+    * any drift-threshold decision. */
+  def jsDivergence(a: DataFrame, b: DataFrame, c: String): DataFrame = {
+    val counts = a.select(col(c).cast("string").as("category"))
+      .withColumn("__side", lit("a"))
+      .unionByName(b.select(col(c).cast("string").as("category"))
+        .withColumn("__side", lit("b")))
+      .groupBy("category")
+      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("nb"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val p = col("na") / sum("na").over(wAll)
+    val q = col("nb") / sum("nb").over(wAll)
+    val m = (p + q) / lit(2.0)
+    def lnq(x: Column): Column =
+      floor(log(x) * lit(67108864.0)) / lit(67108864.0)
+    val term =
+      when(col("na") > 0, lit(0.5) * (p * lnq(p / m))).otherwise(lit(0.0)) +
+        when(col("nb") > 0, lit(0.5) * (q * lnq(q / m))).otherwise(lit(0.0))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("category")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = counts
+      .select(col("category"), col("na"), col("nb"), term.as("__t"))
+      // totals ride the pre-filter count table; computing them after the
+      // rn=1 filter would window over a single row
+      .withColumn("__na", sum("na").over(wAll))
+      .withColumn("__nb", sum("nb").over(wAll))
+      .withColumn("__nc", count(lit(1)).over(wAll))
+      .withColumn("__js", sum("__t").over(wOrd))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("category").desc)))
+    cum.filter(col("__rn") === 1)
+      .select(col("__js").as("js"), col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        col("__nc").cast("long").as("n_categories"))
+  }
 }

@@ -236,4 +236,46 @@ object Quality {
     (aggRows ++ uniqueRows ++ refRows)
       .toDF("expectation", "violations")
   }
+
+  /** Benford first-digit profile — the fabricated-data / corrupt-feed
+    * smell test: naturally occurring multi-magnitude quantities follow
+    * P(d) = log10(1 + 1/d); ledger-like columns that deviate hard were
+    * often generated, truncated, or capped. Returns one row per leading
+    * digit (1–9) with observed count/share, the Benford expectation,
+    * and the (repeated) global chi-squared statistic.
+    *
+    * `x` must be a positive integral column (fixed-point first; zeros
+    * and negatives are filtered — they have no leading digit). ONE
+    * grouped count on 9 keys; shares and expectations are single
+    * divisions; the expectation is computed IN-ENGINE as ln(1+1/d)/ln 10
+    * on both sides with the ln quantized to the 2⁻²⁶ dyadic grid (the
+    * [[Drift.jsDivergence]] finding: Java Math.log is 1-ulp loose vs
+    * glibc, so raw ln outputs cannot be hash-compared); chi² folds its
+    * 9 terms in digit order via a running window sum (the q159
+    * ordered-fold discipline). */
+  def benford(df: DataFrame, x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = substring(x.cast("string"), 1, 1).cast("long")
+    val counts = df.filter(x > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val share = col("n").cast("double") / sum("n").over(wAll)
+    def lnq(c: Column): Column =
+      floor(log(c) * lit(67108864.0)) / lit(67108864.0)
+    val expect = lnq(lit(1.0) + lit(1.0) / col("digit")) / lnq(lit(10.0))
+    val wOrd = Window.orderBy("digit").rowsBetween(Long.MinValue, 0)
+    val t = counts
+      .withColumn("share", share)
+      .withColumn("expected", expect)
+      .withColumn("__term",
+        (col("share") - col("expected")) * (col("share") - col("expected"))
+          / col("expected"))
+      .withColumn("__cum", sum("__term").over(wOrd))
+      .withColumn("__total", sum("n").over(wAll))
+      .withColumn("__last", max(col("__cum")).over(wAll))
+    t.select(col("digit"), col("n").cast("long").as("n"),
+      col("share"), col("expected"),
+      (col("__total").cast("double") * col("__last")).as("chi2"))
+  }
 }

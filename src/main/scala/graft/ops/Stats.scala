@@ -308,6 +308,35 @@ object Stats {
         (1 to maxLag).map(j => col(s"r$j")): _*)
   }
 
+  /** Per-group Gini coefficient — the concentration/inequality readout
+    * (how skewed is revenue across orders, token mass across documents,
+    * traffic across users):
+    *
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),  x ascending, i = 1..n
+    *
+    * `x` must be a nonnegative integral column (fixed-point first). The
+    * rank is a per-group window (ONE shuffle shared with the grouped
+    * aggregation that follows); Σi·xᵢ is tie-order invariant — permuting
+    * equal x values permutes ranks across identical multiplicands — so
+    * the engines' differing tie orders cannot change the sum. All sums
+    * DECIMAL(38,0)-exact and order-free, ONE double division; empty or
+    * all-zero groups yield NULL. */
+  def gini(df: DataFrame, groupCol: String, x: Column): DataFrame = {
+    val ranked = df.select(col(groupCol), x.as("__x"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__x"))))
+    val g = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec38)).as("s"),
+        sum((col("__i") * col("__x")).cast(dec38)).as("a"))
+    val n = col("n").cast(dec38)
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      col("s").cast("double").as("total"),
+      when(col("s") === lit(0).cast(dec38), lit(null)).otherwise(
+        (lit(2).cast(dec38) * col("a") - (n + lit(1).cast(dec38)) * col("s"))
+          .cast("double") / (n * col("s")).cast("double")).as("gini"))
+  }
+
   /** Two-proportion z-test — the A/B conversion readout: arm assignment
     * and success are boolean columns, counts are exact integers from ONE
     * conditional aggregation, and z uses the pooled-variance formula as

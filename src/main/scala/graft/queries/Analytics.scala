@@ -1512,6 +1512,148 @@ object Analytics {
       Resample.seasonalProfile(Tables.events(s, d), "event_type", "ts",
           "value", scaleBits = 6)
         .orderBy("event_type", "dow")
+    },
+
+    // Per-group Gini coefficient (Stats.gini): revenue concentration
+    // across line items per return flag. Rank·value sums are tie-order
+    // invariant (equal values × permuted ranks), every sum integral
+    // (DECIMAL(38,0) ⇄ HUGEINT), ONE division — the double hash-replays.
+    dfQ("q199_gini",
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, y,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY y) i
+        |  FROM t),
+        |g AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(y AS HUGEINT)) s, SUM(CAST(i * y AS HUGEINT)) a
+        |  FROM r GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) n, CAST(s AS DOUBLE) total,
+        |  CASE WHEN s = 0 THEN NULL ELSE
+        |    CAST(2 * a - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
+        |  END gini
+        |FROM g ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Stats.gini(Tables.table(s, d, "lineitem"), "l_returnflag",
+          floor(col("l_extendedprice") * 100).cast("long"))
+        .orderBy("l_returnflag")
+    },
+
+    // Deterministic label propagation (Components.labelPropagation):
+    // communities on the q158 part↔supplier co-occurrence graph, ties
+    // broken (count DESC, label ASC) so the fixed-round assignment is a
+    // pure function of the graph — the oracle unrolls all three rounds
+    // (MATERIALIZED, the q179 lesson: each round is referenced by the
+    // next and DuckDB would otherwise inline the chain exponentially).
+    dfQ("q200_label_prop",
+      """WITH raw AS (
+        |  SELECT DISTINCT l_partkey * 2 u, l_suppkey * 2 + 1 v
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+        |c1 AS MATERIALIZED (
+        |  SELECT e.u, l.label AS label, COUNT(*) AS c FROM e
+        |  JOIN l0 l ON e.v = l.node GROUP BY e.u, l.label),
+        |l1 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY c DESC, label) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT e.u, l.label AS label, COUNT(*) AS c FROM e
+        |  JOIN l1 l ON e.v = l.node GROUP BY e.u, l.label),
+        |l2 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY c DESC, label) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS MATERIALIZED (
+        |  SELECT e.u, l.label AS label, COUNT(*) AS c FROM e
+        |  JOIN l2 l ON e.v = l.node GROUP BY e.u, l.label),
+        |l3 AS MATERIALIZED (
+        |  SELECT u AS node, label FROM (
+        |    SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY c DESC, label) AS rn FROM c3) WHERE rn = 1)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select((col("l_partkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      Components.labelPropagation(li, "a", "b", iters = 3).orderBy("node")
+    },
+
+    // Jensen–Shannon divergence (Drift.jsDivergence) between two
+    // sources' token distributions — the symmetric bounded drift
+    // readout. Integral counts, shares divided once, per-token terms
+    // folded in sorted-token order (q159 discipline), 0·ln 0 terms
+    // dropped exactly on both engines.
+    dfQ("q201_js_divergence",
+      """WITH ta AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |  FROM documents WHERE source = 'src0'),
+        |a AS (SELECT tok FROM ta WHERE tok <> ''),
+        |tb AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |  FROM documents WHERE source = 'src1'),
+        |b AS (SELECT tok FROM tb WHERE tok <> ''),
+        |ca AS (SELECT tok category, CAST(COUNT(*) AS BIGINT) na
+        |  FROM a GROUP BY 1),
+        |cb AS (SELECT tok category, CAST(COUNT(*) AS BIGINT) nb
+        |  FROM b GROUP BY 1),
+        |cnt AS (SELECT COALESCE(ca.category, cb.category) category,
+        |    COALESCE(na, 0) na, COALESCE(nb, 0) nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        |w AS (SELECT category, na, nb,
+        |    na / SUM(na) OVER () p, nb / SUM(nb) OVER () q,
+        |    SUM(na) OVER () ta2, SUM(nb) OVER () tb2,
+        |    COUNT(*) OVER () nc
+        |  FROM cnt),
+        |x AS (SELECT category, na, nb, ta2, tb2, nc,
+        |    CASE WHEN na > 0 THEN 0.5 * (p *
+        |      (FLOOR(LN(p / ((p + q) / 2.0)) * 67108864.0) / 67108864.0))
+        |      ELSE 0.0 END
+        |    + CASE WHEN nb > 0 THEN 0.5 * (q *
+        |      (FLOOR(LN(q / ((p + q) / 2.0)) * 67108864.0) / 67108864.0))
+        |      ELSE 0.0 END AS term
+        |  FROM w),
+        |y AS (SELECT ta2, tb2, nc,
+        |    SUM(term) OVER (ORDER BY category ROWS UNBOUNDED PRECEDING) cum,
+        |    ROW_NUMBER() OVER (ORDER BY category DESC) rn
+        |  FROM x)
+        |SELECT cum AS js, CAST(ta2 AS BIGINT) n_a, CAST(tb2 AS BIGINT) n_b,
+        |  CAST(nc AS BIGINT) n_categories
+        |FROM y WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      def toks(src: String) = docs.filter(col("source") === src)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.Drift.jsDivergence(toks("src0"), toks("src1"), "tok")
+    },
+
+    // Benford first-digit profile (Quality.benford): leading-digit
+    // shares of price cents vs log10(1+1/d), chi² folded in digit
+    // order; the expectation is computed in-engine on BOTH sides so no
+    // Scala-vs-DuckDB ln ulp can slip in.
+    dfQ("q202_benford",
+      """WITH t AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y
+        |  FROM lineitem),
+        |c AS (SELECT CAST(SUBSTRING(CAST(y AS STRING), 1, 1) AS BIGINT)
+        |      digit, CAST(COUNT(*) AS BIGINT) n
+        |  FROM t WHERE y > 0 GROUP BY 1),
+        |w AS (SELECT digit, n,
+        |    CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+        |    (FLOOR(LN(1.0 + 1.0 / digit) * 67108864.0) / 67108864.0)
+        |      / (FLOOR(LN(10.0) * 67108864.0) / 67108864.0) AS expected,
+        |    SUM(n) OVER () AS total
+        |  FROM c),
+        |x AS (SELECT *, (share - expected) * (share - expected) / expected
+        |      AS term FROM w),
+        |y AS (SELECT digit, n, share, expected, total,
+        |    SUM(term) OVER (ORDER BY digit ROWS UNBOUNDED PRECEDING) cum
+        |  FROM x)
+        |SELECT digit, n, share, expected,
+        |  CAST(total AS DOUBLE) * MAX(cum) OVER () chi2
+        |FROM y ORDER BY digit""".stripMargin) { (s, d) =>
+      graft.ops.Quality.benford(Tables.table(s, d, "lineitem"),
+          floor(col("l_extendedprice") * 100).cast("long"))
+        .orderBy("digit")
     }
   )
 }

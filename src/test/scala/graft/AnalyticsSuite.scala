@@ -980,6 +980,106 @@ class AnalyticsSuite extends SparkTestBase {
     assert(r2.isNullAt(5) && r2.isNullAt(6), s"empty arm must NULL p2/z: $r2")
   }
 
+  // --- Stats.gini ---------------------------------------------------------
+
+  test("gini: known answers — perfect equality 0, full concentration → (n-1)/n") {
+    val eq = Seq.fill(8)(5L).zipWithIndex.map { case (x, i) => ("g", x) }
+      .toDF("g", "x")
+    val g1 = Stats.gini(eq, "g", col("x")).collect()(0)
+    assert(g1.getDouble(3) == 0.0, g1.toString)
+    val conc = (Seq.fill(9)(0L) :+ 100L).map(("g", _)).toDF("g", "x")
+    val g2 = Stats.gini(conc, "g", col("x")).collect()(0)
+    assert(math.abs(g2.getDouble(3) - 0.9) < 1e-12, g2.toString)
+    // hand case: {1,2,3,4} → G = (2·(1+4+9+16) − 5·10)/(4·10) = 10/40
+    val h = Seq(("g", 3L), ("g", 1L), ("g", 4L), ("g", 2L)).toDF("g", "x")
+    val g3 = Stats.gini(h, "g", col("x")).collect()(0)
+    assert(math.abs(g3.getDouble(3) - 0.25) < 1e-12, g3.toString)
+  }
+
+  test("gini: tie-order invariant and partitioning-invariant") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val x = floor(col("l_quantity")).cast("long") // heavy ties: 50 values
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.gini(df, "l_returnflag", x).orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(run(li) == run(li.repartition(13, col("l_orderkey"))),
+      "equal-value rank permutations must not change the sum")
+  }
+
+  // --- Components.labelPropagation ----------------------------------------
+
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    // K4 {1..4} + K4 {11..14}, bridged by (4, 11)
+    def k4(off: Long) = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a + off, b + off)
+    val edges = (k4(0) ++ k4(10) :+ (4L, 11L)).toDF("a", "b")
+    val got = Components.labelPropagation(edges, "a", "b", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Set(1L, 2L, 3L).map(got)
+    val c2 = Set(12L, 13L, 14L).map(got)
+    assert(c1.size == 1 && c2.size == 1, s"cliques must be uniform: $got")
+    assert(c1 != c2, s"distinct communities expected: $got")
+  }
+
+  test("labelPropagation: deterministic under repartitioning; round-1 = min neighbor") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    def run(df: org.apache.spark.sql.DataFrame, it: Int) =
+      Components.labelPropagation(df, "a", "b", it).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(li, 3) == run(li.repartition(11, col("a")), 3))
+    // round 1: every neighbor label is distinct (node ids), so all counts
+    // tie at 1 and the (count DESC, label ASC) rule picks the min neighbor
+    val one = run(li, 1)
+    val adj = li.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).min }
+    assert(one == adj, "round-1 label must be the minimum neighbor id")
+  }
+
+  // --- Drift.jsDivergence ---------------------------------------------------
+
+  test("jsDivergence: identical → 0, disjoint → ln 2, symmetric, bounded") {
+    val a = Seq("x", "x", "y", "z").toDF("t")
+    val b = Seq("x", "y", "y", "z").toDF("t")
+    val same = Drift.jsDivergence(a, a, "t").collect()(0)
+    assert(same.getDouble(0) == 0.0, same.toString)
+    val dis = Drift.jsDivergence(Seq("p", "q").toDF("t"),
+      Seq("r", "s").toDF("t"), "t").collect()(0)
+    // quantized ln: within 2^-26 of ln 2
+    assert(math.abs(dis.getDouble(0) - math.log(2)) < 1e-7, dis.toString)
+    val ab = Drift.jsDivergence(a, b, "t").collect()(0).getDouble(0)
+    val ba = Drift.jsDivergence(b, a, "t").collect()(0).getDouble(0)
+    assert(math.abs(ab - ba) < 1e-9 && ab > 0 && ab < math.log(2),
+      s"js(a,b)=$ab js(b,a)=$ba")
+  }
+
+  // --- Quality.benford ------------------------------------------------------
+
+  test("benford: exact counts, shares sum to 1, genuine multi-magnitude data fits") {
+    // 1..999 uniform: every leading digit d has 1 + 10 + 100 = 111 values
+    val df = (1L to 999L).toDF("x")
+    val rows = Quality.benford(df, col("x")).orderBy("digit").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L),
+      rows.map(_.getLong(0)).mkString(","))
+    assert(rows.forall(_.getLong(1) == 111L), rows.mkString(","))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12, s"shares sum to $shareSum")
+    // chi2 identical on every row and positive (uniform ≠ Benford)
+    assert(rows.map(_.getDouble(4)).distinct.size == 1)
+    assert(rows(0).getDouble(4) > 0)
+    // a geometric series (multi-magnitude growth) fits Benford closely:
+    // chi2 per-N statistic much smaller than the uniform case's
+    val geo = (0 until 200).map(i => math.pow(1.07, i).toLong + 1)
+      .toDF("x")
+    val g = Quality.benford(geo, col("x")).collect()
+    assert(g(0).getDouble(4) / 200 < rows(0).getDouble(4) / 999,
+      s"geometric ${g(0).getDouble(4)} vs uniform ${rows(0).getDouble(4)}")
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {
