@@ -166,11 +166,11 @@ object Drift {
     val p = col("na") / sum("na").over(wAll)
     val q = col("nb") / sum("nb").over(wAll)
     val m = (p + q) / lit(2.0)
-    def lnq(x: Column): Column =
-      floor(log(x) * lit(67108864.0)) / lit(67108864.0)
     val term =
-      when(col("na") > 0, lit(0.5) * (p * lnq(p / m))).otherwise(lit(0.0)) +
-        when(col("nb") > 0, lit(0.5) * (q * lnq(q / m))).otherwise(lit(0.0))
+      when(col("na") > 0, lit(0.5) * (p * Exact.lnq(p / m)))
+        .otherwise(lit(0.0)) +
+        when(col("nb") > 0, lit(0.5) * (q * Exact.lnq(q / m)))
+          .otherwise(lit(0.0))
     val wOrd = org.apache.spark.sql.expressions.Window.orderBy("category")
       .rowsBetween(Long.MinValue, 0)
     val cum = counts

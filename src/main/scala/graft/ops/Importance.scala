@@ -53,10 +53,13 @@ object Importance {
       .localCheckpoint(false)
     val tot = voc.agg(sum("cs").as("ts"), sum("ct").as("tt"),
       count(lit(1)).as("v"))
+    // Exact.lnq, not raw log: the weight doubles are hash-compared, and
+    // Java/glibc ln disagree by 1 ulp on real inputs (q201 finding)
     voc.crossJoin(broadcast(tot))
       .select(col("w"),
-        (log((col("ct") + lit(1.0)) / (col("tt") + col("v"))) -
-          log((col("cs") + lit(1.0)) / (col("ts") + col("v")))).as("wt"))
+        (Exact.lnq((col("ct") + lit(1.0)) / (col("tt") + col("v"))) -
+          Exact.lnq((col("cs") + lit(1.0)) / (col("ts") + col("v"))))
+          .as("wt"))
   }
 
   /** (id, n_tokens, score) for every source document with at least one

@@ -83,7 +83,8 @@ object Indexing {
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("tot").cast("double") / col("nd"))
       .withColumn("idf",
-        log(lit(1.0) + (col("nd") - col("dfq") + lit(0.5)) /
+        // quantized ln (q201 finding): idf feeds the hash-checked score
+        Exact.lnq(lit(1.0) + (col("nd") - col("dfq") + lit(0.5)) /
           (col("dfq") + lit(0.5))))
       .withColumn("s",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /

@@ -66,7 +66,9 @@ object Lm {
       .join(c1, Seq("p"), "left_outer")
       .crossJoin(broadcast(v))
       .select(col("id"),
-        log((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
+        // quantized ln (q201 finding): raw Math.log is 1-ulp loose vs
+        // glibc and the per-bigram lp doubles feed a hash-checked score
+        Exact.lnq((coalesce(col("n2"), lit(0L)) + lit(1.0)) /
           (coalesce(col("n1"), lit(0L)) + col("nv"))).as("lp"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), avg("lp").as("score"))

@@ -261,9 +261,8 @@ object Quality {
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val share = col("n").cast("double") / sum("n").over(wAll)
-    def lnq(c: Column): Column =
-      floor(log(c) * lit(67108864.0)) / lit(67108864.0)
-    val expect = lnq(lit(1.0) + lit(1.0) / col("digit")) / lnq(lit(10.0))
+    val expect = Exact.lnq(lit(1.0) + lit(1.0) / col("digit")) /
+      Exact.lnq(lit(10.0))
     val wOrd = Window.orderBy("digit").rowsBetween(Long.MinValue, 0)
     val t = counts
       .withColumn("share", share)

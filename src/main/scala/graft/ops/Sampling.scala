@@ -164,7 +164,10 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     // u in (0, 1]: shift the bucket by one so u is never 0
     val u = (hashBucket(col(idCol), buckets) + 1).cast("double") / buckets
-    val priority = when(col(weightCol) > 0, log(u) / col(weightCol))
+    // quantized ln (q201 finding): the priority ranks a hash-checked
+    // top-k, and a raw-ln 1-ulp flip near a rank boundary would change
+    // the selected set
+    val priority = when(col(weightCol) > 0, Exact.lnq(u) / col(weightCol))
       .otherwise(lit(Double.NegativeInfinity))
     // larger priority wins (log u is negative; dividing by a larger
     // weight moves it toward 0)

@@ -276,7 +276,8 @@ object Analytics {
         |        FROM tf GROUP BY term),
         |sc AS (
         |  SELECT tf.doc_id, tf.term,
-        |    LN(1 + (nd - dfq + 0.5) / (dfq + 0.5)) * (tf * (1.5 + 1)) /
+        |    (FLOOR(LN(1 + (nd - dfq + 0.5) / (dfq + 0.5)) * 67108864.0)
+        |      / 67108864.0) * (tf * (1.5 + 1)) /
         |      (tf + 1.5 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / nd))) s
         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
         |cum AS (

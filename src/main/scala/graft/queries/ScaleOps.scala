@@ -1530,7 +1530,7 @@ object ScaleOps {
         |       % 1048576 + 1) / 1048576.0 u
         |  FROM documents)
         |SELECT doc_id FROM (
-        |  SELECT doc_id, LN(u) / wt p FROM w
+        |  SELECT doc_id, (FLOOR(LN(u) * 67108864.0) / 67108864.0) / wt AS p FROM w
         |  ORDER BY p DESC, doc_id LIMIT 50) t
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.table(s, d, "documents")
@@ -1637,7 +1637,9 @@ object ScaleOps {
         |  FROM sv FULL OUTER JOIN tv ON sv.w = tv.w),
         |tot AS (SELECT CAST(SUM(cs) AS BIGINT) ts, CAST(SUM(ct) AS BIGINT) tt,
         |               COUNT(*) v FROM voc),
-        |wt AS (SELECT w, LN((ct + 1.0) / (tt + v)) - LN((cs + 1.0) / (ts + v)) wt
+        |wt AS (SELECT w,
+        |    FLOOR(LN((ct + 1.0) / (tt + v)) * 67108864.0) / 67108864.0
+        |    - FLOOR(LN((cs + 1.0) / (ts + v)) * 67108864.0) / 67108864.0 AS wt
         |       FROM voc CROSS JOIN tot)
         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
         |       ROUND(SUM(wt.wt), 6) score
@@ -1728,7 +1730,8 @@ object ScaleOps {
         |  FROM sw CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) t(i)),
         |j AS (
         |  SELECT doc_id,
-        |    LN((COALESCE(n2, 0) + 1.0) / (COALESCE(n1, 0) + nv)) lp
+        |    FLOOR(LN((COALESCE(n2, 0) + 1.0) / (COALESCE(n1, 0) + nv))
+        |      * 67108864.0) / 67108864.0 AS lp
         |  FROM sb
         |  LEFT JOIN c2 ON sb.p = c2.p AND sb.w = c2.w
         |  LEFT JOIN c1 ON sb.p = c1.p
@@ -1998,7 +2001,8 @@ object ScaleOps {
         |  FROM sw CROSS JOIN UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) t(i)),
         |j AS (
         |  SELECT doc_id,
-        |    LN((COALESCE(n2, 0) + 1.0) / (COALESCE(n1, 0) + nv)) lp
+        |    FLOOR(LN((COALESCE(n2, 0) + 1.0) / (COALESCE(n1, 0) + nv))
+        |      * 67108864.0) / 67108864.0 AS lp
         |  FROM sb
         |  LEFT JOIN c2 ON sb.p = c2.p AND sb.w = c2.w
         |  LEFT JOIN c1 ON sb.p = c1.p

@@ -134,7 +134,9 @@ class AnalyticsSuite extends SparkTestBase {
       val matched = terms.flatMap { t =>
         val tf = corpus(d).count(_ == t).toLong
         if (tf == 0) None else Some(t -> {
-          val idf = math.log(1.0 + (nd - dfq(t) + 0.5) / (dfq(t) + 0.5))
+          // mirrors Exact.lnq — the idf is dyadically quantized in-op
+          val idf = math.floor(math.log(1.0 +
+            (nd - dfq(t) + 0.5) / (dfq(t) + 0.5)) * 67108864.0) / 67108864.0
           idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl(d) / avgdl))
         })
       }.sortBy(_._1)

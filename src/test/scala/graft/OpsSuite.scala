@@ -1375,8 +1375,10 @@ class OpsSuite extends SparkTestBase {
     assert(w(1L)._2 > w(3L)._2 && w(3L)._2 > w(2L)._2,
       s"monotone in target affinity: $w")
     // hand-check doc 1: vocab {aa, bb}, cs(aa)=6, cs(bb)=6, ct(aa)=6,
-    // ct(bb)=0, ts=12, tt=6, v=2 → wt(aa)=ln(7/8)-ln(7/14); score=4·wt
-    val expected = 4.0 * (math.log(7.0 / 8.0) - math.log(7.0 / 14.0))
+    // ct(bb)=0, ts=12, tt=6, v=2 → wt(aa)=lnq(7/8)-lnq(7/14); score=4·wt
+    // (lnq = the op's Exact.lnq dyadic quantization)
+    def lnq(x: Double) = math.floor(math.log(x) * 67108864.0) / 67108864.0
+    val expected = 4.0 * (lnq(7.0 / 8.0) - lnq(7.0 / 14.0))
     assert(math.abs(w(1L)._2 - expected) < 1e-9, s"${w(1L)._2} vs $expected")
     // hashed variant with collision-free bucket count: identical scores
     val h = Importance.hashedImportanceWeights(source, target, "doc_id",
@@ -1513,9 +1515,11 @@ class OpsSuite extends SparkTestBase {
       .toMap
     assert(got.keySet == Set(1L, 2L, 3L))
     assert(got.values.forall(_._1 == 1L))
-    assert(math.abs(got(1L)._2 - math.log(2.0 / 4.0)) < 1e-12)
-    assert(math.abs(got(2L)._2 - math.log(1.0 / 4.0)) < 1e-12)
-    assert(math.abs(got(3L)._2 - math.log(1.0 / 3.0)) < 1e-12)
+    // lnq mirrors the op's Exact.lnq dyadic quantization
+    def lnq(x: Double) = math.floor(math.log(x) * 67108864.0) / 67108864.0
+    assert(math.abs(got(1L)._2 - lnq(2.0 / 4.0)) < 1e-12)
+    assert(math.abs(got(2L)._2 - lnq(1.0 / 4.0)) < 1e-12)
+    assert(math.abs(got(3L)._2 - lnq(1.0 / 3.0)) < 1e-12)
     // fixture-level sanity: German docs outscore everything else under a
     // German-trained LM (the gate this operator exists for)
     val byLang = Lm.bigramScore(docs, docs.filter(col("lang") === "de"),
