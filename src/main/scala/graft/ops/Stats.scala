@@ -337,6 +337,151 @@ object Stats {
           .cast("double") / (n * col("s")).cast("double")).as("gini"))
   }
 
+  /** Doubled average ranks for a value column, computed over the
+    * COLLAPSED distinct-value table (the [[rocAuc]] discipline — the
+    * running sum windows over distinct values, never raw rows, so no
+    * single-partition full-data window at scale): for a value v with
+    * `c` occurrences and `below` values strictly smaller, the average
+    * rank is below + (c+1)/2 — doubled to 2·below + c + 1 so it stays
+    * INTEGRAL under ties (the ×2 cancels in every rank statistic). */
+  private def doubledRanks(df: DataFrame, x: Column): DataFrame = {
+    val byV = df.groupBy(x.as("__v")).agg(count(lit(1)).as("__c"))
+    val wOrd = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+    byV.withColumn("__below", coalesce(sum("__c").over(wOrd), lit(0L)))
+      .select(col("__v"), col("__c"),
+        (lit(2L) * col("__below") + col("__c") + 1).as("__dr"))
+  }
+
+  /** Spearman rank correlation between two integral columns — the
+    * robust, monotonicity-only association measure (Pearson on average
+    * ranks; the ½ scaling of doubled ranks cancels exactly). Ranks come
+    * from two distinct-value tables joined back as projections; the
+    * nine moments ride ONE aggregation in DECIMAL(38,0); the single
+    * rounding steps are two int→double casts, two correctly-rounded
+    * sqrts, and ONE division — hash-replayable. Returns (n, rho);
+    * constant columns yield NULL. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.as("__x"), y.as("__y"))
+    val rx = doubledRanks(base, col("__x"))
+      .select(col("__v").as("__x"), col("__dr").as("__rx"))
+    val ry = doubledRanks(base, col("__y"))
+      .select(col("__v").as("__y"), col("__dr").as("__ry"))
+    val ranked = base.join(rx, "__x").join(ry, "__y")
+    def s(c: Column) = sum(c.cast(dec38))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      s(col("__rx")).as("sx"), s(col("__ry")).as("sy"),
+      s(col("__rx") * col("__rx")).as("sxx"),
+      s(col("__ry") * col("__ry")).as("syy"),
+      s(col("__rx") * col("__ry")).as("sxy"))
+    val n = col("n").cast(dec38)
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val dy = n * col("syy") - col("sy") * col("sy")
+    m.select(col("n").cast("long").as("n"),
+      when(dx === 0 || dy === 0, lit(null)).otherwise(
+        num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("rho"))
+  }
+
+  /** Kruskal–Wallis H test — does the value distribution differ across
+    * k groups, rank-based (the nonparametric ANOVA every "does this
+    * metric depend on segment" question wants when normality is a lie).
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),   corrected Hc = H/C,
+    *   C = 1 − Σ(t³−t)/(N³−N)  over tie groups t
+    *
+    * Ranks come from the collapsed distinct-value table (integral
+    * doubled ranks; R_g²/4 restores the true scale); per-group rank
+    * sums are exact integers, the k per-group divisions fold in SORTED
+    * group order (q159 discipline), tie and scale terms divide once
+    * each. Returns one row: (n, groups, h, h_corrected). All-equal
+    * values → NULL h_corrected (C = 0). */
+  def kruskalWallis(df: DataFrame, groupCol: String, x: Column)
+      : DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), x.as("__x"))
+    val ranks = doubledRanks(base, col("__x"))
+      .select(col("__v").as("__x"), col("__c"), col("__dr"))
+    val perGV = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__cg"))
+      .join(ranks, "__x")
+    def s(c: Column) = sum(c.cast(dec38))
+    val g = perGV.groupBy(col("__g"))
+      .agg(sum("__cg").as("ng"), s(col("__cg") * col("__dr")).as("rd"))
+    // Σ R_g²/n_g with R = rd/2: per-group division, folded in sorted
+    // group order via a running window sum over the k-row group table
+    val term = (col("rd") * col("rd")).cast("double") /
+      (lit(4.0) * col("ng"))
+    val wOrd = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val folded = g
+      .withColumn("__term", term)
+      .withColumn("__sum", sum("__term").over(wOrd))
+      .withColumn("__n", sum("ng").over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__g").desc)))
+      .filter(col("__rn") === 1)
+    // tie correction from the distinct-value table (one tiny agg)
+    val ties = ranks.agg(coalesce(sum(
+      (col("__c") * col("__c") * col("__c") - col("__c")).cast(dec38)),
+      lit(0).cast(dec38)).as("tsum"))
+    val nD = col("__n").cast(dec38)
+    val h = lit(12.0) / (nD * (nD + 1)).cast("double") * col("__sum") -
+      lit(3.0) * (col("__n") + 1).cast("double")
+    val c = lit(1.0) - col("tsum").cast("double") /
+      (nD * nD * nD - nD).cast("double")
+    folded.crossJoin(broadcast(ties))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("groups"), h.as("h"),
+        when(col("__n") < 2, lit(null)).otherwise(
+          when(c === 0, lit(null)).otherwise(h / c)).as("h_corrected"))
+  }
+
+  /** Per-key Mann–Kendall trend test over a time-ordered integral
+    * series — is the metric monotonically drifting, without assuming
+    * linearity or normality:
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i),
+    *   Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5),
+    *   z = (S − sign(S)) / √(Var)
+    *
+    * All-pairs within a key is O(n²) — per-entity series are bounded
+    * (the funnel/EWMA discipline), so the self-join fans out n² per
+    * key, never corpus². S, the tie sum, and Var·18 are exact integers;
+    * z is one division over one correctly-rounded sqrt. Keys with
+    * Var = 0 (all values equal, or n < 2) yield NULL z. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String, x: Column,
+                  tieCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(tieCol).as("__o"), x.as("__x"))
+    val a = base.select(col("__k"), col("__t").as("__ta"),
+      col("__o").as("__oa"), col("__x").as("__xa"))
+    val b = base.select(col("__k"), col("__t").as("__tb"),
+      col("__o").as("__ob"), col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("__k"))
+      .filter(col("__ta") < col("__tb") ||
+        (col("__ta") === col("__tb") && col("__oa") < col("__ob")))
+    val sTab = pairs.groupBy(col("__k"))
+      .agg(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
+    val nTab = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val tieTab = base.groupBy(col("__k"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5))
+        .as("tsum"))
+    val j = nTab.join(sTab, Seq("__k"), "left").join(tieTab, Seq("__k"))
+      .select(col("__k"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("tsum")).as("var18"))
+    j.select(col("__k").as(keyCol), col("n").cast("long").as("n"),
+      col("s").cast("long").as("s"),
+      when(col("var18") <= 0, lit(null)).otherwise(
+        when(col("s") > 0, (col("s") - 1).cast("double"))
+          .when(col("s") < 0, (col("s") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
+  }
+
   /** Two-proportion z-test — the A/B conversion readout: arm assignment
     * and success are boolean columns, counts are exact integers from ONE
     * conditional aggregation, and z uses the pooled-variance formula as

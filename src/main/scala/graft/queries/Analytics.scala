@@ -1655,6 +1655,112 @@ object Analytics {
       graft.ops.Quality.benford(Tables.table(s, d, "lineitem"),
           floor(col("l_extendedprice") * 100).cast("long"))
         .orderBy("digit")
+    },
+
+    // Spearman rank correlation (Stats.spearman): monotone association
+    // of quantity and price. Average ranks stay INTEGRAL as doubled
+    // ranks (2·below + c + 1) computed over the collapsed
+    // distinct-value table — no full-data global window; the ×2 cancels
+    // in the correlation. Exact moment sums, two sqrts, ONE division.
+    dfQ("q203_spearman",
+      """WITH t AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) x,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y FROM lineitem),
+        |cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) c FROM t GROUP BY x),
+        |rx AS (SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM cx),
+        |cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) c FROM t GROUP BY y),
+        |ry AS (SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM cy),
+        |r AS (SELECT rx.dr drx, ry.dr dry
+        |  FROM t JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(drx) sx, SUM(dry) sy, SUM(drx * drx) sxx,
+        |    SUM(dry * dry) syy, SUM(drx * dry) sxy FROM r)
+        |SELECT CAST(n AS BIGINT) n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END rho
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.spearman(Tables.table(s, d, "lineitem"),
+        floor(col("l_quantity")).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // Kruskal–Wallis H (Stats.kruskalWallis): does the event value
+    // distribution differ by event type — the rank-based ANOVA.
+    // Doubled integral ranks over the distinct-value table, exact
+    // integer rank sums, k per-group divisions folded in sorted group
+    // order, tie correction divided once.
+    dfQ("q204_kruskal",
+      """WITH t AS (SELECT event_type g,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x FROM events),
+        |cv AS (SELECT x, CAST(COUNT(*) AS BIGINT) c FROM t GROUP BY x),
+        |rk AS (SELECT x, c, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + c + 1 AS dr FROM cv),
+        |gv AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) cg
+        |  FROM t GROUP BY g, x),
+        |gr AS (SELECT g, SUM(cg) ng, SUM(cg * dr) rd
+        |  FROM gv JOIN rk USING (x) GROUP BY g),
+        |f AS (SELECT g, CAST(rd * rd AS DOUBLE) / (4.0 * ng) AS term, ng
+        |  FROM gr),
+        |w AS (SELECT
+        |    SUM(term) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) su,
+        |    SUM(ng) OVER () nn, COUNT(*) OVER () k,
+        |    ROW_NUMBER() OVER (ORDER BY g DESC) rn FROM f),
+        |ties AS (SELECT COALESCE(SUM(c * c * c - c), 0) tsum FROM cv)
+        |SELECT CAST(nn AS BIGINT) n, CAST(k AS BIGINT) AS "groups",
+        |  12.0 / CAST(nn * (nn + 1) AS DOUBLE) * su
+        |    - 3.0 * CAST(nn + 1 AS DOUBLE) AS h,
+        |  CASE WHEN nn < 2 THEN NULL
+        |    WHEN 1.0 - CAST(tsum AS DOUBLE)
+        |      / CAST(nn * nn * nn - nn AS DOUBLE) = 0 THEN NULL
+        |    ELSE (12.0 / CAST(nn * (nn + 1) AS DOUBLE) * su
+        |        - 3.0 * CAST(nn + 1 AS DOUBLE))
+        |      / (1.0 - CAST(tsum AS DOUBLE)
+        |        / CAST(nn * nn * nn - nn AS DOUBLE))
+        |  END AS h_corrected
+        |FROM w CROSS JOIN ties WHERE rn = 1""".stripMargin) { (s, d) =>
+      Stats.kruskalWallis(Tables.events(s, d), "event_type",
+        floor(col("value") * 64).cast("long"))
+    },
+
+    // Per-user Mann–Kendall trend (Stats.mannKendall): is each user's
+    // value series monotonically drifting — S and the tie-corrected
+    // variance are exact integers from a per-key bounded all-pairs
+    // join; z is one division over one sqrt.
+    dfQ("q205_mann_kendall",
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x FROM events),
+        |p AS (SELECT a.user_id,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) s
+        |  FROM t a JOIN t b ON a.user_id = b.user_id
+        |    AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |  GROUP BY a.user_id),
+        |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n
+        |  FROM t GROUP BY user_id),
+        |ti AS (SELECT user_id,
+        |    CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) tsum
+        |  FROM (SELECT user_id, x, CAST(COUNT(*) AS BIGINT) c
+        |        FROM t GROUP BY user_id, x) GROUP BY user_id),
+        |j AS (SELECT n.user_id, n.n, COALESCE(p.s, 0) s,
+        |    n.n * (n.n - 1) * (2 * n.n + 5) - ti.tsum var18
+        |  FROM n LEFT JOIN p ON n.user_id = p.user_id
+        |  JOIN ti ON n.user_id = ti.user_id)
+        |SELECT user_id, n, s,
+        |  CASE WHEN var18 <= 0 THEN NULL ELSE
+        |    (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+        |    / SQRT(CAST(var18 AS DOUBLE) / 18.0) END z
+        |FROM j ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.mannKendall(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 64).cast("long"), tieCol = "event_id")
+        .orderBy("user_id")
     }
   )
 }

@@ -1082,6 +1082,61 @@ class AnalyticsSuite extends SparkTestBase {
       s"geometric ${g(0).getDouble(4)} vs uniform ${rows(0).getDouble(4)}")
   }
 
+  // --- Stats.spearman / kruskalWallis / mannKendall -------------------------
+
+  test("spearman: monotone → ±1, tie-averaged ranks match the textbook value") {
+    // sqrt(dx)·sqrt(dy) can be an ulp off dx even when the rank vectors
+    // are identical, so compare with a tight tolerance, not equality
+    val up = (1L to 20L).map(i => (i, i * i)).toDF("x", "y") // monotone, nonlinear
+    assert(math.abs(Stats.spearman(up, col("x"), col("y")).collect()(0)
+      .getDouble(1) - 1.0) < 1e-12)
+    val down = (1L to 20L).map(i => (i, -i * i)).toDF("x", "y")
+    assert(math.abs(Stats.spearman(down, col("x"), col("y")).collect()(0)
+      .getDouble(1) + 1.0) < 1e-12)
+    // hand case with ties: x = (1,2,2,3), y = (10,20,20,40) — rank
+    // vectors identical under average ranks → rho exactly 1
+    val tied = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    assert(math.abs(Stats.spearman(tied, col("x"), col("y")).collect()(0)
+      .getDouble(1) - 1.0) < 1e-12)
+    // constant column → NULL
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(Stats.spearman(const, col("x"), col("y")).collect()(0).isNullAt(1))
+  }
+
+  test("kruskalWallis: textbook three-group case; all-equal values → NULL") {
+    // classic no-tie example: g1={1,2,3}, g2={4,5,6}, g3={7,8,9}
+    // ranks are the values themselves; R = 6, 15, 24; N = 9
+    // H = 12/(9·10)·(36+225+576)/3 − 3·10 = 12/90·279 − 30 = 7.2
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "g", col("x")).collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 7.2) < 1e-12, r.toString)
+    assert(math.abs(r.getDouble(3) - 7.2) < 1e-12, "no ties → C = 1")
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "x")
+    val f = Stats.kruskalWallis(flat, "g", col("x")).collect()(0)
+    assert(f.isNullAt(3), s"all-equal must NULL the corrected H: $f")
+  }
+
+  test("mannKendall: monotone S = n(n-1)/2, constant → NULL, known z") {
+    val up = (1L to 10L).map(i => (1L, i, i, 10L + i)).toDF("k", "ts", "o", "x")
+    val r = Stats.mannKendall(up, "k", "ts", col("x"), "o").collect()(0)
+    assert(r.getLong(2) == 45L, s"S must be 45: $r")
+    // Var·18 = 10·9·25 = 2250 → z = 44/sqrt(125)
+    assert(math.abs(r.getDouble(3) - 44.0 / math.sqrt(125.0)) < 1e-12)
+    val const = (1L to 5L).map(i => (1L, i, i, 7L)).toDF("k", "ts", "o", "x")
+    assert(Stats.mannKendall(const, "k", "ts", col("x"), "o")
+      .collect()(0).isNullAt(3))
+    // partitioning invariance (exact integers end-to-end)
+    val ev = Tables.events(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.mannKendall(df, "user_id", "ts",
+        floor(col("value") * 64).cast("long"), "event_id")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(run(ev) == run(ev.repartition(9, col("event_id"))))
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {
