@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, PqAdc, PqEncode, Shingles, Winnow}
+import graft.functions.{CosineSimilarity, JaroWinkler, PqAdc, PqEncode,
+  Shingles, Winnow}
 
 /** Spark-idiomatic injection point for the engine's custom expressions:
   *
@@ -46,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PqEncode.fromLiteral(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinkler(exprs(0), exprs(1))))
   }
 }

@@ -10,6 +10,8 @@ object Registry {
     fr.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
+    fr.createOrReplaceTempFunction(
       "shingles", exprs => Shingles(exprs(0), exprs(1)), "scala_udf")
     fr.createOrReplaceTempFunction(
       "winnow", exprs => Winnow(exprs(0), exprs(1), exprs(2)), "scala_udf")

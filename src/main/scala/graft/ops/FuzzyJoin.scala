@@ -47,6 +47,36 @@ object FuzzyJoin {
       .filter(col("dist") >= 0) // thresholded kernel: -1 = above maxDist
   }
 
+  /** Jaro–Winkler fuzzy self-join under a blocking key — record linkage
+    * for name-like strings where edit distance over-penalizes
+    * transpositions. JW is not a metric (no triangle inequality), so
+    * unlike [[editDistancePairs]] there is NO lossless metric prefilter:
+    * the quadratic is bounded by BLOCKING instead (join only within
+    * `blockCols` groups — standard sorted-neighborhood/record-linkage
+    * practice; pick keys whose groups stay small as the corpus grows).
+    * The kernel is the codegen'd [[graft.functions.JaroWinkler]]
+    * expression — textbook semantics pinned bit-for-bit to DuckDB's
+    * `jaro_winkler_similarity`, which is what makes the operator
+    * hash-oracle-able. One shuffle on the block key; each unordered
+    * pair meets once (a < b). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       blockCols: Seq[String], minSim: Double): DataFrame = {
+    require(blockCols.nonEmpty,
+      "jaroWinklerPairs: blocking keys are the scale bound; none given")
+    require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
+    val base = df.select((col(idCol).as("id") +: col(strCol).as("s") +:
+      blockCols.map(col)): _*)
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val blockEq = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    val sim = call_function("jaro_winkler", col("a.s"), col("b.s"))
+    a.join(b, blockEq && col("a.id") < col("b.id"))
+      .withColumn("sim", sim)
+      .filter(col("sim") >= minSim)
+      .select(col("a.id").as("a"), col("b.id").as("b"), col("sim"))
+  }
+
   /** Set-overlap self-join with LOSSLESS prefix filtering (the PPJoin
     * family, Xiao et al., WWW'08): pairs of records whose distinct
     * token sets share at least `minOverlap` tokens — record linkage,

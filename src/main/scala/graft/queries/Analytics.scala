@@ -1761,6 +1761,26 @@ object Analytics {
       Stats.mannKendall(Tables.events(s, d), "user_id", "ts",
           floor(col("value") * 64).cast("long"), tieCol = "event_id")
         .orderBy("user_id")
+    },
+
+    // Jaro–Winkler record linkage (FuzzyJoin.jaroWinklerPairs over the
+    // codegen'd graft.functions.JaroWinkler expression): near-identical
+    // part names within (brand, size) blocks. The custom Expression is
+    // pinned bit-for-bit to DuckDB's jaro_winkler_similarity (textbook
+    // algorithm, 0.7 boost threshold, ≤4-char prefix at 0.1), so the
+    // similarity doubles themselves hash-match — the strongest possible
+    // check of a custom kernel.
+    dfQ("q206_jaro_winkler",
+      """SELECT a.p_partkey a, b.p_partkey b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) sim
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      graft.ops.FuzzyJoin.jaroWinklerPairs(Tables.table(s, d, "part"),
+          "p_partkey", "p_name", Seq("p_brand", "p_size"), minSim = 0.9)
+        .orderBy("a", "b")
     }
   )
 }

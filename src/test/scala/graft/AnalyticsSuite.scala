@@ -1137,6 +1137,46 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("event_id"))))
   }
 
+  // --- functions.JaroWinkler / FuzzyJoin.jaroWinklerPairs -------------------
+
+  test("jaro_winkler: textbook values, boost threshold, nulls, codegen ≡ kernel") {
+    import graft.functions.JaroWinkler
+    // classic published examples
+    assert(math.abs(JaroWinkler.similarity("MARTHA", "MARHTA")
+      - 0.9611111111111111) < 1e-15)
+    assert(math.abs(JaroWinkler.similarity("DWAYNE", "DUANE")
+      - 0.8400000000000001) < 1e-15)
+    assert(JaroWinkler.similarity("abc", "abc") == 1.0)
+    assert(JaroWinkler.similarity("", "") == 1.0)
+    assert(JaroWinkler.similarity("", "abc") == 0.0)
+    assert(JaroWinkler.similarity("xyz", "abc") == 0.0)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply:
+    // 'aXXXXXXX'/'aYYYYYYY' share prefix 'a' but jaro = 1.25/3 < 0.7,
+    // so the result is the raw jaro, not the boosted 0.475
+    assert(JaroWinkler.similarity("aXXXXXXX", "aYYYYYYY")
+      == (1.0 / 8 + 1.0 / 8 + 1.0) / 3.0)
+    // SQL surface (Registry path) runs the codegen'd expression; it must
+    // agree with the static kernel on fixture strings, and NULL in → NULL out
+    graft.functions.Registry.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') a,
+        |       jaro_winkler('foo', CAST(NULL AS STRING)) b""".stripMargin)
+      .collect()(0)
+    assert(rows.getDouble(0) == JaroWinkler.similarity("martha", "marhta"))
+    assert(rows.isNullAt(1))
+  }
+
+  test("jaroWinklerPairs: symmetric kernel, blocked pairs each meet once") {
+    graft.functions.Registry.registerAll(spark)
+    val df = Seq((1L, "k", "martha"), (2L, "k", "marhta"),
+      (3L, "k", "zzzzzz"), (4L, "other", "martha")).toDF("id", "blk", "s")
+    val got = graft.ops.FuzzyJoin.jaroWinklerPairs(df, "id", "s",
+      Seq("blk"), minSim = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only (1,2) qualifies: 3 is dissimilar, 4 is in another block
+    assert(got == Set((1L, 2L)), got.toString)
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {
