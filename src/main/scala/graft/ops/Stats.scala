@@ -482,6 +482,71 @@ object Stats {
           sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
   }
 
+  /** Per-key Theil–Sen trend estimator — the robust slope companion to
+    * [[mannKendall]] (MK answers "is there a trend", Theil–Sen answers
+    * "how steep"): the median of all pairwise slopes, immune to ~29%
+    * outlier contamination where OLS breaks at one bad point.
+    *
+    * Slopes are per-day: (x_j − x_i)·86400e6 / (t_j − t_i µs) — integer
+    * numerator, ONE division — then quantized to the 2⁻²⁰ dyadic grid
+    * so the exact-interpolating median arithmetic ((a+b)/2 and
+    * a+(b−a)·g forms alike) is EXACT on grid values and cannot differ
+    * cross-engine by formula association. Same bounded per-entity
+    * all-pairs shape as [[mannKendall]]. Keys with no pair (n < 2 or
+    * all-equal timestamps) are absent from the output. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String, x: Column)
+      : DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__t"), x.as("__x"))
+    val a = base.select(col("__k"), col("__t").as("__ta"),
+      col("__x").as("__xa"))
+    val b = base.select(col("__k"), col("__t").as("__tb"),
+      col("__x").as("__xb"))
+    val slope = ((col("__xb") - col("__xa")) * lit(86400000000L))
+      .cast("double") / (col("__tb") - col("__ta"))
+    val slopeQ = floor(slope * lit(1048576.0)) / lit(1048576.0)
+    a.join(b, Seq("__k")).filter(col("__ta") < col("__tb"))
+      .select(col("__k"), slopeQ.as("__s"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("__s"), lit(0.5)).as("slope_per_day"))
+      .select(col("__k").as(keyCol), col("n_pairs").cast("long").as("n_pairs"),
+        col("slope_per_day"))
+  }
+
+  /** CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al.
+    * 2013): how much experiment variance a pre-period covariate removes.
+    * θ = cov(x,y)/var(x); the adjusted metric y − θ(x − x̄) has variance
+    * var(y)·(1 − ρ²) — the readout is the variance-reduction factor that
+    * decides whether the experiment needs 2 weeks or 2 months.
+    *
+    * ONE aggregation over integral (x, y) unit rows: centered sums exact
+    * in DECIMAL(38,0); θ is ONE division; ρ² and the variances are fixed
+    * double trees over the exact sums (ρ² squares Sxy in doubles — its
+    * decimal square can exceed 38 digits). Returns one row:
+    * (n, theta, rho2, var_y, var_y_cuped); a constant covariate yields
+    * NULL theta/rho2. */
+  def cuped(df: DataFrame, x: Column, y: Column): DataFrame = {
+    def s(c: Column) = sum(c.cast(dec38))
+    val m = df.agg(count(lit(1)).as("n"), s(x).as("sx"), s(y).as("sy"),
+      s(x * x).as("sxx"), s(x * y).as("sxy"), s(y * y).as("syy"))
+    val n = col("n").cast(dec38)
+    val cxx = n * col("sxx") - col("sx") * col("sx")
+    val cxy = n * col("sxy") - col("sx") * col("sy")
+    val cyy = n * col("syy") - col("sy") * col("sy")
+    val rho2 = (cxy.cast("double") * cxy.cast("double")) /
+      (cxx.cast("double") * cyy.cast("double"))
+    val varY = cyy.cast("double") /
+      (n * (n - lit(1).cast(dec38))).cast("double")
+    m.select(col("n").cast("long").as("n"),
+      when(cxx === 0, lit(null))
+        .otherwise(cxy.cast("double") / cxx.cast("double")).as("theta"),
+      when(cxx === 0 || cyy === 0, lit(null)).otherwise(rho2).as("rho2"),
+      when(col("n") < 2, lit(null)).otherwise(varY).as("var_y"),
+      when(col("n") < 2 || cxx === 0 || cyy === 0, lit(null))
+        .otherwise(varY * (lit(1.0) - rho2)).as("var_y_cuped"))
+  }
+
   /** Two-proportion z-test — the A/B conversion readout: arm assignment
     * and success are boolean columns, counts are exact integers from ONE
     * conditional aggregation, and z uses the pooled-variance formula as

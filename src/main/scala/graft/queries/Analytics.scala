@@ -1781,6 +1781,67 @@ object Analytics {
       graft.ops.FuzzyJoin.jaroWinklerPairs(Tables.table(s, d, "part"),
           "p_partkey", "p_name", Seq("p_brand", "p_size"), minSim = 0.9)
         .orderBy("a", "b")
+    },
+
+    // Per-user Theil–Sen slope (Stats.theilSen): the robust trend
+    // magnitude beside q205's Mann–Kendall direction. Slopes are one
+    // exact-integer-numerator division each, then 2^-20 dyadic
+    // quantization so the exact-interpolating median cannot differ
+    // cross-engine by interpolation-formula association.
+    dfQ("q207_theil_sen",
+      """WITH t AS (SELECT user_id, EPOCH_US(ts) tt,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x FROM events),
+        |p AS (SELECT a.user_id,
+        |    FLOOR(CAST((b.x - a.x) * 86400000000 AS DOUBLE)
+        |      / (b.tt - a.tt) * 1048576.0) / 1048576.0 s
+        |  FROM t a JOIN t b ON a.user_id = b.user_id AND a.tt < b.tt)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) n_pairs,
+        |  QUANTILE_CONT(s, 0.5) slope_per_day
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.theilSen(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 64).cast("long"))
+        .orderBy("user_id")
+    },
+
+    // CUPED variance reduction (Stats.cuped): pre-period per-user value
+    // mass as the covariate for the post-period metric — the
+    // experimentation-platform readout of how much pre-data shrinks
+    // variance. Exact centered sums, fixed double trees.
+    dfQ("q208_cuped",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(FLOOR(value * 64) AS BIGINT) ELSE 0 END) x,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(FLOOR(value * 64) AS BIGINT) ELSE 0 END) y
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(y AS HUGEINT)) sy,
+        |    SUM(CAST(x * x AS HUGEINT)) sxx,
+        |    SUM(CAST(x * y AS HUGEINT)) sxy,
+        |    SUM(CAST(y * y AS HUGEINT)) syy FROM u),
+        |c AS (SELECT n, n * sxx - sx * sx cxx, n * sxy - sx * sy cxy,
+        |    n * syy - sy * sy cyy FROM m)
+        |SELECT CAST(n AS BIGINT) n,
+        |  CASE WHEN cxx = 0 THEN NULL
+        |    ELSE CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE) END theta,
+        |  CASE WHEN cxx = 0 OR cyy = 0 THEN NULL ELSE
+        |    (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+        |      / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) END rho2,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    CAST(cyy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) END var_y,
+        |  CASE WHEN n < 2 OR cxx = 0 OR cyy = 0 THEN NULL ELSE
+        |    CAST(cyy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+        |    * (1.0 - (CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+        |      / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)))
+        |  END var_y_cuped
+        |FROM c""".stripMargin) { (s, d) =>
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val vx = floor(col("value") * 64).cast("long")
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, vx).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, vx).otherwise(0L)).as("y"))
+      Stats.cuped(u, col("x"), col("y"))
     }
   )
 }

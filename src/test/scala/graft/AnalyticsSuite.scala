@@ -1177,6 +1177,41 @@ class AnalyticsSuite extends SparkTestBase {
     assert(got == Set((1L, 2L)), got.toString)
   }
 
+  // --- Stats.theilSen / cuped -----------------------------------------------
+
+  test("theilSen: exact-line slope recovered; outlier does not move the median") {
+    // x = 3·day + 7 sampled daily: every pairwise slope is exactly 3
+    val day = 86400000000L
+    val clean = (0L to 9L).map(i => (1L,
+      new java.sql.Timestamp(i * day / 1000),
+      3L * i + 7L)).toDF("k", "ts", "x")
+    val r = Stats.theilSen(clean, "k", "ts", col("x")).collect()(0)
+    assert(r.getLong(1) == 45L && r.getDouble(2) == 3.0, r.toString)
+    // one wild outlier: OLS slope would swing, the pairwise median holds
+    val dirty = clean.union(Seq((1L,
+      new java.sql.Timestamp(10L * day / 1000), 1000000L))
+      .toDF("k", "ts", "x"))
+    val r2 = Stats.theilSen(dirty, "k", "ts", col("x")).collect()(0)
+    assert(math.abs(r2.getDouble(2) - 3.0) < 1e-6,
+      s"median slope must resist one outlier: $r2")
+  }
+
+  test("cuped: perfectly correlated covariate removes all variance; theta exact") {
+    // y = 2x + 5 → theta = 2, rho2 = 1, var_y_cuped = 0
+    val df = (1L to 50L).map(i => (i, 2L * i + 5L)).toDF("x", "y")
+    val r = Stats.cuped(df, col("x"), col("y")).collect()(0)
+    assert(r.getDouble(1) == 2.0, r.toString)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(4)) < 1e-9, s"residual variance: $r")
+    // independent covariate: rho2 ≈ 0, var_y_cuped ≈ var_y
+    val ind = (1L to 100L).map(i => (i % 7, i % 11)).toDF("x", "y")
+    val r2 = Stats.cuped(ind, col("x"), col("y")).collect()(0)
+    assert(r2.getDouble(2) < 0.05, s"near-independent rho2: $r2")
+    // constant covariate → NULL theta
+    val const = (1L to 10L).map(i => (4L, i)).toDF("x", "y")
+    assert(Stats.cuped(const, col("x"), col("y")).collect()(0).isNullAt(1))
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {

@@ -312,7 +312,8 @@ class ScaleSuite extends SparkTestBase {
       "q160_temp_mixture",     // CROSS JOIN with the 1-row Σw relation
       "q167_equidepth_hist",   // CROSS JOIN with the 1-row boundary array
       "q185_quantile_normalize", // CROSS JOIN with the 1-row knot array
-      "q193_kaplan_meier")     // CROSS JOIN with the 1-row corpus-end scalar
+      "q193_kaplan_meier",     // CROSS JOIN with the 1-row corpus-end scalar
+      "q204_kruskal")          // CROSS JOIN with the 1-row tie-correction row
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
