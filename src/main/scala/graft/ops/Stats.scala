@@ -547,6 +547,42 @@ object Stats {
         .otherwise(varY * (lit(1.0) - rho2)).as("var_y_cuped"))
   }
 
+  /** Per-key CUSUM change-point detection — where did the level of a
+    * metric shift: t* = argmax |S_t| of the centered cumulative sum
+    * S_t = Σ_{i≤t}(x_i − x̄). Everything stays integral by scaling
+    * through n: n·S_t = n·c_t − t·m (c_t the running sum, m = Σx), so
+    * the argmax and its tie-break (earliest t) are exact integer
+    * comparisons — bit-identical on any engine/partitioning — and only
+    * the reported statistic max|S_t| = max|n·S_t|/n divides once.
+    *
+    * ONE window pass per key (running sum + index), one ranking window
+    * over the same partitioning, per-key state bounded by the series
+    * (the EWMA/funnel discipline). Returns one row per key with ≥ 2
+    * points: (key, n, t_star, ts_star, cusum_stat). The boundary
+    * excludes t = n (S_n ≡ 0 identically). */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, x: Column,
+            tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__o"))
+    val wAll = Window.partitionBy(col("__k"))
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(tieCol).as("__o"), x.as("__x"))
+    val cum = base
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__c", sum("__x").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__m", sum("__x").over(wAll))
+    val dev = cum.filter(col("__n") >= 2 && col("__i") < col("__n"))
+      .withColumn("__ns", col("__n") * col("__c") - col("__i") * col("__m"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__k"))
+          .orderBy(abs(col("__ns")).desc, col("__i"))))
+    dev.filter(col("__rk") === 1)
+      .select(col("__k").as(keyCol), col("__n").cast("long").as("n"),
+        col("__i").cast("long").as("t_star"), col("__t").as("ts_star"),
+        (abs(col("__ns")).cast("double") / col("__n")).as("cusum_stat"))
+  }
+
   /** Two-proportion z-test — the A/B conversion readout: arm assignment
     * and success are boolean columns, counts are exact integers from ONE
     * conditional aggregation, and z uses the pooled-variance formula as

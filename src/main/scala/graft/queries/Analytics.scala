@@ -1842,6 +1842,34 @@ object Analytics {
         .agg(sum(when(col("ts") < cut, vx).otherwise(0L)).as("x"),
           sum(when(col("ts") >= cut, vx).otherwise(0L)).as("y"))
       Stats.cuped(u, col("x"), col("y"))
+    },
+
+    // Per-user CUSUM change point (Stats.cusum): where each user's
+    // value level shifted. n·S_t = n·c_t − t·m keeps the argmax and its
+    // earliest-t tie-break in exact integers; only the reported
+    // statistic divides, once.
+    dfQ("q209_cusum",
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x FROM events),
+        |c AS (SELECT user_id, ts, x,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) i,
+        |    SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) cs,
+        |    SUM(x) OVER (PARTITION BY user_id) m,
+        |    COUNT(*) OVER (PARTITION BY user_id) n
+        |  FROM t),
+        |d AS (SELECT user_id, ts, i, n, n * cs - i * m ns
+        |  FROM c WHERE n >= 2 AND i < n),
+        |r AS (SELECT user_id, n, i, ts, ns,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ABS(ns) DESC, i) rk FROM d)
+        |SELECT user_id, CAST(n AS BIGINT) n, CAST(i AS BIGINT) t_star,
+        |  ts ts_star, CAST(ABS(ns) AS DOUBLE) / n cusum_stat
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.cusum(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 64).cast("long"), tieCol = "event_id")
+        .orderBy("user_id")
     }
   )
 }

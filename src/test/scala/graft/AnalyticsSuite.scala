@@ -1212,6 +1212,32 @@ class AnalyticsSuite extends SparkTestBase {
     assert(Stats.cuped(const, col("x"), col("y")).collect()(0).isNullAt(1))
   }
 
+  // --- Stats.cusum ----------------------------------------------------------
+
+  test("cusum: planted level shift found at the boundary; partition-invariant") {
+    // 20 points at level 10 then 20 at level 50 → t* = 20 exactly
+    val xs = Seq.fill(20)(10L) ++ Seq.fill(20)(50L)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (1L, new java.sql.Timestamp(1000L * i), i.toLong, x)
+    }.toDF("k", "ts", "o", "x")
+    val r = Stats.cusum(df, "k", "ts", col("x"), "o").collect()(0)
+    assert(r.getLong(1) == 40L && r.getLong(2) == 20L, r.toString)
+    // |S_20| = 20·(10 − 30) = 400 exactly
+    assert(r.getDouble(4) == 400.0, r.toString)
+    // flat series: every |S_t| = 0 → earliest t wins deterministically
+    val flat = (0 until 10).map(i =>
+      (2L, new java.sql.Timestamp(1000L * i), i.toLong, 5L))
+      .toDF("k", "ts", "o", "x")
+    assert(Stats.cusum(flat, "k", "ts", col("x"), "o")
+      .collect()(0).getLong(2) == 1L)
+    val ev = Tables.events(spark, sf0001)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.cusum(d, "user_id", "ts", floor(col("value") * 64).cast("long"),
+        "event_id").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(run(ev) == run(ev.repartition(7, col("value"))))
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {

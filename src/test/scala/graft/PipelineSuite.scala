@@ -550,6 +550,31 @@ class PipelineSuite extends SparkTestBase {
     assert(back.columns.contains("pct") && back.columns.contains("doc_id"))
   }
 
+  test("T-P12: BenfordGateStage profiles a feed and a SQL gate reads chi2") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp12",
+      "extracts": [
+        {"view": "documents", "format": "parquet", "path": "$sf0001/documents.parquet"}],
+      "transforms": [
+        {"view": "profile", "className": "graft.pipeline.stages.BenfordGateStage",
+         "inputs": ["documents"]},
+        {"view": "verdict",
+         "sql": "SELECT digit, n, share, chi2, chi2 < 1e9 AS ok FROM profile"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/verdict"}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val back = spark.read.parquet(s"$out/verdict")
+    val digits = back.collect().map(_.getLong(0)).sorted
+    assert(digits.nonEmpty && digits.forall(d => d >= 1 && d <= 9))
+    // one global chi2 repeated on every digit row, readable by the gate
+    assert(back.select("chi2").distinct().count() == 1)
+    assert(back.agg(sum("n")).head().getLong(0) ==
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("n_chars") > 0).count())
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")
