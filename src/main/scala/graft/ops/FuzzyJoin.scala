@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance fuzzy self-join without the all-pairs cross product.
@@ -92,23 +93,30 @@ object FuzzyJoin {
     * that by construction appear in few records, exactly inverting the
     * stopword-skew problem a naive token join has at 100 TB.
     *
-    * Shape: one token explode + df aggregation (the global order), one
-    * per-record sort (in-row, array_sort), prefix explode, equi-join on
-    * the prefix token, exact `array_intersect` confirm on candidates
-    * only. Never all-pairs. */
+    * Shape: one token explode + df aggregation (the global order), a
+    * vocab-table rank assignment replacing every token by its LONG
+    * rarity rank (bijective — losslessness is preserved, unlike token
+    * hashing — and all downstream arrays/join keys become primitive
+    * longs instead of (df, string) structs: lighter codegen, lighter
+    * shuffles), one per-record in-row array_sort, prefix explode,
+    * equi-join on the prefix rank, exact `array_intersect` confirm on
+    * candidates only. Never all-pairs. The rank window runs over the
+    * VOCABULARY table (orders of magnitude smaller than the corpus);
+    * for extreme vocabularies shard it by df band — the rank only has
+    * to preserve the (df, tok) order, not be dense. */
   def overlapJoin(df: DataFrame, idCol: String, textCol: String,
                   minOverlap: Int): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     val toks = df.select(col(idCol).as("id"),
         explode(array_distinct(split(lower(col(textCol)), " "))).as("tok"))
       .filter(col("tok") =!= "")
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-record token list in global (df, tok) order, as rank structs so
-    // the order is total and engine-reproducible
-    val ranked = toks.join(dfreq, "tok")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("df"), col("tok"))).cast("long"))
+      .select("tok", "tid")
+    val ranked = toks.join(vocab, "tok")
       .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-        .as("toks"))
+      .agg(array_sort(collect_list(col("tid"))).as("toks"))
       .withColumn("k", size(col("toks")))
       .filter(col("k") >= minOverlap)
       .withColumn("prefix",

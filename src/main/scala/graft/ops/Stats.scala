@@ -583,6 +583,87 @@ object Stats {
         (abs(col("__ns")).cast("double") / col("__n")).as("cusum_stat"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per key — did the
+    * distribution of a metric differ between two arms: D = max over v of
+    * |F₁(v) − F₂(v)|, the ECDFs evaluated at every distinct value.
+    * Scaling through n₁·n₂ keeps the argmax exact: n₁·n₂·|ΔF(v)| =
+    * |n₂·c₁(v) − n₁·c₂(v)| with cᵢ the cumulative arm counts — integer
+    * comparisons, bit-identical on any engine, ONE division for the
+    * reported D. Ties are handled by evaluating ECDFs per DISTINCT value
+    * (both arms' tied points step together), which is the correct KS
+    * convention for discrete data.
+    *
+    * Scale shape: the window runs over the per-key DISTINCT-value table
+    * (one grouped agg first), so its size is the quantized-value
+    * cardinality, not the row count — at 100 TB the heavy lifting is the
+    * map-side-combined groupBy; the per-key scan that follows is over a
+    * bounded summary. Returns one row per key with both arms non-empty:
+    * (key, n1, n2, d_scaled, ks_stat, v_star) — v_star the smallest
+    * value attaining the max. */
+  def ksTest(df: DataFrame, keyCol: String, inArm1: Column, inArm2: Column,
+             x: Column): DataFrame = {
+    val byVal = df.select(col(keyCol).as("__k"), x.as("__v"),
+        when(inArm1, 1L).otherwise(0L).as("__a1"),
+        when(inArm2, 1L).otherwise(0L).as("__a2"))
+      .filter(col("__a1") + col("__a2") > 0)
+      .groupBy("__k", "__v")
+      .agg(sum("__a1").as("__d1"), sum("__a2").as("__d2"))
+    val wCum = Window.partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__k"))
+    val cum = byVal
+      .withColumn("__c1", sum("__d1").over(wCum))
+      .withColumn("__c2", sum("__d2").over(wCum))
+      .withColumn("__n1", sum("__d1").over(wAll))
+      .withColumn("__n2", sum("__d2").over(wAll))
+      .withColumn("__ns",
+        abs(col("__n2") * col("__c1") - col("__n1") * col("__c2")))
+    val top = cum.filter(col("__n1") > 0 && col("__n2") > 0)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__ns").desc, col("__v"))))
+      .filter(col("__rk") === 1)
+    top.select(col("__k").as(keyCol),
+      col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"),
+      col("__ns").cast("long").as("d_scaled"),
+      (col("__ns").cast("double") / (col("__n1") * col("__n2")))
+        .as("ks_stat"),
+      col("__v").as("v_star"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment over a family of tests —
+    * the multiple-comparisons guard when thousands of metric/segment
+    * hypotheses are read at once: adjusted pᵢ = min(1, min_{j≥i} pⱼ·m/j)
+    * with p ascending at rank j of m. Implemented as ONE ordered window
+    * per family: rank by (p, id) — the id tiebreak pins equal p — then a
+    * running MIN of p·m/j taken from the LARGEST p downward (a reversed
+    * cumulative frame). Each candidate value is one IEEE multiply + one
+    * divide from identical inputs — correctly rounded the same on every
+    * engine — so the running min, and hence the hash, replays exactly.
+    * The family table is #tests-sized (metadata scale), never data
+    * scale; upstream per-test aggregation is where 100 TB is spent.
+    *
+    * Input: one row per test. Output: input key/p plus (m, p_rank,
+    * p_adj, and rejected@alpha). */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+               alpha: Double): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val base = df.select(col(idCol).as("__id"),
+        col(pCol).cast("double").as("__p"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__j", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__p"), col("__id"))))
+    val cand = base.withColumn("__c", col("__p") * col("__m") / col("__j"))
+    val wDown = Window.partitionBy(lit(1))
+      .orderBy(col("__j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.withColumn("__adj", least(lit(1.0), min(col("__c")).over(wDown)))
+      .select(col("__id").as(idCol), col("__p").as(pCol),
+        col("__m").cast("long").as("m"), col("__j").cast("long").as("p_rank"),
+        col("__adj").as("p_adj"),
+        (col("__adj") <= lit(alpha)).as("rejected"))
+  }
+
   /** Two-proportion z-test — the A/B conversion readout: arm assignment
     * and success are boolean columns, counts are exact integers from ONE
     * conditional aggregation, and z uses the pooled-variance formula as

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Funnel, Indexing, Layout, Resample, Rollup,
-  Sampling, Stats, Survival}
+import graft.ops.{Components, Funnel, Indexing, Intervals, Layout, Resample,
+  Rollup, Sampling, Stats, Survival}
 import Support._
 
 /** Round-8 analytics + pipeline additions (SURVEY.md §2 breadth):
@@ -1870,6 +1870,101 @@ object Analytics {
       Stats.cusum(Tables.events(s, d), "user_id", "ts",
           floor(col("value") * 64).cast("long"), tieCol = "event_id")
         .orderBy("user_id")
+    },
+
+    // Per-user two-sample KS (Stats.ksTest): click vs purchase value
+    // distributions. n₁·n₂·|ΔF(v)| = |n₂·c₁ − n₁·c₂| keeps the argmax
+    // and its smallest-v tie-break in exact integers; one division for
+    // the reported D.
+    dfQ("q210_ks_test",
+      """WITH t AS (SELECT user_id, CAST(FLOOR(value * 64) AS BIGINT) v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END a1,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END a2
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT user_id, v, SUM(a1) d1, SUM(a2) d2 FROM t GROUP BY 1, 2),
+        |c AS (SELECT user_id, v,
+        |    SUM(d1) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) c1,
+        |    SUM(d2) OVER (PARTITION BY user_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) c2,
+        |    SUM(d1) OVER (PARTITION BY user_id) n1,
+        |    SUM(d2) OVER (PARTITION BY user_id) n2
+        |  FROM g),
+        |s AS (SELECT user_id, v, n1, n2, ABS(n2 * c1 - n1 * c2) ns
+        |  FROM c WHERE n1 > 0 AND n2 > 0),
+        |r AS (SELECT user_id, v, n1, n2, ns, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ns DESC, v) rk FROM s)
+        |SELECT user_id, CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+        |  CAST(ns AS BIGINT) d_scaled,
+        |  CAST(ns AS DOUBLE) / (n1 * n2) ks_stat, v v_star
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.ksTest(Tables.events(s, d), "user_id",
+          col("event_type") === "click", col("event_type") === "purchase",
+          floor(col("value") * 64).cast("long"))
+        .orderBy("user_id")
+    },
+
+    // Benjamini–Hochberg FDR (Stats.bhAdjust) over the per-(user,
+    // event_type) family of sign-test-style scores p = min(1,
+    // 2·min(pos,neg)/n) — each candidate p·m/j is one IEEE multiply +
+    // one divide from identical inputs, so the reversed running min
+    // hash-replays. The p column here is an exact-rational empirical
+    // score standing in for a real p-value; the operator is generic
+    // over any p column.
+    dfQ("q211_bh_fdr",
+      """WITH g AS (SELECT user_id || ':' || event_type AS test_id,
+        |    SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) pos,
+        |    COUNT(*) n FROM events GROUP BY 1),
+        |p AS (SELECT test_id,
+        |    LEAST(1.0, 2.0 * LEAST(pos, n - pos) / n) p FROM g),
+        |b AS (SELECT test_id, p, COUNT(*) OVER () m,
+        |    ROW_NUMBER() OVER (ORDER BY p, test_id) j FROM p),
+        |c AS (SELECT test_id, p, m, j, p * m / j cand FROM b),
+        |a AS (SELECT test_id, p, m, j, LEAST(1.0, MIN(cand) OVER (
+        |    ORDER BY j DESC ROWS UNBOUNDED PRECEDING)) adj FROM c)
+        |SELECT test_id, p, CAST(m AS BIGINT) m, CAST(j AS BIGINT) p_rank,
+        |  adj p_adj, adj <= 0.1 AS rejected
+        |FROM a ORDER BY p_rank""".stripMargin) { (s, d) =>
+      val fam = Tables.events(s, d)
+        .groupBy(concat(col("user_id"), lit(":"), col("event_type"))
+          .as("test_id"))
+        .agg(sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("pos"),
+          count(lit(1)).as("n"))
+        .select(col("test_id"), least(lit(1.0),
+          lit(2.0) * least(col("pos"), col("n") - col("pos")) / col("n"))
+          .as("p"))
+      Stats.bhAdjust(fam, "test_id", "p", alpha = 0.1).orderBy("p_rank")
+    },
+
+    // Per-user activity stitching (Intervals.mergeIntervals): events
+    // carry a value-scaled duration; overlapping spans merge into
+    // maximal islands via running-max-end — µs-exact integer
+    // boundaries, no self-join, no per-unit explode.
+    dfQ("q212_interval_merge",
+      """WITH sp AS (SELECT user_id, event_id, epoch_us(ts) s,
+        |    epoch_us(ts)
+        |      + (1 + CAST(FLOOR(value * 300) AS BIGINT)) * 1000000 e
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, s, e, MAX(e) OVER (
+        |    PARTITION BY user_id ORDER BY s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
+        |  FROM sp),
+        |i AS (SELECT user_id, s, e,
+        |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS UNBOUNDED PRECEDING) isl
+        |  FROM f)
+        |SELECT user_id, CAST(isl AS BIGINT) island, MIN(s) AS start,
+        |  MAX(e) AS "end", COUNT(*) n_spans
+        |FROM i GROUP BY user_id, isl
+        |ORDER BY user_id, island""".stripMargin) { (s, d) =>
+      val us = unix_micros(col("ts"))
+      val spans = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        us.as("s"),
+        (us + (lit(1L) + floor(col("value") * 300).cast("long"))
+          * lit(1000000L)).as("e"))
+      Intervals.mergeIntervals(spans, "user_id", "s", "e", "event_id")
+        .orderBy("user_id", "island")
     }
   )
 }

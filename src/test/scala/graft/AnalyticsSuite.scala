@@ -1238,6 +1238,95 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(7, col("value"))))
   }
 
+  // --- Stats.ksTest ---------------------------------------------------------
+
+  test("ksTest: disjoint supports give D=1; identical samples give D=0") {
+    val df = Seq(
+      (1L, "a", 1L), (1L, "a", 2L), (1L, "a", 3L),
+      (1L, "b", 4L), (1L, "b", 5L), (1L, "b", 6L),
+      // key 2: identical arms → max |ns| = 0, earliest v wins
+      (2L, "a", 7L), (2L, "b", 7L), (2L, "a", 9L), (2L, "b", 9L),
+      // key 3: one empty arm → filtered out
+      (3L, "a", 1L)
+    ).toDF("k", "arm", "v")
+    val r = Stats.ksTest(df, "k", col("arm") === "a", col("arm") === "b",
+        col("v")).orderBy("k").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 1L && r(0).getDouble(4) == 1.0 &&
+      r(0).getLong(5) == 3L, r(0).toString)
+    assert(r(1).getLong(0) == 2L && r(1).getDouble(4) == 0.0 &&
+      r(1).getLong(5) == 7L, r(1).toString)
+    // tied points step both ECDFs together: interleaved equal values
+    val tied = Seq((9L, "a", 5L), (9L, "b", 5L), (9L, "a", 5L),
+      (9L, "b", 6L)).toDF("k", "arm", "v")
+    val rt = Stats.ksTest(tied, "k", col("arm") === "a",
+      col("arm") === "b", col("v")).collect()(0)
+    // F1(5)=1, F2(5)=1/2 → D=1/2 at v=5
+    assert(rt.getDouble(4) == 0.5 && rt.getLong(5) == 5L, rt.toString)
+    // partition invariance on the corpus fixture
+    val ev = Tables.events(spark, sf0001)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.ksTest(d, "user_id", col("event_type") === "click",
+        col("event_type") === "purchase",
+        floor(col("value") * 64).cast("long")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(run(ev) == run(ev.repartition(7, col("value"))))
+  }
+
+  // --- Stats.bhAdjust -------------------------------------------------------
+
+  test("bhAdjust: textbook step-up adjustment, monotone, capped at 1") {
+    val df = Seq(("t1", 0.005), ("t2", 0.009), ("t3", 0.05),
+      ("t4", 0.5), ("t5", 0.9)).toDF("id", "p")
+    val r = Stats.bhAdjust(df, "id", "p", alpha = 0.05)
+      .orderBy("p_rank").collect()
+    val adj = r.map(_.getDouble(4))
+    // candidates: .025, .0225, .0833…, .625, .9 → running min from top
+    assert(math.abs(adj(0) - 0.0225) < 1e-12 &&
+      math.abs(adj(1) - 0.0225) < 1e-12, adj.toSeq.toString)
+    assert(math.abs(adj(2) - 0.05 * 5 / 3) < 1e-12)
+    assert(adj(3) == 0.625 && adj(4) == 0.9)
+    // monotone non-decreasing in rank; rejections = the two small ps
+    assert(adj.sliding(2).forall(w => w(0) <= w(1)))
+    assert(r.map(_.getBoolean(5)).toSeq ==
+      Seq(true, true, false, false, false))
+    // p = 1 family: everything capped at exactly 1, nothing rejected
+    val ones = Seq(("a", 1.0), ("b", 1.0)).toDF("id", "p")
+    assert(Stats.bhAdjust(ones, "id", "p", 0.1).collect()
+      .forall(x => x.getDouble(4) == 1.0 && !x.getBoolean(5)))
+  }
+
+  // --- Intervals ------------------------------------------------------------
+
+  test("mergeIntervals/coverage: chains merge, touching merges, gaps split") {
+    val df = Seq(
+      (1L, 0L, 10L, 1L), (1L, 5L, 15L, 2L), (1L, 15L, 20L, 3L), // one island
+      (1L, 30L, 40L, 4L), // gap → second island
+      (1L, 2L, 3L, 5L),   // nested span, absorbed
+      (2L, 0L, 1L, 6L)
+    ).toDF("k", "s", "e", "o")
+    val m = Intervals.mergeIntervals(df, "k", "s", "e", "o")
+      .orderBy("k", "island").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq ==
+      Seq((1L, 0L, 20L, 4L), (1L, 30L, 40L, 1L), (2L, 0L, 1L, 1L)))
+    val c = Intervals.coverage(df, "k", "s", "e", "o")
+      .orderBy("k").collect()
+    assert(c(0).getLong(1) == 2L && c(0).getLong(3) == 30L) // 20 + 10
+    assert(c(1).getLong(3) == 1L)
+    // partition invariance on the corpus-shaped spans
+    val us = unix_micros(col("ts"))
+    val spans = Tables.events(spark, sf0001).select(col("user_id"),
+      col("event_id"), us.as("s"),
+      (us + (lit(1L) + floor(col("value") * 300).cast("long"))
+        * lit(1000000L)).as("e"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Intervals.mergeIntervals(d, "user_id", "s", "e", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    assert(run(spans) == run(spans.repartition(5, col("e"))))
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {
