@@ -32,6 +32,24 @@ object Merge {
       .unionByName(latest)
   }
 
+  /** CDC apply — materialize the current snapshot from a change feed
+    * carrying inserts, updates AND deletes (the Debezium/Delta
+    * APPLY CHANGES shape, which `upsert` lacks): per key, the row with
+    * the highest (seqCols…) sequence wins — compared lexicographically,
+    * and the caller must make the last seq column a unique tiebreak or
+    * "latest" is not well-defined — and wins-by-delete means the key is
+    * ABSENT from the output. One shuffle on the key, one ranking
+    * window; the op column is consumed, not emitted. */
+  def applyChanges(changes: DataFrame, keyCol: String, seqCols: Seq[String],
+                   opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(seqCols.nonEmpty, "applyChanges: need at least one seq column")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(seqCols.map(c => col(c).desc): _*)
+    changes.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rk", opCol)
+  }
+
   /** Snapshot diff — change-data-capture between two versions of a
     * keyed table: one row per key that was inserted, deleted, or changed
     * (null-safe struct comparison over `compareCols`), tagged in

@@ -277,4 +277,23 @@ object Quality {
       col("share"), col("expected"),
       (col("__total").cast("double") * col("__last")).as("chi2"))
   }
+
+  /** K-anonymity / l-diversity audit before a dataset release: every
+    * quasi-identifier equivalence class with its size n, the number of
+    * distinct sensitive values it contains (l), and the `risky` flag
+    * (n < k — the class re-identifies its members to within n
+    * candidates). ONE grouped aggregation — the count and the exact
+    * distinct ride the same shuffle; at 100 TB swap the exact distinct
+    * for approx_count_distinct if the sensitive domain is huge. The
+    * release decision (suppress risky classes / generalize a column) is
+    * the caller's; this is the measurement. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitive: Column, k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need quasi-identifier columns")
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("l_diversity"))
+      .withColumn("risky", col("n") < k)
+  }
 }

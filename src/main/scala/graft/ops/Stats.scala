@@ -583,6 +583,34 @@ object Stats {
         (abs(col("__ns")).cast("double") / col("__n")).as("cusum_stat"))
   }
 
+  /** 2-D Pareto frontier (skyline): the rows not strictly dominated in
+    * the maximize-both order — q dominates p iff qx ≥ px ∧ qy ≥ py with
+    * at least one strict. Negate a column to minimize it.
+    *
+    * The classic formulation is an all-pairs anti-join (quadratic —
+    * dead at scale). In 2-D the frontier has a one-pass shape: reduce
+    * to the per-x best y (one grouped agg riding one shuffle), then a
+    * single ordered scan over the DISTINCT-x summary — x descending,
+    * running max of best-y strictly before the current x — keeps
+    * exactly the x whose best y exceeds everything to its right. The
+    * window runs over the distinct-x table (value-cardinality, not row
+    * count); the final join back to fetch the full qualifying rows is
+    * frontier-sized and AQE-broadcast. All comparisons are on the
+    * caller's (ideally integral) columns — no floats introduced, so
+    * ties (multiple rows at a frontier point) are all kept, exactly. */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("__my"))
+    val wGt = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perX.withColumn("__mgt", max(col("__my")).over(wGt))
+      .filter(col("__mgt").isNull || col("__my") > col("__mgt"))
+      .select(col("__x"), col("__my"))
+    df.join(front,
+        col(xCol) === col("__x") && col(yCol) === col("__my"))
+      .drop("__x", "__my")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic per key — did the
     * distribution of a metric differ between two arms: D = max over v of
     * |F₁(v) − F₂(v)|, the ECDFs evaluated at every distinct value.

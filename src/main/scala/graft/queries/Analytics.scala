@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Funnel, Indexing, Intervals, Layout, Resample,
-  Rollup, Sampling, Stats, Survival}
+import graft.ops.{Components, Funnel, Indexing, Intervals, Layout, Merge,
+  Resample, Rollup, Sampling, Stats, Survival}
 import Support._
 
 /** Round-8 analytics + pipeline additions (SURVEY.md §2 breadth):
@@ -1965,6 +1965,65 @@ object Analytics {
           * lit(1000000L)).as("e"))
       Intervals.mergeIntervals(spans, "user_id", "s", "e", "event_id")
         .orderBy("user_id", "island")
+    },
+
+    // 2-D Pareto frontier (Stats.paretoFront): parts not dominated on
+    // (size, price) — the skyline via per-x best + one ordered scan
+    // over the distinct-x summary, never all-pairs. Integer inputs, so
+    // frontier membership and ties are exact.
+    dfQ("q213_pareto",
+      """WITH p AS (SELECT p_partkey, p_size,
+        |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) price_c FROM part),
+        |x AS (SELECT p_size, MAX(price_c) my FROM p GROUP BY 1),
+        |f AS (SELECT p_size, my FROM (
+        |    SELECT p_size, my, MAX(my) OVER (ORDER BY p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mgt
+        |    FROM x) t WHERE mgt IS NULL OR my > mgt)
+        |SELECT p.p_partkey, p.p_size, p.price_c
+        |FROM p JOIN f ON p.p_size = f.p_size AND p.price_c = f.my
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val p = Tables.table(s, d, "part").select(col("p_partkey"),
+        col("p_size"), floor(col("p_retailprice") * 100).cast("long")
+          .as("price_c"))
+      Stats.paretoFront(p, "p_size", "price_c").orderBy("p_partkey")
+    },
+
+    // CDC apply with deletes (Merge.applyChanges): orders re-read as a
+    // change feed — latest change per customer by (date, orderkey)
+    // wins; a winning delete removes the key from the snapshot.
+    dfQ("q214_cdc_apply",
+      """WITH ch AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    o_totalprice, CASE o_orderstatus WHEN 'P' THEN 'D'
+        |      WHEN 'O' THEN 'I' ELSE 'U' END op FROM orders),
+        |r AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, op,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) rk FROM ch)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM r WHERE rk = 1 AND op <> 'D'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val ch = Tables.table(s, d, "orders").select(col("o_custkey"),
+        col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        when(col("o_orderstatus") === "P", "D")
+          .when(col("o_orderstatus") === "O", "I").otherwise("U").as("op"))
+      Merge.applyChanges(ch, "o_custkey", Seq("o_orderdate", "o_orderkey"),
+          "op")
+        .orderBy("o_custkey")
+    },
+
+    // K-anonymity / l-diversity audit (Quality.kAnonymity): equivalence
+    // classes over (nation, segment) with class size, distinct
+    // sensitive buckets, and the n < k risk flag — one grouped agg.
+    dfQ("q215_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 100)
+        |    AS BIGINT)) AS BIGINT) l_diversity,
+        |  COUNT(*) < 40 AS risky
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      graft.ops.Quality.kAnonymity(Tables.table(s, d, "customer"),
+          Seq("c_nationkey", "c_mktsegment"),
+          floor(col("c_acctbal").cast("double") / 100).cast("long"), k = 40)
+        .orderBy("c_nationkey", "c_mktsegment")
     }
   )
 }

@@ -1327,6 +1327,77 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(spans) == run(spans.repartition(5, col("e"))))
   }
 
+  // --- Stats.paretoFront ----------------------------------------------------
+
+  test("paretoFront: matches brute-force dominance; ties all kept") {
+    val rows = Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L), (4L, 2L, 2L),
+      (5L, 3L, 3L), (6L, 1L, 1L), (7L, 4L, 1L))
+    val df = rows.toDF("id", "x", "y")
+    val got = Stats.paretoFront(df, "x", "y").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // brute force: p survives iff no q strictly dominates it
+    val want = rows.filter { case (_, px, py) =>
+      !rows.exists { case (_, qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) }
+    }.map(_._1).sorted
+    assert(got == want && got == Seq(1L, 2L, 3L, 5L, 7L), got.toString)
+    // minimize via negation: frontier of (-x, -y) = min-min skyline
+    val neg = df.select(col("id"), (-col("x")).as("x"), (-col("y")).as("y"))
+    val gotMin = Stats.paretoFront(neg, "x", "y").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val wantMin = rows.filter { case (_, px, py) =>
+      !rows.exists { case (_, qx, qy) =>
+        qx <= px && qy <= py && (qx < px || qy < py) }
+    }.map(_._1).sorted
+    assert(gotMin == wantMin, gotMin.toString)
+  }
+
+  // --- Merge.applyChanges ---------------------------------------------------
+
+  test("applyChanges: latest change wins; winning delete removes the key") {
+    val ch = Seq(
+      ("k1", 1L, "I", 10L), ("k1", 2L, "U", 20L),       // update wins
+      ("k2", 1L, "I", 30L), ("k2", 2L, "D", 0L),        // delete wins
+      ("k3", 2L, "D", 0L), ("k3", 3L, "I", 40L),        // re-insert after delete
+      ("k4", 1L, "I", 50L)
+    ).toDF("k", "seq", "op", "v")
+    val out = Merge.applyChanges(ch, "k", Seq("seq"), "op")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("k1", 20L), ("k3", 40L), ("k4", 50L)))
+    assert(!out.map(_._1).contains("k2"))
+    // op column is consumed
+    assert(!Merge.applyChanges(ch, "k", Seq("seq"), "op")
+      .columns.contains("op"))
+    // sequential replay ≡ one-shot apply: applying the first half then
+    // the rest through upsert-with-delete semantics lands on the same
+    // snapshot (order-independence of the latest-wins rule)
+    val all = Merge.applyChanges(ch, "k", Seq("seq"), "op")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val shuffled = Merge.applyChanges(ch.repartition(5, col("v")), "k",
+      Seq("seq"), "op").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(all == shuffled)
+  }
+
+  // --- Quality.kAnonymity ---------------------------------------------------
+
+  test("kAnonymity: class sizes, l-diversity, risk flag") {
+    val df = Seq(
+      ("US", "A", 1), ("US", "A", 2), ("US", "A", 2),
+      ("US", "B", 3),
+      ("DE", "A", 4), ("DE", "A", 4)
+    ).toDF("country", "seg", "s")
+    val r = graft.ops.Quality.kAnonymity(df, Seq("country", "seg"),
+        col("s"), k = 3)
+      .orderBy("country", "seg").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      ("DE", "A", 2L, 1L, true),
+      ("US", "A", 3L, 2L, false),
+      ("US", "B", 1L, 1L, true)))
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {
