@@ -41,13 +41,27 @@ object Merge {
     * ABSENT from the output. One shuffle on the key, one ranking
     * window; the op column is consumed, not emitted. */
   def applyChanges(changes: DataFrame, keyCol: String, seqCols: Seq[String],
-                   opCol: String, deleteOp: String = "D"): DataFrame = {
+                   opCol: String, deleteOp: String = "D"): DataFrame =
+    applyChangesWithTombstones(changes, keyCol, seqCols)
+      .filter(col(opCol) =!= deleteOp)
+      .drop(opCol)
+
+  /** [[applyChanges]] keeping the winning DELETE rows as tombstones (op
+    * column retained) — the form a STANDING CDC table must persist:
+    * without the tombstone, a late out-of-order update with a lower
+    * sequence would resurrect a deleted key on the next merge. The
+    * serving snapshot is `filter(op != deleteOp).drop(op)`; merging two
+    * tombstoned tables (or a table with a new change batch) through
+    * this same function is associative, which is what makes the
+    * streaming batch-by-batch apply equal the one-shot apply. */
+  def applyChangesWithTombstones(changes: DataFrame, keyCol: String,
+                                 seqCols: Seq[String]): DataFrame = {
     require(seqCols.nonEmpty, "applyChanges: need at least one seq column")
     val w = Window.partitionBy(keyCol)
       .orderBy(seqCols.map(c => col(c).desc): _*)
     changes.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1 && col(opCol) =!= deleteOp)
-      .drop("__rk", opCol)
+      .filter(col("__rk") === 1)
+      .drop("__rk")
   }
 
   /** Snapshot diff — change-data-capture between two versions of a

@@ -139,6 +139,50 @@ object Resample {
       .drop("__a")
   }
 
+  /** Holt's double exponential smoothing (level + trend) per key — the
+    * next step up from [[ewma]] when the series drifts: lᵢ = α·xᵢ +
+    * (1−α)(lᵢ₋₁ + tᵢ₋₁), tᵢ = β(lᵢ − lᵢ₋₁) + (1−β)tᵢ₋₁, textbook init
+    * l₁ = x₁, t₁ = x₂ − x₁ (keys with fewer than 2 points are dropped).
+    * Output per key: n, final level/trend, and the h-step-ahead linear
+    * forecast l + h·t.
+    *
+    * Same execution discipline as [[ewma]]: ONE grouped collect into a
+    * (ts, tie, x)-sorted in-row array, the coupled recurrence folded by
+    * a single aggregate() HOF with a struct accumulator — per-key state
+    * is the series itself (bounded by the caller's key granularity; a
+    * series that cannot sit in one row does not belong in a per-key
+    * recurrence). Dyadic α/β keep every step a fixed correctly-rounded
+    * IEEE tree, so the doubles replay bit-for-bit cross-engine (the
+    * oracle re-runs the recurrence with identical expression shape). */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valueCol: String, alpha: Double = 0.5,
+                  beta: Double = 0.5, horizon: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta in (0, 1], got $beta")
+    val arr = sort_array(collect_list(struct(col(tsCol).as("t"),
+      col(tieCol).as("o"), col(valueCol).cast("double").as("x"))))
+    val x1 = element_at(col("__a"), 1).getField("x")
+    val x2 = element_at(col("__a"), 2).getField("x")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), arr.as("__a"))
+      .filter(col("n") >= 2)
+      .withColumn("__st", aggregate(
+        slice(col("__a"), lit(2), (size(col("__a")) - 1).cast("int")),
+        struct(x1.as("l"), (x2 - x1).as("t")),
+        (acc, e) => {
+          val lNew = e.getField("x") * lit(alpha) +
+            (acc.getField("l") + acc.getField("t")) * lit(1 - alpha)
+          struct(lNew.as("l"),
+            ((lNew - acc.getField("l")) * lit(beta) +
+              acc.getField("t") * lit(1 - beta)).as("t"))
+        }))
+      .select(col(keyCol), col("n").cast("long").as("n"),
+        col("__st").getField("l").as("level"),
+        col("__st").getField("t").as("trend"),
+        (col("__st").getField("l") +
+          lit(horizon) * col("__st").getField("t")).as("forecast"))
+  }
+
   /** Seasonal (day-of-week) profile per group: for each (group, dow)
     * cell, row count, mean and sample variance of the value — the
     * weekly-seasonality baseline a metrics pipeline subtracts before

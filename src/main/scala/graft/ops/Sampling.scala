@@ -263,4 +263,70 @@ object Sampling {
         .when(col(tsCol) > testFrom, "test")
         .otherwise("embargo"))
   }
+
+  /** Poisson(1) CDF thresholds P(X ≤ k), k = 0..8 — the inverse-CDF
+    * ladder for hash-derived bootstrap weights. Written as literals so
+    * BOTH engines parse the identical decimal text. */
+  private[ops] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726562, 0.9994058151824182,
+    0.999916758850712, 0.9999897508033254, 0.9999988747974021)
+
+  /** Poisson bootstrap confidence interval for a per-group mean — THE
+    * scale-right resampling scheme: classical bootstrap draws n rows
+    * with replacement per replicate (a global sample per replicate — b
+    * full shuffles), while the Poisson approximation gives every row an
+    * independent Poisson(1) replication weight, so ALL b replicates are
+    * computed in ONE pass: explode each row into (row, replicate) pairs
+    * with a weight from the hash-derived uniform, then one grouped agg
+    * and one b-row-per-group ranking window. Cost is a deterministic
+    * b× map-side expansion — no data-sized shuffle per replicate, no
+    * driver-side sampling state.
+    *
+    * Determinism/oracle discipline: u = first 8 md5 hex chars of
+    * "id:replicate:seed" over 2³² — an EXACT dyadic double — fed
+    * through the literal [[PoissonCdf]] ladder; replicate means divide
+    * exact integer sums ONCE (pass an integral `x`); the CI bounds are
+    * order statistics of the b replicate means (ranks ⌊α/2·b⌋+1 and
+    * b−⌊α/2·b⌋, ties broken by replicate id), not interpolated
+    * percentiles — every step replays bit-for-bit cross-engine. A
+    * replicate that draws zero total weight (probability e^(−n·b))
+    * yields a NULL mean and is excluded on both engines. */
+  def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
+                       x: Column, b: Int, alpha: Double,
+                       seed: String): DataFrame = {
+    require(b >= 4, s"need at least 4 replicates, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val loR = (alpha / 2 * b).toInt + 1
+    val hiR = b - (alpha / 2 * b).toInt
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      x.as("__x"))
+    val est = base.groupBy("__g").agg(count(lit(1)).as("n"),
+      (sum("__x").cast("double") / count(lit(1))).as("estimate"))
+    val u = conv(substring(md5(concat_ws(":", col("__id").cast("string"),
+        col("__r").cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("bigint").cast("double") / lit(4294967296.0)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length): Column) {
+      case ((t, k), rest) => when(col("__u") < t, lit(k)).otherwise(rest)
+    }
+    val means = base
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u).withColumn("__w", w)
+      .groupBy("__g", "__r")
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__x")).as("__swx"))
+      .withColumn("__m", when(col("__sw") === 0, lit(null))
+        .otherwise(col("__swx").cast("double") / col("__sw")))
+      .filter(col("__m").isNotNull)
+    val ranked = means.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+        .orderBy(col("__m"), col("__r"))))
+    val ci = ranked.filter(col("__rk") === loR || col("__rk") === hiR)
+      .groupBy("__g")
+      .agg(min(when(col("__rk") === loR, col("__m"))).as("ci_lo"),
+        min(when(col("__rk") === hiR, col("__m"))).as("ci_hi"))
+    est.join(ci, "__g")
+      .select(col("__g").as(groupCol), col("n").cast("long").as("n"),
+        col("estimate"), col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -2024,6 +2024,78 @@ object Analytics {
           Seq("c_nationkey", "c_mktsegment"),
           floor(col("c_acctbal").cast("double") / 100).cast("long"), k = 40)
         .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // Poisson bootstrap CI (Sampling.poissonBootstrap): per-event-type
+    // mean with 95% bounds from 40 hash-weighted replicates — all
+    // replicates in one pass, weights from the md5-uniform through the
+    // literal Poisson(1) CDF ladder, CI = order statistics of the
+    // replicate means (ranks 2 and 39).
+    dfQ("q216_bootstrap_ci",
+      """WITH base AS (SELECT event_type g, event_id id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) x FROM events),
+        |est AS (SELECT g, COUNT(*) n,
+        |    CAST(SUM(x) AS DOUBLE) / COUNT(*) estimate FROM base GROUP BY g),
+        |reps AS (SELECT g, id, x, r FROM base
+        |  CROSS JOIN UNNEST(RANGE(0, 40)) t(r)),
+        |h AS (SELECT g, r, x, CAST(CONCAT('0x', SUBSTRING(MD5(
+        |    CAST(id AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':q216'),
+        |    1, 8)) AS BIGINT) hv FROM reps),
+        |pw AS (SELECT g, r, x, CASE
+        |    WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726562 THEN 4
+        |    WHEN u < 0.9994058151824182 THEN 5
+        |    WHEN u < 0.999916758850712 THEN 6
+        |    WHEN u < 0.9999897508033254 THEN 7
+        |    WHEN u < 0.9999988747974021 THEN 8 ELSE 9 END w
+        |  FROM (SELECT g, r, x, CAST(hv AS DOUBLE) / 4294967296.0 u
+        |        FROM h) uu),
+        |m AS (SELECT g, r, CASE WHEN SUM(w) = 0 THEN NULL
+        |    ELSE CAST(SUM(w * x) AS DOUBLE) / SUM(w) END m
+        |  FROM pw GROUP BY g, r),
+        |rk AS (SELECT g, r, m, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY m, r) rk FROM m WHERE m IS NOT NULL),
+        |ci AS (SELECT g, MIN(CASE WHEN rk = 2 THEN m END) ci_lo,
+        |    MIN(CASE WHEN rk = 39 THEN m END) ci_hi FROM rk GROUP BY g)
+        |SELECT est.g event_type, CAST(n AS BIGINT) n, estimate,
+        |  ci_lo, ci_hi
+        |FROM est JOIN ci ON est.g = ci.g
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Sampling.poissonBootstrap(Tables.events(s, d), "event_type",
+          "event_id", floor(col("value") * 1000).cast("long"),
+          b = 40, alpha = 0.05, seed = "q216")
+        .orderBy("event_type")
+    },
+
+    // Holt double exponential smoothing (Resample.holtWinters): per-user
+    // level + trend with a 3-step forecast, dyadic α = β = ½ — the
+    // oracle replays the coupled recurrence with an identically-shaped
+    // recursive CTE, so the doubles hash bit-for-bit.
+    dfQ("q217_holt",
+      """WITH RECURSIVE s AS (SELECT user_id, value x,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) i,
+        |    COUNT(*) OVER (PARTITION BY user_id) n FROM events),
+        |r AS (
+        |  SELECT a.user_id, a.n, 1 AS i, a.x AS l, b.x - a.x AS t
+        |  FROM s a JOIN s b ON a.user_id = b.user_id
+        |    AND a.i = 1 AND b.i = 2
+        |  WHERE a.n >= 2
+        |  UNION ALL
+        |  SELECT r.user_id, r.n, r.i + 1,
+        |    s.x * 0.5 + (r.l + r.t) * 0.5,
+        |    (s.x * 0.5 + (r.l + r.t) * 0.5 - r.l) * 0.5 + r.t * 0.5
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1
+        |  WHERE r.i < r.n)
+        |SELECT user_id, CAST(n AS BIGINT) n, l AS level, t AS trend,
+        |  l + 3 * t AS forecast
+        |FROM r WHERE i = n ORDER BY user_id""".stripMargin) { (s, d) =>
+      Resample.holtWinters(Tables.events(s, d), "user_id", "ts",
+          "event_id", "value", alpha = 0.5, beta = 0.5, horizon = 3)
+        .orderBy("user_id")
     }
   )
 }

@@ -472,6 +472,25 @@ object Streams {
       (current, batch) => graft.ops.Merge.upsert(current, batch, keyCol,
         versionCol))
 
+  /** ST19: streaming CDC apply — a change feed with inserts, updates
+    * AND deletes lands into a standing keyed snapshot
+    * ([[runUpsert]] cannot remove keys). Each micro-batch merges
+    * through [[graft.ops.Merge.applyChangesWithTombstones]]: the
+    * standing table keeps winning deletes as tombstoned rows (op
+    * retained), so a late out-of-order change with a lower sequence
+    * cannot resurrect a deleted key — batch-by-batch apply is exactly
+    * the one-shot apply over the concatenated feed, for ANY batch
+    * split. The serving snapshot is `filter(op != deleteOp).drop(op)`.
+    * Same `v_seed` + overwrite-own-version replay discipline as
+    * [[runUpsert]]; seed with a tombstone-form table (op + seq
+    * columns present). */
+  def runApplyChanges(changes: DataFrame, keyCol: String,
+                      seqCols: Seq[String],
+                      tableDir: String): StreamingQuery =
+    runVersionedMerge(changes, tableDir,
+      (current, batch) => graft.ops.Merge.applyChangesWithTombstones(
+        current.unionByName(batch), keyCol, seqCols))
+
   /** Streaming SCD Type-2: [[runUpsert]]'s versioned-table discipline
     * with [[graft.ops.Merge.scd2Apply]] as the merge — each micro-batch
     * closes/opens validity intervals in the dimension history. Same seed

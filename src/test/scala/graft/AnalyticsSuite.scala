@@ -1398,6 +1398,58 @@ class AnalyticsSuite extends SparkTestBase {
       ("US", "B", 1L, 1L, true)))
   }
 
+  // --- Sampling.poissonBootstrap --------------------------------------------
+
+  test("poissonBootstrap: constant metric collapses CI; CI brackets mean") {
+    // constant x → every replicate's weighted mean is exactly x
+    val const = (1 to 100).map(i => ("g", i.toLong, 7L))
+      .toDF("g", "id", "x")
+    val rc = Sampling.poissonBootstrap(const, "g", "id", col("x"),
+      b = 16, alpha = 0.125, seed = "t").collect()(0)
+    assert(rc.getLong(1) == 100L && rc.getDouble(2) == 7.0)
+    assert(rc.getDouble(3) == 7.0 && rc.getDouble(4) == 7.0)
+    // real data: lo <= estimate <= hi, strict for a dispersed metric
+    val ev = Tables.events(spark, sf0001)
+    val r = Sampling.poissonBootstrap(ev, "event_type", "event_id",
+        floor(col("value") * 1000).cast("long"), b = 40, alpha = 0.05,
+        seed = "q216")
+      .orderBy("event_type").collect()
+    assert(r.length == 5)
+    r.foreach { x =>
+      assert(x.getDouble(3) < x.getDouble(2) && x.getDouble(2) < x.getDouble(4),
+        x.toString)
+    }
+    // deterministic and partition-invariant
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.poissonBootstrap(d, "event_type", "event_id",
+        floor(col("value") * 1000).cast("long"), 40, 0.05, "q216")
+        .collect().map(x => x.getString(0) ->
+          (x.getDouble(3), x.getDouble(4))).toMap
+    assert(run(ev) == run(ev.repartition(9, col("value"))))
+  }
+
+  // --- Resample.holtWinters -------------------------------------------------
+
+  test("holtWinters: linear series is tracked exactly; <2 points dropped") {
+    // perfectly linear series: level = last x, trend = slope, exactly
+    val lin = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0),
+      (2L, 1L, 5.0)).map { case (k, i, x) =>
+      (k, new java.sql.Timestamp(1000L * i), i, x) }
+      .toDF("k", "ts", "o", "x")
+    val r = Resample.holtWinters(lin, "k", "ts", "o", "x",
+      alpha = 0.5, beta = 0.5, horizon = 3).collect()
+    assert(r.length == 1) // key 2 has a single point → dropped
+    assert(r(0).getDouble(2) == 14.0 && r(0).getDouble(3) == 2.0 &&
+      r(0).getDouble(4) == 20.0, r(0).toString)
+    // partition invariance on the fixture
+    val ev = Tables.events(spark, sf0001)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Resample.holtWinters(d, "user_id", "ts", "event_id", "value")
+        .collect().map(x => x.getLong(0) ->
+          (x.getDouble(2), x.getDouble(3))).toMap
+    assert(run(ev) == run(ev.repartition(7, col("value"))))
+  }
+
   // --- Resample.seasonalProfile -------------------------------------------
 
   test("seasonalProfile: epoch-day dow convention and exact moments") {

@@ -580,6 +580,68 @@ class StreamingSuite extends SparkTestBase {
       rowsOf(want))
   }
 
+  test("streaming CDC apply: deletes land, tombstones block resurrection") {
+    import graft.ops.Merge
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val srcDir = s"$root/src"; val tableDir = s"$root/table"
+    val c = Tables.table(spark, sf0001, "customer").filter(col("c_custkey") < 100)
+    val seed = c.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), lit(0L).as("seq"), lit("I").as("op"))
+    seed.write.parquet(s"$tableDir/v_seed")
+    // batch 1: delete every %3 key at seq 10, update every %5 at seq 11
+    val b1 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit("X").as("seg"),
+        lit(10L).as("seq"), lit("D").as("op"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"), lit("U1").as("seg"),
+          lit(11L).as("seq"), lit("U").as("op")))
+    // batch 2 arrives LATER but carries an OLDER change (seq 5) for the
+    // deleted keys — must NOT resurrect them — plus a real re-insert
+    // (seq 20) for %9 keys and a brand-new key
+    val b2 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit("LATE").as("seg"),
+        lit(5L).as("seq"), lit("U").as("op"))
+      .unionByName(c.filter(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey").as("k"), lit("BACK").as("seg"),
+          lit(20L).as("seq"), lit("I").as("op")))
+      .unionByName(spark.range(1).select(lit(700001L).as("k"),
+        lit("NEW").as("seg"), lit(20L).as("seq"), lit("I").as("op")))
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runApplyChanges(stream(), "k", Seq("seq", "op"), tableDir)
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    Streams.runApplyChanges(stream(), "k", Seq("seq", "op"), tableDir)
+    val vs = new java.io.File(tableDir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v_") && n != "v_seed")
+      .map(_.drop(2).toLong).sorted
+    val latest = spark.read.parquet(s"$tableDir/v_${vs.last}")
+    // one-shot apply over the concatenated feed = the streamed table
+    val want = Merge.applyChangesWithTombstones(
+      seed.unionByName(b1).unionByName(b2), "k", Seq("seq", "op"))
+    assert(rowsOf(latest) == rowsOf(want))
+    val snap = latest.filter(col("op") =!= "D").drop("op")
+    // %3 keys stay deleted despite the late seq-5 update — except the
+    // %9 re-inserts (seq 20) and the %5 updates that POST-date the
+    // delete (seq 11 > 10), which are correctly alive
+    assert(snap.filter(col("k") % 3 === 0 && col("k") % 9 =!= 0 &&
+      col("k") % 5 =!= 0).count() == 0)
+    assert(snap.filter(col("k") % 15 === 0 && col("k") % 9 =!= 0)
+      .select("seg").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("U1"))
+    // %9 keys are back with the seq-20 re-insert; the new key landed
+    assert(snap.filter(col("k") % 9 === 0 && col("k") < 100)
+      .select("seg").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("BACK"))
+    assert(snap.filter(col("k") === 700001L).count() == 1)
+    // checkpoint replay adds no version
+    Streams.runApplyChanges(stream(), "k", Seq("seq", "op"), tableDir)
+    val after = new java.io.File(tableDir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v_") && n != "v_seed")
+      .map(_.drop(2).toLong).sorted
+    assert(after.toSeq == vs.toSeq)
+  }
+
   test("streaming SCD2: dimension history equals sequential batch apply") {
     import graft.ops.Merge
     val root = Files.createTempDirectory("graft-scd2").toString
