@@ -228,6 +228,31 @@ object PipelineRunner {
         LoadReport(l.format, l.table.getOrElse(l.path), src,
           scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
             .getOrElse(-1L))
+      } else if (l.mode == "cdc") {
+        // declarative CDC landing: the feed carries inserts/updates/
+        // deletes ordered by seqCols; the standing table is kept in
+        // TOMBSTONE form (winning deletes retained, op column intact)
+        // so a later run's lower-sequence stragglers cannot resurrect
+        // deleted keys — batch-by-batch landing equals the one-shot
+        // apply (graft.ops.Merge.applyChangesWithTombstones). Readers
+        // serve `op != 'D'`. Same crash-safe swap as upsert.
+        val key = l.key.getOrElse(
+          throw new IllegalArgumentException("cdc load: 'key' required"))
+        Sinks.recoverSwap(df1, l.path)
+        val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val merged0 =
+          if (fs.exists(new org.apache.hadoop.fs.Path(l.path)))
+            graft.ops.Merge.applyChangesWithTombstones(
+              spark.read.parquet(l.path).unionByName(df1), key, l.seqCols)
+          else graft.ops.Merge.applyChangesWithTombstones(df1, key, l.seqCols)
+        val mergedObs = new org.apache.spark.sql.Observation()
+        val merged = merged0.observe(mergedObs, org.apache.spark.sql
+          .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        Sinks.writeParquetSwapped(merged, l.path)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
       } else if (l.mode == "rollup") {
         // declarative incremental-rollup landing: the delta batch is
         // aggregated once and folded into the standing per-key state

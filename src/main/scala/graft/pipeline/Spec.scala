@@ -39,6 +39,7 @@ final case class LoadSpec(
     table: Option[String] = None,         // for format=table (saveAsTable)
     key: Option[String] = None,           // mode=upsert: the merge key
     versionCol: Option[String] = None,    // mode=upsert: latest-wins order
+    seqCols: Seq[String] = Nil,           // mode=cdc: change-sequence order (last = unique tiebreak)
     rollupKeys: Seq[String] = Nil,        // mode=rollup: grouping keys
     measures: Seq[String] = Nil,          // mode=rollup: measure DSL (see Rollup.parseMeasure)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
@@ -148,6 +149,7 @@ object PipelineSpec {
           repartition = attr(l, "repartition").map(_.toInt),
           options = opts(l), table = attr(l, "table"),
           key = attr(l, "key"), versionCol = attr(l, "versionCol"),
+          seqCols = csv(attr(l, "seqCols")),
           rollupKeys = csv(attr(l, "rollupKeys")),
           measures = csv(attr(l, "measures")),
           retries = attr(l, "retries").map(_.toInt),
@@ -181,6 +183,12 @@ object PipelineSpec {
           "load: mode=upsert supports parquet targets only")
         require(l.key.isDefined && l.versionCol.isDefined,
           "load: mode=upsert requires 'key' and 'versionCol'")
+      }
+      if (l.mode == "cdc") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=cdc supports parquet targets only")
+        require(l.key.isDefined && l.seqCols.nonEmpty,
+          "load: mode=cdc requires 'key' and 'seqCols'")
       }
       if (l.mode == "rollup") {
         require(l.format.equalsIgnoreCase("parquet"),

@@ -138,6 +138,47 @@ class PipelineSuite extends SparkTestBase {
     }
   }
 
+  test("T-P13: declarative cdc load applies deletes and blocks resurrection") {
+    val out = tmp() + "/cdc_target"
+    def spec(rows: Seq[String]) = PipelineSpec("tp13",
+      extracts = Seq(ExtractSpec("changes", "values",
+        path = rows.mkString("\n"),
+        schema = Some("k BIGINT, v STRING, seq BIGINT, op STRING"))),
+      loads = Seq(LoadSpec("parquet", out, mode = "cdc",
+        key = Some("k"), seqCols = Seq("seq", "op"))))
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":1,"v":"a","seq":1,"op":"I"}""",
+      """{"k":2,"v":"b","seq":1,"op":"I"}""",
+      """{"k":2,"v":null,"seq":2,"op":"D"}""")))
+    // run 2: a STALE straggler for the deleted key (seq 1 < the
+    // tombstone's 2) must not resurrect it; k=3 inserts
+    val r2 = PipelineRunner.run(spark, spec(Seq(
+      """{"k":2,"v":"stale","seq":1,"op":"U"}""",
+      """{"k":3,"v":"c","seq":1,"op":"I"}""")))
+    assert(r2.loads.head.rows == 3L, s"tombstone form: ${r2.loads.head.rows}")
+    val table = spark.read.parquet(out)
+    val snap = table.filter(col("op") =!= "D").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(snap == Map(1L -> "a", 3L -> "c"), snap.toString)
+    // the tombstone row is present and still carries the delete seq
+    val tomb = table.filter(col("op") === "D").collect()
+    assert(tomb.length == 1 && tomb(0).getAs[Long]("k") == 2L &&
+      tomb(0).getAs[Long]("seq") == 2L)
+    // a genuinely later re-insert DOES bring the key back
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":2,"v":"back","seq":3,"op":"I"}""")))
+    val snap2 = spark.read.parquet(out).filter(col("op") =!= "D")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(snap2 == Map(1L -> "a", 2L -> "back", 3L -> "c"))
+    // validation: cdc requires parquet + key + seqCols
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "cdc",
+          key = Some("k")))))
+    }
+  }
+
   test("T-P10: declarative rollup load folds deltas into standing aggregate state") {
     val out = tmp() + "/rollup_target"
     def spec(rows: Seq[String]) = PipelineSpec("tp5",
