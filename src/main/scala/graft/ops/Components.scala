@@ -256,6 +256,52 @@ object Components {
     lab
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge set, in the
+    * [[pageRankExact]] exact-integer discipline: fixed iterations of
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each
+    * re-normalized by integer floor-division against the round's MAX
+    * score (x·scale // max — the L∞ variant of the textbook L2
+    * normalization: a pure rescale, same ranking, but exactly
+    * replayable where sqrt is not). Floor divisions and order-free
+    * integer sums make the result bit-identical on any engine and
+    * partitioning, so an unrolled-CTE oracle hash-checks it.
+    *
+    * Scale shape mirrors pageRankExact: 2 key-partitioned shuffles per
+    * half-step, per-round lineage cut, driver state = nothing (the max
+    * joins back as a broadcast one-row table, never a collected
+    * scalar). Nodes with no in-edges hold auth 0; no out-edges, hub 0. */
+  def hitsExact(edges: DataFrame, aCol: String, bCol: String,
+                iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct().cache()
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().cache()
+    def normalized(scores: DataFrame, c: String): DataFrame =
+      scores.crossJoin(broadcast(scores.agg(max(col(c)).as("__m"))))
+        .select(col("node"),
+          call_function("div", col(c) * scale, col("__m")).as(c))
+    var hub = nodes.withColumn("h", lit(scale)).localCheckpoint()
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, e("u") === hub("node"))
+        .groupBy(col("v")).agg(sum("h").as("s"))
+      val aAll = nodes.join(aRaw, nodes("node") === aRaw("v"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+      auth = normalized(aAll, "a").localCheckpoint()
+      val hRaw = e.join(auth, e("v") === auth("node"))
+        .groupBy(col("u")).agg(sum("a").as("s"))
+      val hAll = nodes.join(hRaw, nodes("node") === hRaw("u"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+      val next = normalized(hAll, "h").localCheckpoint()
+      hub.unpersist()
+      hub = next
+    }
+    hub.join(auth, "node")
+  }
+
   def pageRankExact(edges: DataFrame, aCol: String, bCol: String,
                     iters: Int = 3, scale: Long = 1000000L,
                     dampPct: Int = 85,

@@ -95,4 +95,41 @@ object Indexing {
       aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
         lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
   }
+
+  /** Reciprocal rank fusion (Cormack et al., SIGIR'09) — the standard
+    * way to combine heterogeneous retrieval systems (BM25 + dense ANN +
+    * recency, …) without score calibration: fused(q, d) =
+    * Σ_systems 1/(kConst + rank_s(q, d)), summing only over systems
+    * that ranked d. Rank-based, so wildly different score scales fuse
+    * sanely; kConst (60 in the paper) damps the head.
+    *
+    * Input: one row per (query, doc, system, rank) — the caller
+    * produces each system's ranking (use row_number with a doc-id
+    * tiebreak so ranks are total). One grouped collect per (q, d) and
+    * one ranking window per query — both shuffle on the query key; no
+    * all-systems join chain. Each 1/(k+rank) term is a single IEEE
+    * division; terms fold in SORTED system order (the bm25/q159
+    * ordered-fold discipline), so the double — and the fused ranking,
+    * tie-broken by doc — replays bit-for-bit cross-engine. */
+  def rrfFuse(rankings: DataFrame, queryCol: String, docCol: String,
+              systemCol: String, rankCol: String, kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(kConst >= 1, s"kConst must be >= 1, got $kConst")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val term = lit(1.0) / (lit(kConst) + col(rankCol))
+    val fused = rankings
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(systemCol).as("__s"), term.as("__t"))
+      .groupBy("__q", "__d")
+      .agg(count(lit(1)).as("n_systems"),
+        aggregate(array_sort(collect_list(struct(col("__s"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("score"))
+    fused.withColumn("fused_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__q"))
+          .orderBy(col("score").desc, col("__d"))))
+      .filter(col("fused_rank") <= topK)
+      .select(col("__q").as(queryCol), col("__d").as(docCol),
+        col("n_systems").cast("long").as("n_systems"), col("score"),
+        col("fused_rank").cast("long").as("fused_rank"))
+  }
 }

@@ -2096,6 +2096,87 @@ object Analytics {
       Resample.holtWinters(Tables.events(s, d), "user_id", "ts",
           "event_id", "value", alpha = 0.5, beta = 0.5, horizon = 3)
         .orderBy("user_id")
+    },
+
+    // HITS hubs & authorities (Components.hitsExact): two exact-integer
+    // iterations over the directed order→part graph, L∞-normalized by
+    // floor-division against the round max — the oracle unrolls both
+    // rounds, so the hash pins every intermediate.
+    dfQ("q218_hits",
+      """WITH raw AS (SELECT DISTINCT l_orderkey * 2 u, l_partkey * 2 + 1 v
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |n AS (SELECT u node FROM raw UNION SELECT v FROM raw),
+        |a1n AS (SELECT n.node, COALESCE(s.s, 0) a FROM n LEFT JOIN (
+        |    SELECT v node, SUM(1000000) s FROM raw GROUP BY v) s
+        |  USING (node)),
+        |a1 AS (SELECT node, (a * 1000000) // m a FROM a1n
+        |  CROSS JOIN (SELECT MAX(a) m FROM a1n) mm),
+        |h1n AS (SELECT n.node, COALESCE(s.s, 0) h FROM n LEFT JOIN (
+        |    SELECT raw.u node, SUM(a1.a) s FROM raw
+        |    JOIN a1 ON a1.node = raw.v GROUP BY raw.u) s USING (node)),
+        |h1 AS (SELECT node, (h * 1000000) // m h FROM h1n
+        |  CROSS JOIN (SELECT MAX(h) m FROM h1n) mm),
+        |a2n AS (SELECT n.node, COALESCE(s.s, 0) a FROM n LEFT JOIN (
+        |    SELECT raw.v node, SUM(h1.h) s FROM raw
+        |    JOIN h1 ON h1.node = raw.u GROUP BY raw.v) s USING (node)),
+        |a2 AS (SELECT node, (a * 1000000) // m a FROM a2n
+        |  CROSS JOIN (SELECT MAX(a) m FROM a2n) mm),
+        |h2n AS (SELECT n.node, COALESCE(s.s, 0) h FROM n LEFT JOIN (
+        |    SELECT raw.u node, SUM(a2.a) s FROM raw
+        |    JOIN a2 ON a2.node = raw.v GROUP BY raw.u) s USING (node)),
+        |h2 AS (SELECT node, (h * 1000000) // m h FROM h2n
+        |  CROSS JOIN (SELECT MAX(h) m FROM h2n) mm)
+        |SELECT n.node, CAST(h2.h AS BIGINT) h, CAST(a2.a AS BIGINT) a
+        |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+      val edges = li.select((col("l_orderkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+      Components.hitsExact(edges, "u", "v", iters = 2)
+        .orderBy("node")
+    },
+
+    // Reciprocal rank fusion (Indexing.rrfFuse): two per-language
+    // rankings — length-based and a hash-order stand-in for a second
+    // retriever — fused by Σ 1/(60+rank), terms folded in sorted
+    // system order so the doubles hash-replay.
+    dfQ("q219_rrf",
+      """WITH ra AS (SELECT lang q, doc_id d, 'chars' s, ROW_NUMBER()
+        |    OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) r
+        |  FROM documents),
+        |rb AS (SELECT lang q, doc_id d, 'hash' s, ROW_NUMBER()
+        |    OVER (PARTITION BY lang ORDER BY CAST(CONCAT('0x',
+        |      SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000, doc_id) r
+        |  FROM documents),
+        |u AS (SELECT * FROM ra WHERE r <= 50
+        |  UNION ALL SELECT * FROM rb WHERE r <= 50),
+        |f AS (SELECT q, d, COUNT(*) n_systems,
+        |    LIST_REDUCE(LIST(1e0 / (60 + r) ORDER BY s),
+        |      (a, b) -> a + b) score
+        |  FROM u GROUP BY q, d),
+        |r2 AS (SELECT q, d, n_systems, score, ROW_NUMBER() OVER (
+        |    PARTITION BY q ORDER BY score DESC, d) fr FROM f)
+        |SELECT q lang, d doc_id, CAST(n_systems AS BIGINT) n_systems,
+        |  score, CAST(fr AS BIGINT) fused_rank
+        |FROM r2 WHERE fr <= 10
+        |ORDER BY lang, fused_rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(s, d, "documents")
+      val wA = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wB = Window.partitionBy(col("lang"))
+        .orderBy(Sampling.hashBucket(col("doc_id")), col("doc_id"))
+      def top50(w: org.apache.spark.sql.expressions.WindowSpec,
+                name: String) = docs
+        .select(col("lang"), col("doc_id"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 50).withColumn("system", lit(name))
+      Indexing.rrfFuse(
+          top50(wA, "chars").unionByName(top50(wB, "hash")),
+          "lang", "doc_id", "system", "rank", kConst = 60, topK = 10)
+        .orderBy("lang", "fused_rank")
     }
   )
 }

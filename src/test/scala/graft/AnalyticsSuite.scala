@@ -1428,6 +1428,49 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Indexing.rrfFuse -----------------------------------------------------
+
+  test("rrfFuse: hand-computed fusion; doc in both systems outranks") {
+    // q1: docA ranked 1 by sys1 and 2 by sys2; docB ranked 1 by sys2
+    // only; docC ranked 2 by sys1 only.
+    val r = Seq(("q1", "A", "s1", 1), ("q1", "C", "s1", 2),
+      ("q1", "B", "s2", 1), ("q1", "A", "s2", 2)).toDF("q", "d", "s", "r")
+    val out = Indexing.rrfFuse(r, "q", "d", "s", "r", kConst = 60,
+      topK = 10).orderBy("fused_rank").collect()
+    val scores = out.map(x => x.getString(1) -> x.getDouble(3)).toMap
+    assert(math.abs(scores("A") - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    assert(math.abs(scores("B") - 1.0 / 61) < 1e-15)
+    assert(math.abs(scores("C") - 1.0 / 62) < 1e-15)
+    // both-systems doc wins; rank ties impossible (doc tiebreak)
+    assert(out.map(_.getString(1)).toSeq == Seq("A", "B", "C"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+    // topK truncates per query
+    val many = (1 to 30).map(i => ("q2", s"d$i", "s1", i))
+      .toDF("q", "d", "s", "r")
+    assert(Indexing.rrfFuse(many, "q", "d", "s", "r", 60, 5).count() == 5)
+  }
+
+  // --- Components.hitsExact -------------------------------------------------
+
+  test("hitsExact: hand-computed two-round scores; partition-invariant") {
+    // 1→3, 2→3, 3→4: 1,2 are pure hubs, 3 the authority (and a weak hub)
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Components.hitsExact(e, "u", "v", iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((250000L, 1000000L)), 4L -> ((0L, 250000L))), got.toString)
+    // partition invariance on a fixture-derived bipartite graph
+    val li = Tables.table(spark, sf0001, "lineitem")
+      .filter(col("l_orderkey") < 500)
+      .select((col("l_orderkey") * 2).as("u"),
+        (col("l_partkey") * 2 + 1).as("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Components.hitsExact(d, "u", "v", 2).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run(li) == run(li.repartition(7, col("v"))))
+  }
+
   // --- Resample.holtWinters -------------------------------------------------
 
   test("holtWinters: linear series is tracked exactly; <2 points dropped") {
