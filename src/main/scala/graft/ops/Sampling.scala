@@ -272,6 +272,38 @@ object Sampling {
     0.9810118431238462, 0.9963401531726562, 0.9994058151824182,
     0.999916758850712, 0.9999897508033254, 0.9999988747974021)
 
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws a key
+    * ln(u)/w (u uniform from the row's hash, w its weight) and the k
+    * LARGEST keys per group are exactly a weight-proportional
+    * without-replacement draw. One projection + one per-group top-k
+    * window — no sequential reservoir, no driver state, deterministic
+    * under re-runs and repartitioning (the property a reproducible
+    * corpus-mixing pipeline needs; [[weightedSample]] is the
+    * with-replacement/Bernoulli counterpart).
+    *
+    * Exactness: u = (hash + ½)/2³² is an exact dyadic in (0,1); ln goes
+    * through [[Exact.lnq]] (the 2⁻²⁶ grid — raw libm ln is 1-ulp loose
+    * cross-engine); the single division by w is correctly rounded from
+    * identical inputs; ties broken by id. */
+  def weightedSampleWithoutReplacement(df: DataFrame, groupCol: String,
+      idCol: String, w: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hv = conv(substring(md5(concat_ws(":",
+        col(idCol).cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("bigint")
+    val u = (hv.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = Exact.lnq(u) / w
+    val ranked = df
+      .withColumn("__wk", key)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("__wk").desc, col(idCol))))
+    ranked.filter(col("__rk") <= k)
+      .withColumnRenamed("__wk", "sample_key")
+      .withColumnRenamed("__rk", "sample_rank")
+  }
+
   /** Poisson bootstrap confidence interval for a per-group mean — THE
     * scale-right resampling scheme: classical bootstrap draws n rows
     * with replacement per replicate (a global sample per replicate — b

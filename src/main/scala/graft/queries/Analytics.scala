@@ -2177,6 +2177,31 @@ object Analytics {
           top50(wA, "chars").unionByName(top50(wB, "hash")),
           "lang", "doc_id", "system", "rank", kConst = 60, topK = 10)
         .orderBy("lang", "fused_rank")
+    },
+
+    // Weighted sampling without replacement
+    // (Sampling.weightedSampleWithoutReplacement, Efraimidis–Spirakis):
+    // 20 docs per source, probability ∝ n_chars, via the largest
+    // ln(u)/w keys — u exact-dyadic from md5, ln on the 2⁻²⁶ grid.
+    dfQ("q220_weighted_wor",
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |    CAST(CONCAT('0x', SUBSTRING(MD5(
+        |      CAST(doc_id AS VARCHAR) || ':q220'), 1, 8)) AS BIGINT) hv
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT source, doc_id,
+        |    FLOOR(LN((CAST(hv AS DOUBLE) + 0.5) / 4294967296.0)
+        |      * 67108864.0) / 67108864.0 / n_chars wk FROM h),
+        |r AS (SELECT source, doc_id, wk, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY wk DESC, doc_id) rk FROM k)
+        |SELECT source, doc_id, wk sample_key, CAST(rk AS BIGINT) sample_rank
+        |FROM r WHERE rk <= 20
+        |ORDER BY source, sample_rank""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents").filter(col("n_chars") > 0)
+      Sampling.weightedSampleWithoutReplacement(docs, "source", "doc_id",
+          col("n_chars"), k = 20, seed = "q220")
+        .select(col("source"), col("doc_id"), col("sample_key"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("source", "sample_rank")
     }
   )
 }

@@ -1428,6 +1428,32 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Sampling.weightedSampleWithoutReplacement ----------------------------
+
+  test("weightedSampleWOR: no replacement, weight-monotone, deterministic") {
+    val docs = Tables.table(spark, sf0001, "documents")
+      .filter(col("n_chars") > 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSampleWithoutReplacement(d, "source", "doc_id",
+        col("n_chars"), k = 20, seed = "t")
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank"))).toSet
+    val s1 = run(docs)
+    // without replacement: ids unique within each group
+    val ids = s1.toSeq.map(t => (t._1, t._2))
+    assert(ids.distinct.size == ids.size)
+    // deterministic + partition invariant
+    assert(s1 == run(docs.repartition(7, col("doc_id"))))
+    // weight-proportional: sampling from a 2-point weight distribution —
+    // heavy rows (w=1000) must dominate light rows (w=1) in the sample
+    val skewed = (1 to 200).map(i =>
+      ("g", i.toLong, if (i <= 100) 1000L else 1L)).toDF("g", "id", "w")
+    val picked = Sampling.weightedSampleWithoutReplacement(skewed, "g",
+      "id", col("w"), k = 50, seed = "t").collect()
+      .map(_.getAs[Long]("id"))
+    assert(picked.count(_ <= 100) >= 45, s"heavy picked ${picked.count(_ <= 100)}")
+  }
+
   // --- Indexing.rrfFuse -----------------------------------------------------
 
   test("rrfFuse: hand-computed fusion; doc in both systems outranks") {
