@@ -315,15 +315,18 @@ object Sampling {
     * b× map-side expansion — no data-sized shuffle per replicate, no
     * driver-side sampling state.
     *
-    * Determinism/oracle discipline: u = first 8 md5 hex chars of
-    * "id:replicate:seed" over 2³² — an EXACT dyadic double — fed
-    * through the literal [[PoissonCdf]] ladder; replicate means divide
-    * exact integer sums ONCE (pass an integral `x`); the CI bounds are
-    * order statistics of the b replicate means (ranks ⌊α/2·b⌋+1 and
-    * b−⌊α/2·b⌋, ties broken by replicate id), not interpolated
-    * percentiles — every step replays bit-for-bit cross-engine. A
-    * replicate that draws zero total weight (probability e^(−n·b))
-    * yields a NULL mean and is excluded on both engines. */
+    * Determinism/oracle discipline: one md5 of "id:block:seed" serves
+    * FOUR replicates (replicate r reads hex slice r mod 4 of block
+    * r ÷ 4 — a 4× cut of the dominant hashing cost; the slices of one
+    * digest are independent uniforms); u = slice/2³² is an EXACT
+    * dyadic double fed through the literal [[PoissonCdf]] ladder;
+    * replicate means divide exact integer sums ONCE (pass an integral
+    * `x`); the CI bounds are order statistics of the b replicate means
+    * (ranks ⌊α/2·b⌋+1 and b−⌊α/2·b⌋, ties broken by replicate id), not
+    * interpolated percentiles — every step replays bit-for-bit
+    * cross-engine. A replicate that draws zero total weight
+    * (probability e^(−n·b)) yields a NULL mean and is excluded on both
+    * engines. */
   def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
                        x: Column, b: Int, alpha: Double,
                        seed: String): DataFrame = {
@@ -335,14 +338,16 @@ object Sampling {
       x.as("__x"))
     val est = base.groupBy("__g").agg(count(lit(1)).as("n"),
       (sum("__x").cast("double") / count(lit(1))).as("estimate"))
-    val u = conv(substring(md5(concat_ws(":", col("__id").cast("string"),
-        col("__r").cast("string"), lit(seed))), 1, 8), 16, 10)
+    val digest = md5(concat_ws(":", col("__id").cast("string"),
+      call_function("div", col("__r"), lit(4)).cast("string"), lit(seed)))
+    val u = conv(call_function("substring", digest,
+        (pmod(col("__r"), lit(4)) * 8 + 1).cast("int"), lit(8)), 16, 10)
       .cast("bigint").cast("double") / lit(4294967296.0)
     val w = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length): Column) {
       case ((t, k), rest) => when(col("__u") < t, lit(k)).otherwise(rest)
     }
     val means = base
-      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__r", explode(sequence(lit(0L), lit((b - 1).toLong))))
       .withColumn("__u", u).withColumn("__w", w)
       .groupBy("__g", "__r")
       .agg(sum(col("__w")).as("__sw"),

@@ -2039,8 +2039,9 @@ object Analytics {
         |reps AS (SELECT g, id, x, r FROM base
         |  CROSS JOIN UNNEST(RANGE(0, 40)) t(r)),
         |h AS (SELECT g, r, x, CAST(CONCAT('0x', SUBSTRING(MD5(
-        |    CAST(id AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':q216'),
-        |    1, 8)) AS BIGINT) hv FROM reps),
+        |    CAST(id AS VARCHAR) || ':' || CAST(r // 4 AS VARCHAR)
+        |      || ':q216'),
+        |    (r % 4) * 8 + 1, 8)) AS BIGINT) hv FROM reps),
         |pw AS (SELECT g, r, x, CASE
         |    WHEN u < 0.36787944117144233 THEN 0
         |    WHEN u < 0.7357588823428847 THEN 1
