@@ -583,6 +583,60 @@ object Stats {
         (abs(col("__ns")).cast("double") / col("__n")).as("cusum_stat"))
   }
 
+  /** Weight of evidence + information value per category bucket — the
+    * credit-scoring/feature-screening readout: WOE_b = ln(share of
+    * positives in b / share of negatives in b) with the ±0.5 Laplace
+    * adjustment (zero cells stay finite), IV = Σ_b (pos_b/P − neg_b/N)
+    * · WOE_b. ONE grouped aggregation + one broadcast of the two
+    * global totals; the ln goes through [[Exact.lnq]] (raw libm ln is
+    * 1-ulp loose cross-engine) and the IV total folds in bucket order
+    * over the bucket table (value-cardinality sized). Output one row
+    * per bucket: (bucket, pos, neg, woe, iv_term, iv_total). */
+  def woeIv(df: DataFrame, bucketCol: String, label: Column): DataFrame = {
+    val cells = df.groupBy(col(bucketCol).as("__b"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("pos"),
+        sum(when(label, 0L).otherwise(1L)).as("neg"))
+    val tot = cells.agg(sum("pos").as("__p"), sum("neg").as("__n"))
+    val woe = Exact.lnq(((col("pos") + lit(0.5)) * col("__n")) /
+      ((col("neg") + lit(0.5)) * col("__p")))
+    val term = (col("pos").cast("double") / col("__p") -
+      col("neg").cast("double") / col("__n")) * col("woe")
+    // ordered prefix fold, then every row reads the final prefix — the
+    // q159 discipline (a frame-unordered SUM would let either engine
+    // accumulate doubles in its own order)
+    val wRun = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells.crossJoin(broadcast(tot))
+      .withColumn("woe", woe)
+      .withColumn("iv_term", term)
+      .withColumn("__ivrun", sum(col("iv_term")).over(wRun))
+      .withColumn("iv_total", last(col("__ivrun")).over(wAll))
+      .select(col("__b").as(bucketCol), col("pos").cast("long").as("pos"),
+        col("neg").cast("long").as("neg"), col("woe"), col("iv_term"),
+        col("iv_total"))
+  }
+
+  /** Leave-one-out target encoding — the categorical-feature encoding
+    * that avoids self-leakage: each row's code is the mean target of
+    * its category EXCLUDING the row itself, (Σ_g y − yᵢ)/(n_g − 1)
+    * (NULL for singleton categories). One grouped agg joined back (AQE
+    * broadcasts the category table) + a pure projection — never a
+    * per-row window over the category. Pass an integral `y`: the
+    * subtraction stays exact and the single division replays. Appends
+    * `loo` to the input. */
+  def looTargetEncode(df: DataFrame, catCol: String, y: Column): DataFrame = {
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(y).as("__sy"), count(lit(1)).as("__ny"))
+    df.withColumn("__y", y)
+      .join(stats, catCol)
+      .withColumn("loo", when(col("__ny") === 1, lit(null))
+        .otherwise((col("__sy") - col("__y")).cast("double") /
+          (col("__ny") - 1)))
+      .drop("__y", "__sy", "__ny")
+  }
+
   /** 2-D Pareto frontier (skyline): the rows not strictly dominated in
     * the maximize-both order — q dominates p iff qx ≥ px ∧ qy ≥ py with
     * at least one strict. Negate a column to minimize it.

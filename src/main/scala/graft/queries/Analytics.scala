@@ -2203,6 +2203,55 @@ object Analytics {
         .select(col("source"), col("doc_id"), col("sample_key"),
           col("sample_rank").cast("long").as("sample_rank"))
         .orderBy("source", "sample_rank")
+    },
+
+    // Weight of evidence + information value (Stats.woeIv): is
+    // event_type predictive of value > 0.5 — ±0.5-adjusted WOE on the
+    // quantized-ln grid, IV folded in bucket order.
+    dfQ("q221_woe_iv",
+      """WITH c AS (SELECT event_type b,
+        |    SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) pos,
+        |    SUM(CASE WHEN value > 0.5 THEN 0 ELSE 1 END) neg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(pos) p, SUM(neg) n FROM c),
+        |w AS (SELECT b, pos, neg,
+        |    FLOOR(LN(((pos + 0.5) * n) / ((neg + 0.5) * p))
+        |      * 67108864.0) / 67108864.0 woe,
+        |    (CAST(pos AS DOUBLE) / p - CAST(neg AS DOUBLE) / n) iv0
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT b, pos, neg, woe, iv0 * woe iv_term,
+        |    SUM(iv0 * woe) OVER (ORDER BY b
+        |      ROWS UNBOUNDED PRECEDING) ivrun FROM w)
+        |SELECT b event_type, CAST(pos AS BIGINT) pos,
+        |  CAST(neg AS BIGINT) neg, woe, iv_term,
+        |  LAST_VALUE(ivrun) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING) iv_total
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      Stats.woeIv(Tables.events(s, d), "event_type", col("value") > 0.5)
+        .orderBy("event_type")
+    },
+
+    // Leave-one-out target encoding (Stats.looTargetEncode): each
+    // order's priority encoded as the mean total price of its priority
+    // class EXCLUDING itself — exact integer subtraction, one division.
+    dfQ("q222_loo_encode",
+      """WITH y AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) yv FROM orders
+        |  WHERE o_orderkey < 5000),
+        |g AS (SELECT o_orderpriority, SUM(yv) sy, COUNT(*) ny FROM y
+        |  GROUP BY 1)
+        |SELECT y.o_orderkey, y.o_orderpriority,
+        |  CASE WHEN g.ny = 1 THEN NULL
+        |    ELSE CAST(g.sy - y.yv AS DOUBLE) / (g.ny - 1) END loo
+        |FROM y JOIN g USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val y = Tables.table(s, d, "orders")
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("yv"))
+      Stats.looTargetEncode(y, "o_orderpriority", col("yv"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("loo"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -1428,6 +1428,39 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Stats.woeIv / looTargetEncode ----------------------------------------
+
+  test("woeIv: hand-computed WOE/IV; monotone with separation") {
+    // bucket A: 3 pos, 1 neg; bucket B: 1 pos, 3 neg; P = N = 4
+    val df = Seq(("A", true), ("A", true), ("A", true), ("A", false),
+      ("B", true), ("B", false), ("B", false), ("B", false))
+      .toDF("b", "y")
+    val r = Stats.woeIv(df, "b", col("y")).orderBy("b").collect()
+    val woeA = math.floor(math.log((3.5 * 4) / (1.5 * 4)) * 67108864.0) /
+      67108864.0
+    assert(math.abs(r(0).getDouble(3) - woeA) < 1e-12, r(0).toString)
+    // symmetric buckets → woe_B = -woe_A on the unquantized value;
+    // after the grid they differ by at most one step
+    assert(math.abs(r(1).getDouble(3) + r(0).getDouble(3)) < 1e-7)
+    // iv_total identical on every row and positive (buckets separate)
+    assert(r.map(_.getDouble(5)).distinct.length == 1 &&
+      r(0).getDouble(5) > 0)
+    val ivExpect = (3.0 / 4 - 1.0 / 4) * r(0).getDouble(3) +
+      (1.0 / 4 - 3.0 / 4) * r(1).getDouble(3)
+    assert(math.abs(r(0).getDouble(5) - ivExpect) < 1e-12)
+  }
+
+  test("looTargetEncode: excludes self; singleton is NULL") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L)).toDF("id", "c", "y")
+    val m = Stats.looTargetEncode(df, "c", col("y"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("loo"))).toMap
+    assert(m(1L).contains(25.0) && m(2L).contains(20.0) &&
+      m(3L).contains(15.0))
+    assert(m(4L).isEmpty)
+  }
+
   // --- Sampling.weightedSampleWithoutReplacement ----------------------------
 
   test("weightedSampleWOR: no replacement, weight-monotone, deterministic") {
