@@ -601,21 +601,55 @@ object Stats {
       ((col("neg") + lit(0.5)) * col("__p")))
     val term = (col("pos").cast("double") / col("__p") -
       col("neg").cast("double") / col("__n")) * col("woe")
-    // ordered prefix fold, then every row reads the final prefix — the
-    // q159 discipline (a frame-unordered SUM would let either engine
-    // accumulate doubles in its own order)
-    val wRun = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cells.crossJoin(broadcast(tot))
+    // IV total = in-row ordered fold over the bucket table (the
+    // q159/bm25 discipline). NOT a running window sum: DuckDB executes
+    // windowed SUM through a segment tree above a size threshold,
+    // which REASSOCIATES the double additions — a left-fold running
+    // sum only matches it by luck on small inputs.
+    val scored = cells.crossJoin(broadcast(tot))
       .withColumn("woe", woe)
       .withColumn("iv_term", term)
-      .withColumn("__ivrun", sum(col("iv_term")).over(wRun))
-      .withColumn("iv_total", last(col("__ivrun")).over(wAll))
+    val total = scored.agg(aggregate(
+      array_sort(collect_list(struct(col("__b"), col("iv_term")))),
+      lit(0.0), (acc, e) => acc + e.getField("iv_term")).as("iv_total"))
+    scored.crossJoin(broadcast(total))
       .select(col("__b").as(bucketCol), col("pos").cast("long").as("pos"),
         col("neg").cast("long").as("neg"), col("woe"), col("iv_term"),
         col("iv_total"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * model-free feature-screening companion to [[woeIv]] (which needs
+    * a binary target): MI = Σ_xy p_xy · ln(p_xy / (p_x · p_y)), in
+    * nats. ONE grouped count over the (x, y) cells; marginals ride
+    * windows over the CELL table (value-cardinality sized, never the
+    * data); each cell's ln goes through [[Exact.lnq]] on the exact
+    * integer ratio (c_xy·N)/(c_x·c_y) and the total folds in (x, y)
+    * cell order — the [[woeIv]] prefix-then-last discipline. Returns
+    * one row per observed cell plus the repeated mi_total. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("c"))
+    val wx = Window.partitionBy(col("__x"))
+    val wy = Window.partitionBy(col("__y"))
+    val wAllRows = Window.partitionBy(lit(1))
+    val base = cells
+      .withColumn("cx", sum(col("c")).over(wx))
+      .withColumn("cy", sum(col("c")).over(wy))
+      .withColumn("n", sum(col("c")).over(wAllRows))
+      .withColumn("term", (col("c").cast("double") / col("n")) *
+        Exact.lnq((col("c") * col("n")).cast("double") /
+          (col("cx") * col("cy"))))
+    // in-row ordered fold for the total — see woeIv for why a running
+    // window sum cannot be used (DuckDB segment-tree reassociation)
+    val total = base.agg(aggregate(
+      array_sort(collect_list(struct(col("__x"), col("__y"), col("term")))),
+      lit(0.0), (acc, e) => acc + e.getField("term")).as("mi_total"))
+    base.crossJoin(broadcast(total))
+      .select(col("__x").as(xCol), col("__y").as(yCol),
+        col("c").cast("long").as("c"), col("cx").cast("long").as("cx"),
+        col("cy").cast("long").as("cy"), col("term"), col("mi_total"))
   }
 
   /** Leave-one-out target encoding — the categorical-feature encoding

@@ -2219,14 +2219,12 @@ object Analytics {
         |      * 67108864.0) / 67108864.0 woe,
         |    (CAST(pos AS DOUBLE) / p - CAST(neg AS DOUBLE) / n) iv0
         |  FROM c CROSS JOIN t),
-        |r AS (SELECT b, pos, neg, woe, iv0 * woe iv_term,
-        |    SUM(iv0 * woe) OVER (ORDER BY b
-        |      ROWS UNBOUNDED PRECEDING) ivrun FROM w)
+        |r AS (SELECT b, pos, neg, woe, iv0 * woe iv_term FROM w),
+        |tt AS (SELECT LIST_REDUCE(LIST(iv_term ORDER BY b),
+        |    (a, x) -> a + x) iv_total FROM r)
         |SELECT b event_type, CAST(pos AS BIGINT) pos,
-        |  CAST(neg AS BIGINT) neg, woe, iv_term,
-        |  LAST_VALUE(ivrun) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
-        |    PRECEDING AND UNBOUNDED FOLLOWING) iv_total
-        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+        |  CAST(neg AS BIGINT) neg, woe, iv_term, tt.iv_total
+        |FROM r CROSS JOIN tt ORDER BY event_type""".stripMargin) { (s, d) =>
       Stats.woeIv(Tables.events(s, d), "event_type", col("value") > 0.5)
         .orderBy("event_type")
     },
@@ -2252,6 +2250,34 @@ object Analytics {
       Stats.looTargetEncode(y, "o_orderpriority", col("yv"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("loo"))
         .orderBy("o_orderkey")
+    },
+
+    // Mutual information (Stats.mutualInformation): how much does
+    // event_type tell you about the value quartile — exact cell/marginal
+    // counts, per-cell ln on the quantized grid, total folded in cell
+    // order.
+    dfQ("q223_mutual_info",
+      """WITH t AS (SELECT event_type x,
+        |    CAST(FLOOR(value * 4) AS BIGINT) y FROM events),
+        |c AS (SELECT x, y, COUNT(*) c FROM t GROUP BY 1, 2),
+        |m AS (SELECT x, y, c,
+        |    SUM(c) OVER (PARTITION BY x) cx,
+        |    SUM(c) OVER (PARTITION BY y) cy,
+        |    SUM(c) OVER () n FROM c),
+        |w AS (SELECT x, y, c, cx, cy,
+        |    (CAST(c AS DOUBLE) / n) * (FLOOR(LN(CAST(c * n AS DOUBLE)
+        |      / (cx * cy)) * 67108864.0) / 67108864.0) term FROM m),
+        |tt AS (SELECT LIST_REDUCE(LIST(term ORDER BY x, y),
+        |    (a, e) -> a + e) mi_total FROM w)
+        |SELECT x event_type, y, CAST(c AS BIGINT) c,
+        |  CAST(cx AS BIGINT) cx, CAST(cy AS BIGINT) cy, term,
+        |  tt.mi_total
+        |FROM w CROSS JOIN tt ORDER BY event_type, y""".stripMargin) { (s, d) =>
+      Stats.mutualInformation(Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 4).cast("long").as("y")),
+          "event_type", "y")
+        .orderBy("event_type", "y")
     }
   )
 }

@@ -1450,6 +1450,25 @@ class AnalyticsSuite extends SparkTestBase {
     assert(math.abs(r(0).getDouble(5) - ivExpect) < 1e-12)
   }
 
+  test("mutualInformation: independent vars give ~0; identical give H") {
+    // perfectly dependent: y == x → MI = H(X) = ln 2 for a fair split
+    val dep = (1 to 100).map(i => (i % 2, i % 2)).toDF("x", "y")
+    val rd = Stats.mutualInformation(dep, "x", "y").collect()
+    assert(math.abs(rd(0).getDouble(6) - math.log(2)) < 1e-6)
+    // independent: y = i % 2, x = i % 4 / 2 pattern → every cell
+    // c·n = cx·cy exactly → every term lnq(1) = 0 → MI = 0
+    val ind = (0 until 100).map(i => (i % 2, (i / 2) % 2)).toDF("x", "y")
+    val ri = Stats.mutualInformation(ind, "x", "y").collect()
+    assert(ri.forall(_.getDouble(6) == 0.0), ri.map(_.toString).toSeq)
+    // partition invariance on the fixture
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), floor(col("value") * 4).cast("long").as("y"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.mutualInformation(d, "event_type", "y").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(run(ev) == run(ev.repartition(7, col("y"))))
+  }
+
   test("looTargetEncode: excludes self; singleton is NULL") {
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
       (4L, "b", 7L)).toDF("id", "c", "y")
