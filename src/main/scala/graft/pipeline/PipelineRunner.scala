@@ -58,6 +58,7 @@ object PipelineRunner {
         case (_, Some(cls)) =>
           val stage = Class.forName(cls).getDeclaredConstructor()
             .newInstance().asInstanceOf[TransformStage]
+            .withOptions(tr.options)
           stage(spark, tr.inputs.map(v => v -> spark.table(v)).toMap)
         case _ => throw new IllegalStateException(s"transform ${tr.view}")
       }
@@ -94,6 +95,7 @@ object PipelineRunner {
         case (_, Some(cls)) =>
           val stage = Class.forName(cls).getDeclaredConstructor()
             .newInstance().asInstanceOf[TransformStage]
+            .withOptions(tr.options)
           stage(spark, tr.inputs.map(v => v -> spark.table(v)).toMap)
         case _ => throw new IllegalStateException(s"transform ${tr.view}")
       }
@@ -125,6 +127,7 @@ object PipelineRunner {
         case (_, Some(cls)) =>
           val stage = Class.forName(cls).getDeclaredConstructor()
             .newInstance().asInstanceOf[TransformStage]
+            .withOptions(tr.options)
           val inputs = tr.inputs.map(v => v -> spark.table(v)).toMap
           stage(spark, inputs)
         case _ => throw new IllegalStateException(s"transform ${tr.view}")

@@ -25,7 +25,8 @@ final case class TransformSpec(
     view: String,                         // name the result is registered as
     sql: Option[String] = None,           // SQL over previously registered views
     className: Option[String] = None,     // or: a graft.pipeline.TransformStage impl
-    inputs: Seq[String] = Nil)            // views passed to the plugin stage
+    inputs: Seq[String] = Nil,            // views passed to the plugin stage
+    options: Map[String, String] = Map.empty) // plugin-stage configuration
 
 final case class LoadSpec(
     format: String,
@@ -138,7 +139,8 @@ object PipelineSpec {
         TransformSpec(view = t \@ "view",
           sql = attr(t, "sql").orElse(sqlChild),
           className = attr(t, "className"),
-          inputs = csv(attr(t, "inputs")))
+          inputs = csv(attr(t, "inputs")),
+          options = opts(t))
       },
       loads = (root \ "load").map { l =>
         LoadSpec(format = l \@ "format", path = l \@ "path",

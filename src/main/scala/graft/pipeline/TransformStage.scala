@@ -12,5 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lazy plan and Catalyst can optimize across stage boundaries.
   */
 trait TransformStage {
+  private var opts: Map[String, String] = Map.empty
+
+  /** Spec-supplied configuration (`TransformSpec.options`) — available
+    * to the stage body; empty when the spec carries none. */
+  protected def options: Map[String, String] = opts
+
+  private[pipeline] def withOptions(o: Map[String, String]): this.type = {
+    opts = o; this
+  }
+
   def apply(spark: SparkSession, inputs: Map[String, DataFrame]): DataFrame
 }

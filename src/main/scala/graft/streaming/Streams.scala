@@ -242,6 +242,37 @@ object Streams {
     q
   }
 
+  /** ST20: streaming KS drift monitor — the distribution-shape
+    * companion to [[runDriftMonitor]]'s PSI: each micro-batch is
+    * two-sample-KS-tested per key against the STANDING reference
+    * ([[graft.ops.Stats.ksTest]] with reference/batch as the two arms
+    * of a tagged union), catching shifts PSI's fixed buckets smear
+    * out. Per-batch-id overwrite → checkpoint replay rewrites
+    * identical rows; reference is frozen (the monitor defines drift
+    * AGAINST a pinned baseline — re-baselining is an offline
+    * decision, not a side effect). State store holds nothing. */
+  def runKsDriftMonitor(cur: DataFrame, reference: DataFrame,
+                        keyCol: String, valueCol: String,
+                        outDir: String): StreamingQuery = {
+    val q = cur.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val tagged = reference
+          .select(col(keyCol), col(valueCol), lit("ref").as("__side"))
+          .unionByName(batch.select(col(keyCol), col(valueCol),
+            lit("cur").as("__side")))
+        graft.ops.Stats.ksTest(tagged, keyCol,
+            col("__side") === "ref", col("__side") === "cur",
+            col(valueCol))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST × L1++: streaming boilerplate-span excision against a FROZEN
     * boiler set — each micro-batch of documents is cleaned by
     * [[graft.ops.Dedup.exciseNgrams]] with the standing n-gram table

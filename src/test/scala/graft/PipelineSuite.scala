@@ -616,6 +616,42 @@ class PipelineSuite extends SparkTestBase {
         .filter(col("n_chars") > 0).count())
   }
 
+  test("T-P14: KAnonymityGateStage audits classes via spec options") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp14",
+      "extracts": [
+        {"view": "customer", "format": "parquet", "path": "$sf0001/customer.parquet"}],
+      "transforms": [
+        {"view": "audit", "className": "graft.pipeline.stages.KAnonymityGateStage",
+         "inputs": ["customer"],
+         "options": {"quasiCols": "c_nationkey,c_mktsegment",
+                     "sensitiveCol": "c_acctbal", "k": "5"}},
+        {"view": "verdict",
+         "sql": "SELECT c_nationkey, c_mktsegment, n, l_diversity, risky FROM audit"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/audit"}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val back = spark.read.parquet(s"$out/audit")
+    val total = back.agg(sum("n")).head().getLong(0)
+    assert(total == spark.read.parquet(s"$sf0001/customer.parquet").count())
+    // risky flag consistent with n < 5
+    assert(back.filter(col("risky") =!= (col("n") < 5)).count() == 0)
+    // missing required option fails fast
+    intercept[Exception] {
+      PipelineRunner.runJson(spark, s"""{
+        "name": "bad",
+        "extracts": [
+          {"view": "customer", "format": "parquet", "path": "$sf0001/customer.parquet"}],
+        "transforms": [
+          {"view": "audit", "className": "graft.pipeline.stages.KAnonymityGateStage",
+           "inputs": ["customer"]}],
+        "loads": [{"format": "parquet", "path": "$out/bad"}]
+      }""")
+    }
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")

@@ -580,6 +580,39 @@ class StreamingSuite extends SparkTestBase {
       rowsOf(want))
   }
 
+  test("ST20: streaming KS drift monitor equals the batch ksTest") {
+    import graft.ops.Stats
+    val root = Files.createTempDirectory("graft-ksdrift").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), floor(col("value") * 64).cast("long").as("v"))
+    val reference = ev.filter(col("v") < 32)       // skewed baseline
+    val b1 = ev.filter(col("v") >= 16)             // drifted batch
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runKsDriftMonitor(stream(), reference, "user_id", "v", outDir)
+    val got = spark.read.parquet(s"$outDir/batch_0")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    // oracle: the batch operator over the same tagged union
+    val tagged = reference.select(col("user_id"), col("v"),
+        lit("ref").as("__side"))
+      .unionByName(b1.select(col("user_id"), col("v"),
+        lit("cur").as("__side")))
+    val want = Stats.ksTest(tagged, "user_id", col("__side") === "ref",
+        col("__side") === "cur", col("v")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got == want && got.nonEmpty)
+    // drifted distributions actually register: some key has D > 0.2
+    assert(got.values.exists(_._2 > 0.2), got.toString)
+    // replay rewrites identical rows, no new batch dirs
+    Streams.runKsDriftMonitor(stream(), reference, "user_id", "v", outDir)
+    val dirs = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_"))
+    assert(dirs.toSeq == Seq("batch_0"))
+  }
+
   test("streaming CDC apply: deletes land, tombstones block resurrection") {
     import graft.ops.Merge
     val root = Files.createTempDirectory("graft-cdc").toString
