@@ -480,6 +480,64 @@ class ScaleSuite extends SparkTestBase {
       s"files must cover small boxes, got volume ${fracs.product}")
   }
 
+  test("cusum/ksTest plan per-key window shuffles, no joins, no global sort") {
+    val ev = Tables.table(spark, sf0001, "events")
+    val cusumPlan = graft.ops.Stats.cusum(ev, "user_id", "ts",
+      floor(col("value") * 64).cast("long"), "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!cusumPlan.contains("Join"), "cusum must not plan a join")
+    assert(!cusumPlan.contains("Exchange rangepartitioning"),
+      "cusum must not plan a global sort")
+    val ksPlan = graft.ops.Stats.ksTest(ev, "user_id",
+      col("event_type") === "click", col("event_type") === "purchase",
+      floor(col("value") * 64).cast("long"))
+      .queryExecution.executedPlan.toString
+    assert(!ksPlan.contains("Join"), "ksTest must not plan a join")
+    // the KS windows ride the distinct-value agg's (key, value)
+    // grouping; only per-key exchanges appear
+    assert(!ksPlan.contains("Exchange rangepartitioning"),
+      "ksTest must not plan a global sort")
+  }
+
+  test("paretoFront joins back a broadcast frontier, never all-pairs") {
+    val p = Tables.table(spark, sf0001, "part").select(col("p_partkey"),
+      col("p_size"), floor(col("p_retailprice") * 100).cast("long")
+        .as("price_c"))
+    val df = graft.ops.Stats.paretoFront(p, "p_size", "price_c")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan an all-pairs join:\n${plan.take(1500)}")
+    df.write.mode("overwrite").format("noop").save()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the frontier join-back should broadcast the frontier")
+  }
+
+  test("looTargetEncode broadcasts the category table; bootstrap spreads the base") {
+    val y = Tables.table(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice")).cast("long").as("yv"))
+    val loo = graft.ops.Stats.looTargetEncode(y, "o_orderpriority",
+      col("yv"))
+    loo.write.mode("overwrite").format("noop").save()
+    val looPlan = loo.queryExecution.executedPlan.toString
+    assert(looPlan.contains("BroadcastHashJoin"),
+      s"LOO join-back should broadcast under AQE:\n${looPlan.take(1500)}")
+    val ev = Tables.events(spark, sf0001)
+    val bPlan = graft.ops.Sampling.poissonBootstrap(ev, "event_type",
+      "event_id", floor(col("value") * 1000).cast("long"), 8, 0.25, "t")
+      .queryExecution.executedPlan.toString
+    // the pre-expansion spread is a round-robin exchange BEFORE the
+    // generator, so the b-fold hash pipeline never runs on one split
+    assert(bPlan.contains("Exchange RoundRobinPartitioning"),
+      s"bootstrap must spread the base before exploding:\n${bPlan.take(1500)}")
+    assert(bPlan.indexOf("Exchange RoundRobinPartitioning") >
+      bPlan.indexOf("Generate") || bPlan.contains("Generate"),
+      "generator present")
+  }
+
   test("Drift.psi is single-pass across columns: 3 scans for any k (bounds+ref+cur)") {
     val ev = Tables.table(spark, sf0001, "events")
     val ref = ev.filter(col("user_id") % 2 === 0)
