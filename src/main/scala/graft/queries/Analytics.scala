@@ -2278,6 +2278,53 @@ object Analytics {
             floor(col("value") * 4).cast("long").as("y")),
           "event_type", "y")
         .orderBy("event_type", "y")
+    },
+
+    // End-to-end entity resolution: blocked Jaro–Winkler pair
+    // generation (q206) → connected components over the match graph
+    // (q83 machinery) → canonical record per cluster (highest price,
+    // lowest key tiebreak). The composite a record-linkage pipeline
+    // actually runs; every stage is the already-verified operator.
+    dfQ("q224_entity_resolution",
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.p_partkey u, b.p_partkey v
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        |sym AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM sym
+        |  UNION
+        |  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n),
+        |comp AS (SELECT n AS node, MIN(r) AS component FROM reach
+        |  GROUP BY n),
+        |rk AS (SELECT comp.component, comp.node,
+        |    CAST(FLOOR(p.p_retailprice * 100) AS BIGINT) price_c,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.component
+        |      ORDER BY FLOOR(p.p_retailprice * 100) DESC, comp.node) rn
+        |  FROM comp JOIN part p ON p.p_partkey = comp.node)
+        |SELECT component, MIN(CASE WHEN rn = 1 THEN node END) canon_key,
+        |  CAST(COUNT(*) AS BIGINT) n_members,
+        |  MAX(price_c) canon_price_c
+        |FROM rk GROUP BY component
+        |ORDER BY component""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val part = Tables.table(s, d, "part")
+      val pairs = graft.ops.FuzzyJoin.jaroWinklerPairs(part, "p_partkey",
+        "p_name", Seq("p_brand", "p_size"), minSim = 0.9)
+      val comps = Components.connectedComponents(pairs, "a", "b")
+      val rk = comps.join(part, comps("node") === part("p_partkey"))
+        .select(col("component"), col("node"),
+          floor(col("p_retailprice") * 100).cast("long").as("price_c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("price_c").desc, col("node"))))
+      rk.groupBy("component")
+        .agg(min(when(col("rn") === 1, col("node"))).as("canon_key"),
+          count(lit(1)).as("n_members"),
+          max(col("price_c")).as("canon_price_c"))
+        .orderBy("component")
     }
   )
 }
