@@ -29,6 +29,10 @@ object Sinks {
         options.getOrElse("header", "true")).csv(path)
       case "json"    => w.json(path)
       case "orc"     => w.orc(path)
+      case "xml"     => w.option("rootTag",
+          options.getOrElse("rootTag", "rows"))
+        .option("rowTag", options.getOrElse("rowTag", "row"))
+        .format("xml").save(path)
       case "jdbc"    =>
         DuckDbDialect.ensureRegistered()
         w.format("jdbc").save()

@@ -5,7 +5,8 @@ import org.apache.spark.sql.types.StructType
 
 /** Batch source dispatch for the pipeline layer (SURVEY.md §2.1 S1–S8).
   *
-  * Formats: parquet, csv, json, orc, jdbc, table (catalog), values
+  * Formats: parquet, csv, json, orc, xml (built-in since Spark 4;
+  * rowTag defaults to "row"), jdbc, table (catalog), values
   * (inline literal rows for tests/seeds). Kafka is declared but fails with
   * a clear message offline — the connector jar does not ship in this
   * environment; the streaming surface is exercised through file and memory
@@ -32,6 +33,8 @@ object Sources {
       case "json"    => reader.json(path)
       case "orc"     => reader.orc(path)
       case "text"    => reader.text(path)
+      case "xml"     => reader.option("rowTag",
+        options.getOrElse("rowTag", "row")).format("xml").load(path)
       case "jdbc"    =>
         DuckDbDialect.ensureRegistered()
         reader.format("jdbc").load()
