@@ -65,6 +65,42 @@ object Multimodal {
     }
   }
 
+  /** Raw-file media ingestion: a directory of media files (read through
+    * the `binaryFile` DSv2 source — one split per file, so decode
+    * parallelism is file parallelism) becomes the same [[MediaRow]]
+    * table the synthetic path produces. Kind/format come from the file
+    * extension; image dimensions are RECOVERED by decoding the header
+    * executor-side (the metadata a crawl does not carry); media_id is
+    * the stable xxhash64 of the file name, so re-ingesting a grown
+    * directory preserves existing ids (the standing-index discipline:
+    * dHash/signature tables keyed by media_id stay valid). Unknown
+    * extensions land as kind "binary" with format "bin" — they flow to
+    * the stub-codec path downstream, not an error. */
+  def mediaFromFiles(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val files = graft.sources.Sources.read(spark, "binaryfile", dir)
+      .select(col("path"),
+        org.apache.spark.sql.functions.xxhash64(
+          element_at(split(col("path"), "/"), -1)).as("media_id"),
+        lower(element_at(split(col("path"), "\\."), -1)).as("ext"),
+        col("content"))
+    files.select(col("media_id"), col("ext"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, ext, bytes) =>
+        if (MediaCodec.isImageFormat(ext)) {
+          val dims = MediaCodec.decodeImage(bytes)
+          MediaRow(id, "image", bytes, MediaMeta(ext,
+            dims.map(_.width).getOrElse(0), dims.map(_.height).getOrElse(0),
+            durationMs = 0L))
+        } else if (MediaCodec.isAudioFormat(ext)) {
+          val st = MediaCodec.decodeWav(bytes)
+          val durMs = st.map(a =>
+            (a.frames * 1000.0 / a.sampleRate).toLong).getOrElse(0L)
+          MediaRow(id, "audio", bytes, MediaMeta(ext, 0, 0, durMs))
+        } else MediaRow(id, "binary", bytes, MediaMeta("bin", 0, 0, 0L))
+      }
+  }
+
   /** STUB codec for formats without a JDK decoder: a `dim`-bin byte
     * histogram, L1-normalized. Deterministic, so tests stay exact; the
     * operator contract (binary in, fixed-dim float features out) matches

@@ -35,6 +35,12 @@ object Sources {
       case "text"    => reader.text(path)
       case "xml"     => reader.option("rowTag",
         options.getOrElse("rowTag", "row")).format("xml").load(path)
+      case "binaryfile" =>
+        // raw-media ingestion: (path, modificationTime, length, content)
+        // per file; pathGlobFilter narrows to one media kind. The DSv2
+        // source splits across executors by file, which is exactly the
+        // decode-parallelism a media corpus wants.
+        reader.format("binaryFile").load(path)
       case "jdbc"    =>
         DuckDbDialect.ensureRegistered()
         reader.format("jdbc").load()

@@ -1428,6 +1428,36 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Multimodal.mediaFromFiles --------------------------------------------
+
+  test("mediaFromFiles: raw files ingest with recovered metadata, stable ids") {
+    import graft.ops.{MediaCodec, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", MediaCodec.syntheticPng(40, 24, 7L, 3))
+    put("b.png", MediaCodec.syntheticPng(64, 64, 9L, 1))
+    put("c.wav", MediaCodec.syntheticWav(8000, 1500L, 440.0, 12000))
+    put("d.bin", Array[Byte](1, 2, 3, 4))
+    val rows = Multimodal.mediaFromFiles(spark, dir.toString)
+      .collect().map(m => (m.kind, m.meta.format, m.meta.width,
+        m.meta.height, m.meta.durationMs, m.media_id)).sortBy(_.toString)
+    assert(rows.count(_._1 == "image") == 2 &&
+      rows.count(_._1 == "audio") == 1 && rows.count(_._1 == "binary") == 1)
+    val imgs = rows.filter(_._1 == "image").map(r => (r._3, r._4)).sorted
+    assert(imgs.toSeq == Seq((40, 24), (64, 64)), imgs.toSeq.toString)
+    val wav = rows.find(_._1 == "audio").get
+    assert(math.abs(wav._5 - 1500L) <= 1, wav.toString)
+    // ids are pure functions of the file NAME: re-ingest after adding a
+    // file preserves every existing id (standing-index discipline)
+    val before = Multimodal.mediaFromFiles(spark, dir.toString)
+      .collect().map(m => m.media_id).toSet
+    put("e.png", MediaCodec.syntheticPng(16, 16, 3L, 2))
+    val after = Multimodal.mediaFromFiles(spark, dir.toString)
+      .collect().map(m => m.media_id).toSet
+    assert(before.subsetOf(after) && after.size == before.size + 1)
+  }
+
   // --- Stats.woeIv / looTargetEncode ----------------------------------------
 
   test("woeIv: hand-computed WOE/IV; monotone with separation") {
