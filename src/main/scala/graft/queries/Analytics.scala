@@ -2325,6 +2325,59 @@ object Analytics {
           count(lit(1)).as("n_members"),
           max(col("price_c")).as("canon_price_c"))
         .orderBy("component")
+    },
+
+    // Seasonal anomaly detection composite: subtract the day-of-week
+    // baseline (q198's epoch-day dow convention), then the robust
+    // median/MAD gate (q120's modified z-score) on the residuals, per
+    // event type — the metrics-monitoring workflow end-to-end.
+    dfQ("q225_seasonal_anomaly",
+      """WITH b AS (SELECT event_type,
+        |    CAST(FLOOR(value * 64) AS BIGINT) vx,
+        |    (EPOCH_US(ts) // 86400000000 + 4) % 7 dow FROM events),
+        |p AS (SELECT event_type, dow,
+        |    CAST(SUM(vx) AS DOUBLE) / COUNT(*) mu FROM b GROUP BY 1, 2),
+        |r AS (SELECT b.event_type, b.vx - p.mu AS r FROM b
+        |  JOIN p ON p.event_type = b.event_type AND p.dow = b.dow),
+        |m AS (SELECT event_type, PERCENTILE_CONT(0.5)
+        |    WITHIN GROUP (ORDER BY r) medr FROM r GROUP BY 1),
+        |a AS (SELECT r.event_type, r.r, m.medr FROM r
+        |  JOIN m ON m.event_type = r.event_type),
+        |d AS (SELECT event_type, PERCENTILE_CONT(0.5)
+        |    WITHIN GROUP (ORDER BY ABS(r - medr)) madr
+        |  FROM a GROUP BY 1)
+        |SELECT a.event_type, CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CASE WHEN ABS(a.r - a.medr)
+        |    > 3.5 * 1.4826 * d.madr THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_anomalies,
+        |  ROUND(MIN(a.medr), 6) med_r, ROUND(MIN(d.madr), 6) mad_r
+        |FROM a JOIN d ON d.event_type = a.event_type
+        |GROUP BY a.event_type
+        |ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val days = call_function("div", unix_micros(col("ts")),
+        lit(86400000000L))
+      val base = ev.select(col("event_type"),
+        floor(col("value") * 64).cast("long").as("vx"),
+        pmod(days + 4, lit(7L)).as("dow"))
+      val prof = base.groupBy("event_type", "dow")
+        .agg((sum("vx").cast("double") / count(lit(1))).as("mu"))
+      val resid = base.join(prof, Seq("event_type", "dow"))
+        .select(col("event_type"), (col("vx") - col("mu")).as("r"))
+      val med = resid.groupBy("event_type")
+        .agg(percentile(col("r"), lit(0.5)).as("medr"))
+      val a = resid.join(med, "event_type")
+      val mad = a.groupBy("event_type")
+        .agg(percentile(abs(col("r") - col("medr")), lit(0.5)).as("madr"))
+      a.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("r") - col("medr")) >
+            lit(3.5) * lit(1.4826) * col("madr"), 1L).otherwise(0L))
+            .as("n_anomalies"),
+          round(min(col("medr")), 6).as("med_r"),
+          round(min(col("madr")), 6).as("mad_r"))
+        .orderBy("event_type")
     }
   )
 }
