@@ -617,6 +617,63 @@ object Streams {
     q
   }
 
+  /** ST21: streaming incremental interval stitching — per-key merged
+    * activity islands ([[graft.ops.Intervals.mergeIntervals]])
+    * maintained against a standing span store. Like the funnel (ST15),
+    * a state-machine formulation is NOT exact under out-of-order
+    * arrival: a late span can bridge two previously-separate islands,
+    * so exactness needs the span history. Each micro-batch appends its
+    * spans (`storeDir/batch_<id>`, overwrite-own-dir ⇒ replay
+    * idempotent), re-merges AFFECTED keys only (semi-join on the
+    * batch's keys), and writes the refreshed island snapshots tagged
+    * with the batch id; [[latestIntervals]] resolves whole-latest-
+    * snapshot-wins per key (an island row set is only valid
+    * atomically). Per-batch cost ∝ affected keys' span history, never
+    * the key universe; the state store holds nothing. */
+  def runIntervalMerge(spans: DataFrame, keyCol: String, startCol: String,
+                       endCol: String, tieCol: String, storeDir: String,
+                       outDir: String): StreamingQuery = {
+    val q = spans.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(keyCol).as("k"), col(startCol).as("s"),
+          col(endCol).as("e"), col(tieCol).as("o"))
+        b.write.mode("overwrite").parquet(s"$storeDir/batch_$id")
+        val sPath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior = fs.listStatus(sPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+            && s.getPath.getName != s"batch_$id")
+          .map(_.getPath.toString)
+        val store =
+          if (prior.isEmpty) b
+          else spark.read.parquet(prior.toSeq: _*).unionByName(b)
+        val affected = b.select("k").distinct()
+        graft.ops.Intervals.mergeIntervals(
+            store.join(affected, Seq("k"), "left_semi"), "k", "s", "e", "o")
+          .withColumn("__batch", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Current island table from [[runIntervalMerge]] snapshots:
+    * per key, ALL rows of the key's latest batch (an island set is
+    * atomic — mixing rows across batches would resurrect bridged
+    * islands). */
+  def latestIntervals(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    spark.read.parquet(s"$outDir/batch_*")
+      .withColumn("__mx",
+        org.apache.spark.sql.functions.max(col("__batch")).over(w))
+      .filter(col("__batch") === col("__mx"))
+      .drop("__mx", "__batch")
+  }
+
   /** ST17: streaming incremental transition matrix — per-user Markov
     * from→to counts maintained against a standing event store, exact
     * under out-of-order arrival: a late event SPLICES into a user's

@@ -580,6 +580,45 @@ class StreamingSuite extends SparkTestBase {
       rowsOf(want))
   }
 
+  test("ST21: incremental interval merge — late span bridges islands") {
+    import graft.ops.Intervals
+    val root = Files.createTempDirectory("graft-ivl").toString
+    val srcDir = s"$root/src"; val storeDir = s"$root/store"
+    val outDir = s"$root/out"
+    def mk(rows: Seq[(Long, Long, Long, Long)]) = {
+      val spark2 = spark; import spark2.implicits._
+      rows.toDF("k", "s", "e", "o")
+    }
+    // batch 1: two separated islands for key 1; one span for key 2
+    val b1 = mk(Seq((1L, 0L, 10L, 1L), (1L, 30L, 40L, 2L),
+      (2L, 0L, 5L, 3L)))
+    // batch 2: a LATE span bridging key 1's islands; key 3 appears
+    val b2 = mk(Seq((1L, 8L, 32L, 4L), (3L, 0L, 1L, 5L)))
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runIntervalMerge(stream(), "k", "s", "e", "o", storeDir, outDir)
+    val mid = Streams.latestIntervals(spark, outDir)
+    assert(mid.filter(col("k") === 1).count() == 2) // still split
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    Streams.runIntervalMerge(stream(), "k", "s", "e", "o", storeDir, outDir)
+    val fin = Streams.latestIntervals(spark, outDir)
+    // the bridge collapsed key 1 into ONE island covering [0, 40]
+    val k1 = fin.filter(col("k") === 1).collect()
+    assert(k1.length == 1 && k1(0).getAs[Long]("start") == 0L &&
+      k1(0).getAs[Long]("end") == 40L && k1(0).getAs[Long]("n_spans") == 3L)
+    // equals the batch operator over the full span history
+    val want = rowsOf(Intervals.mergeIntervals(b1.unionByName(b2),
+      "k", "s", "e", "o"))
+    assert(rowsOf(fin.select("k", "island", "start", "end", "n_spans")) ==
+      want)
+    // replay adds no snapshot dirs
+    Streams.runIntervalMerge(stream(), "k", "s", "e", "o", storeDir, outDir)
+    val dirs = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).sorted
+    assert(dirs.toSeq == Seq("batch_0", "batch_1"))
+  }
+
   test("ST20: streaming KS drift monitor equals the batch ksTest") {
     import graft.ops.Stats
     val root = Files.createTempDirectory("graft-ksdrift").toString
