@@ -42,7 +42,13 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    // spread the rows before the per-row PNG/WAV ENCODE: the map is
+    // narrow, so a single-split source would encode the whole corpus
+    // on one core (the poissonBootstrap lesson — the shuffle moves
+    // only (id, text), the cheap side of the pipeline)
+    docs.select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)].map {
       case (id, text) =>
         (id % 3) match {
           case 0 =>
