@@ -313,7 +313,9 @@ class ScaleSuite extends SparkTestBase {
       "q167_equidepth_hist",   // CROSS JOIN with the 1-row boundary array
       "q185_quantile_normalize", // CROSS JOIN with the 1-row knot array
       "q193_kaplan_meier",     // CROSS JOIN with the 1-row corpus-end scalar
-      "q204_kruskal")          // CROSS JOIN with the 1-row tie-correction row
+      "q204_kruskal",          // CROSS JOIN with the 1-row tie-correction row
+      "q221_woe_iv",           // CROSS JOIN with the 1-row totals + IV fold
+      "q223_mutual_info")      // CROSS JOIN with the 1-row MI-total fold
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
