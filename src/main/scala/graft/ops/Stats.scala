@@ -618,6 +618,34 @@ object Stats {
         col("iv_total"))
   }
 
+  /** Split-conformal prediction intervals — distribution-free coverage
+    * for ANY point predictor: with a held-out calibration set, q = the
+    * ⌈(1−α)(n+1)⌉-th smallest |y − ŷ| guarantees P(y ∈ ŷ ± q) ≥ 1−α
+    * on exchangeable data (Vovk et al.). The quantile is an EXACT
+    * order statistic (rank pick, no interpolation — ties share the
+    * value, so the arbitrary tie order cannot change q), computed by
+    * one ranking pass over the CALIBRATION residuals — calibration
+    * sets are small by design (8-byte rows even when they are not);
+    * the scoring set gets the interval as a broadcast-scalar
+    * projection. Ranks beyond n (tiny calibration) clip to the max
+    * residual. Appends (lo, hi) to `test`. */
+  def conformalInterval(cal: DataFrame, test: DataFrame, yCol: String,
+                        yhatCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val r = cal.select(abs(col(yCol) - col(yhatCol)).as("__r"))
+    val n = r.agg(count(lit(1)).as("__n"))
+    val ranked = r.withColumn("__rk",
+      row_number().over(Window.orderBy(col("__r"))))
+    val q = ranked.crossJoin(broadcast(n))
+      .filter(col("__rk") === least(
+        ceil(lit(1 - alpha) * (col("__n") + 1)).cast("long"), col("__n")))
+      .select(col("__r").as("__q"))
+    test.crossJoin(broadcast(q))
+      .withColumn("lo", col(yhatCol) - col("__q"))
+      .withColumn("hi", col(yhatCol) + col("__q"))
+      .drop("__q")
+  }
+
   /** Mutual information between two categorical columns — the
     * model-free feature-screening companion to [[woeIv]] (which needs
     * a binary target): MI = Σ_xy p_xy · ln(p_xy / (p_x · p_y)), in

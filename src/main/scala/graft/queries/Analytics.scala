@@ -2378,6 +2378,51 @@ object Analytics {
           round(min(col("medr")), 6).as("med_r"),
           round(min(col("madr")), 6).as("mad_r"))
         .orderBy("event_type")
+    },
+
+    // Split-conformal prediction intervals (Stats.conformalInterval):
+    // a hash-split calibration set prices the exact ⌈0.9(n+1)⌉-th
+    // absolute residual of a priority-mean predictor; every test row
+    // gets ŷ ± q with distribution-free ≥90% coverage. The 0.9 factor
+    // is forced to DOUBLE in the oracle — DuckDB's decimal 0.9·(n+1)
+    // is exact where the double is not, which shifts the CEIL.
+    dfQ("q226_conformal",
+      """WITH s AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) y,
+        |    CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(
+        |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |      < 8000 THEN 'cal' ELSE 'test' END split
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |    CAST(SUM(y) AS DOUBLE) / COUNT(*) yhat FROM s
+        |  WHERE split = 'cal' GROUP BY 1),
+        |calr AS (SELECT ABS(s.y - m.yhat) r FROM s
+        |  JOIN m USING (o_orderpriority) WHERE split = 'cal'),
+        |n AS (SELECT COUNT(*) n FROM calr),
+        |rk AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) rk FROM calr),
+        |qq AS (SELECT r q FROM rk CROSS JOIN n WHERE rk = LEAST(
+        |  CAST(CEIL(CAST(0.9 AS DOUBLE) * (n + 1)) AS BIGINT), n))
+        |SELECT s.o_orderkey, s.o_orderpriority, m.yhat,
+        |  m.yhat - qq.q lo, m.yhat + qq.q hi
+        |FROM s JOIN m USING (o_orderpriority) CROSS JOIN qq
+        |WHERE s.split = 'test'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.table(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice")).cast("long").as("y"),
+        when(Sampling.hashBucket(col("o_orderkey")) < 8000, "cal")
+          .otherwise("test").as("split"))
+      val m = base.filter(col("split") === "cal")
+        .groupBy("o_orderpriority")
+        .agg((sum("y").cast("double") / count(lit(1))).as("yhat"))
+      val cal = base.filter(col("split") === "cal")
+        .join(m, "o_orderpriority")
+      val test = base.filter(col("split") === "test")
+        .join(m, "o_orderpriority")
+      Stats.conformalInterval(cal, test, "y", "yhat", alpha = 0.1)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("yhat"),
+          col("lo"), col("hi"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -1428,6 +1428,37 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Stats.conformalInterval ----------------------------------------------
+
+  test("conformalInterval: exact order-statistic q; empirical coverage") {
+    // 9 calibration residuals 1..9 with yhat = 0: k = ceil(0.9·10) = 9
+    // → q = 9; test rows get [ŷ−9, ŷ+9]
+    val cal = (1 to 9).map(i => (i.toDouble, 0.0)).toDF("y", "yhat")
+    val test = Seq((100.0, 5.0)).toDF("y", "yhat")
+    val r = Stats.conformalInterval(cal, test, "y", "yhat", alpha = 0.1)
+      .collect()(0)
+    assert(r.getDouble(2) == -4.0 && r.getDouble(3) == 14.0, r.toString)
+    // rank beyond n clips to the max residual
+    val tiny = Seq((3.0, 0.0), (7.0, 0.0)).toDF("y", "yhat")
+    val rt = Stats.conformalInterval(tiny, test, "y", "yhat", 0.01)
+      .collect()(0)
+    assert(rt.getDouble(3) - rt.getDouble(2) == 14.0, rt.toString)
+    // empirical coverage >= 1 - alpha on a real split
+    val base = Tables.table(spark, sf0001, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice")).cast("long").as("y"),
+      when(Sampling.hashBucket(col("o_orderkey")) < 8000, "cal")
+        .otherwise("test").as("split"))
+    val m = base.filter(col("split") === "cal").groupBy("o_orderpriority")
+      .agg((sum("y").cast("double") / count(lit(1))).as("yhat"))
+    val calD = base.filter(col("split") === "cal").join(m, "o_orderpriority")
+    val testD = base.filter(col("split") === "test").join(m, "o_orderpriority")
+    val iv = Stats.conformalInterval(calD, testD, "y", "yhat", 0.1)
+    val cov = iv.agg(avg(when(col("y") >= col("lo") &&
+      col("y") <= col("hi"), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(cov >= 0.85, s"coverage $cov") // guaranteed >= 0.9 in expectation
+  }
+
   // --- Multimodal.mediaFromFiles --------------------------------------------
 
   test("mediaFromFiles: raw files ingest with recovered metadata, stable ids") {
