@@ -57,6 +57,39 @@ object Skew {
     * `salts` times; the join key becomes (key, salt). Row multiplicity is
     * unchanged — each fact row matches exactly one dim replica. Use when
     * the dim is too big to broadcast and the fact key is hot. */
+  /** Key-skew profile — the diagnostic you run BEFORE deciding whether
+    * a join/agg key needs salting ([[saltedJoin]]/[[saltedAggregate]]) or
+    * AQE skew-split will do: per key-column, the key count, total rows,
+    * the heaviest key's share, the p50/p90/p99 per-key row counts, and
+    * the top key itself. ONE grouped count per profiled column (the
+    * key-cardinality table), then exact percentiles + a max-rank pick
+    * over THAT table — all value-cardinality-sized after the first
+    * shuffle. Shares divide exact integers once; the tail percentiles
+    * use BINARY-EXACT fractions (½, ⅞, 63/64 — the equi-depth
+    * discipline) so both engines parse identical interpolation
+    * points. */
+  def keyProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyProfile: need at least one key column")
+    val per = keyCols.map { k =>
+      val counts = df.groupBy(col(k).cast("string").as("__k"))
+        .agg(count(lit(1)).as("c"))
+      val ranked = counts.withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("__k"))))
+      ranked.agg(
+        lit(k).as("key_col"),
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"),
+        (max(col("c")).cast("double") / sum(col("c"))).as("max_share"),
+        percentile(col("c"), lit(0.5)).as("p50"),
+        percentile(col("c"), lit(0.875)).as("p875"),
+        percentile(col("c"), lit(0.984375)).as("p984"),
+        min(when(col("__rk") === 1, col("__k"))).as("top_key"),
+        max(col("c")).cast("long").as("top_count"))
+    }
+    per.reduce(_ unionByName _)
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFrom: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",

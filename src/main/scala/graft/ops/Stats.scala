@@ -618,6 +618,37 @@ object Stats {
         col("iv_total"))
   }
 
+  /** Lift / cumulative-gains table — the model-eval readout beside
+    * ROC-AUC (q173) and calibration (q174): rank rows by score
+    * descending into `buckets` equal slices (NTILE over a total order
+    * — the id tiebreak makes equal scores deterministic), then per
+    * slice the positive rate, lift = pos·N/(n·P), and the cumulative
+    * gain. Counts stay exact integers (running sums of ints are
+    * order-free); each ratio divides once. One global-sort window —
+    * ranking THE WHOLE scored set is inherent to the statistic; at
+    * 100 TB feed it a per-segment sample or compute per segment. */
+  def liftTable(df: DataFrame, idCol: String, score: Column, label: Column,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val d = df.select(col(idCol).as("__id"), score.as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .withColumn("decile", ntile(buckets).over(
+        Window.orderBy(col("__s").desc, col("__id"))))
+    val g = d.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("__y").as("pos"))
+    val tot = g.agg(sum("n").as("__nn"), sum("pos").as("__p"))
+    val wRun = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cpos", sum(col("pos")).over(wRun))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n").cast("long").as("n"),
+        col("pos").cast("long").as("pos"),
+        (col("pos").cast("double") / col("n")).as("pos_rate"),
+        ((col("pos") * col("__nn")).cast("double") /
+          (col("n") * col("__p"))).as("lift"),
+        (col("cpos").cast("double") / col("__p")).as("cum_gain"))
+  }
+
   /** Split-conformal prediction intervals — distribution-free coverage
     * for ANY point predictor: with a held-out calibration set, q = the
     * ⌈(1−α)(n+1)⌉-th smallest |y − ŷ| guarantees P(y ∈ ŷ ± q) ≥ 1−α

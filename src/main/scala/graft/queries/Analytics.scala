@@ -2423,6 +2423,63 @@ object Analytics {
         .select(col("o_orderkey"), col("o_orderpriority"), col("yhat"),
           col("lo"), col("hi"))
         .orderBy("o_orderkey")
+    },
+
+    // Key-skew profile (Skew.keyProfile): the pre-salting diagnostic —
+    // per candidate key, cardinality, heaviest-key share, and
+    // binary-exact tail percentiles of the per-key row counts.
+    dfQ("q227_skew_profile",
+      """WITH c1 AS (SELECT CAST(l_suppkey AS VARCHAR) k, COUNT(*) c
+        |  FROM lineitem GROUP BY 1),
+        |r1 AS (SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) rk
+        |  FROM c1),
+        |p1 AS (SELECT 'l_suppkey' key_col, CAST(COUNT(*) AS BIGINT) n_keys,
+        |    CAST(SUM(c) AS BIGINT) n_rows,
+        |    CAST(MAX(c) AS DOUBLE) / SUM(c) max_share,
+        |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY c) p50,
+        |    PERCENTILE_CONT(0.875) WITHIN GROUP (ORDER BY c) p875,
+        |    PERCENTILE_CONT(0.984375) WITHIN GROUP (ORDER BY c) p984,
+        |    MIN(CASE WHEN rk = 1 THEN k END) top_key,
+        |    CAST(MAX(c) AS BIGINT) top_count FROM r1),
+        |c2 AS (SELECT CAST(l_returnflag AS VARCHAR) k, COUNT(*) c
+        |  FROM lineitem GROUP BY 1),
+        |r2 AS (SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) rk
+        |  FROM c2),
+        |p2 AS (SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS DOUBLE) / SUM(c),
+        |    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY c),
+        |    PERCENTILE_CONT(0.875) WITHIN GROUP (ORDER BY c),
+        |    PERCENTILE_CONT(0.984375) WITHIN GROUP (ORDER BY c),
+        |    MIN(CASE WHEN rk = 1 THEN k END),
+        |    CAST(MAX(c) AS BIGINT) FROM r2)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |ORDER BY key_col""".stripMargin) { (s, d) =>
+      graft.ops.Skew.keyProfile(Tables.table(s, d, "lineitem"),
+          Seq("l_suppkey", "l_returnflag"))
+        .orderBy("key_col")
+    },
+
+    // Lift / cumulative-gains table (Stats.liftTable): score deciles
+    // vs the purchase label — exact integer counts, one division per
+    // ratio, NTILE over a total order.
+    dfQ("q228_lift_table",
+      """WITH s AS (SELECT event_id, value sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y
+        |  FROM events),
+        |d AS (SELECT y, NTILE(10) OVER (ORDER BY sc DESC, event_id) dc
+        |  FROM s),
+        |g AS (SELECT dc, COUNT(*) n, SUM(y) pos FROM d GROUP BY dc),
+        |t AS (SELECT SUM(n) nn, SUM(pos) p FROM g),
+        |r AS (SELECT dc, n, pos, SUM(pos) OVER (ORDER BY dc
+        |    ROWS UNBOUNDED PRECEDING) cpos FROM g)
+        |SELECT r.dc decile, CAST(n AS BIGINT) n,
+        |  CAST(pos AS BIGINT) pos, CAST(pos AS DOUBLE) / n pos_rate,
+        |  CAST(pos * t.nn AS DOUBLE) / (n * t.p) lift,
+        |  CAST(cpos AS DOUBLE) / t.p cum_gain
+        |FROM r CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+      Stats.liftTable(Tables.events(s, d), "event_id", col("value"),
+          col("event_type") === "purchase", buckets = 10)
+        .orderBy("decile")
     }
   )
 }

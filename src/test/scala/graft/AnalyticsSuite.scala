@@ -1428,6 +1428,34 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Skew.keyProfile / Stats.liftTable -------------------------------------
+
+  test("keyProfile: planted hot key dominates; shares sum sanity") {
+    val rows = (1 to 90).map(i => ("hot", i.toLong)) ++
+      (1 to 10).map(i => (s"k$i", 1000L + i))
+    val df = rows.toDF("k", "v")
+    val r = graft.ops.Skew.keyProfile(df, Seq("k")).collect()(0)
+    assert(r.getAs[Long]("n_keys") == 11L && r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[String]("top_key") == "hot" &&
+      r.getAs[Long]("top_count") == 90L)
+    assert(r.getAs[Double]("max_share") == 0.9)
+    assert(r.getAs[Double]("p50") == 1.0) // median key holds one row
+  }
+
+  test("liftTable: perfect ranking concentrates positives in decile 1") {
+    // scores equal the label → all positives rank first
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i <= 10) 1.0 else 0.0, i <= 10)).toDF("id", "s", "y")
+    val r = Stats.liftTable(df, "id", col("s"), col("y"), buckets = 10)
+      .orderBy("decile").collect()
+    assert(r(0).getLong(2) == 10L && r(0).getDouble(4) == 10.0,
+      r(0).toString) // lift 10x in the top decile
+    assert(r(0).getDouble(5) == 1.0) // all gain captured immediately
+    assert(r.drop(1).forall(_.getLong(2) == 0L))
+    // counts partition the input
+    assert(r.map(_.getLong(1)).sum == 100L)
+  }
+
   // --- Stats.conformalInterval ----------------------------------------------
 
   test("conformalInterval: exact order-statistic q; empirical coverage") {
