@@ -102,4 +102,26 @@ object Rollup {
   def mergeRaw(standing: DataFrame, deltaRaw: DataFrame, keys: Seq[String],
                measures: Seq[Measure]): DataFrame =
     merge(standing, aggregate(deltaRaw, keys, measures), keys, measures)
+
+  /** Incremental JOIN-view maintenance — the equi-join counterpart to
+    * the aggregate monoid above: for an append-only materialized view
+    * V = A ⋈ B, arriving deltas contribute exactly
+    *
+    *   ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (the cross term once — the standard incremental-view/delta-join
+    * identity), so
+    * V ∪ ΔV = (A ∪ ΔA) ⋈ (B ∪ ΔB) without ever re-joining the two
+    * standing sides. Cost: the deltas join the standing tables (delta-
+    * sized probes — broadcast when small, AQE decides) plus the tiny
+    * ΔA ⋈ ΔB; the A ⋈ B recompute a naive refresh pays never happens.
+    * Returns ΔV with A-columns then B-columns (join key once).
+    * Append-only semantics — retractions are the CDC operator's job
+    * ([[graft.ops.Merge.applyChanges]]); compose the two for
+    * upsert-maintained views. */
+  def joinDelta(a: DataFrame, deltaA: DataFrame, b: DataFrame,
+                deltaB: DataFrame, key: String): DataFrame =
+    deltaA.join(b, key)
+      .unionByName(a.join(deltaB, key))
+      .unionByName(deltaA.join(deltaB, key))
 }

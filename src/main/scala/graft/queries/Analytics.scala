@@ -2480,6 +2480,32 @@ object Analytics {
       Stats.liftTable(Tables.events(s, d), "event_id", col("value"),
           col("event_type") === "purchase", buckets = 10)
         .orderBy("decile")
+    },
+
+    // Incremental join-view maintenance (Rollup.joinDelta): the
+    // standing view plus ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB equals the full join of
+    // the grown sides — the oracle recomputes that full join directly,
+    // so the identity itself is what the hash certifies.
+    dfQ("q229_join_delta",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey < 4000 AND c.c_custkey < 300
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice"))
+      val cust = Tables.table(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val a  = orders.filter(col("o_orderkey") < 3000)
+      val da = orders.filter(col("o_orderkey") >= 3000 &&
+        col("o_orderkey") < 4000)
+      val b  = cust.filter(col("custkey") < 200)
+      val db = cust.filter(col("custkey") >= 200 && col("custkey") < 300)
+      val standing = a.join(b, "custkey")
+      standing.unionByName(Rollup.joinDelta(a, da, b, db, "custkey"))
+        .select(col("o_orderkey"), col("custkey").as("o_custkey"),
+          col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")
     }
   )
 }

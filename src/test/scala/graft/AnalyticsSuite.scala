@@ -1428,6 +1428,29 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("value"))))
   }
 
+  // --- Rollup.joinDelta -------------------------------------------------------
+
+  test("joinDelta: view + delta equals the full join of the grown sides") {
+    val orders = Tables.table(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("k"),
+        col("o_totalprice"))
+    val cust = Tables.table(spark, sf0001, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val a  = orders.filter(col("o_orderkey") % 2 === 0)
+    val da = orders.filter(col("o_orderkey") % 2 =!= 0)
+    val b  = cust.filter(col("k") % 3 === 0)
+    val db = cust.filter(col("k") % 3 =!= 0)
+    val incremental = a.join(b, "k")
+      .unionByName(Rollup.joinDelta(a, da, b, db, "k"))
+      .collect().map(_.toString).sorted.toSeq
+    val full = orders.join(cust, "k")
+      .collect().map(_.toString).sorted.toSeq
+    assert(incremental == full && full.nonEmpty)
+    // empty deltas contribute nothing
+    val empty = Rollup.joinDelta(a, da.limit(0), b, db.limit(0), "k")
+    assert(empty.count() == 0)
+  }
+
   // --- Skew.keyProfile / Stats.liftTable -------------------------------------
 
   test("keyProfile: planted hot key dominates; shares sum sanity") {
