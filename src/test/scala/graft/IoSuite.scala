@@ -76,6 +76,52 @@ class IoSuite extends SparkTestBase {
       .head().getLong(0) == sample.count())
   }
 
+  test("T-IO11: targeted delete rewrites only files containing hits") {
+    import graft.ops.Compact
+    val dir = s"${tmp()}/subjects"
+    val c = Tables.table(spark, sf0001, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"), col("c_acctbal"))
+    // five files with disjoint key ranges, appended one at a time
+    (0 until 5).foreach { i =>
+      c.filter(col("k") % 5 === i).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def files() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = files()
+    assert(before.size == 5)
+    // delete every key = 0 mod 10 — hits live ONLY in the (k%5 == 0) file
+    val doomed = c.filter(col("k") % 10 === 0).select("k")
+    val total = c.count()
+    val nDoomed = doomed.count()
+    val r = Compact.deleteKeys(spark, dir, "k", doomed)
+    assert(r.filesRewritten == 1L, r.toString)
+    assert(r.rowsDeleted == nDoomed && r.rowsRemaining == total - nDoomed)
+    // the four untouched files are still the original ones
+    val after = files()
+    assert(before.intersect(after).size == 4, s"$before vs $after")
+    // data equals the anti-join
+    val want = c.join(doomed, Seq("k"), "left_anti")
+      .collect().map(_.toString).sorted.toSeq
+    val got = spark.read.parquet(dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // idempotent: same keys again → nothing rewritten
+    val r2 = Compact.deleteKeys(spark, dir, "k", doomed)
+    assert(r2.filesRewritten == 0L && r2.rowsDeleted == 0L)
+    // a stale pre-swap tmp from a "crashed" run is discarded on entry
+    val staleTmp = new java.io.File(new java.io.File(dir).getParent,
+      ".subjects__del_tmp")
+    staleTmp.mkdirs()
+    java.nio.file.Files.write(staleTmp.toPath.resolve("junk"),
+      "x".getBytes)
+    val doomed2 = c.filter(col("k") % 10 === 1).select("k")
+    val r3 = Compact.deleteKeys(spark, dir, "k", doomed2)
+    assert(r3.rowsDeleted == doomed2.count() && !staleTmp.exists())
+    assert(spark.read.parquet(dir).count() ==
+      total - nDoomed - doomed2.count())
+  }
+
   test("T-IO4: catalog table write/read (saveAsTable / spark.table)") {
     Sinks.write(sample, "table", "", mode = "overwrite",
       table = Some("t_io4_nation"))
