@@ -159,6 +159,25 @@ object Stats {
       .drop("sum_cents")
   }
 
+  /** Expected calibration error over [[calibrationBins]]: ECE =
+    * Σ_b (n_b/N)·|pos_rate_b − mean_score_b| — the one-number summary
+    * model monitoring alarms on. The fold runs in-row over the sorted
+    * bin table (the woeIv discipline; never a windowed double sum) and
+    * each term is assembled from the bins' already-hash-stable
+    * columns. Returns one row: (n, n_bins, ece). */
+  def expectedCalibrationError(df: DataFrame, score: Column,
+                               positive: Column, bins: Int, lo: Double,
+                               hi: Double): DataFrame = {
+    val b = calibrationBins(df, score, positive, bins, lo, hi)
+    val withT = b.crossJoin(broadcast(b.agg(sum("n").as("__nn"))))
+      .withColumn("__t", (col("n").cast("double") / col("__nn")) *
+        abs(col("pos_rate") - col("mean_score")))
+    withT.agg(sum("n").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_bins"),
+      aggregate(array_sort(collect_list(struct(col("bin"), col("__t")))),
+        lit(0.0), (acc, e) => acc + e.getField("__t")).as("ece"))
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns, with Cramér's V effect size — does language depend on
     * source, does status depend on priority?

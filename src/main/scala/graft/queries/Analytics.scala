@@ -2506,6 +2506,29 @@ object Analytics {
         .select(col("o_orderkey"), col("custkey").as("o_custkey"),
           col("c_name"), col("o_totalprice"))
         .orderBy("o_orderkey")
+    },
+
+    // Expected calibration error (Stats.expectedCalibrationError): the
+    // one-number summary over q174's bins, folded in bin order.
+    dfQ("q230_ece",
+      """WITH b AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0)
+        |      AS BIGINT), 0), 7) bin,
+        |    CAST(COUNT(*) AS BIGINT) n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / COUNT(*) pos_rate,
+        |    CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |        AS DOUBLE) / (100.0 * COUNT(*)) mean_score
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) nn FROM b),
+        |w AS (SELECT bin, n,
+        |    (CAST(n AS DOUBLE) / t.nn) * ABS(pos_rate - mean_score) tt
+        |  FROM b CROSS JOIN t)
+        |SELECT CAST(SUM(n) AS BIGINT) n, CAST(COUNT(*) AS BIGINT) n_bins,
+        |  LIST_REDUCE(LIST(tt ORDER BY bin), (a, e) -> a + e) ece
+        |FROM w""".stripMargin) { (s, d) =>
+      Stats.expectedCalibrationError(Tables.table(s, d, "events"),
+        col("value"), col("event_type") === "purchase",
+        bins = 8, lo = 0.0, hi = 400.0)
     }
   )
 }
