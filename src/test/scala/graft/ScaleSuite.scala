@@ -315,7 +315,10 @@ class ScaleSuite extends SparkTestBase {
       "q193_kaplan_meier",     // CROSS JOIN with the 1-row corpus-end scalar
       "q204_kruskal",          // CROSS JOIN with the 1-row tie-correction row
       "q221_woe_iv",           // CROSS JOIN with the 1-row totals + IV fold
-      "q223_mutual_info")      // CROSS JOIN with the 1-row MI-total fold
+      "q223_mutual_info",      // CROSS JOIN with the 1-row MI-total fold
+      "q226_conformal",        // CROSS JOIN with the 1-row conformal q
+      "q228_lift_table",       // CROSS JOIN with the 1-row totals row
+      "q230_ece")              // CROSS JOIN with the 1-row bin-total row
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
