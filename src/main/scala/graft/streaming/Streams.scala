@@ -674,6 +674,62 @@ object Streams {
       .drop("__mx", "__batch")
   }
 
+  /** ST22: streaming incremental JOIN-view maintenance — a standing
+    * materialized view V = A ⋈ B kept current from ONE tagged change
+    * stream (the CDC-envelope shape: every row carries the side tag
+    * plus the union of both sides' columns, nulls on the irrelevant
+    * side). Each micro-batch splits into ΔA/ΔB, lands them in the
+    * sides' batch-dir stores, and appends exactly
+    * [[graft.ops.Rollup.joinDelta]] (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) to the view
+    * — the standing A ⋈ B recompute never happens. Standing sides read
+    * every batch dir EXCEPT the current id (overwrite-own-dir ⇒
+    * checkpoint replay rewrites identical rows, appends nothing
+    * twice). Append-only semantics, like the batch operator; compose
+    * with the CDC tombstone landing for upserts. [[currentJoinView]]
+    * reads the accumulated view. */
+  def runJoinView(changes: DataFrame, sideCol: String, aSide: String,
+                  key: String, aCols: Seq[String], bCols: Seq[String],
+                  aDir: String, bDir: String,
+                  viewDir: String): StreamingQuery = {
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        def prior(dir: String): Seq[String] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).collect {
+            case s if s.isDirectory &&
+                s.getPath.getName.startsWith("batch_") &&
+                s.getPath.getName != s"batch_$id" => s.getPath.toString
+          }.toSeq
+        }
+        val da = batch.filter(col(sideCol) === aSide)
+          .select(col(key) +: aCols.map(col): _*)
+        val db = batch.filter(col(sideCol) =!= aSide)
+          .select(col(key) +: bCols.map(col): _*)
+        da.write.mode("overwrite").parquet(s"$aDir/batch_$id")
+        db.write.mode("overwrite").parquet(s"$bDir/batch_$id")
+        val aPrior = prior(aDir)
+        val bPrior = prior(bDir)
+        val a = if (aPrior.isEmpty) da.limit(0)
+          else spark.read.parquet(aPrior: _*)
+        val b = if (bPrior.isEmpty) db.limit(0)
+          else spark.read.parquet(bPrior: _*)
+        graft.ops.Rollup.joinDelta(a, da, b, db, key)
+          .write.mode("overwrite").parquet(s"$viewDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$viewDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The accumulated join view from [[runJoinView]] batch appends. */
+  def currentJoinView(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(s"$viewDir/batch_*")
+
   /** ST17: streaming incremental transition matrix — per-user Markov
     * from→to counts maintained against a standing event store, exact
     * under out-of-order arrival: a late event SPLICES into a user's

@@ -580,6 +580,49 @@ class StreamingSuite extends SparkTestBase {
       rowsOf(want))
   }
 
+  test("ST22: join view maintained from a tagged change stream") {
+    val root = Files.createTempDirectory("graft-jv").toString
+    val srcDir = s"$root/src"
+    val orders = Tables.table(spark, sf0001, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_custkey").as("k"), col("o_orderkey"),
+        col("o_totalprice"))
+    val cust = Tables.table(spark, sf0001, "customer")
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    // CDC envelope: side tag + union of columns, nulls off-side
+    def env(side: String, df: org.apache.spark.sql.DataFrame) = {
+      val padded =
+        if (side == "A") df.withColumn("c_name", lit(null).cast("string"))
+        else df.withColumn("o_orderkey", lit(null).cast("bigint"))
+          .withColumn("o_totalprice", lit(null).cast("double"))
+      padded.withColumn("side", lit(side))
+        .select("side", "k", "o_orderkey", "o_totalprice", "c_name")
+    }
+    val b1 = env("A", orders.filter(col("o_orderkey") % 2 === 0))
+      .unionByName(env("B", cust.filter(col("k") % 2 === 0)))
+    val b2 = env("A", orders.filter(col("o_orderkey") % 2 =!= 0))
+      .unionByName(env("B", cust.filter(col("k") % 2 =!= 0)))
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    def run() = Streams.runJoinView(stream(), "side", "A", "k",
+      Seq("o_orderkey", "o_totalprice"), Seq("c_name"),
+      s"$root/a", s"$root/b", s"$root/v")
+    run()
+    b2.coalesce(1).write.parquet(s"$srcDir/f2")
+    run()
+    val got = rowsOf(Streams.currentJoinView(spark, s"$root/v")
+      .select("k", "o_orderkey", "o_totalprice", "c_name"))
+    val want = rowsOf(orders.join(cust, "k")
+      .select("k", "o_orderkey", "o_totalprice", "c_name"))
+    assert(got == want && want.nonEmpty)
+    // replay appends nothing
+    run()
+    assert(rowsOf(Streams.currentJoinView(spark, s"$root/v")
+      .select("k", "o_orderkey", "o_totalprice", "c_name")) == want)
+  }
+
   test("ST21: incremental interval merge — late span bridges islands") {
     import graft.ops.Intervals
     val root = Files.createTempDirectory("graft-ivl").toString
