@@ -696,6 +696,35 @@ object Stats {
       .drop("__q")
   }
 
+  /** Mondrian (group-conditional) conformal intervals — per-segment
+    * coverage instead of [[conformalInterval]]'s marginal guarantee:
+    * the ⌈(1−α)(n_g+1)⌉-th residual is taken WITHIN each group, so
+    * every segment gets its own width and its own ≥1−α coverage (the
+    * production requirement — marginal conformal over-covers easy
+    * segments and under-covers hard ones). One ranking window per
+    * group over the calibration residuals, a group-keyed broadcast
+    * join onto the scoring set. Groups absent from calibration get no
+    * interval (inner join — surface them upstream). */
+  def conformalIntervalByGroup(cal: DataFrame, test: DataFrame,
+                               groupCol: String, yCol: String,
+                               yhatCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val r = cal.select(col(groupCol).as("__g"),
+      abs(col(yCol) - col(yhatCol)).as("__r"))
+    val ranked = r
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__r"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+    val q = ranked.filter(col("__rk") === least(
+        ceil(lit(1 - alpha) * (col("__n") + 1)).cast("long"), col("__n")))
+      .select(col("__g").as(groupCol), col("__r").as("__q"))
+    test.join(q, groupCol)
+      .withColumn("lo", col(yhatCol) - col("__q"))
+      .withColumn("hi", col(yhatCol) + col("__q"))
+      .drop("__q")
+  }
+
   /** Mutual information between two categorical columns — the
     * model-free feature-screening companion to [[woeIv]] (which needs
     * a binary target): MI = Σ_xy p_xy · ln(p_xy / (p_x · p_y)), in

@@ -2529,6 +2529,51 @@ object Analytics {
       Stats.expectedCalibrationError(Tables.table(s, d, "events"),
         col("value"), col("event_type") === "purchase",
         bins = 8, lo = 0.0, hi = 400.0)
+    },
+
+    // Mondrian conformal (Stats.conformalIntervalByGroup): q226's
+    // calibration quantile taken WITHIN each priority class — per-
+    // segment widths and per-segment coverage.
+    dfQ("q231_conformal_group",
+      """WITH s AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) y,
+        |    CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(
+        |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |      < 8000 THEN 'cal' ELSE 'test' END split
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |    CAST(SUM(y) AS DOUBLE) / COUNT(*) yhat FROM s
+        |  WHERE split = 'cal' GROUP BY 1),
+        |calr AS (SELECT s.o_orderpriority g, ABS(s.y - m.yhat) r FROM s
+        |  JOIN m USING (o_orderpriority) WHERE split = 'cal'),
+        |rk AS (SELECT g, r,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) rk,
+        |    COUNT(*) OVER (PARTITION BY g) n FROM calr),
+        |qq AS (SELECT g, r q FROM rk WHERE rk = LEAST(
+        |  CAST(CEIL(CAST(0.9 AS DOUBLE) * (n + 1)) AS BIGINT), n))
+        |SELECT s.o_orderkey, s.o_orderpriority, m.yhat,
+        |  m.yhat - qq.q lo, m.yhat + qq.q hi
+        |FROM s JOIN m USING (o_orderpriority)
+        |  JOIN qq ON qq.g = s.o_orderpriority
+        |WHERE s.split = 'test'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = Tables.table(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(col("o_totalprice")).cast("long").as("y"),
+        when(Sampling.hashBucket(col("o_orderkey")) < 8000, "cal")
+          .otherwise("test").as("split"))
+      val m = base.filter(col("split") === "cal")
+        .groupBy("o_orderpriority")
+        .agg((sum("y").cast("double") / count(lit(1))).as("yhat"))
+      val cal = base.filter(col("split") === "cal")
+        .join(m, "o_orderpriority")
+      val test = base.filter(col("split") === "test")
+        .join(m, "o_orderpriority")
+      Stats.conformalIntervalByGroup(cal, test, "o_orderpriority",
+          "y", "yhat", alpha = 0.1)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("yhat"),
+          col("lo"), col("hi"))
+        .orderBy("o_orderkey")
     }
   )
 }

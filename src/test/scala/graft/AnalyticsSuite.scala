@@ -1451,6 +1451,23 @@ class AnalyticsSuite extends SparkTestBase {
     assert(empty.count() == 0)
   }
 
+  // --- Stats.conformalIntervalByGroup -----------------------------------------
+
+  test("conformalIntervalByGroup: per-group widths; per-group coverage") {
+    // group a: residuals 1..9 → q = 9; group b: residuals all 2 → q = 2
+    val cal = ((1 to 9).map(i => ("a", i.toDouble, 0.0)) ++
+      (1 to 9).map(_ => ("b", 2.0, 0.0))).toDF("g", "y", "yhat")
+    val test = Seq(("a", 0.0, 10.0), ("b", 0.0, 10.0)).toDF("g", "y", "yhat")
+    val r = Stats.conformalIntervalByGroup(cal, test, "g", "y", "yhat", 0.1)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(3), x.getDouble(4))).toMap
+    assert(r("a") == ((1.0, 19.0)) && r("b") == ((8.0, 12.0)), r.toString)
+    // groups absent from calibration drop (inner join)
+    val t2 = Seq(("zz", 0.0, 1.0)).toDF("g", "y", "yhat")
+    assert(Stats.conformalIntervalByGroup(cal, t2, "g", "y", "yhat", 0.1)
+      .count() == 0)
+  }
+
   // --- Skew.keyProfile / Stats.liftTable -------------------------------------
 
   test("keyProfile: planted hot key dominates; shares sum sanity") {
