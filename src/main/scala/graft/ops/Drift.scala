@@ -144,8 +144,10 @@ object Drift {
     * keyspace (corpus-size independent), totals via a frame-bounded
     * window over the count table. Determinism: integral counts, shares
     * divided once, per-term doubles folded in SORTED category order via
-    * a running window sum (the q159 discipline — IEEE addition made
-    * order-free by pinning the order), AND the ln itself quantized to
+    * an IN-ROW ordered fold (aggregate over array_sort(collect_list) —
+    * the woeIv discipline; NEVER a running window sum, which DuckDB
+    * executes through a reassociating segment tree above a size
+    * threshold), AND the ln itself quantized to
     * the 2⁻²⁶ dyadic grid (floor(ln·2²⁶)/2²⁶ — both scalings are exact
     * IEEE power-of-two multiplies, only the floor rounds): Java's
     * Math.log is allowed 1 ulp of error and measurably disagrees with
@@ -171,21 +173,17 @@ object Drift {
         .otherwise(lit(0.0)) +
         when(col("nb") > 0, lit(0.5) * (q * Exact.lnq(q / m)))
           .otherwise(lit(0.0))
-    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("category")
-      .rowsBetween(Long.MinValue, 0)
-    val cum = counts
+    // in-row ordered fold for the total — see woeIv for why a running
+    // windowed double SUM cannot be hash-replayed against DuckDB (its
+    // segment tree reassociates the additions above a size threshold)
+    counts
       .select(col("category"), col("na"), col("nb"), term.as("__t"))
-      // totals ride the pre-filter count table; computing them after the
-      // rn=1 filter would window over a single row
-      .withColumn("__na", sum("na").over(wAll))
-      .withColumn("__nb", sum("nb").over(wAll))
-      .withColumn("__nc", count(lit(1)).over(wAll))
-      .withColumn("__js", sum("__t").over(wOrd))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("category").desc)))
-    cum.filter(col("__rn") === 1)
-      .select(col("__js").as("js"), col("__na").cast("long").as("n_a"),
-        col("__nb").cast("long").as("n_b"),
-        col("__nc").cast("long").as("n_categories"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("category"), col("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("js"),
+        sum("na").cast("long").as("n_a"),
+        sum("nb").cast("long").as("n_b"),
+        count(lit(1)).cast("long").as("n_categories"))
   }
 }

@@ -65,6 +65,9 @@ object FuzzyJoin {
     require(blockCols.nonEmpty,
       "jaroWinklerPairs: blocking keys are the scale bound; none given")
     require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
+    // self-register (idempotent) — call_function("jaro_winkler") is an
+    // analysis error on sessions where GraftExtensions never ran
+    graft.functions.Registry.registerAll(df.sparkSession)
     val base = df.select((col(idCol).as("id") +: col(strCol).as("s") +:
       blockCols.map(col)): _*)
     val a = base.alias("a")

@@ -42,8 +42,11 @@ object Merge {
     * window; the op column is consumed, not emitted. */
   def applyChanges(changes: DataFrame, keyCol: String, seqCols: Seq[String],
                    opCol: String, deleteOp: String = "D"): DataFrame =
+    // null-safe: a malformed CDC row with a NULL op that wins the
+    // sequence race must SURFACE in the snapshot, not vanish silently
+    // (=!= evaluates to NULL on NULL and the filter drops it).
     applyChangesWithTombstones(changes, keyCol, seqCols)
-      .filter(col(opCol) =!= deleteOp)
+      .filter(!col(opCol).eqNullSafe(deleteOp))
       .drop(opCol)
 
   /** [[applyChanges]] keeping the winning DELETE rows as tombstones (op

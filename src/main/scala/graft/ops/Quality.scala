@@ -256,9 +256,19 @@ object Quality {
   def benford(df: DataFrame, x: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val digit = substring(x.cast("string"), 1, 1).cast("long")
-    val counts = df.filter(x > 0)
-      .select(digit.as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
+    // scaffold digits 1–9 so a digit with ZERO observations still
+    // contributes its (0 − expected)²/expected chi² term — absent
+    // digits are exactly the signature of fabricated/truncated feeds
+    // this gate exists to catch (and the one-row-per-digit contract
+    // holds). 9-row literal table; the join broadcasts.
+    val allDigits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("long").as("digit"))
+    val counts = allDigits.join(
+        df.filter(x > 0)
+          .select(digit.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("__n")),
+        Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("__n"), lit(0L)).as("n"))
     val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
     val share = col("n").cast("double") / sum("n").over(wAll)
     val expect = Exact.lnq(lit(1.0) + lit(1.0) / col("digit")) /

@@ -293,7 +293,11 @@ object Sampling {
         col(idCol).cast("string"), lit(seed))), 1, 8), 16, 10)
       .cast("bigint")
     val u = (hv.cast("double") + lit(0.5)) / lit(4294967296.0)
-    val key = Exact.lnq(u) / w
+    // guard mirrors weightedSample: a non-positive weight must never
+    // outrank a valid row (ln(u)<0, so ln(u)/w>0 for w<0 — it would
+    // silently ALWAYS win; w=0 divides by zero). Sink it instead.
+    val key = when(w > lit(0), Exact.lnq(u) / w)
+      .otherwise(lit(Double.NegativeInfinity))
     val ranked = df
       .withColumn("__wk", key)
       .withColumn("__rk", row_number().over(

@@ -1612,14 +1612,12 @@ object Analytics {
         |    + CASE WHEN nb > 0 THEN 0.5 * (q *
         |      (FLOOR(LN(q / ((p + q) / 2.0)) * 67108864.0) / 67108864.0))
         |      ELSE 0.0 END AS term
-        |  FROM w),
-        |y AS (SELECT ta2, tb2, nc,
-        |    SUM(term) OVER (ORDER BY category ROWS UNBOUNDED PRECEDING) cum,
-        |    ROW_NUMBER() OVER (ORDER BY category DESC) rn
-        |  FROM x)
-        |SELECT cum AS js, CAST(ta2 AS BIGINT) n_a, CAST(tb2 AS BIGINT) n_b,
-        |  CAST(nc AS BIGINT) n_categories
-        |FROM y WHERE rn = 1""".stripMargin) { (s, d) =>
+        |  FROM w)
+        |SELECT LIST_REDUCE(LIST(term ORDER BY category),
+        |    (acc, e) -> acc + e) AS js,
+        |  CAST(MAX(ta2) AS BIGINT) n_a, CAST(MAX(tb2) AS BIGINT) n_b,
+        |  CAST(COUNT(*) AS BIGINT) n_categories
+        |FROM x""".stripMargin) { (s, d) =>
       val docs = Tables.table(s, d, "documents")
       def toks(src: String) = docs.filter(col("source") === src)
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -1635,9 +1633,12 @@ object Analytics {
       """WITH t AS (
         |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y
         |  FROM lineitem),
-        |c AS (SELECT CAST(SUBSTRING(CAST(y AS STRING), 1, 1) AS BIGINT)
+        |c0 AS (SELECT CAST(SUBSTRING(CAST(y AS STRING), 1, 1) AS BIGINT)
         |      digit, CAST(COUNT(*) AS BIGINT) n
         |  FROM t WHERE y > 0 GROUP BY 1),
+        |c AS (SELECT d.digit, COALESCE(c0.n, 0) n
+        |  FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) digit) d
+        |  LEFT JOIN c0 ON d.digit = c0.digit),
         |w AS (SELECT digit, n,
         |    CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
         |    (FLOOR(LN(1.0 + 1.0 / digit) * 67108864.0) / 67108864.0)

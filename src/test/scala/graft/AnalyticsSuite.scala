@@ -1082,6 +1082,22 @@ class AnalyticsSuite extends SparkTestBase {
       s"geometric ${g(0).getDouble(4)} vs uniform ${rows(0).getDouble(4)}")
   }
 
+  test("benford: absent digits scaffold to zero rows and inflate chi2") {
+    // only leading digit 1 present — the truncated-feed signature
+    val df = (10L to 19L).toDF("x")
+    val rows = Quality.benford(df, col("x")).orderBy("digit").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), "all 9 digit rows")
+    assert(rows(0).getLong(1) == 10L && rows.drop(1).forall(_.getLong(1) == 0L))
+    // chi2 = N·Σ(share−exp)²/exp over ALL digits: absent digit d adds
+    // exp_d, so chi2/N ≥ Σ_{d≥2} exp_d = 1 − log10(2) ≈ 0.699 — an
+    // understated (present-only) chi2 would be (1−exp₁)²/exp₁ alone
+    val exp1 = rows(0).getDouble(3)
+    val lower = 10.0 * ((1.0 - exp1) * (1.0 - exp1) / exp1 + (1.0 - exp1))
+    // tolerance covers the 2⁻²⁶ ln quantization across the 9 terms
+    assert(math.abs(rows(0).getDouble(4) - lower) < 1e-5,
+      s"chi2 ${rows(0).getDouble(4)} vs expected ≈ $lower")
+  }
+
   // --- Stats.spearman / kruskalWallis / mannKendall -------------------------
 
   test("spearman: monotone → ±1, tie-averaged ranks match the textbook value") {
@@ -1379,6 +1395,18 @@ class AnalyticsSuite extends SparkTestBase {
     assert(all == shuffled)
   }
 
+  test("applyChanges: malformed NULL-op winner surfaces, never silently drops") {
+    val ch = Seq(
+      ("k1", 1L, Some("I"), 10L), ("k1", 2L, None: Option[String], 99L),
+      ("k2", 1L, Some("I"), 30L)
+    ).toDF("k", "seq", "op", "v")
+    val out = Merge.applyChanges(ch, "k", Seq("seq"), "op")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(2)))
+    // the NULL-op row won k1's sequence race: it must appear (v=99),
+    // not vanish as a pseudo-delete
+    assert(out.toSeq == Seq(("k1", 99L), ("k2", 30L)), out.mkString(","))
+  }
+
   // --- Quality.kAnonymity ---------------------------------------------------
 
   test("kAnonymity: class sizes, l-diversity, risk flag") {
@@ -1633,6 +1661,13 @@ class AnalyticsSuite extends SparkTestBase {
       "id", col("w"), k = 50, seed = "t").collect()
       .map(_.getAs[Long]("id"))
     assert(picked.count(_ <= 100) >= 45, s"heavy picked ${picked.count(_ <= 100)}")
+    // non-positive weights must never outrank valid rows (a negative w
+    // flips ln(u)/w positive — unguarded it would ALWAYS be selected)
+    val bad = Seq(("g", 1L, 5L), ("g", 2L, -3L), ("g", 3L, 0L),
+      ("g", 4L, 2L)).toDF("g", "id", "w")
+    val sel = Sampling.weightedSampleWithoutReplacement(bad, "g", "id",
+      col("w"), k = 2, seed = "t").collect().map(_.getAs[Long]("id")).toSet
+    assert(sel == Set(1L, 4L), s"selected $sel")
   }
 
   // --- Indexing.rrfFuse -----------------------------------------------------
