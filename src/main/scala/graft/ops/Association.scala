@@ -44,4 +44,49 @@ object Association {
         ((col("c_ab") * lit(nBaskets)).cast("double") /
           (col("c_a") * col("c_b"))).as("lift"))
   }
+
+  /** Item-item cosine neighbors — the classic co-occurrence
+    * recommender (Sarwar et al., WWW'01) over implicit feedback:
+    * cos(i,j) = |U_i ∩ U_j| / (√|U_i|·√|U_j|) on distinct (user, item)
+    * interactions, top `k` neighbors per item. Same within-basket
+    * (= per-user) self-join bound as [[liftPairs]] — quadratic only in
+    * distinct items per user, never corpus-wide all-pairs; at 100 TB
+    * cap per-user basket size first (a user with 10⁵ items is a bot,
+    * not a signal). Both (i,j) and (j,i) directions are emitted so
+    * each item gets its full neighbor list from ONE grouped count of
+    * unordered pairs.
+    *
+    * Determinism: counts integral; each cosine is co / (√cᵢ·√cⱼ) with
+    * correctly-rounded sqrts — ONE division; the per-item top-k rank
+    * breaks cosine ties by neighbor id. */
+  def itemItemCosine(df: DataFrame, userCol: String, itemCol: String,
+                     k: Int, minCo: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = df.select(col(userCol).as("u"), col(itemCol).as("item"))
+      .distinct()
+    val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val co = b.select(col("u"), col("item").as("item_a"))
+      .join(b.select(col("u"), col("item").as("item_b")), Seq("u"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val both = co.unionByName(co.select(col("item_b").as("item_a"),
+      col("item_a").as("item_b"), col("co")))
+    val scored = both
+      .join(singles.select(col("item").as("item_a"), col("c").as("c_a")),
+        "item_a")
+      .join(singles.select(col("item").as("item_b"), col("c").as("c_b")),
+        "item_b")
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("co").cast("long").as("co"),
+        col("c_a").cast("long").as("c_item"),
+        col("c_b").cast("long").as("c_neighbor"),
+        (col("co").cast("double") /
+          (sqrt(col("c_a").cast("double")) *
+            sqrt(col("c_b").cast("double")))).as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("item")
+          .orderBy(col("cosine").desc, col("neighbor"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -912,4 +912,185 @@ object Stats {
           .otherwise(when(se === 0, lit(null))
             .otherwise((col("p1") - col("p2")) / se)))
   }
+
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator when treatment wasn't randomized but a parallel-trends
+    * control exists (feature rollout by region, policy change by
+    * cohort): DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+    * ONE conditional aggregation produces the four cell sums/counts as
+    * exact integers (pass an integral `y` — fixed-point first); each
+    * cell mean is ONE division and the estimate is the fixed
+    * subtraction tree above, so the doubles hash-replay. Emits the
+    * four cell (n, mean) pairs beside the estimate — a DiD without its
+    * cells is unreviewable. */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column, y: Column)
+      : DataFrame = {
+    def cell(p: Column) = struct(
+      sum(when(p, 1L).otherwise(0L)).cast("long").as("n"),
+      sum(when(p, y.cast("long")).otherwise(0L)).cast("long").as("s"))
+    val agg = df.agg(
+      cell(treated && post).as("tp"), cell(treated && !post).as("ta"),
+      cell(!treated && post).as("cp"), cell(!treated && !post).as("ca"))
+    def mean(c: String) = col(s"$c.s").cast("double") / col(s"$c.n")
+    agg.select(
+        col("tp.n").as("n_treat_post"), mean("tp").as("m_treat_post"),
+        col("ta.n").as("n_treat_pre"), mean("ta").as("m_treat_pre"),
+        col("cp.n").as("n_ctrl_post"), mean("cp").as("m_ctrl_post"),
+        col("ca.n").as("n_ctrl_pre"), mean("ca").as("m_ctrl_pre"))
+      .withColumn("did",
+        (col("m_treat_post") - col("m_treat_pre")) -
+          (col("m_ctrl_post") - col("m_ctrl_pre")))
+  }
+
+  /** Brown–Forsythe test (Levene with median centers) — equality of
+    * spread across groups, robust to non-normality; the gate to run
+    * BEFORE trusting a pooled-variance t/F readout. z = |x − med_g|,
+    * then the one-way ANOVA F statistic over z.
+    *
+    * Exactness: the group median is the SUM of the two middle order
+    * statistics (ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ — equal when n is odd),
+    * kept DOUBLED so it stays integral; z is computed doubled too
+    * (|2x − 2med|) and the 4× factor cancels in F. Between-group
+    * Σ Sᵢ²/nᵢ is folded in group order (one division per group, in-row
+    * ordered fold — never a windowed double sum); the grand term and
+    * the two df-divisions are each ONE division. One ranking window on
+    * the group partition + two grouped aggs. */
+  def brownForsythe(df: DataFrame, groupCol: String, x: Column)
+      : DataFrame = {
+    val d = df.select(col(groupCol).as("__g"), x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy("__g").orderBy(col("__x"))
+    val lo = call_function("div", col("__n") + 1, lit(2L))
+    val hi = call_function("div", col("__n"), lit(2L)) + 1
+    val ranked = d.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+    val med2 = ranked
+      .filter(col("__rn") === lo || col("__rn") === hi)
+      // odd n: lo == hi — ONE row matches, double it; even n: the two
+      // middle order statistics sum directly. __med2 = 2·median, exact.
+      .groupBy("__g")
+      .agg(sum("__x").as("__sm"), count(lit(1)).as("__cm"))
+      .select(col("__g"),
+        (when(col("__cm") === 1, col("__sm") * 2)
+          .otherwise(col("__sm"))).as("__med2"))
+    val z = d.join(med2, "__g")
+      .select(col("__g"), abs(col("__x") * 2 - col("__med2")).as("__z"))
+    val cells = z.groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__z").cast(dec38)).as("s"),
+        sum((col("__z") * col("__z")).cast(dec38)).as("ss"))
+    cells.agg(
+        count(lit(1)).cast("long").as("k"),
+        sum("n").cast("long").as("n"),
+        sum("s").cast(dec38).as("__ts"),
+        sum("ss").cast(dec38).as("__tss"),
+        aggregate(
+          array_sort(collect_list(struct(col("__g"),
+            (col("s").cast("double") * col("s").cast("double") /
+              col("n")).as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__bsum"))
+      .select(col("k"), col("n"),
+        (col("__bsum") - col("__ts").cast("double") *
+          col("__ts").cast("double") / col("n")).as("__between"),
+        (col("__tss").cast("double") - col("__bsum")).as("__within"))
+      .select(col("k"), col("n"),
+        when(col("k") <= 1 || col("n") <= col("k") || col("__within") <= 0,
+          lit(null))
+          .otherwise((col("__between") / (col("k") - 1)) /
+            (col("__within") / (col("n") - col("k")))).as("f_stat"))
+  }
+
+  /** McNemar's test — paired binary outcomes on the SAME subjects
+    * (does a user who does A also do B; did relabeling flip examples):
+    * only the discordant counts matter, χ² = (b − c)²/(b + c) with
+    * b = yes→no, c = no→yes. ONE conditional aggregation, exact
+    * integers, ONE division. NULL when b + c = 0 (no discordance — the
+    * test is undefined, not zero). */
+  def mcnemar(df: DataFrame, first: Column, second: Column): DataFrame =
+    df.agg(
+        sum(when(first && !second, 1L).otherwise(0L)).cast("long").as("b"),
+        sum(when(!first && second, 1L).otherwise(0L)).cast("long").as("c"),
+        sum(when(first && second, 1L).otherwise(0L)).cast("long")
+          .as("n_both"),
+        sum(when(!first && !second, 1L).otherwise(0L)).cast("long")
+          .as("n_neither"))
+      .withColumn("chi2",
+        when(col("b") + col("c") === 0, lit(null))
+          .otherwise(((col("b") - col("c")) * (col("b") - col("c")))
+            .cast("double") / (col("b") + col("c"))))
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelers (annotator QA, model-vs-heuristic audit, dedup-tier
+    * consensus): κ = (p_o − p_e)/(1 − p_e). ONE grouped count on the
+    * (a, b) label pairs; p_o is ONE division of exact integers and p_e
+    * keeps an exact integer numerator Σ_k n_a(k)·n_b(k) over N² (ONE
+    * division — never a sum of per-label double products). NULL when
+    * p_e = 1 (a single label on both sides — agreement is vacuous). */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val pairs = df.select(a.cast("string").as("__a"),
+      b.cast("string").as("__b"))
+    val cells = pairs.groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+    val marg = cells.groupBy("__a").agg(sum("__n").as("__na"))
+      .join(cells.groupBy("__b").agg(sum("__n").as("__nb")),
+        col("__a") === col("__b"), "full")
+      .select(coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+      .agg(sum((col("__na") * col("__nb")).cast(dec38)).as("__pe_num"))
+    val agreeN = cells.agg(
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .cast("long").as("__agree"),
+      sum("__n").cast("long").as("n"))
+    agreeN.crossJoin(broadcast(marg))
+      .select(col("n"), col("__agree").as("n_agree"),
+        (col("__agree").cast("double") / col("n")).as("p_o"),
+        (col("__pe_num").cast("double") /
+          (col("n").cast(dec38) * col("n").cast(dec38)).cast("double"))
+          .as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") === 1.0, lit(null))
+          .otherwise((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))))
+  }
+
+  /** Cochran–Mantel–Haenszel test — a 2×2 association (exposure ×
+    * outcome) tested ACROSS strata without pooling (pooling invites
+    * Simpson's paradox; CMH conditions on each stratum's margins):
+    * CMH = (Σ_k (a_k − E_k))² / Σ_k V_k with E = r₁c₁/n and
+    * V = r₁r₂c₁c₂ / (n²(n−1)). ONE grouped conditional count per
+    * stratum; E and V are each ONE division with DECIMAL(38,0)-exact
+    * integer numerators/denominators (r₁r₂c₁c₂ overflows a long); the
+    * two cross-stratum sums fold in stratum order (in-row ordered
+    * fold). Degenerate strata (n ≤ 1 or an empty margin) contribute
+    * zero to both sums, exactly as the textbook statistic drops them. */
+  def cmh(df: DataFrame, stratum: Column, exposed: Column,
+          outcome: Column): DataFrame = {
+    val cells = df.groupBy(stratum.as("__s"))
+      .agg(sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed, 1L).otherwise(0L)).as("r1"),
+        sum(when(outcome, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("nk"))
+    val r2 = col("nk") - col("r1")
+    val c2 = col("nk") - col("c1")
+    val degenerate = col("nk") <= 1 || col("r1") === 0 || r2 === 0 ||
+      col("c1") === 0 || c2 === 0
+    val eTerm = when(degenerate, lit(0.0)).otherwise(
+      col("a").cast("double") -
+        (col("r1") * col("c1")).cast("double") / col("nk"))
+    val vTerm = when(degenerate, lit(0.0)).otherwise(
+      (col("r1").cast(dec38) * r2.cast(dec38) * col("c1").cast(dec38) *
+        c2.cast(dec38)).cast("double") /
+        (col("nk").cast(dec38) * col("nk").cast(dec38) *
+          (col("nk") - 1).cast(dec38)).cast("double"))
+    cells
+      .select(col("__s"), eTerm.as("__e"), vTerm.as("__v"))
+      .agg(count(lit(1)).cast("long").as("n_strata"),
+        aggregate(array_sort(collect_list(struct(col("__s"),
+            col("__e").as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__se"),
+        aggregate(array_sort(collect_list(struct(col("__s"),
+            col("__v").as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__sv"))
+      .select(col("n_strata"), col("__se").as("sum_dev"),
+        col("__sv").as("sum_var"),
+        when(col("__sv") <= 0, lit(null))
+          .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
+  }
 }

@@ -65,6 +65,48 @@ object Survival {
           lit(1.0), (acc, f) => acc * f).as("survival")): _*)
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator — the additive companion
+    * to [[kaplanMeier]]: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ. Preferred over
+    * −ln(S_KM) when hazards themselves are the readout (failure-rate
+    * trending, hazard-ratio eyeballing) and numerically gentler with
+    * tiny at-risk sets (no product collapsing to 0). Same collapsed
+    * (group, t) table and descending-time at-risk window as KM — the
+    * ONLY difference is the ascending-time fold adds the one-division
+    * dᵢ/nᵢ terms instead of multiplying 1 − dᵢ/nᵢ factors, so the
+    * same O(distinct times) state bound and the same bit-exact
+    * LIST_REDUCE replay hold. Also emits the Aalen variance terms
+    * Σ dᵢ/nᵢ² (each term ONE division of an exact integer ratio). */
+  def nelsonAalen(df: DataFrame, durationCol: String, observedCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    val grp = groupCols.map(col)
+    val byT = df.groupBy(grp :+ col(durationCol).as("t"): _*)
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
+    val wDesc = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+    val ev = risk.filter(col("d") > 0)
+    val arr = ev.groupBy(grp: _*)
+      .agg(sort_array(collect_list(struct(
+        col("t"), col("d"), col("c"), col("n_risk")))).as("__a"))
+      .withColumn("__h", transform(col("__a"),
+        e => e.getField("d").cast("double") /
+          e.getField("n_risk").cast("double")))
+      .withColumn("__v", transform(col("__a"),
+        e => e.getField("d").cast("double") /
+          (e.getField("n_risk") * e.getField("n_risk")).cast("double")))
+    arr.select(grp ++ Seq(col("__h"), col("__v"),
+        posexplode(col("__a")).as(Seq("__i", "__e"))): _*)
+      .select(grp ++ Seq(
+        col("__e.t").as("t"), col("__e.d").as("d"), col("__e.c").as("c"),
+        col("__e.n_risk").as("n_risk"),
+        aggregate(slice(col("__h"), lit(1), col("__i") + 1),
+          lit(0.0), (acc, h) => acc + h).as("cum_hazard"),
+        aggregate(slice(col("__v"), lit(1), col("__i") + 1),
+          lit(0.0), (acc, v) => acc + v).as("hazard_var")): _*)
+  }
+
   /** Subject table for user-churn KM over the events fixture: per user,
     * duration = whole days between first and last event, observed =
     * the user's last event ends `quietUs` microseconds or more before

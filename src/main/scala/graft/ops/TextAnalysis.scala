@@ -382,6 +382,34 @@ object TextAnalysis {
             (col("r") * col("sxx") - col("sx") * col("sx")), 6))
           .as("slope"))
   }
+
+  /** Flesch reading-ease — the classic document-difficulty readout and
+    * a cheap corpus-quality axis (OCR garbage and boilerplate score
+    * absurdly; natural prose lands 30–80): 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W) with W = words, S = sentences, Y = syllables.
+    * Syllables use the standard vowel-group heuristic (runs of
+    * [aeiouy] in the lowercased text — whitespace breaks runs, so the
+    * per-text count equals the per-word sum); sentences count
+    * [.!?]-runs, floored at 1. Pure per-row projection — no shuffle,
+    * codegen regex kernels. Determinism: three integral counts, two
+    * divisions, then a fixed literal-coefficient expression tree; the
+    * decimal literals parse to identical doubles on both engines. */
+  def readability(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = size(filter(split(col(textCol), " "), t => t =!= ""))
+      .cast("long")
+    val sentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast("long")
+    docs.select(col(idCol), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic. Small on purpose —

@@ -2575,6 +2575,300 @@ object Analytics {
         .select(col("o_orderkey"), col("o_orderpriority"), col("yhat"),
           col("lo"), col("hi"))
         .orderBy("o_orderkey")
+    },
+
+    // Nelson–Aalen cumulative hazard (Survival.nelsonAalen): q193's
+    // subject table, additive fold d/n (+ the Aalen variance d/n²)
+    // instead of KM's product fold — same collapse, same LIST_REDUCE
+    // replay.
+    dfQ("q232_nelson_aalen",
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 86400000000 t_dur,
+        |    MAX(EPOCH_US(ts)) last_us
+        |  FROM events GROUP BY user_id),
+        |ce AS (SELECT MAX(EPOCH_US(ts)) end_us FROM events),
+        |subj AS (
+        |  SELECT t_dur, last_us <= end_us - 43200000000 obs
+        |  FROM lt CROSS JOIN ce),
+        |ag AS (
+        |  SELECT t_dur t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |        CAST(SUM(d + c) OVER (ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) n_risk
+        |      FROM ag),
+        |e AS (SELECT t, d, c, n_risk FROM r WHERE d > 0),
+        |arr AS (SELECT
+        |    LIST(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |         ORDER BY t) hs,
+        |    LIST(CAST(d AS DOUBLE) / CAST(n_risk * n_risk AS DOUBLE)
+        |         ORDER BY t) vs,
+        |    LIST(t ORDER BY t) ts, LIST(d ORDER BY t) ds,
+        |    LIST(c ORDER BY t) cs, LIST(n_risk ORDER BY t) ns
+        |  FROM e),
+        |x AS (SELECT hs, vs, UNNEST(ts) t, UNNEST(ds) d, UNNEST(cs) c,
+        |        UNNEST(ns) n_risk,
+        |        UNNEST(GENERATE_SERIES(1, LEN(ts))) i
+        |      FROM arr)
+        |SELECT t, d, c, n_risk,
+        |  LIST_REDUCE(hs[1:i], (a, b) -> a + b) cum_hazard,
+        |  LIST_REDUCE(vs[1:i], (a, b) -> a + b) hazard_var
+        |FROM x ORDER BY t""".stripMargin) { (s, d) =>
+      Survival.nelsonAalen(
+          Survival.userLifetimes(Tables.events(s, d), "user_id", "ts",
+            quietUs = 43200000000L),
+          "duration_days", "observed", Seq.empty)
+        .select(col("t"), col("d"), col("c"), col("n_risk"),
+          col("cum_hazard"), col("hazard_var"))
+        .orderBy("t")
+    },
+
+    // Difference-in-differences (Stats.diffInDiff): returned-flag
+    // lineitems as the "treated" series, 1995-06-01 ship cutover as
+    // the "post" period, price cents the outcome. Four exact integer
+    // cells, four one-division means, one fixed subtraction tree.
+    dfQ("q233_did",
+      """WITH t AS (SELECT l_returnflag = 'R' tr,
+        |    l_shipdate >= DATE '1995-06-01' po,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y
+        |  FROM lineitem),
+        |c AS (SELECT
+        |  CAST(SUM(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) ntp,
+        |  CAST(SUM(CASE WHEN tr AND po THEN y ELSE 0 END) AS BIGINT) stp,
+        |  CAST(SUM(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) nta,
+        |  CAST(SUM(CASE WHEN tr AND NOT po THEN y ELSE 0 END) AS BIGINT) sta,
+        |  CAST(SUM(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) ncp,
+        |  CAST(SUM(CASE WHEN NOT tr AND po THEN y ELSE 0 END) AS BIGINT) scp,
+        |  CAST(SUM(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)
+        |    AS BIGINT) nca,
+        |  CAST(SUM(CASE WHEN NOT tr AND NOT po THEN y ELSE 0 END)
+        |    AS BIGINT) sca
+        |  FROM t)
+        |SELECT ntp n_treat_post, CAST(stp AS DOUBLE) / ntp m_treat_post,
+        |  nta n_treat_pre, CAST(sta AS DOUBLE) / nta m_treat_pre,
+        |  ncp n_ctrl_post, CAST(scp AS DOUBLE) / ncp m_ctrl_post,
+        |  nca n_ctrl_pre, CAST(sca AS DOUBLE) / nca m_ctrl_pre,
+        |  (CAST(stp AS DOUBLE) / ntp - CAST(sta AS DOUBLE) / nta)
+        |    - (CAST(scp AS DOUBLE) / ncp - CAST(sca AS DOUBLE) / nca) did
+        |FROM c""".stripMargin) { (s, d) =>
+      Stats.diffInDiff(Tables.table(s, d, "lineitem"),
+        col("l_returnflag") === "R",
+        col("l_shipdate") >= lit(java.sql.Date.valueOf("1995-06-01")),
+        floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // Brown–Forsythe spread-equality test (Stats.brownForsythe): are
+    // price-cent spreads equal across return flags. Doubled medians
+    // stay integral; z moments are DECIMAL(38,0)-exact; the
+    // between-group Σ Sᵢ²/nᵢ folds in group order.
+    dfQ("q234_brown_forsythe",
+      """WITH d AS (SELECT l_returnflag g,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) x
+        |  FROM lineitem),
+        |rk AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x)
+        |    rn, COUNT(*) OVER (PARTITION BY g) n FROM d),
+        |md AS (SELECT g, CASE WHEN COUNT(*) = 1 THEN SUM(x) * 2
+        |    ELSE SUM(x) END med2
+        |  FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY g),
+        |z AS (SELECT d.g, ABS(d.x * 2 - md.med2) z FROM d
+        |  JOIN md ON d.g = md.g),
+        |cl AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+        |    SUM(CAST(z AS HUGEINT)) s, SUM(CAST(z AS HUGEINT) * z) ss
+        |  FROM z GROUP BY g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) k,
+        |    CAST(SUM(n) AS BIGINT) n,
+        |    SUM(s) ts, SUM(ss) tss,
+        |    LIST_REDUCE(LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+        |      ORDER BY g), (a, e) -> a + e) bsum
+        |  FROM cl)
+        |SELECT k, n,
+        |  CASE WHEN k <= 1 OR n <= k
+        |      OR CAST(tss AS DOUBLE) - bsum <= 0 THEN NULL
+        |    ELSE ((bsum - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n)
+        |        / (k - 1))
+        |      / ((CAST(tss AS DOUBLE) - bsum) / (n - k))
+        |  END f_stat
+        |FROM t""".stripMargin) { (s, d) =>
+      Stats.brownForsythe(Tables.table(s, d, "lineitem"), "l_returnflag",
+        floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // McNemar paired-binary test (Stats.mcnemar): per user, "did a
+    // view" vs "did a purchase" — only the discordant users drive the
+    // statistic. Exact integers, ONE division.
+    dfQ("q235_mcnemar",
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 a,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 b
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) b,
+        |  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) c,
+        |  CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) n_both,
+        |  CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_neither,
+        |  CASE WHEN SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST((SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |      * (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)) AS DOUBLE)
+        |      / (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |        + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END))
+        |  END chi2
+        |FROM u""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "view", 1).otherwise(0))
+            .===(1).as("a"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .===(1).as("b"))
+      Stats.mcnemar(u, col("a"), col("b"))
+    },
+
+    // Item-item cosine neighbors (Association.itemItemCosine): parts
+    // co-purchased by the same customer, top-5 neighbors per part.
+    // Integral co-counts, one sqrt·sqrt division, id tie-break.
+    dfQ("q236_item_neighbors",
+      """WITH b AS (SELECT DISTINCT o.o_custkey u, l.l_partkey item
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |s AS (SELECT item, CAST(COUNT(*) AS BIGINT) c FROM b GROUP BY 1),
+        |co AS (SELECT a.item ia, bb.item ib, CAST(COUNT(*) AS BIGINT) co
+        |  FROM b a JOIN b bb ON a.u = bb.u AND a.item < bb.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |bo AS (SELECT ia, ib, co FROM co
+        |  UNION ALL SELECT ib, ia, co FROM co),
+        |sc AS (SELECT bo.ia item, bo.ib neighbor, bo.co,
+        |    sa.c c_item, sb.c c_neighbor,
+        |    CAST(bo.co AS DOUBLE)
+        |      / (SQRT(CAST(sa.c AS DOUBLE)) * SQRT(CAST(sb.c AS DOUBLE)))
+        |      cosine
+        |  FROM bo JOIN s sa ON bo.ia = sa.item
+        |    JOIN s sb ON bo.ib = sb.item),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |    ORDER BY cosine DESC, neighbor) rank FROM sc)
+        |SELECT item, neighbor, co, c_item, c_neighbor, cosine,
+        |  CAST(rank AS INT) rank
+        |FROM rk WHERE rank <= 5 ORDER BY item, rank""".stripMargin) {
+        (s, d) =>
+      val ui = Tables.table(s, d, "lineitem")
+        .join(Tables.table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
+      graft.ops.Association.itemItemCosine(ui, "u", "item", k = 5,
+          minCo = 2L)
+        .orderBy("item", "rank")
+    },
+
+    // Flesch reading ease (TextAnalysis.readability): three integral
+    // regex counts per document, two divisions, one literal
+    // coefficient tree — a pure codegen projection.
+    dfQ("q237_readability",
+      """WITH t AS (SELECT doc_id,
+        |    LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w <> ''))
+        |      n_words,
+        |    GREATEST(1, LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')))
+        |      n_sentences,
+        |    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+'))
+        |      n_syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) n_words,
+        |  CAST(n_sentences AS BIGINT) n_sentences,
+        |  CAST(n_syllables AS BIGINT) n_syllables,
+        |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) flesch
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin) {
+        (s, d) =>
+      graft.ops.TextAnalysis.readability(Tables.table(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Cohen's kappa (Stats.cohenKappa): chance-corrected agreement of
+    // the stored lang label vs the q70 stopword heuristic — the
+    // annotator-vs-heuristic audit. p_e keeps an exact integer
+    // numerator Σ nₐ(k)·n_b(k) over N².
+    dfQ("q238_cohen_kappa",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['the','a','of','and','to','in','is','that','it','for'], w))) se,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], w))) sd,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['le','la','les','et','est','un','une','dans','que','pour'], w))) sf,
+        |    LEN(LIST_FILTER(ws, w -> LIST_CONTAINS(['el','los','las','y','es','un','una','en','que','para'], w))) ss
+        |  FROM (SELECT doc_id, lang, STRING_SPLIT(text,' ') ws
+        |        FROM documents)),
+        |g AS (SELECT lang a, CASE
+        |    WHEN GREATEST(se, sd, sf, ss) = 0 THEN 'und'
+        |    WHEN se = GREATEST(se, sd, sf, ss) THEN 'en'
+        |    WHEN sd = GREATEST(se, sd, sf, ss) THEN 'de'
+        |    WHEN sf = GREATEST(se, sd, sf, ss) THEN 'fr'
+        |    ELSE 'es' END b
+        |  FROM s),
+        |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) n
+        |  FROM g GROUP BY 1, 2),
+        |ma AS (SELECT a, SUM(n) na FROM cells GROUP BY a),
+        |mb AS (SELECT b, SUM(n) nb FROM cells GROUP BY b),
+        |pe AS (SELECT SUM(CAST(COALESCE(na, 0) AS HUGEINT)
+        |      * COALESCE(nb, 0)) pe_num
+        |  FROM ma FULL OUTER JOIN mb ON ma.a = mb.b),
+        |ag AS (SELECT CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END)
+        |      AS BIGINT) agree, CAST(SUM(n) AS BIGINT) n FROM cells)
+        |SELECT n, agree n_agree,
+        |  CAST(agree AS DOUBLE) / n p_o,
+        |  CAST(pe_num AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) p_e,
+        |  CASE WHEN CAST(pe_num AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) = 1.0 THEN NULL
+        |    ELSE (CAST(agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+        |      / (1.0 - CAST(pe_num AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+        |  END kappa
+        |FROM ag CROSS JOIN pe""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      val guess = graft.ops.TextAnalysis.languageId(docs, "doc_id", "text")
+      val joined = docs.select(col("doc_id"), col("lang"))
+        .join(guess, "doc_id")
+      Stats.cohenKappa(joined, col("lang"), col("lang_guess"))
+    },
+
+    // Cochran–Mantel–Haenszel (Stats.cmh): returned-flag × deep-
+    // discount association stratified by ship mode — the
+    // Simpson's-paradox-proof pooled test. E and V are one-division
+    // terms with HUGEINT-exact numerators, folded in stratum order.
+    dfQ("q239_cmh",
+      """WITH cells AS (SELECT YEAR(l_shipdate) s,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+        |      THEN 1 ELSE 0 END) AS BIGINT) a,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) r1,
+        |    CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) c1,
+        |    CAST(COUNT(*) AS BIGINT) nk
+        |  FROM lineitem GROUP BY 1),
+        |terms AS (SELECT s,
+        |    CASE WHEN nk <= 1 OR r1 = 0 OR nk - r1 = 0 OR c1 = 0
+        |        OR nk - c1 = 0 THEN 0.0
+        |      ELSE CAST(a AS DOUBLE)
+        |        - CAST(r1 * c1 AS DOUBLE) / nk END e,
+        |    CASE WHEN nk <= 1 OR r1 = 0 OR nk - r1 = 0 OR c1 = 0
+        |        OR nk - c1 = 0 THEN 0.0
+        |      ELSE CAST(CAST(r1 AS HUGEINT) * (nk - r1) * c1 * (nk - c1)
+        |          AS DOUBLE)
+        |        / CAST(CAST(nk AS HUGEINT) * nk * (nk - 1) AS DOUBLE)
+        |    END v
+        |  FROM cells),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) n_strata,
+        |    LIST_REDUCE(LIST(e ORDER BY s), (x, y) -> x + y) se,
+        |    LIST_REDUCE(LIST(v ORDER BY s), (x, y) -> x + y) sv
+        |  FROM terms)
+        |SELECT n_strata, se sum_dev, sv sum_var,
+        |  CASE WHEN sv <= 0 THEN NULL ELSE se * se / sv END cmh
+        |FROM f""".stripMargin) { (s, d) =>
+      Stats.cmh(Tables.table(s, d, "lineitem"), year(col("l_shipdate")),
+        col("l_returnflag") === "R", col("l_discount") > 0.05)
     }
   )
 }

@@ -1754,4 +1754,174 @@ class AnalyticsSuite extends SparkTestBase {
     val sun = got(0)
     assert(sun.getLong(2) == 1L && sun.isNullAt(4), sun.toString)
   }
+
+  // --- Survival.nelsonAalen -------------------------------------------------
+
+  test("nelsonAalen: hand-computed hazard; additive companion to KM") {
+    // durations: deaths at t=1 (2 of 4 at risk), t=2 (1 of 2); censored at 3
+    val subj = Seq((1L, true), (1L, true), (2L, true), (3L, false))
+      .toDF("dur", "obs")
+    val rows = Survival.nelsonAalen(subj, "dur", "obs", Seq.empty)
+      .orderBy("t").collect()
+    assert(rows.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L))
+    assert(math.abs(rows(0).getAs[Double]("cum_hazard") - 0.5) < 1e-15)
+    assert(math.abs(rows(1).getAs[Double]("cum_hazard") - 1.0) < 1e-15)
+    assert(math.abs(rows(0).getAs[Double]("hazard_var") - 2.0 / 16) < 1e-15)
+    assert(math.abs(rows(1).getAs[Double]("hazard_var") -
+      (2.0 / 16 + 1.0 / 4)) < 1e-15)
+    // monotone non-decreasing on real data, and n_risk bookkeeping
+    // matches KM's (the two share the collapse)
+    val lt = Survival.userLifetimes(Tables.events(spark, sf0001),
+      "user_id", "ts", quietUs = 43200000000L)
+    val na = Survival.nelsonAalen(lt, "duration_days", "observed", Seq.empty)
+      .orderBy("t").collect()
+    assert(na.sliding(2).forall(p => p.length < 2 ||
+      p(0).getAs[Double]("cum_hazard") <= p(1).getAs[Double]("cum_hazard")))
+    val km = Survival.kaplanMeier(lt, "duration_days", "observed", Seq.empty)
+      .orderBy("t").collect()
+    assert(na.map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"))).toSeq ==
+      km.map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"))).toSeq)
+  }
+
+  // --- Stats.diffInDiff -----------------------------------------------------
+
+  test("diffInDiff: hand-computed 2x2; parallel trends give did = 0") {
+    val d = Seq(
+      (true, true, 30L), (true, true, 34L),   // treat/post mean 32
+      (true, false, 10L),                     // treat/pre  mean 10
+      (false, true, 25L), (false, true, 27L), // ctrl/post  mean 26
+      (false, false, 20L)                     // ctrl/pre   mean 20
+    ).toDF("tr", "po", "y")
+    val r = Stats.diffInDiff(d, col("tr"), col("po"), col("y")).collect()(0)
+    assert(r.getAs[Double]("did") == (32.0 - 10.0) - (26.0 - 20.0))
+    assert(r.getAs[Long]("n_treat_post") == 2L &&
+      r.getAs[Double]("m_ctrl_pre") == 20.0)
+    // shifting both arms by the same post effect cancels
+    val par = Seq((true, false, 10L), (true, true, 15L),
+      (false, false, 20L), (false, true, 25L)).toDF("tr", "po", "y")
+    assert(Stats.diffInDiff(par, col("tr"), col("po"), col("y"))
+      .collect()(0).getAs[Double]("did") == 0.0)
+  }
+
+  // --- Stats.brownForsythe --------------------------------------------------
+
+  test("brownForsythe: identical spreads give F ~ 0; inflated group detected") {
+    // same |x - med| profile in both groups → between-group term 0
+    val same = Seq(("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", 11L), ("b", 15L), ("b", 19L)).toDF("g", "x")
+    val f0 = Stats.brownForsythe(same, "g", col("x")).collect()(0)
+    assert(f0.getAs[Long]("k") == 2L && f0.getAs[Long]("n") == 6L)
+    assert(math.abs(f0.getAs[Double]("f_stat")) < 1e-12, f0.toString)
+    // one group 10x spread → large F
+    val diff = Seq(("a", 1L), ("a", 5L), ("a", 9L),
+      ("b", -25L), ("b", 15L), ("b", 55L)).toDF("g", "x")
+    val f1 = Stats.brownForsythe(diff, "g", col("x")).collect()(0)
+    // hand value: between 3456, within 4309.33 on 1/4 df → F ≈ 3.208
+    assert(math.abs(f1.getAs[Double]("f_stat") -
+      3456.0 / (4309.0 + 1.0 / 3) * 4) < 1e-9, f1.toString)
+    // even-n median: doubled median of (1,3) is 4 → z doubled = |2x-4|
+    val even = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "x")
+    val fe = Stats.brownForsythe(even, "g", col("x")).collect()(0)
+    assert(math.abs(fe.getAs[Double]("f_stat")) < 1e-12, fe.toString)
+  }
+
+  // --- Stats.mcnemar --------------------------------------------------------
+
+  test("mcnemar: discordant-only statistic; no discordance is NULL") {
+    val d = Seq((true, false), (true, false), (true, false),
+      (false, true), (true, true), (false, false)).toDF("a", "b")
+    val r = Stats.mcnemar(d, col("a"), col("b")).collect()(0)
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("c") == 1L)
+    assert(r.getAs[Long]("n_both") == 1L && r.getAs[Long]("n_neither") == 1L)
+    assert(r.getAs[Double]("chi2") == 4.0 / 4.0)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.mcnemar(agree, col("a"), col("b")).collect()(0)
+      .isNullAt(4))
+  }
+
+  // --- Stats.cohenKappa -----------------------------------------------------
+
+  test("cohenKappa: perfect agreement 1; known 2x2 value; label-swap invariance") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohenKappa(perfect, col("a"), col("b")).collect()(0)
+      .getAs[Double]("kappa") == 1.0)
+    // textbook 2x2: a=20 agree-yes, d=15 agree-no, b=5, c=10
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Stats.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    val po = 35.0 / 50
+    val pe = (25.0 * 30 + 25.0 * 20) / (50.0 * 50)
+    assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-12)
+    // one-label degenerate: p_e = 1 → NULL
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Stats.cohenKappa(degen, col("a"), col("b")).collect()(0)
+      .isNullAt(4))
+  }
+
+  // --- Stats.cmh ------------------------------------------------------------
+
+  test("cmh: single stratum matches hand E/V; degenerate strata drop to 0") {
+    // 2x2: a=8, b=2, c=4, d=6 → n=20, r1=10, c1=12, E=6, V=r1r2c1c2/(n²(n-1))
+    val d = (Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(6)((false, false)))
+      .map { case (e, o) => ("s1", e, o) }.toDF("s", "e", "o")
+    val r = Stats.cmh(d, col("s"), col("e"), col("o")).collect()(0)
+    val v = 10.0 * 10 * 12 * 8 / (20.0 * 20 * 19)
+    assert(math.abs(r.getAs[Double]("sum_dev") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sum_var") - v) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cmh") - 4.0 / v) < 1e-12)
+    // adding an all-exposed stratum (degenerate margin) changes nothing
+    val d2 = d.unionByName(Seq(("s2", true, true), ("s2", true, false))
+      .toDF("s", "e", "o"))
+    val r2 = Stats.cmh(d2, col("s"), col("e"), col("o")).collect()(0)
+    assert(r2.getAs[Long]("n_strata") == 2L)
+    assert(math.abs(r2.getAs[Double]("cmh") - r.getAs[Double]("cmh")) < 1e-12)
+  }
+
+  // --- Association.itemItemCosine -------------------------------------------
+
+  test("itemItemCosine: hand cosine, symmetry, k cap, minCo filter") {
+    // users 1..3: {A,B}, {A,B}, {A,C} → co(A,B)=2, co(A,C)=1
+    val ui = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "C"), (3L, "C")).toDF("u", "item") // dup interaction collapses
+    val out = Association.itemItemCosine(ui, "u", "item", k = 10,
+      minCo = 1L).collect()
+    val m = out.map(r => (r.getAs[String]("item"),
+      r.getAs[String]("neighbor")) -> r.getAs[Double]("cosine")).toMap
+    assert(math.abs(m(("A", "B")) - 2.0 / (math.sqrt(3) * math.sqrt(2)))
+      < 1e-15)
+    assert(m(("A", "B")) == m(("B", "A")), "symmetric emission")
+    assert(math.abs(m(("A", "C")) - 1.0 / (math.sqrt(3) * math.sqrt(1)))
+      < 1e-15)
+    assert(!m.contains(("B", "C")), "never co-occur")
+    // minCo=2 drops the singleton pair; k=1 keeps only the best neighbor
+    val capped = Association.itemItemCosine(ui, "u", "item", k = 1,
+      minCo = 2L).collect()
+    assert(capped.map(r => (r.getAs[String]("item"),
+      r.getAs[String]("neighbor"))).toSet == Set(("A", "B"), ("B", "A")))
+  }
+
+  // --- TextAnalysis.readability ---------------------------------------------
+
+  test("readability: hand-counted words/sentences/syllables and score") {
+    val docs = Seq((1L, "the cat sat. it sat on a mat!"),
+      (2L, ""), (3L, "pfft grr")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // empty doc filtered (no words)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val r = out(0)
+    assert(r.getAs[Long]("n_words") == 8L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    // syllable vowel-groups: the(1) cat(1) sat(1) it(1) sat(1) on(1)
+    // a(1) mat(1) = 8
+    assert(r.getAs[Long]("n_syllables") == 8L)
+    val expected = 206.835 - 1.015 * (8.0 / 2) - 84.6 * (8.0 / 8)
+    assert(r.getAs[Double]("flesch") == expected)
+    // no vowels → 0 syllables, sentence floor at 1
+    assert(out(1).getAs[Long]("n_syllables") == 0L &&
+      out(1).getAs[Long]("n_sentences") == 1L)
+  }
 }
