@@ -566,6 +566,52 @@ object Dedup {
       .toDF("id", "gpos", "gram")
   }
 
+  /** Directed n-gram CONTAINMENT pairs — the asymmetric complement to
+    * Jaccard near-dup: containment(a→b) = |A ∩ B| / |A| finds a doc
+    * whose shingle set is (mostly) swallowed by another — quote farms,
+    * wrapper pages, partial mirrors — which symmetric Jaccard misses
+    * outright (a 100-shingle doc inside a 10,000-shingle doc has
+    * J ≈ 0.01 but containment 1.0). MinHash-LSH does NOT apply: its
+    * collision probability tracks Jaccard, so the very pairs this
+    * operator exists for are the ones banding would drop. The scale
+    * path is the inverted-index join: distinct (doc, shingle), shuffle
+    * by shingle, pair-count — quadratic only within a shingle's
+    * posting list, so `maxShingleDf` caps hot boilerplate shingles
+    * (dropping a shingle shared by >cap docs loses only pairs whose
+    * overlap is pure boilerplate — at 100 TB set it ~100, the
+    * RefinedWeb/CCNet practice). Both directions are emitted from ONE
+    * undirected co-count; each containment is ONE division, rounded
+    * to 4 places like [[minHashNearDupPairs]]. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold in (0,1], got $threshold")
+    val sh0 = ngramOccurrences(docs, idCol, textCol, shingleN)
+      .select(col("id"), col("gram")).distinct()
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("gram")
+        sh0.join(hot, Seq("gram"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val co = sh.select(col("id").as("a"), col("gram"))
+      .join(sh.select(col("id").as("b"), col("gram")), Seq("gram"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("co"))
+    val directed = co.unionByName(
+      co.select(col("b").as("a"), col("a").as("b"), col("co")))
+    directed
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .withColumn("__c", col("co").cast("double") / col("na"))
+      .filter(col("__c") >= threshold)
+      .select(col("a"), col("b"), col("co").cast("long").as("co"),
+        col("na").cast("long").as("n_a"),
+        round(col("__c"), 4).as("containment"))
+  }
+
   /** Canonical-document selection — the final step of fuzzy dedup:
     * given near-dup component assignments (`node`, `component`, e.g.
     * from [[Components.connectedComponents]] over an LSH pair set),

@@ -111,6 +111,75 @@ object Indexing {
     * division; terms fold in SORTED system order (the bm25/q159
     * ordered-fold discipline), so the double — and the fused ranking,
     * tie-broken by doc — replays bit-for-bit cross-engine. */
+  /** Retrieval-quality evaluation — MRR, recall@k and nDCG@k per
+    * query from a ranked results table and graded relevance judgments
+    * (qrels): the readout that closes the loop on [[bm25]]/[[rrfFuse]]
+    * and any ANN retriever. One left join of results to qrels on
+    * (query, doc) — rank-k result lists are tiny per query, so the
+    * whole evaluation is one shuffle on the query key plus one grouped
+    * fold; qrel totals ride a second small grouped count.
+    *
+    * Determinism: ranks and relevance grades are integral; RR is ONE
+    * division by the first relevant rank; DCG folds gain/log₂(r+1)
+    * in rank order with the log through [[graft.ops.Exact.lnq]] (both
+    * engines' raw logs are 1-ulp loose) — log₂(x) = lnq(x)/lnq(2),
+    * two quantized terms and ONE division per rank; IDCG replays the
+    * same fold over the ideal ordering (grades descending). nDCG is
+    * NULL for a query with no relevant docs (0/0 — report it, don't
+    * fake a zero). */
+  def retrievalEval(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val res = results.select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(rankCol).cast("long").as("r"))
+      .filter(col("r") <= k)
+    val rel = qrels.select(col(queryCol).as("q"), col(docCol).as("d"),
+      col(relCol).cast("long").as("rel"))
+    val log2 = (x: org.apache.spark.sql.Column) =>
+      Exact.lnq(x) / Exact.lnq(lit(2.0))
+    val joined = res.join(rel, Seq("q", "d"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perQ = joined.groupBy("q").agg(
+      count(lit(1)).cast("long").as("n_results"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).cast("long")
+        .as("n_rel_at_k"),
+      min(when(col("rel") > 0, col("r"))).as("first_rel_rank"),
+      aggregate(
+        array_sort(collect_list(struct(col("r"),
+          (col("rel").cast("double") /
+            log2(col("r").cast("double") + lit(1.0))).as("__g")))),
+        lit(0.0), (acc, e) => acc + e.getField("__g")).as("dcg"))
+    // ideal DCG: the query's qrel grades sorted descending fill ranks
+    // 1..min(k, n_rel) — computed from the qrels side so a retriever
+    // that misses every relevant doc still gets the right denominator
+    val wRel = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(col("rel").desc, col("d"))
+    val ideal = rel.filter(col("rel") > 0)
+      .withColumn("__ir", row_number().over(wRel).cast("long"))
+      .groupBy("q").agg(
+        count(lit(1)).cast("long").as("n_rel_total"),
+        aggregate(
+          array_sort(collect_list(struct(col("__ir"),
+            when(col("__ir") <= k,
+              col("rel").cast("double") /
+                log2(col("__ir").cast("double") + lit(1.0)))
+              .otherwise(lit(0.0)).as("__g")))),
+          lit(0.0), (acc, e) => acc + e.getField("__g")).as("idcg"))
+    perQ.join(ideal, Seq("q"), "left")
+      .select(col("q"), col("n_results"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        col("n_rel_at_k"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank")).as("rr"),
+        when(coalesce(col("n_rel_total"), lit(0L)) === 0, lit(null))
+          .otherwise(col("n_rel_at_k").cast("double") /
+            col("n_rel_total")).as("recall_at_k"),
+        col("dcg"),
+        when(coalesce(col("idcg"), lit(0.0)) <= 0.0, lit(null))
+          .otherwise(col("dcg") / col("idcg")).as("ndcg_at_k"))
+  }
+
   def rrfFuse(rankings: DataFrame, queryCol: String, docCol: String,
               systemCol: String, rankCol: String, kConst: Int = 60,
               topK: Int = 10): DataFrame = {

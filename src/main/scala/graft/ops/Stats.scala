@@ -1093,4 +1093,65 @@ object Stats {
         when(col("__sv") <= 0, lit(null))
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
+
+  /** Per-group trimmed mean — the robust location estimate between the
+    * mean (breaks on one outlier) and the median (discards 99% of the
+    * data): drop the ⌊α·n⌋ smallest AND largest values, average the
+    * rest. The complement to winsorizing (q162 clamps; this excises).
+    * One per-group ranking window + one grouped agg; the kept sum
+    * stays an exact integer (pass an integral x — fixed-point first)
+    * and the mean is ONE division, so the double hash-replays.
+    * Equal values are all kept or all dropped by rank order (id-free
+    * determinism: rank ties broken by value only — trimming a dup run
+    * partially is fine because the VALUES dropped are identical). */
+  def trimmedMean(df: DataFrame, groupCol: String, x: Column,
+                  alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"alpha in [0,0.5), got $alpha")
+    val d = df.select(col(groupCol).as("g"), x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy("g").orderBy(col("__x"))
+    val ranked = d.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("g")))
+    val cut = floor(col("__n") * alpha).cast("long")
+    ranked.filter(col("__rn") > cut && col("__rn") <= col("__n") - cut)
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        max(col("__n")).cast("long").as("n"),
+        (sum(col("__x").cast(dec38)).cast("double") / count(lit(1)))
+          .as("trimmed_mean"))
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** RFM segmentation — the classic customer/entity triage: per key,
+    * Recency (days since last activity vs the corpus end), Frequency
+    * (activity count) and Monetary (integral value sum), each scored
+    * into `buckets` quantile tiers by NTILE with the key as tiebreak
+    * (ties are arbitrary but DETERMINISTIC — the property a replayable
+    * segmentation needs), best tier = `buckets`. Recency ntile is
+    * DESCENDING (most recent → top tier). One grouped agg + three
+    * global NTILE windows over the ENTITY table (key-cardinality
+    * sized, not event-sized — at 100 TB the windows rank customers,
+    * not rows; segment per region first if even that is too wide). */
+  def rfmSegments(df: DataFrame, keyCol: String, tsCol: String,
+                  value: Column, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val per = df.groupBy(col(keyCol))
+      .agg(max(unix_micros(col(tsCol))).as("__last"),
+        count(lit(1)).cast("long").as("frequency"),
+        sum(value.cast("long")).cast("long").as("monetary"))
+    val endUs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
+    val base = per.crossJoin(broadcast(endUs))
+      .select(col(keyCol),
+        call_function("div", col("__end") - col("__last"),
+          lit(86400000000L)).as("recency_days"),
+        col("frequency"), col("monetary"))
+    def tile(c: Column, asc: Boolean) = ntile(buckets).over(
+      Window.orderBy((if (asc) c.asc else c.desc), col(keyCol)))
+    base
+      .withColumn("r_score", tile(col("recency_days"), asc = false))
+      .withColumn("f_score", tile(col("frequency"), asc = true))
+      .withColumn("m_score", tile(col("monetary"), asc = true))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+  }
 }

@@ -2869,6 +2869,151 @@ object Analytics {
         |FROM f""".stripMargin) { (s, d) =>
       Stats.cmh(Tables.table(s, d, "lineitem"), year(col("l_shipdate")),
         col("l_returnflag") === "R", col("l_discount") > 0.05)
+    },
+
+    // Retrieval evaluation (Indexing.retrievalEval): MRR / recall@k /
+    // nDCG@k per query over a deterministic ranking (longest docs per
+    // source) against graded lang qrels. DCG's log₂ goes through the
+    // 2⁻²⁶ lnq grid on BOTH engines; folds in rank order.
+    dfQ("q240_retrieval_eval",
+      """WITH res AS (SELECT source q, doc_id d,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) r
+        |  FROM documents QUALIFY r <= 10),
+        |qr AS (SELECT source q, doc_id d,
+        |    CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1
+        |      ELSE 0 END rel
+        |  FROM documents),
+        |j AS (SELECT res.q, res.d, res.r, COALESCE(qr.rel, 0) rel
+        |  FROM res LEFT JOIN qr ON res.q = qr.q AND res.d = qr.d),
+        |pq AS (SELECT q, CAST(COUNT(*) AS BIGINT) n_results,
+        |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      n_rel_at_k,
+        |    MIN(CASE WHEN rel > 0 THEN r END) first_rel_rank,
+        |    LIST_REDUCE(LIST(CAST(rel AS DOUBLE) /
+        |        ((FLOOR(LN(CAST(r + 1 AS DOUBLE)) * 67108864.0)
+        |          / 67108864.0)
+        |         / (FLOOR(LN(2.0) * 67108864.0) / 67108864.0))
+        |      ORDER BY r), (a, e) -> a + e) dcg
+        |  FROM j GROUP BY q),
+        |ir AS (SELECT q, d, rel, CAST(ROW_NUMBER() OVER (PARTITION BY q
+        |      ORDER BY rel DESC, d) AS BIGINT) ir
+        |  FROM qr WHERE rel > 0),
+        |id2 AS (SELECT q, CAST(COUNT(*) AS BIGINT) n_rel_total,
+        |    LIST_REDUCE(LIST(CASE WHEN ir <= 10 THEN CAST(rel AS DOUBLE) /
+        |        ((FLOOR(LN(CAST(ir + 1 AS DOUBLE)) * 67108864.0)
+        |          / 67108864.0)
+        |         / (FLOOR(LN(2.0) * 67108864.0) / 67108864.0))
+        |      ELSE 0.0 END ORDER BY ir), (a, e) -> a + e) idcg
+        |  FROM ir GROUP BY q)
+        |SELECT pq.q, n_results, COALESCE(n_rel_total, 0) n_rel_total,
+        |  n_rel_at_k, first_rel_rank,
+        |  CASE WHEN first_rel_rank IS NULL THEN 0.0
+        |    ELSE 1.0 / first_rel_rank END rr,
+        |  CASE WHEN COALESCE(n_rel_total, 0) = 0 THEN NULL
+        |    ELSE CAST(n_rel_at_k AS DOUBLE) / n_rel_total
+        |  END recall_at_k,
+        |  dcg,
+        |  CASE WHEN COALESCE(idcg, 0.0) <= 0.0 THEN NULL
+        |    ELSE dcg / idcg END ndcg_at_k
+        |FROM pq LEFT JOIN id2 ON pq.q = id2.q
+        |ORDER BY pq.q""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(s, d, "documents")
+      val results = docs.select(col("source").as("q"),
+          col("doc_id").as("d"),
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id")))
+            .cast("long").as("rank"))
+        .filter(col("rank") <= 10)
+      val qrels = docs.select(col("source").as("q"), col("doc_id").as("d"),
+        when(col("lang") === "en", 2L).when(col("lang") === "de", 1L)
+          .otherwise(0L).as("rel"))
+      Indexing.retrievalEval(results, qrels, "q", "d", "rank", "rel",
+          k = 10)
+        .orderBy("q")
+    },
+
+    // Directed n-gram containment (Dedup.ngramContainmentPairs): the
+    // asymmetric near-dup that symmetric Jaccard misses — inverted-
+    // index join on the shingle, both directions from one co-count.
+    dfQ("q241_containment",
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents
+        |  WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CONCAT(ws[i],' ',ws[i+1],' ',ws[i+2]) s
+        |  FROM toks CROSS JOIN UNNEST(RANGE(1, LEN(ws)-1)) t(i)),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM sh
+        |  GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) ix
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (SELECT da a, db b, ix FROM inter
+        |  UNION ALL SELECT db a, da b, ix FROM inter),
+        |sc AS (SELECT a, b, ix co, cnt.n n_a,
+        |    CAST(ix AS DOUBLE) / cnt.n c
+        |  FROM dir JOIN cnt ON dir.a = cnt.doc_id)
+        |SELECT a, b, co, n_a, ROUND(c, 4) containment
+        |FROM sc WHERE c >= 0.1 ORDER BY a, b""".stripMargin) { (s, d) =>
+      graft.ops.Dedup.ngramContainmentPairs(
+          Tables.table(s, d, "documents").filter(col("doc_id") < 150),
+          "doc_id", "text", shingleN = 3, threshold = 0.1)
+        .orderBy("a", "b")
+    },
+
+    // RFM segmentation (Stats.rfmSegments): per-user recency/
+    // frequency/monetary quintiles with the key tiebreak — integral
+    // inputs, deterministic NTILE, entity-sized windows.
+    dfQ("q242_rfm",
+      """WITH per AS (SELECT user_id,
+        |    MAX(EPOCH_US(ts)) last_us,
+        |    CAST(COUNT(*) AS BIGINT) frequency,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+        |      monetary
+        |  FROM events GROUP BY user_id),
+        |ce AS (SELECT MAX(EPOCH_US(ts)) end_us FROM events),
+        |base AS (SELECT user_id,
+        |    (end_us - last_us) // 86400000000 recency_days,
+        |    frequency, monetary
+        |  FROM per CROSS JOIN ce)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+        |    AS INT) r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT)
+        |    f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT)
+        |    m_score,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS VARCHAR)
+        |    || CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS VARCHAR)
+        |    || CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS VARCHAR)
+        |    segment
+        |FROM base ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.rfmSegments(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 100).cast("long"), buckets = 5)
+        .orderBy("user_id")
+    },
+
+    // Per-group trimmed mean (Stats.trimmedMean): excise the α tails,
+    // exact integer kept-sum, ONE division — the robust companion to
+    // q162's winsorize (which clamps instead).
+    dfQ("q243_trimmed_mean",
+      """WITH d AS (SELECT l_returnflag g,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) x
+        |  FROM lineitem),
+        |rk AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x)
+        |    rn, COUNT(*) OVER (PARTITION BY g) n FROM d),
+        |kept AS (SELECT g, x, n FROM rk
+        |  WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+        |    AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT))
+        |SELECT g l_returnflag, CAST(COUNT(*) AS BIGINT) n_kept,
+        |  CAST(MAX(n) AS BIGINT) n,
+        |  CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / COUNT(*) trimmed_mean
+        |FROM kept GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      Stats.trimmedMean(Tables.table(s, d, "lineitem"), "l_returnflag",
+          floor(col("l_extendedprice") * 100).cast("long"), alpha = 0.1)
+        .orderBy("l_returnflag")
     }
   )
 }

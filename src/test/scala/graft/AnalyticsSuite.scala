@@ -1903,6 +1903,87 @@ class AnalyticsSuite extends SparkTestBase {
       r.getAs[String]("neighbor"))).toSet == Set(("A", "B"), ("B", "A")))
   }
 
+  // --- Indexing.retrievalEval -----------------------------------------------
+
+  test("retrievalEval: hand MRR/recall/nDCG; perfect ranking gives exactly 1") {
+    val results = Seq(("q1", "d3", 1L), ("q1", "d1", 2L), ("q1", "d2", 3L),
+      ("q2", "d9", 1L)).toDF("q", "d", "rank")
+    val qrels = Seq(("q1", "d1", 2L), ("q1", "d2", 1L), ("q2", "d8", 1L))
+      .toDF("q", "d", "rel")
+    val out = Indexing.retrievalEval(results, qrels, "q", "d", "rank",
+        "rel", k = 3)
+      .orderBy("q").collect()
+    val r1 = out(0)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    assert(r1.getAs[Long]("n_rel_total") == 2L &&
+      r1.getAs[Long]("n_rel_at_k") == 2L)
+    assert(r1.getAs[Double]("rr") == 0.5)
+    assert(r1.getAs[Double]("recall_at_k") == 1.0)
+    val dcg = 2.0 / lg2(3) + 1.0 / lg2(4)
+    val idcg = 2.0 / lg2(2) + 1.0 / lg2(3)
+    assert(math.abs(r1.getAs[Double]("dcg") - dcg) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("ndcg_at_k") - dcg / idcg) < 1e-6)
+    // q2 retrieved nothing relevant: rr 0, recall 0, ndcg 0/idcg = 0
+    val r2 = out(1)
+    assert(r2.getAs[Double]("rr") == 0.0 &&
+      r2.getAs[Double]("recall_at_k") == 0.0 &&
+      r2.getAs[Double]("ndcg_at_k") == 0.0)
+    // the ideal ordering retrieved verbatim folds the SAME terms →
+    // ndcg is exactly 1.0, not 1±ulp
+    val perfect = Seq(("q1", "d1", 1L), ("q1", "d2", 2L))
+      .toDF("q", "d", "rank")
+    assert(Indexing.retrievalEval(perfect, qrels.filter(col("q") === "q1"),
+        "q", "d", "rank", "rel", k = 3)
+      .collect()(0).getAs[Double]("ndcg_at_k") == 1.0)
+  }
+
+  // --- Dedup.ngramContainmentPairs ------------------------------------------
+
+  test("ngramContainment: finds asymmetric subset pairs Jaccard misses") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d e f"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Double]("containment")).toMap
+    // doc1's 2 shingles both inside doc2's 4 → containment(1→2) = 1.0,
+    // but (2→1) = 0.5 and Jaccard = 0.5: only the directed pair passes
+    assert(out == Map((1L, 2L) -> 1.0), out.toString)
+    // hot-shingle cap: every shared shingle has df 2 > 1 → no pairs
+    assert(Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.1,
+      maxShingleDf = Some(1L)).count() == 0)
+  }
+
+  // --- Stats.rfmSegments ----------------------------------------------------
+
+  test("rfmSegments: quintile scores rank recency desc, freq/monetary asc") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2026-01-0${h}%d 00:00:00")
+    // user i has i events, last at day i, value 10*i per event
+    val ev = (1 to 5).flatMap(i => (1 to i).map(j =>
+      (i.toLong, ts(i), 10.0 * i))).toDF("user_id", "ts", "value")
+    val out = Stats.rfmSegments(ev, "user_id", "ts",
+        floor(col("value")).cast("long"), buckets = 5)
+      .orderBy("user_id").collect()
+    // user 5: most recent, most frequent, most monetary → "555"
+    assert(out(4).getAs[String]("segment") == "555", out.mkString(","))
+    // user 1: oldest (recency 4 days), least frequent/monetary → "111"
+    assert(out(0).getAs[String]("segment") == "111")
+    assert(out(0).getAs[Long]("recency_days") == 4L)
+    assert(out(2).getAs[Long]("frequency") == 3L &&
+      out(2).getAs[Long]("monetary") == 90L)
+  }
+
+  // --- Stats.trimmedMean ----------------------------------------------------
+
+  test("trimmedMean: excises the alpha tails; alpha=0 is the plain mean") {
+    val d = ((1L to 9L) :+ 1000L).map(("g", _)).toDF("grp", "x")
+    val r = Stats.trimmedMean(d, "grp", col("x"), alpha = 0.1).collect()(0)
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_kept") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == (2L to 9L).sum.toDouble / 8)
+    val r0 = Stats.trimmedMean(d, "grp", col("x"), alpha = 0.0).collect()(0)
+    assert(r0.getAs[Double]("trimmed_mean") == 1045.0 / 10)
+  }
+
   // --- TextAnalysis.readability ---------------------------------------------
 
   test("readability: hand-counted words/sentences/syllables and score") {

@@ -318,7 +318,10 @@ class ScaleSuite extends SparkTestBase {
       "q223_mutual_info",      // CROSS JOIN with the 1-row MI-total fold
       "q226_conformal",        // CROSS JOIN with the 1-row conformal q
       "q228_lift_table",       // CROSS JOIN with the 1-row totals row
-      "q230_ece")              // CROSS JOIN with the 1-row bin-total row
+      "q230_ece",              // CROSS JOIN with the 1-row bin-total row
+      "q232_nelson_aalen",     // CROSS JOIN with the 1-row corpus-end scalar
+      "q238_cohen_kappa",      // CROSS JOIN with the 1-row p_e numerator
+      "q242_rfm")              // CROSS JOIN with the 1-row corpus-end scalar
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
