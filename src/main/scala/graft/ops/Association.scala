@@ -62,6 +62,10 @@ object Association {
   def itemItemCosine(df: DataFrame, userCol: String, itemCol: String,
                      k: Int, minCo: Long = 1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the distinct interaction table feeds both self-join sides and the
+    // singles count; a cache() here is a measured no-op — ReuseExchange
+    // already shares the one materialized distinct across all three
+    // consumers (A/B'd at sf0.1, identical timings)
     val b = df.select(col(userCol).as("u"), col(itemCol).as("item"))
       .distinct()
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))

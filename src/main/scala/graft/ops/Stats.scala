@@ -1094,6 +1094,35 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** One-sided ONLINE CUSUM (Page 1954) — the streaming-capable change
+    * alarm beside the retrospective [[cusum]] change-POINT locator:
+    * s_t = max(0, s_{t−1} + (x_t − target − slack)), alarm when
+    * s_t ≥ threshold. The recursion has the closed prefix form
+    * s_t = c_t − min(0, min_{j≤t} c_j) with c the running sum of the
+    * drifts, so the batch operator is TWO integer window passes per
+    * key — no fold, no recursion, trivially hash-replayable (integer
+    * windowed sums are order-free) — and the streaming twin
+    * ([[graft.streaming.Streams.runCusumOnline]]) carries just
+    * (c, min c): O(1) state per key, the property that makes CUSUM the
+    * right live-pipeline drift alarm. Emits every row INSIDE an
+    * alarmed excursion (no auto-reset — the monitoring variant; reset
+    * policy is the pager's decision, not the statistic's). `x`,
+    * `target`, `slack`, `threshold` share one fixed-point scale. */
+  def cusumOnline(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, x: Column, target: Long, slack: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__x", x.cast("long"))
+      .withColumn("__c", sum(col("__x") - lit(target) - lit(slack)).over(w))
+      .withColumn("__s",
+        col("__c") - least(lit(0L), min(col("__c")).over(w)))
+      .filter(col("__s") >= threshold)
+      .select(col(keyCol), col(tsCol), col(idCol), col("__x").as("x"),
+        col("__s").cast("long").as("cusum_stat"))
+  }
+
   /** Per-group trimmed mean — the robust location estimate between the
     * mean (breaks on one outlier) and the median (discards 99% of the
     * data): drop the ⌊α·n⌋ smallest AND largest values, average the

@@ -2827,11 +2827,12 @@ object Analytics {
         |        / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
         |  END kappa
         |FROM ag CROSS JOIN pe""".stripMargin) { (s, d) =>
-      val docs = Tables.table(s, d, "documents")
-      val guess = graft.ops.TextAnalysis.languageId(docs, "doc_id", "text")
-      val joined = docs.select(col("doc_id"), col("lang"))
-        .join(guess, "doc_id")
-      Stats.cohenKappa(joined, col("lang"), col("lang_guess"))
+      // ONE scan: the guess is a pure projection (languageGuess), so
+      // lang and lang_guess ride the same row — no join-back of a
+      // second documents scan
+      val pairs = Tables.table(s, d, "documents").select(col("lang"),
+        graft.ops.TextAnalysis.languageGuess("text").as("lang_guess"))
+      Stats.cohenKappa(pairs, col("lang"), col("lang_guess"))
     },
 
     // Cochran–Mantel–Haenszel (Stats.cmh): returned-flag × deep-
@@ -3014,6 +3015,31 @@ object Analytics {
       Stats.trimmedMean(Tables.table(s, d, "lineitem"), "l_returnflag",
           floor(col("l_extendedprice") * 100).cast("long"), alpha = 0.1)
         .orderBy("l_returnflag")
+    },
+
+    // Online CUSUM alarm (Stats.cusumOnline): Page's recursion in its
+    // closed prefix form — two INTEGER window passes per user (exact
+    // regardless of evaluation order), alarm rows where the statistic
+    // crosses the threshold. The streaming twin (ST23) carries the
+    // same statistic in O(1) keyed state.
+    dfQ("q244_cusum_online",
+      """WITH t AS (SELECT user_id k, ts, event_id id,
+        |    CAST(FLOOR(value * 100) AS BIGINT) x FROM events),
+        |c AS (SELECT k, ts, id, x,
+        |    SUM(x - 4500) OVER (PARTITION BY k ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING) c
+        |  FROM t),
+        |s AS (SELECT k, ts, id, x,
+        |    c - LEAST(0, MIN(c) OVER (PARTITION BY k ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING)) s
+        |  FROM c)
+        |SELECT k user_id, ts, id event_id, x, s cusum_stat
+        |FROM s WHERE s >= 20000
+        |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      Stats.cusumOnline(Tables.events(s, d), "user_id", "ts", "event_id",
+          floor(col("value") * 100).cast("long"),
+          target = 4000L, slack = 500L, threshold = 20000L)
+        .orderBy("user_id", "ts", "event_id")
     }
   )
 }

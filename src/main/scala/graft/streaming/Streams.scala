@@ -103,6 +103,48 @@ object Streams {
       }
   }
 
+  final case class CusumAlarm(key: Long, ts_us: Long, id: Long, x: Long,
+                              cusum_stat: Long)
+
+  /** ST23: streaming one-sided CUSUM drift alarm — the live twin of
+    * [[graft.ops.Stats.cusumOnline]]: per key the state is ONLY
+    * (running drift sum c, running min of c) — two longs, constant in
+    * stream length — updated by the Page recursion and emitting every
+    * row whose statistic c − min(0, min c) crosses `threshold`.
+    * Within a micro-batch rows are folded in (ts, id) order; ACROSS
+    * batches the operator assumes per-key event-time-ordered arrival
+    * (the incremental-op contract shared with the dedup/rollup tiers —
+    * front it with a watermark + sorted window if the transport
+    * reorders). StreamingSuite pins multi-batch replay ≡ the batch
+    * closed form. */
+  def runCusumOnline(rows: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, xCol: String, target: Long, slack: Long,
+      threshold: Long): Dataset[CusumAlarm] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(keyCol).cast("long").as[Long],
+        unix_micros(col(tsCol)).as[Long],
+        col(idCol).cast("long").as[Long], col(xCol).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (c, minC) = state.getOption.getOrElse((0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+          // micro-batch group fits in memory by the micro-batch contract;
+          // (ts, id) sort pins the within-batch fold order
+          it.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            c += r._4 - target - slack
+            if (c < minC) minC = c
+            val s = c - math.min(0L, minC)
+            if (s >= threshold) out += CusumAlarm(key, r._2, r._3, r._4, s)
+          }
+          state.update((c, minC))
+          out.iterator
+      }
+  }
+
   /** ST5b: the same per-user running stat on Spark 4's `transformWithState`
     * API (typed keyed state in the RocksDB state store — the modern
     * replacement for flatMapGroupsWithState; supports state TTL, timers,

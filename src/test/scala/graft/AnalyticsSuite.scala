@@ -1984,6 +1984,26 @@ class AnalyticsSuite extends SparkTestBase {
     assert(r0.getAs[Double]("trimmed_mean") == 1045.0 / 10)
   }
 
+  // --- Stats.cusumOnline ----------------------------------------------------
+
+  test("cusumOnline: closed prefix form equals the Page recursion") {
+    // one key, drifts chosen to exercise reset-to-zero and excursion
+    val xs = Seq(5L, 1L, 9L, 9L, 9L, 0L, 0L, 9L)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (1L, i.toLong, i.toLong, x) }.toDF("k", "t", "id", "x")
+    val got = Stats.cusumOnline(df, "k", "t", "id", col("x"),
+        target = 4L, slack = 1L, threshold = 5L)
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("cusum_stat")))
+    // driver replay of s_t = max(0, s + (x - 5))
+    var s = 0L
+    val want = xs.zipWithIndex.flatMap { case (x, i) =>
+      s = math.max(0L, s + (x - 5L))
+      if (s >= 5L) Some((i.toLong, s)) else None
+    }
+    assert(got.toSeq == want, s"got ${got.mkString(",")}")
+  }
+
   // --- TextAnalysis.readability ---------------------------------------------
 
   test("readability: hand-counted words/sentences/syllables and score") {

@@ -121,6 +121,39 @@ class StreamingSuite extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("ST23: streaming online CUSUM alarm equals the batch closed form") {
+    // two time-ordered micro-batches per key (the incremental-op
+    // arrival contract): split the fixture at its median timestamp
+    val ev = batchEvents.select(col("user_id"), col("ts"),
+      col("event_id"), floor(col("value") * 100).cast("long").as("x"))
+    val cut = ev.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    val root = Files.createTempDirectory("graft-cusum").toString
+    ev.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.parquet(s"$root/src/f1")
+    ev.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.parquet(s"$root/src/f2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src/f*/*.parquet")
+    val q = Streams.runCusumOnline(stream, "user_id", "ts", "event_id",
+        "x", target = 4000L, slack = 500L, threshold = 20000L)
+      .toDF()
+    Streams.runToMemory(q, "st23", OutputMode.Append())
+    val got = memTable("st23").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("id"), r.getAs[Long]("cusum_stat"))).toSet
+    val want = graft.ops.Stats.cusumOnline(ev, "user_id", "ts",
+        "event_id", col("x"), 4000L, 500L, 20000L)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("cusum_stat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got.nonEmpty, "threshold too high: no alarms fired")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("ST9: stream-stream interval join — replay equals the batch join") {
     // Append-mode stream-stream join: a single file-source stream filtered
     // into two sides (a supported streaming self-join) with watermarks on
