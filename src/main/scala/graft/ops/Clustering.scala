@@ -308,4 +308,64 @@ object Clustering {
     }
     cur
   }
+
+  /** Simplified (centroid-based) silhouette — the cluster-quality
+    * readout after [[lloydStep]]/[[refineCentroids]]: per point,
+    * a = distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; returned per
+    * cluster as (cell, n, mean_silhouette) plus the point count. The
+    * classic all-pairs silhouette is O(n²) and dead at scale; the
+    * centroid form (Hruschka et al.) is ONE map-only pass over k
+    * literal centroid distances — the same zero-join shape as
+    * [[assign]].
+    *
+    * Exactness contract: vectors AND centroids must be INTEGRAL
+    * (quantize first — the q151 FLOOR grid), so every squared distance
+    * is an exact integer via zip_with dot products; a, b are
+    * correctly-rounded sqrts of exact integers; one division per
+    * point; the per-cluster mean folds point terms in id order (in-row
+    * ordered fold — cluster-sized lists: sample upstream at 100 TB, or
+    * mean via a quantized grid). A point landing EXACTLY on two
+    * centroids (a = b = 0) contributes s = 0. */
+  def silhouetteSimplified(emb: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getAs[Number]("cell").intValue(),
+        r.getSeq[Number](r.fieldIndex("centroid")).map(_.longValue)))
+      .sortBy(_._1)
+    require(cents.length >= 2, "silhouette needs >= 2 centroids")
+    val arr = col("arr")
+    val x2 = aggregate(arr, lit(0L), (acc, x) => acc + x * x)
+    val structs = array(cents.map { case (cell, cvec) =>
+      val c2 = cvec.map(x => x * x).sum
+      val dot = aggregate(
+        zip_with(arr, typedLit(cvec), (a, c) => a * c),
+        lit(0L), (acc, x) => acc + x)
+      struct((col("__x2") + lit(c2) - lit(2L) * dot).as("d2"),
+        lit(cell).as("cell"))
+    }: _*)
+    val pts = emb
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("long")).as("arr"))
+      .withColumn("__x2", x2)
+      .withColumn("__sts", structs)
+      .withColumn("__own", array_min(col("__sts")))
+      .withColumn("__b2",
+        array_min(filter(col("__sts"),
+          s => s.getField("cell") =!= col("__own").getField("cell")))
+          .getField("d2"))
+      .select(col("id"), col("__own").getField("cell").as("cell"),
+        col("__own").getField("d2").as("__a2"), col("__b2"))
+      .withColumn("__s",
+        when(greatest(col("__a2"), col("__b2")) === 0, lit(0.0))
+          .otherwise((sqrt(col("__b2").cast("double")) -
+            sqrt(col("__a2").cast("double"))) /
+            sqrt(greatest(col("__a2"), col("__b2")).cast("double"))))
+    pts.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n"),
+        (aggregate(
+          array_sort(collect_list(struct(col("id"), col("__s").as("s")))),
+          lit(0.0), (acc, e) => acc + e.getField("s")) / count(lit(1)))
+          .as("mean_silhouette"))
+  }
 }

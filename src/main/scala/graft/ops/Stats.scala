@@ -1094,6 +1094,112 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** Neyman optimal allocation — how to SPLIT a sampling budget across
+    * strata when profiling a 100 TB corpus: n_h ∝ N_h·S_h (big AND
+    * noisy strata deserve more samples; uniform and proportional
+    * allocation both waste budget on homogeneous strata). One grouped
+    * aggregation of exact integer moments per stratum; S_h is ONE sqrt
+    * of a fixed expression over DECIMAL(38,0)-exact sums; the Σ N_h·S_h
+    * denominator folds in stratum order (in-row ordered fold over the
+    * stratum table). Emits the FRACTIONAL allocation — integerization
+    * (largest-remainder etc.) is the caller's policy. Single-row
+    * strata carry S_h = 0 (no variance evidence) and draw no budget
+    * beyond the fold's zero term. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, x: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val cells = df.select(col(stratumCol).as("__s"),
+        x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("nh"), sum(col("__x").cast(dec38)).as("sx"),
+        sum((col("__x") * col("__x")).cast(dec38)).as("sxx"))
+    val sh = when(col("nh") <= 1, lit(0.0)).otherwise(
+      sqrt((col("nh").cast(dec38) * col("sxx") -
+        col("sx") * col("sx")).cast("double") /
+        (col("nh").cast(dec38) *
+          (col("nh") - 1).cast(dec38)).cast("double")))
+    val scored = cells.withColumn("sd", sh)
+      .withColumn("__w", col("nh").cast("double") * col("sd"))
+    val tot = scored.agg(
+      aggregate(array_sort(collect_list(struct(col("__s"),
+          col("__w").as("w")))),
+        lit(0.0), (acc, e) => acc + e.getField("w")).as("__tw"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("__s").as(stratumCol), col("nh").cast("long").as("n"),
+        col("sd"),
+        when(col("__tw") <= 0, lit(null))
+          .otherwise(lit(budget.toDouble) * col("__w") / col("__tw"))
+          .as("allocation"))
+  }
+
+  /** Effective sample size of a weighted dataset — Kish's
+    * ESS = (Σw)²/Σw², the honest "how many samples do I really have"
+    * readout for importance-weighted corpora (DSIR weights), skewed
+    * per-user activity, or any reweighted mixture: 1 ≤ ESS ≤ n, equal
+    * to n only under uniform weights. `w` must be an INTEGRAL weight
+    * (quantize real-valued weights to a fixed-point grid first): the
+    * two sums are then DECIMAL(38,0)-exact, the square is exact, and
+    * the statistic is ONE division — hash-replayable without any fold.
+    * ONE aggregation, any scale. */
+  def effectiveSampleSize(df: DataFrame, w: Column): DataFrame =
+    df.select(w.cast("long").as("__w"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__w").cast(dec38)).as("__sw"),
+        sum((col("__w") * col("__w")).cast(dec38)).as("__sww"))
+      .select(col("n"), col("__sw").cast("double").as("sum_w"),
+        col("__sww").cast("double").as("sum_w2"),
+        ((col("__sw") * col("__sw")).cast("double") /
+          col("__sww").cast("double")).as("ess"))
+
+  /** Optimal binary split of one integral feature against a boolean
+    * label — the decision STUMP, the unit of feature screening and
+    * tree induction: over every distinct threshold t (split x ≤ t),
+    * information gain = H(parent) − (n_L/n)·H(left) − (n_R/n)·H(right),
+    * maximized with lowest-t tie-break. The scan collapses to the
+    * DISTINCT-VALUE table first (prefix counts by value order — exact
+    * integer windowed sums), entropies go through [[Exact.lnq]]
+    * (cross-engine 1-ulp discipline), and the argmax is a ranking
+    * window over value-cardinality rows — corpus-size independent
+    * state. Returns the winning row: (threshold, gain, n_left,
+    * pos_left, n_right, pos_right). */
+  def bestSplit(df: DataFrame, x: Column, label: Column): DataFrame = {
+    val d = df.select(x.cast("long").as("__x"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .filter(col("__x").isNotNull)
+      .groupBy("__x").agg(count(lit(1)).as("c"), sum("__y").as("p"))
+    val wOrd = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    def h(pos: Column, n: Column): Column = {
+      val q = pos.cast("double") / n
+      val r = (n - pos).cast("double") / n
+      (when(pos > 0, -q * Exact.lnq(q)).otherwise(lit(0.0))) +
+        (when(n - pos > 0, -r * Exact.lnq(r)).otherwise(lit(0.0)))
+    }
+    val cum = d
+      .withColumn("nl", sum("c").over(wOrd))
+      .withColumn("pl", sum("p").over(wOrd))
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("np", sum("p").over(wAll))
+      .filter(col("nl") < col("n")) // x ≤ max is no split
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("np") - col("pl"))
+      .withColumn("gain",
+        h(col("np"), col("n")) -
+          (col("nl").cast("double") / col("n")) * h(col("pl"), col("nl")) -
+          (col("nr").cast("double") / col("n")) * h(col("pr"), col("nr")))
+    cum.withColumn("__rk", row_number().over(
+        Window.orderBy(col("gain").desc, col("__x"))))
+      .filter(col("__rk") === 1)
+      .select(col("__x").as("threshold"), col("gain"),
+        col("nl").cast("long").as("n_left"),
+        col("pl").cast("long").as("pos_left"),
+        col("nr").cast("long").as("n_right"),
+        col("pr").cast("long").as("pos_right"))
+  }
+
   /** One-sided ONLINE CUSUM (Page 1954) — the streaming-capable change
     * alarm beside the retrospective [[cusum]] change-POINT locator:
     * s_t = max(0, s_{t−1} + (x_t − target − slack)), alarm when

@@ -383,6 +383,44 @@ object TextAnalysis {
           .as("slope"))
   }
 
+  /** Vocabulary coverage curve — what share of the corpus's TOKEN MASS
+    * the top-k vocabulary types cover, evaluated at the given k
+    * checkpoints: the sizing readout for BPE vocab budgets, stopword
+    * lists, and OOV-rate forecasts (q145's gate asks "is this doc
+    * covered"; this asks "how big must the vocab be to cover X%").
+    * One grouped count on the type keyspace + one frequency-ordered
+    * ranking window over the TYPE table (vocabulary-sized, not
+    * corpus-sized); prefix sums are exact integer windows; each share
+    * is ONE division. Ties at a checkpoint boundary break by token
+    * string (deterministic). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "vocabCoverage needs at least one k checkpoint")
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("token"))
+    val ranked = freq
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("f").over(
+        Window.orderBy(col("f").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("f").over(
+        Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("n_types", count(lit(1)).over(
+        Window.rowsBetween(Long.MinValue, Long.MaxValue)))
+    val kDf = docs.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    ranked.join(broadcast(kDf), col("r") === least(col("k"),
+        col("n_types")))
+      .select(col("k"), col("n_types").cast("long").as("n_types"),
+        col("r").as("types_used"),
+        col("cum").cast("long").as("covered_tokens"),
+        col("total").cast("long").as("total_tokens"),
+        (col("cum").cast("double") / col("total")).as("coverage"))
+  }
+
   /** Flesch reading-ease — the classic document-difficulty readout and
     * a cheap corpus-quality axis (OCR garbage and boilerplate score
     * absurdly; natural prose lands 30–80): 206.835 − 1.015·(W/S) −

@@ -3040,6 +3040,167 @@ object Analytics {
           floor(col("value") * 100).cast("long"),
           target = 4000L, slack = 500L, threshold = 20000L)
         .orderBy("user_id", "ts", "event_id")
+    },
+
+    // Simplified silhouette (Clustering.silhouetteSimplified): cluster
+    // quality against the q151 centroid convention — exact integer
+    // squared distances on the FLOOR-quantized grid, correctly-rounded
+    // sqrts, per-cluster id-ordered mean fold. Map-only per point.
+    dfQ("q245_silhouette",
+      """WITH e AS (SELECT vec_id id,
+        |    LIST_TRANSFORM(embedding::DOUBLE[],
+        |                   x -> CAST(FLOOR(x*1000) AS BIGINT)) v
+        |  FROM embeddings),
+        |c AS (SELECT CAST(id AS INTEGER) cell, v cv FROM e WHERE id < 8),
+        |d AS (SELECT e.id, c.cell,
+        |    LIST_DOT_PRODUCT(e.v, e.v) + LIST_DOT_PRODUCT(c.cv, c.cv)
+        |      - 2 * LIST_DOT_PRODUCT(e.v, c.cv) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT id, cell, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d),
+        |own AS (SELECT id, cell, d2 a2 FROM a WHERE rn = 1),
+        |bb AS (SELECT d.id, MIN(d2) b2 FROM d JOIN own
+        |    ON d.id = own.id AND d.cell <> own.cell GROUP BY d.id),
+        |sil AS (SELECT own.id, own.cell,
+        |    CASE WHEN GREATEST(a2, b2) = 0 THEN 0.0
+        |      ELSE (SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+        |        / SQRT(CAST(GREATEST(a2, b2) AS DOUBLE)) END s
+        |  FROM own JOIN bb ON own.id = bb.id)
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) n,
+        |  LIST_REDUCE(LIST(s ORDER BY id), (x, y) -> x + y) / COUNT(*)
+        |    mean_silhouette
+        |FROM sil GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000)).as("vq"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("vq").as("centroid"))
+      graft.ops.Clustering.silhouetteSimplified(emb, "vec_id", "vq", cents)
+        .orderBy("cell")
+    },
+
+    // Neyman optimal allocation (Stats.neymanAllocation): split a
+    // 10k-row sampling budget across return-flag strata by N_h·S_h —
+    // exact integer moments, one sqrt per stratum, ordered denominator
+    // fold.
+    dfQ("q246_neyman",
+      """WITH t AS (SELECT l_returnflag s,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) x FROM lineitem),
+        |c AS (SELECT s, CAST(COUNT(*) AS BIGINT) nh,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(x AS HUGEINT) * x) sxx
+        |  FROM t GROUP BY 1),
+        |w AS (SELECT s, nh,
+        |    CASE WHEN nh <= 1 THEN 0.0
+        |      ELSE SQRT(CAST(nh * sxx - sx * sx AS DOUBLE)
+        |        / CAST(nh * CAST(nh - 1 AS HUGEINT) AS DOUBLE)) END sd
+        |  FROM c),
+        |tt AS (SELECT LIST_REDUCE(LIST(CAST(nh AS DOUBLE) * sd ORDER BY s),
+        |    (a, b) -> a + b) tw FROM w)
+        |SELECT s l_returnflag, nh n, sd,
+        |  CASE WHEN tw <= 0 THEN NULL
+        |    ELSE 10000.0 * (CAST(nh AS DOUBLE) * sd) / tw END allocation
+        |FROM w CROSS JOIN tt ORDER BY 1""".stripMargin) { (s, d) =>
+      Stats.neymanAllocation(Tables.table(s, d, "lineitem"),
+          "l_returnflag", floor(col("l_extendedprice") * 100).cast("long"),
+          budget = 10000L)
+        .orderBy("l_returnflag")
+    },
+
+    // Kish effective sample size (Stats.effectiveSampleSize) of the
+    // per-user activity weights — "how many effective users given the
+    // skew". Integral weights → exact sums, ONE division.
+    dfQ("q247_ess",
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) w
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) sum_w,
+        |  CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) sum_w2,
+        |  CAST(SUM(CAST(w AS HUGEINT)) * SUM(CAST(w AS HUGEINT))
+        |      AS DOUBLE)
+        |    / CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) ess
+        |FROM u""".stripMargin) { (s, d) =>
+      val perUser = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("w"))
+      Stats.effectiveSampleSize(perUser, col("w"))
+    },
+
+    // Decision stump (Stats.bestSplit): the information-gain-optimal
+    // threshold of quantity against the returned flag — distinct-value
+    // prefix counts, lnq-quantized entropies, lowest-t tie-break.
+    dfQ("q248_best_split",
+      """WITH d AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END y
+        |  FROM lineitem),
+        |g AS (SELECT x, CAST(COUNT(*) AS BIGINT) c,
+        |    CAST(SUM(y) AS BIGINT) p FROM d GROUP BY x),
+        |cum AS (SELECT x,
+        |    SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) nl,
+        |    SUM(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) pl,
+        |    SUM(c) OVER () n, SUM(p) OVER () np
+        |  FROM g),
+        |f AS (SELECT x, nl, pl, n, np, n - nl nr, np - pl pr
+        |  FROM cum WHERE nl < n),
+        |gg AS (SELECT x, nl, pl, nr, pr,
+        |    (CASE WHEN np > 0 THEN -(CAST(np AS DOUBLE) / n) *
+        |       (FLOOR(LN(CAST(np AS DOUBLE) / n) * 67108864.0) / 67108864.0)
+        |       ELSE 0.0 END
+        |     + CASE WHEN n - np > 0 THEN -(CAST(n - np AS DOUBLE) / n) *
+        |       (FLOOR(LN(CAST(n - np AS DOUBLE) / n) * 67108864.0)
+        |         / 67108864.0) ELSE 0.0 END)
+        |    - (CAST(nl AS DOUBLE) / n) *
+        |      (CASE WHEN pl > 0 THEN -(CAST(pl AS DOUBLE) / nl) *
+        |        (FLOOR(LN(CAST(pl AS DOUBLE) / nl) * 67108864.0)
+        |          / 67108864.0) ELSE 0.0 END
+        |       + CASE WHEN nl - pl > 0 THEN
+        |         -(CAST(nl - pl AS DOUBLE) / nl) *
+        |         (FLOOR(LN(CAST(nl - pl AS DOUBLE) / nl) * 67108864.0)
+        |           / 67108864.0) ELSE 0.0 END)
+        |    - (CAST(nr AS DOUBLE) / n) *
+        |      (CASE WHEN pr > 0 THEN -(CAST(pr AS DOUBLE) / nr) *
+        |        (FLOOR(LN(CAST(pr AS DOUBLE) / nr) * 67108864.0)
+        |          / 67108864.0) ELSE 0.0 END
+        |       + CASE WHEN nr - pr > 0 THEN
+        |         -(CAST(nr - pr AS DOUBLE) / nr) *
+        |         (FLOOR(LN(CAST(nr - pr AS DOUBLE) / nr) * 67108864.0)
+        |           / 67108864.0) ELSE 0.0 END) gain
+        |  FROM f)
+        |SELECT x threshold, gain, nl n_left, pl pos_left,
+        |  nr n_right, pr pos_right
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, x) rk
+        |      FROM gg)
+        |WHERE rk = 1""".stripMargin) { (s, d) =>
+      Stats.bestSplit(Tables.table(s, d, "lineitem"),
+        floor(col("l_quantity")).cast("long"), col("l_returnflag") === "R")
+    },
+
+    // Vocabulary coverage curve (TextAnalysis.vocabCoverage): token
+    // mass covered by the top-k types at k = 100 / 1000 / 10000 —
+    // type-table windows, exact integer prefix sums.
+    dfQ("q249_vocab_coverage",
+      """WITH f AS (SELECT tok token, CAST(COUNT(*) AS BIGINT) f
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),
+        |r AS (SELECT token, f,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token) AS BIGINT) r,
+        |    SUM(f) OVER (ORDER BY f DESC, token ROWS UNBOUNDED PRECEDING)
+        |      cum,
+        |    SUM(f) OVER () total, COUNT(*) OVER () n_types
+        |  FROM f),
+        |k AS (SELECT UNNEST([100, 1000, 10000]) k)
+        |SELECT CAST(k.k AS BIGINT) k, CAST(n_types AS BIGINT) n_types,
+        |  r types_used, CAST(cum AS BIGINT) covered_tokens,
+        |  CAST(total AS BIGINT) total_tokens,
+        |  CAST(cum AS DOUBLE) / total coverage
+        |FROM r JOIN k ON r.r = LEAST(CAST(k.k AS BIGINT), r.n_types)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.vocabCoverage(
+          Tables.table(s, d, "documents"), "text",
+          ks = Seq(100L, 1000L, 10000L))
+        .orderBy("k")
     }
   )
 }

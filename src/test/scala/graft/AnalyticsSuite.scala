@@ -1984,6 +1984,82 @@ class AnalyticsSuite extends SparkTestBase {
     assert(r0.getAs[Double]("trimmed_mean") == 1045.0 / 10)
   }
 
+  // --- Clustering.silhouetteSimplified --------------------------------------
+
+  test("silhouetteSimplified: hand values; tight clusters score near 1") {
+    val cents = Seq((0, Seq(0L, 0L)), (1, Seq(10L, 0L)))
+      .toDF("cell", "centroid")
+    val emb = Seq((1L, Seq(0L, 0L)), (2L, Seq(1L, 0L)), (3L, Seq(9L, 0L)))
+      .toDF("id", "v")
+    val out = Clustering.silhouetteSimplified(emb, "id", "v", cents)
+      .orderBy("cell").collect()
+    // cell 0: point(0,0) s=1 (a=0,b=10); point(1,0) a=1,b=9 → s=8/9
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(math.abs(out(0).getAs[Double]("mean_silhouette") -
+      (1.0 + 8.0 / 9) / 2) < 1e-12)
+    // cell 1: point(9,0) a=1,b=9 → s=8/9
+    assert(math.abs(out(1).getAs[Double]("mean_silhouette") - 8.0 / 9)
+      < 1e-12)
+  }
+
+  // --- Stats.neymanAllocation -----------------------------------------------
+
+  test("neymanAllocation: budget splits by N_h*S_h; zero-variance draws none") {
+    // stratum a: sd 1 (values 0,2 → var 2, sd sqrt2); stratum b: same n,
+    // 10x spread → sd 10*sqrt2 → allocation 10:1
+    val d = Seq(("a", 0L), ("a", 2L), ("b", 0L), ("b", 20L),
+      ("c", 7L)).toDF("s", "x")
+    val out = Stats.neymanAllocation(d, "s", col("x"), budget = 1100L)
+      .orderBy("s").collect()
+    val aAlloc = out(0).getAs[Double]("allocation")
+    val bAlloc = out(1).getAs[Double]("allocation")
+    assert(math.abs(bAlloc / aAlloc - 10.0) < 1e-9, s"$aAlloc vs $bAlloc")
+    assert(math.abs(aAlloc + bAlloc - 1100.0) < 1e-9)
+    // singleton stratum: sd 0 → no budget
+    assert(out(2).getAs[Double]("allocation") == 0.0)
+  }
+
+  // --- Stats.effectiveSampleSize --------------------------------------------
+
+  test("effectiveSampleSize: uniform weights give exactly n; skew collapses it") {
+    val uni = Seq(3L, 3L, 3L, 3L).toDF("w")
+    val r = Stats.effectiveSampleSize(uni, col("w")).collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Double]("ess") == 4.0)
+    val skew = Seq(100L, 1L, 1L).toDF("w")
+    val e = Stats.effectiveSampleSize(skew, col("w")).collect()(0)
+      .getAs[Double]("ess")
+    assert(math.abs(e - 102.0 * 102 / 10002) < 1e-12 && e < 1.1)
+  }
+
+  // --- Stats.bestSplit ------------------------------------------------------
+
+  test("bestSplit: recovers a perfectly separating threshold with full gain") {
+    val d = ((1L to 40L).map((_, false)) ++ (50L to 90L).map((_, true)))
+      .toDF("x", "y")
+    val r = Stats.bestSplit(d, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("threshold") == 40L, r.toString)
+    assert(r.getAs[Long]("pos_left") == 0L &&
+      r.getAs[Long]("n_right") == r.getAs[Long]("pos_right"))
+    // gain of a perfect split = parent entropy (41/81 positive)
+    val p = 41.0 / 81
+    val hp = -p * math.log(p) - (1 - p) * math.log(1 - p)
+    assert(math.abs(r.getAs[Double]("gain") - hp) < 1e-6, r.toString)
+  }
+
+  // --- TextAnalysis.vocabCoverage -------------------------------------------
+
+  test("vocabCoverage: hand curve; k beyond vocab clamps to full coverage") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", Seq(1L, 2L, 10L))
+      .orderBy("k").collect()
+    // freq: a=3, b=2, c=1; total 6
+    assert(out(0).getAs[Long]("covered_tokens") == 3L &&
+      out(0).getAs[Double]("coverage") == 0.5)
+    assert(out(1).getAs[Long]("covered_tokens") == 5L)
+    assert(out(2).getAs[Long]("types_used") == 3L &&
+      out(2).getAs[Double]("coverage") == 1.0)
+  }
+
   // --- Stats.cusumOnline ----------------------------------------------------
 
   test("cusumOnline: closed prefix form equals the Page recursion") {

@@ -321,7 +321,9 @@ class ScaleSuite extends SparkTestBase {
       "q230_ece",              // CROSS JOIN with the 1-row bin-total row
       "q232_nelson_aalen",     // CROSS JOIN with the 1-row corpus-end scalar
       "q238_cohen_kappa",      // CROSS JOIN with the 1-row p_e numerator
-      "q242_rfm")              // CROSS JOIN with the 1-row corpus-end scalar
+      "q242_rfm",              // CROSS JOIN with the 1-row corpus-end scalar
+      "q246_neyman",           // CROSS JOIN with the 1-row Σ N_h·S_h fold
+      "q249_vocab_coverage")   // 3-row broadcast k-checkpoint probe
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
