@@ -175,4 +175,46 @@ object Funnel {
         col("total").cast("long").as("total"),
         (col("e.sessions").cast("double") / col("total")).as("share"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the standard
+    * 40/20/40 credit model between last-touch (q180) and full Shapley:
+    * for each conversion, the same user's touchpoints within
+    * `lookback` before it earn first = 0.4, last = 0.4, middles
+    * 0.2/(n−2); a lone touch takes 1.0 and a pair splits 0.5/0.5.
+    * Emits ROW-LEVEL credits (conversion, touch, position, credit) —
+    * channel rollups are one grouped sum away and stay the caller's
+    * policy.
+    *
+    * Scale shape: a per-user TIME-BOUNDED join (the q18/ST9 interval
+    * discipline — `lookback` is the state bound; unbounded history
+    * would be a per-user cross join) + one per-conversion window.
+    * Credits are exact literals or ONE division (0.2/(n−2)). */
+  def positionCredits(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String,
+      lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs must be > 0")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("conversion_id"),
+        unix_micros(col(tsCol)).as("__cts"))
+    val touch = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), unix_micros(col(tsCol)).as("__tts"))
+    val joined = conv.join(touch,
+      conv("__u") === touch("__u") &&
+        col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - lit(lookbackUs))
+    val w = Window.partitionBy("conversion_id")
+      .orderBy(col("__tts"), col("touch_id"))
+    val sized = joined
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(
+        Window.partitionBy("conversion_id")).cast("long"))
+    sized.select(col("conversion_id"), col("touch_id"), col("touch_type"),
+      col("position"), col("n_touches"),
+      when(col("n_touches") === 1, lit(1.0))
+        .when(col("n_touches") === 2, lit(0.5))
+        .when(col("position") === 1 || col("position") === col("n_touches"),
+          lit(0.4))
+        .otherwise(lit(0.2) / (col("n_touches") - 2)).as("credit"))
+  }
 }

@@ -30,6 +30,23 @@ object Sampling {
                 buckets: Int = 10000): DataFrame =
     hashSplitOn(df, col(idCol), splits, buckets)
 
+  /** Stratified k-fold assignment — cross-validation folds that are
+    * EXACTLY balanced within every stratum (hash-mod folds are only
+    * balanced in expectation; a small stratum can land lopsided):
+    * rows rank within their stratum by (md5(id), id) — a deterministic
+    * pseudo-random order — and fold = rank mod k, so per (stratum,
+    * fold) counts differ by at most 1. One per-stratum ranking window;
+    * reproducible under re-runs and repartitioning. */
+  def stratifiedFolds(df: DataFrame, strataCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("fold",
+      pmod(row_number().over(w).cast("long") - 1, lit(k.toLong)))
+  }
+
   /** [[hashSplit]] with an arbitrary key expression (the core the
     * row-id and grouped splits share). */
   def hashSplitOn(df: DataFrame, key: Column,

@@ -1094,6 +1094,86 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** Half-life-BUCKETED exponentially decayed sum — recency-weighted
+    * popularity/volume per group ("what's hot now") with an EXACT
+    * arithmetic path: age buckets k = ⌊age_days / halfLifeDays⌋ give
+    * dyadic weights 2⁻ᵏ, so the weighted sum is computed as the exact
+    * integer Σ x·2^(K−k) in DECIMAL(38,0) and descaled by the single
+    * exact power-of-two division /2^K at the end — no float
+    * accumulation anywhere, hence order-free and hash-replayable.
+    * (Smooth per-second decay needs pow(), which is NOT correctly
+    * rounded cross-engine; the bucketed form is what a feed-ranking
+    * pipeline ships anyway.) Ages ≥ K halfLives floor to weight 2⁻ᴷ ≈
+    * 1e-12 — effectively retired. ONE grouped agg + a broadcast 1-row
+    * corpus-end scalar. */
+  def decayedSum(df: DataFrame, groupCol: String, tsCol: String,
+                 x: Column, halfLifeDays: Long): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1")
+    val K = 40
+    val endUs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
+    val ageDays = call_function("div",
+      col("__end") - unix_micros(col(tsCol)), lit(86400000000L))
+    val bucket = least(call_function("div", ageDays, lit(halfLifeDays)),
+      lit(K.toLong))
+    df.crossJoin(broadcast(endUs))
+      .select(col(groupCol), x.cast("long").as("__x"),
+        bucket.as("__k"))
+      // 2^(K−k) as an exact integer bit-shift (k ≤ K = 40 fits a long);
+      // pow() would work numerically but shiftleft is exact BY TYPE
+      .withColumn("__w", expr(s"shiftleft(cast(1 as bigint), " +
+        s"cast(${K}L - __k as int))"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__x").cast(dec38) * col("__w").cast(dec38)).as("__s"))
+      .select(col(groupCol), col("n"),
+        (col("__s").cast("double") / lit(math.pow(2.0, K)))
+          .as("decayed_sum"))
+  }
+
+  /** Per-group MODE (most frequent value) with deterministic lowest-
+    * value tie-break — the categorical imputation / dominant-label
+    * readout. One grouped count on the (group, value) keyspace + one
+    * ranking window over THAT summary (value-cardinality sized). */
+  def modeByGroup(df: DataFrame, groupCol: String, x: Column)
+      : DataFrame = {
+    val counts = df.select(col(groupCol).as("__g"),
+        x.cast("string").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
+    counts.withColumn("__rk", row_number().over(
+        Window.partitionBy("__g")
+          .orderBy(col("__c").desc, col("__x"))))
+      .filter(col("__rk") === 1)
+      .select(col("__g").as(groupCol), col("__x").as("mode"),
+        col("__c").cast("long").as("mode_count"))
+  }
+
+  /** Discrete power-law tail fit — the MLE exponent α = 1 + n / Σ
+    * ln(xᵢ/xmin) over the tail x ≥ xmin (Clauset-Shalizi-Newman's
+    * continuous approximation; fine for tail diagnosis, which is the
+    * use here: is the degree/frequency distribution heavy-tailed
+    * enough to need skew handling). The log-sum collapses to the
+    * DISTINCT-value table (Σ c_v · lnq(v/xmin), value-ordered in-row
+    * fold, [[Exact.lnq]] discipline) — value-cardinality state, one
+    * division for α. */
+  def powerLawFit(df: DataFrame, x: Column, xmin: Long): DataFrame = {
+    require(xmin >= 1, s"xmin must be >= 1, got $xmin")
+    val vals = df.select(x.cast("long").as("__x"))
+      .filter(col("__x") >= xmin)
+      .groupBy("__x").agg(count(lit(1)).as("__c"))
+    vals.agg(sum("__c").cast("long").as("n"),
+        aggregate(
+          array_sort(collect_list(struct(col("__x"),
+            (col("__c").cast("double") *
+              Exact.lnq(col("__x").cast("double") / lit(xmin.toDouble)))
+              .as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__ls"))
+      .select(col("n"), lit(xmin).as("xmin"),
+        when(col("__ls") <= 0, lit(null))
+          .otherwise(lit(1.0) + col("n").cast("double") / col("__ls"))
+          .as("alpha"))
+  }
+
   /** Neyman optimal allocation — how to SPLIT a sampling budget across
     * strata when profiling a 100 TB corpus: n_h ∝ N_h·S_h (big AND
     * noisy strata deserve more samples; uniform and proportional

@@ -3201,6 +3201,116 @@ object Analytics {
           Tables.table(s, d, "documents"), "text",
           ks = Seq(100L, 1000L, 10000L))
         .orderBy("k")
+    },
+
+    // Stratified k-fold assignment (Sampling.stratifiedFolds): exact
+    // per-stratum balance via rank-mod-k over the (md5, id) order —
+    // hash-mod folds are balanced only in expectation.
+    dfQ("q250_stratified_folds",
+      """SELECT doc_id, source,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+        |    AS BIGINT) fold
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.stratifiedFolds(Tables.table(s, d, "documents"),
+          "source", "doc_id", k = 5)
+        .select(col("doc_id"), col("source"), col("fold"))
+        .orderBy("doc_id")
+    },
+
+    // Half-life-bucketed decayed sum (Stats.decayedSum): recency-
+    // weighted revenue per event type with dyadic 2^-k weights — the
+    // whole accumulation is exact integer bit-shift arithmetic,
+    // descaled once by 2^40.
+    dfQ("q251_decayed_sum",
+      """WITH ce AS (SELECT MAX(EPOCH_US(ts)) e FROM events),
+        |t AS (SELECT event_type g, CAST(FLOOR(value * 100) AS BIGINT) x,
+        |    LEAST(((e - EPOCH_US(ts)) // 86400000000) // 7, 40) k
+        |  FROM events CROSS JOIN ce)
+        |SELECT g event_type, CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CAST(x AS HUGEINT) *
+        |      (CAST(1 AS BIGINT) << CAST(40 - k AS INT))) AS DOUBLE)
+        |    / 1099511627776.0 decayed_sum
+        |FROM t GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      Stats.decayedSum(Tables.events(s, d),
+          "event_type", "ts", floor(col("value") * 100).cast("long"),
+          halfLifeDays = 7L)
+        .orderBy("event_type")
+    },
+
+    // Per-group mode (Stats.modeByGroup): dominant quantity per return
+    // flag; count-desc rank with lexicographic value tie-break on the
+    // stringified value (the op's genericity contract) on BOTH sides.
+    dfQ("q252_mode",
+      """WITH c AS (SELECT l_returnflag g,
+        |    CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) x,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT g, x, c,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, x) rk
+        |  FROM c)
+        |SELECT g l_returnflag, x AS "mode", c mode_count
+        |FROM r WHERE rk = 1 ORDER BY g""".stripMargin) { (s, d) =>
+      Stats.modeByGroup(Tables.table(s, d, "lineitem"), "l_returnflag",
+          floor(col("l_quantity")).cast("long"))
+        .orderBy("l_returnflag")
+    },
+
+    // Position-based multi-touch attribution (Funnel.positionCredits):
+    // 40/20/40 credits over the 7-day pre-purchase window — row-level
+    // credits, exact literals or one division.
+    dfQ("q253_attribution_credits",
+      """WITH conv AS (SELECT user_id u, event_id conversion_id,
+        |    EPOCH_US(ts) cts FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id u, event_id touch_id,
+        |    event_type touch_type, EPOCH_US(ts) tts
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (SELECT conversion_id, touch_id, touch_type, tts
+        |  FROM conv JOIN tch ON conv.u = tch.u
+        |    AND tts < cts AND tts >= cts - 604800000000),
+        |p AS (SELECT conversion_id, touch_id, touch_type,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY conversion_id
+        |      ORDER BY tts, touch_id) AS BIGINT) AS "position",
+        |    CAST(COUNT(*) OVER (PARTITION BY conversion_id) AS BIGINT)
+        |      n_touches
+        |  FROM j)
+        |SELECT conversion_id, touch_id, touch_type, "position", n_touches,
+        |  CASE WHEN n_touches = 1 THEN 1.0
+        |    WHEN n_touches = 2 THEN 0.5
+        |    WHEN "position" = 1 OR "position" = n_touches THEN 0.4
+        |    ELSE 0.2 / (n_touches - 2) END credit
+        |FROM p ORDER BY conversion_id, "position"""".stripMargin) { (s, d) =>
+      graft.ops.Funnel.positionCredits(Tables.events(s, d), "user_id",
+          "event_type", "ts", "event_id", convType = "purchase",
+          lookbackUs = 604800000000L)
+        .orderBy("conversion_id", "position")
+    },
+
+    // Power-law tail fit (Stats.powerLawFit): MLE exponent of the
+    // token-frequency tail (f >= 5) — the Zipf-slope companion (q184
+    // fits rank-frequency by OLS; this is the CSN tail MLE). lnq fold
+    // over the distinct-frequency table.
+    dfQ("q254_power_law",
+      """WITH f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) f
+        |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),
+        |v AS (SELECT f x, CAST(COUNT(*) AS BIGINT) c FROM f
+        |  WHERE f >= 5 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) n,
+        |    LIST_REDUCE(LIST(CAST(c AS DOUBLE) *
+        |      (FLOOR(LN(CAST(x AS DOUBLE) / 5.0) * 67108864.0)
+        |        / 67108864.0) ORDER BY x), (a, b) -> a + b) ls
+        |  FROM v)
+        |SELECT n, CAST(5 AS BIGINT) xmin,
+        |  CASE WHEN ls <= 0 THEN NULL
+        |    ELSE 1.0 + CAST(n AS DOUBLE) / ls END alpha
+        |FROM t""".stripMargin) { (s, d) =>
+      val freqs = Tables.table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      Stats.powerLawFit(freqs, col("f"), xmin = 5L)
     }
   )
 }

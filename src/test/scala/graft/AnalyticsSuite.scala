@@ -2060,6 +2060,95 @@ class AnalyticsSuite extends SparkTestBase {
       out(2).getAs[Double]("coverage") == 1.0)
   }
 
+  // --- Sampling.stratifiedFolds ---------------------------------------------
+
+  test("stratifiedFolds: exact per-stratum balance, partition-invariant") {
+    val docs = Tables.table(spark, sf0001, "documents")
+    val folded = Sampling.stratifiedFolds(docs, "source", "doc_id", k = 5)
+    val sizes = folded.groupBy("source", "fold").count()
+      .groupBy("source").agg((max("count") - min("count")).as("spread"))
+      .collect()
+    assert(sizes.forall(_.getAs[Long]("spread") <= 1L), sizes.mkString(","))
+    val a = folded.select("doc_id", "fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.stratifiedFolds(docs.repartition(7), "source",
+        "doc_id", k = 5)
+      .select("doc_id", "fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  // --- Stats.decayedSum -----------------------------------------------------
+
+  test("decayedSum: dyadic bucket weights, exact halving per half-life") {
+    val ts = (d: Int) => new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime -
+        d * 86400000L)
+    // group g: 100 at age 0, 60 at age 8d (bucket 1 → /2), 40 at age
+    // 15d (bucket 2 → /4)
+    val ev = Seq(("g", ts(0), 100L), ("g", ts(8), 60L), ("g", ts(15), 40L))
+      .toDF("g", "ts", "x")
+    val r = Stats.decayedSum(ev, "g", "ts", col("x"), halfLifeDays = 7L)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("decayed_sum") == 100.0 + 30.0 + 10.0)
+  }
+
+  // --- Stats.modeByGroup ----------------------------------------------------
+
+  test("modeByGroup: most frequent wins; ties break on stringified value") {
+    val d = Seq(("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 9L), ("b", 10L)).toDF("g", "x")
+    val out = Stats.modeByGroup(d, "g", col("x")).orderBy("g").collect()
+    assert(out(0).getAs[String]("mode") == "1" &&
+      out(0).getAs[Long]("mode_count") == 2L)
+    // tie at count 1: "10" < "9" lexicographically
+    assert(out(1).getAs[String]("mode") == "10")
+  }
+
+  // --- Funnel.positionCredits -----------------------------------------------
+
+  test("positionCredits: 40/20/40 U-shape, lookback cutoff, credits sum to 1") {
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 10:${m}%02d:00")
+    val ev = Seq(
+      (1L, 10L, "click", t(1)), (1L, 11L, "view", t(2)),
+      (1L, 12L, "click", t(3)), (1L, 13L, "purchase", t(10)),
+      (2L, 20L, "view", t(5)), (2L, 21L, "purchase", t(6)),
+      (3L, 30L, "click", t(0)), (3L, 31L, "purchase", t(50))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.ops.Funnel.positionCredits(ev, "user_id",
+        "event_type", "ts", "event_id", "purchase",
+        lookbackUs = 30L * 60 * 1000000)
+      .collect()
+    val byConv = out.groupBy(_.getAs[Long]("conversion_id"))
+    // conv 13: three touches → 0.4, 0.2, 0.4 in ts order
+    val c13 = byConv(13L).sortBy(_.getAs[Long]("position"))
+      .map(_.getAs[Double]("credit")).toSeq
+    assert(c13 == Seq(0.4, 0.2, 0.4), c13.toString)
+    // conv 21: single touch takes 1.0
+    assert(byConv(21L).map(_.getAs[Double]("credit")).toSeq == Seq(1.0))
+    // conv 31: the only touch is 50 min before → outside 30-min lookback
+    assert(!byConv.contains(31L))
+    // credits sum to 1 per attributed conversion
+    byConv.values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("credit")).sum - 1.0)
+        < 1e-12)
+    }
+  }
+
+  // --- Stats.powerLawFit ----------------------------------------------------
+
+  test("powerLawFit: hand alpha; all-at-xmin tail is NULL") {
+    val d = Seq(5L, 10L).toDF("x")
+    val r = Stats.powerLawFit(d, col("x"), xmin = 5L).collect()(0)
+    assert(r.getAs[Long]("n") == 2L)
+    assert(math.abs(r.getAs[Double]("alpha") - (1.0 + 2.0 / math.log(2)))
+      < 1e-6)
+    val degen = Seq(5L, 5L).toDF("x")
+    assert(Stats.powerLawFit(degen, col("x"), xmin = 5L).collect()(0)
+      .isNullAt(2))
+  }
+
   // --- Stats.cusumOnline ----------------------------------------------------
 
   test("cusumOnline: closed prefix form equals the Page recursion") {

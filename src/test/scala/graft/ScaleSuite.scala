@@ -323,7 +323,8 @@ class ScaleSuite extends SparkTestBase {
       "q238_cohen_kappa",      // CROSS JOIN with the 1-row p_e numerator
       "q242_rfm",              // CROSS JOIN with the 1-row corpus-end scalar
       "q246_neyman",           // CROSS JOIN with the 1-row Σ N_h·S_h fold
-      "q249_vocab_coverage")   // 3-row broadcast k-checkpoint probe
+      "q249_vocab_coverage",   // 3-row broadcast k-checkpoint probe
+      "q251_decayed_sum")      // CROSS JOIN with the 1-row corpus-end scalar
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
