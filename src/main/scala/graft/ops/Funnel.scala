@@ -176,6 +176,41 @@ object Funnel {
         (col("e.sessions").cast("double") / col("total")).as("share"))
   }
 
+  /** Cohort LTV curve — cumulative value per user by signup cohort:
+    * cohort = the user's first-activity epoch-week, and for each
+    * (cohort, week offset) the cohort's size, that week's value, the
+    * running cumulative value, and cumulative value PER USER (the LTV
+    * readout marketing actually plots). Two grouped aggs (user firsts,
+    * then (cohort, offset) cells) + one running INTEGER window over
+    * the cohort×offset summary — weeks² cells, never event-scale.
+    * Value must be integral (fixed-point first); cum sums stay exact;
+    * ltv is ONE division. Offsets with zero activity emit no row
+    * (sparse curve — densify against [[retention]] if needed). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                value: Column): DataFrame = {
+    val week = call_function("div", unix_micros(col(tsCol)),
+      lit(604800000000L))
+    val tagged = events.select(col(userCol).as("__u"), week.as("__w"),
+      value.cast("long").as("__v"))
+    val firsts = tagged.groupBy("__u").agg(min("__w").as("cohort_week"))
+    val sizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("users"))
+    val cells = tagged.join(firsts, "__u")
+      .groupBy(col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(sum("__v").as("revenue"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, "cohort_week")
+      .withColumn("cum_revenue", sum("revenue").over(wCum))
+      .select(col("cohort_week"), col("week_offset"),
+        col("users").cast("long").as("users"),
+        col("revenue").cast("long").as("revenue"),
+        col("cum_revenue").cast("long").as("cum_revenue"),
+        (col("cum_revenue").cast("double") / col("users"))
+          .as("cum_ltv_per_user"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the standard
     * 40/20/40 credit model between last-touch (q180) and full Shapley:
     * for each conversion, the same user's touchpoints within

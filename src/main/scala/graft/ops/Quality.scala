@@ -288,6 +288,28 @@ object Quality {
       (col("__total").cast("double") * col("__last")).as("chi2"))
   }
 
+  /** Keyed pseudonymization — the release-prep companion to
+    * [[kAnonymity]]: replace direct identifiers with
+    * sha2(secret ‖ ':' ‖ value) so the SAME value maps to the SAME
+    * token (joins and group-bys on the pseudonym still work — the
+    * property plain redaction destroys) while reversal requires the
+    * secret. NULLs stay NULL. A pure codegen projection — no shuffle,
+    * any scale. NOT encryption: rotate the secret per release, and
+    * treat low-entropy columns (phone numbers!) as guessable-by-
+    * enumeration unless the secret stays private — that caveat is
+    * inherent to deterministic tokenization, state it in the release
+    * doc. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+                   secret: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: no columns given")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .otherwise(sha2(concat(lit(secret), lit(":"),
+            col(c).cast("string")), 256)))
+    }
+  }
+
   /** K-anonymity / l-diversity audit before a dataset release: every
     * quasi-identifier equivalence class with its size n, the number of
     * distinct sensitive values it contains (l), and the `risky` flag

@@ -1094,6 +1094,34 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** Per-key OLS trend slope — "which entities are growing": for every
+    * key, the least-squares slope of x against whole-day time, from
+    * ONE grouped aggregation of exact integer moments (t = epoch days
+    * and x integral ⇒ every sum is DECIMAL(38,0)-exact) and ONE
+    * division per key. The global [[ols2]]/theilSen fit one model;
+    * this fits millions of tiny ones — the shape is a plain groupBy,
+    * corpus-parallel with map-side partials, no windows at all.
+    * Keys with n < 2 or a degenerate time spread give NULL. */
+  def trendByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 x: Column): DataFrame = {
+    val t = call_function("div", unix_micros(col(tsCol)),
+      lit(86400000000L))
+    val cells = df.select(col(keyCol), t.as("__t"),
+        x.cast("long").as("__x"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__t").cast(dec38)).as("st"),
+        sum(col("__x").cast(dec38)).as("sx"),
+        sum((col("__t") * col("__t")).cast(dec38)).as("stt"),
+        sum((col("__t") * col("__x")).cast(dec38)).as("stx"))
+    val den = col("n").cast(dec38) * col("stt") - col("st") * col("st")
+    cells.select(col(keyCol), col("n").cast("long").as("n"),
+      when(col("n") < 2 || den === lit(0).cast(dec38), lit(null))
+        .otherwise(
+          (col("n").cast(dec38) * col("stx") - col("st") * col("sx"))
+            .cast("double") / den.cast("double")).as("slope"))
+  }
+
   /** Half-life-BUCKETED exponentially decayed sum — recency-weighted
     * popularity/volume per group ("what's hot now") with an EXACT
     * arithmetic path: age buckets k = ⌊age_days / halfLifeDays⌋ give

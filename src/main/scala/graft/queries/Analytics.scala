@@ -3311,6 +3311,69 @@ object Analytics {
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("f"))
       Stats.powerLawFit(freqs, col("f"), xmin = 5L)
+    },
+
+    // Per-key OLS trend (Stats.trendByKey): every user's spend slope
+    // over whole-day time from ONE grouped agg of HUGEINT-exact
+    // moments — a million tiny regressions, no windows.
+    dfQ("q255_trend_by_key",
+      """WITH t AS (SELECT user_id,
+        |    EPOCH_US(ts) // 86400000000 t,
+        |    CAST(FLOOR(value * 100) AS BIGINT) x FROM events),
+        |c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n,
+        |    SUM(CAST(t AS HUGEINT)) st, SUM(CAST(x AS HUGEINT)) sx,
+        |    SUM(CAST(t AS HUGEINT) * t) stt,
+        |    SUM(CAST(t AS HUGEINT) * x) stx
+        |  FROM t GROUP BY 1)
+        |SELECT user_id, n,
+        |  CASE WHEN n < 2 OR n * stt - st * st = 0 THEN NULL
+        |    ELSE CAST(n * stx - st * sx AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) END slope
+        |FROM c ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.trendByKey(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 100).cast("long"))
+        .orderBy("user_id")
+    },
+
+    // Cohort LTV curve (Funnel.cohortLtv): cumulative value per user
+    // by signup epoch-week — integer window over the cohort×offset
+    // summary, ONE division for the per-user readout.
+    dfQ("q256_cohort_ltv",
+      """WITH t AS (SELECT user_id u, EPOCH_US(ts) // 604800000000 w,
+        |    CAST(FLOOR(value * 100) AS BIGINT) v FROM events),
+        |f AS (SELECT u, MIN(w) cohort_week FROM t GROUP BY u),
+        |sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) users
+        |  FROM f GROUP BY 1),
+        |cells AS (SELECT f.cohort_week, t.w - f.cohort_week week_offset,
+        |    CAST(SUM(v) AS BIGINT) revenue
+        |  FROM t JOIN f ON t.u = f.u GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, week_offset, revenue,
+        |    CAST(SUM(revenue) OVER (PARTITION BY cohort_week
+        |      ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      cum_revenue
+        |  FROM cells)
+        |SELECT cum.cohort_week, week_offset, users, revenue, cum_revenue,
+        |  CAST(cum_revenue AS DOUBLE) / users cum_ltv_per_user
+        |FROM cum JOIN sz ON cum.cohort_week = sz.cohort_week
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Funnel.cohortLtv(Tables.events(s, d), "user_id", "ts",
+          floor(col("value") * 100).cast("long"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // Keyed pseudonymization (Quality.pseudonymize): identical values
+    // map to identical tokens (joins survive), reversal needs the
+    // secret — pure codegen sha2 projection, byte-identical hex on
+    // both engines.
+    dfQ("q257_pseudonymize",
+      """SELECT c_custkey,
+        |  SHA256('s3cr3t:' || c_name) c_name,
+        |  SHA256('s3cr3t:' || c_mktsegment) c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.ops.Quality.pseudonymize(Tables.table(s, d, "customer"),
+          Seq("c_name", "c_mktsegment"), secret = "s3cr3t")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -145,6 +145,56 @@ object Streams {
       }
   }
 
+  final case class HeavyHitter(key: Long, item: String, est: Long,
+                               err: Long, n_processed: Long)
+
+  /** ST24: streaming heavy hitters per key — the SPACE-SAVING sketch
+    * (Metwally et al. 2005): at most `m` counters per key; a new item
+    * evicts the smallest counter and inherits its count as `err`, so
+    * for every tracked item true ≤ est ≤ true + err, and ANY item
+    * with true frequency > n/m is guaranteed tracked. O(m) keyed
+    * state — the live top-k/dominant-value monitor where exact
+    * per-item counts (ST18 rollup) would grow with item cardinality.
+    * Emits the full counter table with the per-key processed count
+    * after every batch (latest = max n_processed). Within-batch
+    * fold order is pinned by `idCol` for replay determinism; the
+    * guarantees themselves hold under ANY order. */
+  def runHeavyHitters(rows: DataFrame, keyCol: String, itemCol: String,
+      idCol: String, m: Int): Dataset[HeavyHitter] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(keyCol).cast("long").as[Long],
+        col(itemCol).cast("string").as[String],
+        col(idCol).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Map[String, (Long, Long)])]) =>
+          var (n, counters) = state.getOption.getOrElse(
+            (0L, Map.empty[String, (Long, Long)]))
+          it.toArray.sortBy(_._3).foreach { r =>
+            val item = r._2
+            n += 1
+            counters.get(item) match {
+              case Some((c, e)) => counters += item -> (c + 1, e)
+              case None if counters.size < m =>
+                counters += item -> (1L, 0L)
+              case None =>
+                // evict the smallest counter (deterministic: min by
+                // (count, item)); the newcomer inherits its count as err
+                val (vi, (vc, _)) = counters.minBy(kv => (kv._2._1, kv._1))
+                counters = counters - vi + (item -> (vc + 1, vc))
+            }
+          }
+          state.update((n, counters))
+          counters.toSeq.sortBy(_._1).iterator.map { case (i, (c, e)) =>
+            HeavyHitter(key, i, c, e, n)
+          }
+      }
+  }
+
   /** ST5b: the same per-user running stat on Spark 4's `transformWithState`
     * API (typed keyed state in the RocksDB state store — the modern
     * replacement for flatMapGroupsWithState; supports state TTL, timers,

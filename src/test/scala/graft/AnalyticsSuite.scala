@@ -2149,6 +2149,65 @@ class AnalyticsSuite extends SparkTestBase {
       .isNullAt(2))
   }
 
+  // --- Stats.trendByKey -----------------------------------------------------
+
+  test("trendByKey: exact hand slopes; degenerate keys are NULL") {
+    val ts = (d: Int) => new java.sql.Timestamp(d * 86400000L)
+    val ev = Seq(
+      (1L, ts(0), 10L), (1L, ts(1), 20L), (1L, ts(2), 30L), // slope 10
+      (2L, ts(0), 5L), (2L, ts(2), 1L),                     // slope -2
+      (3L, ts(1), 7L),                                      // n=1 → NULL
+      (4L, ts(3), 1L), (4L, ts(3), 9L)                      // zero t-var
+    ).toDF("k", "ts", "x")
+    val out = Stats.trendByKey(ev, "k", "ts", col("x"))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Double]("slope") == 10.0)
+    assert(out(1).getAs[Double]("slope") == -2.0)
+    assert(out(2).isNullAt(2) && out(3).isNullAt(2))
+  }
+
+  // --- Funnel.cohortLtv -----------------------------------------------------
+
+  test("cohortLtv: cumulative per-user value by cohort week") {
+    val wk = 604800000L // ms per week
+    val t = (w: Int) => new java.sql.Timestamp(w * wk)
+    val ev = Seq(
+      (1L, t(0), 100L), (1L, t(1), 50L),   // cohort 0
+      (2L, t(0), 200L),                    // cohort 0
+      (3L, t(1), 80L), (3L, t(1), 20L)     // cohort 1
+    ).toDF("u", "ts", "v")
+    val out = graft.ops.Funnel.cohortLtv(ev, "u", "ts", col("v"))
+      .orderBy("cohort_week", "week_offset").collect()
+    // cohort 0: offset 0 revenue 300 (2 users), offset 1 revenue 50
+    assert(out(0).getAs[Long]("revenue") == 300L &&
+      out(0).getAs[Long]("users") == 2L &&
+      out(0).getAs[Double]("cum_ltv_per_user") == 150.0)
+    assert(out(1).getAs[Long]("cum_revenue") == 350L &&
+      out(1).getAs[Double]("cum_ltv_per_user") == 175.0)
+    // cohort 1: one user, one week, revenue 100
+    assert(out(2).getAs[Long]("cohort_week") == 1L &&
+      out(2).getAs[Double]("cum_ltv_per_user") == 100.0)
+  }
+
+  // --- Quality.pseudonymize -------------------------------------------------
+
+  test("pseudonymize: stable tokens preserve joins; nulls stay null") {
+    val a = Seq((1L, Some("alice")), (2L, Some("bob")),
+      (3L, None: Option[String])).toDF("id", "name")
+    val p = Quality.pseudonymize(a, Seq("name"), "k1")
+    val rows = p.orderBy("id").collect()
+    assert(rows(0).getString(1).length == 64) // sha-256 hex
+    assert(rows(2).isNullAt(1))
+    // same value → same token (join-preserving), across frames
+    val b = Seq((9L, "alice")).toDF("id", "name")
+    val pb = Quality.pseudonymize(b, Seq("name"), "k1").collect()(0)
+    assert(pb.getString(1) == rows(0).getString(1))
+    // different secret → different token space
+    val p2 = Quality.pseudonymize(a, Seq("name"), "k2")
+      .orderBy("id").collect()
+    assert(p2(0).getString(1) != rows(0).getString(1))
+  }
+
   // --- Stats.cusumOnline ----------------------------------------------------
 
   test("cusumOnline: closed prefix form equals the Page recursion") {

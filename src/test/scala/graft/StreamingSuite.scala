@@ -154,6 +154,51 @@ class StreamingSuite extends SparkTestBase {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("ST24: streaming space-saving heavy hitters keep their guarantees") {
+    val m = 3
+    val ev = batchEvents.select(col("user_id"), col("event_type"),
+      col("event_id"))
+    val cut = ev.agg(expr("percentile(event_id, 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    val root = Files.createTempDirectory("graft-hh").toString
+    ev.filter(col("event_id") <= cut).coalesce(1)
+      .write.parquet(s"$root/src/f1")
+    ev.filter(col("event_id") > cut).coalesce(1)
+      .write.parquet(s"$root/src/f2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src/f*/*.parquet")
+    Streams.runToMemory(
+      Streams.runHeavyHitters(stream, "user_id", "event_type",
+        "event_id", m).toDF(), "st24", OutputMode.Append())
+    // latest emission per key = max n_processed
+    val all = memTable("st24").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("item"),
+        r.getAs[Long]("est"), r.getAs[Long]("err"),
+        r.getAs[Long]("n_processed")))
+    val latestN = all.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._5).max }
+    val latest = all.filter(t => latestN(t._1) == t._5)
+    val trueCounts = batchEvents.groupBy("user_id", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val totals = trueCounts.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.values.sum }
+    latest.foreach { case (k, item, est, err, n) =>
+      val t = trueCounts.getOrElse((k, item), 0L)
+      assert(t <= est && est - err <= t,
+        s"key $k item $item: true $t not in [${est - err}, $est]")
+      assert(n == totals(k), s"key $k processed $n vs ${totals(k)}")
+    }
+    // space-saving guarantee: any item with true freq > n/m is tracked
+    val tracked = latest.map(t => (t._1, t._2)).toSet
+    trueCounts.foreach { case ((k, item), c) =>
+      if (c > totals(k) / m)
+        assert(tracked.contains((k, item)),
+          s"frequent item $item (freq $c > ${totals(k)}/$m) not tracked")
+    }
+  }
+
   test("ST9: stream-stream interval join — replay equals the batch join") {
     // Append-mode stream-stream join: a single file-source stream filtered
     // into two sides (a supported streaming self-join) with watermarks on
