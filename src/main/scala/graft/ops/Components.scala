@@ -256,6 +256,46 @@ object Components {
     lab
   }
 
+  /** Multi-source BFS hop distances — "how far is every node from the
+    * seed set", the graph primitive under influence radius, blast-
+    * radius audits, and crawl-frontier depth caps: iterative frontier
+    * expansion for `maxHops` rounds, keeping the MINIMUM hop count per
+    * node (first discovery wins; re-discoveries are dropped by the
+    * anti-join, so each round's frontier only carries NEW nodes — the
+    * delta-iteration shape, never re-expanding the settled set).
+    * Integer hop counts — exactly replayable by a bounded recursive
+    * CTE. Scale: per round, one join frontier⋈edges (frontier-sized,
+    * not graph-sized) + one anti-join against settled; `maxHops`
+    * bounds the rounds like every iterative op here; lineage cut per
+    * round. Undirected (edges mirrored); unreached nodes are absent
+    * from the output. */
+  def bfsDistances(edges: DataFrame, aCol: String, bCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val base = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+    val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    var settled = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = settled
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = e.join(frontier, e("u") === frontier("node"))
+        .select(col("v").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop.toLong))
+        .localCheckpoint()
+      val grown = settled.unionByName(next).localCheckpoint()
+      settled.unpersist(); frontier = next; settled = grown
+    }
+    settled
+  }
+
   /** HITS hubs & authorities over a DIRECTED edge set, in the
     * [[pageRankExact]] exact-integer discipline: fixed iterations of
     * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each

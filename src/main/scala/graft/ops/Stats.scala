@@ -1094,6 +1094,35 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** Off-policy value estimation — inverse-propensity scoring over a
+    * logged-action dataset: "what reward would the NEW policy have
+    * earned on traffic the OLD policy logged". IPS = Σ 𝟙[match]·r·w / n
+    * (unbiased, high variance) and SNIPS = Σ 𝟙·r·w / Σ 𝟙·w (the
+    * self-normalized estimator that trades a little bias for a lot of
+    * variance) — the standard pair for bandit/recommender replay
+    * evaluation. `ipw` is the INTEGRAL inverse propensity weight of
+    * the logged action (1/p — e.g. 5 for uniform-over-5 logging;
+    * rational propensities keep it integral), `reward` integral, so
+    * both sums are DECIMAL(38,0)-exact and each estimator is ONE
+    * division. ONE conditional aggregation; any scale. SNIPS is NULL
+    * when the new policy matches no logged action. */
+  def ipsOffPolicy(df: DataFrame, matched: Column, reward: Column,
+                   ipw: Column): DataFrame =
+    df.select(matched.as("__m"), reward.cast("long").as("__r"),
+        ipw.cast("long").as("__w"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("__m"), 1L).otherwise(0L)).cast("long")
+          .as("n_matched"),
+        sum(when(col("__m"), (col("__r") * col("__w")).cast(dec38))
+          .otherwise(lit(0).cast(dec38))).as("__srw"),
+        sum(when(col("__m"), col("__w").cast(dec38))
+          .otherwise(lit(0).cast(dec38))).as("__sw"))
+      .select(col("n"), col("n_matched"),
+        (col("__srw").cast("double") / col("n")).as("ips"),
+        when(col("n_matched") === 0, lit(null))
+          .otherwise(col("__srw").cast("double") /
+            col("__sw").cast("double")).as("snips"))
+
   /** Per-key OLS trend slope — "which entities are growing": for every
     * key, the least-squares slope of x against whole-day time, from
     * ONE grouped aggregation of exact integer moments (t = epoch days

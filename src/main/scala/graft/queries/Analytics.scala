@@ -3374,6 +3374,63 @@ object Analytics {
           Seq("c_name", "c_mktsegment"), secret = "s3cr3t")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy("c_custkey")
+    },
+
+    // Multi-source BFS hop distances (Components.bfsDistances): the
+    // delta-iteration frontier expansion, hash-pinned against a
+    // bounded recursive CTE (min-hops aggregation = first discovery).
+    dfQ("q258_bfs_distances",
+      """WITH RECURSIVE b AS (
+        |  SELECT l_partkey * 2 u, l_suppkey * 2 + 1 v FROM lineitem
+        |  WHERE l_orderkey < 2000),
+        |ed AS (SELECT DISTINCT u, v FROM
+        |  (SELECT u, v FROM b UNION ALL SELECT v, u FROM b)
+        |  WHERE u <> v),
+        |sd AS (SELECT DISTINCT l_partkey * 2 s FROM lineitem
+        |  WHERE l_orderkey < 2000 AND l_partkey < 50),
+        |bfs(node, hops) AS (
+        |  SELECT s node, 0 hops FROM sd
+        |  UNION
+        |  SELECT ed.v, bfs.hops + 1 FROM bfs JOIN ed ON ed.u = bfs.node
+        |  WHERE bfs.hops < 4)
+        |SELECT CAST(node AS BIGINT) node, CAST(MIN(hops) AS BIGINT) hops
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+      val edges = li.select((col("l_partkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      val seeds = li.filter(col("l_partkey") < 50)
+        .select((col("l_partkey") * 2).as("s"))
+      Components.bfsDistances(edges, "a", "b", seeds, "s", maxHops = 4)
+        .orderBy("node")
+    },
+
+    // Off-policy IPS / SNIPS replay evaluation (Stats.ipsOffPolicy):
+    // value of a "recommend purchase above 200, else view" policy on
+    // uniformly-logged traffic (ipw = 5) — exact integer sums, one
+    // division per estimator.
+    dfQ("q259_ips_offpolicy",
+      """WITH t AS (SELECT
+        |    CASE WHEN value > 200 THEN event_type = 'purchase'
+        |      ELSE event_type = 'view' END m,
+        |    CAST(FLOOR(value * 100) AS BIGINT) r
+        |  FROM events)
+        |SELECT CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) n_matched,
+        |  CAST(SUM(CASE WHEN m THEN CAST(r AS HUGEINT) * 5
+        |    ELSE 0 END) AS DOUBLE) / COUNT(*) ips,
+        |  CASE WHEN SUM(CASE WHEN m THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN m THEN CAST(r AS HUGEINT) * 5
+        |        ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN m THEN CAST(5 AS HUGEINT)
+        |        ELSE 0 END) AS DOUBLE) END snips
+        |FROM t""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val matched = when(col("value") > 200,
+        col("event_type") === "purchase")
+        .otherwise(col("event_type") === "view")
+      Stats.ipsOffPolicy(ev, matched,
+        floor(col("value") * 100).cast("long"), lit(5L))
     }
   )
 }

@@ -2149,6 +2149,43 @@ class AnalyticsSuite extends SparkTestBase {
       .isNullAt(2))
   }
 
+  // --- Components.bfsDistances ----------------------------------------------
+
+  test("bfsDistances: hop counts on a path graph, cutoff, unreached absent") {
+    // path 1-2-3-4-5-6, island 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("s")
+    val got = Components.bfsDistances(edges, "a", "b", seeds, "s",
+        maxHops = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops"))
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), got.toString)
+    // two seeds: min-hop wins where frontiers meet
+    val got2 = Components.bfsDistances(edges, "a", "b",
+        Seq(1L, 6L).toDF("s"), "s", maxHops = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops"))
+      .toMap
+    assert(got2(4L) == 2L && got2(3L) == 2L && !got2.contains(10L))
+  }
+
+  // --- Stats.ipsOffPolicy ---------------------------------------------------
+
+  test("ipsOffPolicy: hand IPS/SNIPS; no matches gives NULL snips") {
+    // 4 logged rows, ipw 2; policy matches rows with r=10 and r=30
+    val d = Seq((true, 10L), (false, 99L), (true, 30L), (false, 7L))
+      .toDF("m", "r")
+    val out = Stats.ipsOffPolicy(d, col("m"), col("r"), lit(3L))
+      .collect()(0)
+    assert(out.getAs[Long]("n") == 4L && out.getAs[Long]("n_matched") == 2L)
+    // ips divides by n (unbiased), snips by the matched weight mass
+    assert(out.getAs[Double]("ips") == (10.0 * 3 + 30 * 3) / 4)
+    assert(out.getAs[Double]("snips") == (10.0 * 3 + 30 * 3) / 6.0)
+    val none = Stats.ipsOffPolicy(d, lit(false), col("r"), lit(3L))
+      .collect()(0)
+    assert(none.isNullAt(3) && none.getAs[Double]("ips") == 0.0)
+  }
+
   // --- Stats.trendByKey -----------------------------------------------------
 
   test("trendByKey: exact hand slopes; degenerate keys are NULL") {
