@@ -69,6 +69,12 @@ object Association {
     val b = df.select(col(userCol).as("u"), col(itemCol).as("item"))
       .distinct()
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
+    // per-user self-join for the co-counts. The in-row alternative
+    // (collect per-user baskets, explode i<j index pairs) was A/B'd
+    // at sf0.1 and is ~70% SLOWER (15.8 s vs 9.5 s isolated): the
+    // nested-transform pair generation defeats whole-stage codegen's
+    // tight join loop, and the downstream pair shuffle is identical
+    // either way. ReuseExchange already shares b across both sides.
     val co = b.select(col("u"), col("item").as("item_a"))
       .join(b.select(col("u"), col("item").as("item_b")), Seq("u"))
       .filter(col("item_a") < col("item_b"))
