@@ -81,6 +81,39 @@ object FuzzyJoin {
       .select(col("a.id").as("a"), col("b.id").as("b"), col("sim"))
   }
 
+  /** Fellegi–Sunter match scoring — the probabilistic record-linkage
+    * decision model on top of any blocked candidate generator
+    * ([[jaroWinklerPairs]], sorted-neighborhood, LSH): each comparison
+    * field f carries (m_f, u_f) — P(agree | same entity) and
+    * P(agree | different entities) — and a pair's log-likelihood-ratio
+    * match weight is Σ_f agree ? ln(m/u) : ln((1−m)/(1−u)). Pairs
+    * above `upper` are matches, below `lower` non-matches, between =
+    * clerical review (the three-way FS decision).
+    *
+    * `fields` maps an EXISTING boolean agreement column to its (m, u).
+    * Pure projection over the (already-blocked) pair table — the
+    * quadratic control lives in the candidate generator, not here.
+    * Determinism: the four per-field log terms go through
+    * [[Exact.lnq]] and the weight is a FIXED literal-order sum of ≤
+    * #fields terms (an expression chain, not a data-driven fold). */
+  def fellegiSunter(pairs: DataFrame,
+      fields: Seq[(String, Double, Double)],
+      lower: Double, upper: Double): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: no comparison fields")
+    fields.foreach { case (c, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"field $c needs 0 < u < m < 1, got m=$m u=$u") }
+    val weight = fields.map { case (c, m, u) =>
+      when(col(c), Exact.lnq(lit(m) / lit(u)))
+        .otherwise(Exact.lnq(lit(1.0 - m) / lit(1.0 - u)))
+    }.reduce(_ + _)
+    pairs.withColumn("match_weight", weight)
+      .withColumn("decision",
+        when(col("match_weight") >= upper, lit("match"))
+          .when(col("match_weight") <= lower, lit("non_match"))
+          .otherwise(lit("review")))
+  }
+
   /** Set-overlap self-join with LOSSLESS prefix filtering (the PPJoin
     * family, Xiao et al., WWW'08): pairs of records whose distinct
     * token sets share at least `minOverlap` tokens — record linkage,

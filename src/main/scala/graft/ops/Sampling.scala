@@ -30,6 +30,64 @@ object Sampling {
                 buckets: Int = 10000): DataFrame =
     hashSplitOn(df, col(idCol), splits, buckets)
 
+  /** Iterative proportional fitting (raking) to UNIFORM margins — the
+    * two-axis corpus rebalancer: one multiplicative weight per
+    * (rowCat, colCat) cell such that after `iters` sweeps the weighted
+    * mass is (approximately) equal across row categories AND across
+    * column categories simultaneously — e.g. balance a training corpus
+    * by language × source when per-axis resampling would unbalance the
+    * other axis. Classic Deming–Stephan; converges geometrically for
+    * strictly positive cells.
+    *
+    * The corpus-scale work is ONE grouped count producing the CELL
+    * table (row-cardinality × col-cardinality — vocabulary-scale by
+    * definition); the sweeps themselves run DRIVER-SIDE over the
+    * collected cells (the bounded-driver-state altitude of the
+    * k-means quantizer and BPE merge table — a raking problem with a
+    * corpus-sized category product is mis-specified, not under-
+    * distributed). Determinism: cell counts integral; margins fold in
+    * sorted category order; each factor is ONE division of the
+    * uniform target by its margin; weights are products of factors in
+    * a fixed sweep order — all IEEE ops an oracle replays verbatim.
+    * Returns (rowCol, colCol, n, weight); apply by joining on the two
+    * categories. */
+  def ipfWeights(df: DataFrame, rowCol: String, colCol: String,
+                 iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    val cells = df.select(col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+      .groupBy("__r", "__c").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val rows = cells.map(_._1).distinct.sorted
+    val colsK = cells.map(_._2).distinct.sorted
+    val nTotal = cells.map(_._3).sum.toDouble
+    val rowT = nTotal / rows.length
+    val colT = nTotal / colsK.length
+    val w = scala.collection.mutable.Map[(String, String), Double]() ++
+      cells.map(t => (t._1, t._2) -> 1.0)
+    for (_ <- 1 to iters) {
+      // row sweep: margins fold in sorted col order (LIST_REDUCE shape)
+      for (r <- rows) {
+        var s = 0.0
+        for (t <- cells if t._1 == r) s += w((t._1, t._2)) * t._3
+        val f = rowT / s
+        for (t <- cells if t._1 == r) w((t._1, t._2)) *= f
+      }
+      for (c <- colsK) {
+        var s = 0.0
+        for (t <- cells if t._2 == c) s += w((t._1, t._2)) * t._3
+        val f = colT / s
+        for (t <- cells if t._2 == c) w((t._1, t._2)) *= f
+      }
+    }
+    import spark.implicits._
+    cells.map(t => (t._1, t._2, t._3, w((t._1, t._2)))).toSeq
+      .toDF(rowCol, colCol, "n", "weight")
+  }
+
   /** Stratified k-fold assignment — cross-validation folds that are
     * EXACTLY balanced within every stratum (hash-mod folds are only
     * balanced in expectation; a small stratum can land lopsided):

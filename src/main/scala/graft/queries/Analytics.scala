@@ -3431,6 +3431,98 @@ object Analytics {
         .otherwise(col("event_type") === "view")
       Stats.ipsOffPolicy(ev, matched,
         floor(col("value") * 100).cast("long"), lit(5L))
+    },
+
+    // Fellegi–Sunter probabilistic linkage (FuzzyJoin.fellegiSunter):
+    // blocked Jaro–Winkler candidates scored by per-field m/u
+    // log-likelihood ratios (lnq grid), three-way match decision.
+    dfQ("q260_fellegi_sunter",
+      """WITH p AS (SELECT a.p_partkey a, b.p_partkey b,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) sim,
+        |    a.p_type ta, b.p_type tb,
+        |    CAST(FLOOR(a.p_retailprice * 100) AS BIGINT) pa,
+        |    CAST(FLOOR(b.p_retailprice * 100) AS BIGINT) pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.7),
+        |f AS (SELECT a, b, sim, sim >= 0.95 na, ta = tb ga,
+        |    ABS(pa - pb) <= 500 pr FROM p),
+        |w AS (SELECT a, b, sim, na, ga, pr,
+        |    (CASE WHEN na THEN FLOOR(LN(0.9 / 0.05) * 67108864.0)
+        |        / 67108864.0
+        |      ELSE FLOOR(LN((1.0 - 0.9) / (1.0 - 0.05)) * 67108864.0)
+        |        / 67108864.0 END)
+        |    + (CASE WHEN ga THEN FLOOR(LN(0.85 / 0.2) * 67108864.0)
+        |        / 67108864.0
+        |      ELSE FLOOR(LN((1.0 - 0.85) / (1.0 - 0.2)) * 67108864.0)
+        |        / 67108864.0 END)
+        |    + (CASE WHEN pr THEN FLOOR(LN(0.7 / 0.1) * 67108864.0)
+        |        / 67108864.0
+        |      ELSE FLOOR(LN((1.0 - 0.7) / (1.0 - 0.1)) * 67108864.0)
+        |        / 67108864.0 END) match_weight
+        |  FROM f)
+        |SELECT a, b, match_weight,
+        |  CASE WHEN match_weight >= 2.0 THEN 'match'
+        |    WHEN match_weight <= 0.0 THEN 'non_match'
+        |    ELSE 'review' END decision
+        |FROM w ORDER BY a, b""".stripMargin) { (s, d) =>
+      val part = Tables.table(s, d, "part")
+      val pairs = graft.ops.FuzzyJoin.jaroWinklerPairs(part, "p_partkey",
+        "p_name", Seq("p_brand", "p_size"), minSim = 0.7)
+      val attrs = part.select(col("p_partkey"), col("p_type"),
+        floor(col("p_retailprice") * 100).cast("long").as("pc"))
+      val enriched = pairs
+        .join(attrs.select(col("p_partkey").as("a"),
+          col("p_type").as("ta"), col("pc").as("pa")), "a")
+        .join(attrs.select(col("p_partkey").as("b"),
+          col("p_type").as("tb"), col("pc").as("pb")), "b")
+        .withColumn("na", col("sim") >= 0.95)
+        .withColumn("ga", col("ta") === col("tb"))
+        .withColumn("pr", abs(col("pa") - col("pb")) <= 500)
+      graft.ops.FuzzyJoin.fellegiSunter(enriched,
+          Seq(("na", 0.9, 0.05), ("ga", 0.85, 0.2), ("pr", 0.7, 0.1)),
+          lower = 0.0, upper = 2.0)
+        .select(col("a"), col("b"), col("match_weight"), col("decision"))
+        .orderBy("a", "b")
+    },
+
+    // Iterative proportional fitting (Sampling.ipfWeights): rake the
+    // (returnflag × shipyear) cell table to uniform margins on both
+    // axes — two unrolled sweeps, margin folds in category order,
+    // one division per factor.
+    dfQ("q261_ipf",
+      """WITH cells AS (SELECT l_returnflag r,
+        |    CAST(YEAR(l_shipdate) AS VARCHAR) c,
+        |    CAST(COUNT(*) AS BIGINT) n
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) nn,
+        |    CAST(COUNT(DISTINCT r) AS DOUBLE) rr,
+        |    CAST(COUNT(DISTINCT c) AS DOUBLE) cc FROM cells),
+        |w0 AS (SELECT r, c, n, 1.0 w FROM cells),
+        |m1 AS (SELECT r, LIST_REDUCE(LIST(w * n ORDER BY c),
+        |    (x, y) -> x + y) s FROM w0 GROUP BY r),
+        |w1 AS (SELECT w0.r, w0.c, w0.n, w0.w * ((nn / rr) / m1.s) w
+        |  FROM w0 JOIN m1 ON w0.r = m1.r CROSS JOIN t),
+        |m2 AS (SELECT c, LIST_REDUCE(LIST(w * n ORDER BY r),
+        |    (x, y) -> x + y) s FROM w1 GROUP BY c),
+        |w2 AS (SELECT w1.r, w1.c, w1.n, w1.w * ((nn / cc) / m2.s) w
+        |  FROM w1 JOIN m2 ON w1.c = m2.c CROSS JOIN t),
+        |m3 AS (SELECT r, LIST_REDUCE(LIST(w * n ORDER BY c),
+        |    (x, y) -> x + y) s FROM w2 GROUP BY r),
+        |w3 AS (SELECT w2.r, w2.c, w2.n, w2.w * ((nn / rr) / m3.s) w
+        |  FROM w2 JOIN m3 ON w2.r = m3.r CROSS JOIN t),
+        |m4 AS (SELECT c, LIST_REDUCE(LIST(w * n ORDER BY r),
+        |    (x, y) -> x + y) s FROM w3 GROUP BY c),
+        |w4 AS (SELECT w3.r, w3.c, w3.n, w3.w * ((nn / cc) / m4.s) w
+        |  FROM w3 JOIN m4 ON w3.c = m4.c CROSS JOIN t)
+        |SELECT r l_returnflag, c shipyear, n, w weight
+        |FROM w4 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Sampling.ipfWeights(Tables.table(s, d, "lineitem")
+            .withColumn("shipyear",
+              year(col("l_shipdate")).cast("string")),
+          "l_returnflag", "shipyear", iters = 2)
+        .orderBy("l_returnflag", "shipyear")
     }
   )
 }

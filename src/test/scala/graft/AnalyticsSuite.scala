@@ -2149,6 +2149,44 @@ class AnalyticsSuite extends SparkTestBase {
       .isNullAt(2))
   }
 
+  // --- Sampling.ipfWeights --------------------------------------------------
+
+  test("ipfWeights: raked margins converge toward uniform on both axes") {
+    val d = (Seq.fill(60)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val w = Sampling.ipfWeights(d, "r", "c", iters = 8)
+    val cells = w.collect().map(x => (x.getString(0), x.getString(1),
+      x.getLong(2), x.getDouble(3)))
+    val rowMass = cells.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(t => t._3 * t._4).sum }
+    val colMass = cells.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(t => t._3 * t._4).sum }
+    // uniform target: 100/2 = 50 per row category and per col category
+    rowMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, rowMass))
+    colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
+  }
+
+  // --- FuzzyJoin.fellegiSunter ----------------------------------------------
+
+  test("fellegiSunter: hand weights and three-way decision") {
+    val pairs = Seq((1L, 2L, true, true), (3L, 4L, true, false),
+      (5L, 6L, false, false)).toDF("a", "b", "f1", "f2")
+    val out = graft.ops.FuzzyJoin.fellegiSunter(pairs,
+        Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.2)),
+        lower = 0.0, upper = 3.0)
+      .orderBy("a").collect()
+    def lnq(x: Double) = math.floor(math.log(x) * 67108864.0) / 67108864.0
+    val w12 = lnq(0.9 / 0.1) + lnq(0.8 / 0.2)
+    val w34 = lnq(0.9 / 0.1) + lnq(0.2 / 0.8)
+    val w56 = lnq(0.1 / 0.9) + lnq(0.2 / 0.8)
+    assert(math.abs(out(0).getAs[Double]("match_weight") - w12) < 1e-12)
+    assert(out(0).getAs[String]("decision") == "match")
+    assert(math.abs(out(1).getAs[Double]("match_weight") - w34) < 1e-12)
+    assert(out(1).getAs[String]("decision") == "review")
+    assert(out(2).getAs[String]("decision") == "non_match", w56.toString)
+  }
+
   // --- Components.bfsDistances ----------------------------------------------
 
   test("bfsDistances: hop counts on a path graph, cutoff, unreached absent") {
