@@ -1094,6 +1094,62 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** Empirical-Bayes rate shrinkage — the honest per-key rate when
+    * keys have wildly different sample sizes (per-domain quality
+    * rates, per-user conversion, per-source defect shares): a raw
+    * x/n ranks a 1-of-1 key above a 999-of-1000 key; shrinking toward
+    * a beta prior FIT FROM THE DATA (beta-binomial method of moments:
+    * α+β = m(1−m)/v − 1 over the observed per-key rates) pulls small
+    * keys to the global mean and leaves big keys alone. Output per
+    * key: (key, n, x, rate, shrunk_rate) plus the fitted (alpha,
+    * beta) repeated.
+    *
+    * Shape: one grouped count to the KEY table, then folds over THAT
+    * (key-cardinality; for million-key spaces fit the prior on a
+    * sample — the estimate needs moments, not the population).
+    * Determinism: each rate is ONE division; the mean and variance
+    * fold in key order (in-row ordered folds, two passes); the prior
+    * and every shrunk rate are fixed expression trees. Degenerate
+    * dispersion (v ≤ 0 or v ≥ m(1−m) — under/over-dispersed beyond
+    * the beta family) returns NULL prior and shrunk = raw. */
+  def ebShrinkRates(df: DataFrame, keyCol: String, success: Column)
+      : DataFrame = {
+    val keys = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("x"))
+      .withColumn("rate", col("x").cast("double") / col("n"))
+    val m1 = keys.agg(
+      count(lit(1)).cast("double").as("__kn"),
+      aggregate(array_sort(collect_list(struct(col("__k"),
+          col("rate").as("__p")))),
+        lit(0.0), (acc, e) => acc + e.getField("__p")).as("__sp"))
+      .select(col("__kn"), (col("__sp") / col("__kn")).as("__m"))
+    val m2 = keys.crossJoin(broadcast(m1))
+      .agg(first("__kn").as("__kn"), first("__m").as("__m"),
+        aggregate(array_sort(collect_list(struct(col("__k"),
+            ((col("rate") - col("__m")) * (col("rate") - col("__m")))
+              .as("__d")))),
+          lit(0.0), (acc, e) => acc + e.getField("__d")).as("__sd"))
+      .select(col("__m"),
+        when(col("__kn") <= 1, lit(null))
+          .otherwise(col("__sd") / (col("__kn") - 1)).as("__v"))
+    val prior = m2.select(col("__m"), col("__v"),
+      when(col("__v").isNull || col("__v") <= 0 ||
+          col("__v") >= col("__m") * (lit(1.0) - col("__m")), lit(null))
+        .otherwise(col("__m") * (lit(1.0) - col("__m")) / col("__v") -
+          lit(1.0)).as("__ab"))
+      .select(
+        (col("__m") * col("__ab")).as("alpha"),
+        ((lit(1.0) - col("__m")) * col("__ab")).as("beta"))
+    keys.crossJoin(broadcast(prior))
+      .select(col("__k").as(keyCol), col("n").cast("long").as("n"),
+        col("x").cast("long").as("x"), col("rate"),
+        col("alpha"), col("beta"),
+        when(col("alpha").isNull, col("rate"))
+          .otherwise((col("x") + col("alpha")) /
+            (col("n") + col("alpha") + col("beta"))).as("shrunk_rate"))
+  }
+
   /** Off-policy value estimation — inverse-propensity scoring over a
     * logged-action dataset: "what reward would the NEW policy have
     * earned on traffic the OLD policy logged". IPS = Σ 𝟙[match]·r·w / n

@@ -3523,6 +3523,39 @@ object Analytics {
               year(col("l_shipdate")).cast("string")),
           "l_returnflag", "shipyear", iters = 2)
         .orderBy("l_returnflag", "shipyear")
+    },
+
+    // Empirical-Bayes rate shrinkage (Stats.ebShrinkRates): per-user
+    // purchase rates pulled toward the beta-binomial moment prior —
+    // key-ordered moment folds, fixed-tree prior, one division per
+    // shrunk rate.
+    dfQ("q262_eb_shrinkage",
+      """WITH k AS (SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n, x, CAST(x AS DOUBLE) / n rate FROM k),
+        |m1 AS (SELECT CAST(COUNT(*) AS DOUBLE) kn,
+        |    LIST_REDUCE(LIST(rate ORDER BY user_id), (a, b) -> a + b) sp
+        |  FROM r),
+        |m1b AS (SELECT kn, sp / kn m FROM m1),
+        |m2 AS (SELECT m, CASE WHEN kn <= 1 THEN NULL
+        |    ELSE LIST_REDUCE(LIST((rate - m) * (rate - m)
+        |        ORDER BY user_id), (a, b) -> a + b) / (kn - 1) END v
+        |  FROM r CROSS JOIN m1b GROUP BY kn, m),
+        |pr AS (SELECT
+        |    m * ab alpha, (1.0 - m) * ab beta
+        |  FROM (SELECT m, v, CASE WHEN v IS NULL OR v <= 0
+        |      OR v >= m * (1.0 - m) THEN NULL
+        |    ELSE m * (1.0 - m) / v - 1.0 END ab FROM m2))
+        |SELECT user_id, n, x, rate, alpha, beta,
+        |  CASE WHEN alpha IS NULL THEN rate
+        |    ELSE (x + alpha) / (n + alpha + beta) END shrunk_rate
+        |FROM r CROSS JOIN pr ORDER BY user_id""".stripMargin) { (s, d) =>
+      Stats.ebShrinkRates(Tables.events(s, d), "user_id",
+          col("event_type") === "purchase")
+        .orderBy("user_id")
     }
   )
 }

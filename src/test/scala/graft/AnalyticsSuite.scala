@@ -2167,6 +2167,38 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Stats.ebShrinkRates --------------------------------------------------
+
+  test("ebShrinkRates: small keys pull to the mean, big keys barely move") {
+    // keys with rates {0.2 × 1000 trials, 0.8 × 1000, 1.0 × 2 trials}
+    val rows = (Seq.fill(200)(("a", true)) ++ Seq.fill(800)(("a", false)) ++
+      Seq.fill(800)(("b", true)) ++ Seq.fill(200)(("b", false)) ++
+      Seq.fill(2)(("c", true))).toDF("k", "s")
+    val out = Stats.ebShrinkRates(rows, "k", col("s"))
+      .orderBy("k").collect()
+    val (ra, rb, rc) = (out(0), out(1), out(2))
+    assert(ra.getAs[Double]("rate") == 0.2 && rc.getAs[Double]("rate") == 1.0)
+    val shrunkC = rc.getAs[Double]("shrunk_rate")
+    // the 2-trial perfect key moves toward the prior mean (the MoM
+    // prior is weak here — the dispersed rates imply little pooling —
+    // so direction and RELATIVE magnitude are the contract), and the
+    // 1000-trial keys move less than the 2-trial key
+    assert(shrunkC < 1.0 && shrunkC > rc.getAs[Double]("alpha") /
+      (rc.getAs[Double]("alpha") + rc.getAs[Double]("beta")))
+    val deltaC = 1.0 - shrunkC
+    val deltaA = math.abs(ra.getAs[Double]("shrunk_rate") - 0.2)
+    assert(deltaC > 10 * deltaA, s"deltaC $deltaC vs deltaA $deltaA")
+    assert(math.abs(ra.getAs[Double]("shrunk_rate") - 0.2) < 0.01)
+    assert(math.abs(rb.getAs[Double]("shrunk_rate") - 0.8) < 0.01)
+    // all keys share one fitted prior
+    assert(ra.getAs[Double]("alpha") == rc.getAs[Double]("alpha"))
+    // degenerate: identical rates → zero variance → NULL prior, raw rates
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("k", "s")
+    val f = Stats.ebShrinkRates(flat, "k", col("s")).collect()(0)
+    assert(f.isNullAt(4) && f.getAs[Double]("shrunk_rate") == 0.5)
+  }
+
   // --- FuzzyJoin.fellegiSunter ----------------------------------------------
 
   test("fellegiSunter: hand weights and three-way decision") {
