@@ -88,6 +88,42 @@ object Sampling {
       .toDF(rowCol, colCol, "n", "weight")
   }
 
+  /** Rolling-origin backtest folds — time-series cross-validation
+    * (expanding-window form): fold i trains on everything up to
+    * cutoff_i and tests on the following `horizon` whole-day window,
+    * with cutoffs spaced `step` days back from the corpus end.
+    * Random k-folds leak the future into training; the embargoed
+    * split (q182) gives ONE honest split — this gives the k of them a
+    * forecast backtest needs. Emits one row per (fold, in-scope row):
+    * (fold, role ∈ train|test, …cols) — a deliberate ≤ k× expansion,
+    * bounded by `folds` exactly like the Poisson bootstrap's b×.
+    * Integral day arithmetic throughout; rows after a fold's test
+    * window are absent from that fold. One broadcast of the 1-row
+    * corpus-end scalar; no shuffles beyond it. */
+  def rollingOriginFolds(df: DataFrame, tsCol: String, folds: Int,
+                         horizonDays: Long, stepDays: Long): DataFrame = {
+    require(folds >= 1 && horizonDays >= 1 && stepDays >= 1,
+      s"bad folds/horizon/step: $folds/$horizonDays/$stepDays")
+    val endUs = df.agg(max(unix_micros(col(tsCol))).as("__end"))
+    val day = call_function("div", unix_micros(col(tsCol)),
+      lit(86400000000L))
+    val endDay = call_function("div", col("__end"), lit(86400000000L))
+    val foldDf = df.sparkSession.range(folds.toLong)
+      .select(col("id").as("fold"))
+    // fold f cutoff = endDay − horizon − f·step (fold 0 is the latest)
+    df.crossJoin(broadcast(endUs))
+      .withColumn("__d", day)
+      .withColumn("__endDay", endDay)
+      .crossJoin(broadcast(foldDf))
+      .withColumn("__cut",
+        col("__endDay") - lit(horizonDays) - col("fold") * lit(stepDays))
+      .filter(col("__d") <= col("__cut") + lit(horizonDays))
+      .withColumn("role",
+        when(col("__d") <= col("__cut"), lit("train"))
+          .otherwise(lit("test")))
+      .drop("__end", "__d", "__endDay", "__cut")
+  }
+
   /** Stratified k-fold assignment — cross-validation folds that are
     * EXACTLY balanced within every stratum (hash-mod folds are only
     * balanced in expectation; a small stratum can land lopsided):

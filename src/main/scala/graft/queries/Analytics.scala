@@ -3556,6 +3556,27 @@ object Analytics {
       Stats.ebShrinkRates(Tables.events(s, d), "user_id",
           col("event_type") === "purchase")
         .orderBy("user_id")
+    },
+
+    // Rolling-origin backtest folds (Sampling.rollingOriginFolds):
+    // 3 expanding-window train/test splits, 2-day horizon, 1-day step
+    // — integral day arithmetic, bounded k× expansion.
+    dfQ("q263_rolling_origin",
+      """WITH ce AS (SELECT MAX(EPOCH_US(ts)) // 86400000000 ed
+        |  FROM events),
+        |f AS (SELECT UNNEST([0, 1, 2]) fold),
+        |x AS (SELECT e.event_id, CAST(f.fold AS BIGINT) fold,
+        |    EPOCH_US(e.ts) // 86400000000 d,
+        |    ce.ed - 2 - f.fold * 1 cut
+        |  FROM events e CROSS JOIN ce CROSS JOIN f)
+        |SELECT event_id, fold,
+        |  CASE WHEN d <= cut THEN 'train' ELSE 'test' END AS "role"
+        |FROM x WHERE d <= cut + 2
+        |ORDER BY event_id, fold""".stripMargin) { (s, d) =>
+      Sampling.rollingOriginFolds(Tables.events(s, d), "ts", folds = 3,
+          horizonDays = 2L, stepDays = 1L)
+        .select(col("event_id"), col("fold"), col("role"))
+        .orderBy("event_id", "fold")
     }
   )
 }

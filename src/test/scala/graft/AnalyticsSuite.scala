@@ -2167,6 +2167,32 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Sampling.rollingOriginFolds ------------------------------------------
+
+  test("rollingOriginFolds: expanding windows, no future leak, bounded scope") {
+    val ts = (d: Int) => new java.sql.Timestamp(d * 86400000L)
+    val ev = (0 to 9).map(d => (d.toLong, ts(d))).toDF("id", "ts")
+    val out = Sampling.rollingOriginFolds(ev, "ts", folds = 2,
+        horizonDays = 2L, stepDays = 3L)
+      .select("id", "fold", "role").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // end day 9: fold 0 cut=7 (train ≤7, test 8-9); fold 1 cut=4
+    // (train ≤4, test 5-6; days 7-9 out of scope)
+    val f0 = out.filter(_._2 == 0L)
+    assert(f0.filter(_._3 == "train").map(_._1).max == 7L)
+    assert(f0.filter(_._3 == "test").map(_._1).toSet == Set(8L, 9L))
+    val f1 = out.filter(_._2 == 1L)
+    assert(f1.filter(_._3 == "train").map(_._1).max == 4L)
+    assert(f1.filter(_._3 == "test").map(_._1).toSet == Set(5L, 6L))
+    assert(!f1.exists(_._1 > 6L), "rows after fold 1's window leak in")
+    // every fold's train strictly precedes its test (no future leak)
+    Seq(f0, f1).foreach { f =>
+      val maxTrain = f.filter(_._3 == "train").map(_._1).max
+      val minTest = f.filter(_._3 == "test").map(_._1).min
+      assert(maxTrain < minTest)
+    }
+  }
+
   // --- Stats.ebShrinkRates --------------------------------------------------
 
   test("ebShrinkRates: small keys pull to the mean, big keys barely move") {
