@@ -221,4 +221,64 @@ object Resample {
           ((n * (n - lit(1).cast(dec38))).cast("double") * lit(scale * scale)))
       ).as("variance"))
   }
+
+  /** Classical additive seasonal decomposition of a daily series —
+    * y = trend + seasonal + remainder, the orientation plot every
+    * time-series investigation starts with (and the base of q225's
+    * anomaly gate, which uses the DOW-baseline shortcut; this is the
+    * full decomposition):
+    *
+    *  - trend: centered `period`-day moving average (NULL where the
+    *    window is incomplete — edges carry no trend, classical rule);
+    *  - seasonal: mean DETRENDED value per day-of-period, centered so
+    *    the `period` indices sum to zero;
+    *  - remainder = y − trend − seasonal.
+    *
+    * Day index is epoch-day and day-of-period is day mod period —
+    * calendar-free and engine-identical. Determinism: the daily sums
+    * are exact integers (pass an integral `x`); the trend is ONE
+    * division of an exact windowed integer sum; seasonal means fold
+    * detrended doubles in day order per day-of-period (≤ days/period
+    * terms) and the centering folds the `period` indices — all
+    * bounded in the NUMBER OF DAYS, never event count. One grouped
+    * agg to the day table; everything after runs on ≤ days rows. */
+  def classicalDecompose(df: DataFrame, tsCol: String, x: Column,
+                         period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd >= 3 (centered MA), got $period")
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val daily = df.select(call_function("div", unix_micros(col(tsCol)),
+          lit(86400000000L)).as("day"), x.cast("long").as("__x"))
+      .groupBy("day").agg(sum("__x").as("y"))
+    val wMa = Window.orderBy("day")
+      .rangeBetween(-half.toLong, half.toLong)
+    val trended = daily
+      .withColumn("__cnt", count(lit(1)).over(wMa))
+      .withColumn("trend",
+        when(col("__cnt") === period,
+          sum("y").over(wMa).cast("double") / period))
+      .withColumn("dop", pmod(col("day"), lit(period.toLong)))
+      .withColumn("__det", col("y") - col("trend"))
+    val idx = trended.filter(col("trend").isNotNull)
+      .groupBy("dop")
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("day"),
+            col("__det").as("__d")))),
+          lit(0.0), (acc, e) => acc + e.getField("__d")) /
+        count(lit(1))).as("__si"))
+    val centering = idx.agg(
+      (aggregate(array_sort(collect_list(struct(col("dop"),
+          col("__si").as("__s")))),
+        lit(0.0), (acc, e) => acc + e.getField("__s")) /
+        count(lit(1))).as("__c"))
+    val seasonal = idx.crossJoin(broadcast(centering))
+      .select(col("dop").as("__dop2"),
+        (col("__si") - col("__c")).as("seasonal"))
+    trended.join(broadcast(seasonal), col("dop") === col("__dop2"),
+        "left")
+      .select(col("day"), col("dop"), col("y").cast("long").as("y"),
+        col("trend"), col("seasonal"),
+        (col("y") - col("trend") - col("seasonal")).as("remainder"))
+  }
 }

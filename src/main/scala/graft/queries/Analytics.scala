@@ -3577,6 +3577,37 @@ object Analytics {
           horizonDays = 2L, stepDays = 1L)
         .select(col("event_id"), col("fold"), col("role"))
         .orderBy("event_id", "fold")
+    },
+
+    // Classical additive decomposition (Resample.classicalDecompose):
+    // daily revenue into trend (7-day centered MA) + day-of-period
+    // seasonal (centered) + remainder — day-table windows, exact
+    // integer MA sums, bounded seasonal folds.
+    dfQ("q264_decompose",
+      """WITH daily AS (SELECT EPOCH_US(ts) // 86400000000 AS "day",
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) y
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT "day", y,
+        |    CASE WHEN COUNT(*) OVER w = 7
+        |      THEN CAST(SUM(y) OVER w AS DOUBLE) / 7 END trend,
+        |    "day" % 7 dop
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY "day" RANGE BETWEEN 3 PRECEDING
+        |    AND 3 FOLLOWING)),
+        |det AS (SELECT "day", y, trend, dop, y - trend det FROM tr),
+        |idx AS (SELECT dop, LIST_REDUCE(LIST(det ORDER BY "day"),
+        |    (a, b) -> a + b) / COUNT(*) si
+        |  FROM det WHERE trend IS NOT NULL GROUP BY dop),
+        |ctr AS (SELECT LIST_REDUCE(LIST(si ORDER BY dop),
+        |    (a, b) -> a + b) / COUNT(*) c FROM idx),
+        |sea AS (SELECT dop, si - c seasonal FROM idx CROSS JOIN ctr)
+        |SELECT t."day", t.dop, t.y, t.trend, sea.seasonal,
+        |  t.y - t.trend - sea.seasonal remainder
+        |FROM det t LEFT JOIN sea ON t.dop = sea.dop
+        |ORDER BY t."day"""".stripMargin) { (s, d) =>
+      graft.ops.Resample.classicalDecompose(Tables.events(s, d), "ts",
+          floor(col("value") * 100).cast("long"), period = 7)
+        .orderBy("day")
     }
   )
 }

@@ -2167,6 +2167,33 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Resample.classicalDecompose ------------------------------------------
+
+  test("classicalDecompose: recovers a planted trend+seasonal exactly") {
+    // y = 100·day + dow-indexed bump; 28 dense days
+    val bump = Array(70L, -10L, -10L, -10L, -10L, -10L, -20L)
+    val ts = (d: Int) => new java.sql.Timestamp(d * 86400000L)
+    val rows = (0 until 28).map { d =>
+      (ts(d), 100L * d + bump(d % 7)) }.toDF("ts", "x")
+    val out = graft.ops.Resample.classicalDecompose(rows, "ts",
+        col("x"), period = 7)
+      .orderBy("day").collect()
+    // edges (first/last 3 days) carry no trend
+    assert(out.take(3).forall(_.isNullAt(3)) &&
+      out.takeRight(3).forall(_.isNullAt(3)))
+    // interior: the 7-day MA of a linear trend is exact (the bump sums
+    // to 0 over any full period), so trend = 100·day and the seasonal
+    // recovers the centered bump; remainder 0
+    val mid = out(10)
+    assert(mid.getAs[Double]("trend") == 100.0 * mid.getAs[Long]("day"))
+    val bumpMean = bump.sum.toDouble / 7
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      val want = bump((r.getAs[Long]("dop") % 7).toInt) - bumpMean
+      assert(math.abs(r.getAs[Double]("seasonal") - want) < 1e-9, r.toString)
+      assert(math.abs(r.getAs[Double]("remainder")) < 1e-9, r.toString)
+    }
+  }
+
   // --- Sampling.rollingOriginFolds ------------------------------------------
 
   test("rollingOriginFolds: expanding windows, no future leak, bounded scope") {

@@ -326,7 +326,8 @@ class ScaleSuite extends SparkTestBase {
       "q249_vocab_coverage",   // 3-row broadcast k-checkpoint probe
       "q251_decayed_sum",      // CROSS JOIN with the 1-row corpus-end scalar
       "q262_eb_shrinkage",     // CROSS JOINs with the 1-row prior/moments
-      "q263_rolling_origin")   // 1-row corpus-end + k-row fold table
+      "q263_rolling_origin",   // 1-row corpus-end + k-row fold table
+      "q264_decompose")        // CROSS JOIN with the 1-row centering scalar
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
