@@ -1094,6 +1094,68 @@ object Stats {
           .otherwise(col("__se") * col("__se") / col("__sv")).as("cmh"))
   }
 
+  /** Multinomial goodness-of-fit against SUPPLIED target shares — the
+    * mixture-compliance gate: after mixture sampling / IPF raking,
+    * does the realized category mix actually match the recipe?
+    * χ² = Σ (n_k − N·p_k)²/(N·p_k), folded in category order, with
+    * categories ABSENT from the data still contributing their
+    * N·p_k term (the q202 Benford scaffold discipline — absence is
+    * exactly the violation the gate exists to catch). Target
+    * categories must cover the data (an observed category with no
+    * target share fails loudly rather than silently skewing χ²).
+    * One grouped count; everything else runs on ≤ |targets| rows. */
+  def multinomialGof(df: DataFrame, catCol: String,
+                     targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "multinomialGof: no target shares")
+    val tSum = targets.map(_._2).sum
+    require(math.abs(tSum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $tSum")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF("__cat", "p")
+    val obs = df.select(col(catCol).cast("string").as("__cat"))
+      .groupBy("__cat").agg(count(lit(1)).as("__n"))
+    val joined = t.join(obs, Seq("__cat"), "full")
+      .select(col("__cat"), col("p"),
+        coalesce(col("__n"), lit(0L)).as("n"))
+    // loud failure on uncovered categories (p null ⇒ the caller's
+    // recipe does not know this category)
+    val scaffold = joined.withColumn("p",
+      when(col("p").isNull,
+        raise_error(concat(lit("multinomialGof: category without a " +
+          "target share: "), col("__cat")))).otherwise(col("p")))
+    val tot = scaffold.agg(sum("n").cast("double").as("__N"))
+    scaffold.crossJoin(broadcast(tot))
+      .withColumn("expected", col("__N") * col("p"))
+      .withColumn("__term",
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum("n").cast("long").as("n"),
+        aggregate(array_sort(collect_list(struct(col("__cat"),
+            col("__term").as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("chi2"))
+  }
+
+  /** Herfindahl–Hirschman concentration index — ONE number for "how
+    * concentrated is the corpus on few sources/domains/licenses":
+    * HHI = Σ share_k² ∈ (1/k, 1], 1 = a single category. The exact
+    * path keeps the numerator integral — HHI = Σ n_k² / N² — so it is
+    * ONE division of DECIMAL(38,0)-exact sums; also emits the
+    * effective number of categories 1/HHI (ONE more division). One
+    * grouped count, any scale. */
+  def herfindahl(df: DataFrame, catCol: String): DataFrame =
+    df.select(col(catCol).cast("string").as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum("n").cast("long").as("n"),
+        sum((col("n") * col("n")).cast(dec38)).as("__s2"))
+      .select(col("k"), col("n"),
+        (col("__s2").cast("double") /
+          (col("n").cast(dec38) * col("n").cast(dec38)).cast("double"))
+          .as("hhi"))
+      .withColumn("effective_categories", lit(1.0) / col("hhi"))
+
   /** Empirical-Bayes rate shrinkage — the honest per-key rate when
     * keys have wildly different sample sizes (per-domain quality
     * rates, per-user conversion, per-source defect shares): a raw

@@ -3608,6 +3608,44 @@ object Analytics {
       graft.ops.Resample.classicalDecompose(Tables.events(s, d), "ts",
           floor(col("value") * 100).cast("long"), period = 7)
         .orderBy("day")
+    },
+
+    // Multinomial goodness-of-fit (Stats.multinomialGof): does the
+    // documents' language mix match a supplied recipe — the
+    // mixture-compliance gate after sampling/raking. Category-ordered
+    // fold; absent categories still contribute N·p.
+    dfQ("q265_multinomial_gof",
+      """WITH t AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2),
+        |    ('fr', 0.15), ('es', 0.1), ('zh', 0.05)) v(cat, p)),
+        |o AS (SELECT lang cat, CAST(COUNT(*) AS BIGINT) n
+        |  FROM documents GROUP BY 1),
+        |j AS (SELECT t.cat, t.p, COALESCE(o.n, 0) n
+        |  FROM t LEFT JOIN o ON t.cat = o.cat),
+        |tt AS (SELECT CAST(SUM(n) AS DOUBLE) nn FROM j),
+        |w AS (SELECT cat, n, nn * p e FROM j CROSS JOIN tt)
+        |SELECT CAST(COUNT(*) AS BIGINT) k, CAST(SUM(n) AS BIGINT) n,
+        |  LIST_REDUCE(LIST((n - e) * (n - e) / e ORDER BY cat),
+        |    (a, b) -> a + b) chi2
+        |FROM w""".stripMargin) { (s, d) =>
+      Stats.multinomialGof(Tables.table(s, d, "documents"), "lang",
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.1),
+          ("zh", 0.05)))
+    },
+
+    // Herfindahl concentration (Stats.herfindahl): source
+    // concentration of the document corpus — integral numerator over
+    // N², one division, plus the effective-category count.
+    dfQ("q266_herfindahl",
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) n
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) k, CAST(SUM(n) AS BIGINT) n,
+        |  CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+        |    / CAST(CAST(SUM(n) AS HUGEINT) * SUM(n) AS DOUBLE) hhi,
+        |  1.0 / (CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE)
+        |    / CAST(CAST(SUM(n) AS HUGEINT) * SUM(n) AS DOUBLE))
+        |    effective_categories
+        |FROM c""".stripMargin) { (s, d) =>
+      Stats.herfindahl(Tables.table(s, d, "documents"), "source")
     }
   )
 }

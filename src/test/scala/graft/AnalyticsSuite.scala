@@ -2167,6 +2167,37 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Stats.multinomialGof / herfindahl ------------------------------------
+
+  test("multinomialGof: perfect mix gives 0; absent category inflates chi2") {
+    val d = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+      .toDF("cat")
+    val fit = Stats.multinomialGof(d, "cat",
+      Seq(("a", 0.5), ("b", 0.3), ("c", 0.2))).collect()(0)
+    assert(fit.getAs[Long]("k") == 3L && fit.getAs[Double]("chi2") == 0.0)
+    // target expects a 'd' slice that is entirely absent
+    val miss = Stats.multinomialGof(d, "cat",
+      Seq(("a", 0.4), ("b", 0.3), ("c", 0.2), ("d", 0.1))).collect()(0)
+    assert(miss.getAs[Long]("k") == 4L)
+    // absent category contributes its full N·p term: chi2 ≥ N·0.1
+    assert(miss.getAs[Double]("chi2") >= 100 * 0.1)
+    // an observed category the recipe doesn't know fails loudly
+    intercept[Exception] {
+      Stats.multinomialGof(d, "cat", Seq(("a", 0.5), ("b", 0.5)))
+        .collect()
+    }
+  }
+
+  test("herfindahl: uniform gives 1/k; monopoly gives 1") {
+    val uni = (1 to 40).map(i => s"s${i % 4}").toDF("c")
+    val u = Stats.herfindahl(uni, "c").collect()(0)
+    assert(u.getAs[Double]("hhi") == 0.25 &&
+      u.getAs[Double]("effective_categories") == 4.0)
+    val mono = Seq.fill(7)("only").toDF("c")
+    assert(Stats.herfindahl(mono, "c").collect()(0)
+      .getAs[Double]("hhi") == 1.0)
+  }
+
   // --- Resample.classicalDecompose ------------------------------------------
 
   test("classicalDecompose: recovers a planted trend+seasonal exactly") {
