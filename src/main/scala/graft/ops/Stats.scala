@@ -229,6 +229,34 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Standardized Pearson residuals per contingency cell — WHICH cells
+    * drive a significant [[chiSquared]]: r = (O − E) / √(E·(1 − row
+    * share)·(1 − col share)), approximately N(0,1) under independence,
+    * so |r| > 2 marks the driving cells. One grouped count + margin
+    * windows over the CELL table (category-product sized). Exactness:
+    * O, margins and N integral; E and the two share factors are fixed
+    * single-division trees; one sqrt. Emits every cell with its O, E
+    * and residual — the drill-down q175's one-number χ² cannot give. */
+  def pearsonResiduals(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val t = cells
+      .withColumn("__r", sum("o").over(Window.partitionBy("a")))
+      .withColumn("__c", sum("o").over(Window.partitionBy("b")))
+      .withColumn("__n", sum("o").over(Window.partitionBy()))
+    t.select(col("a"), col("b"), col("o").cast("long").as("o"),
+        ((col("__r") * col("__c")).cast("double") / col("__n"))
+          .as("expected"),
+        ((col("o") - (col("__r") * col("__c")).cast("double") /
+          col("__n")) /
+          sqrt(((col("__r") * col("__c")).cast("double") / col("__n")) *
+            (lit(1.0) - col("__r").cast("double") / col("__n")) *
+            (lit(1.0) - col("__c").cast("double") / col("__n"))))
+          .as("residual"))
+  }
+
   private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
   /** Two-predictor ordinary least squares, y = b0 + b1·x1 + b2·x2, by

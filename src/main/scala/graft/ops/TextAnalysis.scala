@@ -421,6 +421,51 @@ object TextAnalysis {
         (col("cum").cast("double") / col("total")).as("coverage"))
   }
 
+  /** Token burstiness — the Fano factor (variance/mean) of each
+    * top-`topK` token's per-document count, Church & Gale's topical-
+    * vs-functional discriminant: a function word ("the") spreads
+    * evenly (Fano ≈ 1, Poisson-like); a topical word clumps into the
+    * few documents about its topic (Fano ≫ 1). The curation use:
+    * bursty high-frequency tokens flag template/boilerplate clusters
+    * that frequency alone cannot see.
+    *
+    * Exactness: zero-count documents enter the moments WITHOUT being
+    * materialized — Σx and Σx² come from the nonzero (doc, token)
+    * table and the zeros contribute nothing, so mean = Σx/N and
+    * var = (N·Σx² − (Σx)²)/(N·(N−1)) use the TOTAL document count N
+    * as exact integers (DECIMAL(38,0)); Fano is ONE division of the
+    * two. One grouped count to (doc, token), one to the token table;
+    * ranking window over the token table only. */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nDocs = docs.agg(count(lit(1)).as("__N"))
+    val perDoc = docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("__id", "token").agg(count(lit(1)).as("__x"))
+    val byTok = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__x").cast(dec38)).as("__sx"),
+        sum((col("__x") * col("__x")).cast(dec38)).as("__sxx"))
+    val top = byTok
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__sx").desc, col("token"))))
+      .filter(col("__rk") <= topK)
+    top.crossJoin(broadcast(nDocs))
+      .select(col("token"), col("__rk").cast("long").as("rank"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("__sx").cast("long").as("total_count"),
+        (col("__sx").cast("double") / col("__N")).as("mean"),
+        ((col("__N").cast(dec38) * col("__sxx") -
+          col("__sx") * col("__sx")).cast("double") /
+          (col("__N").cast(dec38) *
+            (col("__N") - 1).cast(dec38)).cast("double")).as("variance"))
+      .withColumn("fano", col("variance") / col("mean"))
+  }
+
   /** Flesch reading-ease — the classic document-difficulty readout and
     * a cheap corpus-quality axis (OCR garbage and boilerplate score
     * absurdly; natural prose lands 30–80): 206.835 − 1.015·(W/S) −

@@ -3646,6 +3646,61 @@ object Analytics {
         |    effective_categories
         |FROM c""".stripMargin) { (s, d) =>
       Stats.herfindahl(Tables.table(s, d, "documents"), "source")
+    },
+
+    // Token burstiness (TextAnalysis.tokenBurstiness): Fano factor of
+    // the top-50 tokens' per-document counts — zero-count documents
+    // enter the moments through N without materialization; exact
+    // integer moments, two divisions.
+    dfQ("q267_burstiness",
+      """WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) N FROM documents),
+        |pd AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) x
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |bt AS (SELECT tok token, CAST(COUNT(*) AS BIGINT) n_docs,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(x AS HUGEINT) * x) sxx
+        |  FROM pd GROUP BY 1),
+        |top AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY sx DESC,
+        |    token) AS BIGINT) rank FROM bt QUALIFY rank <= 50)
+        |SELECT token, rank, n_docs, CAST(sx AS BIGINT) total_count,
+        |  CAST(sx AS DOUBLE) / N mean,
+        |  CAST(N * sxx - sx * sx AS DOUBLE)
+        |    / CAST(N * CAST(N - 1 AS HUGEINT) AS DOUBLE) variance,
+        |  (CAST(N * sxx - sx * sx AS DOUBLE)
+        |    / CAST(N * CAST(N - 1 AS HUGEINT) AS DOUBLE))
+        |    / (CAST(sx AS DOUBLE) / N) fano
+        |FROM top CROSS JOIN nd ORDER BY rank""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.tokenBurstiness(
+          Tables.table(s, d, "documents"), "doc_id", "text", topK = 50)
+        .orderBy("rank")
+    },
+
+    // Standardized Pearson residuals (Stats.pearsonResiduals): the
+    // per-cell drill-down under q175's chi-squared — which
+    // (returnflag × shipyear) cells drive the dependence.
+    dfQ("q268_pearson_residuals",
+      """WITH cells AS (SELECT l_returnflag a,
+        |    CAST(YEAR(l_shipdate) AS VARCHAR) b,
+        |    CAST(COUNT(*) AS BIGINT) o
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT a, b, o,
+        |    SUM(o) OVER (PARTITION BY a) r,
+        |    SUM(o) OVER (PARTITION BY b) c,
+        |    SUM(o) OVER () n
+        |  FROM cells)
+        |SELECT a, b, o,
+        |  CAST(r * c AS DOUBLE) / n expected,
+        |  (o - CAST(r * c AS DOUBLE) / n)
+        |    / SQRT((CAST(r * c AS DOUBLE) / n)
+        |      * (1.0 - CAST(r AS DOUBLE) / n)
+        |      * (1.0 - CAST(c AS DOUBLE) / n)) residual
+        |FROM m ORDER BY a, b""".stripMargin) { (s, d) =>
+      Stats.pearsonResiduals(Tables.table(s, d, "lineitem")
+            .withColumn("shipyear_str",
+              year(col("l_shipdate")).cast("string")),
+          "l_returnflag", "shipyear_str")
+        .orderBy("a", "b")
     }
   )
 }

@@ -2167,6 +2167,42 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- TextAnalysis.tokenBurstiness -----------------------------------------
+
+  test("tokenBurstiness: even token ~Fano<=1, clumped token Fano>1") {
+    // 'the' once in every doc (variance 0); 'topic' 4x in one doc
+    val docs = (1L to 8L).map(i =>
+      (i, if (i == 1) "the topic topic topic topic" else "the filler"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, "doc_id", "text", 10)
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    val the = out("the")
+    assert(the.getAs[Double]("mean") == 1.0 &&
+      the.getAs[Double]("variance") == 0.0)
+    val topic = out("topic")
+    // mean 0.5, var = (8·16 − 16)/(8·7) = 2 → fano 4
+    assert(topic.getAs[Double]("mean") == 0.5)
+    assert(topic.getAs[Double]("fano") == 4.0, topic.toString)
+  }
+
+  // --- Stats.pearsonResiduals -----------------------------------------------
+
+  test("pearsonResiduals: independent table ~0; planted cell stands out") {
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 25 } yield (a, b)).toDF("a", "b")
+    val r0 = Stats.pearsonResiduals(ind, "a", "b").collect()
+    assert(r0.forall(r => math.abs(r.getAs[Double]("residual")) < 1e-12))
+    // shift mass into (x,p): its residual positive, (x,q) negative
+    val dep = (Seq.fill(40)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(40)(("y", "q"))).toDF("a", "b")
+    val m = Stats.pearsonResiduals(dep, "a", "b").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Double]("residual")).toMap
+    assert(m(("x", "p")) > 2 && m(("x", "q")) < -2)
+    assert(math.abs(m(("x", "p")) + m(("x", "q"))) < 1e-9,
+      "2x2 residuals are ± the same magnitude")
+  }
+
   // --- Stats.multinomialGof / herfindahl ------------------------------------
 
   test("multinomialGof: perfect mix gives 0; absent category inflates chi2") {

@@ -328,7 +328,8 @@ class ScaleSuite extends SparkTestBase {
       "q262_eb_shrinkage",     // CROSS JOINs with the 1-row prior/moments
       "q263_rolling_origin",   // 1-row corpus-end + k-row fold table
       "q264_decompose",        // CROSS JOIN with the 1-row centering scalar
-      "q265_multinomial_gof")  // CROSS JOIN with the 1-row total scalar
+      "q265_multinomial_gof",  // CROSS JOIN with the 1-row total scalar
+      "q267_burstiness")       // CROSS JOIN with the 1-row doc-count scalar
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
