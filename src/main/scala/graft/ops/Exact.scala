@@ -26,4 +26,16 @@ object Exact {
     * DuckDB replay: `FLOOR(LN(x) * 67108864.0) / 67108864.0`. */
   def lnq(x: Column): Column =
     floor(log(x) * lit(67108864.0)) / lit(67108864.0)
+
+  /** e^x on the same 2⁻²⁶ grid — the [[lnq]] discipline for the
+    * inverse direction (CI bounds, back-transformed effect sizes):
+    * Java `Math.exp` is 1-ulp loose against other libms exactly like
+    * log, so a raw exp can never be hash-compared. Domain: |x| ≲ 18
+    * (exp(x)·2²⁶ must stay below 2⁵³ for the grid to mask the ulp —
+    * beyond that a raw-exp ulp survives the floor); effect sizes and
+    * CI bounds live well inside it.
+    *
+    * DuckDB replay: `FLOOR(EXP(x) * 67108864.0) / 67108864.0`. */
+  def expq(x: Column): Column =
+    floor(exp(x) * lit(67108864.0)) / lit(67108864.0)
 }

@@ -229,6 +229,38 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** 2×2 odds ratio with Woolf confidence interval — the EFFECT-SIZE
+    * readout the test family (χ², CMH, McNemar) deliberately omits:
+    * OR = ad/bc, CI = exp(ln OR ± z·√(1/a + 1/b + 1/c + 1/d)).
+    * Haldane–Anscombe +0.5 on every cell when any cell is zero (the
+    * standard finite correction; flagged in the output). ONE
+    * conditional aggregation; ln through [[Exact.lnq]], the exp of
+    * the bounds likewise quantized (expq = the same 2⁻²⁶ grid) so the
+    * CI doubles hash-replay. */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column,
+                z: Double = 1.96): DataFrame = {
+    val agg = df.agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).cast("long").as("a"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).cast("long").as("b"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).cast("long").as("c"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).cast("long")
+        .as("d"))
+    val corrected = col("a") === 0 || col("b") === 0 || col("c") === 0 ||
+      col("d") === 0
+    def cell(c: Column) = when(corrected, c.cast("double") + 0.5)
+      .otherwise(c.cast("double"))
+    val (ca, cb, cc, cd) = (cell(col("a")), cell(col("b")),
+      cell(col("c")), cell(col("d")))
+    val lnOr = Exact.lnq((ca * cd) / (cb * cc))
+    val se = sqrt(lit(1.0) / ca + lit(1.0) / cb + lit(1.0) / cc +
+      lit(1.0) / cd)
+    agg.withColumn("corrected", corrected)
+      .withColumn("odds_ratio", (ca * cd) / (cb * cc))
+      .withColumn("ln_or", lnOr)
+      .withColumn("ci_lo", Exact.expq(lnOr - lit(z) * se))
+      .withColumn("ci_hi", Exact.expq(lnOr + lit(z) * se))
+  }
+
   /** Standardized Pearson residuals per contingency cell — WHICH cells
     * drive a significant [[chiSquared]]: r = (O − E) / √(E·(1 − row
     * share)·(1 − col share)), approximately N(0,1) under independence,

@@ -421,6 +421,53 @@ object TextAnalysis {
         (col("cum").cast("double") / col("total")).as("coverage"))
   }
 
+  /** Informative-Dirichlet log-odds — Monroe/Colaresi/Quinn's
+    * "fightin' words", THE corpus-diff statistic: which tokens
+    * distinguish corpus A from corpus B, with the whole-corpus token
+    * distribution as the Dirichlet prior so rare-token noise is
+    * shrunk away (raw count diffs and PMI both drown in it).
+    *
+    *   δ_w = ln((y_aw + α_w)/(n_a + α₀ − y_aw − α_w))
+    *       − ln((y_bw + α_w)/(n_b + α₀ − y_bw − α_w)),
+    *   σ²_w ≈ 1/(y_aw + α_w) + 1/(y_bw + α_w),  z = δ/σ
+    *
+    * with α_w = `alpha0` · (corpus share of w). Scale shape: one
+    * tagged union + ONE grouped count on the vocabulary keyspace;
+    * everything after runs on vocabulary rows. Determinism: counts
+    * integral; α_w, both logits and σ are fixed single-division trees
+    * with the lns through [[Exact.lnq]]; one sqrt. Top driving tokens
+    * = order by z. */
+  def fightinWords(a: DataFrame, b: DataFrame, textCol: String,
+                   alpha0: Double = 500.0): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be > 0, got $alpha0")
+    def toks(df: DataFrame, side: String) =
+      df.select(explode(split(col(textCol), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .withColumn("__side", lit(side))
+    val counts = toks(a, "a").unionByName(toks(b, "b"))
+      .groupBy("token")
+      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("ya"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("yb"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val t = counts
+      .withColumn("__na", sum("ya").over(wAll))
+      .withColumn("__nb", sum("yb").over(wAll))
+      .withColumn("__aw", lit(alpha0) *
+        ((col("ya") + col("yb")).cast("double") /
+          (col("__na") + col("__nb"))))
+    val dA = graft.ops.Exact.lnq((col("ya") + col("__aw")) /
+      (col("__na") + lit(alpha0) - col("ya") - col("__aw")))
+    val dB = graft.ops.Exact.lnq((col("yb") + col("__aw")) /
+      (col("__nb") + lit(alpha0) - col("yb") - col("__aw")))
+    val sigma = sqrt(lit(1.0) / (col("ya") + col("__aw")) +
+      lit(1.0) / (col("yb") + col("__aw")))
+    t.select(col("token"), col("ya").cast("long").as("n_a"),
+        col("yb").cast("long").as("n_b"),
+        (dA - dB).as("delta"),
+        ((dA - dB) / sigma).as("z"))
+  }
+
   /** Token burstiness — the Fano factor (variance/mean) of each
     * top-`topK` token's per-document count, Church & Gale's topical-
     * vs-functional discriminant: a function word ("the") spreads

@@ -3701,6 +3701,83 @@ object Analytics {
               year(col("l_shipdate")).cast("string")),
           "l_returnflag", "shipyear_str")
         .orderBy("a", "b")
+    },
+
+    // Fightin' words (TextAnalysis.fightinWords): informative-
+    // Dirichlet log-odds of src0 vs src1 token usage — the corpus-
+    // diff statistic that shrinks rare-token noise; lnq logits, one
+    // sqrt, vocabulary-bounded.
+    dfQ("q269_fightin_words",
+      """WITH ta AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |  FROM documents WHERE source = 'src0'),
+        |tb AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |  FROM documents WHERE source = 'src1'),
+        |u AS (SELECT tok token, 'a' side FROM ta WHERE tok <> ''
+        |  UNION ALL SELECT tok, 'b' FROM tb WHERE tok <> ''),
+        |c AS (SELECT token,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      ya,
+        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      yb
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT token, ya, yb,
+        |    SUM(ya) OVER () na, SUM(yb) OVER () nb,
+        |    500.0 * (CAST(ya + yb AS DOUBLE) / (SUM(ya) OVER ()
+        |      + SUM(yb) OVER ())) aw
+        |  FROM c),
+        |w AS (SELECT token, ya, yb,
+        |    (FLOOR(LN((ya + aw) / (na + 500.0 - ya - aw)) * 67108864.0)
+        |      / 67108864.0)
+        |    - (FLOOR(LN((yb + aw) / (nb + 500.0 - yb - aw)) * 67108864.0)
+        |      / 67108864.0) delta,
+        |    SQRT(1.0 / (ya + aw) + 1.0 / (yb + aw)) sg
+        |  FROM t)
+        |SELECT token, ya n_a, yb n_b, delta, delta / sg z
+        |FROM w ORDER BY token""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      graft.ops.TextAnalysis.fightinWords(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), "text", alpha0 = 500.0)
+        .orderBy("token")
+    },
+
+    // 2×2 odds ratio + Woolf CI (Stats.oddsRatio): the effect size
+    // beside the test family — lnq/expq-quantized bounds,
+    // Haldane–Anscombe zero-cell correction.
+    dfQ("q270_odds_ratio",
+      """WITH agg AS (SELECT
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+        |    THEN 1 ELSE 0 END) AS BIGINT) a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' AND NOT l_discount > 0.05
+        |    THEN 1 ELSE 0 END) AS BIGINT) b,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05
+        |    THEN 1 ELSE 0 END) AS BIGINT) c,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' AND NOT l_discount > 0.05
+        |    THEN 1 ELSE 0 END) AS BIGINT) d
+        |  FROM lineitem),
+        |e AS (SELECT a, b, c, d,
+        |    a = 0 OR b = 0 OR c = 0 OR d = 0 corrected,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN CAST(a AS DOUBLE) + 0.5 ELSE CAST(a AS DOUBLE) END ca,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN CAST(b AS DOUBLE) + 0.5 ELSE CAST(b AS DOUBLE) END cb,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN CAST(c AS DOUBLE) + 0.5 ELSE CAST(c AS DOUBLE) END cc,
+        |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+        |      THEN CAST(d AS DOUBLE) + 0.5 ELSE CAST(d AS DOUBLE) END cd
+        |  FROM agg),
+        |f AS (SELECT a, b, c, d, corrected,
+        |    (ca * cd) / (cb * cc) odds_ratio,
+        |    FLOOR(LN((ca * cd) / (cb * cc)) * 67108864.0) / 67108864.0
+        |      ln_or,
+        |    SQRT(1.0 / ca + 1.0 / cb + 1.0 / cc + 1.0 / cd) se
+        |  FROM e)
+        |SELECT a, b, c, d, corrected, odds_ratio, ln_or,
+        |  FLOOR(EXP(ln_or - 1.96 * se) * 67108864.0) / 67108864.0 ci_lo,
+        |  FLOOR(EXP(ln_or + 1.96 * se) * 67108864.0) / 67108864.0 ci_hi
+        |FROM f""".stripMargin) { (s, d) =>
+      Stats.oddsRatio(Tables.table(s, d, "lineitem"),
+        col("l_returnflag") === "R", col("l_discount") > 0.05)
     }
   )
 }

@@ -2167,6 +2167,46 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- TextAnalysis.fightinWords --------------------------------------------
+
+  test("fightinWords: over-used token scores positive z; shared token ~0") {
+    val a = Seq.fill(50)("alpha shared").toDF("text")
+    val b = Seq.fill(50)("beta shared").toDF("text")
+    val out = TextAnalysis.fightinWords(a, b, "text", alpha0 = 10.0)
+      .collect().map(r => r.getAs[String]("token") -> r).toMap
+    assert(out("alpha").getAs[Double]("z") > 2,
+      out("alpha").toString)
+    assert(out("beta").getAs[Double]("z") < -2)
+    assert(math.abs(out("shared").getAs[Double]("z")) < 0.5)
+    // antisymmetry: swapping the corpora flips the sign
+    val sw = TextAnalysis.fightinWords(b, a, "text", alpha0 = 10.0)
+      .collect().map(r => r.getAs[String]("token") ->
+        r.getAs[Double]("z")).toMap
+    assert(math.abs(sw("alpha") + out("alpha").getAs[Double]("z")) < 1e-9)
+  }
+
+  // --- Stats.oddsRatio ------------------------------------------------------
+
+  test("oddsRatio: hand OR/CI; zero cell triggers the 0.5 correction") {
+    val d = (Seq.fill(30)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(15)((false, true)) ++ Seq.fill(45)((false, false)))
+      .toDF("e", "o")
+    val r = Stats.oddsRatio(d, col("e"), col("o")).collect()(0)
+    assert(r.getAs[Double]("odds_ratio") == 30.0 * 45 / (10.0 * 15))
+    assert(!r.getAs[Boolean]("corrected"))
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("odds_ratio") &&
+      r.getAs[Double]("odds_ratio") < r.getAs[Double]("ci_hi"))
+    // CI matches the hand Woolf interval within the 2^-26 grid
+    val se = math.sqrt(1.0 / 30 + 1.0 / 10 + 1.0 / 15 + 1.0 / 45)
+    val lnOr = math.floor(math.log(9.0) * 67108864.0) / 67108864.0
+    assert(math.abs(r.getAs[Double]("ci_hi") -
+      math.exp(lnOr + 1.96 * se)) < 1e-6)
+    val zc = (Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false)) ++
+      Seq.fill(5)((false, true))).toDF("e", "o")
+    assert(Stats.oddsRatio(zc, col("e"), col("o")).collect()(0)
+      .getAs[Boolean]("corrected"))
+  }
+
   // --- TextAnalysis.tokenBurstiness -----------------------------------------
 
   test("tokenBurstiness: even token ~Fano<=1, clumped token Fano>1") {
