@@ -229,6 +229,89 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Pearson correlation WITH its significance test — r plus
+    * t = r·√((n−2)/(1−r²)) (df = n−2), the pair [[corrMatrix]]
+    * deliberately omits (a matrix of r's without n invites reading
+    * noise as signal). ONE aggregation of DECIMAL(38,0)-exact moments
+    * (integral inputs — fix-point first); r is the single-division
+    * [[spearman]] shape and t one more fixed tree. NULL r on a
+    * degenerate margin; NULL t when |r| = 1 exactly (the statistic
+    * diverges) or n < 3. */
+  def corrTest(df: DataFrame, x: Column, y: Column): DataFrame = {
+    def s(c: Column) = sum(c.cast(dec38))
+    val d = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = d.agg(count(lit(1)).cast(dec38).as("n"),
+      s(col("__x")).as("sx"), s(col("__y")).as("sy"),
+      s(col("__x") * col("__x")).as("sxx"),
+      s(col("__y") * col("__y")).as("syy"),
+      s(col("__x") * col("__y")).as("sxy"))
+    val dx = m("n") * col("sxx") - col("sx") * col("sx")
+    val dy = m("n") * col("syy") - col("sy") * col("sy")
+    val num = m("n") * col("sxy") - col("sx") * col("sy")
+    val r = num.cast("double") /
+      (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
+    m.select(col("n").cast("long").as("n"),
+        when(dx === lit(0).cast(dec38) || dy === lit(0).cast(dec38),
+          lit(null)).otherwise(r).as("r"))
+      .withColumn("t",
+        when(col("r").isNull || col("n") < 3 ||
+          col("r") * col("r") >= 1.0, lit(null))
+          .otherwise(col("r") * sqrt((col("n") - 2).cast("double") /
+            (lit(1.0) - col("r") * col("r")))))
+  }
+
+  /** First-order PARTIAL correlation — the association of x and y with
+    * z held fixed: r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1 − r_xz²)(1 − r_yz²)). The confounder check every observed
+    * x–y correlation owes its reader ("discount correlates with
+    * returns… until order size is controlled"). ONE aggregation of
+    * the nine exact moments; the three pairwise r's are single
+    * divisions and the partial is one fixed tree. NULL when any
+    * margin is degenerate or a controlling correlation is ±1. */
+  def partialCorr(df: DataFrame, x: Column, y: Column, z: Column)
+      : DataFrame = {
+    def s(c: Column) = sum(c.cast(dec38))
+    val d = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"),
+        z.cast("long").as("__z"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__z").isNotNull)
+    val m = d.agg(count(lit(1)).cast(dec38).as("n"),
+      s(col("__x")).as("sx"), s(col("__y")).as("sy"),
+      s(col("__z")).as("sz"),
+      s(col("__x") * col("__x")).as("sxx"),
+      s(col("__y") * col("__y")).as("syy"),
+      s(col("__z") * col("__z")).as("szz"),
+      s(col("__x") * col("__y")).as("sxy"),
+      s(col("__x") * col("__z")).as("sxz"),
+      s(col("__y") * col("__z")).as("syz"))
+    def dvar(ss: String, sc: String) =
+      m("n") * col(ss) - col(sc) * col(sc)
+    def rOf(sab: String, sa: String, sb: String, da: Column, db: Column) =
+      (m("n") * col(sab) - col(sa) * col(sb)).cast("double") /
+        (sqrt(da.cast("double")) * sqrt(db.cast("double")))
+    val (dx, dy, dz) = (dvar("sxx", "sx"), dvar("syy", "sy"),
+      dvar("szz", "sz"))
+    val rxy = rOf("sxy", "sx", "sy", dx, dy)
+    val rxz = rOf("sxz", "sx", "sz", dx, dz)
+    val ryz = rOf("syz", "sy", "sz", dy, dz)
+    val zero = lit(0).cast(dec38)
+    m.select(col("n").cast("long").as("n"),
+        when(dx === zero || dy === zero || dz === zero, lit(null))
+          .otherwise(rxy).as("r_xy"),
+        when(dx === zero || dy === zero || dz === zero, lit(null))
+          .otherwise(rxz).as("r_xz"),
+        when(dx === zero || dy === zero || dz === zero, lit(null))
+          .otherwise(ryz).as("r_yz"))
+      .withColumn("r_xy_given_z",
+        when(col("r_xy").isNull ||
+          col("r_xz") * col("r_xz") >= 1.0 ||
+          col("r_yz") * col("r_yz") >= 1.0, lit(null))
+          .otherwise((col("r_xy") - col("r_xz") * col("r_yz")) /
+            sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+              (lit(1.0) - col("r_yz") * col("r_yz")))))
+  }
+
   /** 2×2 odds ratio with Woolf confidence interval — the EFFECT-SIZE
     * readout the test family (χ², CMH, McNemar) deliberately omits:
     * OR = ad/bc, CI = exp(ln OR ± z·√(1/a + 1/b + 1/c + 1/d)).

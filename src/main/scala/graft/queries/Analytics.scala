@@ -3778,6 +3778,82 @@ object Analytics {
         |FROM f""".stripMargin) { (s, d) =>
       Stats.oddsRatio(Tables.table(s, d, "lineitem"),
         col("l_returnflag") === "R", col("l_discount") > 0.05)
+    },
+
+    // Pearson r + t-test (Stats.corrTest): quantity vs price cents —
+    // the significance beside q156's matrix of r's. HUGEINT moments,
+    // one division for r, one fixed tree for t.
+    dfQ("q271_corr_test",
+      """WITH t AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) x,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(y AS HUGEINT)) sy,
+        |    SUM(CAST(x AS HUGEINT) * x) sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) syy,
+        |    SUM(CAST(x AS HUGEINT) * y) sxy
+        |  FROM t),
+        |r AS (SELECT CAST(n AS BIGINT) n,
+        |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |      THEN NULL
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) END r
+        |  FROM m)
+        |SELECT n, r,
+        |  CASE WHEN r IS NULL OR n < 3 OR r * r >= 1.0 THEN NULL
+        |    ELSE r * SQRT(CAST(n - 2 AS DOUBLE) / (1.0 - r * r)) END t
+        |FROM r""".stripMargin) { (s, d) =>
+      Stats.corrTest(Tables.table(s, d, "lineitem"),
+        floor(col("l_quantity")).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // Partial correlation (Stats.partialCorr): discount vs price with
+    // quantity held fixed — the confounder check on a raw r. Nine
+    // HUGEINT moments, three pairwise r's, one fixed tree.
+    dfQ("q272_partial_corr",
+      """WITH t AS (SELECT
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) x,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) y,
+        |    CAST(FLOOR(l_quantity) AS BIGINT) z FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(y AS HUGEINT)) sy,
+        |    SUM(CAST(z AS HUGEINT)) sz,
+        |    SUM(CAST(x AS HUGEINT) * x) sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) syy,
+        |    SUM(CAST(z AS HUGEINT) * z) szz,
+        |    SUM(CAST(x AS HUGEINT) * y) sxy,
+        |    SUM(CAST(x AS HUGEINT) * z) sxz,
+        |    SUM(CAST(y AS HUGEINT) * z) syz
+        |  FROM t),
+        |r AS (SELECT CAST(n AS BIGINT) n,
+        |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |        OR n * szz - sz * sz = 0 THEN NULL
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) END r_xy,
+        |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |        OR n * szz - sz * sz = 0 THEN NULL
+        |      ELSE CAST(n * sxz - sx * sz AS DOUBLE)
+        |        / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |          * SQRT(CAST(n * szz - sz * sz AS DOUBLE))) END r_xz,
+        |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |        OR n * szz - sz * sz = 0 THEN NULL
+        |      ELSE CAST(n * syz - sy * sz AS DOUBLE)
+        |        / (SQRT(CAST(n * syy - sy * sy AS DOUBLE))
+        |          * SQRT(CAST(n * szz - sz * sz AS DOUBLE))) END r_yz
+        |  FROM m)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  CASE WHEN r_xy IS NULL OR r_xz * r_xz >= 1.0
+        |      OR r_yz * r_yz >= 1.0 THEN NULL
+        |    ELSE (r_xy - r_xz * r_yz)
+        |      / SQRT((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+        |  END r_xy_given_z
+        |FROM r""".stripMargin) { (s, d) =>
+      Stats.partialCorr(Tables.table(s, d, "lineitem"),
+        floor(col("l_discount") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"),
+        floor(col("l_quantity")).cast("long"))
     }
   )
 }

@@ -2167,6 +2167,53 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Stats.corrTest / partialCorr -----------------------------------------
+
+  test("corrTest: known r and t; degenerate and perfect cases NULL") {
+    val d = Seq((1L, 2L), (2L, 3L), (3L, 5L), (4L, 4L), (5L, 6L))
+      .toDF("x", "y")
+    val r = Stats.corrTest(d, col("x"), col("y")).collect()(0)
+    val want = d.stat.corr("x", "y")
+    assert(math.abs(r.getAs[Double]("r") - want) < 1e-12)
+    val t = want * math.sqrt(3 / (1 - want * want))
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-9)
+    // perfectly linear: r lands within an ulp of 1 (sqrt·sqrt in the
+    // denominator), so t is finite-but-huge — the r*r >= 1 guard only
+    // fires on EXACT ±1 (possible when dx·dy is a perfect square)
+    val lin = (1L to 5L).map(i => (i, 2 * i)).toDF("x", "y")
+    val rl = Stats.corrTest(lin, col("x"), col("y")).collect()(0)
+    assert(math.abs(rl.getAs[Double]("r") - 1.0) < 1e-12)
+    assert(rl.isNullAt(2) || rl.getAs[Double]("t") > 1e6)
+    // constant margin → NULL r
+    val const = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
+    assert(Stats.corrTest(const, col("x"), col("y")).collect()(0)
+      .isNullAt(1))
+  }
+
+  test("partialCorr: x->z->y chain vanishes once z is controlled") {
+    // x = z + small noise, y = z exactly: r_xy high, but x ⊥ y | z
+    val rows = (1 to 40).map { i =>
+      val z = i.toLong
+      (z + (if (i % 2 == 0) 1L else -1L), z, z) }
+      .toDF("x", "y", "z")
+    val r = Stats.partialCorr(rows, col("x"), col("y"), col("z"))
+      .collect()(0)
+    assert(r.getAs[Double]("r_xy") > 0.99)
+    // y = z exactly → r_yz = 1 → partial undefined (NULL), the honest
+    // answer for a deterministic confounder
+    assert(r.isNullAt(4))
+    // soften: y = z + independent ±1 noise on a different phase
+    val rows2 = (1 to 40).map { i =>
+      val z = i.toLong
+      (z + (if (i % 2 == 0) 1L else -1L), z +
+        (if (i % 4 < 2) 1L else -1L), z) }.toDF("x", "y", "z")
+    val r2 = Stats.partialCorr(rows2, col("x"), col("y"), col("z"))
+      .collect()(0)
+    assert(r2.getAs[Double]("r_xy") > 0.99)
+    assert(math.abs(r2.getAs[Double]("r_xy_given_z")) < 0.35,
+      r2.toString)
+  }
+
   // --- TextAnalysis.fightinWords --------------------------------------------
 
   test("fightinWords: over-used token scores positive z; shared token ~0") {
