@@ -229,6 +229,114 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Cronbach's alpha — internal-consistency of k parallel item
+    * scores (rater panels, rubric dimensions, ensemble member
+    * scores): α = k/(k−1) · (1 − Σ var_i / var_total), the "do these
+    * items measure one thing" gate before averaging them into a
+    * single score. ONE aggregation of per-item and total-score
+    * DECIMAL(38,0)-exact moments (items integral — fixed-point
+    * first); the item-variance sum folds in ITEM order as a fixed
+    * literal chain (k terms, not data-driven); α is one fixed tree.
+    * NULL when the total variance is zero. */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    require(items.size >= 2, s"alpha needs >= 2 items, got ${items.size}")
+    val k = items.size
+    val cast = items.map(_.cast("long"))
+    val total = cast.reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).cast(dec38).as("n"),
+        sum(total.cast(dec38)).as("st"),
+        sum((total * total).cast(dec38)).as("stt")) ++
+      cast.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(c.cast(dec38)).as(s"s$i"),
+          sum((c * c).cast(dec38)).as(s"ss$i")) }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def v(ss: Column, sc: Column) =
+      (col("n") * ss - sc * sc).cast("double")
+    val itemVarSum = (0 until k)
+      .map(i => v(col(s"ss$i"), col(s"s$i")))
+      .reduce(_ + _)
+    val totVar = v(col("stt"), col("st"))
+    m.select(col("n").cast("long").as("n"),
+      lit(k.toLong).as("k"),
+      when(totVar === 0.0, lit(null))
+        .otherwise(lit(k.toDouble / (k - 1)) *
+          (lit(1.0) - itemVarSum / totVar)).as("alpha"))
+  }
+
+  /** Cohen's d (pooled-SD standardized mean difference) — the EFFECT
+    * SIZE beside [[welchT]]'s significance: d = (m̄₁ − m̄₂)/s_pooled
+    * with s²_pooled = ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2), plus
+    * Hedges' g = d·(1 − 3/(4(n₁+n₂) − 9)) small-sample correction.
+    * ONE conditional aggregation of exact integer moments; the means,
+    * pooled variance and both statistics are fixed single-division
+    * trees. NULL when either arm has < 2 rows or the pooled variance
+    * is zero. */
+  def cohensD(df: DataFrame, arm1: Column, x: Column): DataFrame = {
+    // squared terms cast to DECIMAL per row BEFORE the sum — a LONG
+    // accumulator overflows at ~600k rows of 1e14-sized squares
+    def cellAgg(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).cast(dec38).as(s"n$tag"),
+      sum(when(p, x.cast("long")).otherwise(0L)).cast(dec38)
+        .as(s"s$tag"),
+      sum(when(p, (x.cast("long") * x.cast("long")).cast(dec38))
+        .otherwise(lit(0).cast(dec38))).as(s"ss$tag"))
+    val aggs = cellAgg(arm1, "1") ++ cellAgg(!arm1, "2")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def mean(t: String) = col(s"s$t").cast("double") / col(s"n$t")
+    def css(t: String) = (col(s"n$t") * col(s"ss$t") -
+      col(s"s$t") * col(s"s$t")).cast("double") / col(s"n$t").cast("double")
+    val pooledVar = (css("1") + css("2")) /
+      (col("n1") + col("n2") - 2).cast("double")
+    m.select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        mean("1").as("mean1"), mean("2").as("mean2"),
+        when(col("n1") < 2 || col("n2") < 2, lit(null))
+          .otherwise((mean("1") - mean("2")) / sqrt(pooledVar)).as("d"))
+      .withColumn("d", when(col("d").isNaN, lit(null)).otherwise(col("d")))
+      .withColumn("hedges_g",
+        col("d") * (lit(1.0) -
+          lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - 9)))
+  }
+
+  /** Paired t-test over per-key condition differences — the
+    * within-subject A/B: for every key with BOTH conditions, the
+    * difference of its two condition means; t = d̄ / (s_d/√n) over
+    * those differences. The pairing removes between-key variance,
+    * which is why it beats [[welchT]] on repeated-measures data. One
+    * grouped conditional agg to the key table; each per-key diff is a
+    * fixed two-division tree; the diff moments fold in key order
+    * (in-row ordered folds — key-cardinality bounded). NULL t when
+    * n < 2 or the diffs are constant. */
+  def pairedT(df: DataFrame, keyCol: String, cond: Column, x: Column)
+      : DataFrame = {
+    val keys = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(when(cond, 1L).otherwise(0L)).as("n1"),
+        sum(when(cond, x.cast("long")).otherwise(0L)).as("s1"),
+        sum(when(!cond, 1L).otherwise(0L)).as("n2"),
+        sum(when(!cond, x.cast("long")).otherwise(0L)).as("s2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("__d", col("s1").cast("double") / col("n1") -
+        col("s2").cast("double") / col("n2"))
+    keys.agg(count(lit(1)).cast("long").as("n"),
+        aggregate(array_sort(collect_list(struct(col("__k"),
+            col("__d").as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__sd"),
+        aggregate(array_sort(collect_list(struct(col("__k"),
+            (col("__d") * col("__d")).as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__sdd"))
+      .select(col("n"), (col("__sd") / col("n")).as("mean_diff"),
+        col("__sd").as("__sd"), col("__sdd").as("__sdd"))
+      .withColumn("__var",
+        when(col("n") < 2, lit(null))
+          .otherwise((col("__sdd") - col("__sd") * col("__sd") / col("n"))
+            / (col("n") - 1)))
+      .select(col("n"), col("mean_diff"),
+        when(col("__var").isNull || col("__var") <= 0, lit(null))
+          .otherwise(col("mean_diff") /
+            sqrt(col("__var") / col("n"))).as("t"))
+  }
+
   /** Pearson correlation WITH its significance test — r plus
     * t = r·√((n−2)/(1−r²)) (df = n−2), the pair [[corrMatrix]]
     * deliberately omits (a matrix of r's without n invites reading

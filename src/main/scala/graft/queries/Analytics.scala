@@ -3854,6 +3854,109 @@ object Analytics {
         floor(col("l_discount") * 100).cast("long"),
         floor(col("l_extendedprice") * 100).cast("long"),
         floor(col("l_quantity")).cast("long"))
+    },
+
+    // Cronbach's alpha (Stats.cronbachAlpha): internal consistency of
+    // three item scores — exact moments, literal-order item-variance
+    // chain, one fixed tree.
+    dfQ("q273_cronbach",
+      """WITH t AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) i0,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) i1,
+        |    CAST(FLOOR(l_tax * 100) AS BIGINT) i2
+        |  FROM lineitem),
+        |u AS (SELECT i0, i1, i2, i0 + i1 + i2 tt FROM t),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(tt AS HUGEINT)) st, SUM(CAST(tt AS HUGEINT) * tt)
+        |      stt,
+        |    SUM(CAST(i0 AS HUGEINT)) s0, SUM(CAST(i0 AS HUGEINT) * i0)
+        |      ss0,
+        |    SUM(CAST(i1 AS HUGEINT)) s1, SUM(CAST(i1 AS HUGEINT) * i1)
+        |      ss1,
+        |    SUM(CAST(i2 AS HUGEINT)) s2, SUM(CAST(i2 AS HUGEINT) * i2)
+        |      ss2
+        |  FROM u)
+        |SELECT CAST(n AS BIGINT) n, CAST(3 AS BIGINT) k,
+        |  CASE WHEN CAST(n * stt - st * st AS DOUBLE) = 0.0 THEN NULL
+        |    ELSE 1.5 * (1.0 -
+        |      (CAST(n * ss0 - s0 * s0 AS DOUBLE)
+        |        + CAST(n * ss1 - s1 * s1 AS DOUBLE)
+        |        + CAST(n * ss2 - s2 * s2 AS DOUBLE))
+        |      / CAST(n * stt - st * st AS DOUBLE)) END alpha
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.cronbachAlpha(Tables.table(s, d, "lineitem"),
+        Seq(floor(col("l_quantity")).cast("long"),
+          floor(col("l_discount") * 100).cast("long"),
+          floor(col("l_tax") * 100).cast("long")))
+    },
+
+    // Cohen's d + Hedges' g (Stats.cohensD): effect size of the
+    // returned-flag split on price — the magnitude beside q166's
+    // Welch significance.
+    dfQ("q274_cohens_d",
+      """WITH t AS (SELECT l_returnflag = 'R' a,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) x FROM lineitem),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) n1,
+        |    SUM(CASE WHEN a THEN CAST(x AS HUGEINT) ELSE 0 END) s1,
+        |    SUM(CASE WHEN a THEN CAST(x AS HUGEINT) * x ELSE 0 END) ss1,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS HUGEINT) n2,
+        |    SUM(CASE WHEN NOT a THEN CAST(x AS HUGEINT) ELSE 0 END) s2,
+        |    SUM(CASE WHEN NOT a THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+        |      ss2
+        |  FROM t),
+        |e AS (SELECT CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) mean1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) mean2,
+        |    CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+        |      ELSE (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |        / SQRT((CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+        |              / CAST(n1 AS DOUBLE)
+        |            + CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+        |              / CAST(n2 AS DOUBLE))
+        |          / CAST(n1 + n2 - 2 AS DOUBLE)) END d
+        |  FROM m)
+        |SELECT n1, n2, mean1, mean2, d,
+        |  d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9)) hedges_g
+        |FROM e""".stripMargin) { (s, d) =>
+      Stats.cohensD(Tables.table(s, d, "lineitem"),
+        col("l_returnflag") === "R",
+        floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // Paired t-test (Stats.pairedT): per-user purchase-vs-other spend
+    // difference — the within-subject test that removes between-user
+    // variance; key-ordered diff folds.
+    dfQ("q275_paired_t",
+      """WITH k AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) n1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) s1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) n2,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) s2
+        |  FROM events GROUP BY user_id),
+        |dd AS (SELECT user_id,
+        |    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 d
+        |  FROM k WHERE n1 > 0 AND n2 > 0),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        |    LIST_REDUCE(LIST(d ORDER BY user_id), (a, b) -> a + b) sd,
+        |    LIST_REDUCE(LIST(d * d ORDER BY user_id), (a, b) -> a + b)
+        |      sdd
+        |  FROM dd)
+        |SELECT n, sd / n mean_diff,
+        |  CASE WHEN n < 2 OR (sdd - sd * sd / n) / (n - 1) <= 0
+        |    THEN NULL
+        |    ELSE (sd / n) / SQRT(((sdd - sd * sd / n) / (n - 1)) / n)
+        |  END t
+        |FROM f""".stripMargin) { (s, d) =>
+      Stats.pairedT(Tables.events(s, d), "user_id",
+        col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long"))
     }
   )
 }

@@ -2167,6 +2167,57 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Stats.cronbachAlpha / cohensD / pairedT ------------------------------
+
+  test("cronbachAlpha: parallel items score high; independent items low") {
+    // three noisy copies of one latent score → high alpha
+    val good = (1 to 60).map { i =>
+      val z = (i % 10).toLong
+      (z + i % 2, z + (i / 2) % 2, z + (i / 3) % 2) }
+      .toDF("a", "b", "c")
+    val ga = Stats.cronbachAlpha(good,
+      Seq(col("a"), col("b"), col("c"))).collect()(0)
+    assert(ga.getAs[Long]("k") == 3L &&
+      ga.getAs[Double]("alpha") > 0.8, ga.toString)
+    // independent items → alpha near 0 (can be negative)
+    val bad = (1 to 60).map(i =>
+      ((i % 7).toLong, ((i * 3) % 5).toLong, ((i * 11) % 4).toLong))
+      .toDF("a", "b", "c")
+    assert(Stats.cronbachAlpha(bad, Seq(col("a"), col("b"), col("c")))
+      .collect()(0).getAs[Double]("alpha") < 0.4)
+  }
+
+  test("cohensD: hand effect size; Hedges shrinks toward zero") {
+    // arm1 mean 12, arm2 mean 10, both sd via hand moments
+    val d = (Seq(10L, 12L, 14L).map((true, _)) ++
+      Seq(9L, 10L, 11L).map((false, _))).toDF("a", "x")
+    val r = Stats.cohensD(d, col("a"), col("x")).collect()(0)
+    // css1 = 8, css2 = 2, pooled var = 10/4 = 2.5 → d = 2/sqrt(2.5)
+    assert(math.abs(r.getAs[Double]("d") - 2.0 / math.sqrt(2.5)) < 1e-12)
+    val g = r.getAs[Double]("hedges_g")
+    assert(math.abs(g) < math.abs(r.getAs[Double]("d")) && g > 0)
+    // a 1-row arm is NULL, not a crash
+    val tiny = Seq((true, 5L), (false, 1L), (false, 2L)).toDF("a", "x")
+    assert(Stats.cohensD(tiny, col("a"), col("x")).collect()(0).isNullAt(4))
+  }
+
+  test("pairedT: planted constant shift detected; keys missing a side drop") {
+    // every key: condition-true values exactly 5 higher (+ tiny wiggle)
+    val rows = (1L to 12L).flatMap { k =>
+      Seq((k, true, 20L + k + (k % 2)), (k, true, 22L + k),
+        (k, false, 16L + k), (k, false, 17L + k + (k % 3)))
+    }.toDF("k", "c", "x")
+    val r = Stats.pairedT(rows, "k", col("c"), col("x")).collect()(0)
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("mean_diff") > 4.0 &&
+      r.getAs[Double]("t") > 10.0, r.toString)
+    // a key with only one condition is excluded from the pairing
+    val withLoner = rows.unionByName(Seq((99L, true, 100L))
+      .toDF("k", "c", "x"))
+    assert(Stats.pairedT(withLoner, "k", col("c"), col("x"))
+      .collect()(0).getAs[Long]("n") == 12L)
+  }
+
   // --- Stats.corrTest / partialCorr -----------------------------------------
 
   test("corrTest: known r and t; degenerate and perfect cases NULL") {
