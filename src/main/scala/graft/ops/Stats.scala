@@ -229,6 +229,123 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Cochran–Armitage trend test — is a binary rate MONOTONE in an
+    * ordered exposure (defect rate by batch size bucket, conversion
+    * by engagement tier)? χ² treats the groups as unordered and
+    * throws the ordering away; the trend statistic
+    * z² = [Σ w(y_g − n_g·p̄)]² / (p̄(1−p̄)·[Σ w²n_g − (Σ w n_g)²/N])
+    * uses the integral scores `w` = the group keys themselves. ONE
+    * grouped conditional count; every sum is DECIMAL(38,0)-exact and
+    * the statistic is a fixed tree with three divisions. NULL on a
+    * degenerate p̄ ∈ {0, 1} or zero score spread. */
+  def cochranArmitage(df: DataFrame, score: Column, outcome: Column)
+      : DataFrame = {
+    val cells = df.select(score.cast("long").as("__w"),
+        when(outcome, 1L).otherwise(0L).as("__y"))
+      .filter(col("__w").isNotNull)
+      .groupBy("__w").agg(count(lit(1)).as("ng"), sum("__y").as("yg"))
+    val m = cells.agg(sum(col("ng").cast(dec38)).as("n"),
+      sum(col("yg").cast(dec38)).as("y"),
+      sum((col("__w") * col("ng")).cast(dec38)).as("swn"),
+      sum((col("__w") * col("yg")).cast(dec38)).as("swy"),
+      sum((col("__w") * col("__w")).cast(dec38) * col("ng").cast(dec38))
+        .as("swwn"))
+    val pbar = col("y").cast("double") / col("n").cast("double")
+    val num = col("swy").cast("double") -
+      col("swn").cast("double") * pbar
+    val spread = col("swwn").cast("double") -
+      col("swn").cast("double") * col("swn").cast("double") /
+        col("n").cast("double")
+    m.select(col("n").cast("long").as("n"),
+      col("y").cast("long").as("n_pos"), pbar.as("p_bar"),
+      when(pbar <= 0.0 || pbar >= 1.0 || spread <= 0.0, lit(null))
+        .otherwise(num * num / (pbar * (lit(1.0) - pbar) * spread))
+        .as("z2"))
+  }
+
+  /** Kendall's tau-b from the CONTINGENCY table — rank correlation of
+    * two ORDINAL variables with tie correction, computed entirely on
+    * the cell table (all-pairs τ is O(n²) and dead at scale; the cell
+    * form is exact and cellcount²-bounded — use bucketed/ordinal
+    * inputs, which is what τ-b is for): concordant/discordant pair
+    * counts are Σ over cell pairs of n_ij·n_kl with (i−k)(j−l) > 0
+    * resp. < 0, and τ_b = (C − D)/√((n₀−n₁)(n₀−n₂)). All counts
+    * DECIMAL-exact; one division over two sqrts. */
+  def kendallTauB(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("c"))
+    val a = cells.select(col("__x").as("xi"), col("__y").as("yi"),
+      col("c").as("ci"))
+    val b = cells.select(col("__x").as("xk"), col("__y").as("yk"),
+      col("c").as("ck"))
+    val pairSums = a.crossJoin(b)
+      .agg(
+        sum(when(col("xi") < col("xk") && col("yi") < col("yk"),
+          (col("ci") * col("ck")).cast(dec38))
+          .otherwise(lit(0).cast(dec38))).as("cc"),
+        sum(when(col("xi") < col("xk") && col("yi") > col("yk"),
+          (col("ci") * col("ck")).cast(dec38))
+          .otherwise(lit(0).cast(dec38))).as("dd"))
+    val marg = cells.agg(sum(col("c").cast(dec38)).as("n"),
+      sum((col("c") * (col("c") - 1)).cast(dec38)).as("tpairs"))
+    val tx = cells.groupBy("__x").agg(sum("c").as("nx"))
+      .agg(sum((col("nx") * (col("nx") - 1)).cast(dec38)).as("n1x"))
+    val ty = cells.groupBy("__y").agg(sum("c").as("ny"))
+      .agg(sum((col("ny") * (col("ny") - 1)).cast(dec38)).as("n1y"))
+    pairSums.crossJoin(broadcast(marg)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        {
+          val n0 = (col("n") * (col("n") - 1)).cast("double") / 2.0
+          val n1 = col("n1x").cast("double") / 2.0
+          val n2 = col("n1y").cast("double") / 2.0
+          when((n0 - n1) <= 0.0 || (n0 - n2) <= 0.0, lit(null))
+            .otherwise((col("cc") - col("dd")).cast("double") /
+              (sqrt(n0 - n1) * sqrt(n0 - n2)))
+        }.as("tau_b"))
+  }
+
+  /** Wald–Wolfowitz runs test — is a time-ordered boolean sequence
+    * RANDOM, or does it clump (autocorrelated residual signs, bursty
+    * failures, streaky labels)? R = number of runs = 1 + sign changes
+    * (ONE lag window over the ordered series); under randomness
+    * μ = 1 + 2n₁n₂/n and σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1));
+    * z = (R − μ)/σ. Counts and the lag comparison are integral; μ, σ
+    * and z are fixed trees with DECIMAL-exact numerators. NULL when
+    * either symbol is absent or σ² ≤ 0. */
+  def runsTest(df: DataFrame, tsCol: String, idCol: String,
+               flag: Column): DataFrame = {
+    val w = Window.orderBy(col("__ts"), col("__id"))
+    val seq0 = df.select(col(tsCol).as("__ts"), col(idCol).as("__id"),
+        when(flag, 1L).otherwise(0L).as("__f"))
+      .withColumn("__prev", lag("__f", 1).over(w))
+    seq0.agg(count(lit(1)).cast(dec38).as("n"),
+        sum("__f").cast(dec38).as("n1"),
+        (lit(1L) + sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col("__f"), 1L).otherwise(0L))).cast("long")
+          .as("runs"))
+      .withColumn("n2", col("n") - col("n1"))
+      .select(col("n").cast("long").as("n"),
+        col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"), col("runs"),
+        {
+          val twoN1N2 = (lit(2).cast(dec38) * col("n1") * col("n2"))
+          val mu = lit(1.0) + twoN1N2.cast("double") /
+            col("n").cast("double")
+          val varNum = (twoN1N2 * (twoN1N2 - col("n"))).cast("double")
+          val varDen = (col("n") * col("n") * (col("n") - 1))
+            .cast("double")
+          val v = varNum / varDen
+          when(col("n1") === lit(0).cast(dec38) ||
+            col("n2") === lit(0).cast(dec38) || v <= 0.0, lit(null))
+            .otherwise((col("runs").cast("double") - mu) / sqrt(v))
+        }.as("z"))
+  }
+
   /** Cronbach's alpha — internal-consistency of k parallel item
     * scores (rater panels, rubric dimensions, ensemble member
     * scores): α = k/(k−1) · (1 − Σ var_i / var_total), the "do these

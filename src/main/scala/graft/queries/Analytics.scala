@@ -3957,6 +3957,107 @@ object Analytics {
       Stats.pairedT(Tables.events(s, d), "user_id",
         col("event_type") === "purchase",
         floor(col("value") * 100).cast("long"))
+    },
+
+    // Cochran–Armitage trend (Stats.cochranArmitage): is the returned
+    // rate monotone in quantity — the ordered-exposure test χ²
+    // throws away. Integral scores, exact sums, three divisions.
+    dfQ("q276_cochran_armitage",
+      """WITH c AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) w,
+        |    CAST(COUNT(*) AS BIGINT) ng,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) yg
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(SUM(ng) AS HUGEINT) n,
+        |    CAST(SUM(yg) AS HUGEINT) y,
+        |    SUM(CAST(w * ng AS HUGEINT)) swn,
+        |    SUM(CAST(w * yg AS HUGEINT)) swy,
+        |    SUM(CAST(w * w AS HUGEINT) * ng) swwn
+        |  FROM c),
+        |e AS (SELECT CAST(n AS BIGINT) n, CAST(y AS BIGINT) n_pos,
+        |    CAST(y AS DOUBLE) / CAST(n AS DOUBLE) p_bar,
+        |    CAST(swy AS DOUBLE) - CAST(swn AS DOUBLE)
+        |      * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)) num,
+        |    CAST(swwn AS DOUBLE) - CAST(swn AS DOUBLE)
+        |      * CAST(swn AS DOUBLE) / CAST(n AS DOUBLE) spread
+        |  FROM m)
+        |SELECT n, n_pos, p_bar,
+        |  CASE WHEN p_bar <= 0.0 OR p_bar >= 1.0 OR spread <= 0.0
+        |    THEN NULL
+        |    ELSE num * num / (p_bar * (1.0 - p_bar) * spread) END z2
+        |FROM e""".stripMargin) { (s, d) =>
+      Stats.cochranArmitage(Tables.table(s, d, "lineitem"),
+        floor(col("l_quantity")).cast("long"),
+        col("l_returnflag") === "R")
+    },
+
+    // Kendall tau-b over the contingency table (Stats.kendallTauB):
+    // ordinal association of quantity and discount with tie
+    // correction — cell-pair sums, never all-row pairs.
+    dfQ("q277_kendall_tau",
+      """WITH cells AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) x,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) y,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT
+        |    SUM(CASE WHEN a.x < b.x AND a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) cc,
+        |    SUM(CASE WHEN a.x < b.x AND a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) dd
+        |  FROM cells a CROSS JOIN cells b),
+        |m AS (SELECT CAST(SUM(c) AS HUGEINT) n FROM cells),
+        |tx AS (SELECT SUM(CAST(nx * (nx - 1) AS HUGEINT)) n1x
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) nx FROM cells GROUP BY x)),
+        |ty AS (SELECT SUM(CAST(ny * (ny - 1) AS HUGEINT)) n1y
+        |  FROM (SELECT CAST(SUM(c) AS BIGINT) ny FROM cells GROUP BY y))
+        |SELECT CAST(n AS BIGINT) n, CAST(cc AS BIGINT) concordant,
+        |  CAST(dd AS BIGINT) discordant,
+        |  CASE WHEN CAST(n * (n - 1) AS DOUBLE) / 2.0
+        |      - CAST(n1x AS DOUBLE) / 2.0 <= 0.0
+        |    OR CAST(n * (n - 1) AS DOUBLE) / 2.0
+        |      - CAST(n1y AS DOUBLE) / 2.0 <= 0.0 THEN NULL
+        |    ELSE CAST(cc - dd AS DOUBLE)
+        |      / (SQRT(CAST(n * (n - 1) AS DOUBLE) / 2.0
+        |          - CAST(n1x AS DOUBLE) / 2.0)
+        |        * SQRT(CAST(n * (n - 1) AS DOUBLE) / 2.0
+        |          - CAST(n1y AS DOUBLE) / 2.0))
+        |  END tau_b
+        |FROM p CROSS JOIN m CROSS JOIN tx CROSS JOIN ty""".stripMargin) {
+        (s, d) =>
+      Stats.kendallTauB(Tables.table(s, d, "lineitem"),
+        floor(col("l_quantity")).cast("long"),
+        floor(col("l_discount") * 100).cast("long"))
+    },
+
+    // Runs test (Stats.runsTest): are high-value events randomly
+    // interleaved in time or clumped — one lag window, exact counts,
+    // fixed z tree.
+    dfQ("q278_runs_test",
+      """WITH s AS (SELECT ts, event_id,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END f
+        |  FROM events),
+        |l AS (SELECT f, LAG(f) OVER (ORDER BY ts, event_id) p FROM s),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    CAST(SUM(f) AS HUGEINT) n1,
+        |    CAST(1 + SUM(CASE WHEN p IS NOT NULL AND p <> f
+        |      THEN 1 ELSE 0 END) AS BIGINT) runs
+        |  FROM l)
+        |SELECT CAST(n AS BIGINT) n, CAST(n1 AS BIGINT) n1,
+        |  CAST(n - n1 AS BIGINT) n2, runs,
+        |  CASE WHEN n1 = 0 OR n - n1 = 0
+        |    OR CAST(2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n)
+        |        AS DOUBLE)
+        |      / CAST(n * n * (n - 1) AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE (CAST(runs AS DOUBLE)
+        |      - (1.0 + CAST(2 * n1 * (n - n1) AS DOUBLE)
+        |        / CAST(n AS DOUBLE)))
+        |      / SQRT(CAST(2 * n1 * (n - n1) * (2 * n1 * (n - n1) - n)
+        |          AS DOUBLE)
+        |        / CAST(n * n * (n - 1) AS DOUBLE))
+        |  END z
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.runsTest(Tables.events(s, d), "ts", "event_id",
+        col("value") > 50.0)
     }
   )
 }

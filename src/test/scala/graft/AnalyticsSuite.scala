@@ -2167,6 +2167,54 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Stats.cochranArmitage / kendallTauB / runsTest -----------------------
+
+  test("cochranArmitage: monotone rates large z2; flat rates ~0") {
+    // rate rises 10% → 50% across scores 1..5, 100 per group
+    val up = (1 to 5).flatMap { w =>
+      (1 to 100).map(i => (w.toLong, i <= w * 10)) }.toDF("w", "y")
+    val r = Stats.cochranArmitage(up, col("w"), col("y")).collect()(0)
+    assert(r.getAs[Double]("z2") > 40, r.toString) // hand: ~47.6
+    val flat = (1 to 5).flatMap { w =>
+      (1 to 100).map(i => (w.toLong, i <= 30)) }.toDF("w", "y")
+    assert(Stats.cochranArmitage(flat, col("w"), col("y")).collect()(0)
+      .getAs[Double]("z2") < 1e-9)
+  }
+
+  test("kendallTauB: monotone +1, reversed -1, ties corrected") {
+    // sqrt(n0)·sqrt(n0) can miss n0 by an ulp, so tolerance not equality
+    val mono = (1L to 10L).map(i => (i, i * 2)).toDF("x", "y")
+    assert(math.abs(Stats.kendallTauB(mono, col("x"), col("y"))
+      .collect()(0).getAs[Double]("tau_b") - 1.0) < 1e-12)
+    val rev = (1L to 10L).map(i => (i, -i)).toDF("x", "y")
+    assert(math.abs(Stats.kendallTauB(rev, col("x"), col("y"))
+      .collect()(0).getAs[Double]("tau_b") + 1.0) < 1e-12)
+    // hand 2x2 with ties: x∈{0,1}, y∈{0,1}, diag-heavy
+    val t22 = (Seq.fill(30)((0L, 0L)) ++ Seq.fill(10)((0L, 1L)) ++
+      Seq.fill(10)((1L, 0L)) ++ Seq.fill(30)((1L, 1L))).toDF("x", "y")
+    val r = Stats.kendallTauB(t22, col("x"), col("y")).collect()(0)
+    assert(r.getAs[Long]("concordant") == 900L &&
+      r.getAs[Long]("discordant") == 100L)
+    // n0 = 3160, n1 = n2 = Σ40·39/2·2 = 1560 → τ = 800/1600 = 0.5
+    assert(r.getAs[Double]("tau_b") == 0.5, r.toString)
+  }
+
+  test("runsTest: alternating sequence z >> 0; blocked sequence z << 0") {
+    val ts = (i: Int) => new java.sql.Timestamp(i * 1000L)
+    val alt = (0 until 40).map(i => (ts(i), i.toLong, i % 2 == 0))
+      .toDF("ts", "id", "f")
+    val ra = Stats.runsTest(alt, "ts", "id", col("f")).collect()(0)
+    assert(ra.getAs[Long]("runs") == 40L && ra.getAs[Double]("z") > 4)
+    val blocked = (0 until 40).map(i => (ts(i), i.toLong, i < 20))
+      .toDF("ts", "id", "f")
+    val rb = Stats.runsTest(blocked, "ts", "id", col("f")).collect()(0)
+    assert(rb.getAs[Long]("runs") == 2L && rb.getAs[Double]("z") < -4)
+    // single-symbol sequence: undefined, NULL not crash
+    val mono = (0 until 9).map(i => (ts(i), i.toLong, true)).toDF("ts", "id", "f")
+    assert(Stats.runsTest(mono, "ts", "id", col("f")).collect()(0)
+      .isNullAt(4))
+  }
+
   // --- Stats.cronbachAlpha / cohensD / pairedT ------------------------------
 
   test("cronbachAlpha: parallel items score high; independent items low") {

@@ -329,7 +329,8 @@ class ScaleSuite extends SparkTestBase {
       "q263_rolling_origin",   // 1-row corpus-end + k-row fold table
       "q264_decompose",        // CROSS JOIN with the 1-row centering scalar
       "q265_multinomial_gof",  // CROSS JOIN with the 1-row total scalar
-      "q267_burstiness")       // CROSS JOIN with the 1-row doc-count scalar
+      "q267_burstiness",       // CROSS JOIN with the 1-row doc-count scalar
+      "q277_kendall_tau")      // deliberate cell-table cross (cells², never rows²)
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
