@@ -652,6 +652,42 @@ class PipelineSuite extends SparkTestBase {
     }
   }
 
+  test("T-P15: MixtureGateStage checks the landed mix against its recipe") {
+    val out = tmp()
+    val spec = s"""{
+      "name": "tp15",
+      "extracts": [
+        {"view": "documents", "format": "parquet", "path": "$sf0001/documents.parquet"}],
+      "transforms": [
+        {"view": "fit", "className": "graft.pipeline.stages.MixtureGateStage",
+         "inputs": ["documents"],
+         "options": {"catCol": "lang",
+                     "targets": "en:0.5,de:0.2,fr:0.15,es:0.1,zh:0.05"}},
+        {"view": "verdict", "sql": "SELECT k, n, chi2 FROM fit"}],
+      "loads": [
+        {"format": "parquet", "path": "$out/fit"}]
+    }"""
+    PipelineRunner.runJson(spark, spec)
+    val back = spark.read.parquet(s"$out/fit").head()
+    assert(back.getAs[Long]("k") == 5L)
+    assert(back.getAs[Long]("n") ==
+      spark.read.parquet(s"$sf0001/documents.parquet").count())
+    assert(back.getAs[Double]("chi2") >= 0.0)
+    // an observed category the recipe does not know fails the load
+    intercept[Exception] {
+      PipelineRunner.runJson(spark, s"""{
+        "name": "tp15bad",
+        "extracts": [
+          {"view": "documents", "format": "parquet", "path": "$sf0001/documents.parquet"}],
+        "transforms": [
+          {"view": "fit", "className": "graft.pipeline.stages.MixtureGateStage",
+           "inputs": ["documents"],
+           "options": {"catCol": "lang", "targets": "en:0.5,de:0.5"}}],
+        "loads": [{"format": "parquet", "path": "$out/bad"}]
+      }""")
+    }
+  }
+
   test("spec validation rejects malformed pipelines") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson("""{"name":"x","extracts":[]}""")
