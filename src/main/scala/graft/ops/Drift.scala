@@ -186,4 +186,46 @@ object Drift {
         sum("nb").cast("long").as("n_b"),
         count(lit(1)).cast("long").as("n_categories"))
   }
+
+  /** The remaining classical distribution distances in one pass —
+    * total variation TV = ½·Σ|p − q| (the "what fraction of mass
+    * moved" readout, the tightest bound on any event-probability
+    * shift), Bhattacharyya coefficient BC = Σ√(p·q) (overlap ∈
+    * [0, 1]) and squared Hellinger H² = 1 − BC (a proper bounded
+    * metric where KL/PSI blow up on zeros). Complements
+    * [[jsDivergence]] (information-theoretic) and [[psiCategorical]]
+    * (ε-floored, industry-conventional): same tagged-union + ONE
+    * grouped count shape, category-keyspace state. Determinism:
+    * integral counts, shares divided once, |p−q| and √(p·q) are
+    * correctly-rounded singles, both totals fold in sorted category
+    * order (in-row ordered folds). */
+  def distributionDistances(a: DataFrame, b: DataFrame, c: String)
+      : DataFrame = {
+    val counts = a.select(col(c).cast("string").as("category"))
+      .withColumn("__side", lit("a"))
+      .unionByName(b.select(col(c).cast("string").as("category"))
+        .withColumn("__side", lit("b")))
+      .groupBy("category")
+      .agg(sum(when(col("__side") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("nb"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val p = col("na") / sum("na").over(wAll)
+    val q = col("nb") / sum("nb").over(wAll)
+    def fold(t: Column, name: String) =
+      aggregate(
+        array_sort(collect_list(struct(col("category"), t.as("__t")))),
+        lit(0.0), (acc, e) => acc + e.getField("__t")).as(name)
+    counts
+      .select(col("category"), col("na"), col("nb"),
+        abs(p - q).as("__tv"), sqrt(p * q).as("__bc"))
+      .agg(fold(col("__tv"), "__tvs"), fold(col("__bc"), "bc"),
+        sum("na").cast("long").as("n_a"),
+        sum("nb").cast("long").as("n_b"),
+        count(lit(1)).cast("long").as("n_categories"))
+      .select(col("n_a"), col("n_b"), col("n_categories"),
+        (lit(0.5) * col("__tvs")).as("total_variation"),
+        col("bc").as("bhattacharyya"),
+        (lit(1.0) - col("bc")).as("hellinger_sq"))
+  }
 }

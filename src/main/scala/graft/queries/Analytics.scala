@@ -4058,6 +4058,44 @@ object Analytics {
         |FROM m""".stripMargin) { (s, d) =>
       Stats.runsTest(Tables.events(s, d), "ts", "event_id",
         col("value") > 50.0)
+    },
+
+    // Distribution distances (Drift.distributionDistances): total
+    // variation, Bhattacharyya overlap and squared Hellinger between
+    // two sources' token mixes — ONE grouped count, sorted-category
+    // folds, bounded metrics beside q201's JS and q130's PSI.
+    dfQ("q279_dist_distances",
+      """WITH ta AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |  FROM documents WHERE source = 'src0'),
+        |tb AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) tok
+        |  FROM documents WHERE source = 'src1'),
+        |u AS (SELECT tok category, 'a' side FROM ta WHERE tok <> ''
+        |  UNION ALL SELECT tok, 'b' FROM tb WHERE tok <> ''),
+        |c AS (SELECT category,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      na,
+        |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      nb
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT category, na, nb,
+        |    ABS(na / SUM(na) OVER () - nb / SUM(nb) OVER ()) tv,
+        |    SQRT((na / SUM(na) OVER ()) * (nb / SUM(nb) OVER ())) bc
+        |  FROM c)
+        |SELECT CAST(SUM(na) AS BIGINT) n_a, CAST(SUM(nb) AS BIGINT) n_b,
+        |  CAST(COUNT(*) AS BIGINT) n_categories,
+        |  0.5 * LIST_REDUCE(LIST(tv ORDER BY category), (a, b) -> a + b)
+        |    total_variation,
+        |  LIST_REDUCE(LIST(bc ORDER BY category), (a, b) -> a + b)
+        |    bhattacharyya,
+        |  1.0 - LIST_REDUCE(LIST(bc ORDER BY category), (a, b) -> a + b)
+        |    hellinger_sq
+        |FROM w""".stripMargin) { (s, d) =>
+      val docs = Tables.table(s, d, "documents")
+      def toks(src: String) = docs.filter(col("source") === src)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.Drift.distributionDistances(toks("src0"), toks("src1"),
+        "tok")
     }
   )
 }

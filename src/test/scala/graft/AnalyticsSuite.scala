@@ -2167,6 +2167,26 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Drift.distributionDistances ------------------------------------------
+
+  test("distributionDistances: identical → 0 TV / BC 1; disjoint → TV 1 / BC 0") {
+    val a = Seq("x", "x", "y", "z").toDF("t")
+    val same = Drift.distributionDistances(a, a, "t").collect()(0)
+    assert(same.getAs[Double]("total_variation") == 0.0)
+    assert(math.abs(same.getAs[Double]("bhattacharyya") - 1.0) < 1e-12)
+    assert(math.abs(same.getAs[Double]("hellinger_sq")) < 1e-12)
+    val dis = Drift.distributionDistances(Seq("p", "q").toDF("t"),
+      Seq("r", "s").toDF("t"), "t").collect()(0)
+    assert(dis.getAs[Double]("total_variation") == 1.0 &&
+      dis.getAs[Double]("bhattacharyya") == 0.0)
+    // hand value: p = {x:1}, q = {x:.5, y:.5} → TV .5, BC √.5
+    val h = Drift.distributionDistances(Seq("x", "x").toDF("t"),
+      Seq("x", "y").toDF("t"), "t").collect()(0)
+    assert(h.getAs[Double]("total_variation") == 0.5)
+    assert(math.abs(h.getAs[Double]("bhattacharyya") - math.sqrt(0.5))
+      < 1e-12)
+  }
+
   // --- Stats.cochranArmitage / kendallTauB / runsTest -----------------------
 
   test("cochranArmitage: monotone rates large z2; flat rates ~0") {
