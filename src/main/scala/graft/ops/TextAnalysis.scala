@@ -421,6 +421,42 @@ object TextAnalysis {
         (col("cum").cast("double") / col("total")).as("coverage"))
   }
 
+  /** Pairwise vocabulary overlap between corpus slices — the
+    * source-level "do these corpora speak the same language" matrix:
+    * per (groupA < groupB), the shared type count and vocabulary
+    * Jaccard |V_a ∩ V_b| / |V_a ∪ V_b|. The slice-level complement to
+    * per-document near-dup: two sources can share no documents yet be
+    * near-identical in vocabulary (mirrors, translations of one feed)
+    * or share none of it (different domains). Inverted-index shape:
+    * distinct (group, type), self-join on the TYPE (posting lists are
+    * group-cardinality bounded — at most #groups per type), one
+    * grouped count; `minDf` drops singleton types first when noise
+    * swamps the signal. Counts integral; Jaccard ONE division. */
+  def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                   minDf: Long = 1L): DataFrame = {
+    val types0 = docs.select(col(groupCol).cast("string").as("g"),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("g", "token").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("g", "token")
+    val sizes = types0.groupBy("g").agg(count(lit(1)).as("v"))
+    val shared = types0.select(col("g").as("ga"), col("token"))
+      .join(types0.select(col("g").as("gb"), col("token")), Seq("token"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("g").as("ga"), col("v").as("vocab_a")), "ga")
+      .join(sizes.select(col("g").as("gb"), col("v").as("vocab_b")), "gb")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("vocab_a").cast("long").as("vocab_a"),
+        col("vocab_b").cast("long").as("vocab_b"),
+        col("shared").cast("long").as("shared"),
+        (col("shared").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("shared")))
+          .as("jaccard"))
+  }
+
   /** Informative-Dirichlet log-odds — Monroe/Colaresi/Quinn's
     * "fightin' words", THE corpus-diff statistic: which tokens
     * distinguish corpus A from corpus B, with the whole-corpus token

@@ -4096,6 +4096,33 @@ object Analytics {
         .filter(col("tok") =!= "")
       graft.ops.Drift.distributionDistances(toks("src0"), toks("src1"),
         "tok")
+    },
+
+    // Vocabulary overlap matrix (TextAnalysis.vocabOverlap): pairwise
+    // type-set Jaccard between the first five sources — the
+    // slice-level "same language?" readout; inverted-index join,
+    // group-bounded posting lists.
+    dfQ("q280_vocab_overlap",
+      """WITH ty AS (SELECT source g, tok token
+        |  FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) tok
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3','src4'))
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) v FROM ty GROUP BY g),
+        |sh AS (SELECT a.g ga, b.g gb, CAST(COUNT(*) AS BIGINT) shared
+        |  FROM ty a JOIN ty b ON a.token = b.token AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT ga group_a, gb group_b, sa.v vocab_a, sb.v vocab_b,
+        |  shared,
+        |  CAST(shared AS DOUBLE) / (sa.v + sb.v - shared) jaccard
+        |FROM sh JOIN sz sa ON sh.ga = sa.g JOIN sz sb ON sh.gb = sb.g
+        |ORDER BY group_a, group_b""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.vocabOverlap(
+          Tables.table(s, d, "documents")
+            .filter(col("source").isin("src0", "src1", "src2", "src3",
+              "src4")),
+          "source", "text")
+        .orderBy("group_a", "group_b")
     }
   )
 }

@@ -2167,6 +2167,26 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- TextAnalysis.vocabOverlap --------------------------------------------
+
+  test("vocabOverlap: hand Jaccard; minDf prunes singleton types") {
+    val docs = Seq(("a", "x y z"), ("a", "x y"), ("b", "x y w"),
+      ("c", "p q")).toDF("g", "text")
+    val out = TextAnalysis.vocabOverlap(docs, "g", "text")
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) -> r).toMap
+    // V_a = {x,y,z}, V_b = {x,y,w} → shared 2, union 4
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("shared") == 2L &&
+      ab.getAs[Double]("jaccard") == 0.5)
+    // c shares nothing → pairs with c absent entirely
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+    // minDf = 2: only types seen twice within a group survive —
+    // a keeps {x,y}, b keeps nothing → no pairs at all
+    assert(TextAnalysis.vocabOverlap(docs, "g", "text", minDf = 2L)
+      .count() == 0)
+  }
+
   // --- Drift.distributionDistances ------------------------------------------
 
   test("distributionDistances: identical → 0 TV / BC 1; disjoint → TV 1 / BC 0") {
