@@ -229,6 +229,48 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** One-way ANOVA on MEANS — the k-group generalization of the
+    * two-sample t ([[welchT]]) on the raw values ([[brownForsythe]]
+    * runs the same F on |x − median| to test SPREADS; [[kruskalWallis]]
+    * is its rank-based cousin): F = (SS_between/(k−1)) /
+    * (SS_within/(N−k)), plus η² = SS_between/SS_total — the effect
+    * size reviewers ask for next. ONE grouped aggregation of
+    * DECIMAL(38,0)-exact moments; the between-group Σ Sᵢ²/nᵢ folds in
+    * group order (in-row ordered fold — never a windowed double sum);
+    * the grand term and both df divisions are single divisions. NULL
+    * F on degenerate designs (k ≤ 1, N ≤ k, zero within-variance). */
+  def anovaF(df: DataFrame, groupCol: String, x: Column): DataFrame = {
+    val cells = df.select(col(groupCol).as("__g"),
+        x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast(dec38)).as("s"),
+        sum((col("__x") * col("__x")).cast(dec38)).as("ss"))
+    cells.agg(
+        count(lit(1)).cast("long").as("k"),
+        sum("n").cast("long").as("n"),
+        sum(col("s")).cast(dec38).as("__ts"),
+        sum(col("ss")).cast(dec38).as("__tss"),
+        aggregate(
+          array_sort(collect_list(struct(col("__g"),
+            (col("s").cast("double") * col("s").cast("double") /
+              col("n")).as("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("__bsum"))
+      .select(col("k"), col("n"),
+        (col("__bsum") - col("__ts").cast("double") *
+          col("__ts").cast("double") / col("n")).as("__between"),
+        (col("__tss").cast("double") - col("__bsum")).as("__within"),
+        (col("__tss").cast("double") - col("__ts").cast("double") *
+          col("__ts").cast("double") / col("n")).as("__total"))
+      .select(col("k"), col("n"),
+        when(col("k") <= 1 || col("n") <= col("k") ||
+          col("__within") <= 0, lit(null))
+          .otherwise((col("__between") / (col("k") - 1)) /
+            (col("__within") / (col("n") - col("k")))).as("f_stat"),
+        when(col("__total") <= 0, lit(null))
+          .otherwise(col("__between") / col("__total")).as("eta_sq"))
+  }
+
   /** Cochran–Armitage trend test — is a binary rate MONOTONE in an
     * ordered exposure (defect rate by batch size bucket, conversion
     * by engagement tier)? χ² treats the groups as unordered and

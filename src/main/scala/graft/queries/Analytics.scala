@@ -4123,6 +4123,37 @@ object Analytics {
               "src4")),
           "source", "text")
         .orderBy("group_a", "group_b")
+    },
+
+    // One-way ANOVA + eta² (Stats.anovaF): do mean prices differ by
+    // return flag — the k-group mean test beside q166 (2-group),
+    // q204 (ranks) and q234 (spreads); group-ordered between fold.
+    dfQ("q281_anova",
+      """WITH d AS (SELECT l_returnflag g,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) x
+        |  FROM lineitem),
+        |cl AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+        |    SUM(CAST(x AS HUGEINT)) s, SUM(CAST(x AS HUGEINT) * x) ss
+        |  FROM d GROUP BY g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) k,
+        |    CAST(SUM(n) AS BIGINT) n, SUM(s) ts, SUM(ss) tss,
+        |    LIST_REDUCE(LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+        |      ORDER BY g), (a, e) -> a + e) bsum
+        |  FROM cl),
+        |e AS (SELECT k, n,
+        |    bsum - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n between_,
+        |    CAST(tss AS DOUBLE) - bsum within_,
+        |    CAST(tss AS DOUBLE)
+        |      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / n total_
+        |  FROM t)
+        |SELECT k, n,
+        |  CASE WHEN k <= 1 OR n <= k OR within_ <= 0 THEN NULL
+        |    ELSE (between_ / (k - 1)) / (within_ / (n - k)) END f_stat,
+        |  CASE WHEN total_ <= 0 THEN NULL
+        |    ELSE between_ / total_ END eta_sq
+        |FROM e""".stripMargin) { (s, d) =>
+      Stats.anovaF(Tables.table(s, d, "lineitem"), "l_returnflag",
+        floor(col("l_extendedprice") * 100).cast("long"))
     }
   )
 }

@@ -2167,6 +2167,25 @@ class AnalyticsSuite extends SparkTestBase {
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
   }
 
+  // --- Stats.anovaF ---------------------------------------------------------
+
+  test("anovaF: textbook hand F and eta2; equal means give F ~ 0") {
+    // groups {1,2,3}, {2,3,4}, {5,6,7}: means 2/3/6, grand 11/3 →
+    // SS_between = 3·(25+4+49)/9 = 26, SS_within = 6, SS_total = 32
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L), ("c", 7L)).toDF("g", "x")
+    val r = Stats.anovaF(d, "g", col("x")).collect()(0)
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(math.abs(r.getAs[Double]("f_stat") - (26.0 / 2) / (6.0 / 6))
+      < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 26.0 / 32) < 1e-9)
+    val flat = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "x")
+    assert(math.abs(Stats.anovaF(flat, "g", col("x")).collect()(0)
+      .getAs[Double]("f_stat")) < 1e-12)
+  }
+
   // --- TextAnalysis.vocabOverlap --------------------------------------------
 
   test("vocabOverlap: hand Jaccard; minDf prunes singleton types") {
