@@ -4154,6 +4154,32 @@ object Analytics {
         |FROM e""".stripMargin) { (s, d) =>
       Stats.anovaF(Tables.table(s, d, "lineitem"), "l_returnflag",
         floor(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // Sample-ratio mismatch gate (Stats.multinomialGof over the hash
+    // split): is the 50/50 assignment actually 50/50 — the FIRST
+    // check of every A/B readout (a significant SRM chi2 invalidates
+    // the experiment before any metric is read).
+    dfQ("q282_srm",
+      """WITH a AS (SELECT CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5(
+        |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+        |      < 5000 THEN 'a' ELSE 'b' END arm
+        |  FROM orders),
+        |t AS (SELECT * FROM (VALUES ('a', 0.5), ('b', 0.5)) v(cat, p)),
+        |o AS (SELECT arm cat, CAST(COUNT(*) AS BIGINT) n
+        |  FROM a GROUP BY 1),
+        |j AS (SELECT t.cat, t.p, COALESCE(o.n, 0) n
+        |  FROM t LEFT JOIN o ON t.cat = o.cat),
+        |tt AS (SELECT CAST(SUM(n) AS DOUBLE) nn FROM j),
+        |w AS (SELECT cat, n, nn * p e FROM j CROSS JOIN tt)
+        |SELECT CAST(COUNT(*) AS BIGINT) k, CAST(SUM(n) AS BIGINT) n,
+        |  LIST_REDUCE(LIST((n - e) * (n - e) / e ORDER BY cat),
+        |    (a, b) -> a + b) chi2
+        |FROM w""".stripMargin) { (s, d) =>
+      val arms = Tables.table(s, d, "orders")
+        .select(when(Sampling.hashBucket(col("o_orderkey")) < 5000, "a")
+          .otherwise("b").as("arm"))
+      Stats.multinomialGof(arms, "arm", Seq(("a", 0.5), ("b", 0.5)))
     }
   )
 }

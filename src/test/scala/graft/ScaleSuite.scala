@@ -330,7 +330,8 @@ class ScaleSuite extends SparkTestBase {
       "q264_decompose",        // CROSS JOIN with the 1-row centering scalar
       "q265_multinomial_gof",  // CROSS JOIN with the 1-row total scalar
       "q267_burstiness",       // CROSS JOIN with the 1-row doc-count scalar
-      "q277_kendall_tau")      // deliberate cell-table cross (cells², never rows²)
+      "q277_kendall_tau",      // deliberate cell-table cross (cells², never rows²)
+      "q282_srm")              // CROSS JOIN with the 1-row total scalar (GOF)
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
