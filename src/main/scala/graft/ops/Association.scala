@@ -58,16 +58,39 @@ object Association {
     *
     * Determinism: counts integral; each cosine is co / (√cᵢ·√cⱼ) with
     * correctly-rounded sqrts — ONE division; the per-item top-k rank
-    * breaks cosine ties by neighbor id. */
+    * breaks cosine ties by neighbor id.
+    *
+    * `maxBasket` caps the per-user distinct-item basket: a user above
+    * the cap keeps only their `maxBasket` items of smallest
+    * md5(user‖item) — a fixed pseudo-random subsample, so the cap is
+    * deterministic and engine-replayable. The self-join's fan-out is
+    * then ≤ maxBasket² per user regardless of skew: one 10⁵-item bot
+    * account would otherwise alone contribute 10¹⁰ pairs (≈ the whole
+    * corpus's pair volume) to the shuffle. Recall trade-off: co-counts
+    * that depend on a capped user's dropped items are undercounted —
+    * acceptable for neighbor RANKING (heavy users carry near-zero
+    * signal per interaction; Sarwar et al. §4 downweights them
+    * outright), not for exact support counting (use [[liftPairs]] with
+    * a pre-filtered interaction table there). Default disables the cap
+    * so fixture-scale oracles replay the uncapped semantics. */
   def itemItemCosine(df: DataFrame, userCol: String, itemCol: String,
-                     k: Int, minCo: Long = 1L): DataFrame = {
+                     k: Int, minCo: Long = 1L,
+                     maxBasket: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxBasket >= 1, s"maxBasket must be >= 1, got $maxBasket")
     // the distinct interaction table feeds both self-join sides and the
     // singles count; a cache() here is a measured no-op — ReuseExchange
     // already shares the one materialized distinct across all three
     // consumers (A/B'd at sf0.1, identical timings)
-    val b = df.select(col(userCol).as("u"), col(itemCol).as("item"))
+    val b0 = df.select(col(userCol).as("u"), col(itemCol).as("item"))
       .distinct()
+    val b =
+      if (maxBasket == Int.MaxValue) b0
+      else b0.withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("u")
+            .orderBy(md5(concat_ws("#", col("u").cast("string"),
+              col("item").cast("string"))), col("item"))))
+        .filter(col("__r") <= maxBasket).drop("__r")
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
     // per-user self-join for the co-counts. The in-row alternative
     // (collect per-user baskets, explode i<j index pairs) was A/B'd

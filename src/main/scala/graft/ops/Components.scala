@@ -293,6 +293,9 @@ object Components {
       val grown = settled.unionByName(next).localCheckpoint()
       settled.unpersist(); frontier = next; settled = grown
     }
+    e.unpersist() // settled is localCheckpoint-ed; the mirrored edge
+    // cache would otherwise leak executor storage per call in a
+    // long-lived session
     settled
   }
 

@@ -450,7 +450,7 @@ object Stats {
     m.select(col("n1").cast("long").as("n1"),
         col("n2").cast("long").as("n2"),
         mean("1").as("mean1"), mean("2").as("mean2"),
-        when(col("n1") < 2 || col("n2") < 2, lit(null))
+        when(col("n1") < 2 || col("n2") < 2 || pooledVar <= 0, lit(null))
           .otherwise((mean("1") - mean("2")) / sqrt(pooledVar)).as("d"))
       .withColumn("d", when(col("d").isNaN, lit(null)).otherwise(col("d")))
       .withColumn("hedges_g",
@@ -1898,27 +1898,41 @@ object Stats {
     * mean (breaks on one outlier) and the median (discards 99% of the
     * data): drop the ⌊α·n⌋ smallest AND largest values, average the
     * rest. The complement to winsorizing (q162 clamps; this excises).
-    * One per-group ranking window + one grouped agg; the kept sum
-    * stays an exact integer (pass an integral x — fixed-point first)
-    * and the mean is ONE division, so the double hash-replays.
-    * Equal values are all kept or all dropped by rank order (id-free
-    * determinism: rank ties broken by value only — trimming a dup run
-    * partially is fine because the VALUES dropped are identical). */
+    * Runs entirely on the DISTINCT-VALUE table (the doubledRanks
+    * discipline): one grouped count collapses rows to (g, x, c) — a
+    * map-side-combined shuffle, value-cardinality sized — then the
+    * per-group prefix counts over that SMALL table place each value
+    * run at ranks (prefix, prefix+c]; intersecting the run with the
+    * kept band (cut, n−cut] gives the kept multiplicity per value, and
+    * the trimmed sum is Σ value·kept — exact integers throughout (pass
+    * an integral x — fixed-point first), ONE final division, so the
+    * double hash-replays. No row-scale sort window anywhere: a
+    * low-cardinality group key (q243 groups by returnflag — 3 groups
+    * at any SF) would otherwise funnel the WHOLE table through 3
+    * window partitions. A dup run straddling the cut is trimmed
+    * partially — identical semantics to rank-trimming with value-only
+    * tie-break, because the dropped VALUES are identical. */
   def trimmedMean(df: DataFrame, groupCol: String, x: Column,
                   alpha: Double): DataFrame = {
     require(alpha >= 0 && alpha < 0.5, s"alpha in [0,0.5), got $alpha")
     val d = df.select(col(groupCol).as("g"), x.cast("long").as("__x"))
       .filter(col("__x").isNotNull)
-    val w = Window.partitionBy("g").orderBy(col("__x"))
-    val ranked = d.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("g")))
+    val dv = d.groupBy("g", "__x").agg(count(lit(1)).as("__c"))
+    val wp = Window.partitionBy("g").orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = dv
+      .withColumn("__upto", sum("__c").over(wp)) // rows with value <= x
+      .withColumn("__n", sum("__c").over(Window.partitionBy("g")))
     val cut = floor(col("__n") * alpha).cast("long")
-    ranked.filter(col("__rn") > cut && col("__rn") <= col("__n") - cut)
+    val kept = least(col("__upto"), col("__n") - cut) -
+      greatest(col("__upto") - col("__c"), cut)
+    pref.withColumn("__kept", greatest(kept, lit(0L)))
+      .filter(col("__kept") > 0)
       .groupBy("g")
-      .agg(count(lit(1)).cast("long").as("n_kept"),
+      .agg(sum("__kept").cast("long").as("n_kept"),
         max(col("__n")).cast("long").as("n"),
-        (sum(col("__x").cast(dec38)).cast("double") / count(lit(1)))
-          .as("trimmed_mean"))
+        (sum(col("__x").cast(dec38) * col("__kept")).cast("double") /
+          sum("__kept")).as("trimmed_mean"))
       .withColumnRenamed("g", groupCol)
   }
 

@@ -125,34 +125,39 @@ object Analytics {
     dfQ("q156_corr_matrix",
       """SELECT * FROM (
         |  SELECT 'l_discount' col_a, 'l_extendedprice' col_b,
-        |    ROUND(CORR(l_discount, l_extendedprice), 4) corr,
-        |    ROUND(COVAR_SAMP(l_discount, l_extendedprice), 4) cov
+        |    ROUND(CORR(l_discount, l_extendedprice), 4) + 0.0 corr,
+        |    ROUND(COVAR_SAMP(l_discount, l_extendedprice), 4) + 0.0 cov
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', 'l_quantity',
-        |    ROUND(CORR(l_discount, l_quantity), 4), ROUND(COVAR_SAMP(l_discount, l_quantity), 4)
+        |    ROUND(CORR(l_discount, l_quantity), 4) + 0.0, ROUND(COVAR_SAMP(l_discount, l_quantity), 4) + 0.0
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', 'l_tax',
-        |    ROUND(CORR(l_discount, l_tax), 4), ROUND(COVAR_SAMP(l_discount, l_tax), 4)
+        |    ROUND(CORR(l_discount, l_tax), 4) + 0.0, ROUND(COVAR_SAMP(l_discount, l_tax), 4) + 0.0
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', 'l_quantity',
-        |    ROUND(CORR(l_extendedprice, l_quantity), 4), ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4)
+        |    ROUND(CORR(l_extendedprice, l_quantity), 4) + 0.0, ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) + 0.0
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', 'l_tax',
-        |    ROUND(CORR(l_extendedprice, l_tax), 4), ROUND(COVAR_SAMP(l_extendedprice, l_tax), 4)
+        |    ROUND(CORR(l_extendedprice, l_tax), 4) + 0.0, ROUND(COVAR_SAMP(l_extendedprice, l_tax), 4) + 0.0
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_quantity', 'l_tax',
-        |    ROUND(CORR(l_quantity, l_tax), 4), ROUND(COVAR_SAMP(l_quantity, l_tax), 4)
+        |    ROUND(CORR(l_quantity, l_tax), 4) + 0.0, ROUND(COVAR_SAMP(l_quantity, l_tax), 4) + 0.0
         |  FROM lineitem) t
         |ORDER BY col_a, col_b""".stripMargin) { (s, d) =>
+      // + 0.0 normalizes IEEE negative zero: DuckDB ROUND keeps the sign of
+      // a tiny negative (-0.0) while Spark round (BigDecimal) drops it, and
+      // the driver serializer distinguishes "-0.0" from "0.0" (the one
+      // divergence the r8/r9 harness found here).
       Stats.corrMatrix(Tables.table(s, d, "lineitem"),
           Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
         .select(col("col_a"), col("col_b"),
-          round(col("corr"), 4).as("corr"), round(col("cov"), 4).as("cov"))
+          (round(col("corr"), 4) + 0.0).as("corr"),
+          (round(col("cov"), 4) + 0.0).as("cov"))
         .orderBy("col_a", "col_b")
     },
 
@@ -860,10 +865,16 @@ object Analytics {
     // standing half absorbs the delta half through hll_union_agg, and
     // the estimate is read AFTER the merge. This is how distinct
     // counts work at 100 TB: per-partition sketches union losslessly,
-    // raw history is never rescanned. Rows-only by design (DuckDB has
-    // no Datasketches HLL to replay); the suite pins estimate-lossless
-    // union (merged ≡ single-pass, exactly) and ≤5% error vs exact,
-    // and the ST18 streaming test folds the same measure.
+    // raw history is never rescanned. Rows-only by NECESSITY, measured
+    // (r10): not just "DuckDB lacks Datasketches" — the sketch bytes
+    // are layout-dependent (list/set→dense promotion points follow
+    // per-partition insertion order) and once dense even the ESTIMATE
+    // varies ±1% with partition layout (the union's HIP accumulator is
+    // merge-order-dependent), so no register or estimate surface hashes
+    // deterministically at scale. The suite pins what is true instead:
+    // set-mode counts are exact and layout-invariant, dense estimates
+    // hold the ±5% band on every layout, merged ≡ single-pass on the
+    // fixture, and the ST18 streaming test folds the same measure.
     Support.sparkOnly("q178_sketch_rollup") { (s, d) =>
       val ev = Tables.table(s, d, "events")
       val keys = Seq("event_type")
@@ -3033,12 +3044,20 @@ object Analytics {
         |    c - LEAST(0, MIN(c) OVER (PARTITION BY k ORDER BY ts, id
         |      ROWS UNBOUNDED PRECEDING)) s
         |  FROM c)
-        |SELECT k user_id, ts, id event_id, x, s cusum_stat
+        |SELECT k user_id, DATE_TRUNC('second', ts) ts, id event_id, x,
+        |  CAST(s AS BIGINT) cusum_stat
         |FROM s WHERE s >= 20000
         |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      // Serialization per SURVEY 5.3: the emitted event timestamp is
+      // second-truncated (the window recursion still orders on the raw
+      // microsecond ts) and the windowed SUM is CAST back to BIGINT in
+      // the oracle - DuckDB widens SUM(BIGINT) to HUGEINT, which the
+      // driver's arrow/pandas fetch renders as a double ("20123.0")
+      // and the hash then diverges on every row (the r9 red row).
       Stats.cusumOnline(Tables.events(s, d), "user_id", "ts", "event_id",
           floor(col("value") * 100).cast("long"),
           target = 4000L, slack = 500L, threshold = 20000L)
+        .withColumn("ts", date_trunc("second", col("ts")))
         .orderBy("user_id", "ts", "event_id")
     },
 
@@ -3167,13 +3186,18 @@ object Analytics {
         |         (FLOOR(LN(CAST(nr - pr AS DOUBLE) / nr) * 67108864.0)
         |           / 67108864.0) ELSE 0.0 END) gain
         |  FROM f)
-        |SELECT x threshold, gain, nl n_left, pl pos_left,
-        |  nr n_right, pr pos_right
+        |SELECT x threshold, ROUND(gain, 6) + 0.0 gain,
+        |  CAST(nl AS BIGINT) n_left, CAST(pl AS BIGINT) pos_left,
+        |  CAST(nr AS BIGINT) n_right, CAST(pr AS BIGINT) pos_right
         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, x) rk
         |      FROM gg)
         |WHERE rk = 1""".stripMargin) { (s, d) =>
+      // ROUND(gain,6)+0.0 on both engines (serialization only; the argmax
+      // threshold is taken on the unrounded gain) so a 1-ulp cross-engine
+      // wiggle in the entropy sum can never flip the hashed text.
       Stats.bestSplit(Tables.table(s, d, "lineitem"),
-        floor(col("l_quantity")).cast("long"), col("l_returnflag") === "R")
+          floor(col("l_quantity")).cast("long"), col("l_returnflag") === "R")
+        .withColumn("gain", round(col("gain"), 6) + 0.0)
     },
 
     // Vocabulary coverage curve (TextAnalysis.vocabCoverage): token

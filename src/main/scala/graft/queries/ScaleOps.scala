@@ -2323,7 +2323,8 @@ object ScaleOps {
         |               / GREATEST(COALESCE(s.n_tokens, 0), 1), 6) rate
         |  FROM documents d LEFT JOIN st s ON d.doc_id = s.doc_id)
         |SELECT lang, COUNT(*) n_docs,
-        |       SUM(CASE WHEN rate <= 0.2 THEN 1 ELSE 0 END) n_pass,
+        |       CAST(SUM(CASE WHEN rate <= 0.2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) n_pass,
         |       ROUND(CAST(SUM(oov) AS DOUBLE)
         |             / GREATEST(SUM(n_tokens), 1), 6) micro_oov
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
@@ -2441,7 +2442,8 @@ object ScaleOps {
         |                  ROWS UNBOUNDED PRECEDING) cum
         |  FROM d)
         |SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
-        |       SUM(nt) total_tokens, MIN(doc_id) min_id, MAX(doc_id) max_id,
+        |       CAST(SUM(nt) AS BIGINT) total_tokens,
+        |       MIN(doc_id) min_id, MAX(doc_id) max_id,
         |       CAST(SUM(doc_id) AS BIGINT) id_sum
         |FROM r WHERE cum <= 2000
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.EtlSession
+import graft.ops.{Association, Resample, Stats}
+
+/** Stats-tier benchmark at a volume the fixtures cannot reach: the
+  * q232–q282 family is fixture-priced (sf0.1 ≈ 600k lineitem rows), so
+  * a plan that silently degenerates at 100× would never show in
+  * BENCH_r{N}.json. Synthesizes DETERMINISTIC inputs (splitmix64 over
+  * `spark.range` — no RNG state, identical on every run/partitioning,
+  * the AnnBench/GraphBench discipline) and times the three heaviest
+  * round-9 stats shapes end to end:
+  *
+  *  - q236 item-item cosine co-occurrence (`STATS_ROWS` interactions,
+  *    default 10M, Zipf-ish items) PLUS 5 planted 4,000-item bot
+  *    users — timed capped (maxBasket=64) and uncapped, so the
+  *    bounded-pair-volume claim of the `maxBasket` cap is a measured
+  *    number, not a comment (5 bots × 4k² = 80M uncapped pairs vs
+  *    5 × 64² capped).
+  *  - q243 trimmed mean post-de-window: 10M rows into THREE groups —
+  *    the low-cardinality hazard that would funnel the whole table
+  *    through 3 sort-window partitions in the row-ranked formulation;
+  *    the distinct-value rewrite aggregates first (~30k distinct
+  *    values), windows over the small table only.
+  *  - q264 classical seasonal decomposition: 10M timestamped events
+  *    over ~2,000 days — the row→day aggregation dominates; the
+  *    decomposition windows run on the 2,000-row day table.
+  *
+  * Prints ONE JSON line; numbers recorded in BASELINE.md §v10.
+  */
+object StatsBench {
+
+  private def h(a: Long, b: Long): Long = {
+    var z = a * 0x9E3779B97F4A7C15L + b * 0xD1B54A32D192ED03L +
+      0x8CB92BA72F3D8DD7L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRows = sys.env.getOrElse("STATS_ROWS", "10000000").toLong
+    val spark = EtlSession.create("local[32]", 32, "graft-stats-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // --- q236 shape: (user, item) interactions, Zipf-ish item pick ---
+    // h mod k² then integer sqrt concentrates mass on small item ids —
+    // a heavy head without any per-row math beyond the hash.
+    val nUsers = math.max(nRows / 10, 1000L)
+    val nItems = 100000L
+    val organic = spark.range(nRows).map { i =>
+      val u = java.lang.Math.floorMod(h(i, 1L), nUsers)
+      val r = java.lang.Math.floorMod(h(i, 2L), nItems * nItems)
+      (u, math.sqrt(r.toDouble).toLong)
+    }
+    // 5 bot users × 4,000 distinct items each: 80M self-join pairs
+    // uncapped, 5×64²≈20k capped.
+    val bots = spark.range(5L * 4000L).map { i =>
+      (nUsers + i / 4000L, java.lang.Math.floorMod(h(i, 3L), nItems))
+    }
+    val inter = organic.union(bots).toDF("user_id", "item")
+      .repartition(32).cache()
+    val nInter = inter.count()
+
+    val (coCap, coCapSec) = time {
+      Association.itemItemCosine(inter, "user_id", "item", k = 10,
+        minCo = 2L, maxBasket = 64).count()
+    }
+    val (coRaw, coRawSec) = time {
+      Association.itemItemCosine(inter, "user_id", "item", k = 10,
+        minCo = 2L).count()
+    }
+
+    // --- q243 shape: 3 groups, heavy-tailed integral values ---
+    val grouped = spark.range(nRows).map { i =>
+      val g = java.lang.Math.floorMod(h(i, 4L), 3L)
+      val v = java.lang.Math.floorMod(h(i, 5L), 30000L)
+      (g, v * v / 30000L) // quadratic stretch: right-skewed tail
+    }.toDF("g", "x").repartition(32).cache()
+    grouped.count()
+    val (tmRows, tmSec) = time {
+      Stats.trimmedMean(grouped, "g", col("x"), alpha = 0.1).count()
+    }
+
+    // --- q264 shape: 10M events over ~2,000 days ---
+    val events = spark.range(nRows).map { i =>
+      val day = java.lang.Math.floorMod(h(i, 6L), 2000L)
+      val us = day * 86400000000L +
+        java.lang.Math.floorMod(h(i, 7L), 86400000000L)
+      (us, java.lang.Math.floorMod(h(i, 8L), 10000L))
+    }.toDF("us", "v")
+      .select(timestamp_micros(col("us")).as("ts"), col("v"))
+      .repartition(32).cache()
+    events.count()
+    val (dcRows, dcSec) = time {
+      Resample.classicalDecompose(events, "ts", col("v"), period = 7)
+        .count()
+    }
+
+    println(
+      s"""{"bench":"stats","rows":$nInter,""" +
+      s""""cooccur_capped_sec":${f"$coCapSec%.2f"},"cooccur_capped_rows":$coCap,""" +
+      s""""cooccur_uncapped_sec":${f"$coRawSec%.2f"},"cooccur_uncapped_rows":$coRaw,""" +
+      s""""trimmed_mean_sec":${f"$tmSec%.2f"},"trimmed_mean_groups":$tmRows,""" +
+      s""""decompose_sec":${f"$dcSec%.2f"},"decompose_days":$dcRows}""")
+    spark.stop()
+  }
+}

@@ -844,6 +844,48 @@ class AnalyticsSuite extends SparkTestBase {
     }
   }
 
+  test("rollup: HLL determinism boundary — exact-mode layout-invariant, " +
+      "dense-mode tolerance-bounded (why q178 stays rows-only)") {
+    // q178 promotion attempt (VERDICT r9 item 7), measured results:
+    //  (a) sketch BYTES are not layout-invariant (list/set→dense promotion
+    //      happens at per-partition insertion-order-dependent points), and
+    //  (b) once DENSE, even the ESTIMATE differs across partition layouts
+    //      (±1% observed at ~2.8k distincts, lgK=12): the union's HIP
+    //      accumulator depends on merge order.
+    // So there is NO hashable register/estimate surface at real scale —
+    // the precise reason q178 is declared rows-only. What this pins
+    // instead: below the set-mode threshold the sketch counts EXACTLY and
+    // is layout-invariant; dense estimates stay within the ±5% band
+    // regardless of layout. Synthetic input: fixture-regeneration-proof.
+    val ms = Seq(Rollup.Measure.approxDistinct("d", col("v")))
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("k"), Rollup.Measure.estimate(col("d")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact (list/set) mode: ≤ 300 distincts per key
+    val small = spark.range(20000)
+      .select((col("id") % 7).cast("string").as("k"),
+        (col("id") * 2654435761L % 300L).as("v"))
+    val smallByLayout = Seq(1, 7, 32).map(p =>
+      estimates(Rollup.aggregate(small.repartition(p), Seq("k"), ms)))
+    assert(smallByLayout.distinct.size == 1 &&
+      smallByLayout.head.values.forall(_ == 300L),
+      s"set-mode sketches must count exactly on any layout: $smallByLayout")
+    // dense mode: ~2.3k distincts per key — layout changes the estimate,
+    // but every layout stays within the HLL error band of the exact count
+    val big = spark.range(20000)
+      .select((col("id") % 7).cast("string").as("k"),
+        (col("id") * 2654435761L % 6007L).as("v"))
+    val exact = big.groupBy("k").agg(countDistinct("v").as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(1, 7, 32).foreach { p =>
+      estimates(Rollup.aggregate(big.repartition(p), Seq("k"), ms))
+        .foreach { case (k, est) =>
+          assert(math.abs(est - exact(k)).toDouble / exact(k) < 0.05,
+            s"layout $p key $k: est $est exact ${exact(k)}")
+        }
+    }
+  }
+
   // --- Survival.kaplanMeier -----------------------------------------------
 
   test("kaplanMeier: textbook product-limit on a hand-computed cohort") {
@@ -1903,6 +1945,40 @@ class AnalyticsSuite extends SparkTestBase {
       r.getAs[String]("neighbor"))).toSet == Set(("A", "B"), ("B", "A")))
   }
 
+  test("itemItemCosine: maxBasket caps the power-law user's pair volume") {
+    // One bot with 200 distinct items over a 3-user organic base: uncapped,
+    // the bot alone contributes C(200,2) = 19,900 unordered pairs to the
+    // co-count shuffle; capped at 8 it contributes C(8,2) = 28. The cap must
+    // (a) bound the pair volume, (b) keep the capped basket a deterministic
+    // subset (same selection on every run), and (c) leave bot-free organic
+    // co-counts untouched.
+    val organic = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("u", "item")
+    val bot = spark.range(200)
+      .select(lit(99L).as("u"), concat(lit("bot"), col("id")).as("item"))
+    val ui = organic.unionByName(bot)
+    def pairVolume(maxBasket: Int): Long =
+      Association.itemItemCosine(ui, "u", "item", k = 1000000,
+        minCo = 1L, maxBasket = maxBasket)
+        .count() / 2 // both directions emitted
+    assert(pairVolume(Int.MaxValue) >= 19900L, "uncapped bot fan-out")
+    val capped = pairVolume(8)
+    // bot pairs ≤ C(8,2)=28; organic pairs (A,B),(A,C) plus at most 8×2
+    // bot-item overlaps with organic items (bot items are disjoint here)
+    assert(capped <= 28 + 2, s"capped pair volume must be bounded: $capped")
+    val run1 = Association.itemItemCosine(ui, "u", "item", k = 5,
+      minCo = 1L, maxBasket = 8).collect().toSet
+    val run2 = Association.itemItemCosine(ui.repartition(13), "u", "item",
+      k = 5, minCo = 1L, maxBasket = 8).collect().toSet
+    assert(run1 == run2, "capped selection must be partitioning-invariant")
+    val m = Association.itemItemCosine(ui, "u", "item", k = 10, minCo = 1L,
+      maxBasket = 8).collect()
+      .map(r => (r.getAs[String]("item"), r.getAs[String]("neighbor")) ->
+        r.getAs[Long]("co")).toMap
+    assert(m(("A", "B")) == 2L && m(("A", "C")) == 1L,
+      "organic co-counts survive the bot cap untouched")
+  }
+
   // --- Indexing.retrievalEval -----------------------------------------------
 
   test("retrievalEval: hand MRR/recall/nDCG; perfect ranking gives exactly 1") {
@@ -1982,6 +2058,27 @@ class AnalyticsSuite extends SparkTestBase {
     assert(r.getAs[Double]("trimmed_mean") == (2L to 9L).sum.toDouble / 8)
     val r0 = Stats.trimmedMean(d, "grp", col("x"), alpha = 0.0).collect()(0)
     assert(r0.getAs[Double]("trimmed_mean") == 1045.0 / 10)
+  }
+
+  test("trimmedMean: dup runs straddling the cut trim partially; " +
+      "plan windows over the distinct-value table") {
+    // g: [1,1,1,5,9,9,9,9,9,9] n=10, alpha=0.2 → cut=2 → keep ranks 3..8 =
+    // one 1, one 5, four 9s → mean 42/6. The value 1 run (ranks 1-3)
+    // straddles the low cut; the 9 run (ranks 5-10) straddles the high cut.
+    val d = (Seq(1L, 1L, 1L, 5L) ++ Seq.fill(6)(9L)).map(("g", _))
+      .toDF("grp", "x")
+    val r = Stats.trimmedMean(d, "grp", col("x"), alpha = 0.2).collect()(0)
+    assert(r.getAs[Long]("n_kept") == 6L)
+    assert(r.getAs[Double]("trimmed_mean") == 42.0 / 6)
+    // De-window proof (VERDICT r9 item 3): the sort window's input must be
+    // the grouped distinct-value table, not raw rows — i.e. an aggregate
+    // sits below the Window in the optimized plan.
+    val plan = Stats.trimmedMean(d, "grp", col("x"), alpha = 0.2)
+      .queryExecution.optimizedPlan.toString
+    val winAt = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("Aggregate", winAt)
+    assert(winAt >= 0 && aggBelow > winAt,
+      s"expected Aggregate BELOW the Window (distinct-value input):\n$plan")
   }
 
   // --- Clustering.silhouetteSimplified --------------------------------------

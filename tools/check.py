@@ -19,13 +19,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    """Type-tagged canonical form, strict like the driver's serializer:
+    repr() on floats distinguishes -0.0 from 0.0 and is bit-exact; the
+    ("i",..)/("d",..) tags make an int-vs-double divergence (e.g. a DuckDB
+    HUGEINT rendered as a double by the driver's arrow fetch) a mismatch
+    even though Python == would call 1435 equal to 1435.0."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
+        return ("d", "NaN" if math.isnan(v) else repr(v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
+
+
+def hugeint_cols(con, sql):
+    """DuckDB widens SUM(BIGINT) to HUGEINT; the driver's serializer turns
+    that into a double ("1435.0") and every hash diverges (r9 red rows
+    q145/q148/q244/q248). Any HUGEINT output column is an oracle-authoring
+    bug: CAST it to BIGINT (or DOUBLE) in the declared SQL."""
+    try:
+        d = con.execute(
+            "DESCRIBE SELECT * FROM (" + sql.rstrip().rstrip(";") + ")"
+        ).fetchall()
+    except Exception:
+        return []
+    return [r[0] for r in d if r[1] in ("HUGEINT", "UHUGEINT")]
 
 
 def fetch(con, sql):
@@ -54,6 +77,12 @@ def main():
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        hc = hugeint_cols(con, oracle[name])
+        if hc:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {hc} "
+                  f"(driver serializes as double) -- CAST to BIGINT")
             n_fail += 1
             continue
         try:
