@@ -14,11 +14,12 @@ import graft.ops.{Association, Resample, Stats}
   * round-9 stats shapes end to end:
   *
   *  - q236 item-item cosine co-occurrence (`STATS_ROWS` interactions,
-  *    default 10M, Zipf-ish items) PLUS 5 planted 4,000-item bot
-  *    users — timed capped (maxBasket=64) and uncapped, so the
-  *    bounded-pair-volume claim of the `maxBasket` cap is a measured
-  *    number, not a comment (5 bots × 4k² = 80M uncapped pairs vs
-  *    5 × 64² capped).
+  *    default 10M, Zipf-ish items) PLUS one planted 25,000-item bot
+  *    user — timed capped (maxBasket=64) and uncapped. The bot is the
+  *    real 100-TB hazard shape: its C(25k,2) ≈ 312M pairs all come out
+  *    of ONE join key, i.e. ONE task — an irreducible straggler AQE
+  *    cannot split — so the uncapped time measures the straggler, not
+  *    just volume, and the cap's value is a number, not a comment.
   *  - q243 trimmed mean post-de-window: 10M rows into THREE groups —
   *    the low-cardinality hazard that would funnel the whole table
   *    through 3 sort-window partitions in the row-ranked formulation;
@@ -28,7 +29,7 @@ import graft.ops.{Association, Resample, Stats}
   *    over ~2,000 days — the row→day aggregation dominates; the
   *    decomposition windows run on the 2,000-row day table.
   *
-  * Prints ONE JSON line; numbers recorded in BASELINE.md §v10.
+  * Prints ONE JSON line; numbers recorded in BASELINE.md §v11.
   */
 object StatsBench {
 
@@ -62,10 +63,11 @@ object StatsBench {
       val r = java.lang.Math.floorMod(h(i, 2L), nItems * nItems)
       (u, math.sqrt(r.toDouble).toLong)
     }
-    // 5 bot users × 4,000 distinct items each: 80M self-join pairs
-    // uncapped, 5×64²≈20k capped.
-    val bots = spark.range(5L * 4000L).map { i =>
-      (nUsers + i / 4000L, java.lang.Math.floorMod(h(i, 3L), nItems))
+    // ONE bot user with 25,000 distinct items: C(25k,2) ≈ 312M
+    // self-join pairs from a single join key (single-task straggler)
+    // uncapped; C(64,2) ≈ 2k capped.
+    val bots = spark.range(25000L).map { i =>
+      (nUsers, java.lang.Math.floorMod(h(i, 3L), nItems))
     }
     val inter = organic.union(bots).toDF("user_id", "item")
       .repartition(32).cache()
@@ -90,6 +92,22 @@ object StatsBench {
     val (tmRows, tmSec) = time {
       Stats.trimmedMean(grouped, "g", col("x"), alpha = 0.1).count()
     }
+    // A/B: the pre-r10 row-ranked formulation (row_number window
+    // partitioned by the 3-value key — the whole table through 3 sort
+    // tasks), inlined here so the de-window win stays a measured number.
+    val (tmOldRows, tmOldSec) = time {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("x"))
+      grouped.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+        .filter(col("__rn") > floor(col("__n") * 0.1).cast("long") &&
+          col("__rn") <= col("__n") - floor(col("__n") * 0.1).cast("long"))
+        .groupBy("g").agg(count(lit(1)).as("n_kept"),
+          (sum(col("x").cast("decimal(38,0)")).cast("double") /
+            count(lit(1))).as("m"))
+        .count()
+    }
 
     // --- q264 shape: 10M events over ~2,000 days ---
     val events = spark.range(nRows).map { i =>
@@ -111,6 +129,8 @@ object StatsBench {
       s""""cooccur_capped_sec":${f"$coCapSec%.2f"},"cooccur_capped_rows":$coCap,""" +
       s""""cooccur_uncapped_sec":${f"$coRawSec%.2f"},"cooccur_uncapped_rows":$coRaw,""" +
       s""""trimmed_mean_sec":${f"$tmSec%.2f"},"trimmed_mean_groups":$tmRows,""" +
+      s""""trimmed_mean_rowwindow_sec":${f"$tmOldSec%.2f"},""" +
+      s""""trimmed_mean_rowwindow_groups":$tmOldRows,""" +
       s""""decompose_sec":${f"$dcSec%.2f"},"decompose_days":$dcRows}""")
     spark.stop()
   }
