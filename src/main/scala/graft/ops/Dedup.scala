@@ -665,8 +665,12 @@ object Dedup {
     val spark = docs.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     val t = docs.select(col(idCol).as("id"), key.as("k"))
+    // localCheckpoint freezes the pids — see Ranks.globalRowNumber: the
+    // rank branch and the bases branch must share ONE set of range
+    // boundaries, which only materialization guarantees (measured r10).
     val parted = t.repartitionByRange(nParts, col("k"), col("id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("__rn",
       row_number().over(Window.partitionBy("__pid").orderBy("k", "id"))
         .cast("long"))

@@ -28,8 +28,16 @@ object Packing {
     val spark = docs.sparkSession
     val nParts =
       if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint freezes the pids: the running-sum branch and the
+    // per-pid totals branch below must see the SAME range boundaries —
+    // without materialization each branch re-plans its own exchange and
+    // a pruning asymmetry desynchronizes them (the Ranks.globalRowNumber
+    // failure mode, measured r10). Here both branches read identical
+    // columns so the exchanges currently dedup via ReuseExchange, but
+    // that is an optimizer accident, not a guarantee.
     val parted = docs.repartitionByRange(nParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy("__pid").orderBy(orderCol)
     val local = parted.withColumn("__run",
       sum(col(tokenCol).cast("long")).over(w)) // inclusive running sum

@@ -353,23 +353,46 @@ object Stats {
 
   /** Wald–Wolfowitz runs test — is a time-ordered boolean sequence
     * RANDOM, or does it clump (autocorrelated residual signs, bursty
-    * failures, streaky labels)? R = number of runs = 1 + sign changes
-    * (ONE lag window over the ordered series); under randomness
-    * μ = 1 + 2n₁n₂/n and σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1));
-    * z = (R − μ)/σ. Counts and the lag comparison are integral; μ, σ
-    * and z are fixed trees with DECIMAL-exact numerators. NULL when
-    * either symbol is absent or σ² ≤ 0. */
+    * failures, streaky labels)? R = number of runs = 1 + sign changes;
+    * under randomness μ = 1 + 2n₁n₂/n and
+    * σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)); z = (R − μ)/σ. Counts and the
+    * sign-change comparison are integral; μ, σ and z are fixed trees
+    * with DECIMAL-exact numerators. NULL when either symbol is absent
+    * or σ² ≤ 0.
+    *
+    * NO single-task global lag window (de-windowed r10): sign changes
+    * are counted per RANGE PARTITION of the (ts, id) order (local lag
+    * within each partition), then the partition-boundary changes are
+    * stitched from the partition-count-bounded (first, last) flag
+    * table — min_by/max_by on the in-partition order — so the global
+    * sequence never funnels through one task. Exactly the sign-change
+    * count of the fully ordered sequence: every adjacent pair is
+    * either in-partition (local lag) or a boundary pair (stitch). */
   def runsTest(df: DataFrame, tsCol: String, idCol: String,
                flag: Column): DataFrame = {
-    val w = Window.orderBy(col("__ts"), col("__id"))
     val seq0 = df.select(col(tsCol).as("__ts"), col(idCol).as("__id"),
-        when(flag, 1L).otherwise(0L).as("__f"))
-      .withColumn("__prev", lag("__f", 1).over(w))
-    seq0.agg(count(lit(1)).cast(dec38).as("n"),
-        sum("__f").cast(dec38).as("n1"),
-        (lit(1L) + sum(when(col("__prev").isNotNull &&
-          col("__prev") =!= col("__f"), 1L).otherwise(0L))).cast("long")
-          .as("runs"))
+      when(flag, 1L).otherwise(0L).as("__f"))
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = seq0.repartitionByRange(nParts, col("__ts"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+    val wloc = Window.partitionBy("__pid").orderBy("__ts", "__id")
+    val local = parted.withColumn("__prev", lag("__f", 1).over(wloc))
+      .groupBy("__pid").agg(
+        count(lit(1)).as("__cnt"), sum("__f").as("__s1"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col("__f"), 1L).otherwise(0L)).as("__tr"),
+        min_by(col("__f"), struct(col("__ts"), col("__id"))).as("__first"),
+        max_by(col("__f"), struct(col("__ts"), col("__id"))).as("__last"))
+    // boundary stitch over the ≤ numShufflePartitions-row table
+    val wp = Window.orderBy("__pid")
+    val stitched = local.withColumn("__plast", lag("__last", 1).over(wp))
+      .agg(sum("__cnt").cast(dec38).as("n"),
+        sum("__s1").cast(dec38).as("n1"),
+        (lit(1L) + sum(col("__tr")) +
+          sum(when(col("__plast").isNotNull &&
+            col("__plast") =!= col("__first"), 1L).otherwise(0L)))
+          .cast("long").as("runs"))
+    stitched
       .withColumn("n2", col("n") - col("n1"))
       .select(col("n").cast("long").as("n"),
         col("n1").cast("long").as("n1"),
@@ -1049,20 +1072,29 @@ object Stats {
 
   /** Lift / cumulative-gains table — the model-eval readout beside
     * ROC-AUC (q173) and calibration (q174): rank rows by score
-    * descending into `buckets` equal slices (NTILE over a total order
-    * — the id tiebreak makes equal scores deterministic), then per
-    * slice the positive rate, lift = pos·N/(n·P), and the cumulative
-    * gain. Counts stay exact integers (running sums of ints are
-    * order-free); each ratio divides once. One global-sort window —
-    * ranking THE WHOLE scored set is inherent to the statistic; at
-    * 100 TB feed it a per-segment sample or compute per segment. */
+    * descending into `buckets` equal slices (NTILE semantics over a
+    * total order — the id tiebreak makes equal scores deterministic),
+    * then per slice the positive rate, lift = pos·N/(n·P), and the
+    * cumulative gain. Counts stay exact integers (running sums of
+    * ints are order-free); each ratio divides once.
+    *
+    * NO single-task global-sort window (de-windowed r10): the rank
+    * comes from [[Ranks.globalRowNumber]] — a distributed
+    * range-partitioned sort plus partition-count-bounded base offsets
+    * — and the tile from [[Ranks.ntileOfRank]], which replays NTILE's
+    * SQL-standard fill (first n%b tiles one row fatter) bit-exactly,
+    * so an NTILE oracle is unchanged. Cost: one extra global COUNT
+    * scan of the projected input (broadcast back as the NTILE n). */
   def liftTable(df: DataFrame, idCol: String, score: Column, label: Column,
                 buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val d = df.select(col(idCol).as("__id"), score.as("__s"),
-        when(label, 1L).otherwise(0L).as("__y"))
-      .withColumn("decile", ntile(buckets).over(
-        Window.orderBy(col("__s").desc, col("__id"))))
+    val d0 = df.select(col(idCol).as("__id"), score.as("__s"),
+      when(label, 1L).otherwise(0L).as("__y"))
+    val nAll = d0.agg(count(lit(1)).as("__nall"))
+    val d = Ranks.globalRowNumber(d0, Seq(col("__s").desc, col("__id")))
+      .crossJoin(broadcast(nAll))
+      .withColumn("decile",
+        Ranks.ntileOfRank(col("r"), col("__nall"), buckets).cast("int"))
     val g = d.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("__y").as("pos"))
     val tot = g.agg(sum("n").as("__nn"), sum("pos").as("__p"))

@@ -427,10 +427,18 @@ object Analytics {
         |  FROM s2 LEFT JOIN events e
         |    ON e.user_id = s2.u AND e.event_type = 'purchase'
         |  GROUP BY s2.u)
-        |SELECT u user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin) { (s, d) =>
+        |SELECT u user_id, DATE_TRUNC('second', t1) t1,
+        |  DATE_TRUNC('second', t2) t2, DATE_TRUNC('second', t3) t3
+        |FROM s3 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Step predicates compare RAW microsecond timestamps; only the
+      // serialized output is second-truncated (SURVEY 5.3, the q244
+      // convention applied corpus-wide in r10).
       graft.ops.Funnel.funnel(Tables.events(s, d), "user_id", "event_type",
           "ts", Seq("signup", "click", "purchase"))
-        .select(col("user").as("user_id"), col("t1"), col("t2"), col("t3"))
+        .select(col("user").as("user_id"),
+          date_trunc("second", col("t1")).as("t1"),
+          date_trunc("second", col("t2")).as("t2"),
+          date_trunc("second", col("t3")).as("t3"))
         .orderBy("user_id")
     },
 
@@ -1877,10 +1885,14 @@ object Analytics {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ABS(ns) DESC, i) rk FROM d)
         |SELECT user_id, CAST(n AS BIGINT) n, CAST(i AS BIGINT) t_star,
-        |  ts ts_star, CAST(ABS(ns) AS DOUBLE) / n cusum_stat
+        |  DATE_TRUNC('second', ts) ts_star,
+        |  CAST(ABS(ns) AS DOUBLE) / n cusum_stat
         |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // argmax/tie-break run on raw microsecond order; only the emitted
+      // change-point timestamp is second-truncated (SURVEY 5.3).
       Stats.cusum(Tables.events(s, d), "user_id", "ts",
           floor(col("value") * 64).cast("long"), tieCol = "event_id")
+        .withColumn("ts_star", date_trunc("second", col("ts_star")))
         .orderBy("user_id")
     },
 

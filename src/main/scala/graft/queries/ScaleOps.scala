@@ -2393,18 +2393,22 @@ object ScaleOps {
     // applies the standard conversion explicitly — the same value two
     // textbooks would print. Sample sizes here are thousands per
     // group, so the adjustment is small but exact.
+    // + 0.0 normalizes IEEE negative zero on both engines: at sf0.001
+    // the 'A' flag's sample skew rounds to -0.0 in DuckDB but Spark's
+    // BigDecimal round drops the sign — the q156 divergence class,
+    // caught by the strict OracleSuite canon (r10).
     sqlQ("q149_skew_kurtosis",
       """SELECT l_returnflag,
-        |  ROUND(sk * SQRT(n * (n-1)) / (n-2), 4) skew,
-        |  ROUND(((n-1) / ((n-2) * (n-3))) * ((n+1) * ku + 6), 4) kurt
+        |  ROUND(sk * SQRT(n * (n-1)) / (n-2), 4) + 0.0 skew,
+        |  ROUND(((n-1) / ((n-2) * (n-3))) * ((n+1) * ku + 6), 4) + 0.0 kurt
         |FROM (SELECT l_returnflag, skewness(l_quantity) sk,
         |             kurtosis(l_quantity) ku,
         |             CAST(COUNT(*) AS DOUBLE) n
         |      FROM lineitem GROUP BY l_returnflag) t
         |ORDER BY l_returnflag""".stripMargin,
       """SELECT l_returnflag,
-        |  ROUND(skewness(l_quantity), 4) skew,
-        |  ROUND(kurtosis(l_quantity), 4) kurt
+        |  ROUND(skewness(l_quantity), 4) + 0.0 skew,
+        |  ROUND(kurtosis(l_quantity), 4) + 0.0 kurt
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
 

@@ -1566,6 +1566,46 @@ class AnalyticsSuite extends SparkTestBase {
     assert(r.map(_.getLong(1)).sum == 100L)
   }
 
+  test("Ranks: two-shuffle rank ≡ global row_number; ntileOfRank ≡ NTILE; " +
+      "both partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    // awkward sizes on purpose: ties in the sort key (id tiebreak), n not
+    // divisible by buckets, n < buckets
+    val df = (1 to 103).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "s")
+    for (parts <- Seq(1, 5, 16); buckets <- Seq(4, 10, 200)) {
+      val in = df.repartition(parts)
+      val ref = in.withColumn("r",
+          row_number().over(Window.orderBy(col("s").desc, col("id"))))
+        .withColumn("t", ntile(buckets).over(
+          Window.orderBy(col("s").desc, col("id"))))
+        .select("id", "r", "t").collect().map(r =>
+          r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val got = graft.ops.Ranks
+        .globalRowNumber(in, Seq(col("s").desc, col("id")))
+        .withColumn("t", graft.ops.Ranks.ntileOfRank(col("r"), lit(103L),
+          buckets).cast("int"))
+        .select("id", "r", "t").collect().map(r =>
+          r.getLong(0) -> (r.getLong(1).toInt, r.getInt(2))).toMap
+      assert(got == ref, s"parts=$parts buckets=$buckets")
+    }
+  }
+
+  test("runsTest: partition-boundary stitch ≡ single-sequence count") {
+    // the de-windowed runs count must not depend on the input layout —
+    // force many range partitions over a short clumpy sequence
+    val flags = Seq(1, 1, 0, 1, 0, 0, 0, 1, 1, 0, 1, 1, 1, 0, 0)
+    val df = flags.zipWithIndex
+      .map { case (f, i) => (i.toLong, i.toLong, f == 1) }
+      .toDF("ts", "id", "f")
+    val expectRuns = 1 + flags.sliding(2).count(p => p(0) != p(1))
+    for (parts <- Seq(1, 4, 16)) {
+      val r = Stats.runsTest(df.repartition(parts), "ts", "id", col("f"))
+        .collect()(0)
+      assert(r.getAs[Long]("runs") == expectRuns, s"parts=$parts: $r")
+      assert(r.getAs[Long]("n1") == flags.count(_ == 1))
+    }
+  }
+
   // --- Stats.conformalInterval ----------------------------------------------
 
   test("conformalInterval: exact order-statistic q; empirical coverage") {

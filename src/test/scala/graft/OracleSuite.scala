@@ -34,15 +34,15 @@ class OracleSuite extends SparkTestBase {
   private def canon(v: Any): String = v match {
     case null => "\\N"
     case b: Boolean => if (b) "true" else "false"
+    // NO -0 normalization: the driver's hash distinguishes "-0.0" from
+    // "0.0" (measured r10 — q156's only divergence), so this mirror must
+    // too; queries normalize in-query via `+ 0.0` on BOTH engines.
     case d: Double =>
       if (d.isNaN) "NaN"
-      else {
-        val s = BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
-        if (s == "-0") "0" else s
-      }
+      else if (d == 0.0 && 1.0 / d < 0) "-0"
+      else BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
     case f: Float => canon(f.toDouble)
-    case bd: java.math.BigDecimal =>
-      bd.stripTrailingZeros.toPlainString match { case "-0" => "0"; case s => s }
+    case bd: java.math.BigDecimal => bd.stripTrailingZeros.toPlainString
     case bd: BigDecimal => canon(bd.bigDecimal)
     case bi: java.math.BigInteger => bi.toString
     case n: Number => n.toString

@@ -229,19 +229,28 @@ class ScaleSuite extends SparkTestBase {
       "doc-count relation must broadcast")
   }
 
-  test("contextPack plans a range exchange + broadcast base join, no global window") {
+  test("contextPack plans a frozen-pid scan + broadcast base join, no global window") {
     import spark.implicits._
     val in = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "toks")
-    val plan = graft.ops.Packing.contextPack(in, "id", "toks", 100L, 8)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange rangepartitioning"),
-      "prefix sum must range-partition the data")
+    val df = graft.ops.Packing.contextPack(in, "id", "toks", 100L, 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // r10: the range exchange is materialized behind a localCheckpoint
+    // (pids must be ONE fact shared by the window and bases branches —
+    // see Ranks.globalRowNumber), so the visible plan starts from the
+    // checkpointed RDD scan instead of "Exchange rangepartitioning".
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpoint-frozen scan:\n${plan.take(1500)}")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "partition bases must broadcast, not shuffle")
     // the DATA window must be keyed by partition id (the tiny bases
     // window — ≤ nParts rows — is the only unpartitioned one)
     assert(plan.contains("windowspecdefinition(__pid"),
       s"data window not keyed by partition id:\n${plan.take(1500)}")
+    // and the packs must still be partition-count invariant end to end
+    val alt = graft.ops.Packing.contextPack(in.repartition(13), "id",
+      "toks", 100L, 3)
+    assert(df.select("id", "pack_first", "pack_last").collect().toSet ==
+      alt.select("id", "pack_first", "pack_last").collect().toSet)
   }
 
   test("contaminationScore plans shingle equi-joins, never doc×bench pairs") {
