@@ -33,7 +33,11 @@ object Ranks {
     // liftTable emitted an 11th decile from ranks > n). Freezing the
     // partitioned frame makes the pids a fact, not a per-branch plan
     // artifact. Cost: one materialization of the projected input —
-    // the same volume the range shuffle writes anyway.
+    // the same volume the range shuffle writes anyway. Lifetime: the
+    // cached RDD lives as long as the returned DataFrame is
+    // reachable; Spark's ContextCleaner unpersists it on GC, so a
+    // long-lived session does not accumulate checkpoints (the
+    // operator cannot unpersist earlier — the result is lazy).
     val parted = df.repartitionByRange(nParts, order: _*)
       .withColumn("__gr_pid", spark_partition_id())
       .localCheckpoint()
