@@ -662,25 +662,13 @@ object Dedup {
                           window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    val nParts = spark.sessionState.conf.numShufflePartitions
     val t = docs.select(col(idCol).as("id"), key.as("k"))
-    // localCheckpoint freezes the pids — see Ranks.globalRowNumber: the
-    // rank branch and the bases branch must share ONE set of range
-    // boundaries, which only materialization guarantees (measured r10).
-    val parted = t.repartitionByRange(nParts, col("k"), col("id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val local = parted.withColumn("__rn",
-      row_number().over(Window.partitionBy("__pid").orderBy("k", "id"))
-        .cast("long"))
-    val wb = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = local.groupBy("__pid").agg(max("__rn").as("__cnt"))
-      .withColumn("__base", coalesce(sum("__cnt").over(wb), lit(0L)))
-      .select("__pid", "__base")
-    val ranked = local.join(broadcast(bases), Seq("__pid"))
-      .select(col("id"), col("k"), (col("__base") + col("__rn")).as("r"))
+    // global rank via Ranks.globalRowNumber — the ONE checkpoint-frozen
+    // implementation of the two-shuffle scheme (the r10 pid-desync fix
+    // lives there; keeping a second inline copy in sync was the bug
+    // waiting to happen)
+    val ranked = Ranks.globalRowNumber(t, Seq(col("k"), col("id")), "r")
+      .select(col("id"), col("k"), col("r"))
       .withColumn("__b", expr(s"(r - 1) DIV ${window}L"))
     val left = ranked.select(col("id").as("a"), col("k").as("key_a"),
         col("r").as("ra"), col("__b").as("band"))

@@ -1083,15 +1083,17 @@ object Stats {
     * range-partitioned sort plus partition-count-bounded base offsets
     * — and the tile from [[Ranks.ntileOfRank]], which replays NTILE's
     * SQL-standard fill (first n%b tiles one row fatter) bit-exactly,
-    * so an NTILE oracle is unchanged. Cost: one extra global COUNT
-    * scan of the projected input (broadcast back as the NTILE n). */
+    * so an NTILE oracle is unchanged. The NTILE n comes from a COUNT
+    * over the rank step's already-checkpointed frame (broadcast back)
+    * — no second scan of the raw input. */
   def liftTable(df: DataFrame, idCol: String, score: Column, label: Column,
                 buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val d0 = df.select(col(idCol).as("__id"), score.as("__s"),
       when(label, 1L).otherwise(0L).as("__y"))
-    val nAll = d0.agg(count(lit(1)).as("__nall"))
-    val d = Ranks.globalRowNumber(d0, Seq(col("__s").desc, col("__id")))
+    val ranked = Ranks.globalRowNumber(d0, Seq(col("__s").desc, col("__id")))
+    val nAll = ranked.agg(count(lit(1)).as("__nall"))
+    val d = ranked
       .crossJoin(broadcast(nAll))
       .withColumn("decile",
         Ranks.ntileOfRank(col("r"), col("__nall"), buckets).cast("int"))

@@ -3943,7 +3943,12 @@ object Analytics {
         |e AS (SELECT CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
         |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) mean1,
         |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) mean2,
-        |    CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+        |    CASE WHEN n1 < 2 OR n2 < 2
+        |        OR (CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+        |              / CAST(n1 AS DOUBLE)
+        |            + CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+        |              / CAST(n2 AS DOUBLE))
+        |          / CAST(n1 + n2 - 2 AS DOUBLE) <= 0 THEN NULL
         |      ELSE (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |          - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
         |        / SQRT((CAST(n1 * ss1 - s1 * s1 AS DOUBLE)

@@ -53,15 +53,22 @@ object StatsBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // --- q236 shape: (user, item) interactions, Zipf-ish item pick ---
-    // h mod k² then integer sqrt concentrates mass on small item ids —
-    // a heavy head without any per-row math beyond the hash.
+    // --- q236 shape: (user, item) interactions, heavy-headed items ---
+    // The GraphBench hub mixture: 80% of interactions uniform over the
+    // item space, 20% concentrated on 100 hot items — each hot item
+    // draws ~200× the mean item frequency, the head shape real
+    // co-purchase data has. (The previous sqrt-of-uniform draw was
+    // mislabelled Zipf-ish: its density RISES linearly toward LARGE
+    // ids with a max/mean ratio of only ~2 — no head at all.)
     val nUsers = math.max(nRows / 10, 1000L)
     val nItems = 100000L
     val organic = spark.range(nRows).map { i =>
       val u = java.lang.Math.floorMod(h(i, 1L), nUsers)
-      val r = java.lang.Math.floorMod(h(i, 2L), nItems * nItems)
-      (u, math.sqrt(r.toDouble).toLong)
+      val item =
+        if (java.lang.Math.floorMod(h(i, 2L), 5L) == 0L)
+          java.lang.Math.floorMod(h(i, 9L), 100L)
+        else java.lang.Math.floorMod(h(i, 10L), nItems)
+      (u, item)
     }
     // ONE bot user with 25,000 distinct items: C(25k,2) ≈ 312M
     // self-join pairs from a single join key (single-task straggler)

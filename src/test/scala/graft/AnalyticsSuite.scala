@@ -2443,6 +2443,13 @@ class AnalyticsSuite extends SparkTestBase {
     // a 1-row arm is NULL, not a crash
     val tiny = Seq((true, 5L), (false, 1L), (false, 2L)).toDF("a", "x")
     assert(Stats.cohensD(tiny, col("a"), col("x")).collect()(0).isNullAt(4))
+    // zero pooled variance with DIFFERENT means: NULL, not ±Infinity
+    // (ADVICE r9 guard; the q274 oracle carries the matching CASE so
+    // both engines agree on the degenerate input)
+    val const = Seq((true, 5L), (true, 5L), (false, 2L), (false, 2L))
+      .toDF("a", "x")
+    val rc = Stats.cohensD(const, col("a"), col("x")).collect()(0)
+    assert(rc.isNullAt(4) && rc.isNullAt(5), rc.toString)
   }
 
   test("pairedT: planted constant shift detected; keys missing a side drop") {

@@ -53,7 +53,11 @@ class PlanLintSuite extends SparkTestBase {
       "bounded slice; LSH/IVF tiers are the scale path"),
     "q277_kendall_tau" -> ("tau-b cell-table self-join: both sides are " +
       "the QUANTIZED (x,y) cell table — grid-cardinality-bounded " +
-      "(≤64×64 cells), never row-scale"))
+      "(≤64×64 cells), never row-scale"),
+    "q226_conformal" -> ("the broadcast side is the 1-row conformal " +
+      "quantile (rank-filter over the CALIBRATION set — small by " +
+      "design per conformalInterval's contract); the row bound comes " +
+      "from a filter the structural rule cannot prove"))
 
   /** Name-level exceptions to the window discipline. */
   private val globalWindowOk: Map[String, String] = Map(
@@ -62,10 +66,26 @@ class PlanLintSuite extends SparkTestBase {
     "q37_range_frame" -> ("declared global RANGE-frame semantics demo " +
       "over the <100-orderkey slice"))
 
-  private def boundedBuild(side: SparkPlan): Boolean = side.exists {
-    case a: BaseAggregateExec => a.groupingExpressions.isEmpty // 1 row
+  /** Bounded BY CONSTRUCTION at the build side's effective root — a
+    * subtree-wide `exists` would let a 1-row aggregate buried inside a
+    * row-scale join absolve the whole build (e.g. `lineitem ⋈ (SELECT
+    * COUNT(*)...)` broadcast would pass), so only row-count-preserving
+    * or row-count-REDUCING unary wrappers are stripped before the
+    * match; any join, scan, window, generator, or union at the root
+    * means unbounded. */
+  @scala.annotation.tailrec
+  private def boundedBuild(side: SparkPlan): Boolean = side match {
+    case a: BaseAggregateExec =>
+      // grouping-free = exactly 1 row; grouped aggregates are bounded
+      // only by key cardinality, which the lint cannot see — unbounded
+      a.groupingExpressions.isEmpty
     case l: LocalTableScanExec => l.rows.size <= 1000 // literal table
     case r: RangeExec => r.numElements <= 1000 // fold/probe ranges
+    case p if p.children.size == 1 &&
+        !p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
+      // Exchange/Project/Filter/Sort/codegen/AQE wrappers never ADD
+      // rows; Generate (explode) can, so it stops the descent
+      boundedBuild(p.children.head)
     case _ => false
   }
 

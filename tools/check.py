@@ -46,8 +46,11 @@ def hugeint_cols(con, sql):
         d = con.execute(
             "DESCRIBE SELECT * FROM (" + sql.rstrip().rstrip(";") + ")"
         ).fetchall()
-    except Exception:
-        return []
+    except Exception as e:
+        # a DESCRIBE failure silently disabling the gate would recreate the
+        # exact r9 local-pass/driver-fail divergence this gate exists to
+        # prevent -- surface it as a failure, never swallow it
+        return [f"<DESCRIBE failed: {type(e).__name__}: {str(e)[:120]}>"]
     return [r[0] for r in d if r[1] in ("HUGEINT", "UHUGEINT")]
 
 
