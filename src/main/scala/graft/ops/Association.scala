@@ -25,9 +25,17 @@ object Association {
                 minSupport: Long = 1L): DataFrame = {
     require(basketCols.nonEmpty, "liftPairs needs basket key columns")
     val bk: Seq[Column] = basketCols.map(col)
-    val b = df.select(bk :+ col(itemCol).as("item"): _*).distinct()
+    // the distinct basket-item table feeds FOUR consumers (the basket
+    // count action, singles, and both self-join sides) and Catalyst
+    // does not dedupe common subplans — uncut, the whole upstream
+    // (q192 feeds a sessionize window chain) re-plans per consumer
+    // (audited: 4 static events scans). cache(): row-scale
+    // multi-consumer frame, and the eager nBaskets count warms it.
+    val b = df.select(bk :+ col(itemCol).as("item"): _*).distinct().cache()
     val nBaskets = b.select(bk: _*).distinct().count()
+    // item-cardinality-bounded, consumed by BOTH direction joins
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val pairs = b.select(bk :+ col("item").as("item_a"): _*)
       .join(b.select(bk :+ col("item").as("item_b"): _*), basketCols)
       .filter(col("item_a") < col("item_b"))
@@ -78,12 +86,15 @@ object Association {
                      maxBasket: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxBasket >= 1, s"maxBasket must be >= 1, got $maxBasket")
-    // the distinct interaction table feeds both self-join sides and the
-    // singles count; a cache() here is a measured no-op — ReuseExchange
-    // already shares the one materialized distinct across all three
-    // consumers (A/B'd at sf0.1, identical timings)
+    // the distinct interaction table feeds both self-join sides and
+    // the singles count. cache(): ReuseExchange CAN share the one
+    // materialized distinct across the three consumers (A/B'd at
+    // sf0.1, identical timings) — but exchange reuse is an optimizer
+    // accident, not a guarantee (the r10 rank-desync bug), and uncut
+    // the static plan re-reads lineitem⋈orders six times; the cache
+    // makes the single-pass shape explicit at zero measured cost.
     val b0 = df.select(col(userCol).as("u"), col(itemCol).as("item"))
-      .distinct()
+      .distinct().cache()
     val b =
       if (maxBasket == Int.MaxValue) b0
       else b0.withColumn("__r", row_number().over(
@@ -91,7 +102,9 @@ object Association {
             .orderBy(md5(concat_ws("#", col("u").cast("string"),
               col("item").cast("string"))), col("item"))))
         .filter(col("__r") <= maxBasket).drop("__r")
+    // item-cardinality-bounded, consumed by BOTH direction joins
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     // per-user self-join for the co-counts. The in-row alternative
     // (collect per-user baskets, explode i<j index pairs) was A/B'd
     // at sf0.1 and is ~70% SLOWER (15.8 s vs 9.5 s isolated): the
@@ -103,8 +116,14 @@ object Association {
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
-    val both = co.unionByName(co.select(col("item_b").as("item_a"),
-      col("item_a").as("item_b"), col("co")))
+    // both directions from ONE consumer of co: an in-row explode of the
+    // two orientations, not a union of two reads (the union re-planned
+    // the whole self-join + pair aggregation per branch)
+    val both = co.select(explode(array(
+        struct(col("item_a"), col("item_b"), col("co")),
+        struct(col("item_b").as("item_a"), col("item_a").as("item_b"),
+          col("co")))).as("__p"))
+      .select(col("__p.*"))
     val scored = both
       .join(singles.select(col("item").as("item_a"), col("c").as("c_a")),
         "item_a")

@@ -589,20 +589,29 @@ object Dedup {
       s"threshold in (0,1], got $threshold")
     val sh0 = ngramOccurrences(docs, idCol, textCol, shingleN)
       .select(col("id"), col("gram")).distinct()
-    val sh = maxShingleDf match {
+    val sh = (maxShingleDf match {
       case Some(cap) =>
         val hot = sh0.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap).select("gram")
         sh0.join(hot, Seq("gram"), "left_anti")
       case None => sh0
-    }
+    // doc×gram is row-scale and feeds sizes + both self-join sides —
+    // uncut, the shingle explode re-plans per consumer (audited: 5
+    // static documents scans). cache(): the minHashNearDupPairs-
+    // measured multi-consumer choice.
+    }).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val co = sh.select(col("id").as("a"), col("gram"))
       .join(sh.select(col("id").as("b"), col("gram")), Seq("gram"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("co"))
-    val directed = co.unionByName(
-      co.select(col("b").as("a"), col("a").as("b"), col("co")))
+    // both directions from ONE consumer of co — an in-row explode, not
+    // a union of two re-plans of the whole self-join + aggregation
+    val directed = co.select(explode(array(
+        struct(col("a"), col("b"), col("co")),
+        struct(col("b").as("a"), col("a").as("b"), col("co"))))
+        .as("__p"))
+      .select(col("__p.*"))
     directed
       .join(sizes.select(col("id").as("a"), col("n").as("na")), Seq("a"))
       .withColumn("__c", col("co").cast("double") / col("na"))

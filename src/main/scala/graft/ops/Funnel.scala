@@ -192,16 +192,27 @@ object Funnel {
       lit(604800000000L))
     val tagged = events.select(col(userCol).as("__u"), week.as("__w"),
       value.cast("long").as("__v"))
-    val firsts = tagged.groupBy("__u").agg(min("__w").as("cohort_week"))
-    val sizes = firsts.groupBy("cohort_week")
-      .agg(count(lit(1)).as("users"))
-    val cells = tagged.join(firsts, "__u")
+    // ONE scan + ONE user shuffle: the cohort week (min) and a
+    // first-event marker ride the same per-user window, so cohort
+    // sizes need no separate firsts aggregation + join-back (the
+    // earlier three-frame formulation re-planned the events scan per
+    // consumer). Every user's rn = 1 row sits at week_offset 0, so
+    // per-cohort user counts fall out of the summary's offset-0 cells.
+    val wU = Window.partitionBy("__u")
+    val t2 = tagged
+      .withColumn("cohort_week", min("__w").over(wU))
+      .withColumn("__rn", row_number().over(wU.orderBy("__w")))
+    val g = t2
       .groupBy(col("cohort_week"),
         (col("__w") - col("cohort_week")).as("week_offset"))
-      .agg(sum("__v").as("revenue"))
+      .agg(sum("__v").as("revenue"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("__nf"))
+      .localCheckpoint(false) // cohort×offset cells — weeks² bounded
+    val sizes = g.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("__nf").as("users"))
     val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cells.join(sizes, "cohort_week")
+    g.join(sizes, "cohort_week")
       .withColumn("cum_revenue", sum("revenue").over(wCum))
       .select(col("cohort_week"), col("week_offset"),
         col("users").cast("long").as("users"),

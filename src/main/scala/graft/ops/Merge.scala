@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,9 +25,17 @@ object Merge {
   def upsert(target: DataFrame, updates: DataFrame, keyCol: String,
              versionCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(versionCol).desc)
+    // latest feeds TWO consumers (the anti-join's key set + the union),
+    // and Catalyst does not dedupe common subplans — without a cut the
+    // updates upstream (scan + ranking shuffle) runs twice. The batch is
+    // the SMALL side of an upsert, so materializing it once is cheap;
+    // the 100 TB target stays a single un-shuffled scan (AQE broadcasts
+    // the key set into the anti-join). localCheckpoint(false): lazy, and
+    // blocks release when the plan is GC'd.
     val latest = updates
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
+      .localCheckpoint(false)
     target.join(latest.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(latest)
   }
@@ -107,7 +115,16 @@ object Merge {
     * new open row. History rows (valid_to set) pass through untouched.
     *
     * One shuffle on the key; attribute comparison is a null-safe struct
-    * equality, so NULL attribute values compare stably. */
+    * equality, so NULL attribute values compare stably.
+    *
+    * Scale shape: the full-outer join is consumed ONCE — each joined row
+    * explodes into its 1–2 output rows (kept, closed+opened, or opened)
+    * in a single generator projection. The earlier three-filtered-reads
+    * formulation re-planned the join per branch (Catalyst does not
+    * dedupe common subplans), so the dimension scan and the join
+    * shuffle each ran three times. `current` is read twice (history /
+    * open) with complementary `valid_to` pushdown filters — a reviewed
+    * multi-scan, since history must bypass the join entirely. */
   def scd2Apply(current: DataFrame, updates: DataFrame, keyCol: String,
                 tsCol: String, attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2Apply needs at least one tracked attribute")
@@ -124,22 +141,28 @@ object Merge {
       struct(attrCols.map(a => col(s"__u_$a")): _*)
     val hasOpen = col("valid_from").isNotNull
     val hasUpd = col("__uts").isNotNull
-    // open rows: unchanged keys keep their row; superseded rows close
-    val keptOpen = joined.filter(hasOpen && (!hasUpd || !changed))
-      .select(open.columns.map(col): _*)
-    val closed = joined.filter(hasOpen && hasUpd && changed)
-      .select(open.columns.map {
-        case "valid_to" => col("__uts").as("valid_to")
-        case c          => col(c)
-      }: _*)
-    val opened = joined.filter(hasUpd && (!hasOpen || changed))
-      .select(open.columns.map {
-        case "valid_from" => col("__uts").as("valid_from")
-        case "valid_to"   => lit(null).cast(
-          open.schema("valid_to").dataType).as("valid_to")
-        case c if attrCols.contains(c) => col(s"__u_$c").as(c)
-        case c            => col(c)
-      }: _*)
-    history.unionByName(keptOpen).unionByName(closed).unionByName(opened)
+    // one struct per output-row shape, every field cast to the open
+    // row's type so the three array branches resolve to one struct type
+    // (and the output schema is exactly the current table's schema)
+    def rowAs(f: String => Column): Column =
+      struct(open.columns.map(c =>
+        f(c).cast(open.schema(c).dataType).as(c)): _*)
+    val keptRow = rowAs(col)
+    val closedRow = rowAs {
+      case "valid_to" => col("__uts")
+      case c          => col(c)
+    }
+    val openedRow = rowAs {
+      case "valid_from" => col("__uts")
+      case "valid_to"   => lit(null)
+      case c if attrCols.contains(c) => col(s"__u_$c")
+      case c            => col(c)
+    }
+    val emitted = joined.select(explode(
+      when(hasOpen && (!hasUpd || !changed), array(keptRow))
+        .when(hasOpen && hasUpd && changed, array(closedRow, openedRow))
+        .otherwise(array(openedRow))).as("__r"))
+      .select(col("__r.*"))
+    history.unionByName(emitted)
   }
 }

@@ -253,6 +253,10 @@ object Resample {
       .groupBy("day").agg(sum("__x").as("y"))
     val wMa = Window.orderBy("day")
       .rangeBetween(-half.toLong, half.toLong)
+    // day-bounded, and downstream consumes it through three branches
+    // (seasonal index, centering, final join) — uncut, the raw scan
+    // AND the MA windows re-plan per branch (audited: 3 static events
+    // scans). Cut ABOVE the windows so they compute once.
     val trended = daily
       .withColumn("__cnt", count(lit(1)).over(wMa))
       .withColumn("trend",
@@ -260,6 +264,7 @@ object Resample {
           sum("y").over(wMa).cast("double") / period))
       .withColumn("dop", pmod(col("day"), lit(period.toLong)))
       .withColumn("__det", col("y") - col("trend"))
+      .localCheckpoint(false)
     val idx = trended.filter(col("trend").isNotNull)
       .groupBy("dop")
       .agg((aggregate(

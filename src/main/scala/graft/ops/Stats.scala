@@ -314,10 +314,14 @@ object Stats {
     * resp. < 0, and τ_b = (C − D)/√((n₀−n₁)(n₀−n₂)). All counts
     * DECIMAL-exact; one division over two sqrts. */
   def kendallTauB(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // the quantized cell table is grid-bounded but feeds FIVE
+    // consumers (both cross-join sides + three marginal aggs) — uncut,
+    // the raw scan re-plans per consumer (audited: 5 lineitem scans)
     val cells = df.select(x.cast("long").as("__x"),
         y.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy("__x", "__y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val a = cells.select(col("__x").as("xi"), col("__y").as("yi"),
       col("c").as("ci"))
     val b = cells.select(col("__x").as("xk"), col("__y").as("yk"),
@@ -796,8 +800,15 @@ object Stats {
     * `c` occurrences and `below` values strictly smaller, the average
     * rank is below + (c+1)/2 — doubled to 2·below + c + 1 so it stays
     * INTEGRAL under ties (the ×2 cancels in every rank statistic). */
-  private def doubledRanks(df: DataFrame, x: Column): DataFrame = {
-    val byV = df.groupBy(x.as("__v")).agg(count(lit(1)).as("__c"))
+  private def doubledRanks(df: DataFrame, x: Column): DataFrame =
+    doubledRanksFromCounts(
+      df.groupBy(x.as("__v")).agg(count(lit(1)).as("__c")))
+
+  /** [[doubledRanks]] when the caller already holds the per-value
+    * count table (__v, __c) — lets rank statistics that start from a
+    * grouped cell table derive ranks WITHOUT a second scan of the raw
+    * input. */
+  private def doubledRanksFromCounts(byV: DataFrame): DataFrame = {
     val wOrd = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
     byV.withColumn("__below", coalesce(sum("__c").over(wOrd), lit(0L)))
       .select(col("__v"), col("__c"),
@@ -813,18 +824,33 @@ object Stats {
     * sqrts, and ONE division — hash-replayable. Returns (n, rho);
     * constant columns yield NULL. */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
-    val base = df.select(x.as("__x"), y.as("__y"))
-    val rx = doubledRanks(base, col("__x"))
+    // collapse to the (x, y) CELL table first — ONE scan of the input
+    // instead of three (x-ranks, y-ranks, moments each re-planned the
+    // scan; Catalyst does not dedupe common subplans). The cut is
+    // bounded by |X|·|Y| distinct pairs — the same bounded-cardinality
+    // contract the distinct-value rank window below already requires.
+    val cells = df.select(x.as("__x"), y.as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__cn"))
+      .localCheckpoint(false)
+    val rx = doubledRanksFromCounts(cells.groupBy(col("__x").as("__v"))
+        .agg(sum("__cn").as("__c")))
       .select(col("__v").as("__x"), col("__dr").as("__rx"))
-    val ry = doubledRanks(base, col("__y"))
+    val ry = doubledRanksFromCounts(cells.groupBy(col("__y").as("__v"))
+        .agg(sum("__cn").as("__c")))
       .select(col("__v").as("__y"), col("__dr").as("__ry"))
-    val ranked = base.join(rx, "__x").join(ry, "__y")
-    def s(c: Column) = sum(c.cast(dec38))
-    val m = ranked.agg(count(lit(1)).as("n"),
-      s(col("__rx")).as("sx"), s(col("__ry")).as("sy"),
-      s(col("__rx") * col("__rx")).as("sxx"),
-      s(col("__ry") * col("__ry")).as("syy"),
-      s(col("__rx") * col("__ry")).as("sxy"))
+    val ranked = cells.join(rx, "__x").join(ry, "__y")
+    // cast BEFORE multiplying: doubled ranks scale with n, so a
+    // long·long product of rank × count can overflow where the
+    // per-row sums never did
+    def s(c: Column) = sum(c)
+    val cn = col("__cn").cast(dec38)
+    val drx = col("__rx").cast(dec38)
+    val dry = col("__ry").cast(dec38)
+    val m = ranked.agg(sum("__cn").as("n"),
+      s(drx * cn).as("sx"), s(dry * cn).as("sy"),
+      s(drx * drx * cn).as("sxx"),
+      s(dry * dry * cn).as("syy"),
+      s(drx * dry * cn).as("sxy"))
     val n = col("n").cast(dec38)
     val num = n * col("sxy") - col("sx") * col("sy")
     val dx = n * col("sxx") - col("sx") * col("sx")
@@ -850,12 +876,17 @@ object Stats {
     * values → NULL h_corrected (C = 0). */
   def kruskalWallis(df: DataFrame, groupCol: String, x: Column)
       : DataFrame = {
-    val base = df.select(col(groupCol).as("__g"), x.as("__x"))
-    val ranks = doubledRanks(base, col("__x"))
+    // ONE scan: the (group, value) cell table is the only pass over
+    // the input; the global value ranks derive from it by re-
+    // aggregation (the spearman discipline). Bounded by groups ×
+    // distinct values — the rank window's existing contract.
+    val cells = df.select(col(groupCol).as("__g"), x.as("__x"))
+      .groupBy(col("__g"), col("__x")).agg(count(lit(1)).as("__cg"))
+      .localCheckpoint(false)
+    val ranks = doubledRanksFromCounts(cells.groupBy(col("__x").as("__v"))
+        .agg(sum("__cg").as("__c")))
       .select(col("__v").as("__x"), col("__c"), col("__dr"))
-    val perGV = base.groupBy(col("__g"), col("__x"))
-      .agg(count(lit(1)).as("__cg"))
-      .join(ranks, "__x")
+    val perGV = cells.join(ranks, "__x")
     def s(c: Column) = sum(c.cast(dec38))
     val g = perGV.groupBy(col("__g"))
       .agg(sum("__cg").as("ng"), s(col("__cg") * col("__dr")).as("rd"))
@@ -897,41 +928,51 @@ object Stats {
     *   z = (S − sign(S)) / √(Var)
     *
     * All-pairs within a key is O(n²) — per-entity series are bounded
-    * (the funnel/EWMA discipline), so the self-join fans out n² per
-    * key, never corpus². S, the tie sum, and Var·18 are exact integers;
+    * (the funnel/EWMA discipline), so the pair count is n² per key,
+    * never corpus². S, the tie sum, and Var·18 are exact integers;
     * z is one division over one correctly-rounded sqrt. Keys with
-    * Var = 0 (all values equal, or n < 2) yield NULL z. */
+    * Var = 0 (all values equal, or n < 2) yield NULL z.
+    *
+    * Scale shape: ONE scan + ONE shuffle — per key the (ts, tie, x)
+    * series is collected and time-sorted in-row, and S / the tie sum
+    * fold over the array. The earlier self-join formulation scanned
+    * the input four times (pairs a+b, n, ties) and pushed the n² pair
+    * fan-out through the join shuffle; here the n² work happens inside
+    * a projection on n-sized rows. Requires (tsCol, tieCol) to totally
+    * order each key's rows (the all-pairs contract already did). */
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String, x: Column,
                   tieCol: String): DataFrame = {
-    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
-      col(tieCol).as("__o"), x.as("__x"))
-    val a = base.select(col("__k"), col("__t").as("__ta"),
-      col("__o").as("__oa"), col("__x").as("__xa"))
-    val b = base.select(col("__k"), col("__t").as("__tb"),
-      col("__o").as("__ob"), col("__x").as("__xb"))
-    val pairs = a.join(b, Seq("__k"))
-      .filter(col("__ta") < col("__tb") ||
-        (col("__ta") === col("__tb") && col("__oa") < col("__ob")))
-    val sTab = pairs.groupBy(col("__k"))
-      .agg(sum(when(col("__xb") > col("__xa"), 1L)
-        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
-    val nTab = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
-    val tieTab = base.groupBy(col("__k"), col("__x"))
-      .agg(count(lit(1)).as("__t"))
+    val grouped = df
+      .select(col(keyCol).as("__k"), struct(col(tsCol).as("__t"),
+        col(tieCol).as("__o"), x.as("__x")).as("__e"))
       .groupBy(col("__k"))
-      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5))
-        .as("tsum"))
-    val j = nTab.join(sTab, Seq("__k"), "left").join(tieTab, Seq("__k"))
-      .select(col("__k"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
-        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
-          col("tsum")).as("var18"))
-    j.select(col("__k").as(keyCol), col("n").cast("long").as("n"),
-      col("s").cast("long").as("s"),
-      when(col("var18") <= 0, lit(null)).otherwise(
-        when(col("s") > 0, (col("s") - 1).cast("double"))
-          .when(col("s") < 0, (col("s") + 1).cast("double"))
-          .otherwise(lit(0.0)) /
-          sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
+      .agg(array_sort(collect_list(col("__e"))).as("__arr"))
+    val xs = transform(col("__arr"), e => e.getField("__x"))
+    def tf(c: Column): Column = {
+      val cl = c.cast("long")
+      cl * (cl - 1) * (lit(2L) * cl + 5)
+    }
+    // S = Σ_{i<j} sign(x_j − x_i): for each 1-based j, fold the prefix
+    // slice against x_j. NULL x compares to nothing → contributes 0,
+    // exactly like the join formulation's non-matching predicate.
+    val sExpr = when(size(col("__arr")) < 2, lit(0L)).otherwise(
+      aggregate(sequence(lit(2), size(col("__arr"))), lit(0L), (acc, j) =>
+        acc + aggregate(slice(xs, lit(1), j - 1), lit(0L), (a2, xi) =>
+          a2 + when(element_at(xs, j) > xi, 1L)
+            .when(element_at(xs, j) < xi, -1L).otherwise(0L))))
+    // tie sum Σ_t t(t−1)(2t+5) over equal-value groups (NULLs form one
+    // group, as GROUP BY did): count each distinct value's occurrences
+    val tsumExpr = aggregate(array_distinct(xs), lit(0L), (acc, d) =>
+      acc + tf(size(filter(xs, v => v <=> d))))
+    val n = size(col("__arr")).cast("long")
+    grouped.select(col("__k").as(keyCol), n.as("n"), sExpr.as("s"),
+        (tf(n) - tsumExpr).as("var18"))
+      .select(col(keyCol), col("n"), col("s"),
+        when(col("var18") <= 0, lit(null)).otherwise(
+          when(col("s") > 0, (col("s") - 1).cast("double"))
+            .when(col("s") < 0, (col("s") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
   }
 
   /** Per-key Theil–Sen trend estimator — the robust slope companion to
@@ -944,26 +985,52 @@ object Stats {
     * so the exact-interpolating median arithmetic ((a+b)/2 and
     * a+(b−a)·g forms alike) is EXACT on grid values and cannot differ
     * cross-engine by formula association. Same bounded per-entity
-    * all-pairs shape as [[mannKendall]]. Keys with no pair (n < 2 or
-    * all-equal timestamps) are absent from the output. */
+    * all-pairs shape as [[mannKendall]], and the same scale shape: ONE
+    * scan + ONE shuffle — the per-key series is collected, sorted
+    * in-row, and the pairwise slopes + their exact median fold inside
+    * a projection (the earlier self-join scanned the input twice and
+    * shuffled the n² pair fan-out). Keys with no pair (n < 2 or
+    * all-equal timestamps) are absent from the output; null-x pairs
+    * count in n_pairs but are ignored by the median, exactly as the
+    * percentile aggregate ignored them. */
   def theilSen(df: DataFrame, keyCol: String, tsCol: String, x: Column)
       : DataFrame = {
-    val base = df.select(col(keyCol).as("__k"),
-      unix_micros(col(tsCol)).as("__t"), x.as("__x"))
-    val a = base.select(col("__k"), col("__t").as("__ta"),
-      col("__x").as("__xa"))
-    val b = base.select(col("__k"), col("__t").as("__tb"),
-      col("__x").as("__xb"))
-    val slope = ((col("__xb") - col("__xa")) * lit(86400000000L))
-      .cast("double") / (col("__tb") - col("__ta"))
-    val slopeQ = floor(slope * lit(1048576.0)) / lit(1048576.0)
-    a.join(b, Seq("__k")).filter(col("__ta") < col("__tb"))
-      .select(col("__k"), slopeQ.as("__s"))
+    val grouped = df
+      .select(col(keyCol).as("__k"), struct(unix_micros(col(tsCol))
+        .as("__t"), x.as("__x")).as("__e"))
       .groupBy(col("__k"))
-      .agg(count(lit(1)).as("n_pairs"),
-        percentile(col("__s"), lit(0.5)).as("slope_per_day"))
-      .select(col("__k").as(keyCol), col("n_pairs").cast("long").as("n_pairs"),
-        col("slope_per_day"))
+      .agg(array_sort(collect_list(col("__e"))).as("__arr"))
+    val arr = col("__arr")
+    val ts = transform(arr, e => e.getField("__t"))
+    val vs = transform(arr, e => e.getField("__x"))
+    // one struct per i<j pair: v = orderable (t_i < t_j strictly; equal
+    // or null timestamps never pair), s = the 2^-20-quantized slope
+    def pairs = flatten(transform(sequence(lit(2), size(arr)), j =>
+      transform(sequence(lit(1), j - 1), i => {
+        val dt = element_at(ts, j) - element_at(ts, i)
+        val slope = ((element_at(vs, j) - element_at(vs, i)) *
+          lit(86400000000L)).cast("double") / dt
+        struct((element_at(ts, i) < element_at(ts, j)).as("v"),
+          (floor(slope * lit(1048576.0)) / lit(1048576.0)).as("s"))
+      })))
+    val valid = filter(when(size(arr) < 2, array().cast(
+      "array<struct<v:boolean,s:double>>")).otherwise(pairs),
+      p => p.getField("v"))
+    // stage through projections so the sorted-slope array is one named
+    // column, not a per-use copy of the whole pair-generation tree
+    val staged = grouped.select(col("__k"), valid.as("__vp"))
+      .select(col("__k"), size(col("__vp")).cast("long").as("n_pairs"),
+        array_sort(filter(transform(col("__vp"), p => p.getField("s")),
+          s => s.isNotNull)).as("__sl"))
+    val m = size(col("__sl"))
+    def at(i: Column): Column = element_at(col("__sl"), i.cast("int"))
+    val median = when(m === 0, lit(null))
+      .when(m % 2 === 1, at((m + 1) / 2))
+      .otherwise((at(m / 2) + at(m / 2 + 1)) / 2)
+    staged
+      .select(col("__k").as(keyCol), col("n_pairs"),
+        median.as("slope_per_day"))
+      .filter(col("n_pairs") > 0)
   }
 
   /** CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al.
@@ -1045,9 +1112,12 @@ object Stats {
     * over the bucket table (value-cardinality sized). Output one row
     * per bucket: (bucket, pos, neg, woe, iv_term, iv_total). */
   def woeIv(df: DataFrame, bucketCol: String, label: Column): DataFrame = {
+    // bucket-bounded, feeds tot + the scored branch pair — uncut, the
+    // raw scan re-plans per consumer (audited: 4 static events scans)
     val cells = df.groupBy(col(bucketCol).as("__b"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("pos"),
         sum(when(label, 0L).otherwise(1L)).as("neg"))
+      .localCheckpoint(false)
     val tot = cells.agg(sum("pos").as("__p"), sum("neg").as("__n"))
     val woe = Exact.lnq(((col("pos") + lit(0.5)) * col("__n")) /
       ((col("neg") + lit(0.5)) * col("__p")))
@@ -1126,13 +1196,26 @@ object Stats {
   def conformalInterval(cal: DataFrame, test: DataFrame, yCol: String,
                         yhatCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
-    val r = cal.select(abs(col(yCol) - col(yhatCol)).as("__r"))
-    val n = r.agg(count(lit(1)).as("__n"))
-    val ranked = r.withColumn("__rk",
-      row_number().over(Window.orderBy(col("__r"))))
-    val q = ranked.crossJoin(broadcast(n))
-      .filter(col("__rk") === least(
-        ceil(lit(1 - alpha) * (col("__n") + 1)).cast("long"), col("__n")))
+    // collapse calibration residuals onto their DISTINCT-VALUE count
+    // table first (the doubledRanks discipline): the global order-
+    // statistic windows then run over value cardinality, never raw
+    // rows, and n rides the SAME single exchange as the prefix counts
+    // (a separate count() aggregate would re-plan the whole
+    // calibration upstream — Catalyst does not dedupe common subplans)
+    val byV = cal.select(abs(col(yCol) - col(yhatCol)).as("__r"))
+      .groupBy("__r").agg(count(lit(1)).as("__c"))
+    val ord = Window.orderBy(col("__r"))
+    val pref = byV
+      .withColumn("__upto", sum("__c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // the ⌈(1−α)(n+1)⌉-th (capped at n) smallest residual is the value
+    // whose tie run covers that rank — the run occupies (__upto−__c, __upto]
+    val k = least(ceil(lit(1 - alpha) * (col("__n") + 1)).cast("long"),
+      col("__n"))
+    val q = pref
+      .filter(col("__upto") - col("__c") < k && k <= col("__upto"))
       .select(col("__r").as("__q"))
     test.crossJoin(broadcast(q))
       .withColumn("lo", col(yhatCol) - col("__q"))
@@ -1397,31 +1480,45 @@ object Stats {
     * (|2x − 2med|) and the 4× factor cancels in F. Between-group
     * Σ Sᵢ²/nᵢ is folded in group order (one division per group, in-row
     * ordered fold — never a windowed double sum); the grand term and
-    * the two df-divisions are each ONE division. One ranking window on
-    * the group partition + two grouped aggs. */
+    * the two df-divisions are each ONE division.
+    *
+    * Scale shape: ONE scan collapses rows onto the DISTINCT-VALUE
+    * table (the trimmedMean discipline); both order statistics come
+    * from per-group prefix counts over that small table — no row-scale
+    * rank window, which with a low-cardinality group key (q234 groups
+    * by returnflag — 3 groups at any SF) would funnel the whole table
+    * through k window partitions — and the z-moments reuse the same
+    * cut cells with count weights. */
   def brownForsythe(df: DataFrame, groupCol: String, x: Column)
       : DataFrame = {
-    val d = df.select(col(groupCol).as("__g"), x.cast("long").as("__x"))
+    val dv = df.select(col(groupCol).as("__g"), x.cast("long").as("__x"))
       .filter(col("__x").isNotNull)
-    val w = Window.partitionBy("__g").orderBy(col("__x"))
+      .groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val wp = Window.partitionBy("__g").orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = dv
+      .withColumn("__upto", sum("__c").over(wp))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__g")))
     val lo = call_function("div", col("__n") + 1, lit(2L))
     val hi = call_function("div", col("__n"), lit(2L)) + 1
-    val ranked = d.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
-    val med2 = ranked
-      .filter(col("__rn") === lo || col("__rn") === hi)
-      // odd n: lo == hi — ONE row matches, double it; even n: the two
-      // middle order statistics sum directly. __med2 = 2·median, exact.
-      .groupBy("__g")
-      .agg(sum("__x").as("__sm"), count(lit(1)).as("__cm"))
-      .select(col("__g"),
-        (when(col("__cm") === 1, col("__sm") * 2)
-          .otherwise(col("__sm"))).as("__med2"))
-    val z = d.join(med2, "__g")
-      .select(col("__g"), abs(col("__x") * 2 - col("__med2")).as("__z"))
+    // a value run occupies ranks (__upto − __c, __upto]; it contributes
+    // x once per middle order statistic it covers (both when n is odd
+    // and lo == hi lands inside it → 2x, the doubling for free)
+    def hits(r: Column): Column =
+      when(col("__upto") - col("__c") < r && r <= col("__upto"), 1L)
+        .otherwise(0L)
+    val med2 = pref
+      .select(col("__g"), (col("__x") * (hits(lo) + hits(hi))).as("__m"))
+      .groupBy("__g").agg(sum("__m").as("__med2"))
+    val z = dv.join(med2, "__g")
+      .select(col("__g"), abs(col("__x") * 2 - col("__med2")).as("__z"),
+        col("__c"))
     val cells = z.groupBy("__g")
-      .agg(count(lit(1)).as("n"), sum(col("__z").cast(dec38)).as("s"),
-        sum((col("__z") * col("__z")).cast(dec38)).as("ss"))
+      .agg(sum("__c").as("n"),
+        sum(col("__z").cast(dec38) * col("__c").cast(dec38)).as("s"),
+        sum(col("__z").cast(dec38) * col("__z").cast(dec38) *
+          col("__c").cast(dec38)).as("ss"))
     cells.agg(
         count(lit(1)).cast("long").as("k"),
         sum("n").cast("long").as("n"),
@@ -1472,7 +1569,15 @@ object Stats {
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
     val pairs = df.select(a.cast("string").as("__a"),
       b.cast("string").as("__b"))
+    // The contingency table is label²-bounded but feeds THREE consumers
+    // (both marginals + agree/N), and Catalyst does not dedupe common
+    // subplans — without a cut the full upstream scan (with whatever
+    // expensive projection produced the labels, e.g. q238's stopword
+    // language vote) runs three times (read in the q238 plan audit:
+    // 3 parquet scans, no ReusedExchange). localCheckpoint(false)
+    // materializes it once; blocks release when the plan is GC'd.
     val cells = pairs.groupBy("__a", "__b").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
     val marg = cells.groupBy("__a").agg(sum("__n").as("__na"))
       .join(cells.groupBy("__b").agg(sum("__n").as("__nb")),
         col("__a") === col("__b"), "full")
@@ -1620,10 +1725,16 @@ object Stats {
     * the beta family) returns NULL prior and shrunk = raw. */
   def ebShrinkRates(df: DataFrame, keyCol: String, success: Column)
       : DataFrame = {
+    // the per-key rate table feeds THREE consumers (both moment passes
+    // + the final scoring projection) — uncut, the raw scan re-plans
+    // per consumer (audited: 3 static events scans). cache(): key-
+    // cardinality frames are row-scale at 100 TB, the columnar
+    // InMemoryRelation read is the measured multi-consumer choice.
     val keys = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("n"),
         sum(when(success, 1L).otherwise(0L)).as("x"))
       .withColumn("rate", col("x").cast("double") / col("n"))
+      .cache()
     val m1 = keys.agg(
       count(lit(1)).cast("double").as("__kn"),
       aggregate(array_sort(collect_list(struct(col("__k"),

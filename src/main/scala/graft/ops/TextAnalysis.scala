@@ -292,7 +292,12 @@ object TextAnalysis {
     // DISTINCT reductions and the equi-join run on 8-byte hashes, the
     // n-gram strings are never materialized, and the broadcast of the
     // bench side shrinks by the same factor.
+    // the train-side gram table feeds BOTH the hit join and the totals
+    // agg — uncut, the train tokenize re-plans per consumer (audited:
+    // 3 static documents scans incl. the bench side). cache(): doc ×
+    // gram is row-scale.
     val d = hashedWordGrams(docs, Seq(idCol), textCol, n).distinct()
+      .cache()
     val b = hashedWordGrams(bench, Nil, textCol, n).distinct()
     val hits = d.join(b, Seq("__h"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("hit"))
@@ -320,11 +325,18 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
                       vocab: DataFrame,
                       minPairDocs: Long = 5L): DataFrame = {
+    // tk feeds THREE consumers (df counts + both sides of the pair
+    // self-join) and its upstream is the corpus tokenize + distinct
+    // shuffle — cache() it (the minHashNearDupPairs-measured choice
+    // for row-scale multi-consumer frames: columnar InMemoryRelation
+    // reads beat both a triple recompute and row-serialized
+    // checkpoint blocks; LRU reclaims under pressure)
     val tk = docs.select(col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
       .join(vocab.select("token"), Seq("token"), "left_semi")
+      .cache()
     val nDocs = docs.select(col(idCol)).distinct().count()
     val dfx = tk.groupBy("token").agg(count(lit(1)).as("df"))
     val pairs = tk.select(col("doc"), col("token").as("tok_a"))
@@ -434,12 +446,16 @@ object TextAnalysis {
     * swamps the signal. Counts integral; Jaccard ONE division. */
   def vocabOverlap(docs: DataFrame, groupCol: String, textCol: String,
                    minDf: Long = 1L): DataFrame = {
+    // group×vocabulary-bounded, feeds sizes + both self-join sides —
+    // uncut, the corpus tokenize re-plans per consumer (audited: 4
+    // static documents scans)
     val types0 = docs.select(col(groupCol).cast("string").as("g"),
         explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("g", "token").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
       .select("g", "token")
+      .localCheckpoint(false)
     val sizes = types0.groupBy("g").agg(count(lit(1)).as("v"))
     val shared = types0.select(col("g").as("ga"), col("token"))
       .join(types0.select(col("g").as("gb"), col("token")), Seq("token"))

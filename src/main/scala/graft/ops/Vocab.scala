@@ -43,22 +43,24 @@ object Vocab {
     * bit-reproducible across engines — no float accumulation.
     * Zero-token documents are kept with rate 0.0 (they have no
     * out-of-vocabulary evidence; gate them on emptiness elsewhere —
-    * gopherRules/c4Filters own that call). The join back that
-    * preserves them carries only the pruned id column. */
+    * gopherRules/c4Filters own that call): `explode_outer` over the
+    * pre-filtered token array emits one null-token row for them, so
+    * ONE corpus scan covers every document — no join-back pass (the
+    * earlier formulation re-scanned the corpus just to resurrect the
+    * empty docs). `carryCols` ride the explode so a caller grouping
+    * the rates by e.g. language needs no third scan either. */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
-              vocab: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-      .filter(col("token") =!= "")
+              vocab: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select(col(idCol) +: carryCols.map(col) :+
+      explode_outer(filter(split(col(textCol), " "), w => w =!= ""))
+        .as("token"): _*)
     val marked = toks.join(
       broadcast(vocab.select(col("token"), lit(1).as("in_vocab"))),
       Seq("token"), "left_outer")
-    val stats = marked.groupBy(idCol).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
-    docs.select(col(idCol))
-      .join(stats, Seq(idCol), "left_outer")
-      .na.fill(0L, Seq("n_tokens", "oov_tokens"))
+    marked.groupBy(idCol, carryCols: _*).agg(
+        count(col("token")).as("n_tokens"),
+        sum(when(col("token").isNotNull && col("in_vocab").isNull, 1L)
+          .otherwise(0L)).as("oov_tokens"))
       .withColumn("oov_rate",
         round(col("oov_tokens").cast("double") /
           greatest(col("n_tokens"), lit(1L)), 6))

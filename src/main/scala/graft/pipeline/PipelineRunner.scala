@@ -213,10 +213,9 @@ object PipelineRunner {
           throw new IllegalArgumentException("upsert load: 'key' required"))
         val ver = l.versionCol.getOrElse(
           throw new IllegalArgumentException("upsert load: 'versionCol' required"))
-        // the un-observed df1: Merge.upsert consumes the updates twice
-        // (latest-wins ranking + the union), which would double-count a
-        // CollectMetrics node — observe the MERGED plan instead, so the
-        // reported figure is the standing row count after the merge
+        // observe the MERGED plan (not df1): the reported figure is the
+        // standing row count after the merge, and it stays correct no
+        // matter how Merge.upsert internally consumes the updates frame
         Sinks.recoverSwap(df1, l.path)
         val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
           spark.sparkContext.hadoopConfiguration)

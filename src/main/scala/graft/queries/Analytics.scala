@@ -2381,23 +2381,36 @@ object Analytics {
       val ev = Tables.events(s, d)
       val days = call_function("div", unix_micros(col("ts")),
         lit(86400000000L))
-      val base = ev.select(col("event_type"),
-        floor(col("value") * 64).cast("long").as("vx"),
-        pmod(days + 4, lit(7L)).as("dow"))
-      val prof = base.groupBy("event_type", "dow")
-        .agg((sum("vx").cast("double") / count(lit(1))).as("mu"))
-      val resid = base.join(prof, Seq("event_type", "dow"))
-        .select(col("event_type"), (col("vx") - col("mu")).as("r"))
+      // vx is integral, so the entire med/MAD chain collapses onto the
+      // DISTINCT-VALUE cell table (event_type × 7 dow × ~65 vx buckets
+      // — the doubledRanks discipline): ONE events scan builds it, the
+      // cut makes it the single source for the four count-weighted
+      // passes (the row-scale formulation re-planned the events scan +
+      // residual join per percentile pass). percentile(x, p, freq)
+      // replays PERCENTILE_CONT exactly over the replicated counts;
+      // sum(vx·c)/Σc is the same one-division mean.
+      val cells = ev.select(col("event_type"),
+          floor(col("value") * 64).cast("long").as("vx"),
+          pmod(days + 4, lit(7L)).as("dow"))
+        .groupBy("event_type", "dow", "vx")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val prof = cells.groupBy("event_type", "dow")
+        .agg((sum(col("vx") * col("c")).cast("double") / sum("c")).as("mu"))
+      val resid = cells.join(broadcast(prof), Seq("event_type", "dow"))
+        .select(col("event_type"), (col("vx") - col("mu")).as("r"),
+          col("c"))
       val med = resid.groupBy("event_type")
-        .agg(percentile(col("r"), lit(0.5)).as("medr"))
-      val a = resid.join(med, "event_type")
+        .agg(percentile(col("r"), lit(0.5), col("c")).as("medr"))
+      val a = resid.join(broadcast(med), "event_type")
       val mad = a.groupBy("event_type")
-        .agg(percentile(abs(col("r") - col("medr")), lit(0.5)).as("madr"))
-      a.join(mad, "event_type")
+        .agg(percentile(abs(col("r") - col("medr")), lit(0.5), col("c"))
+          .as("madr"))
+      a.join(broadcast(mad), "event_type")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
+        .agg(sum("c").as("n"),
           sum(when(abs(col("r") - col("medr")) >
-            lit(3.5) * lit(1.4826) * col("madr"), 1L).otherwise(0L))
+            lit(3.5) * lit(1.4826) * col("madr"), col("c")).otherwise(0L))
             .as("n_anomalies"),
           round(min(col("medr")), 6).as("med_r"),
           round(min(col("madr")), 6).as("mad_r"))
@@ -2436,13 +2449,17 @@ object Analytics {
         floor(col("o_totalprice")).cast("long").as("y"),
         when(Sampling.hashBucket(col("o_orderkey")) < 8000, "cal")
           .otherwise("test").as("split"))
+      // the per-priority model is priority-bounded (5 rows) but feeds
+      // BOTH the cal and the test join — cut it once or its whole
+      // orders scan re-runs per consumer, and broadcast it
       val m = base.filter(col("split") === "cal")
         .groupBy("o_orderpriority")
         .agg((sum("y").cast("double") / count(lit(1))).as("yhat"))
+        .localCheckpoint(false)
       val cal = base.filter(col("split") === "cal")
-        .join(m, "o_orderpriority")
+        .join(broadcast(m), "o_orderpriority")
       val test = base.filter(col("split") === "test")
-        .join(m, "o_orderpriority")
+        .join(broadcast(m), "o_orderpriority")
       Stats.conformalInterval(cal, test, "y", "yhat", alpha = 0.1)
         .select(col("o_orderkey"), col("o_orderpriority"), col("yhat"),
           col("lo"), col("hi"))
@@ -2586,13 +2603,17 @@ object Analytics {
         floor(col("o_totalprice")).cast("long").as("y"),
         when(Sampling.hashBucket(col("o_orderkey")) < 8000, "cal")
           .otherwise("test").as("split"))
+      // the per-priority model is priority-bounded (5 rows) but feeds
+      // BOTH the cal and the test join — cut it once or its whole
+      // orders scan re-runs per consumer, and broadcast it
       val m = base.filter(col("split") === "cal")
         .groupBy("o_orderpriority")
         .agg((sum("y").cast("double") / count(lit(1))).as("yhat"))
+        .localCheckpoint(false)
       val cal = base.filter(col("split") === "cal")
-        .join(m, "o_orderpriority")
+        .join(broadcast(m), "o_orderpriority")
       val test = base.filter(col("split") === "test")
-        .join(m, "o_orderpriority")
+        .join(broadcast(m), "o_orderpriority")
       Stats.conformalIntervalByGroup(cal, test, "o_orderpriority",
           "y", "yhat", alpha = 0.1)
         .select(col("o_orderkey"), col("o_orderpriority"), col("yhat"),

@@ -2330,8 +2330,9 @@ object ScaleOps {
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val docs = Tables.table(s, d, "documents")
       val vocab = graft.ops.Vocab.induceVocab(docs, "text", 1000)
-      graft.ops.Vocab.oovRate(docs, "doc_id", "text", vocab)
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      // lang rides oovRate's explode (carryCols) — TWO corpus scans
+      // total (vocab induction + scoring), no join-back for lang
+      graft.ops.Vocab.oovRate(docs, "doc_id", "text", vocab, Seq("lang"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("oov_rate") <= 0.2, 1L).otherwise(0L)).as("n_pass"),

@@ -116,6 +116,69 @@ object StatsBench {
         .count()
     }
 
+    // --- q205 shape: per-key bounded series, Mann–Kendall ---
+    // 1/10th the row budget: the A/B arm replays the pre-r10 self-join
+    // formulation, whose pair fan-out (keys · n²/2 rows THROUGH the
+    // join shuffle) is the hazard being measured; the r10 one-pass
+    // form does the same n² work inside a projection on n-sized rows.
+    val mkRows = math.max(nRows / 10, 100000L)
+    val mkKeys = math.max(mkRows / 100, 100L) // ~100 events per key
+    val series = spark.range(mkRows).map { i =>
+      val k = java.lang.Math.floorMod(h(i, 11L), mkKeys)
+      (k, i, i, java.lang.Math.floorMod(h(i, 12L), 64L))
+    }.toDF("k", "ts", "o", "x").repartition(32).cache()
+    series.count()
+    val (mkKeysOut, mkSec) = time {
+      Stats.mannKendall(series, "k", "ts", col("x"), "o").count()
+    }
+    val (mkOldKeys, mkOldSec) = time {
+      val base = series.select(col("k"), col("ts").as("__t"),
+        col("o").as("__o"), col("x").as("__x"))
+      val a = base.select(col("k"), col("__t").as("__ta"),
+        col("__o").as("__oa"), col("__x").as("__xa"))
+      val b = base.select(col("k"), col("__t").as("__tb"),
+        col("__o").as("__ob"), col("__x").as("__xb"))
+      val pairs = a.join(b, Seq("k"))
+        .filter(col("__ta") < col("__tb") ||
+          (col("__ta") === col("__tb") && col("__oa") < col("__ob")))
+      val sTab = pairs.groupBy("k")
+        .agg(sum(when(col("__xb") > col("__xa"), 1L)
+          .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
+      val nTab = base.groupBy("k").agg(count(lit(1)).as("n"))
+      val tieTab = base.groupBy(col("k"), col("__x"))
+        .agg(count(lit(1)).as("__t"))
+        .groupBy("k")
+        .agg(sum(col("__t") * (col("__t") - 1) *
+          (lit(2L) * col("__t") + 5)).as("tsum"))
+      nTab.join(sTab, Seq("k"), "left").join(tieTab, Seq("k")).count()
+    }
+
+    // --- q234 shape: Brown–Forsythe over the q243 fixture ---
+    // same 3-group/10M frame; the A/B arm is the pre-r10 row-ranked
+    // median (row_number window on the 3-value key → whole table
+    // through 3 sort tasks), vs the distinct-value prefix form.
+    val (bfRows, bfSec) = time {
+      Stats.brownForsythe(grouped, "g", col("x")).count()
+    }
+    val (bfOldRows, bfOldSec) = time {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("x"))
+      val ranked = grouped.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      val lo = call_function("div", col("__n") + 1, lit(2L))
+      val hi = call_function("div", col("__n"), lit(2L)) + 1
+      val med2 = ranked.filter(col("__rn") === lo || col("__rn") === hi)
+        .groupBy("g").agg(sum("x").as("__sm"), count(lit(1)).as("__cm"))
+        .select(col("g"), when(col("__cm") === 1, col("__sm") * 2)
+          .otherwise(col("__sm")).as("__med2"))
+      grouped.join(med2, "g")
+        .select(col("g"), abs(col("x") * 2 - col("__med2")).as("__z"))
+        .groupBy("g").agg(count(lit(1)).as("n"),
+          sum(col("__z").cast("decimal(38,0)")).as("s"))
+        .count()
+    }
+
     // --- q264 shape: 10M events over ~2,000 days ---
     val events = spark.range(nRows).map { i =>
       val day = java.lang.Math.floorMod(h(i, 6L), 2000L)
@@ -138,6 +201,13 @@ object StatsBench {
       s""""trimmed_mean_sec":${f"$tmSec%.2f"},"trimmed_mean_groups":$tmRows,""" +
       s""""trimmed_mean_rowwindow_sec":${f"$tmOldSec%.2f"},""" +
       s""""trimmed_mean_rowwindow_groups":$tmOldRows,""" +
+      s""""mann_kendall_rows":$mkRows,""" +
+      s""""mann_kendall_sec":${f"$mkSec%.2f"},"mann_kendall_keys":$mkKeysOut,""" +
+      s""""mann_kendall_selfjoin_sec":${f"$mkOldSec%.2f"},""" +
+      s""""mann_kendall_selfjoin_keys":$mkOldKeys,""" +
+      s""""brown_forsythe_sec":${f"$bfSec%.2f"},"brown_forsythe_rows":$bfRows,""" +
+      s""""brown_forsythe_rowwindow_sec":${f"$bfOldSec%.2f"},""" +
+      s""""brown_forsythe_rowwindow_rows":$bfOldRows,""" +
       s""""decompose_sec":${f"$dcSec%.2f"},"decompose_days":$dcRows}""")
     spark.stop()
   }

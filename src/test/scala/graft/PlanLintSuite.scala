@@ -59,6 +59,56 @@ class PlanLintSuite extends SparkTestBase {
       "design per conformalInterval's contract); the row bound comes " +
       "from a filter the structural rule cannot prove"))
 
+  /** Name-level exceptions to the scan discipline (≥3 static scans of
+    * one table): every entry is a REVIEWED multi-pass shape, not an
+    * accidental re-plan. Two scans are not flagged — aggregate-then-
+    * join-back and self-joins are the normal two-pass idioms. */
+  private val multiScanOk: Map[String, String] = Map(
+    "q229_join_delta" -> ("the ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB identity replays " +
+      "the standing view from the base tables on purpose — production " +
+      "materializes the view; the oracle recomputes it"),
+    "q64_tfidf" -> ("SQL-surface contract query: the shared CTE text " +
+      "is what is under test, and Catalyst inlines CTE references"),
+    "q61_ngram_jaccard" -> ("same SQL-surface CTE argument as q64: sh " +
+      "feeds cnt + both join sides and Catalyst inlines CTE references"),
+    "q23b_scalar_subquery" -> ("declared scalar-subquery SQL shape — " +
+      "the AVG subquery scan (plus its reuse) is the contract under " +
+      "test"),
+    "q59b_idle_rich_customers" -> ("declared TPC-H Q22-family SQL: " +
+      "scalar AVG subquery + NOT EXISTS, both over customer by shape"),
+    "q56c_sole_flagged_supplier" -> ("TPC-H Q20-family nested " +
+      "subqueries over lineitem — the declared SQL shape"),
+    "q76_ivf_topk" -> ("IVF tiers: bounded-sample quantizer fit, " +
+      "assignment, and probe each pass the embeddings by design"),
+    "q96_scd2" -> ("fixture builds updates as a union of two filters " +
+      "of the dimension; the operator reads current twice with " +
+      "complementary valid_to pushdown (history / open)"),
+    "q101_snapshot_diff" -> ("old and new snapshot versions both " +
+      "derive from the one fixture table; production diffs two " +
+      "distinct tables"),
+    "q109_psi_drift" -> ("reference bounds pass + the tagged ref∪cur " +
+      "union, both sides fixture-derived from events"),
+    "q118_ccnet_buckets" -> ("CCNet train/score split: the LM and its " +
+      "vocab train on the target-language slice, scoring passes the " +
+      "full corpus"),
+    "q120_mad_outliers" -> ("exact medians are inherently two-pass, " +
+      "plus the outlier count pass — the documented 3-pass shape; " +
+      "exact=false (t-digest) is the 100 TB dial"),
+    "q131_incremental_semdedup" -> ("standing table, new batch, and " +
+      "assignment each read the embeddings fixture"),
+    "q146_boilerplate_spans" -> ("induce → excise → reassemble: the " +
+      "n-gram occurrence table is corpus-sized (no cheap cut) and the " +
+      "induction/excision split is the frozen-index contract"),
+    "q127_split_leakage" -> ("declared CTE SQL over the bounded " +
+      "doc_id < 500 slice"),
+    "q163_funnel" -> ("k type-filtered passes, one per funnel step, " +
+      "each with the step predicate pushed to the scan"),
+    "q191_funnel_latency" -> "same k-pass funnel shape as q163",
+    "q240_retrieval_eval" -> ("results, qrels, and the ideal-DCG " +
+      "denominator each derive from the documents fixture"),
+    "q260_fellegi_sunter" -> ("blocked candidate generation self-" +
+      "joins part; FS scoring itself is a pure projection"))
+
   /** Name-level exceptions to the window discipline. */
   private val globalWindowOk: Map[String, String] = Map(
     "q35_ntile_dist" -> ("declared global NTILE/cume_dist semantics " +
@@ -136,5 +186,27 @@ class PlanLintSuite extends SparkTestBase {
       s"single-task global windows over RAW rows (aggregate first — the " +
         s"doubledRanks discipline — or whitelist with a bounded-input " +
         s"argument):\n${hits.mkString("\n")}")
+  }
+
+  test("corpus plan lint: no query scans one table 3+ times unreviewed") {
+    // Catalyst does not dedupe common subplans, so a frame consumed by
+    // k branches without a materialization cut re-reads (and
+    // re-projects) its whole upstream k times — the q238 cohenKappa
+    // triple-scan class (round 10). Static counts via graft.ScanAudit;
+    // cache()/localCheckpoint cuts hide their upstream scan, which is
+    // exactly the point — the cut is the fix being asserted.
+    val hits = SparkEntry.corpus.flatMap { q =>
+      planOf(q).toSeq.flatMap { plan =>
+        ScanAudit.scanCounts(plan).collect {
+          case (t, n) if n >= 3 && !multiScanOk.contains(q.name) =>
+            s"${q.name}: $n scans of $t"
+        }
+      }
+    }
+    assert(hits.isEmpty,
+      s"3+ static scans of one table (cut the shared frame — " +
+        s"localCheckpoint(false) for bounded summaries, cache() for " +
+        s"row-scale multi-consumer frames — or whitelist with the " +
+        s"reviewed-shape argument):\n${hits.mkString("\n")}")
   }
 }
