@@ -824,33 +824,28 @@ object Stats {
     * sqrts, and ONE division — hash-replayable. Returns (n, rho);
     * constant columns yield NULL. */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
-    // collapse to the (x, y) CELL table first — ONE scan of the input
-    // instead of three (x-ranks, y-ranks, moments each re-planned the
-    // scan; Catalyst does not dedupe common subplans). The cut is
-    // bounded by |X|·|Y| distinct pairs — the same bounded-cardinality
-    // contract the distinct-value rank window below already requires.
-    val cells = df.select(x.as("__x"), y.as("__y"))
-      .groupBy("__x", "__y").agg(count(lit(1)).as("__cn"))
-      .localCheckpoint(false)
-    val rx = doubledRanksFromCounts(cells.groupBy(col("__x").as("__v"))
-        .agg(sum("__cn").as("__c")))
+    // Three column-pruned scans ON PURPOSE (q203 whitelisted in the
+    // scan lint): a one-scan rewrite through the (x, y) cell table was
+    // A/B-measured 1.4–1.7× SLOWER at sf0.1 under BOTH cut flavors
+    // (cache and localCheckpoint), because one near-continuous axis
+    // (price cents) makes |X|·|Y| approach row scale — the cell
+    // groupBy is a full shuffle with no combine gain, while a bare
+    // 2-column parquet re-scan is nearly free. The scan-dedup
+    // discipline pays when the shared upstream is EXPENSIVE, not when
+    // it is a projection off the scan; each pass here reduces
+    // immediately to a per-axis value table.
+    val base = df.select(x.as("__x"), y.as("__y"))
+    val rx = doubledRanks(base, col("__x"))
       .select(col("__v").as("__x"), col("__dr").as("__rx"))
-    val ry = doubledRanksFromCounts(cells.groupBy(col("__y").as("__v"))
-        .agg(sum("__cn").as("__c")))
+    val ry = doubledRanks(base, col("__y"))
       .select(col("__v").as("__y"), col("__dr").as("__ry"))
-    val ranked = cells.join(rx, "__x").join(ry, "__y")
-    // cast BEFORE multiplying: doubled ranks scale with n, so a
-    // long·long product of rank × count can overflow where the
-    // per-row sums never did
-    def s(c: Column) = sum(c)
-    val cn = col("__cn").cast(dec38)
-    val drx = col("__rx").cast(dec38)
-    val dry = col("__ry").cast(dec38)
-    val m = ranked.agg(sum("__cn").as("n"),
-      s(drx * cn).as("sx"), s(dry * cn).as("sy"),
-      s(drx * drx * cn).as("sxx"),
-      s(dry * dry * cn).as("syy"),
-      s(drx * dry * cn).as("sxy"))
+    val ranked = base.join(rx, "__x").join(ry, "__y")
+    def s(c: Column) = sum(c.cast(dec38))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      s(col("__rx")).as("sx"), s(col("__ry")).as("sy"),
+      s(col("__rx") * col("__rx")).as("sxx"),
+      s(col("__ry") * col("__ry")).as("syy"),
+      s(col("__rx") * col("__ry")).as("sxy"))
     val n = col("n").cast(dec38)
     val num = n * col("sxy") - col("sx") * col("sy")
     val dx = n * col("sxx") - col("sx") * col("sx")
@@ -928,51 +923,54 @@ object Stats {
     *   z = (S − sign(S)) / √(Var)
     *
     * All-pairs within a key is O(n²) — per-entity series are bounded
-    * (the funnel/EWMA discipline), so the pair count is n² per key,
-    * never corpus². S, the tie sum, and Var·18 are exact integers;
+    * (the funnel/EWMA discipline), so the self-join fans out n² per
+    * key, never corpus². S, the tie sum, and Var·18 are exact integers;
     * z is one division over one correctly-rounded sqrt. Keys with
     * Var = 0 (all values equal, or n < 2) yield NULL z.
     *
-    * Scale shape: ONE scan + ONE shuffle — per key the (ts, tie, x)
-    * series is collected and time-sorted in-row, and S / the tie sum
-    * fold over the array. The earlier self-join formulation scanned
-    * the input four times (pairs a+b, n, ties) and pushed the n² pair
-    * fan-out through the join shuffle; here the n² work happens inside
-    * a projection on n-sized rows. Requires (tsCol, tieCol) to totally
-    * order each key's rows (the all-pairs contract already did). */
+    * The self-join IS the scale shape (measured, r10): an in-row
+    * rewrite (collect each series, fold the n² sign comparisons inside
+    * a projection) was A/B'd and REJECTED. Isolated it even wins
+    * (0.6 s vs 1.0 s at n≈100, StatsBench) — but in the FULL 313-query
+    * bench session it ran 54 s vs 1.1 s AND inflated the whole run's
+    * tail ~50%: the nested-HOF expression tree generates a huge
+    * projection method (the round-7 IVF InlineCentroidMax JIT-blowup
+    * class) that thrashes the JVM code cache session-wide. It also
+    * serializes each key onto one thread and carries O(n²)
+    * intermediate state in one row — an OOM hazard for a hot key. The
+    * join form streams pairs through whole-stage codegen and spreads
+    * every key's n² across the shuffle's parallelism. */
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String, x: Column,
                   tieCol: String): DataFrame = {
-    val grouped = df
-      .select(col(keyCol).as("__k"), struct(col(tsCol).as("__t"),
-        col(tieCol).as("__o"), x.as("__x")).as("__e"))
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+      col(tieCol).as("__o"), x.as("__x"))
+    val a = base.select(col("__k"), col("__t").as("__ta"),
+      col("__o").as("__oa"), col("__x").as("__xa"))
+    val b = base.select(col("__k"), col("__t").as("__tb"),
+      col("__o").as("__ob"), col("__x").as("__xb"))
+    val pairs = a.join(b, Seq("__k"))
+      .filter(col("__ta") < col("__tb") ||
+        (col("__ta") === col("__tb") && col("__oa") < col("__ob")))
+    val sTab = pairs.groupBy(col("__k"))
+      .agg(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
+    val nTab = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val tieTab = base.groupBy(col("__k"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
       .groupBy(col("__k"))
-      .agg(array_sort(collect_list(col("__e"))).as("__arr"))
-    val xs = transform(col("__arr"), e => e.getField("__x"))
-    def tf(c: Column): Column = {
-      val cl = c.cast("long")
-      cl * (cl - 1) * (lit(2L) * cl + 5)
-    }
-    // S = Σ_{i<j} sign(x_j − x_i): for each 1-based j, fold the prefix
-    // slice against x_j. NULL x compares to nothing → contributes 0,
-    // exactly like the join formulation's non-matching predicate.
-    val sExpr = when(size(col("__arr")) < 2, lit(0L)).otherwise(
-      aggregate(sequence(lit(2), size(col("__arr"))), lit(0L), (acc, j) =>
-        acc + aggregate(slice(xs, lit(1), j - 1), lit(0L), (a2, xi) =>
-          a2 + when(element_at(xs, j) > xi, 1L)
-            .when(element_at(xs, j) < xi, -1L).otherwise(0L))))
-    // tie sum Σ_t t(t−1)(2t+5) over equal-value groups (NULLs form one
-    // group, as GROUP BY did): count each distinct value's occurrences
-    val tsumExpr = aggregate(array_distinct(xs), lit(0L), (acc, d) =>
-      acc + tf(size(filter(xs, v => v <=> d))))
-    val n = size(col("__arr")).cast("long")
-    grouped.select(col("__k").as(keyCol), n.as("n"), sExpr.as("s"),
-        (tf(n) - tsumExpr).as("var18"))
-      .select(col(keyCol), col("n"), col("s"),
-        when(col("var18") <= 0, lit(null)).otherwise(
-          when(col("s") > 0, (col("s") - 1).cast("double"))
-            .when(col("s") < 0, (col("s") + 1).cast("double"))
-            .otherwise(lit(0.0)) /
-            sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2L) * col("__t") + 5))
+        .as("tsum"))
+    val j = nTab.join(sTab, Seq("__k"), "left").join(tieTab, Seq("__k"))
+      .select(col("__k"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("tsum")).as("var18"))
+    j.select(col("__k").as(keyCol), col("n").cast("long").as("n"),
+      col("s").cast("long").as("s"),
+      when(col("var18") <= 0, lit(null)).otherwise(
+        when(col("s") > 0, (col("s") - 1).cast("double"))
+          .when(col("s") < 0, (col("s") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(col("var18").cast("double") / lit(18.0))).as("z"))
   }
 
   /** Per-key Theil–Sen trend estimator — the robust slope companion to
@@ -985,52 +983,30 @@ object Stats {
     * so the exact-interpolating median arithmetic ((a+b)/2 and
     * a+(b−a)·g forms alike) is EXACT on grid values and cannot differ
     * cross-engine by formula association. Same bounded per-entity
-    * all-pairs shape as [[mannKendall]], and the same scale shape: ONE
-    * scan + ONE shuffle — the per-key series is collected, sorted
-    * in-row, and the pairwise slopes + their exact median fold inside
-    * a projection (the earlier self-join scanned the input twice and
-    * shuffled the n² pair fan-out). Keys with no pair (n < 2 or
-    * all-equal timestamps) are absent from the output; null-x pairs
-    * count in n_pairs but are ignored by the median, exactly as the
-    * percentile aggregate ignored them. */
+    * all-pairs self-join shape as [[mannKendall]] — and the same
+    * measured r10 verdict on the in-row alternative, amplified (its
+    * pair-generation tree is even bigger: q207 in the full-corpus
+    * session ran 347 s vs 3.5 s, isolated ~par — see mannKendall's
+    * scale note for the code-cache mechanism). Keys with no pair
+    * (n < 2 or all-equal timestamps) are absent from the output. */
   def theilSen(df: DataFrame, keyCol: String, tsCol: String, x: Column)
       : DataFrame = {
-    val grouped = df
-      .select(col(keyCol).as("__k"), struct(unix_micros(col(tsCol))
-        .as("__t"), x.as("__x")).as("__e"))
+    val base = df.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__t"), x.as("__x"))
+    val a = base.select(col("__k"), col("__t").as("__ta"),
+      col("__x").as("__xa"))
+    val b = base.select(col("__k"), col("__t").as("__tb"),
+      col("__x").as("__xb"))
+    val slope = ((col("__xb") - col("__xa")) * lit(86400000000L))
+      .cast("double") / (col("__tb") - col("__ta"))
+    val slopeQ = floor(slope * lit(1048576.0)) / lit(1048576.0)
+    a.join(b, Seq("__k")).filter(col("__ta") < col("__tb"))
+      .select(col("__k"), slopeQ.as("__s"))
       .groupBy(col("__k"))
-      .agg(array_sort(collect_list(col("__e"))).as("__arr"))
-    val arr = col("__arr")
-    val ts = transform(arr, e => e.getField("__t"))
-    val vs = transform(arr, e => e.getField("__x"))
-    // one struct per i<j pair: v = orderable (t_i < t_j strictly; equal
-    // or null timestamps never pair), s = the 2^-20-quantized slope
-    def pairs = flatten(transform(sequence(lit(2), size(arr)), j =>
-      transform(sequence(lit(1), j - 1), i => {
-        val dt = element_at(ts, j) - element_at(ts, i)
-        val slope = ((element_at(vs, j) - element_at(vs, i)) *
-          lit(86400000000L)).cast("double") / dt
-        struct((element_at(ts, i) < element_at(ts, j)).as("v"),
-          (floor(slope * lit(1048576.0)) / lit(1048576.0)).as("s"))
-      })))
-    val valid = filter(when(size(arr) < 2, array().cast(
-      "array<struct<v:boolean,s:double>>")).otherwise(pairs),
-      p => p.getField("v"))
-    // stage through projections so the sorted-slope array is one named
-    // column, not a per-use copy of the whole pair-generation tree
-    val staged = grouped.select(col("__k"), valid.as("__vp"))
-      .select(col("__k"), size(col("__vp")).cast("long").as("n_pairs"),
-        array_sort(filter(transform(col("__vp"), p => p.getField("s")),
-          s => s.isNotNull)).as("__sl"))
-    val m = size(col("__sl"))
-    def at(i: Column): Column = element_at(col("__sl"), i.cast("int"))
-    val median = when(m === 0, lit(null))
-      .when(m % 2 === 1, at((m + 1) / 2))
-      .otherwise((at(m / 2) + at(m / 2 + 1)) / 2)
-    staged
-      .select(col("__k").as(keyCol), col("n_pairs"),
-        median.as("slope_per_day"))
-      .filter(col("n_pairs") > 0)
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("__s"), lit(0.5)).as("slope_per_day"))
+      .select(col("__k").as(keyCol), col("n_pairs").cast("long").as("n_pairs"),
+        col("slope_per_day"))
   }
 
   /** CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al.

@@ -117,41 +117,46 @@ object StatsBench {
     }
 
     // --- q205 shape: per-key bounded series, Mann–Kendall ---
-    // 1/10th the row budget: the A/B arm replays the pre-r10 self-join
-    // formulation, whose pair fan-out (keys · n²/2 rows THROUGH the
-    // join shuffle) is the hazard being measured; the r10 one-pass
-    // form does the same n² work inside a projection on n-sized rows.
+    // 1/10th the row budget. The A/B arm is the REJECTED r10 in-row
+    // rewrite (collect each series, fold the n² sign comparisons in a
+    // projection): it wins at short series but is interpreted,
+    // single-thread-per-key, and copies a prefix slice per endpoint —
+    // at sf0.1 series lengths it measured 54 s vs the self-join's
+    // 1.1 s on the q205 corpus query. Both arms run at n≈100 and
+    // n≈400 to show the trend; the production op is the self-join.
     val mkRows = math.max(nRows / 10, 100000L)
-    val mkKeys = math.max(mkRows / 100, 100L) // ~100 events per key
-    val series = spark.range(mkRows).map { i =>
-      val k = java.lang.Math.floorMod(h(i, 11L), mkKeys)
-      (k, i, i, java.lang.Math.floorMod(h(i, 12L), 64L))
-    }.toDF("k", "ts", "o", "x").repartition(32).cache()
-    series.count()
+    def mkSeries(keys: Long) = {
+      val df = spark.range(mkRows).map { i =>
+        val k = java.lang.Math.floorMod(h(i, 11L), keys)
+        (k, i, i, java.lang.Math.floorMod(h(i, 12L), 64L))
+      }.toDF("k", "ts", "o", "x").repartition(32).cache()
+      df.count(); df
+    }
+    def mkInRow(series: org.apache.spark.sql.DataFrame): Long = {
+      val grouped = series
+        .select(col("k"), struct(col("ts").as("__t"), col("o").as("__o"),
+          col("x").as("__x")).as("__e"))
+        .groupBy("k").agg(array_sort(collect_list(col("__e"))).as("__arr"))
+      val xs = transform(col("__arr"), e => e.getField("__x"))
+      val sExpr = when(size(col("__arr")) < 2, lit(0L)).otherwise(
+        aggregate(sequence(lit(2), size(col("__arr"))), lit(0L), (acc, j) =>
+          acc + aggregate(slice(xs, lit(1), j - 1), lit(0L), (a2, xi) =>
+            a2 + when(element_at(xs, j) > xi, 1L)
+              .when(element_at(xs, j) < xi, -1L).otherwise(0L))))
+      grouped.select(col("k"), sExpr.as("s")).count()
+    }
+    val s100 = mkSeries(math.max(mkRows / 100, 100L)) // ~100 events/key
     val (mkKeysOut, mkSec) = time {
-      Stats.mannKendall(series, "k", "ts", col("x"), "o").count()
+      Stats.mannKendall(s100, "k", "ts", col("x"), "o").count()
     }
-    val (mkOldKeys, mkOldSec) = time {
-      val base = series.select(col("k"), col("ts").as("__t"),
-        col("o").as("__o"), col("x").as("__x"))
-      val a = base.select(col("k"), col("__t").as("__ta"),
-        col("__o").as("__oa"), col("__x").as("__xa"))
-      val b = base.select(col("k"), col("__t").as("__tb"),
-        col("__o").as("__ob"), col("__x").as("__xb"))
-      val pairs = a.join(b, Seq("k"))
-        .filter(col("__ta") < col("__tb") ||
-          (col("__ta") === col("__tb") && col("__oa") < col("__ob")))
-      val sTab = pairs.groupBy("k")
-        .agg(sum(when(col("__xb") > col("__xa"), 1L)
-          .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"))
-      val nTab = base.groupBy("k").agg(count(lit(1)).as("n"))
-      val tieTab = base.groupBy(col("k"), col("__x"))
-        .agg(count(lit(1)).as("__t"))
-        .groupBy("k")
-        .agg(sum(col("__t") * (col("__t") - 1) *
-          (lit(2L) * col("__t") + 5)).as("tsum"))
-      nTab.join(sTab, Seq("k"), "left").join(tieTab, Seq("k")).count()
+    val (mkInRowKeys, mkInRowSec) = time { mkInRow(s100) }
+    s100.unpersist()
+    val s400 = mkSeries(math.max(mkRows / 400, 50L)) // ~400 events/key
+    val (mkKeys400, mkSec400) = time {
+      Stats.mannKendall(s400, "k", "ts", col("x"), "o").count()
     }
+    val (mkInRowKeys400, mkInRowSec400) = time { mkInRow(s400) }
+    s400.unpersist()
 
     // --- q234 shape: Brown–Forsythe over the q243 fixture ---
     // same 3-group/10M frame; the A/B arm is the pre-r10 row-ranked
@@ -202,9 +207,12 @@ object StatsBench {
       s""""trimmed_mean_rowwindow_sec":${f"$tmOldSec%.2f"},""" +
       s""""trimmed_mean_rowwindow_groups":$tmOldRows,""" +
       s""""mann_kendall_rows":$mkRows,""" +
-      s""""mann_kendall_sec":${f"$mkSec%.2f"},"mann_kendall_keys":$mkKeysOut,""" +
-      s""""mann_kendall_selfjoin_sec":${f"$mkOldSec%.2f"},""" +
-      s""""mann_kendall_selfjoin_keys":$mkOldKeys,""" +
+      s""""mk_n100_selfjoin_sec":${f"$mkSec%.2f"},"mk_n100_keys":$mkKeysOut,""" +
+      s""""mk_n100_inrow_sec":${f"$mkInRowSec%.2f"},""" +
+      s""""mk_n100_inrow_keys":$mkInRowKeys,""" +
+      s""""mk_n400_selfjoin_sec":${f"$mkSec400%.2f"},"mk_n400_keys":$mkKeys400,""" +
+      s""""mk_n400_inrow_sec":${f"$mkInRowSec400%.2f"},""" +
+      s""""mk_n400_inrow_keys":$mkInRowKeys400,""" +
       s""""brown_forsythe_sec":${f"$bfSec%.2f"},"brown_forsythe_rows":$bfRows,""" +
       s""""brown_forsythe_rowwindow_sec":${f"$bfOldSec%.2f"},""" +
       s""""brown_forsythe_rowwindow_rows":$bfOldRows,""" +

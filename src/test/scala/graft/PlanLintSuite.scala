@@ -107,7 +107,20 @@ class PlanLintSuite extends SparkTestBase {
     "q240_retrieval_eval" -> ("results, qrels, and the ideal-DCG " +
       "denominator each derive from the documents fixture"),
     "q260_fellegi_sunter" -> ("blocked candidate generation self-" +
-      "joins part; FS scoring itself is a pure projection"))
+      "joins part; FS scoring itself is a pure projection"),
+    "q203_spearman" -> ("three COLUMN-PRUNED scans measured CHEAPER " +
+      "than the one-scan cell-table rewrite (1.4–1.7× at sf0.1, both " +
+      "cut flavors): a near-continuous axis makes the (x,y) cell " +
+      "groupBy a no-combine full shuffle, while a bare 2-column " +
+      "re-scan is nearly free — see Stats.spearman"),
+    "q205_mann_kendall" -> ("the per-key all-pairs SELF-JOIN is the " +
+      "measured scale shape: the in-row fold A/B ran 54 s vs 1.1 s " +
+      "in the full-corpus session (nested-HOF codegen thrashes the " +
+      "JVM code cache — the IVF JIT-blowup class) and carries O(n²) " +
+      "single-row state; n/tie aggregations are projections off the " +
+      "same scan"),
+    "q207_theil_sen" -> ("same self-join verdict as q205, amplified " +
+      "(its pair-generation tree is bigger: 347 s vs 3.5 s in-session)"))
 
   /** Name-level exceptions to the window discipline. */
   private val globalWindowOk: Map[String, String] = Map(
