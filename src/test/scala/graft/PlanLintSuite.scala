@@ -201,6 +201,24 @@ class PlanLintSuite extends SparkTestBase {
         s"argument):\n${hits.mkString("\n")}")
   }
 
+  test("ScanAudit counts scans inside LOGICAL subquery plans") {
+    // A pre-execution physical plan can carry a LOGICAL plan inside a
+    // subquery expression (planned lazily at execution) — the typed
+    // collectWithSubqueries ClassCastExceptions on it, which is why
+    // ScanAudit walks both plan families manually. Pin that: a scalar
+    // subquery over the same parquet table must contribute to the
+    // count instead of crashing the audit (and with the outer scan it
+    // reaches 2 for the same table).
+    graft.Tables.register(spark, sf0001)
+    val plan = spark.sql(
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)"""
+        .stripMargin).queryExecution.sparkPlan
+    val counts = ScanAudit.scanCounts(plan)
+    assert(counts.getOrElse("orders", 0) >= 2,
+      s"expected the subquery scan to be counted, got $counts")
+  }
+
   test("corpus plan lint: no query scans one table 3+ times unreviewed") {
     // Catalyst does not dedupe common subplans, so a frame consumed by
     // k branches without a materialization cut re-reads (and
