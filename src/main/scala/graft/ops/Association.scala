@@ -93,15 +93,27 @@ object Association {
     // accident, not a guarantee (the r10 rank-desync bug), and uncut
     // the static plan re-reads lineitem⋈orders six times; the cache
     // makes the single-pass shape explicit at zero measured cost.
+    // Cache lifetime (applies to every lazy-return operator's cut in
+    // this package): the result is a lazy DataFrame, so the operator
+    // CANNOT unpersist before the caller consumes it — the entry is
+    // released by ContextCleaner when the frame is GC'd, or by LRU
+    // under storage pressure (MEMORY_AND_DISK never recomputes, it
+    // spills). Operators that materialize internally (Components,
+    // Sampling.ipfWeights) unpersist eagerly instead.
     val b0 = df.select(col(userCol).as("u"), col(itemCol).as("item"))
       .distinct().cache()
+    // when the cap is active, the cut must sit ABOVE the capping
+    // window too: b feeds three consumers (singles + both self-join
+    // sides), and uncut each would replay the per-user row_number
+    // window (a full shuffle + sort) from b0 — the same multi-consumer
+    // re-plan the b0 cache exists to prevent.
     val b =
       if (maxBasket == Int.MaxValue) b0
       else b0.withColumn("__r", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("u")
             .orderBy(md5(concat_ws("#", col("u").cast("string"),
               col("item").cast("string"))), col("item"))))
-        .filter(col("__r") <= maxBasket).drop("__r")
+        .filter(col("__r") <= maxBasket).drop("__r").cache()
     // item-cardinality-bounded, consumed by BOTH direction joins
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))
       .localCheckpoint(false)

@@ -34,7 +34,10 @@ object Packing {
     // a pruning asymmetry desynchronizes them (the Ranks.globalRowNumber
     // failure mode, measured r10). Here both branches read identical
     // columns so the exchanges currently dedup via ReuseExchange, but
-    // that is an optimizer accident, not a guarantee.
+    // that is an optimizer accident, not a guarantee. Fault-tolerance
+    // trade-off: unreplicated executor blocks — an executor loss fails
+    // the query instead of recomputing (see Ranks.globalRowNumber's
+    // note for the full argument and the reliable-checkpoint option).
     val parted = docs.repartitionByRange(nParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()

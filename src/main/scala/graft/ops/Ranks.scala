@@ -38,6 +38,19 @@ object Ranks {
     // reachable; Spark's ContextCleaner unpersists it on GC, so a
     // long-lived session does not accumulate checkpoints (the
     // operator cannot unpersist earlier — the result is lazy).
+    // Fault-tolerance trade-off (deliberate): localCheckpoint stores
+    // UNREPLICATED, non-recomputable executor blocks and runs a job
+    // at construction time — on a multi-executor cluster an executor
+    // loss FAILS the query (retry the job) instead of recomputing,
+    // and explain/audit-only paths pay the materialization. The
+    // alternatives are worse at their respective ends: a reliable
+    // checkpoint survives executor loss but writes the frame to the
+    // cluster FS (ship a `reliable=true` flag if a deployment needs
+    // it); RDD zipWithIndex assigns ranks by partition order but
+    // forces a second pass anyway and abandons Catalyst column
+    // pruning below the cut. Correctness beats availability here:
+    // the un-frozen plan silently corrupts ranks (see above), a lost
+    // executor merely re-runs the query.
     val parted = df.repartitionByRange(nParts, order: _*)
       .withColumn("__gr_pid", spark_partition_id())
       .localCheckpoint()

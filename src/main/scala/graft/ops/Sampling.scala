@@ -50,17 +50,36 @@ object Sampling {
     * uniform target by its margin; weights are products of factors in
     * a fixed sweep order — all IEEE ops an oracle replays verbatim.
     * Returns (rowCol, colCol, n, weight); apply by joining on the two
-    * categories. */
+    * categories.
+    *
+    * `maxCells` ENFORCES the bounded-driver-state altitude (the
+    * Bpe.train(maxWords) / ivfIndex(trainSample) discipline): the cell
+    * table is counted distributively before collect(), and a category
+    * product above the bound fails fast with the mis-specification
+    * message instead of OOMing the driver — two high-cardinality
+    * columns make a raking problem ill-posed, not under-distributed. */
   def ipfWeights(df: DataFrame, rowCol: String, colCol: String,
-                 iters: Int = 2): DataFrame = {
+                 iters: Int = 2, maxCells: Long = 100000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
     val spark = df.sparkSession
-    val cells = df.select(col(rowCol).cast("string").as("__r"),
+    val cellTab = df.select(col(rowCol).cast("string").as("__r"),
         col(colCol).cast("string").as("__c"))
       .groupBy("__r", "__c").agg(count(lit(1)).as("n"))
+      .cache() // consumed twice: the bound count, then the collect
+    val nCells = cellTab.count()
+    require(nCells <= maxCells,
+      s"ipfWeights: $nCells distinct ($rowCol, $colCol) cells exceed " +
+        s"maxCells=$maxCells — IPF raking sweeps the cell table " +
+        s"driver-side (bounded-driver-state altitude); a category " +
+        s"product this large means the raking axes are mis-specified, " +
+        s"not that the sweep should be distributed. Coarsen the " +
+        s"categories or raise maxCells deliberately.")
+    val cells = cellTab
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
+    cellTab.unpersist() // both consumers are done (eager-action op)
     val rows = cells.map(_._1).distinct.sorted
     val colsK = cells.map(_._2).distinct.sorted
     val nTotal = cells.map(_._3).sum.toDouble

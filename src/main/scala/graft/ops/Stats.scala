@@ -939,11 +939,40 @@ object Stats {
     * serializes each key onto one thread and carries O(n²)
     * intermediate state in one row — an OOM hazard for a hot key. The
     * join form streams pairs through whole-stage codegen and spreads
-    * every key's n² across the shuffle's parallelism. */
+    * every key's n² across the shuffle's parallelism — ACROSS keys.
+    *
+    * WITHIN one key the join parallelism argument fails: a single hot
+    * key's n²/2 pairs all come out of ONE join key, i.e. ONE task —
+    * the q236 bot-user straggler shape (a 100k-event key is 5×10⁹
+    * pair evaluations in one thread). `maxSeries` is the measured
+    * answer (StatsBench hot-key arm, r11): a key above the cap keeps
+    * only its `maxSeries` events of smallest md5(key‖ts‖tie) — a
+    * fixed pseudo-random subsample, deterministic and engine-
+    * replayable, the Association.itemItemCosine maxBasket discipline.
+    * S, ties, and Var then describe the SUBSAMPLE's trend — still a
+    * valid MK test of the same null hypothesis (any fixed subsample
+    * of an exchangeable-under-H0 series is exchangeable under H0),
+    * with power reduced only on the capped keys. Default disables the
+    * cap so fixture-scale oracles replay uncapped semantics. */
   def mannKendall(df: DataFrame, keyCol: String, tsCol: String, x: Column,
-                  tieCol: String): DataFrame = {
-    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+                  tieCol: String, maxSeries: Int = Int.MaxValue): DataFrame = {
+    require(maxSeries >= 2, s"maxSeries must be >= 2, got $maxSeries")
+    val base0 = df.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
       col(tieCol).as("__o"), x.as("__x"))
+    // Capped path: one per-key sort-window (linear) instead of an n²
+    // single-task join. cache(): the capped frame feeds 4 consumers
+    // (both join sides, n, ties) and its window is not free to replay;
+    // uncapped path is untouched (plan and oracle byte-identical).
+    // Lifetime: ContextCleaner unpersists with the frame (LRU note in
+    // Association.itemItemCosine applies).
+    val base =
+      if (maxSeries == Int.MaxValue) base0
+      else base0.withColumn("__r", row_number().over(
+          Window.partitionBy("__k").orderBy(
+            md5(concat_ws("#", col("__k").cast("string"),
+              col("__t").cast("string"), col("__o").cast("string"))),
+            col("__t"), col("__o"))))
+        .filter(col("__r") <= maxSeries).drop("__r").cache()
     val a = base.select(col("__k"), col("__t").as("__ta"),
       col("__o").as("__oa"), col("__x").as("__xa"))
     val b = base.select(col("__k"), col("__t").as("__tb"),
@@ -988,11 +1017,30 @@ object Stats {
     * pair-generation tree is even bigger: q207 in the full-corpus
     * session ran 347 s vs 3.5 s, isolated ~par — see mannKendall's
     * scale note for the code-cache mechanism). Keys with no pair
-    * (n < 2 or all-equal timestamps) are absent from the output. */
-  def theilSen(df: DataFrame, keyCol: String, tsCol: String, x: Column)
-      : DataFrame = {
-    val base = df.select(col(keyCol).as("__k"),
+    * (n < 2 or all-equal timestamps) are absent from the output.
+    *
+    * `maxSeries` (see [[mannKendall]]): a hot key is WORSE here than
+    * in MK — beyond the single-task n²/2 pair generation, the exact
+    * `percentile` buffers that key's whole slope multiset in ONE
+    * aggregation buffer (5×10⁹ doubles ≈ 40 GB for a 100k-event key —
+    * an executor OOM, not just a straggler). The cap subsamples the
+    * key's events by md5(key‖ts‖x) deterministically; the reported
+    * slope is then the pairwise median over the subsample — the
+    * classical pair-subsampling Theil–Sen estimator. Default
+    * disables the cap (fixture oracles replay uncapped). */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String, x: Column,
+               maxSeries: Int = Int.MaxValue): DataFrame = {
+    require(maxSeries >= 2, s"maxSeries must be >= 2, got $maxSeries")
+    val base0 = df.select(col(keyCol).as("__k"),
       unix_micros(col(tsCol)).as("__t"), x.as("__x"))
+    val base =
+      if (maxSeries == Int.MaxValue) base0
+      else base0.withColumn("__r", row_number().over(
+          Window.partitionBy("__k").orderBy(
+            md5(concat_ws("#", col("__k").cast("string"),
+              col("__t").cast("string"), col("__x").cast("string"))),
+            col("__t"), col("__x"))))
+        .filter(col("__r") <= maxSeries).drop("__r").cache()
     val a = base.select(col("__k"), col("__t").as("__ta"),
       col("__x").as("__xa"))
     val b = base.select(col("__k"), col("__t").as("__tb"),

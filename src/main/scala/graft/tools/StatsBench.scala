@@ -158,6 +158,40 @@ object StatsBench {
     val (mkInRowKeys400, mkInRowSec400) = time { mkInRow(s400) }
     s400.unpersist()
 
+    // --- q205/q207 hot-key arm: ONE planted bot key (STATS_HOT events,
+    // default 100k) on top of ~100-event organic keys — the q236
+    // bot-user shape transplanted to trend stats. Uncapped, the hot
+    // key's C(n,2) ≈ 5×10⁹ sign evaluations all come out of ONE join
+    // key = ONE task (AQE cannot split a key); capped (maxSeries=256,
+    // C(256,2) ≈ 33k pairs) the key costs the same as 2.5 organic
+    // keys. theilSen runs CAPPED ONLY: its exact percentile would
+    // buffer the uncapped key's 5×10⁹ slope doubles (~40 GB) in ONE
+    // aggregation buffer — the arm would measure an OOM, not a time.
+    val hotN = sys.env.getOrElse("STATS_HOT", "100000").toLong
+    val hotOrganic = spark.range(mkRows / 10).map { i =>
+      val t: Long = i
+      val k = java.lang.Math.floorMod(h(i, 13L), mkRows / 1000)
+      (k, t, t, java.lang.Math.floorMod(h(i, 14L), 64L))
+    }
+    val hotBot = spark.range(hotN).map { i =>
+      (mkRows, mkRows + i, mkRows + i,
+        java.lang.Math.floorMod(h(i, 15L), 64L))
+    }
+    val sHot = hotOrganic.union(hotBot).toDF("k", "ts", "o", "x")
+      .repartition(32).cache()
+    sHot.count()
+    val (mkHotCapKeys, mkHotCapSec) = time {
+      Stats.mannKendall(sHot, "k", "ts", col("x"), "o",
+        maxSeries = 256).count()
+    }
+    val (tsHotCapKeys, tsHotCapSec) = time {
+      Stats.theilSen(sHot, "k", "ts", col("x"), maxSeries = 256).count()
+    }
+    val (mkHotRawKeys, mkHotRawSec) = time {
+      Stats.mannKendall(sHot, "k", "ts", col("x"), "o").count()
+    }
+    sHot.unpersist()
+
     // --- q234 shape: Brown–Forsythe over the q243 fixture ---
     // same 3-group/10M frame; the A/B arm is the pre-r10 row-ranked
     // median (row_number window on the 3-value key → whole table
@@ -213,6 +247,13 @@ object StatsBench {
       s""""mk_n400_selfjoin_sec":${f"$mkSec400%.2f"},"mk_n400_keys":$mkKeys400,""" +
       s""""mk_n400_inrow_sec":${f"$mkInRowSec400%.2f"},""" +
       s""""mk_n400_inrow_keys":$mkInRowKeys400,""" +
+      s""""hot_key_events":$hotN,""" +
+      s""""mk_hot_capped_sec":${f"$mkHotCapSec%.2f"},""" +
+      s""""mk_hot_capped_keys":$mkHotCapKeys,""" +
+      s""""mk_hot_uncapped_sec":${f"$mkHotRawSec%.2f"},""" +
+      s""""mk_hot_uncapped_keys":$mkHotRawKeys,""" +
+      s""""theilsen_hot_capped_sec":${f"$tsHotCapSec%.2f"},""" +
+      s""""theilsen_hot_capped_keys":$tsHotCapKeys,""" +
       s""""brown_forsythe_sec":${f"$bfSec%.2f"},"brown_forsythe_rows":$bfRows,""" +
       s""""brown_forsythe_rowwindow_sec":${f"$bfOldSec%.2f"},""" +
       s""""brown_forsythe_rowwindow_rows":$bfOldRows,""" +

@@ -1195,6 +1195,37 @@ class AnalyticsSuite extends SparkTestBase {
     assert(run(ev) == run(ev.repartition(9, col("event_id"))))
   }
 
+  test("mannKendall maxSeries: cap>=n is identity; capped key bounded, " +
+      "deterministic, others untouched") {
+    val ev = Tables.events(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      Stats.mannKendall(df, "user_id", "ts",
+        floor(col("value") * 64).cast("long"), "event_id", maxSeries = cap)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val uncapped = run(ev, Int.MaxValue)
+    // a cap above every series length replays uncapped results exactly
+    assert(run(ev, 100000) == uncapped)
+    val capped = run(ev, 5)
+    // every key survives; n is min(n, cap); keys under the cap are
+    // byte-identical to the uncapped run
+    assert(capped.keySet == uncapped.keySet)
+    capped.foreach { case (k, (n, s, z)) =>
+      val (n0, s0, z0) = uncapped(k)
+      assert(n == math.min(n0, 5L), s"key $k: n=$n vs uncapped $n0")
+      if (n0 <= 5L) assert((s, z) == (s0, z0), s"key $k below cap changed")
+    }
+    // the md5 subsample is a function of the DATA, not the layout
+    assert(run(ev.repartition(7, col("user_id")), 5) == capped)
+    // a monotone series stays monotone under any order-preserving
+    // subsample: S = C(cap, 2) exactly
+    val up = (1L to 50L).map(i => (1L, i, i, 100L + i))
+      .toDF("k", "ts", "o", "x")
+    val r = Stats.mannKendall(up, "k", "ts", col("x"), "o", maxSeries = 8)
+      .collect()(0)
+    assert(r.getLong(1) == 8L && r.getLong(2) == 28L, r.toString)
+  }
+
   // --- functions.JaroWinkler / FuzzyJoin.jaroWinklerPairs -------------------
 
   test("jaro_winkler: textbook values, boost threshold, nulls, codegen ≡ kernel") {
@@ -1252,6 +1283,36 @@ class AnalyticsSuite extends SparkTestBase {
     val r2 = Stats.theilSen(dirty, "k", "ts", col("x")).collect()(0)
     assert(math.abs(r2.getDouble(2) - 3.0) < 1e-6,
       s"median slope must resist one outlier: $r2")
+  }
+
+  test("theilSen maxSeries: cap>=n is identity; capped pairs bounded and " +
+      "an exact line's slope survives any subsample") {
+    val day = 86400000000L
+    val line = (0L to 39L).map(i => (1L,
+      new java.sql.Timestamp(i * day / 1000), 3L * i + 7L))
+      .toDF("k", "ts", "x")
+    val full = Stats.theilSen(line, "k", "ts", col("x")).collect()(0)
+    val same = Stats.theilSen(line, "k", "ts", col("x"), maxSeries = 1000)
+      .collect()(0)
+    assert((same.getLong(1), same.getDouble(2)) ==
+      (full.getLong(1), full.getDouble(2)))
+    val capped = Stats.theilSen(line, "k", "ts", col("x"), maxSeries = 6)
+      .collect()(0)
+    // C(6,2) = 15 pairs, every pairwise slope on an exact line is 3
+    assert(capped.getLong(1) == 15L && capped.getDouble(2) == 3.0,
+      capped.toString)
+    // determinism across layouts
+    val a = Stats.theilSen(Tables.events(spark, sf0001), "user_id", "ts",
+      floor(col("value") * 64).cast("long"), maxSeries = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val b = Stats.theilSen(
+      Tables.events(spark, sf0001).repartition(11, col("event_id")),
+      "user_id", "ts", floor(col("value") * 64).cast("long"),
+      maxSeries = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(a == b)
   }
 
   test("cuped: perfectly correlated covariate removes all variance; theta exact") {
@@ -2302,6 +2363,20 @@ class AnalyticsSuite extends SparkTestBase {
     // uniform target: 100/2 = 50 per row category and per col category
     rowMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, rowMass))
     colMass.values.foreach(m => assert(math.abs(m - 50.0) < 0.5, colMass))
+  }
+
+  test("ipfWeights maxCells: over-bound category product fails fast " +
+      "with the mis-specification message, not a driver collect") {
+    val d = (for (r <- 0 until 6; c <- 0 until 4)
+      yield (s"r$r", s"c$c")).toDF("r", "c") // 24 distinct cells
+    val e = intercept[IllegalArgumentException] {
+      Sampling.ipfWeights(d, "r", "c", iters = 1, maxCells = 10)
+    }
+    assert(e.getMessage.contains("24 distinct") &&
+      e.getMessage.contains("maxCells=10"), e.getMessage)
+    // at the bound it runs; results identical to the unguarded default
+    assert(Sampling.ipfWeights(d, "r", "c", iters = 1, maxCells = 24)
+      .count() == 24L)
   }
 
   // --- Stats.anovaF ---------------------------------------------------------
