@@ -20,10 +20,21 @@ object Association {
   /** Pair rules a→b over baskets identified by `basketCols`:
     * (item_a, item_b, c_ab, c_a, c_b, confidence = c_ab/c_a,
     * lift = c_ab·N/(c_a·c_b)) for unordered pairs with
-    * c_ab ≥ `minSupport`, item_a < item_b. */
+    * c_ab ≥ `minSupport`, item_a < item_b.
+    *
+    * `maxBasket` (default off) is the [[itemItemCosine]] hot-key cap
+    * transplanted: ONE bot basket with 10⁵ distinct items would put
+    * its 5×10⁹ pairs in ONE join task (per-key quadratic — the r11
+    * corpus audit class). A basket above the cap keeps its `maxBasket`
+    * items of smallest md5(basket‖item) — deterministic, layout-free.
+    * Support counts touching a capped basket's dropped items are
+    * undercounted; use a pre-filtered interaction table when exact
+    * support on pathological baskets matters. */
   def liftPairs(df: DataFrame, basketCols: Seq[String], itemCol: String,
-                minSupport: Long = 1L): DataFrame = {
+                minSupport: Long = 1L,
+                maxBasket: Int = Int.MaxValue): DataFrame = {
     require(basketCols.nonEmpty, "liftPairs needs basket key columns")
+    require(maxBasket >= 1, s"maxBasket must be >= 1, got $maxBasket")
     val bk: Seq[Column] = basketCols.map(col)
     // the distinct basket-item table feeds FOUR consumers (the basket
     // count action, singles, and both self-join sides) and Catalyst
@@ -31,7 +42,16 @@ object Association {
     // (q192 feeds a sessionize window chain) re-plans per consumer
     // (audited: 4 static events scans). cache(): row-scale
     // multi-consumer frame, and the eager nBaskets count warms it.
-    val b = df.select(bk :+ col(itemCol).as("item"): _*).distinct().cache()
+    val b0 = df.select(bk :+ col(itemCol).as("item"): _*).distinct().cache()
+    val b =
+      if (maxBasket == Int.MaxValue) b0
+      else b0.withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(bk: _*)
+            .orderBy(md5(concat_ws("#",
+              bk.map(_.cast("string")) :+ col("item").cast("string"): _*)),
+              col("item"))))
+        .filter(col("__r") <= maxBasket).drop("__r").cache()
     val nBaskets = b.select(bk: _*).distinct().count()
     // item-cardinality-bounded, consumed by BOTH direction joins
     val singles = b.groupBy("item").agg(count(lit(1)).as("c"))

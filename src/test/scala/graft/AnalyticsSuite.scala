@@ -524,6 +524,26 @@ class AnalyticsSuite extends SparkTestBase {
     assert(c == 1L && conf == 1.0 / 3.0 && lift == 4.0 / 6.0, got)
   }
 
+  test("liftPairs maxBasket: cap>=basket is identity; capped basket " +
+      "pair fan-out bounded; deterministic across layouts") {
+    val bot = (1 to 40).map(i => (9, s"i$i"))
+    val rows = (Seq((1, "x"), (1, "y"), (2, "x"), (2, "y")) ++ bot)
+      .toDF("basket", "item")
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      Association.liftPairs(df, Seq("basket"), "item", maxBasket = cap)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+    assert(run(rows, 1000) == run(rows.toDF("basket", "item"),
+      Int.MaxValue))
+    val capped = run(rows, 5)
+    // bot basket contributes C(5,2)=10 pairs, not C(40,2)=780;
+    // the uncapped 2-item baskets are untouched
+    assert(capped(("x", "y")) == 2L)
+    assert(capped.count { case ((a, b), _) =>
+      a.startsWith("i") && b.startsWith("i") } == 10, capped.size)
+    assert(run(rows.repartition(7), 5) == capped)
+  }
+
   // --- Dedup.sortedNeighborPairs ------------------------------------------
 
   test("sortedNeighborPairs: equals the brute-force rank-window definition; partition-invariant") {

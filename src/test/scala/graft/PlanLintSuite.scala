@@ -118,9 +118,49 @@ class PlanLintSuite extends SparkTestBase {
       "in the full-corpus session (nested-HOF codegen thrashes the " +
       "JVM code cache — the IVF JIT-blowup class) and carries O(n²) " +
       "single-row state; n/tie aggregations are projections off the " +
-      "same scan"),
+      "same scan. Hot-key bound: Stats.mannKendall(maxSeries) — r11, " +
+      "see the per-key-quadratic audit below"),
     "q207_theil_sen" -> ("same self-join verdict as q205, amplified " +
-      "(its pair-generation tree is bigger: 347 s vs 3.5 s in-session)"))
+      "(its pair-generation tree is bigger: 347 s vs 3.5 s in-session)" +
+      ". Hot-key bound: Stats.theilSen(maxSeries) — r11"))
+
+  /** Per-key-QUADRATIC self-join audit (r11, VERDICT r10 item 5) — the
+    * hazard no structural rule can see: a same-frame equi-join whose
+    * per-KEY pair count is data-dependent puts one hot key's n²/2
+    * pairs into ONE task (join parallelism is ACROSS keys). Every such
+    * site in src/main, with its reviewed bound:
+    *
+    *  - Stats.mannKendall / theilSen (q205/q207): per-entity series —
+    *    `maxSeries` deterministic md5-subsample cap (default off;
+    *    StatsBench hot-key arm prices a planted 100k-event key).
+    *  - Association.itemItemCosine (q236): per-user basket —
+    *    `maxBasket` cap, StatsBench-measured 13.9× uncapped blowup.
+    *  - Association.liftPairs (q192): per-basket items — `maxBasket`
+    *    cap (r11), same discipline.
+    *  - Stats.kendallTau (q277): both join sides are the QUANTIZED
+    *    (x,y) cell table — grid-bounded ≤64×64 by construction,
+    *    whitelisted above.
+    *  - Dedup.sortedNeighborPairs (q187): banded rank equi-join —
+    *    each band key holds exactly `window` ranks (≤2·window rows),
+    *    bounded by the parameter, not the data.
+    *  - FuzzyJoin.overlapJoin (q170): prefix-filter join on the
+    *    RAREST (k−t+1) token ranks per record (df-ascending order) —
+    *    a token's fan-out is bounded by its document frequency, and
+    *    prefix membership selects low-df tokens; residual skew dial
+    *    is `minOverlap` (longer prefixes = rarer tokens only).
+    *  - FuzzyJoin.jaroWinklerPairs (q206/q260): caller-supplied
+    *    blocking keys ARE the bound (documented contract; blocking
+    *    with a hot key is a mis-specified blocking scheme).
+    *  - Similarity.semDedup within-cell pairs (q108/q131): cell =
+    *    k-means Voronoi cell over unit vectors; nlist sizes cells at
+    *    n/nlist expected — a degenerate all-identical-embedding
+    *    corpus concentrates cells, but identical embeddings are
+    *    exact dups and belong to the digest tier upstream.
+    *  - TextAnalysis.pmiCollocations (q183): per-doc pairs AFTER a
+    *    vocab semi-join — fan-out ≤ |supplied vocab| per doc.
+    *  - Components.triangleCounts (q161): degree-oriented wedge join
+    *    — out-degree ≤ O(√m), the textbook bound.
+    */
 
   /** Name-level exceptions to the window discipline. */
   private val globalWindowOk: Map[String, String] = Map(
