@@ -740,4 +740,99 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("q", "v", "sim", "rn")
   }
+
+  /** Top-`nprobe` probe cells per vector as a PURE PROJECTION — the
+    * row-scale companion of [[cellExpr]]: the same (d², cell) structs,
+    * `array_sort`ed (field-wise: d² then lowest cell, the exact
+    * [[ivfAssign]] tie order) and sliced to nprobe. Same
+    * InlineCentroidMax crossover as cellExpr. */
+  private def probeExpr(cents: Array[(Int, Seq[Double])],
+                        nprobe: Int): Column = {
+    val structs: Column =
+      if (cents.length <= InlineCentroidMax)
+        array(cents.map { case (cell, cvec) =>
+          val c2 = cvec.map(x => x * x).sum
+          struct(
+            (lit(1.0 + c2) - lit(2.0 * math.sqrt(c2)) *
+              coalesce(graft.functions.Registry.cosineSim(
+                col("arr"), typedLit(cvec)), lit(0.0))).as("d2"),
+            lit(cell).as("cell"))
+        }: _*)
+      else {
+        val centArr = typedLit(cents.map { case (cell, cvec) =>
+          val c2 = cvec.map(x => x * x).sum
+          (cell, 1.0 + c2, 2.0 * math.sqrt(c2), cvec)
+        }.toSeq)
+        transform(centArr, c =>
+          struct(
+            (c.getField("_2") - c.getField("_3") *
+              coalesce(graft.functions.Registry.cosineSim(
+                col("arr"), c.getField("_4")), lit(0.0))).as("d2"),
+            c.getField("_1").as("cell")))
+      }
+    transform(slice(array_sort(structs), 1, nprobe), _.getField("cell"))
+  }
+
+  /** Corpus×corpus approximate top-k cosine join — the ANN JOIN tier:
+    * for EVERY query-table vector, its k nearest corpus vectors, when
+    * the query side is itself corpus-sized (recommendation candidate
+    * generation, cross-corpus linking, kNN-graph construction). The
+    * bounded-query tiers ([[exactTopK]], [[ivfTopKFromTables]])
+    * broadcast the query set and are the right call below ~10⁴
+    * queries; this operator is the shape that survives when BOTH
+    * sides are 100 TB-class.
+    *
+    * Composition (all standing pieces): corpus rows take their ONE
+    * nearest cell ([[cellExpr]] — map-only, zero shuffles); query rows
+    * take their `nprobe` nearest cells ([[probeExpr]] — map-only,
+    * explode ×nprobe); ONE equi-join on cell; exact cosine on
+    * candidates; per-query top-k (rank window partitioned by query —
+    * map-side WindowGroupLimit prunes to k before the exchange). A
+    * corpus row lives in exactly one cell, so no candidate pair is
+    * generated twice and no dedup pass exists. Recall = the IVF
+    * recall at the same nprobe/nlist (AnnBench .948 shape).
+    *
+    * Scale note (the semDedup within-cell argument, multiplied): the
+    * join key has only nlist distinct values, so each cell's
+    * |Q_cell|·|C_cell| candidate volume lands in ONE task by default.
+    * `cellSplits` > 1 salts the CORPUS side (xxhash64(id) mod s —
+    * results identical, partitioning only) and explodes the query
+    * side ×s, splitting every cell across s tasks — the documented
+    * replicate-small/split-hot skew dial. Zero-vector queries (NULL
+    * cosine) rank all cells equal-distance and probe the lowest
+    * nprobe cells; their candidate sims are NULL and drop at the
+    * rank filter. */
+  def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, centroids: DataFrame, k: Int,
+              nprobe: Int, cellSplits: Int = 1): DataFrame = {
+    graft.functions.Registry.registerAll(queries.sparkSession)
+    val cents = collectCentroids(centroids)
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe must be in [1, ${cents.length}], got $nprobe")
+    require(cellSplits >= 1, s"cellSplits must be >= 1, got $cellSplits")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("arr"))
+      .withColumn("cell", cellExpr(cents))
+      .withColumn("__s",
+        if (cellSplits == 1) lit(0)
+        else pmod(xxhash64(col("id")), lit(cellSplits.toLong)).cast("int"))
+      .select("id", "cell", "__s", "arr")
+    val q = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("arr"))
+      .withColumn("__cells", probeExpr(cents, nprobe))
+      .select(col("qid"), col("arr").as("qarr"),
+        explode(col("__cells")).as("cell"))
+      .withColumn("__s",
+        if (cellSplits == 1) lit(0)
+        else explode(typedLit((0 until cellSplits).toList)))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
+    q.join(c, Seq("cell", "__s"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        expr("cosine_similarity(qarr, arr)").as("sim"))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "sim", "rank")
+  }
 }

@@ -280,6 +280,26 @@ object PipelineRunner {
         LoadReport(l.format, l.table.getOrElse(l.path), src,
           scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
             .getOrElse(-1L))
+      } else if (l.mode == "zorder") {
+        // declarative re-layout maintenance load (the Compact family's
+        // clustering twin): rewrite the target z-order-clustered on
+        // `zorderBy` into `zorderFiles` range-partitioned files, so
+        // every file holds a small hyper-rectangle in the clustered
+        // columns and zone maps prune multi-column predicates
+        // (graft.ops.Layout.zorderByN — exact integer interleave over
+        // equi-depth ranks). Crash-safe swap: the usual spec reads the
+        // standing table it replaces (extract view = target path), and
+        // a plain overwrite would truncate its own input.
+        Sinks.recoverSwap(df1, l.path)
+        val zObs = new org.apache.spark.sql.Observation()
+        val zo = graft.ops.Layout
+          .zorderByN(df1, l.zorderBy, nFiles = l.zorderFiles.getOrElse(8))
+          .observe(zObs, org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        Sinks.writeParquetSwapped(zo, l.path)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(zObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
       } else {
         Sinks.write(df, l.format, l.path, l.mode,
           l.partitionBy, l.options, l.table)

@@ -43,6 +43,8 @@ final case class LoadSpec(
     seqCols: Seq[String] = Nil,           // mode=cdc: change-sequence order (last = unique tiebreak)
     rollupKeys: Seq[String] = Nil,        // mode=rollup: grouping keys
     measures: Seq[String] = Nil,          // mode=rollup: measure DSL (see Rollup.parseMeasure)
+    zorderBy: Seq[String] = Nil,          // mode=zorder: clustering columns
+    zorderFiles: Option[Int] = None,      // mode=zorder: output file count (default 8)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
     retryBackoffMs: Option[Long] = None,  // base backoff, doubles per attempt (default 100)
     continueOnError: Option[Boolean] = None) // failed load doesn't abort siblings (default false)
@@ -199,6 +201,14 @@ object PipelineSpec {
           "load: mode=rollup requires 'rollupKeys' and 'measures'")
         // fail at parse time, not mid-run
         l.measures.foreach(graft.ops.Rollup.parseMeasure)
+      }
+      if (l.mode == "zorder") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=zorder supports parquet targets only")
+        require(l.zorderBy.nonEmpty,
+          "load: mode=zorder requires 'zorderBy' columns")
+        l.zorderFiles.foreach(n => require(n >= 1,
+          "load: zorderFiles must be >= 1"))
       }
     }
   }

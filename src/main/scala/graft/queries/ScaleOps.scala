@@ -2971,6 +2971,52 @@ object ScaleOps {
           (col("dim") + 1).cast("int").as("dim"),
           round(col("m"), 6).as("m"))
         .orderBy("subspace", "cell", "dim")
+    },
+
+    // Corpus×corpus approximate top-k join (Similarity.annJoin): every
+    // embedding's 3 nearest neighbors through 2-of-8 probed IVF cells —
+    // the tier for a 100 TB-class QUERY side where the broadcast-probe
+    // tiers (q62/q76) stop applying. Supplied centroids (first 8
+    // vectors — the q108 fixture discipline) make assignment, probe
+    // ranking, candidate cosine and the top-k rank all exactly
+    // replayable in SQL; the d² probe order and the NULL-sim drop
+    // mirror cellExpr/probeExpr term for term.
+    dfQ("q283_ann_join",
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS INTEGER) cell, embedding::DOUBLE[] cv,
+        |         LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)) c2
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |d AS (
+        |  SELECT e.id, c.cell, e.v,
+        |    1 + c.c2 - 2 * SQRT(c.c2)
+        |      * COALESCE(LIST_COSINE_SIMILARITY(e.v, c.cv), 0) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT id, cell, v,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d),
+        |corp AS (SELECT id, cell, v FROM a WHERE rn = 1),
+        |probes AS (SELECT id qid, cell, v qv FROM a WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, s.id, LIST_COSINE_SIMILARITY(p.qv, s.v) sim
+        |  FROM probes p JOIN corp s ON p.cell = s.cell AND p.qid <> s.id
+        |  WHERE LIST_COSINE_SIMILARITY(p.qv, s.v) IS NOT NULL),
+        |r AS (
+        |  SELECT qid, id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) rk
+        |  FROM cand)
+        |SELECT qid, id, ROUND(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      Similarity.annJoin(emb, emb, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rk"))
+        .orderBy("qid", "rk")
     }
   )
 }

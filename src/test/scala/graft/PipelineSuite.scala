@@ -215,6 +215,58 @@ class PipelineSuite extends SparkTestBase {
     }
   }
 
+  test("T-P16: declarative zorder load re-clusters a standing target in place") {
+    val out = tmp() + "/zorder_target"
+    // standing table: a lineitem slice written unclustered
+    Tables.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .write.parquet(out)
+    val before = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // maintenance feed: extract view IS the target path (the swap-safe
+    // read-own-target shape), re-laid-out on (l_orderkey, l_partkey)
+    val spec = PipelineSpec("tp15",
+      extracts = Seq(ExtractSpec("standing", "parquet", path = out)),
+      loads = Seq(LoadSpec("parquet", out, mode = "zorder",
+        source = Some("standing"),
+        zorderBy = Seq("l_orderkey", "l_partkey"),
+        zorderFiles = Some(4))))
+    val r = PipelineRunner.run(spark, spec)
+    assert(r.loads.head.rows == before.size.toLong)
+    // content unchanged
+    val after = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before)
+    // layout: exactly zorderFiles data files, with DISJOINT z ranges —
+    // recompute z over the whole read-back (same data → same equi-depth
+    // ranks as the writer used) and check per-file min/max don't overlap
+    val withFile = graft.ops.Layout.withZN(
+        spark.read.parquet(out)
+          .withColumn("__f", input_file_name()),
+        Seq("l_orderkey", "l_partkey"))
+      .groupBy("__f").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(withFile.length == 4, s"expected 4 files: ${withFile.length}")
+    withFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z-ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // validation: zorder requires parquet + zorderBy; files >= 1
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "zorder"))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("csv", out, mode = "zorder",
+          zorderBy = Seq("x")))))
+    }
+  }
+
   test("spec parameterization: ${name} binds anywhere; unbound names fail fast") {
     val out = tmp()
     val dir = java.nio.file.Files.createTempDirectory("graft-param")
