@@ -170,6 +170,30 @@ object AnnBench {
         codebooks, iters = 1)
     }
 
+    // annJoin (r11): corpus×corpus top-k — EVERY row is a query (the
+    // kNN-graph workload), nprobe-of-nlist cell pruning, count() is
+    // safe to time here because the rank filter forces the window,
+    // the sims, and the join (unlike the pruned stats counts — see
+    // StatsBench.force). Candidate volume ≈ n·nprobe·(n/nlist)
+    // ≈ 1.25×10⁹ exact cosines at the 200k default: the honest price
+    // of a full self-kNN pass. Recall is measured on the same 100
+    // queries as the exact tier. cellSplits=4 re-run shows the salt
+    // dial's overhead when cells are NOT skewed (uniform clusters):
+    // the split only pays when one cell dominates.
+    val (annJoinRows, annJoinSec) = time {
+      Similarity.annJoin(emb, emb, "vec_id", "embedding", centroids,
+        k = k, nprobe = 2).count()
+    }
+    val annJoinSet = Similarity.annJoin(
+        queryFilter(emb), emb, "vec_id", "embedding", centroids,
+        k = k, nprobe = 2)
+      .select(col("qid").as("q"), col("id").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (_, annJoinSplit4Sec) = time {
+      Similarity.annJoin(emb, emb, "vec_id", "embedding", centroids,
+        k = k, nprobe = 2, cellSplits = 4).count()
+    }
+
     // q119 fixture-scale attribution: same pipeline as the corpus query,
     // cold (first execution in this session: codegen compile + quantizer
     // fit) vs warm (second execution, plans and kernels already compiled)
@@ -214,6 +238,9 @@ object AnnBench {
         s""","jl_build_sec":${f(jlBuildSec)},"jl_query_sec":${f(jlQuerySec)},"jl_recall":${f(recall(jlSet))}""" +
         s""","lloyd_iter_sec":${f(lloydIterSec)},"ivf_refined_assign_sec":${f(refAssignSec)},"ivf_refined_query_sec":${f(refQuerySec)},"ivf_refined_recall":${f(recall(refSet))}""" +
         s""","pq_lloyd_iter_sec":${f(pqLloydIterSec)}""" +
+        s""","annjoin_sec":${f(annJoinSec)},"annjoin_rows":$annJoinRows""" +
+        s""","annjoin_recall":${f(recall(annJoinSet))}""" +
+        s""","annjoin_split4_sec":${f(annJoinSplit4Sec)}""" +
         s""","fixture_q119_cold_sec":${f(fixtureColdSec)},"fixture_q119_warm_sec":${f(fixtureWarmSec)}""" +
         s""","fixture_q119_train_sec":${f(fixtureTrainSec)},"fixture_q119_encode_sec":${f(fixtureEncodeSec)},"fixture_q119_query_sec":${f(fixtureQuerySec)}}""")
     spark.stop()
