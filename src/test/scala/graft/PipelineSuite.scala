@@ -339,7 +339,7 @@ class PipelineSuite extends SparkTestBase {
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
         "user_sessions_feed.json", "chunked_docs_feed.json",
         "quality_gate_feed.json", "monitored_load_feed.json",
-        "curation_feed.json")) {
+        "curation_feed.json", "zorder_maintenance_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
     // the monitored feed persisted one status row per load via JDBC
@@ -375,6 +375,11 @@ class PipelineSuite extends SparkTestBase {
     assert(curated.count() > 0 && curated.count() < nDocs)
     assert(curated.filter(col("score") < 0.5 || col("score") > 1.0)
       .count() == 0, "kept docs must clear the score threshold")
+    // the zorder maintenance feed re-clustered into exactly 4 files
+    val zdir = new java.io.File("/tmp/graft-example-out/lineitem_zordered")
+    assert(zdir.listFiles().count(_.getName.endsWith(".parquet")) == 4)
+    assert(spark.read.parquet(zdir.toString).count() ==
+      Tables.table(spark, sf0001, "lineitem").count())
     // the quality-gate feed keeps only rule-passing docs
     val gate = spark.read.parquet("/tmp/graft-example-out/quality_gate")
     assert(gate.count() > 0)
