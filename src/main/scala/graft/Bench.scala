@@ -29,16 +29,19 @@ object Bench {
   /** Fixed headline set: the flagship relational shapes plus the heaviest
     * operator families (graph, dedup, ANN, stats) — stable across rounds so
     * the judge can diff BENCH_r{N}.json against BASELINE.md line by line.
-    * Includes the full ATTRIBUTED HEAVY TAIL (q119 driver-local quantizer
-    * training, q146 n-gram DF induction, q179 iterative k-core, q192
-    * basket self-join, q216 bootstrap replication, q236 pair volume) so a
-    * throttle segment landing on any of them self-discriminates from a
-    * regression via min-of-2 (VERDICT r10 item 4). */
+    * Includes the full ATTRIBUTED HEAVY TAIL (q79 xxhash shingle chain —
+    * the most CPU-bound query, measured 10× segment inflation vs 5.8 s
+    * isolated in r11; q119 driver-local quantizer training, q146 n-gram
+    * DF induction, q179 iterative k-core, q192 basket self-join, q216
+    * bootstrap replication, q236 pair volume) so a throttle segment
+    * landing on any of them self-discriminates from a regression via
+    * min-of-2 (VERDICT r10 item 4). */
   private val headline = Seq(
     "q01_count", "q11_star_join", "q18_range_join", "q21_pricing_summary",
     "q31_ranking", "q57_regional_revenue", "q61_ngram_jaccard",
     "q62_cosine_topk", "q71_minhash_neardup", "q76_ivf_topk",
-    "q119_ivfpq_topk", "q128_line_dedup", "q146_boilerplate_spans",
+    "q79_corpus_prep_report", "q119_ivfpq_topk", "q128_line_dedup",
+    "q146_boilerplate_spans",
     "q179_kcore", "q192_market_basket", "q216_bootstrap_ci", "q218_hits",
     "q236_item_neighbors", "q243_trimmed_mean", "q258_bfs_distances",
     "q264_decompose", "q273_cronbach")
