@@ -295,6 +295,29 @@ class OpsSuite extends SparkTestBase {
       f"${fullPairs.intersect(partialPairs).size.toDouble / fullPairs.size}%.3f")
   }
 
+  test("annJoin degenerate inputs: zero-vector queries drop at the rank " +
+      "filter, k beyond cell population yields short lists, not errors") {
+    functions.Registry.registerAll(spark)
+    import spark.implicits._
+    // 2 cells, 5 corpus rows, one all-zero vector (id 10)
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)),
+      (3L, Array(0.1f, 1.0f)), (4L, Array(0.2f, 0.9f)),
+      (10L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val got = ops.Similarity.annJoin(vecs, vecs, "id", "v", cents,
+        k = 10, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the zero vector emits NO rows as a query (all sims NULL) and is
+    // never a neighbor (NULL sim dropped); k=10 > cell sizes just
+    // yields every same-cell neighbor
+    assert(!got.exists(_._1 == 10L) && !got.exists(_._2 == 10L), got)
+    // zero vector ties all cells → lowest cell (0), where ids 1,2 live;
+    // each non-zero query sees exactly its same-cell peers
+    assert(got == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), got)
+  }
+
   test("exactTopK matches the Q62 SQL formulation") {
     functions.Registry.registerAll(spark)
     Tables.register(spark, sf0001)
