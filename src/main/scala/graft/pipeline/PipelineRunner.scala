@@ -292,8 +292,13 @@ object PipelineRunner {
         // a plain overwrite would truncate its own input.
         Sinks.recoverSwap(df1, l.path)
         val zObs = new org.apache.spark.sql.Observation()
-        val zo = graft.ops.Layout
-          .zorderByN(df1, l.zorderBy, nFiles = l.zorderFiles.getOrElse(8))
+        val nFiles = l.zorderFiles.getOrElse(8)
+        val clustered =
+          if (l.zorderCurve.contains("hilbert"))
+            graft.ops.Layout.hilbertOrderBy(df1,
+              l.zorderBy.head, l.zorderBy(1), nFiles = nFiles)
+          else graft.ops.Layout.zorderByN(df1, l.zorderBy, nFiles = nFiles)
+        val zo = clustered
           .observe(zObs, org.apache.spark.sql.functions
             .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
         Sinks.writeParquetSwapped(zo, l.path)

@@ -45,6 +45,7 @@ final case class LoadSpec(
     measures: Seq[String] = Nil,          // mode=rollup: measure DSL (see Rollup.parseMeasure)
     zorderBy: Seq[String] = Nil,          // mode=zorder: clustering columns
     zorderFiles: Option[Int] = None,      // mode=zorder: output file count (default 8)
+    zorderCurve: Option[String] = None,   // mode=zorder: morton (default) | hilbert (2 cols)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
     retryBackoffMs: Option[Long] = None,  // base backoff, doubles per attempt (default 100)
     continueOnError: Option[Boolean] = None) // failed load doesn't abort siblings (default false)
@@ -209,6 +210,12 @@ object PipelineSpec {
           "load: mode=zorder requires 'zorderBy' columns")
         l.zorderFiles.foreach(n => require(n >= 1,
           "load: zorderFiles must be >= 1"))
+        l.zorderCurve.foreach { c =>
+          require(c == "morton" || c == "hilbert",
+            s"load: zorderCurve must be morton|hilbert, got '$c'")
+          require(c != "hilbert" || l.zorderBy.size == 2,
+            "load: zorderCurve=hilbert requires exactly 2 zorderBy columns")
+        }
       }
     }
   }

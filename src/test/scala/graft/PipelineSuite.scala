@@ -253,7 +253,33 @@ class PipelineSuite extends SparkTestBase {
         assert(hi1 <= lo2, s"file z-ranges overlap: $hi1 > $lo2")
       case _ =>
     }
-    // validation: zorder requires parquet + zorderBy; files >= 1
+    // curve=hilbert re-layout of the same target: content preserved,
+    // per-file HILBERT ranges disjoint
+    val specH = PipelineSpec("tp16h",
+      extracts = Seq(ExtractSpec("standing", "parquet", path = out)),
+      loads = Seq(LoadSpec("parquet", out, mode = "zorder",
+        source = Some("standing"),
+        zorderBy = Seq("l_orderkey", "l_partkey"),
+        zorderFiles = Some(4), zorderCurve = Some("hilbert"))))
+    PipelineRunner.run(spark, specH)
+    val afterH = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .sorted.toSeq
+    assert(afterH == before)
+    val hFiles = graft.ops.Layout.withH(
+        spark.read.parquet(out).withColumn("__f", input_file_name()),
+        "l_orderkey", "l_partkey")
+      .groupBy("__f").agg(min("h").as("lo"), max("h").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(hFiles.length == 4)
+    hFiles.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file h-ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // validation: zorder requires parquet + zorderBy; files >= 1;
+    // hilbert needs exactly 2 columns
     intercept[IllegalArgumentException] {
       PipelineSpec.validate(PipelineSpec("bad",
         extracts = Seq(ExtractSpec("u", "values", "{}")),
@@ -264,6 +290,12 @@ class PipelineSuite extends SparkTestBase {
         extracts = Seq(ExtractSpec("u", "values", "{}")),
         loads = Seq(LoadSpec("csv", out, mode = "zorder",
           zorderBy = Seq("x")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad3",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "zorder",
+          zorderBy = Seq("x"), zorderCurve = Some("hilbert")))))
     }
   }
 
