@@ -683,4 +683,79 @@ class FuzzSuite extends SparkTestBase {
       assert(failures.isEmpty, failures.take(3).mkString("\n"))
     } finally conn.close()
   }
+
+  test("10 random annJoin geometries agree between Spark and DuckDB") {
+    // 12th axis: Similarity.annJoin across random (nlist, nprobe, k) —
+    // the q283 oracle replay, not just its one (8, 2, 3) point. The
+    // supplied centroids are the first nlist fixture vectors, so cell
+    // assignment, probe ranking, candidate cosine and the top-k rank
+    // are all exactly replayable; (qid, id, rank, round(sim, 6)) must
+    // match row for row.
+    import org.apache.spark.sql.functions.{col, round, transform}
+    graft.functions.Registry.registerAll(spark)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW embeddings AS SELECT * FROM '$sf0001/embeddings.parquet'")
+      val geomGen = for {
+        nlist <- Gen.choose(2, 10)
+        nprobe <- Gen.choose(1, nlist)
+        k <- Gen.choose(1, 5)
+      } yield (nlist, nprobe, k)
+      val geoms = (1 to 10).flatMap(i =>
+        geomGen.apply(Gen.Parameters.default, Seed(11700L + i)))
+      assert(geoms.size >= 8)
+      val emb = Tables.table(spark, sf0001, "embeddings")
+      val failures = geoms.flatMap { case (nlist, nprobe, k) =>
+        val cents = emb.filter(col("vec_id") < nlist)
+          .select(col("vec_id").cast("int").as("cell"),
+            transform(col("embedding"), _.cast("double")).as("centroid"))
+        val sr = graft.ops.Similarity.annJoin(
+            emb, emb, "vec_id", "embedding", cents, k = k, nprobe = nprobe)
+          .select(col("qid"), col("id"), col("rank").cast("long"),
+            round(col("sim"), 6))
+          .orderBy("qid", "rank")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+        val rs = st.executeQuery(
+          s"""WITH c AS (
+             |  SELECT CAST(vec_id AS INTEGER) cell, embedding::DOUBLE[] cv,
+             |    LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)) c2
+             |  FROM embeddings WHERE vec_id < $nlist),
+             |e AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+             |d AS (
+             |  SELECT e.id, c.cell, e.v,
+             |    1 + c.c2 - 2 * SQRT(c.c2)
+             |      * COALESCE(LIST_COSINE_SIMILARITY(e.v, c.cv), 0) d2
+             |  FROM e CROSS JOIN c),
+             |a AS (
+             |  SELECT id, cell, v,
+             |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+             |  FROM d),
+             |corp AS (SELECT id, cell, v FROM a WHERE rn = 1),
+             |probes AS (SELECT id qid, cell, v qv FROM a WHERE rn <= $nprobe),
+             |cand AS (
+             |  SELECT p.qid, s.id, LIST_COSINE_SIMILARITY(p.qv, s.v) sim
+             |  FROM probes p JOIN corp s ON p.cell = s.cell AND p.qid <> s.id
+             |  WHERE LIST_COSINE_SIMILARITY(p.qv, s.v) IS NOT NULL),
+             |r AS (
+             |  SELECT qid, id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) rk
+             |  FROM cand)
+             |SELECT qid, id, CAST(rk AS BIGINT) rk, ROUND(sim, 6) sim
+             |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin)
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+        }.toSeq
+        if (sr != dr)
+          Some(s"nlist=$nlist nprobe=$nprobe k=$k: " +
+            s"spark=${sr.size} duck=${dr.size}; first diff " +
+            s"${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
 }
