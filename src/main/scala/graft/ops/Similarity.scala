@@ -835,4 +835,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "id", "sim", "rank")
   }
+
+  /** Mutual-kNN pairs — the reciprocity-filtered edge set of the
+    * [[annJoin]] kNN graph: (a, b) kept iff b ∈ kNN(a) AND a ∈ kNN(b).
+    * One-directional kNN edges are dominated by asymmetric-density
+    * artifacts (a point on a cluster's rim lists the core as neighbor,
+    * the core never lists the rim); the mutual filter is the standard
+    * cheap cleanup before clustering the graph into near-dup groups
+    * (feed the pairs to Components.connectedComponents — the q83
+    * composition) or density estimation.
+    *
+    * Shape: the standing kNN table (n·k rows) is built ONCE and cached
+    * (it feeds both sides of the reciprocity join — uncut, the whole
+    * annJoin pipeline would re-plan twice); the reciprocity join keys
+    * on the (qid, id) pair — full-cardinality keys, no hot-key
+    * hazard. Cosine is symmetric, so the kept pair's `sim` is the one
+    * number; rank_ab/rank_ba record each endpoint's view. */
+  def mutualKnnPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, k: Int, nprobe: Int,
+                     cellSplits: Int = 1): DataFrame = {
+    val knn = annJoin(emb, emb, idCol, vecCol, centroids, k, nprobe,
+      cellSplits).cache()
+    val rev = knn.select(col("qid").as("id"), col("id").as("qid"),
+      col("rank").as("rank_ba"))
+    knn.join(rev, Seq("qid", "id"))
+      .filter(col("qid") < col("id"))
+      .select(col("qid").as("a"), col("id").as("b"), col("sim"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+  }
 }

@@ -3017,6 +3017,53 @@ object ScaleOps {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rk"))
         .orderBy("qid", "rk")
+    },
+
+    // Mutual-kNN pairs (Similarity.mutualKnnPairs): the reciprocity-
+    // filtered edges of q283's kNN graph — the standard cleanup before
+    // clustering near-dup groups (one-directional edges are density-rim
+    // artifacts). The oracle rebuilds the same kNN table and joins it
+    // to its own reversal; both endpoints' ranks are checked.
+    dfQ("q284_mutual_knn",
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS INTEGER) cell, embedding::DOUBLE[] cv,
+        |         LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)) c2
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |d AS (
+        |  SELECT e.id, c.cell, e.v,
+        |    1 + c.c2 - 2 * SQRT(c.c2)
+        |      * COALESCE(LIST_COSINE_SIMILARITY(e.v, c.cv), 0) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT id, cell, v,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d),
+        |corp AS (SELECT id, cell, v FROM a WHERE rn = 1),
+        |probes AS (SELECT id qid, cell, v qv FROM a WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, s.id, LIST_COSINE_SIMILARITY(p.qv, s.v) sim
+        |  FROM probes p JOIN corp s ON p.cell = s.cell AND p.qid <> s.id
+        |  WHERE LIST_COSINE_SIMILARITY(p.qv, s.v) IS NOT NULL),
+        |r AS (
+        |  SELECT qid, id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) rk
+        |  FROM cand),
+        |knn AS (SELECT qid, id, sim, rk FROM r WHERE rk <= 3)
+        |SELECT x.qid AS a, x.id AS b, ROUND(x.sim, 6) AS sim,
+        |  CAST(x.rk AS BIGINT) AS rank_ab, CAST(y.rk AS BIGINT) AS rank_ba
+        |FROM knn x JOIN knn y ON x.qid = y.id AND x.id = y.qid
+        |WHERE x.qid < x.id ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      Similarity.mutualKnnPairs(emb, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"),
+          col("rank_ab").cast("long").as("rank_ab"),
+          col("rank_ba").cast("long").as("rank_ba"))
+        .orderBy("a", "b")
     }
   )
 }
