@@ -318,6 +318,37 @@ class OpsSuite extends SparkTestBase {
     assert(got == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), got)
   }
 
+  test("mutualKnnPairs: subset of annJoin edges, symmetric by " +
+      "construction, and clusters through connectedComponents") {
+    functions.Registry.registerAll(spark)
+    Tables.register(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val knn = ops.Similarity.annJoin(emb, emb, "vec_id", "embedding",
+        cents, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = ops.Similarity.mutualKnnPairs(emb, "vec_id",
+        "embedding", cents, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every mutual pair is a kNN edge in BOTH directions, a < b
+    assert(mutual.forall { case (a, b) =>
+      a < b && knn.contains((a, b)) && knn.contains((b, a)) })
+    // and it is exactly the reciprocal subset
+    assert(mutual == knn.filter { case (a, b) =>
+      a < b && knn.contains((b, a)) })
+    // the documented composition: pairs feed CC into near-dup groups
+    val comps = ops.Components.connectedComponents(
+        ops.Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
+          cents, k = 3, nprobe = 2).select(col("a"), col("b")),
+        "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each mutual pair lands in one component
+    mutual.foreach { case (a, b) =>
+      assert(comps(a) == comps(b), s"pair ($a,$b) split across components")
+    }
+  }
+
   test("exactTopK matches the Q62 SQL formulation") {
     functions.Registry.registerAll(spark)
     Tables.register(spark, sf0001)
