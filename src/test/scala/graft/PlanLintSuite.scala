@@ -122,12 +122,11 @@ class PlanLintSuite extends SparkTestBase {
       "see the per-key-quadratic audit below"),
     "q207_theil_sen" -> ("same self-join verdict as q205, amplified " +
       "(its pair-generation tree is bigger: 347 s vs 3.5 s in-session)" +
-      ". Hot-key bound: Stats.theilSen(maxSeries) — r11"),
-    "q283_ann_join" -> ("fixture self-join mode: corpus assignment, " +
-      "query probes, and the supplied centroids all derive from the " +
-      "one embeddings fixture (the q131 argument); production joins " +
-      "two DISTINCT tables and reads each once — the centroid read is " +
-      "8 rows with the vec_id filter pushed down"))
+      ". Hot-key bound: Stats.theilSen(maxSeries) — r11"))
+  // q283/q284 do NOT need a scan-rule entry despite their fixture
+  // self-join mode: annJoin's centroid table is a bounded driver-side
+  // collect (plan-construction time), so the static plan carries only
+  // the two embeddings scans (corpus + queries) — audited r11.
 
   /** Per-key-QUADRATIC self-join audit (r11, VERDICT r10 item 5) — the
     * hazard no structural rule can see: a same-frame equi-join whose
