@@ -86,15 +86,21 @@ object Lm {
   def perplexityBuckets(scored: DataFrame, scoreCol: String = "score",
                         probs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
                         labels: Seq[String] =
-                          Seq("tail", "middle", "head")): DataFrame = {
+                          Seq("tail", "middle", "head"),
+                        exact: Boolean = true): DataFrame = {
     require(labels.length == probs.length + 1,
       s"need ${probs.length + 1} labels for ${probs.length} cut points")
     require(probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
       s"cut points must be ascending in (0,1): $probs")
     val s = round(col(scoreCol), 6)
+    // exact=false: the 100 TB dial — exact percentile buffers every
+    // score in the final agg buffer (the winsorize discipline); the
+    // t-digest thresholds shift bucket EDGES only, within sketch error
+    val pctFn = if (exact) "percentile" else "approx_percentile"
+    val accuracy = if (exact) "" else ", 10000"
     val th = scored.agg(expr(
-      s"percentile(round(`$scoreCol`, 6), array(${probs.mkString(", ")}))")
-      .as("__th"))
+      s"$pctFn(round(`$scoreCol`, 6), array(${probs.mkString(", ")})" +
+        s"$accuracy)").as("__th"))
     val bucket = probs.indices.reverse.foldLeft(lit(labels.last): Column) {
       case (acc, i) =>
         when(s <= element_at(col("__th"), i + 1), lit(labels(i))).otherwise(acc)

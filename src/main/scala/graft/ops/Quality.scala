@@ -157,13 +157,18 @@ object Quality {
     * IEEE ops on engine-identical inputs, so the normalized double
     * hash-replays cross-engine. */
   def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
-                        knots: Int = 256): DataFrame = {
+                        knots: Int = 256, exact: Boolean = true): DataFrame = {
     require(knots >= 2 && (knots & (knots - 1)) == 0,
       s"knots must be a power of two for binary-exact fractions: $knots")
     import org.apache.spark.sql.expressions.Window
     val x = col(scoreCol).cast("double")
     val ps = (0 to knots).map(_.toDouble / knots).toArray
-    val kn = df.agg(percentile(x, typedLit(ps)).as("__kn"))
+    // exact=false: the 100 TB dial — the exact global percentile
+    // buffers every score in one final agg buffer (see winsorize)
+    val knAgg =
+      if (exact) percentile(x, typedLit(ps))
+      else approx_percentile(x, typedLit(ps), lit(10000))
+    val kn = df.agg(knAgg.as("__kn"))
     val i = least(floor(col("__p") * knots).cast("long"), lit(knots - 1L))
     df.withColumn("__p",
         percent_rank().over(Window.partitionBy(groupCol).orderBy(x)))

@@ -45,13 +45,23 @@ object Stats {
     * pure projection (count of boundaries strictly below the value).
     * Use a power-of-two bucket count so every percentage k/buckets is
     * binary-exact — both engines then parse identical boundary
-    * percentiles, which is what makes the histogram oracle-able. */
+    * percentiles, which is what makes the histogram oracle-able.
+    *
+    * `exact = false` is the 100 TB dial (the winsorize/madOutliers
+    * discipline): exact `percentile` buffers EVERY value in the final
+    * aggregation buffer — fine at fixture scale, an executor OOM on a
+    * corpus — while `approx_percentile` (t-digest, accuracy 10⁴) keeps
+    * the buffer bounded at sketch size. Exact stays the default so the
+    * q167 oracle replays unchanged. */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
-                         buckets: Int): DataFrame = {
+                         buckets: Int, exact: Boolean = true): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     val x = col(valueCol).cast("double")
     val ps = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bnds = df.agg(percentile(x, typedLit(ps)).as("__bnds"))
+    val pctAgg =
+      if (exact) percentile(x, typedLit(ps))
+      else approx_percentile(x, typedLit(ps), lit(10000))
+    val bnds = df.agg(pctAgg.as("__bnds"))
     df.crossJoin(broadcast(bnds))
       .withColumn("bucket", size(filter(col("__bnds"), b => x > b)))
       .groupBy("bucket")

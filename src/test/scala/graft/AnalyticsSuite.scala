@@ -396,6 +396,44 @@ class AnalyticsSuite extends SparkTestBase {
     }
   }
 
+  test("global-percentile 100TB dials: approx mode stays within sketch " +
+      "tolerance of exact (equiDepth, quantileNormalize, perplexityBuckets)") {
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val total = li.count()
+    // equi-depth: approx boundaries still cover every row with buckets
+    // within 25% of ideal (same bound the exact test uses)
+    val ha = Stats.equiDepthHistogram(li, "l_extendedprice", buckets = 8,
+        exact = false)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(ha.map(_._2).sum == total)
+    ha.foreach { case (b, n) =>
+      assert(math.abs(n - total / 8.0) < total * 0.25 / 8, s"bucket $b: $n")
+    }
+    // quantileNormalize: approx knots shift normalized scores only
+    // within a small fraction of the score range
+    val docs = Tables.table(spark, sf0001, "documents")
+    def qn(e: Boolean) = graft.ops.Quality
+      .quantileNormalize(docs, "source", "n_chars", exact = e)
+      .select(col("doc_id"), col("n_chars_qn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (qe, qa) = (qn(true), qn(false))
+    val range = qe.values.max - qe.values.min
+    val maxDrift = qe.map { case (k, v) => math.abs(qa(k) - v) }.max
+    assert(maxDrift <= 0.05 * range, s"drift $maxDrift of range $range")
+    // perplexityBuckets: approx thresholds relabel only rows near the
+    // tercile edges (< 5% of the corpus on the fixture)
+    val scored = docs.select(col("doc_id"),
+      (col("n_chars") % 997).cast("double").as("score"))
+    def buckets(e: Boolean) = graft.ops.Lm
+      .perplexityBuckets(scored, exact = e)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("bucket")).toMap
+    val (be, ba) = (buckets(true), buckets(false))
+    val moved = be.count { case (k, v) => ba(k) != v }
+    assert(moved <= be.size / 20, s"$moved of ${be.size} relabeled")
+  }
+
   // --- Sampling.temperatureAllocation -------------------------------------
 
   test("temperatureAllocation: sums to budget, endpoints and monotonicity hold") {
