@@ -68,8 +68,17 @@ object Skew {
     * use BINARY-EXACT fractions (½, ⅞, 63/64 — the equi-depth
     * discipline) so both engines parse identical interpolation
     * points. */
-  def keyProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def keyProfile(df: DataFrame, keyCols: Seq[String],
+                 exact: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty, "keyProfile: need at least one key column")
+    // exact=false: the 100 TB dial — the exact percentiles buffer the
+    // whole per-key COUNTS table (|distinct keys| longs; ~8 GB for a
+    // 10⁹-key user-id column) in one final agg buffer. The t-digest
+    // swap keeps the profile's purpose (order-of-magnitude skew
+    // readout) at sketch-sized state.
+    def pct(p: Double): org.apache.spark.sql.Column =
+      if (exact) percentile(col("c"), lit(p))
+      else approx_percentile(col("c"), lit(p), lit(10000))
     val per = keyCols.map { k =>
       val counts = df.groupBy(col(k).cast("string").as("__k"))
         .agg(count(lit(1)).as("c"))
@@ -81,9 +90,9 @@ object Skew {
         count(lit(1)).cast("long").as("n_keys"),
         sum(col("c")).cast("long").as("n_rows"),
         (max(col("c")).cast("double") / sum(col("c"))).as("max_share"),
-        percentile(col("c"), lit(0.5)).as("p50"),
-        percentile(col("c"), lit(0.875)).as("p875"),
-        percentile(col("c"), lit(0.984375)).as("p984"),
+        pct(0.5).as("p50"),
+        pct(0.875).as("p875"),
+        pct(0.984375).as("p984"),
         min(when(col("__rk") === 1, col("__k"))).as("top_key"),
         max(col("c")).cast("long").as("top_count"))
     }
