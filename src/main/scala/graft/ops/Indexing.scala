@@ -23,7 +23,19 @@ object Indexing {
     * Tokenization is the engine-wide lower + single-space split; terms
     * in fewer than `minDf` or more than `maxDfShare`·N docs are dropped
     * (the latter computed against the distinct document count, one tiny
-    * extra aggregate). */
+    * extra aggregate).
+    *
+    * Scale contract (r11): when a df gate is active, terms are filtered
+    * BY A SEPARATE df PASS before the postings are collected — the
+    * postings array is a single aggregation buffer of df doc-ids, so
+    * building a stopword's postings and THEN dropping them would
+    * materialize ~N ids (8 GB for "the" on a 10⁹-doc corpus) in one
+    * buffer regardless of the cap. With the prefilter, maxDfShare·N
+    * bounds every buffer BY CONSTRUCTION; an uncapped call keeps the
+    * cheaper one-pass shape and accepts the stopword buffer (callers
+    * indexing raw web text must set maxDfShare). The two-pass path cuts
+    * the shared tokenize+distinct with cache() (the pmiCollocations
+    * multi-consumer discipline). */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L, maxDfShare: Double = 1.0): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
@@ -35,14 +47,24 @@ object Indexing {
       .filter(col("term") =!= "")
       .distinct()
     val nDocs = docs.agg(countDistinct(col(idCol)).as("__n"))
-    pairs
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc"))).as("postings"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") >= minDf &&
-        col("df") <= lit(maxDfShare) * col("__n"))
-      .drop("__n")
+    if (minDf == 1L && maxDfShare == 1.0) {
+      // no gate: one-pass shape, no filter to pre-apply
+      pairs
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc"))).as("postings"))
+    } else {
+      val p = pairs.cache()
+      val kept = p.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= minDf &&
+          col("df") <= lit(maxDfShare) * col("__n"))
+        .select("term", "df")
+      p.join(kept, Seq("term"))
+        .groupBy("term")
+        .agg(max(col("df")).as("df"),
+          sort_array(collect_list(col("doc"))).as("postings"))
+    }
   }
 
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf form

@@ -217,16 +217,31 @@ class ScaleSuite extends SparkTestBase {
 
   test("invertedIndex plans the two classic IR shuffles plus the count broadcast") {
     val docs = Tables.table(spark, sf0001, "documents")
+    // ungated call: the one-pass shape — distinct + groupBy(term)
+    val plan0 = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val shuffles0 = "Exchange hashpartitioning".r.findAllIn(plan0).size
+    assert(shuffles0 <= 2, s"ungated: expected <= 2 exchanges, got " +
+      s"$shuffles0:\n$plan0")
+    // df-gated call: the r11 prefilter shape — the df pass and the join
+    // add exchanges, but the stopword postings buffer is never built
+    // (the 8-GB-array-then-drop hazard); doc-count side broadcasts
     val plan = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text",
         minDf = 2L)
       .queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
-    // (term, doc) distinct + groupBy(term) + the doc-count side's own
-    // distinct; the count relation itself reaches the main plan broadcast
-    assert(shuffles <= 3, s"expected <= 3 hash exchanges, got $shuffles:\n$plan")
+    assert(shuffles <= 5, s"gated: expected <= 5 hash exchanges, got " +
+      s"$shuffles:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"),
       "doc-count relation must broadcast")
+    // the prefilter must sit BELOW the postings aggregation: exactly one
+    // collect_list in the plan, fed by the join, never followed by the
+    // df filter
+    assert("collect_list".r.findAllIn(plan).size >= 1)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("postings")),
+      "no post-aggregation df filter on the postings")
   }
 
   test("contextPack plans a frozen-pid scan + broadcast base join, no global window") {
