@@ -25,17 +25,20 @@ object Indexing {
     * (the latter computed against the distinct document count, one tiny
     * extra aggregate).
     *
-    * Scale contract (r11): when a df gate is active, terms are filtered
-    * BY A SEPARATE df PASS before the postings are collected — the
-    * postings array is a single aggregation buffer of df doc-ids, so
-    * building a stopword's postings and THEN dropping them would
-    * materialize ~N ids (8 GB for "the" on a 10⁹-doc corpus) in one
-    * buffer regardless of the cap. With the prefilter, maxDfShare·N
-    * bounds every buffer BY CONSTRUCTION; an uncapped call keeps the
-    * cheaper one-pass shape and accepts the stopword buffer (callers
-    * indexing raw web text must set maxDfShare). The two-pass path cuts
-    * the shared tokenize+distinct with cache() (the pmiCollocations
-    * multi-consumer discipline). */
+    * Scale contract (r11): when the HIGH-df gate is active
+    * (maxDfShare < 1), terms are filtered BY A SEPARATE df PASS before
+    * the postings are collected — the postings array is a single
+    * aggregation buffer of df doc-ids, so building a stopword's
+    * postings and THEN dropping them would materialize ~N ids (8 GB
+    * for "the" on a 10⁹-doc corpus) in one buffer regardless of the
+    * cap; with the prefilter, maxDfShare·N bounds every buffer BY
+    * CONSTRUCTION (the two-pass path cuts the shared tokenize+distinct
+    * with cache(), the pmiCollocations discipline). minDf ALONE keeps
+    * the cheaper one-pass shape: a post-aggregation minDf filter only
+    * drops SMALL arrays, and an uncapped index keeps its stopword
+    * postings in the OUTPUT anyway — there is no build-then-drop
+    * waste to avoid. Callers indexing raw web text must set
+    * maxDfShare. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L, maxDfShare: Double = 1.0): DataFrame = {
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
@@ -47,12 +50,14 @@ object Indexing {
       .filter(col("term") =!= "")
       .distinct()
     val nDocs = docs.agg(countDistinct(col(idCol)).as("__n"))
-    if (minDf == 1L && maxDfShare == 1.0) {
-      // no gate: one-pass shape, no filter to pre-apply
-      pairs
+    if (maxDfShare == 1.0) {
+      // no high-df gate: one-pass shape; minDf post-filters (drops only
+      // small arrays — no buffer hazard)
+      val idx = pairs
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
           sort_array(collect_list(col("doc"))).as("postings"))
+      if (minDf == 1L) idx else idx.filter(col("df") >= minDf)
     } else {
       val p = pairs.cache()
       val kept = p.groupBy("term").agg(count(lit(1)).as("df"))

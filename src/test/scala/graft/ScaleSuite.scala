@@ -217,17 +217,19 @@ class ScaleSuite extends SparkTestBase {
 
   test("invertedIndex plans the two classic IR shuffles plus the count broadcast") {
     val docs = Tables.table(spark, sf0001, "documents")
-    // ungated call: the one-pass shape — distinct + groupBy(term)
-    val plan0 = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text")
+    // minDf-only call: keeps the one-pass shape — distinct +
+    // groupBy(term) + a post-filter that only drops SMALL arrays
+    val plan0 = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text",
+        minDf = 2L)
       .queryExecution.executedPlan.toString
     val shuffles0 = "Exchange hashpartitioning".r.findAllIn(plan0).size
-    assert(shuffles0 <= 2, s"ungated: expected <= 2 exchanges, got " +
+    assert(shuffles0 <= 2, s"minDf-only: expected <= 2 exchanges, got " +
       s"$shuffles0:\n$plan0")
-    // df-gated call: the r11 prefilter shape — the df pass and the join
-    // add exchanges, but the stopword postings buffer is never built
-    // (the 8-GB-array-then-drop hazard); doc-count side broadcasts
+    // high-df-gated call: the r11 prefilter shape — the df pass and the
+    // join add exchanges, but a stopword's postings buffer is never
+    // built (the 8-GB-array-then-drop hazard); doc-count broadcasts
     val plan = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text",
-        minDf = 2L)
+        minDf = 2L, maxDfShare = 0.5)
       .queryExecution.executedPlan.toString
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 5, s"gated: expected <= 5 hash exchanges, got " +
