@@ -234,17 +234,38 @@ object Funnel {
     * Scale shape: a per-user TIME-BOUNDED join (the q18/ST9 interval
     * discipline — `lookback` is the state bound; unbounded history
     * would be a per-user cross join) + one per-conversion window.
-    * Credits are exact literals or ONE division (0.2/(n−2)). */
+    * Credits are exact literals or ONE division (0.2/(n−2)).
+    *
+    * `maxPerUser` (the mannKendall `maxSeries` discipline, r12): the
+    * lookback bounds STATE, not a hot user's event count — a bot user
+    * with 100k events inside one window is conv×touch ≈ n²/4 pairs in
+    * ONE join task (join parallelism is across users). The cap keeps
+    * each user's `maxPerUser` conversions and touches of smallest
+    * md5(user‖id‖ts) — a fixed deterministic subsample, so a capped
+    * user's credits are the attribution of a random event subsample
+    * (biased only for capped users, who are bot-shaped by
+    * construction). Default disables the cap so fixture-scale oracles
+    * replay uncapped semantics. */
   def positionCredits(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String, convType: String,
-      lookbackUs: Long): DataFrame = {
+      lookbackUs: Long, maxPerUser: Int = Int.MaxValue): DataFrame = {
     require(lookbackUs > 0, s"lookbackUs must be > 0")
-    val conv = events.filter(col(typeCol) === convType)
+    require(maxPerUser >= 1, s"maxPerUser must be >= 1, got $maxPerUser")
+    def capped(df: DataFrame, id: String, ts: String): DataFrame =
+      if (maxPerUser == Int.MaxValue) df
+      else df.withColumn("__r", row_number().over(
+          Window.partitionBy("__u").orderBy(
+            md5(concat_ws("#", col("__u").cast("string"),
+              col(id).cast("string"), col(ts).cast("string"))),
+            col(ts), col(id))))
+        .filter(col("__r") <= maxPerUser).drop("__r")
+    val conv = capped(events.filter(col(typeCol) === convType)
       .select(col(userCol).as("__u"), col(idCol).as("conversion_id"),
-        unix_micros(col(tsCol)).as("__cts"))
-    val touch = events.filter(col(typeCol) =!= convType)
+        unix_micros(col(tsCol)).as("__cts")), "conversion_id", "__cts")
+    val touch = capped(events.filter(col(typeCol) =!= convType)
       .select(col(userCol).as("__u"), col(idCol).as("touch_id"),
-        col(typeCol).as("touch_type"), unix_micros(col(tsCol)).as("__tts"))
+        col(typeCol).as("touch_type"), unix_micros(col(tsCol)).as("__tts")),
+      "touch_id", "__tts")
     val joined = conv.join(touch,
       conv("__u") === touch("__u") &&
         col("__tts") < col("__cts") &&

@@ -67,19 +67,23 @@ object Sampling {
         col(colCol).cast("string").as("__c"))
       .groupBy("__r", "__c").agg(count(lit(1)).as("n"))
       .cache() // consumed twice: the bound count, then the collect
-    val nCells = cellTab.count()
-    require(nCells <= maxCells,
-      s"ipfWeights: $nCells distinct ($rowCol, $colCol) cells exceed " +
-        s"maxCells=$maxCells — IPF raking sweeps the cell table " +
-        s"driver-side (bounded-driver-state altitude); a category " +
-        s"product this large means the raking axes are mis-specified, " +
-        s"not that the sweep should be distributed. Coarsen the " +
-        s"categories or raise maxCells deliberately.")
-    val cells = cellTab
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      .sortBy(t => (t._1, t._2))
-    cellTab.unpersist() // both consumers are done (eager-action op)
+    // try/finally: the bound `require` throws PAST the unpersist — an
+    // eager-unpersist op must not leak storage when the check fails in
+    // a long-lived session
+    val cells = try {
+      val nCells = cellTab.count()
+      require(nCells <= maxCells,
+        s"ipfWeights: $nCells distinct ($rowCol, $colCol) cells exceed " +
+          s"maxCells=$maxCells — IPF raking sweeps the cell table " +
+          s"driver-side (bounded-driver-state altitude); a category " +
+          s"product this large means the raking axes are mis-specified, " +
+          s"not that the sweep should be distributed. Coarsen the " +
+          s"categories or raise maxCells deliberately.")
+      cellTab
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+    } finally cellTab.unpersist() // both consumers done (eager-action op)
     val rows = cells.map(_._1).distinct.sorted
     val colsK = cells.map(_._2).distinct.sorted
     val nTotal = cells.map(_._3).sum.toDouble

@@ -801,10 +801,23 @@ object Similarity {
     * replicate-small/split-hot skew dial. Zero-vector queries (NULL
     * cosine) rank all cells equal-distance and probe the lowest
     * nprobe cells; their candidate sims are NULL and drop at the
-    * rank filter. */
+    * rank filter.
+    *
+    * Self-match semantics (`excludeSelf`): in the kNN-graph use
+    * (queries IS the corpus — the [[mutualKnnPairs]] composition) a
+    * row's trivially-perfect match with itself must be dropped or it
+    * occupies rank 1 of every list. In the cross-corpus linking use
+    * the two id spaces are unrelated, and an id-value collision is a
+    * coincidence — dropping it would silently delete a valid nearest
+    * neighbor and shift every rank below it. Default `None` derives
+    * the right behavior structurally (`queries eq corpus` — same
+    * DataFrame reference ⇒ self-join); pass `Some(true/false)` to
+    * override (e.g. two physically distinct frames over the SAME
+    * entity space still want the exclusion). */
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, centroids: DataFrame, k: Int,
-              nprobe: Int, cellSplits: Int = 1): DataFrame = {
+              nprobe: Int, cellSplits: Int = 1,
+              excludeSelf: Option[Boolean] = None): DataFrame = {
     graft.functions.Registry.registerAll(queries.sparkSession)
     val cents = collectCentroids(centroids)
     require(k >= 1, s"k must be >= 1, got $k")
@@ -826,8 +839,9 @@ object Similarity {
         if (cellSplits == 1) lit(0)
         else explode(typedLit((0 until cellSplits).toList)))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
-    q.join(c, Seq("cell", "__s"))
-      .filter(col("qid") =!= col("id"))
+    val exSelf = excludeSelf.getOrElse(queries eq corpus)
+    val cand = q.join(c, Seq("cell", "__s"))
+    (if (exSelf) cand.filter(col("qid") =!= col("id")) else cand)
       .select(col("qid"), col("id"),
         expr("cosine_similarity(qarr, arr)").as("sim"))
       .filter(col("sim").isNotNull)
@@ -850,7 +864,12 @@ object Similarity {
     * annJoin pipeline would re-plan twice); the reciprocity join keys
     * on the (qid, id) pair — full-cardinality keys, no hot-key
     * hazard. Cosine is symmetric, so the kept pair's `sim` is the one
-    * number; rank_ab/rank_ba record each endpoint's view. */
+    * number; rank_ab/rank_ba record each endpoint's view.
+    *
+    * Cache lifetime: lazy-return operator — the canonical note at
+    * [[graft.ops.Association.itemItemCosine]] applies (cannot
+    * unpersist before the caller consumes; ContextCleaner/LRU
+    * releases; MEMORY_AND_DISK spills, never recomputes). */
   def mutualKnnPairs(emb: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, k: Int, nprobe: Int,
                      cellSplits: Int = 1): DataFrame = {

@@ -78,7 +78,10 @@ object Skew {
     // readout) at sketch-sized state.
     def pct(p: Double): org.apache.spark.sql.Column =
       if (exact) percentile(col("c"), lit(p))
-      else approx_percentile(col("c"), lit(p), lit(10000))
+      // cast: exact `percentile` returns DOUBLE but approx_percentile
+      // preserves the input type — cast the INPUT so both dials share
+      // one schema (schema-sensitive consumers, exact-vs-approx A/Bs)
+      else approx_percentile(col("c").cast("double"), lit(p), lit(10000))
     val per = keyCols.map { k =>
       val counts = df.groupBy(col(k).cast("string").as("__k"))
         .agg(count(lit(1)).as("c"))

@@ -980,8 +980,9 @@ object Stats {
       else base0.withColumn("__r", row_number().over(
           Window.partitionBy("__k").orderBy(
             md5(concat_ws("#", col("__k").cast("string"),
-              col("__t").cast("string"), col("__o").cast("string"))),
-            col("__t"), col("__o"))))
+              col("__t").cast("string"), col("__o").cast("string"),
+              col("__x").cast("string"))),
+            col("__t"), col("__o"), col("__x"))))
         .filter(col("__r") <= maxSeries).drop("__r").cache()
     val a = base.select(col("__k"), col("__t").as("__ta"),
       col("__o").as("__oa"), col("__x").as("__xa"))

@@ -2392,6 +2392,30 @@ class AnalyticsSuite extends SparkTestBase {
     }
   }
 
+  test("positionCredits maxPerUser: cap>=n is identity; capped user " +
+      "bounded and deterministic, others untouched") {
+    val ev = Tables.events(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      graft.ops.Funnel.positionCredits(df, "user_id", "event_type",
+          "ts", "event_id", "purchase", lookbackUs = 7L * 86400000000L,
+          maxPerUser = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val uncapped = run(ev, Int.MaxValue)
+    // a cap above every user's event count replays uncapped exactly
+    assert(run(ev, 1000000) == uncapped)
+    val capped = run(ev, 3)
+    // every surviving conversion's touch list is ≤ cap and its
+    // credits still sum to 1
+    val byConv = capped.groupBy(_._1._1)
+    byConv.foreach { case (cid, rows) =>
+      assert(rows.size <= 3, s"conversion $cid kept ${rows.size} > cap")
+      assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12, cid)
+    }
+    // the md5 subsample is a function of the DATA, not the layout
+    assert(run(ev.repartition(7, col("user_id")), 3) == capped)
+  }
+
   // --- Stats.powerLawFit ----------------------------------------------------
 
   test("powerLawFit: hand alpha; all-at-xmin tail is NULL") {

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
 import org.apache.spark.sql.execution.{LocalTableScanExec, RangeExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Corpus-wide physical-plan lint: the 100 TB failure modes a
@@ -128,43 +129,79 @@ class PlanLintSuite extends SparkTestBase {
   // collect (plan-construction time), so the static plan carries only
   // the two embeddings scans (corpus + queries) — audited r11.
 
-  /** Per-key-QUADRATIC self-join audit (r11, VERDICT r10 item 5) — the
-    * hazard no structural rule can see: a same-frame equi-join whose
-    * per-KEY pair count is data-dependent puts one hot key's n²/2
-    * pairs into ONE task (join parallelism is ACROSS keys). Every such
-    * site in src/main, with its reviewed bound:
-    *
-    *  - Stats.mannKendall / theilSen (q205/q207): per-entity series —
-    *    `maxSeries` deterministic md5-subsample cap (default off;
-    *    StatsBench hot-key arm prices a planted 100k-event key).
-    *  - Association.itemItemCosine (q236): per-user basket —
-    *    `maxBasket` cap, StatsBench-measured 13.9× uncapped blowup.
-    *  - Association.liftPairs (q192): per-basket items — `maxBasket`
-    *    cap (r11), same discipline.
-    *  - Stats.kendallTau (q277): both join sides are the QUANTIZED
-    *    (x,y) cell table — grid-bounded ≤64×64 by construction,
-    *    whitelisted above.
-    *  - Dedup.sortedNeighborPairs (q187): banded rank equi-join —
-    *    each band key holds exactly `window` ranks (≤2·window rows),
-    *    bounded by the parameter, not the data.
-    *  - FuzzyJoin.overlapJoin (q170): prefix-filter join on the
-    *    RAREST (k−t+1) token ranks per record (df-ascending order) —
-    *    a token's fan-out is bounded by its document frequency, and
-    *    prefix membership selects low-df tokens; residual skew dial
-    *    is `minOverlap` (longer prefixes = rarer tokens only).
-    *  - FuzzyJoin.jaroWinklerPairs (q206/q260): caller-supplied
-    *    blocking keys ARE the bound (documented contract; blocking
-    *    with a hot key is a mis-specified blocking scheme).
-    *  - Similarity.semDedup within-cell pairs (q108/q131): cell =
-    *    k-means Voronoi cell over unit vectors; nlist sizes cells at
-    *    n/nlist expected — a degenerate all-identical-embedding
-    *    corpus concentrates cells, but identical embeddings are
-    *    exact dups and belong to the digest tier upstream.
-    *  - TextAnalysis.pmiCollocations (q183): per-doc pairs AFTER a
-    *    vocab semi-join — fan-out ≤ |supplied vocab| per doc.
-    *  - Components.triangleCounts (q161): degree-oriented wedge join
-    *    — out-degree ≤ O(√m), the textbook bound.
-    */
+  /** Per-key-QUADRATIC self-join registry (r12 — the r11 audit
+    * comment promoted to an EXECUTABLE rule per VERDICT r11 item 1):
+    * a same-frame equi-join whose per-KEY pair count is data-dependent
+    * puts one hot key's n²/2 pairs into ONE task (join parallelism is
+    * ACROSS keys — AQE cannot split a join key). The detector below
+    * flags every corpus plan carrying a multiplying equi-join whose
+    * two sides read the SAME base-table set with NEITHER side per-key
+    * reduced (aggregate / WindowGroupLimit) or construction-bounded;
+    * a flagged query fails the suite unless registered here WITH its
+    * reviewed boundedness argument. */
+  private val selfJoinOk: Map[String, String] = Map(
+    "q205_mann_kendall" -> ("per-entity series self-join — `maxSeries` " +
+      "deterministic md5-subsample cap (default off so fixture oracles " +
+      "replay uncapped; StatsBench hot-key arm prices a planted " +
+      "100k-event key at 67×/OOM)"),
+    "q207_theil_sen" -> ("same series self-join as q205 — " +
+      "Stats.theilSen(maxSeries); exact percentile additionally " +
+      "buffers a hot key's slope multiset, so the cap matters MORE"),
+    "q236_item_similarity" -> ("per-user basket self-join — " +
+      "Association.itemItemCosine(maxBasket) cap, StatsBench-measured " +
+      "13.9× uncapped blowup"),
+    "q192_lift_pairs" -> ("per-basket item pairs — " +
+      "Association.liftPairs(maxBasket) cap (r11), same discipline"),
+    "q187_sorted_neighbor" -> ("banded rank equi-join — each band key " +
+      "holds exactly `window` ranks (≤2·window rows), bounded by the " +
+      "parameter, not the data"),
+    "q170_token_overlap_join" -> ("prefix-filter join on the RAREST " +
+      "(k−t+1) token ranks per record (df-ascending): a token's " +
+      "fan-out is bounded by its df and prefix membership selects " +
+      "low-df tokens; residual dial is `minOverlap`"),
+    "q206_jaro_winkler" -> ("caller-supplied blocking keys ARE " +
+      "the bound (documented FuzzyJoin contract; a hot blocking key " +
+      "is a mis-specified blocking scheme)"),
+    "q260_fellegi_sunter" -> ("same blocked-pairs contract as q206 " +
+      "(FuzzyJoin.jaroWinklerPairs under Fellegi–Sunter scoring)"),
+    "q143_fuzzy_join" -> ("same blocking-key contract as q206 — the " +
+      "flagged join's key IS the caller-supplied block"),
+    "q18_range_join" -> ("declared non-equi range-join contract query " +
+      "(J7); the banded rewrite q18b is the scale path and the " +
+      "follow-window join is time-bounded by the predicate"),
+    "q18b_banded_range_join" -> ("banded interval join — per " +
+      "(user, band) volume is the user's events inside ONE band " +
+      "width; the band granularity is the documented skew dial " +
+      "(ops/RangeJoin.intervalFollowJoin)"),
+    "q76_ivf_topk" -> ("the flagged join keys on the UNIQUE vec id " +
+      "(per-key ≤1 row per side — a fetch-back, not a pair " +
+      "generator); the cell-keyed candidate join is bounded by " +
+      "nlist sizing, the q108 argument"),
+    "q101_snapshot_diff" -> ("full-outer diff on the snapshot's " +
+      "PRIMARY key — per-key ≤1 row per side by the key contract; " +
+      "never multiplies"),
+    "q133_edit_distance" -> ("adjacent-pair join on doc_id+1 — " +
+      "doc_id is unique, per-key exactly one row per side"),
+    "q127_split_leakage" -> ("declared CTE SQL over the bounded " +
+      "doc_id < 500 fixture slice (same argument as its " +
+      "multiScanOk entry)"),
+    "q231_conformal_group" -> ("the flagged join's quantile side " +
+      "carries exactly ONE row per group — the rk = ceil(0.9(n+1)) " +
+      "equality filter over the per-group rank window (a bound the " +
+      "structural rule cannot see; mirror of q226's NLJ entry)"),
+    "q253_attribution_credits" -> ("per-user conv×touch interval " +
+      "join — Funnel.positionCredits(maxPerUser) md5-subsample cap " +
+      "(r12, default off so the oracle replays uncapped; lookback " +
+      "bounds state, not a bot user's in-window event count)"),
+    "q108_semdedup" -> ("within-cell pairs only — cell = k-means " +
+      "Voronoi cell over unit vectors, nlist sizes cells at n/nlist " +
+      "expected; an all-identical-embedding corpus belongs to the " +
+      "digest tier upstream"),
+    "q131_incremental_semdedup" -> "same within-cell bound as q108",
+    "q183_pmi_collocations" -> ("per-doc pairs AFTER a vocab " +
+      "semi-join — fan-out ≤ |supplied vocab| per doc"),
+    "q161_triangles" -> ("degree-oriented wedge join — out-degree ≤ " +
+      "O(√m) after orientation, the textbook bound"))
 
   /** Name-level exceptions to the window discipline. */
   private val globalWindowOk: Map[String, String] = Map(
@@ -195,6 +232,50 @@ class PlanLintSuite extends SparkTestBase {
       boundedBuild(p.children.head)
     case _ => false
   }
+
+  /** Per-key REDUCED at the side's effective root: an aggregate (≤1
+    * row per group) or a WindowGroupLimit (≤k rows per partition — the
+    * rank-filter `maxSeries`/`maxBasket` cap shape after
+    * InferWindowGroupLimit) makes the join linear, not quadratic, in
+    * the hot key's row count. Same wrapper-stripping discipline as
+    * [[boundedBuild]]: only row-count-preserving/reducing unary nodes
+    * are stripped; Generate (explode) ADDS rows and stops the descent,
+    * as does any binary node. */
+  @scala.annotation.tailrec
+  private def perKeyReduced(side: SparkPlan): Boolean = side match {
+    case _: BaseAggregateExec => true
+    case _: WindowGroupLimitExec => true
+    case p if p.children.size == 1 &&
+        !p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
+      perKeyReduced(p.children.head)
+    case _ => false
+  }
+
+  /** The rule-4 detector: multiplying equi-joins (hash OR sort-merge —
+    * fixture-scale stats often plan the hazard as a broadcast join
+    * that a 100 TB run would shuffle) whose sides read the SAME
+    * non-empty base-table set, with neither side per-key reduced or
+    * construction-bounded. Semi/anti/existence joins never multiply
+    * (output ≤ probe side) and are exempt. cache()/localCheckpoint
+    * cuts hide their upstream scans from both sides symmetrically —
+    * a cut same-frame join (e.g. capped mannKendall) reports empty
+    * table sets and is skipped; the UNCAPPED paths the rule exists
+    * for are cut-free by design. */
+  private def quadraticSelfJoins(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case j: BaseJoinExec
+          if j.leftKeys.nonEmpty &&
+            (j.joinType match {
+              case LeftSemi | LeftAnti | _: ExistenceJoin => false
+              case _ => true
+            }) &&
+            !perKeyReduced(j.left) && !perKeyReduced(j.right) &&
+            !boundedBuild(j.left) && !boundedBuild(j.right) && {
+              val lt = ScanAudit.scanCounts(j.left).keySet
+              lt.nonEmpty && lt == ScanAudit.scanCounts(j.right).keySet
+            } =>
+        s"${j.nodeName}(${j.leftKeys.map(_.sql).mkString(", ")})"
+    }
 
   private def planOf(q: graft.queries.Q): Option[SparkPlan] =
     try Some(q.fn(spark, sf0001).queryExecution.sparkPlan)
@@ -283,5 +364,57 @@ class PlanLintSuite extends SparkTestBase {
         s"localCheckpoint(false) for bounded summaries, cache() for " +
         s"row-scale multi-consumer frames — or whitelist with the " +
         s"reviewed-shape argument):\n${hits.mkString("\n")}")
+  }
+
+  test("corpus plan lint: same-frame equi-joins are per-key bounded " +
+      "or registered") {
+    val hits = SparkEntry.corpus.flatMap { q =>
+      planOf(q).toSeq.flatMap { plan =>
+        val bad = quadraticSelfJoins(plan)
+        if (bad.nonEmpty && !selfJoinOk.contains(q.name))
+          Some(s"${q.name}: ${bad.distinct.mkString("; ")}")
+        else None
+      }
+    }
+    assert(hits.isEmpty,
+      s"same-frame equi-joins with data-dependent per-key pair counts " +
+        s"(one hot key's n²/2 pairs land in ONE task — cap the series " +
+        s"with the maxSeries/maxBasket discipline, reduce one side, or " +
+        s"register in selfJoinOk with a boundedness argument):\n" +
+        hits.mkString("\n"))
+  }
+
+  test("self-join rule: catches a deliberately uncapped per-key " +
+      "self-join; absolves aggregate join-back and rank-capped sides") {
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "value")
+    // the hazard shape: raw × raw on a data-dependent key
+    val raw = ev.join(ev.withColumnRenamed("value", "v2")
+        .withColumnRenamed("ts", "ts2"), "user_id")
+    assert(quadraticSelfJoins(raw.queryExecution.sparkPlan).nonEmpty,
+      "uncapped same-frame equi-join must trip the rule")
+    // aggregate join-back: the reduced side makes it per-key linear
+    val agg = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.avg("value").as("m"))
+    val back = ev.join(agg, "user_id")
+    assert(quadraticSelfJoins(back.queryExecution.sparkPlan).isEmpty,
+      "aggregate join-back must NOT trip the rule")
+    // rank-capped side (the maxSeries cap shape, un-cached so the
+    // scans stay visible): WindowGroupLimit bounds the multiplier
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val capped = ev.withColumn("__r", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "value")))
+      .filter(col("__r") <= 5).drop("__r")
+      .withColumnRenamed("value", "v2").withColumnRenamed("ts", "ts2")
+    val mixed = ev.join(capped, "user_id")
+    assert(quadraticSelfJoins(mixed.queryExecution.sparkPlan).isEmpty,
+      "a WindowGroupLimit-capped side must absolve the join")
+    // different base tables: never a self-join
+    val ord = Tables.table(spark, sf0001, "orders")
+      .select(col("o_custkey").as("user_id"))
+    assert(quadraticSelfJoins(
+        ev.join(ord, "user_id").queryExecution.sparkPlan).isEmpty,
+      "distinct-table joins are out of scope")
   }
 }
