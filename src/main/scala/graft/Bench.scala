@@ -35,14 +35,21 @@ object Bench {
     * DF induction, q179 iterative k-core, q192 basket self-join, q216
     * bootstrap replication, q236 pair volume) so a throttle segment
     * landing on any of them self-discriminates from a regression via
-    * min-of-2 (VERDICT r10 item 4). */
+    * min-of-2 (VERDICT r10 item 4). r12 (VERDICT r11 item 2): the
+    * adjacent-block inflation class — q137/q140/q141/q142 around the
+    * r11 q140 5.8 s / q141 6.3 s readings (~1.6/1.1 s typical, zero
+    * code change) — plus q207 (the other per-key-quadratic stat) are
+    * now headline too, so the artifact itself can prove a throttle
+    * segment for that block instead of leaving it driver-opaque. */
   private val headline = Seq(
     "q01_count", "q11_star_join", "q18_range_join", "q21_pricing_summary",
     "q31_ranking", "q57_regional_revenue", "q61_ngram_jaccard",
     "q62_cosine_topk", "q71_minhash_neardup", "q76_ivf_topk",
     "q79_corpus_prep_report", "q119_ivfpq_topk", "q128_line_dedup",
-    "q146_boilerplate_spans",
-    "q179_kcore", "q192_market_basket", "q216_bootstrap_ci", "q218_hits",
+    "q137_canonical_select", "q140_bit_bool_aggs", "q141_recursive_cte",
+    "q142_curation_pipeline", "q146_boilerplate_spans",
+    "q179_kcore", "q192_market_basket", "q207_theil_sen",
+    "q216_bootstrap_ci", "q218_hits",
     "q236_item_neighbors", "q243_trimmed_mean", "q258_bfs_distances",
     "q264_decompose", "q273_cronbach")
 

@@ -312,7 +312,19 @@ object Components {
     * Scale shape mirrors pageRankExact: 2 key-partitioned shuffles per
     * half-step, per-round lineage cut, driver state = nothing (the max
     * joins back as a broadcast one-row table, never a collected
-    * scalar). Nodes with no in-edges hold auth 0; no out-edges, hub 0. */
+    * scalar). Nodes with no in-edges hold auth 0; no out-edges, hub 0.
+    *
+    * r12 (the q218 watch): the cut moved BELOW the normalization —
+    * `normalized` fans its input out to TWO consumers (the max agg's
+    * broadcast subquery and the main select), so checkpointing the
+    * normalized result made each half-step replay its e⋈scores join +
+    * groupBy twice inside the one materialization job (Catalyst does
+    * not dedupe common subplans). Cutting the RAW per-node score
+    * table instead materializes the join once; the normalization
+    * itself is then a cheap re-scan per consumer. Same checkpoint
+    * count, half the join work — measured 2.94 → 2.14 s on q218
+    * (sf0.1, calm-canary min-of-3-of-min-of-2, identical restricted
+    * sessions). */
   def hitsExact(edges: DataFrame, aCol: String, bCol: String,
                 iters: Int = 2, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -328,19 +340,28 @@ object Components {
           call_function("div", col(c) * scale, col("__m")).as(c))
     var hub = nodes.withColumn("h", lit(scale)).localCheckpoint()
     var auth = nodes.withColumn("a", lit(0L))
-    for (_ <- 1 to iters) {
+    // previous half-step's cut, freeable once the NEXT cut has folded
+    // its data in (the final iteration's cuts feed the lazy-return
+    // result and stay — the Association.itemItemCosine LRU note)
+    var free: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val aRaw = e.join(hub, e("u") === hub("node"))
         .groupBy(col("v")).agg(sum("h").as("s"))
       val aAll = nodes.join(aRaw, nodes("node") === aRaw("v"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
-      auth = normalized(aAll, "a").localCheckpoint()
+        .localCheckpoint()
+      free.foreach(_.unpersist()); free = None
+      if (i == 1) hub.unpersist() // the init table is folded into aAll
+      auth = normalized(aAll, "a")
       val hRaw = e.join(auth, e("v") === auth("node"))
         .groupBy(col("u")).agg(sum("a").as("s"))
       val hAll = nodes.join(hRaw, nodes("node") === hRaw("u"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
-      val next = normalized(hAll, "h").localCheckpoint()
-      hub.unpersist()
-      hub = next
+        .localCheckpoint()
+      // auth_i is consumed only by hAll_i (just materialized) except
+      // on the last round, where it feeds the returned join
+      if (i < iters) { aAll.unpersist(); free = Some(hAll) }
+      hub = normalized(hAll, "h")
     }
     hub.join(auth, "node")
   }

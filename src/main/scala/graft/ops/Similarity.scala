@@ -304,6 +304,14 @@ object Similarity {
     * HOF lambda around the codegen'd cosine kernel). */
   private val InlineCentroidMax = 16
 
+  /** [[annJoin]] auto-salt volume gate: below this many corpus rows in
+    * the HOTTEST cell, one cell's candidate volume (≈ maxC·|Q_cell| ≲
+    * maxC² ≈ 16M cosines at 4096) is sub-second in a single task and
+    * the salt's query-side explode + wider shuffle is pure overhead —
+    * measured 3× loss on the sf0.1 fixture (750-row cells) vs the
+    * 2.3× win on AnnBench's 12.5k-row cells. */
+  private val AutoSplitMinCellRows = 4096L
+
   /** Driver-side snapshot of a (cell, centroid) table — nlist rows,
     * bounded at any corpus size. */
   private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Double])] = {
@@ -803,6 +811,24 @@ object Similarity {
     * nprobe cells; their candidate sims are NULL and drop at the
     * rank filter.
     *
+    * AUTO salt (`cellSplits = 0`, the default since r12 — VERDICT r11
+    * item 3): the dial is derived from a cell-count profile of the
+    * corpus assignment. Splitting is GATED on volume first — below
+    * [[AutoSplitMinCellRows]] corpus rows in the hottest cell
+    * (|C|·|Q| ≈ maxC² ≲ 16M candidate cosines, sub-second in one
+    * task) the salt's explode/shuffle overhead is pure loss and auto
+    * resolves to 1 (measured: fixture-scale q283 ran 3× SLOWER at a
+    * forced spread-driven 4). Above the gate, splits =
+    * `max(skew, spread)` clamped to [1, 64], where skew =
+    * ⌈max-cell / mean-cell⌉ (break the hottest cell down to average
+    * granularity) and spread = ⌈defaultParallelism / n-cells⌉ (don't
+    * leave cores idle when nlist < cluster parallelism). The profile
+    * is ONE extra map-only assignment pass reduced to ≤ nlist rows by
+    * map-side combine (bounded driver collect — the centroid-table
+    * altitude); results are salt-invariant (suite-pinned), so profile
+    * exactness is irrelevant — at 100 TB either accept the pass or
+    * profile once offline and pass the manual dial.
+    *
     * Self-match semantics (`excludeSelf`): in the kNN-graph use
     * (queries IS the corpus — the [[mutualKnnPairs]] composition) a
     * row's trivially-perfect match with itself must be dropped or it
@@ -816,19 +842,35 @@ object Similarity {
     * entity space still want the exclusion). */
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, centroids: DataFrame, k: Int,
-              nprobe: Int, cellSplits: Int = 1,
+              nprobe: Int, cellSplits: Int = 0,
               excludeSelf: Option[Boolean] = None): DataFrame = {
     graft.functions.Registry.registerAll(queries.sparkSession)
     val cents = collectCentroids(centroids)
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1 && nprobe <= cents.length,
       s"nprobe must be in [1, ${cents.length}], got $nprobe")
-    require(cellSplits >= 1, s"cellSplits must be >= 1, got $cellSplits")
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("arr"))
+    require(cellSplits >= 0,
+      s"cellSplits must be >= 1, or 0 for auto, got $cellSplits")
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("arr"))
       .withColumn("cell", cellExpr(cents))
+    val splits =
+      if (cellSplits >= 1) cellSplits
+      else {
+        val counts = c0.groupBy("cell").agg(count(lit(1)).as("n"))
+          .collect().map(_.getAs[Long]("n"))
+        if (counts.isEmpty || counts.max < AutoSplitMinCellRows) 1
+        else {
+          val mean = counts.sum.toDouble / counts.length
+          val skew = math.ceil(counts.max / mean).toInt
+          val spread = math.ceil(corpus.sparkSession.sparkContext
+            .defaultParallelism.toDouble / counts.length).toInt
+          math.min(64, math.max(1, math.max(skew, spread)))
+        }
+      }
+    val c = c0
       .withColumn("__s",
-        if (cellSplits == 1) lit(0)
-        else pmod(xxhash64(col("id")), lit(cellSplits.toLong)).cast("int"))
+        if (splits == 1) lit(0)
+        else pmod(xxhash64(col("id")), lit(splits.toLong)).cast("int"))
       .select("id", "cell", "__s", "arr")
     val q = queries
       .select(col(idCol).as("qid"), col(vecCol).as("arr"))
@@ -836,8 +878,8 @@ object Similarity {
       .select(col("qid"), col("arr").as("qarr"),
         explode(col("__cells")).as("cell"))
       .withColumn("__s",
-        if (cellSplits == 1) lit(0)
-        else explode(typedLit((0 until cellSplits).toList)))
+        if (splits == 1) lit(0)
+        else explode(typedLit((0 until splits).toList)))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
     val exSelf = excludeSelf.getOrElse(queries eq corpus)
     val cand = q.join(c, Seq("cell", "__s"))
@@ -872,7 +914,7 @@ object Similarity {
     * releases; MEMORY_AND_DISK spills, never recomputes). */
   def mutualKnnPairs(emb: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, k: Int, nprobe: Int,
-                     cellSplits: Int = 1): DataFrame = {
+                     cellSplits: Int = 0): DataFrame = {
     val knn = annJoin(emb, emb, idCol, vecCol, centroids, k, nprobe,
       cellSplits).cache()
     val rev = knn.select(col("qid").as("id"), col("id").as("qid"),

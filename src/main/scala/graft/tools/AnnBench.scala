@@ -193,6 +193,14 @@ object AnnBench {
       Similarity.annJoin(emb, emb, "vec_id", "embedding", centroids,
         k = k, nprobe = 2, cellSplits = 4).count()
     }
+    // auto salt (r12): cellSplits=0 profiles the corpus cells and
+    // derives the dial (volume-gated skew/spread) — the parity arm
+    // vs the hand-tuned salt above; results are suite-pinned
+    // invariant, so only the time is informative
+    val (_, annJoinAutoSec) = time {
+      Similarity.annJoin(emb, emb, "vec_id", "embedding", centroids,
+        k = k, nprobe = 2, cellSplits = 0).count()
+    }
 
     // q119 fixture-scale attribution: same pipeline as the corpus query,
     // cold (first execution in this session: codegen compile + quantizer
@@ -241,6 +249,7 @@ object AnnBench {
         s""","annjoin_sec":${f(annJoinSec)},"annjoin_rows":$annJoinRows""" +
         s""","annjoin_recall":${f(recall(annJoinSet))}""" +
         s""","annjoin_split4_sec":${f(annJoinSplit4Sec)}""" +
+        s""","annjoin_auto_sec":${f(annJoinAutoSec)}""" +
         s""","fixture_q119_cold_sec":${f(fixtureColdSec)},"fixture_q119_warm_sec":${f(fixtureWarmSec)}""" +
         s""","fixture_q119_train_sec":${f(fixtureTrainSec)},"fixture_q119_encode_sec":${f(fixtureEncodeSec)},"fixture_q119_query_sec":${f(fixtureQuerySec)}}""")
     spark.stop()

@@ -281,6 +281,9 @@ class OpsSuite extends SparkTestBase {
     assert(full == brute, s"full=${full.size} brute=${brute.size}")
     // salting changes partitioning, never results
     assert(run(nprobe = 8, splits = 3) == full)
+    // the r12 AUTO dial (splits = 0: profile-derived) is the same
+    // invariance — whatever it picks, results match the manual runs
+    assert(run(nprobe = 8, splits = 0) == full)
     // partial probe: each query's list is drawn from the same ranking
     // (a subset relation pairwise-per-query would need rank re-check;
     // the strong invariant that holds is candidate-set inclusion)
