@@ -46,6 +46,9 @@ final case class LoadSpec(
     zorderBy: Seq[String] = Nil,          // mode=zorder: clustering columns
     zorderFiles: Option[Int] = None,      // mode=zorder: output file count (default 8)
     zorderCurve: Option[String] = None,   // mode=zorder: morton (default) | hilbert (2 cols)
+    textCol: Option[String] = None,       // mode=dedup: document text column
+    dedupThreshold: Option[Double] = None,// mode=dedup: Jaccard drop threshold (default 0.8)
+    dedupShingleN: Option[Int] = None,    // mode=dedup: shingle size (default 3)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
     retryBackoffMs: Option[Long] = None,  // base backoff, doubles per attempt (default 100)
     continueOnError: Option[Boolean] = None) // failed load doesn't abort siblings (default false)
@@ -202,6 +205,16 @@ object PipelineSpec {
           "load: mode=rollup requires 'rollupKeys' and 'measures'")
         // fail at parse time, not mid-run
         l.measures.foreach(graft.ops.Rollup.parseMeasure)
+      }
+      if (l.mode == "dedup") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=dedup supports parquet targets only")
+        require(l.key.isDefined && l.textCol.isDefined,
+          "load: mode=dedup requires 'key' and 'textCol'")
+        l.dedupThreshold.foreach(t => require(t > 0.0 && t <= 1.0,
+          s"load: dedupThreshold must be in (0, 1], got $t"))
+        l.dedupShingleN.foreach(n => require(n >= 1,
+          s"load: dedupShingleN must be >= 1, got $n"))
       }
       if (l.mode == "zorder") {
         require(l.format.equalsIgnoreCase("parquet"),

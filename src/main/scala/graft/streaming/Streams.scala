@@ -417,6 +417,62 @@ object Streams {
     q
   }
 
+  /** ST25 × L3+++++: streaming kNN-GRAPH append — [[graft.ops.Similarity.annJoin]]'s
+    * stream twin (VERDICT r11 item 4): each micro-batch of embeddings
+    * is ANN-joined (queries = the batch) against the standing corpus —
+    * the union of the per-batch-id assignment dirs seeded with
+    * [[graft.ops.Similarity.ivfAssign]] rows — PLUS the batch itself,
+    * through the same FROZEN cells (no refit, the ST13 discipline), so
+    * every arriving row gets its k nearest among everything admitted
+    * up to and including its own batch (intra-batch neighbors count).
+    * Edges land per-batch-id and the batch's assignments append for
+    * future batches; the standing read EXCLUDES the batch's own dir,
+    * so checkpoint replay recomputes against the identical standing
+    * set and overwrites identical rows. `excludeSelf = Some(true)`:
+    * the batch's ids ARE in the union corpus (one shared id space),
+    * so annJoin's structural queries-eq-corpus derivation would
+    * otherwise keep trivial self-edges. Earlier rows' edge lists are
+    * NOT revised by later arrivals — arrival-time kNN, the standard
+    * append-only graph contract (a full rebuild is the batch annJoin
+    * over the union). The stream state store holds nothing. */
+  def runKnnGraphAppend(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, assignDir: String,
+                        outDir: String, k: Int, nprobe: Int,
+                        cellSplits: Int = 0): StreamingQuery = {
+    import graft.ops.Similarity
+    val q = emb.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val aPath = new org.apache.hadoop.fs.Path(assignDir)
+        val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(aPath)) Array.empty[String]
+          else fs.listStatus(aPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+              && s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        val assigned = Similarity.ivfAssign(batch, idCol, vecCol, centroids)
+          .cache() // feeds the union corpus AND the assignment landing
+        val standing =
+          if (priorDirs.nonEmpty)
+            spark.read.parquet(priorDirs.toSeq: _*).select("id", "arr")
+              .unionByName(assigned.select("id", "arr"))
+          else assigned.select("id", "arr")
+        Similarity.annJoin(
+            batch.select(col(idCol).as("id"), col(vecCol).as("arr")),
+            standing, "id", "arr", centroids, k, nprobe, cellSplits,
+            excludeSelf = Some(true))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        assigned.write.mode("overwrite").parquet(s"$assignDir/batch_$id")
+        assigned.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST13's PQ sibling: stream micro-batches ENCODE against FROZEN
     * codebooks (the incremental-append discipline of a standing PQ
     * index — no retrain; `codebooks` is the persisted

@@ -361,6 +361,76 @@ class PipelineSuite extends SparkTestBase {
     intercept[Exception] { PipelineRunner.dryRun(spark, broken) }
   }
 
+  test("T-P17: declarative dedup load maintains a near-dedup'd " +
+      "standing corpus; re-apply is a no-op") {
+    import spark.implicits._
+    val base = tmp()
+    val out = s"$base/corpus"
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 300).write.parquet(s"$base/batch1")
+    def spec(src: String) = PipelineSpec("tp17",
+      extracts = Seq(ExtractSpec("batch", "parquet", path = src)),
+      loads = Seq(LoadSpec("parquet", out, mode = "dedup",
+        source = Some("batch"), key = Some("doc_id"),
+        textCol = Some("text"), dedupThreshold = Some(0.8))))
+    val r1 = PipelineRunner.run(spark, spec(s"$base/batch1"))
+    val kept1 = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    // equality vs the operator it composes: empty standing corpus,
+    // within-batch lower-id-wins
+    val emptySigs = graft.ops.Dedup.minHashSignatures(
+      docs.limit(0), "doc_id", "text")
+    val (expKept, _) = graft.ops.Dedup.incrementalMinHashNearDup(
+      docs.filter(col("doc_id") < 300), "doc_id", "text", emptySigs)
+    assert(kept1 == expKept.select("doc_id").as[Long].collect().toSet)
+    assert(r1.loads.head.rows == kept1.size.toLong)
+    assert(r1.loads.head.status == "ok")
+    // idempotent re-apply: the same feed lands nothing new (standing
+    // corpus dominates — every batch doc is its own standing twin)
+    PipelineRunner.run(spark, spec(s"$base/batch1"))
+    assert(spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet == kept1)
+    // second batch: new docs plus an exact twin of a SURVIVING
+    // standing doc under a fresh id — the twin must drop, the new
+    // docs admit (minus their own internal near-dups)
+    val anchor = kept1.min
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      .unionByName(docs.filter(col("doc_id") === anchor)
+        .select(lit(90000L).as("doc_id"), col("text")))
+      .write.parquet(s"$base/batch2")
+    PipelineRunner.run(spark, spec(s"$base/batch2"))
+    val kept2 = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept2.contains(90000L), "standing twin must drop")
+    assert(kept1.subsetOf(kept2) && kept2.size > kept1.size)
+    // the signature sidecar tracks EXACTLY the standing corpus
+    val sigIds = spark.read.parquet(s"${out}_sigs")
+      .select("id").as[Long].collect().toSet
+    assert(sigIds == kept2)
+    // validation: dedup requires parquet + key + textCol; threshold
+    // in (0, 1]
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "dedup",
+          key = Some("doc_id")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("csv", out, mode = "dedup",
+          key = Some("doc_id"), textCol = Some("text")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad3",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "dedup",
+          key = Some("doc_id"), textCol = Some("text"),
+          dedupThreshold = Some(1.5)))))
+    }
+  }
+
   test("example feeds run through the CLI entry point") {
     // the sessions feed reads the ns-timestamp events fixture directly
     // (PipelineRunner's own EtlSession sets this; the suite session must too)
@@ -371,7 +441,8 @@ class PipelineSuite extends SparkTestBase {
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
         "user_sessions_feed.json", "chunked_docs_feed.json",
         "quality_gate_feed.json", "monitored_load_feed.json",
-        "curation_feed.json", "zorder_maintenance_feed.json")) {
+        "curation_feed.json", "zorder_maintenance_feed.json",
+        "near_dedup_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
     // the monitored feed persisted one status row per load via JDBC

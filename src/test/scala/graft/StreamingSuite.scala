@@ -1007,6 +1007,70 @@ class StreamingSuite extends SparkTestBase {
       standingRows.select("vec_id").as[Long].collect().toSet ++ streamedKept)
   }
 
+  test("ST25: streaming kNN-graph append equals batch annJoin over the " +
+      "admitted union; replay idempotent") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val base = java.nio.file.Files.createTempDirectory("graft-knn-append")
+    val (assignDir, outDir) = (s"$base/assign", s"$base/out")
+    // seed the standing corpus: the first 300 vectors, pre-assigned
+    val standingRows = emb.filter(col("vec_id") < 300)
+      .select("vec_id", "embedding")
+    Similarity.ivfAssign(standingRows, "vec_id", "embedding", cents)
+      .write.parquet(s"$assignDir/batch_seed")
+    val tail = emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding")
+    val rows = tail.as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData(rows)
+    Streams.runKnnGraphAppend(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, assignDir, outDir, k = 3, nprobe = 2)
+    val streamed = spark.read.parquet(s"$outDir/batch_*")
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    // equality vs the batch operator: queries = the admitted batch,
+    // corpus = seed ∪ batch (shared id space → excludeSelf)
+    val expect = Similarity.annJoin(tail,
+        standingRows.unionByName(tail), "vec_id", "embedding", cents,
+        k = 3, nprobe = 2, excludeSelf = Some(true))
+      .select("qid", "id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(streamed == expect,
+      s"streamed=${streamed.size} expect=${expect.size}")
+    assert(streamed.nonEmpty)
+    // seed neighbors are reachable: at least one edge points into the
+    // standing corpus, and every query is a batch row
+    assert(streamed.exists(_._2 < 300))
+    assert(streamed.forall(_._1 >= 300))
+    // the batch's assignments appended for future batches
+    val standingNow = spark.read.parquet(s"$assignDir/batch_*")
+      .select("id").as[Long].collect().toSet
+    assert(standingNow ==
+      emb.select("vec_id").as[Long].collect().toSet)
+    // replay: recomputing a batch id from its own input against the
+    // standing set WITHOUT that dir rewrites identical rows
+    val ids0 = spark.read.parquet(s"$assignDir/batch_0")
+      .select("id").as[Long].collect().toSet
+    val b0rows = rows.filter(r => ids0.contains(r._1))
+      .toDF("vec_id", "embedding")
+    val edges0 = spark.read.parquet(s"$outDir/batch_0")
+      .collect().map(_.toString).sorted.toSeq
+    val standing0 = spark.read.parquet(s"$assignDir/batch_seed")
+      .select("id", "arr")
+      .unionByName(Similarity
+        .ivfAssign(b0rows, "vec_id", "embedding", cents)
+        .select("id", "arr"))
+    Similarity.annJoin(
+        b0rows.select(col("vec_id").as("id"), col("embedding").as("arr")),
+        standing0, "id", "arr", cents, k = 3, nprobe = 2,
+        excludeSelf = Some(true))
+      .write.mode("overwrite").parquet(s"$outDir/batch_0")
+    val edges0b = spark.read.parquet(s"$outDir/batch_0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(edges0 == edges0b, "replayed batch must rewrite identical rows")
+  }
+
   test("streaming boilerplate excision against a frozen boiler set equals batch") {
     import graft.ops.Dedup
     val docs = Tables.table(spark, sf0001, "documents")
