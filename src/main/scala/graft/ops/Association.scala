@@ -42,6 +42,7 @@ object Association {
     // (q192 feeds a sessionize window chain) re-plans per consumer
     // (audited: 4 static events scans). cache(): row-scale
     // multi-consumer frame, and the eager nBaskets count warms it.
+    // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
     val b0 = df.select(bk :+ col(itemCol).as("item"): _*).distinct().cache()
     val b =
       if (maxBasket == Int.MaxValue) b0
@@ -51,6 +52,7 @@ object Association {
             .orderBy(md5(concat_ws("#",
               bk.map(_.cast("string")) :+ col("item").cast("string"): _*)),
               col("item"))))
+        // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
         .filter(col("__r") <= maxBasket).drop("__r").cache()
     val nBaskets = b.select(bk: _*).distinct().count()
     // item-cardinality-bounded, consumed by BOTH direction joins

@@ -141,6 +141,10 @@ object Components {
       coreDeg = nextDeg
       surv = nextDeg.select("node"); n = m; it += 1
     }
+    // coreDeg is localCheckpoint-cut, so the mirrored edge cache is not
+    // in the returned lineage — eager unpersist (the bfsDistances
+    // discipline; r12 cache audit)
+    e.unpersist()
     coreDeg.select(col("node"), col("deg").cast("long").as("core_deg"))
   }
 
@@ -163,6 +167,7 @@ object Components {
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       .distinct().cache()
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -420,6 +425,10 @@ object Components {
       pr.unpersist()
       pr = next
     }
+    // pr is localCheckpoint-cut each round, so none of the standing
+    // caches are in the returned lineage — eager unpersist (the
+    // bfsDistances discipline; r12 cache audit)
+    e.unpersist(); deg.unpersist(); nodeState.unpersist()
     pr
   }
 }

@@ -176,6 +176,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("__h").orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__h", "__rk")
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       .cache() // reused by the LSH pass, the anti-join, and both counts
     val afterExact = exact.count()
     val input = knownInput.getOrElse(docs.count())
@@ -325,6 +326,7 @@ object Dedup {
                                 numHashTables: Int = 16,
                                 bandR: Int = 2): (DataFrame, DataFrame) = {
     val batchSigs = minHashSignatures(newDocs, idCol, textCol, shingleN,
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       numHashTables).cache()
     // Standing corpus dominates regardless of id (the replay-safe
     // convention): a batch doc near any corpus doc drops.
@@ -382,6 +384,7 @@ object Dedup {
                           maxDist: Int = 3,
                           tokenHash: Column => Column = xxhash64(_),
                           bits: Int = 64): DataFrame =
+    // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
     hammingPairs(simHashWith(docs, idCol, textCol, tokenHash).cache(),
       maxDist, bits)
 
@@ -599,6 +602,7 @@ object Dedup {
     // uncut, the shingle explode re-plans per consumer (audited: 5
     // static documents scans). cache(): the minHashNearDupPairs-
     // measured multi-consumer choice.
+    // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
     }).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val co = sh.select(col("id").as("a"), col("gram"))

@@ -107,6 +107,7 @@ object Similarity {
       return exactTopK(emb, idCol, vecCol, queryFilter, k)
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
       .withColumn("nv", normalizedVec(col("arr")))
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       .cache()
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nv").setOutputCol("buckets")
@@ -170,6 +171,7 @@ object Similarity {
     val bl = if (bucketLength > 0) bucketLength else math.max(maxDist / 2, 1e-3)
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
       .withColumn("nv", normalizedVec(col("arr")))
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       .cache()
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nv").setOutputCol("buckets")

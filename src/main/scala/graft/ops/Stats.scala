@@ -1051,6 +1051,7 @@ object Stats {
             md5(concat_ws("#", col("__k").cast("string"),
               col("__t").cast("string"), col("__x").cast("string"))),
             col("__t"), col("__x"))))
+        // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
         .filter(col("__r") <= maxSeries).drop("__r").cache()
     val a = base.select(col("__k"), col("__t").as("__ta"),
       col("__x").as("__xa"))
@@ -1769,6 +1770,7 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum(when(success, 1L).otherwise(0L)).as("x"))
       .withColumn("rate", col("x").cast("double") / col("n"))
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       .cache()
     val m1 = keys.agg(
       count(lit(1)).cast("double").as("__kn"),

@@ -310,6 +310,7 @@ object TextAnalysis {
     // 3 static documents scans incl. the bench side). cache(): doc ×
     // gram is row-scale.
     val d = hashedWordGrams(docs, Seq(idCol), textCol, n).distinct()
+      // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
       .cache()
     val b = hashedWordGrams(bench, Nil, textCol, n).distinct()
     val hits = d.join(b, Seq("__h"))

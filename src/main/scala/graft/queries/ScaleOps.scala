@@ -891,6 +891,7 @@ object ScaleOps {
       // canonical join, and through it the cap); without a cache the
       // classifier explode + anti-join recompute per subtree.
       val kept = graft.ops.UrlCuration.dropBlockedDomains(gated, "url",
+        // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
         Seq("src0-0.org", "src5-1.org").toDF("domain")).cache()
       kept.createOrReplaceTempView("curation_kept")
       val edges = s.sql(
@@ -3064,6 +3065,54 @@ object ScaleOps {
           col("rank_ab").cast("long").as("rank_ab"),
           col("rank_ba").cast("long").as("rank_ba"))
         .orderBy("a", "b")
+    },
+
+    // Cross-corpus ANN LINKING (Similarity.annJoin, excludeSelf=false —
+    // the r12 ADVICE fix): queries are a DISTINCT frame (the first 30
+    // vectors), so annJoin keeps a same-id match instead of silently
+    // dropping it — here every query's rank-1 neighbor is its own
+    // corpus copy at sim 1.0, which is exactly the coincidental-id
+    // collision the structural queries-eq-corpus derivation must NOT
+    // exclude. The oracle replays the q283 pipeline without the
+    // self-filter and with the probe side restricted to the query ids.
+    dfQ("q285_ann_link",
+      """WITH c AS (
+        |  SELECT CAST(vec_id AS INTEGER) cell, embedding::DOUBLE[] cv,
+        |         LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x*x)) c2
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+        |d AS (
+        |  SELECT e.id, c.cell, e.v,
+        |    1 + c.c2 - 2 * SQRT(c.c2)
+        |      * COALESCE(LIST_COSINE_SIMILARITY(e.v, c.cv), 0) d2
+        |  FROM e CROSS JOIN c),
+        |a AS (
+        |  SELECT id, cell, v,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) rn
+        |  FROM d),
+        |corp AS (SELECT id, cell, v FROM a WHERE rn = 1),
+        |probes AS (SELECT id qid, cell, v qv FROM a
+        |  WHERE rn <= 2 AND id < 30),
+        |cand AS (
+        |  SELECT p.qid, s.id, LIST_COSINE_SIMILARITY(p.qv, s.v) sim
+        |  FROM probes p JOIN corp s ON p.cell = s.cell
+        |  WHERE LIST_COSINE_SIMILARITY(p.qv, s.v) IS NOT NULL),
+        |r AS (
+        |  SELECT qid, id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) rk
+        |  FROM cand)
+        |SELECT qid, id, ROUND(sim, 6) AS sim, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
+      val queries = emb.filter(col("vec_id") < 30)
+      Similarity.annJoin(queries, emb, "vec_id", "embedding", cents,
+          k = 3, nprobe = 2)
+        .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rk"))
+        .orderBy("qid", "rk")
     }
   )
 }

@@ -197,6 +197,13 @@ class PlanLintSuite extends SparkTestBase {
       "Voronoi cell over unit vectors, nlist sizes cells at n/nlist " +
       "expected; an all-identical-embedding corpus belongs to the " +
       "digest tier upstream"),
+    "q283_ann_join" -> ("annJoin's ONE nlist-key cell equi-join — " +
+      "per-cell volume is |Q_cell|·|C_cell| under nlist sizing (the " +
+      "q108 argument), and the `cellSplits` salt (auto-derived, " +
+      "volume-gated, r12) is the measured task-granularity dial " +
+      "(AnnBench 2.3× at 200k×200k)"),
+    "q285_ann_link" -> ("same annJoin cell join as q283 in " +
+      "cross-corpus linking mode (excludeSelf=false)"),
     "q131_incremental_semdedup" -> "same within-cell bound as q108",
     "q183_pmi_collocations" -> ("per-doc pairs AFTER a vocab " +
       "semi-join — fan-out ≤ |supplied vocab| per doc"),
