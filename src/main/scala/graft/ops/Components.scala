@@ -318,6 +318,12 @@ object Components {
     * half-step, per-round lineage cut, driver state = nothing (the max
     * joins back as a broadcast one-row table, never a collected
     * scalar). Nodes with no in-edges hold auth 0; no out-edges, hub 0.
+    * `scale` bound: the renormalization numerator is score·scale where
+    * score ≤ scale·max-indegree, so pick scale with
+    * scale²·max-indegree < 2⁶³ (ANSI mode throws on overflow) — the
+    * default 10⁶ is safe to ~9×10⁶ in-degree at any graph size; unlike
+    * [[pageRankExact]] there is no teleport-resolution reason to grow
+    * it with the node count.
     *
     * r12 (the q218 watch): the cut moved BELOW the normalization —
     * `normalized` fans its input out to TWO consumers (the max agg's

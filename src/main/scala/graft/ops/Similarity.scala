@@ -306,13 +306,14 @@ object Similarity {
     * HOF lambda around the codegen'd cosine kernel). */
   private val InlineCentroidMax = 16
 
-  /** [[annJoin]] auto-salt volume gate: below this many corpus rows in
-    * the HOTTEST cell, one cell's candidate volume (≈ maxC·|Q_cell| ≲
-    * maxC² ≈ 16M cosines at 4096) is sub-second in a single task and
-    * the salt's query-side explode + wider shuffle is pure overhead —
-    * measured 3× loss on the sf0.1 fixture (750-row cells) vs the
-    * 2.3× win on AnnBench's 12.5k-row cells. */
-  private val AutoSplitMinCellRows = 4096L
+  /** [[annJoin]] auto-salt volume gate: below this many estimated
+    * candidate cosines in the HOTTEST cell (maxC · nprobe·|C|/nlist,
+    * the self-join-shaped |Q_cell| proxy), one cell is sub-second in a
+    * single task and the salt's query-side explode + wider shuffle is
+    * pure overhead — measured 3× loss on the sf0.1 fixture (~146k
+    * candidates/cell) vs the 2.3× win at AnnBench's ~19.5M. 2²² sits
+    * between them at the roughly-0.1 s-per-task point. */
+  private val AutoSplitMinCellPairs = 1L << 22
 
   /** Driver-side snapshot of a (cell, centroid) table — nlist rows,
     * bounded at any corpus size. */
@@ -815,21 +816,25 @@ object Similarity {
     *
     * AUTO salt (`cellSplits = 0`, the default since r12 — VERDICT r11
     * item 3): the dial is derived from a cell-count profile of the
-    * corpus assignment. Splitting is GATED on volume first — below
-    * [[AutoSplitMinCellRows]] corpus rows in the hottest cell
-    * (|C|·|Q| ≈ maxC² ≲ 16M candidate cosines, sub-second in one
-    * task) the salt's explode/shuffle overhead is pure loss and auto
-    * resolves to 1 (measured: fixture-scale q283 ran 3× SLOWER at a
-    * forced spread-driven 4). Above the gate, splits =
-    * `max(skew, spread)` clamped to [1, 64], where skew =
-    * ⌈max-cell / mean-cell⌉ (break the hottest cell down to average
-    * granularity) and spread = ⌈defaultParallelism / n-cells⌉ (don't
-    * leave cores idle when nlist < cluster parallelism). The profile
-    * is ONE extra map-only assignment pass reduced to ≤ nlist rows by
-    * map-side combine (bounded driver collect — the centroid-table
-    * altitude); results are salt-invariant (suite-pinned), so profile
-    * exactness is irrelevant — at 100 TB either accept the pass or
-    * profile once offline and pass the manual dial.
+    * corpus assignment. Splitting is GATED on estimated hot-cell
+    * candidate volume first — below [[AutoSplitMinCellPairs]] cosines
+    * (maxC · nprobe·|C|/nlist) one cell is sub-second in a single
+    * task and the salt's explode/shuffle overhead is pure loss
+    * (measured: fixture-scale q283 ran 3× SLOWER under a forced 4).
+    * Above the gate, splits = `max(skew, spread)` clamped to [1, 64]:
+    * skew = ⌈max-cell / mean-cell⌉ breaks the hottest cell down to
+    * average granularity, and spread = ⌈8·defaultParallelism /
+    * n-cells⌉ salts the KEY SPACE up to ~8× the parallelism so the
+    * multinomial hash allocation of cells onto the fixed shuffle
+    * partition count evens out — calibrated to AnnBench's measured
+    * point (64 keys into 32 partitions left multi-cell straggler
+    * tasks; s=4 ⇒ 256 keys ≈ 8·P ran 2.3× faster with NO planted
+    * skew). The profile is ONE extra map-only assignment pass reduced
+    * to ≤ nlist rows by map-side combine (bounded driver collect —
+    * the centroid-table altitude); results are salt-invariant
+    * (suite-pinned), so profile exactness is irrelevant — at 100 TB
+    * either accept the pass or profile once offline and pass the
+    * manual dial.
     *
     * Self-match semantics (`excludeSelf`): in the kNN-graph use
     * (queries IS the corpus — the [[mutualKnnPairs]] composition) a
@@ -860,12 +865,21 @@ object Similarity {
       else {
         val counts = c0.groupBy("cell").agg(count(lit(1)).as("n"))
           .collect().map(_.getAs[Long]("n"))
-        if (counts.isEmpty || counts.max < AutoSplitMinCellRows) 1
+        val total = counts.sum
+        val maxPairs =
+          if (counts.isEmpty) 0L
+          else counts.max * (nprobe.toLong * total / counts.length)
+        if (maxPairs < AutoSplitMinCellPairs) 1
         else {
-          val mean = counts.sum.toDouble / counts.length
+          val mean = total.toDouble / counts.length
           val skew = math.ceil(counts.max / mean).toInt
-          val spread = math.ceil(corpus.sparkSession.sparkContext
-            .defaultParallelism.toDouble / counts.length).toInt
+          // 8·P target keys: nlist keys hash into the FIXED shuffle
+          // partition count, and at keys ≈ 2·P the multinomial
+          // allocation leaves multi-cell straggler tasks (AnnBench's
+          // 64-keys-into-32-partitions arm: 577 → 248 s at s=4, i.e.
+          // 256 keys ≈ 8·P — the calibration point)
+          val spread = math.ceil(8.0 * corpus.sparkSession.sparkContext
+            .defaultParallelism / counts.length).toInt
           math.min(64, math.max(1, math.max(skew, spread)))
         }
       }

@@ -184,9 +184,13 @@ object AnnBench {
       Similarity.annJoin(emb, emb, "vec_id", "embedding", centroids,
         k = k, nprobe = 2).count()
     }
+    // excludeSelf: the query frame is a FILTER of the corpus (distinct
+    // ref, same id space), so the structural derivation would keep
+    // self-matches and displace one true neighbor per list — the
+    // recall arm must mirror exactTopK's self-exclusion
     val annJoinSet = Similarity.annJoin(
         queryFilter(emb), emb, "vec_id", "embedding", centroids,
-        k = k, nprobe = 2)
+        k = k, nprobe = 2, excludeSelf = Some(true))
       .select(col("qid").as("q"), col("id").as("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val (_, annJoinSplit4Sec) = time {

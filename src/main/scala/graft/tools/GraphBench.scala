@@ -88,6 +88,16 @@ object GraphBench {
       Components.bfsDistances(edges, "a", "b", seeds, "s", maxHops = 3)
         .count()
     }
+    // HITS (r12 — the q218 watch's volume arm): two exact-integer
+    // rounds on the DIRECTED edge list; prices the per-half-step
+    // cut-below-normalization shape at edge volume. Default scale:
+    // unlike pageRank there is no teleport-resolution constraint (the
+    // L∞ renormalization keeps scores in [0, scale] every round), and
+    // the x·scale numerator bounds scale²·max-indegree < 2⁶³ — 10⁶ is
+    // safe to ~10⁶ in-degree, nNodes·1000 would overflow here
+    val (hitsN, hitsSec) = time {
+      Components.hitsExact(edges, "a", "b", iters = 2).count()
+    }
 
     println(
       s"""{"bench":"graph","edges":$edgeCount,"nodes":$nNodes,""" +
@@ -95,7 +105,8 @@ object GraphBench {
       s""""pagerank_sec":${f"$prSec%.2f"},"pagerank_mass":$prSum,""" +
       s""""kcore_sec":${f"$kcSec%.2f"},"kcore_nodes":$kcN,""" +
       s""""labelprop_sec":${f"$lpSec%.2f"},"labelprop_labels":$lpN,""" +
-      s""""bfs_sec":${f"$bfsSec%.2f"},"bfs_reached":$bfsN}""")
+      s""""bfs_sec":${f"$bfsSec%.2f"},"bfs_reached":$bfsN,""" +
+      s""""hits_sec":${f"$hitsSec%.2f"},"hits_nodes":$hitsN}""")
     spark.stop()
   }
 }

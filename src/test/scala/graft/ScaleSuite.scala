@@ -340,6 +340,10 @@ class ScaleSuite extends SparkTestBase {
       "q185_quantile_normalize", // CROSS JOIN with the 1-row knot array
       "q193_kaplan_meier",     // CROSS JOIN with the 1-row corpus-end scalar
       "q204_kruskal",          // CROSS JOIN with the 1-row tie-correction row
+      "q218_hits",             // CROSS JOIN with the 1-row round-max (L∞
+                               // renormalization; lazy since the r12
+                               // cut-below-normalization rewrite — the raw
+                               // score table is the checkpointed side)
       "q221_woe_iv",           // CROSS JOIN with the 1-row totals + IV fold
       "q223_mutual_info",      // CROSS JOIN with the 1-row MI-total fold
       "q226_conformal",        // CROSS JOIN with the 1-row conformal q
