@@ -54,6 +54,39 @@ object AnnBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // Skew-planted arm (r12; ANN_SKEW=1 runs ONLY this arm): ~30% of
+    // rows collapse onto ONE coarse direction, assigned through FIXED
+    // basis centroids (no training — a trained quantizer would carve
+    // the hot direction into several cells and un-plant the skew), so
+    // one cell holds ~30% of the corpus (~19× the mean at 64 cells).
+    // Prices the auto dial's SKEW term — the default arms price the
+    // spread term. Interleaved min-of-2 per arm (throttle discipline).
+    if (sys.env.get("ANN_SKEW").contains("1")) {
+      val embS = spark.range(n).map { id =>
+        val c = if (h(id, 9L) < -0.4) 0L else id % clusters
+        val g = (id / clusters) / 20
+        (id, Array.tabulate(dim)(d =>
+          (h(c * 7919L + 13L, d) + 0.35 * h(c * 104729L + g, d + 53)
+            + 0.05 * h(id, d + 101)).toFloat))
+      }.toDF("vec_id", "embedding").repartition(32).cache()
+      embS.count()
+      val centsS = (0 until clusters).map { c =>
+        (c, (0 until dim).map(d => h(c.toLong * 7919L + 13L, d)))
+      }.toDF("cell", "centroid")
+      def arm(s: Int): Double = time {
+        Similarity.annJoin(embS, embS, "vec_id", "embedding", centsS,
+          k = k, nprobe = 2, cellSplits = s).count()
+      }._2
+      val m1 = arm(1); val a1 = arm(0); val m2 = arm(1); val a2 = arm(0)
+      val hot = Similarity.ivfAssign(embS, "vec_id", "embedding", centsS)
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+      println(s"""{"bench":"ann-skew","n":$n,"hot_cell_rows":$hot,""" +
+        s""""skew_split1_sec":${"%.3f".format(math.min(m1, m2))},""" +
+        s""""skew_auto_sec":${"%.3f".format(math.min(a1, a2))}}""")
+      spark.stop()
+      return
+    }
+
     // Deterministic hierarchical corpus — the structure real embedding
     // data has and uniform noise lacks: 64 coarse clusters (topics; what
     // IVF prunes on), and inside each cluster sibling GROUPS of ~20
