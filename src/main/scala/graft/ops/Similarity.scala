@@ -185,6 +185,96 @@ object Similarity {
     out
   }
 
+  /** Sign-random-projection signatures (Charikar's SimHash for REAL
+    * vectors — the cosine-LSH sibling of the token
+    * [[graft.ops.Dedup.simHash]]): bit b of a vector is the SIGN of its
+    * dot product with hyperplane b, so two vectors agree on a bit with
+    * probability 1 − θ/π (θ = their angle) and near-parallel vectors
+    * share whole bit-bands. `planes` is a bounded (plane, vec) table —
+    * collected driver-side like a centroid table; plane indices must be
+    * 0..nBits−1 with nBits a multiple of `bandBits`. Returns
+    * (id, arr, bands): bands[i] packs bits i·bandBits..(i+1)·bandBits−1
+    * into one integer band key.
+    *
+    * Map-only: every dot is a codegen'd fold against a literal plane —
+    * zero shuffles, the [[cellExpr]] altitude. The dot (not cosine)
+    * carries the sign so zero vectors take deterministic all-ones
+    * bands (0 ≥ 0) instead of NULLs. */
+  def srpSignatures(emb: DataFrame, idCol: String, vecCol: String,
+                    planes: DataFrame, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 62,
+      s"bandBits must be in [1, 62], got $bandBits")
+    val ps = planes.select(col("plane").cast("int"), col("vec"))
+      .collect()
+      // Number.doubleValue: the plane column may be array<float/long/
+      // double> (e.g. a FLOOR-quantized grid is array<bigint>) — a bare
+      // getSeq[Double] would smuggle boxed Longs into the typedLit
+      .map(r => (r.getInt(0),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)
+          .toVector: Seq[Double]))
+      .sortBy(_._1)
+    require(ps.nonEmpty && ps.length % bandBits == 0,
+      s"need plane count (${ps.length}) to be a positive multiple of " +
+        s"bandBits=$bandBits")
+    require(ps.map(_._1).toSeq == (0 until ps.length),
+      "plane indices must be exactly 0..nBits-1")
+    def dot(vec: Seq[Double]): Column =
+      aggregate(
+        zip_with(col("arr").cast("array<double>"), typedLit(vec),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val bandKeys = ps.grouped(bandBits).map { grp =>
+      grp.zipWithIndex.map { case ((_, vec), j) =>
+        when(dot(vec) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }.toSeq
+    emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
+      .withColumn("bands", array(bandKeys: _*))
+  }
+
+  /** SRP-LSH near-duplicate pairs over an embedding column — the
+    * third embedding near-dup tier next to the BRP-euclidean join
+    * ([[embeddingNearDupPairs]]) and the IVF-cell SemDeDup
+    * ([[semDedup]]): candidates are generated by BAND-KEY equality
+    * (two vectors collide on band i iff all `bandBits` sign bits
+    * agree — probability (1−θ/π)^bandBits per band), then confirmed
+    * by the exact codegen'd cosine. Emits (a, b, sim), a < b, each
+    * pair once.
+    *
+    * Scale shape: signatures are map-only; the ONE shuffle pair is the
+    * (band, key) bucket equi-join + the unique-id fetch-back joins.
+    * Expected bucket size is n/2^bandBits, so `bandBits` is the
+    * task-granularity dial (the annJoin `cellSplits` argument in
+    * key-space form): size it so 2^bandBits ≳ n / (acceptable bucket),
+    * and buy recall back with more bands (nBits/bandBits tables, the
+    * MinHash banding trade — recall ≈ 1−(1−(1−θ/π)^r)^bands). A
+    * near-dup-DENSE bucket is the answer set itself, the semDedup
+    * argument. */
+  def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      planes: DataFrame, bandBits: Int,
+                      threshold: Double): DataFrame = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    // cache: feeds the bucket join (twice) and both fetch-backs; the
+    // cut also keeps the corpus scan count flat — lazy-return op,
+    // Association.itemItemCosine's LRU note applies
+    val sigs = srpSignatures(emb, idCol, vecCol, planes, bandBits).cache()
+    val b = sigs.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("a"),
+        col("arr").cast("array<double>").as("va")), Seq("a"))
+      .join(sigs.select(col("id").as("b"),
+        col("arr").cast("array<double>").as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        expr("cosine_similarity(va, vb)").as("sim"))
+      .filter(col("sim").isNotNull && round(col("sim"), 6) >= threshold)
+  }
+
   /** Driver-local Lloyd's k-means over the (bounded) training sample.
     * An IVF coarse quantizer only needs a balanced partition of the
     * space, and faiss-style practice trains it on a few thousand sampled

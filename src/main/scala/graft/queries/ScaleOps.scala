@@ -3113,6 +3113,51 @@ object ScaleOps {
         .select(col("qid"), col("id"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rk"))
         .orderBy("qid", "rk")
+    },
+
+    // SRP-LSH embedding near-dup (Similarity.srpNearDupPairs) —
+    // Charikar sign-random-projection banding, the cosine-LSH third
+    // tier next to BRP-euclidean (q77) and SemDeDup cells (q108).
+    // Inputs on the q151 FLOOR integer grid so every plane dot is
+    // exact in both engines (sign ties impossible to mis-replay);
+    // planes = the first 32 quantized vectors (the fixture centroid
+    // discipline), 8 bands × 4 bits, exact-cosine confirm at τ=0.3
+    // (the fixture's directional spread puts band-8 collisions near
+    // zero — 4-bit bands keep a non-trivial pair set at every SF).
+    dfQ("q286_srp_neardup",
+      """WITH e AS (
+        |  SELECT vec_id id,
+        |    LIST_TRANSFORM(embedding::DOUBLE[],
+        |                   x -> CAST(FLOOR(x*1000) AS BIGINT)) v
+        |  FROM embeddings),
+        |p AS (SELECT CAST(id AS INTEGER) plane, v pv FROM e WHERE id < 32),
+        |bits AS (
+        |  SELECT e.id, p.plane // 4 band,
+        |    CASE WHEN LIST_DOT_PRODUCT(e.v, p.pv) >= 0
+        |      THEN (CAST(1 AS BIGINT) << (p.plane % 4)) ELSE 0 END bv
+        |  FROM e CROSS JOIN p),
+        |ks AS (SELECT id, band, CAST(SUM(bv) AS BIGINT) k
+        |  FROM bits GROUP BY id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.id a, y.id b FROM ks x
+        |  JOIN ks y ON x.band = y.band AND x.k = y.k AND x.id < y.id),
+        |pr AS (
+        |  SELECT a, b,
+        |    LIST_COSINE_SIMILARITY(ea.v::DOUBLE[], eb.v::DOUBLE[]) sim
+        |  FROM cand JOIN e ea ON ea.id = cand.a JOIN e eb ON eb.id = cand.b)
+        |SELECT a, b, ROUND(sim, 6) AS sim FROM pr
+        |WHERE sim IS NOT NULL AND ROUND(sim, 6) >= 0.3
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.table(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000)).as("vq"))
+      val planes = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").cast("int").as("plane"), col("vq").as("vec"))
+      Similarity.srpNearDupPairs(emb, "vec_id", "vq", planes,
+          bandBits = 4, threshold = 0.3)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+        .orderBy("a", "b")
     }
   )
 }

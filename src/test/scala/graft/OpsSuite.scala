@@ -321,6 +321,53 @@ class OpsSuite extends SparkTestBase {
     assert(got == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), got)
   }
 
+  test("srpNearDupPairs: planted near-dups recovered at high recall; " +
+      "every pair confirmed, canonical, layout-invariant") {
+    functions.Registry.registerAll(spark)
+    import spark.implicits._
+    // 400 base vectors in 16 directions + 40 jittered copies (planted
+    // near-dup pairs at cos ≈ 0.999); 64 pseudo-random planes
+    def h(a: Long, b: Long): Double = {
+      var z = a * 0x9E3779B97F4A7C15L + b * 0xD1B54A32D192ED03L +
+        0x8CB92BA72F3D8DD7L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue
+    }
+    val dim = 32
+    val base = (0L until 400L).map { id =>
+      (id, (0 until dim).map(d =>
+        h(id % 16, d) + 0.05 * h(id, d + 99)))
+    }
+    val copies = (0L until 40L).map { i =>
+      val src = base(i.toInt * 7)
+      (1000L + i, src._2.map(x => x + 0.001 * h(i, 41)))
+    }
+    val vecs = (base ++ copies).toDF("id", "v")
+    val planes = (0 until 64).map { p =>
+      (p, (0 until dim).map(d => h(p.toLong + 7777L, d)))
+    }.toDF("plane", "vec")
+    val got = ops.Similarity.srpNearDupPairs(vecs, "id", "v", planes,
+        bandBits = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is canonical and truly above the threshold
+    val exact = ops.Similarity.exactNearDupPairs(vecs, "id", "v", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < b })
+    assert(got.subsetOf(exact), "a reported pair must be a true near-dup")
+    // the 40 planted (src, copy) pairs are near-parallel: 8 bands of 8
+    // bits at p ≈ 1-θ/π ≈ .99 ⇒ recall ≈ 1-(1-.92)^8 ≈ 1
+    val planted = (0L until 40L).map(i => (i * 7, 1000L + i)).toSet
+    val recall = planted.count(got.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"planted recall $recall")
+    // partitioning does not change the result
+    val re = ops.Similarity.srpNearDupPairs(
+        vecs.repartition(7, col("id")), "id", "v", planes,
+        bandBits = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == got)
+  }
+
   test("mutualKnnPairs: subset of annJoin edges, symmetric by " +
       "construction, and clusters through connectedComponents") {
     functions.Registry.registerAll(spark)
