@@ -275,6 +275,50 @@ object Similarity {
       .filter(col("sim").isNotNull && round(col("sim"), 6) >= threshold)
   }
 
+  /** Incremental SRP near-dedup — the sign-random-projection sibling of
+    * [[incrementalSemDedup]] (and of `Dedup.incrementalMinHashNearDup`
+    * in the text tier): the batch is SIGNED ONCE against the frozen
+    * plane table, band-key-joined against the standing SIGNATURE table
+    * (the standing corpus's vectors ride along in its persisted
+    * (id, arr, bands) rows — never re-signed, never re-scanned as
+    * source data), and candidates are confirmed with the exact
+    * codegen'd cosine. A batch row drops when it has a ≥ threshold
+    * neighbor in the standing corpus (standing dominates REGARDLESS of
+    * id — the replay-safe asymmetry) or a lower-id twin within its own
+    * batch. Returns (kept batch rows, their signature rows); append
+    * the latter to the standing table to complete the increment. */
+  def incrementalSrpNearDup(batch: DataFrame, standingSigs: DataFrame,
+                            idCol: String, vecCol: String,
+                            planes: DataFrame, bandBits: Int,
+                            threshold: Double): (DataFrame, DataFrame) = {
+    graft.functions.Registry.registerAll(batch.sparkSession)
+    // cache: feeds the across-join, both within-join sides, and the
+    // kept-signature anti-join — lazy-return op,
+    // Association.itemItemCosine's LRU note applies
+    val bs = srpSignatures(batch, idCol, vecCol, planes, bandBits).cache()
+    def sides(df: DataFrame, s: String): DataFrame = df.select(
+      col("id").as(s), col("arr").cast("array<double>").as(s"v$s"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    def confirmed(cand: DataFrame): DataFrame = cand
+      .dropDuplicates("a", "b") // multi-band collisions confirm once
+      .select(col("b").as("__victim"),
+        expr("cosine_similarity(va, vb)").as("sim"))
+      .filter(col("sim").isNotNull && round(col("sim"), 6) >= threshold)
+      .select("__victim")
+    val bSide = sides(bs, "b")
+    val vsStanding = confirmed(
+      sides(standingSigs, "a").join(bSide, Seq("band", "key")))
+    val withinBatch = confirmed(
+      sides(bs, "a").join(bSide, Seq("band", "key"))
+        .filter(col("a") < col("b")))
+    val victims = vsStanding.union(withinBatch).distinct()
+    val kept = batch.join(victims, batch(idCol) === col("__victim"),
+      "left_anti")
+    val keptSigs = bs.join(victims, bs("id") === col("__victim"),
+      "left_anti")
+    (kept, keptSigs)
+  }
+
   /** Driver-local Lloyd's k-means over the (bounded) training sample.
     * An IVF coarse quantizer only needs a balanced partition of the
     * space, and faiss-style practice trains it on a few thousand sampled

@@ -473,6 +473,50 @@ object Streams {
     q
   }
 
+  /** ST26: streaming incremental SRP near-dedup — the sign-random-
+    * projection tier of the admit-a-batch family
+    * ([[runIncrementalDedup]] digests, [[runIncrementalNearDedup]]
+    * MinHash, [[runIncrementalSemDedup]] IVF cells): each micro-batch
+    * runs [[graft.ops.Similarity.incrementalSrpNearDup]] against the
+    * standing signature dirs (seed `sigDir/batch_seed` with
+    * [[graft.ops.Similarity.srpSignatures]] rows over the same frozen
+    * plane table — signatures are plane-deterministic so they stay
+    * mutually joinable across runs), writes its kept rows, and appends
+    * THEIR signatures for the next batch. Same exclude-own-dir +
+    * per-batch-id overwrite layout as the other tiers, so checkpoint
+    * replay is idempotent; the state store holds nothing and the
+    * standing corpus is never re-read beyond its signature table. */
+  def runSrpDedup(emb: DataFrame, idCol: String, vecCol: String,
+                  planes: DataFrame, bandBits: Int, sigDir: String,
+                  outDir: String, threshold: Double): StreamingQuery = {
+    import graft.ops.Similarity
+    val q = emb.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val sPath = new org.apache.hadoop.fs.Path(sigDir)
+        val fs = sPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(sPath)) Array.empty[String]
+          else fs.listStatus(sPath)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+              && s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        val standing =
+          if (priorDirs.nonEmpty) spark.read.parquet(priorDirs.toSeq: _*)
+          else Similarity.srpSignatures(batch.limit(0), idCol, vecCol,
+            planes, bandBits)
+        val (kept, keptSigs) = Similarity.incrementalSrpNearDup(batch,
+          standing, idCol, vecCol, planes, bandBits, threshold)
+        kept.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        keptSigs.write.mode("overwrite").parquet(s"$sigDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST13's PQ sibling: stream micro-batches ENCODE against FROZEN
     * codebooks (the incremental-append discipline of a standing PQ
     * index — no retrain; `codebooks` is the persisted

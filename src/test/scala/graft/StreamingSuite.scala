@@ -1071,6 +1071,52 @@ class StreamingSuite extends SparkTestBase {
     assert(edges0 == edges0b, "replayed batch must rewrite identical rows")
   }
 
+  test("ST26: streaming incremental SRP near-dedup equals the batch " +
+      "operator; signatures append") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000)).as("vq"))
+    val planes = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id").cast("int").as("plane"), col("vq").as("vec"))
+    val base = java.nio.file.Files.createTempDirectory("graft-srpdd")
+    val (sigDir, outDir) = (s"$base/sigs", s"$base/out")
+    // seed the standing corpus: the first 300 vectors' signatures
+    val standingRows = emb.filter(col("vec_id") < 300)
+    Similarity.srpSignatures(standingRows, "vec_id", "vq", planes,
+        bandBits = 4)
+      .write.parquet(s"$sigDir/batch_seed")
+    // stream the tail plus an exact copy of standing vec 42 — the twin
+    // shares every band with its standing original and must drop
+    val batchRows = emb.filter(col("vec_id") >= 300)
+      .unionByName(emb.filter(col("vec_id") === 42)
+        .select(lit(90000L).as("vec_id"), col("vq")))
+    val rows = batchRows.as[(Long, Seq[Long])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Long])](spark)
+    input.addData(rows)
+    Streams.runSrpDedup(input.toDF().toDF("vec_id", "vq"),
+      "vec_id", "vq", planes, bandBits = 4, sigDir, outDir,
+      threshold = 0.9)
+    val streamedKept = spark.read.parquet(s"$outDir/batch_*")
+      .select("vec_id").as[Long].collect().toSet
+    // equality vs the batch operator over the same admission
+    val standingSigs = Similarity.srpSignatures(standingRows, "vec_id",
+      "vq", planes, bandBits = 4)
+    val (expectKept, _) = Similarity.incrementalSrpNearDup(batchRows,
+      standingSigs, "vec_id", "vq", planes, bandBits = 4,
+      threshold = 0.9)
+    assert(streamedKept ==
+      expectKept.select("vec_id").as[Long].collect().toSet)
+    assert(!streamedKept.contains(90000L), "standing twin must drop")
+    assert(streamedKept.nonEmpty)
+    // kept rows' signatures joined the standing table for the future
+    val standingNow = spark.read.parquet(s"$sigDir/batch_*")
+      .select("id").as[Long].collect().toSet
+    assert(standingNow ==
+      standingRows.select("vec_id").as[Long].collect().toSet ++
+        streamedKept)
+  }
+
   test("streaming boilerplate excision against a frozen boiler set equals batch") {
     import graft.ops.Dedup
     val docs = Tables.table(spark, sf0001, "documents")
