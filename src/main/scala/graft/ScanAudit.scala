@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.PlanExpression
 import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Corpus-wide duplicate-scan audit.
@@ -47,12 +49,34 @@ object ScanAudit {
     * walked, counting FileSourceScanExec on the physical side and
     * HadoopFsRelation-backed LogicalRelation on the logical side.
     * cache()/localCheckpoint cuts are opaque here BY DESIGN — hiding
-    * the upstream scan is exactly what the cut is for. */
-  def scanCounts(p: SparkPlan): Map[String, Int] = {
+    * the upstream scan is exactly what the cut is for (a cached frame
+    * is SCANNED once however many branches consume it, so the rule-3
+    * duplicate-COST audit must not see through it).
+    *
+    * `throughCache = true` flips that for PROVENANCE questions (the
+    * rule-4 same-frame-join detector — VERDICT r12 item 2): an
+    * InMemoryTableScanExec / logical InMemoryRelation descends into
+    * its cachedPlan, so `.cache()` ahead of a quadratic self-join
+    * cannot hide that both sides read the same base tables. The
+    * descent attributes the CACHED plan's scans to every consumer —
+    * wrong for cost counting, right for same-lineage detection.
+    * localCheckpoint cuts stay opaque in both modes (LogicalRDD
+    * truncates lineage physically — there is no plan left to walk). */
+  def scanCounts(p: SparkPlan,
+                 throughCache: Boolean = false): Map[String, Int] = {
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
     def visit(node: QueryPlan[_]): Unit = {
       node match {
         case s: FileSourceScanExec => seen += tableOf(s)
+        case t: InMemoryTableScanExec if throughCache =>
+          visit(t.relation.cachedPlan)
+        case r: InMemoryRelation if throughCache =>
+          visit(r.cachedPlan)
+        case a: AdaptiveSparkPlanExec if throughCache =>
+          // a cached plan that contains an exchange is wrapped in an
+          // AQE node, which is a LEAF — walk its input plan or the
+          // cache descent stops one level in
+          visit(a.inputPlan)
         case l: LogicalRelation => l.relation match {
           case h: HadoopFsRelation => seen += nameOf(h.location)
           case _ =>

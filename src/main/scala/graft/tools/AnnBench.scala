@@ -87,6 +87,62 @@ object AnnBench {
       return
     }
 
+    // SRP hot-BUCKET arm (r13; SRP_SKEW=1 runs ONLY this arm —
+    // VERDICT r12 item 1): a DOMINANT-direction corpus is the SRP
+    // tier's skew hazard — ~25% of rows share one coarse direction
+    // with jitter sized so pairwise cosine ≈ 0.94 (BELOW the 0.99
+    // confirm threshold: the bucket is hot NON-dup mass, not the
+    // answer set) while single-bit sign agreement with the direction
+    // stays ≈ 0.92, so ~half the hot rows collide on a band's whole
+    // 8-bit key → one (band, key) bucket carries (0.5·n_hot)²/2
+    // candidate cosines in ONE task at bucketSplits = 1. Times the
+    // unguarded join vs the auto salt (srpBucketSplitsOf), noop-sink
+    // timed (never .count() a multi-branch output), interleaved
+    // min-of-2 per arm (throttle discipline).
+    if (sys.env.get("SRP_SKEW").contains("1")) {
+      val nS = sys.env.getOrElse("SRP_N", "40000").toInt
+      val embS = spark.range(nS).map { id =>
+        val hotRow = h(id, 9L) < -0.5
+        val c = if (hotRow) 31337L else 100L + id % 512
+        val jit = if (hotRow) 0.25 else 0.6
+        (id, Array.tabulate(dim)(d =>
+          (h(c * 7919L + 13L, d) + jit * h(id, d + 101)).toFloat))
+      }.toDF("vec_id", "embedding").repartition(32).cache()
+      embS.count()
+      val planesS = (0 until 32).map { p =>
+        (p, (0 until dim).map(d => h(p.toLong + 5555L, d)))
+      }.toDF("plane", "vec")
+      // price the 100 TB shuffle-join shape: at bench scale AQE
+      // broadcasts the 160k-row exploded signature side, which spreads
+      // the hot bucket across probe partitions and HIDES the
+      // single-task straggler (the r11 StatsBench lesson — 164 s vs
+      // 0.95 s). A corpus-scale side cannot broadcast.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def srpArm(s: Int): Double = time {
+        Similarity.srpNearDupPairs(embS, "vec_id", "embedding",
+            planesS, bandBits = 8, threshold = 0.99, bucketSplits = s)
+          .write.format("noop").mode("overwrite").save()
+      }._2
+      val hotBucket = Similarity.srpSignatures(embS, "vec_id",
+          "embedding", planesS, bandBits = 8)
+        .select(posexplode(col("bands")).as(Seq("band", "key")))
+        .groupBy("band", "key").count().agg(max("count"))
+        .head().getLong(0)
+      val arms = sys.env.getOrElse("SRP_ARMS", "1,0").split(",")
+        .map(_.trim.toInt).toSeq
+      val r1 = arms.map(s => s -> srpArm(s))
+      val r2 = arms.map(s => s -> srpArm(s))
+      val mins = r1.zip(r2).map { case ((s, a), (_, b)) =>
+        s -> math.min(a, b) }
+      val armsJson = mins.map { case (s, t) =>
+        s""""split_$s":${"%.3f".format(t)}""" }.mkString(",")
+      println(s"""{"bench":"srp-skew","n":$nS,""" +
+        s""""hot_bucket_rows":$hotBucket,$armsJson}""")
+      spark.stop()
+      return
+    }
+
     // Deterministic hierarchical corpus — the structure real embedding
     // data has and uniform noise lacks: 64 coarse clusters (topics; what
     // IVF prunes on), and inside each cluster sibling GROUPS of ~20

@@ -366,6 +366,75 @@ class OpsSuite extends SparkTestBase {
         bandBits = 8, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(re == got)
+    // r13 hot-bucket guard: a forced salt (and the no-salt dial) leave
+    // the pair set IDENTICAL — the split changes task granularity only
+    for (s <- Seq(1, 4)) {
+      val salted = ops.Similarity.srpNearDupPairs(vecs, "id", "v",
+          planes, bandBits = 8, threshold = 0.99, bucketSplits = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted == got, s"bucketSplits=$s changed the result")
+    }
+  }
+
+  test("incrementalSrpNearDup: hot-bucket salt leaves kept set and " +
+      "signature set invariant") {
+    functions.Registry.registerAll(spark)
+    import spark.implicits._
+    def h(a: Long, b: Long): Double = {
+      var z = a * 0x9E3779B97F4A7C15L + b * 0xD1B54A32D192ED03L +
+        0x8CB92BA72F3D8DD7L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toDouble / Long.MaxValue
+    }
+    val dim = 16
+    val standingRows = (0L until 60L).map { id =>
+      (id, (0 until dim).map(d => h(id % 6, d) + 0.05 * h(id, d + 99)))
+    }.toDF("id", "v")
+    // batch: 10 fresh directions + 5 jittered copies of standing rows
+    val batch = ((100L until 110L).map { id =>
+      (id, (0 until dim).map(d => h(id, d)))
+    } ++ (0L until 5L).map { i =>
+      (200L + i, (0 until dim).map(d =>
+        h(i % 6, d) + 0.05 * h(i * 11, d + 99) + 0.0005 * h(i, 3)))
+    }).toDF("id", "v")
+    val planes = (0 until 32).map { p =>
+      (p, (0 until dim).map(d => h(p.toLong + 7777L, d)))
+    }.toDF("plane", "vec")
+    val standingSigs = ops.Similarity.srpSignatures(
+      standingRows, "id", "v", planes, bandBits = 8)
+    def run(s: Int): (Set[Long], Set[Long]) = {
+      val (kept, sigs) = ops.Similarity.incrementalSrpNearDup(batch,
+        standingSigs, "id", "v", planes, bandBits = 8,
+        threshold = 0.98, bucketSplits = s)
+      (kept.collect().map(_.getLong(0)).toSet,
+        sigs.collect().map(_.getLong(0)).toSet)
+    }
+    val base = run(1)
+    // the fresh directions survive; kept rows and kept sigs agree
+    assert(base._1 == base._2)
+    assert((100L until 110L).forall(base._1.contains), base._1)
+    for (s <- Seq(0, 4)) // auto dial and a forced split
+      assert(run(s) == base, s"bucketSplits=$s changed the increment")
+  }
+
+  test("annJoin excludeSelf derives structurally across separately " +
+      "constructed frames of the same lineage (r12 ADVICE)") {
+    functions.Registry.registerAll(spark)
+    Tables.register(spark, sf0001)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    // two physically distinct frames, same lineage: the canonicalized-
+    // plan signal must still exclude rank-1 self matches
+    val qf = emb.select(col("vec_id"), col("embedding"))
+    val cf = emb.select(col("vec_id"), col("embedding"))
+    assert(!(qf eq cf))
+    val got = ops.Similarity.annJoin(qf, cf, "vec_id", "embedding",
+        cents, k = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.forall { case (q, i) => q != i },
+      "self-matches must be excluded for same-lineage frames")
   }
 
   test("mutualKnnPairs: subset of annJoin edges, symmetric by " +

@@ -147,18 +147,21 @@ class PlanLintSuite extends SparkTestBase {
     "q207_theil_sen" -> ("same series self-join as q205 — " +
       "Stats.theilSen(maxSeries); exact percentile additionally " +
       "buffers a hot key's slope multiset, so the cap matters MORE"),
-    "q236_item_similarity" -> ("per-user basket self-join — " +
+    "q236_item_neighbors" -> ("per-user basket self-join — " +
       "Association.itemItemCosine(maxBasket) cap, StatsBench-measured " +
-      "13.9× uncapped blowup"),
-    "q192_lift_pairs" -> ("per-basket item pairs — " +
-      "Association.liftPairs(maxBasket) cap (r11), same discipline"),
+      "13.9× uncapped blowup (key fixed r13: the r12 entry named a " +
+      "non-existent q236_item_similarity — dead until the cache " +
+      "descent made the join visible)"),
+    "q192_market_basket" -> ("per-basket item pairs — " +
+      "Association.liftPairs(maxBasket) cap (r11), same discipline; " +
+      "the (user_id, session_seq) key IS one basket (key fixed r13)"),
     "q187_sorted_neighbor" -> ("banded rank equi-join — each band key " +
       "holds exactly `window` ranks (≤2·window rows), bounded by the " +
       "parameter, not the data"),
-    "q170_token_overlap_join" -> ("prefix-filter join on the RAREST " +
+    "q170_overlap_join" -> ("prefix-filter join on the RAREST " +
       "(k−t+1) token ranks per record (df-ascending): a token's " +
       "fan-out is bounded by its df and prefix membership selects " +
-      "low-df tokens; residual dial is `minOverlap`"),
+      "low-df tokens; residual dial is `minOverlap` (key fixed r13)"),
     "q206_jaro_winkler" -> ("caller-supplied blocking keys ARE " +
       "the bound (documented FuzzyJoin contract; a hot blocking key " +
       "is a mis-specified blocking scheme)"),
@@ -208,7 +211,46 @@ class PlanLintSuite extends SparkTestBase {
     "q183_pmi_collocations" -> ("per-doc pairs AFTER a vocab " +
       "semi-join — fan-out ≤ |supplied vocab| per doc"),
     "q161_triangles" -> ("degree-oriented wedge join — out-degree ≤ " +
-      "O(√m) after orientation, the textbook bound"))
+      "O(√m) after orientation, the textbook bound"),
+    // ——— sites below became visible in r13 when the detector learned
+    // to descend cache cuts (VERDICT r12 item 2) — each reviewed:
+    "q71_minhash_neardup" -> ("MinHash (band, mh) bucket join — a " +
+      "bucket is a 64-bit-minhash band collision, so non-near-dup " +
+      "mass spreads across 2^64 keys and a DENSE bucket is the " +
+      "answer set (the semDedup argument); the id-keyed fetch-back " +
+      "joins are per-key ≤1 row (unique doc id)"),
+    "q78_minhash_full_corpus" -> ("same MinHash banded bucket join " +
+      "as q71, full-corpus mode — same collision-probability bound"),
+    "q73_simhash_pairs" -> ("SimHash (band, key) bucket join — " +
+      "bucket mass bounded by the 16-bit band space × text " +
+      "dissimilarity (a dense bucket is near-identical text, the " +
+      "answer set); confirm step re-checks Hamming distance"),
+    "q73b_simhash_md5" -> ("same SimHash banded join as q73 under " +
+      "the md5 tiebreak variant"),
+    "q169_image_neardup" -> ("same banded signature bucket join as " +
+      "q73 over image phash bands — band space bounds a bucket, a " +
+      "dense bucket is the duplicate cluster itself"),
+    "q159_bm25" -> ("the flagged doc-keyed join attaches the " +
+      "per-doc LENGTH aggregate (≤1 row per doc id) to the tf " +
+      "table — an aggregate join-back whose reduction sits behind " +
+      "the tokens cache cut, per-key linear"),
+    "q241_containment" -> ("inverted-index gram join — " +
+      "Dedup.ngramContainmentPairs(maxShingleDf) drops hot grams " +
+      "(default off so the fixture oracle replays uncapped); a " +
+      "gram's fan-out is its document frequency"),
+    "q256_cohort_ltv" -> ("the flagged __u join attaches the " +
+      "per-user MIN-cohort aggregate (≤1 row per user) — the " +
+      "measured agg-plus-join-back rewrite (6× over per-user " +
+      "windows); reduction hidden by the events cache cut"),
+    "q284_mutual_knn" -> ("reciprocity join keyed on the FULL " +
+      "(qid, id) edge identity — the cached kNN table is unique per " +
+      "(qid, id), per-key exactly one row per side, never multiplies"),
+    "q286_srp_neardup" -> ("SRP (band, key) bucket join — expected " +
+      "bucket n/2^bandBits with bandBits the granularity dial, plus " +
+      "the r13 auto hot-bucket salt (srpGuardOf: bounded profile, " +
+      "volume+broadcast-gated, hot-only replication — AnnBench " +
+      "SRP_SKEW 4.3× on a planted dominant direction); id-keyed " +
+      "fetch-backs are per-key ≤1 row"))
 
   /** Name-level exceptions to the window discipline. */
   private val globalWindowOk: Map[String, String] = Map(
@@ -263,11 +305,14 @@ class PlanLintSuite extends SparkTestBase {
     * that a 100 TB run would shuffle) whose sides read the SAME
     * non-empty base-table set, with neither side per-key reduced or
     * construction-bounded. Semi/anti/existence joins never multiply
-    * (output ≤ probe side) and are exempt. cache()/localCheckpoint
-    * cuts hide their upstream scans from both sides symmetrically —
-    * a cut same-frame join (e.g. capped mannKendall) reports empty
-    * table sets and is skipped; the UNCAPPED paths the rule exists
-    * for are cut-free by design. */
+    * (output ≤ probe side) and are exempt. Scan provenance is taken
+    * with `throughCache = true` (r13 — VERDICT r12 item 2): an
+    * InMemoryTableScan descends into its cached plan's scans, so a
+    * `.cache()` ahead of a quadratic self-join (the q286 band join,
+    * mutualKnnPairs' reciprocity join) can no longer silently defeat
+    * the rule. localCheckpoint cuts remain opaque (lineage is
+    * physically truncated) — the corpus' checkpointed frames all sit
+    * BELOW per-key-reduced or registered joins. */
   private def quadraticSelfJoins(plan: SparkPlan): Seq[String] =
     plan.collect {
       case j: BaseJoinExec
@@ -278,8 +323,10 @@ class PlanLintSuite extends SparkTestBase {
             }) &&
             !perKeyReduced(j.left) && !perKeyReduced(j.right) &&
             !boundedBuild(j.left) && !boundedBuild(j.right) && {
-              val lt = ScanAudit.scanCounts(j.left).keySet
-              lt.nonEmpty && lt == ScanAudit.scanCounts(j.right).keySet
+              val lt = ScanAudit.scanCounts(j.left,
+                throughCache = true).keySet
+              lt.nonEmpty && lt == ScanAudit.scanCounts(j.right,
+                throughCache = true).keySet
             } =>
         s"${j.nodeName}(${j.leftKeys.map(_.sql).mkString(", ")})"
     }
@@ -423,5 +470,15 @@ class PlanLintSuite extends SparkTestBase {
     assert(quadraticSelfJoins(
         ev.join(ord, "user_id").queryExecution.sparkPlan).isEmpty,
       "distinct-table joins are out of scope")
+    // r13 (VERDICT r12 item 2): a cache() cut must NOT hide the
+    // hazard — scan provenance descends into the cached plan
+    val cached = ev.cache()
+    try {
+      val viaCache = cached.join(
+        cached.withColumnRenamed("value", "v2")
+          .withColumnRenamed("ts", "ts2"), "user_id")
+      assert(quadraticSelfJoins(viaCache.queryExecution.sparkPlan).nonEmpty,
+        "a cached uncapped same-frame equi-join must still trip the rule")
+    } finally { cached.unpersist(); () }
   }
 }
