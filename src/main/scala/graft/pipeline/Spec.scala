@@ -49,6 +49,10 @@ final case class LoadSpec(
     textCol: Option[String] = None,       // mode=dedup: document text column
     dedupThreshold: Option[Double] = None,// mode=dedup: Jaccard drop threshold (default 0.8)
     dedupShingleN: Option[Int] = None,    // mode=dedup: shingle size (default 3)
+    vecCol: Option[String] = None,        // mode=knn: embedding column
+    centroids: Option[String] = None,     // mode=knn: frozen centroid-table VIEW (cell, centroid)
+    knnK: Option[Int] = None,             // mode=knn: neighbors per row (default 10)
+    knnProbe: Option[Int] = None,         // mode=knn: cells probed per query (default 2)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
     retryBackoffMs: Option[Long] = None,  // base backoff, doubles per attempt (default 100)
     continueOnError: Option[Boolean] = None) // failed load doesn't abort siblings (default false)
@@ -215,6 +219,20 @@ object PipelineSpec {
           s"load: dedupThreshold must be in (0, 1], got $t"))
         l.dedupShingleN.foreach(n => require(n >= 1,
           s"load: dedupShingleN must be >= 1, got $n"))
+      }
+      if (l.mode == "knn") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=knn supports parquet targets only")
+        require(l.key.isDefined && l.vecCol.isDefined &&
+          l.centroids.isDefined,
+          "load: mode=knn requires 'key', 'vecCol' and 'centroids'")
+        l.centroids.foreach(c => require(known.contains(c),
+          s"load: mode=knn centroids view '$c' is not an extract/" +
+            s"transform view (known: ${known.mkString(", ")})"))
+        l.knnK.foreach(k => require(k >= 1,
+          s"load: knnK must be >= 1, got $k"))
+        l.knnProbe.foreach(p => require(p >= 1,
+          s"load: knnProbe must be >= 1, got $p"))
       }
       if (l.mode == "zorder") {
         require(l.format.equalsIgnoreCase("parquet"),

@@ -431,6 +431,126 @@ class PipelineSuite extends SparkTestBase {
     }
   }
 
+  test("T-P17b: dedup load against a pre-existing target WITHOUT a " +
+      "sidecar backfills signatures from the standing text") {
+    import spark.implicits._
+    val base = tmp()
+    val out = s"$base/corpus"
+    val docs = Tables.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    // the migration scenario (r12 ADVICE): a standing corpus landed
+    // BEFORE the feed switched to mode=dedup — target exists, no
+    // `_sigs` sidecar, standing text never signed
+    docs.filter(col("doc_id") < 300).write.parquet(out)
+    // the batch carries an exact twin of a standing doc under a fresh
+    // id: without the backfill it would silently land (only the
+    // exact-KEY anti-join would remain)
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .unionByName(docs.filter(col("doc_id") === 7L)
+        .select(lit(90000L).as("doc_id"), col("text")))
+      .write.parquet(s"$base/batch")
+    val spec = PipelineSpec("tp17b",
+      extracts = Seq(ExtractSpec("batch", "parquet",
+        path = s"$base/batch")),
+      loads = Seq(LoadSpec("parquet", out, mode = "dedup",
+        source = Some("batch"), key = Some("doc_id"),
+        textCol = Some("text"), dedupThreshold = Some(0.8))))
+    PipelineRunner.run(spark, spec)
+    val kept = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(90000L),
+      "standing twin must drop — the backfill signed the standing text")
+    assert((0L until 300L).map(identity).toSet.subsetOf(kept))
+    // the sidecar now tracks exactly the standing corpus
+    val sigIds = spark.read.parquet(s"${out}_sigs")
+      .select("id").as[Long].collect().toSet
+    assert(sigIds == kept)
+  }
+
+  test("T-P18: declarative knn load maintains a standing kNN graph; " +
+      "re-apply is a no-op; edges match the batch operator") {
+    import spark.implicits._
+    val base = tmp()
+    val out = s"$base/graph"
+    Tables.register(spark, sf0001)
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    cents.createOrReplaceTempView("tp18_cents")
+    emb.filter(col("vec_id") < 100).write.parquet(s"$base/b1")
+    emb.filter(col("vec_id") < 160).write.parquet(s"$base/b2") // 60 new
+    def spec(src: String) = PipelineSpec("tp18",
+      extracts = Seq(
+        ExtractSpec("batch", "parquet", path = src),
+        ExtractSpec("embAll", "parquet",
+          path = s"$sf0001/embeddings.parquet")),
+      transforms = Seq(TransformSpec("cents", sql = Some(
+        """SELECT CAST(vec_id AS INT) AS cell,
+          |CAST(embedding AS ARRAY<DOUBLE>) AS centroid
+          |FROM embAll WHERE vec_id < 8""".stripMargin))),
+      loads = Seq(LoadSpec("parquet", out, mode = "knn",
+        source = Some("batch"), key = Some("vec_id"),
+        vecCol = Some("embedding"), centroids = Some("cents"),
+        knnK = Some(3), knnProbe = Some(2))))
+    val r1 = PipelineRunner.run(spark, spec(s"$base/b1"))
+    val e1 = spark.read.parquet(out)
+    // first landing = the batch annJoin over itself (self excluded)
+    val exp1 = graft.ops.Similarity.annJoin(
+        emb.filter(col("vec_id") < 100), emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", cents, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(e1.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSet == exp1)
+    assert(r1.loads.head.rows == exp1.size.toLong)
+    // re-apply: nothing new admitted, graph unchanged
+    PipelineRunner.run(spark, spec(s"$base/b1"))
+    assert(spark.read.parquet(out).count() == exp1.size.toLong)
+    // second batch: only the 60 NEW ids gain edge lists, computed
+    // against standing ∪ fresh; old lists are never revised
+    // (arrival-time kNN, the runKnnGraphAppend contract)
+    PipelineRunner.run(spark, spec(s"$base/b2"))
+    val e2 = spark.read.parquet(out)
+    assert(e2.filter(col("qid") < 100).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSet == exp1,
+      "standing edge lists must not be revised")
+    val freshQ = e2.filter(col("qid") >= 100)
+    assert(freshQ.select("qid").distinct().count() == 60)
+    // fresh edges equal the operator run against the full admitted set
+    val expFresh = graft.ops.Similarity.annJoin(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 160),
+        emb.filter(col("vec_id") < 160),
+        "vec_id", "embedding", cents, k = 3, nprobe = 2,
+        excludeSelf = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(freshQ.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3))).toSet == expFresh)
+    // the assignment sidecar tracks every admitted id
+    assert(spark.read.parquet(s"${out}_assign")
+      .select("id").as[Long].collect().toSet == (0L until 160L).toSet)
+    // validation: knn requires key/vecCol/centroids and a KNOWN view
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "knn",
+          key = Some("vec_id"), vecCol = Some("embedding")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "knn",
+          key = Some("vec_id"), vecCol = Some("embedding"),
+          centroids = Some("nosuchview")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad3",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "knn",
+          key = Some("vec_id"), vecCol = Some("embedding"),
+          centroids = Some("u"), knnK = Some(0)))))
+    }
+  }
+
   test("example feeds run through the CLI entry point") {
     // the sessions feed reads the ns-timestamp events fixture directly
     // (PipelineRunner's own EtlSession sets this; the suite session must too)
@@ -442,7 +562,7 @@ class PipelineSuite extends SparkTestBase {
         "user_sessions_feed.json", "chunked_docs_feed.json",
         "quality_gate_feed.json", "monitored_load_feed.json",
         "curation_feed.json", "zorder_maintenance_feed.json",
-        "near_dedup_feed.json")) {
+        "near_dedup_feed.json", "knn_graph_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
     // the monitored feed persisted one status row per load via JDBC
@@ -478,6 +598,12 @@ class PipelineSuite extends SparkTestBase {
     assert(curated.count() > 0 && curated.count() < nDocs)
     assert(curated.filter(col("score") < 0.5 || col("score") > 1.0)
       .count() == 0, "kept docs must clear the score threshold")
+    // the knn feed landed a standing graph: k-bounded lists, no
+    // self-edges, one assignment per admitted id
+    val knnGraph = spark.read.parquet("/tmp/graft-example-out/knn_graph")
+    assert(knnGraph.count() > 0)
+    assert(knnGraph.filter(col("rank") > 3).count() == 0)
+    assert(knnGraph.filter(col("qid") === col("id")).count() == 0)
     // the zorder maintenance feed re-clustered into exactly 4 files
     val zdir = new java.io.File("/tmp/graft-example-out/lineitem_zordered")
     assert(zdir.listFiles().count(_.getName.endsWith(".parquet")) == 4)
