@@ -758,4 +758,84 @@ class FuzzSuite extends SparkTestBase {
       assert(failures.isEmpty, failures.take(3).mkString("\n"))
     } finally conn.close()
   }
+
+  test("10 random SRP banding geometries agree between Spark and DuckDB") {
+    // 13th axis: Similarity.srpNearDupPairs across random (bandBits,
+    // band count, threshold, bucketSplits) — the q286 oracle replay
+    // beyond its one (4-bit × 8-band, τ=0.3, auto-salt) point. Planes
+    // are the first bands·bandBits FLOOR-quantized fixture vectors
+    // (exact integer dots — sign ties impossible), and the salt dial
+    // is fuzzed too (0 = auto guard, 1 = off, 3 = forced): the pair
+    // set must be salt-invariant AND match the SQL replay row for row.
+    import org.apache.spark.sql.functions.{col, floor, round, transform}
+    graft.functions.Registry.registerAll(spark)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW embeddings AS SELECT * FROM '$sf0001/embeddings.parquet'")
+      val geomGen = for {
+        bandBits <- Gen.choose(2, 8)
+        bands <- Gen.choose(4, 10)
+        thr <- Gen.oneOf("0.1", "0.2", "0.3", "0.45")
+        splits <- Gen.oneOf(0, 1, 3)
+      } yield (bandBits, bands, thr, splits)
+      val geoms = (1 to 10).flatMap(i =>
+        geomGen.apply(Gen.Parameters.default, Seed(13000L + i)))
+      assert(geoms.size >= 8)
+      val emb = Tables.table(spark, sf0001, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000)).as("vq"))
+      val failures = geoms.flatMap { case (bandBits, bands, thr, splits) =>
+        val nPlanes = bandBits * bands
+        val planes = emb.filter(col("vec_id") < nPlanes)
+          .select(col("vec_id").cast("int").as("plane"),
+            col("vq").as("vec"))
+        val sr = graft.ops.Similarity.srpNearDupPairs(emb, "vec_id",
+            "vq", planes, bandBits = bandBits, threshold = thr.toDouble,
+            bucketSplits = splits)
+          .select(col("a"), col("b"), round(col("sim"), 6))
+          .orderBy("a", "b")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        val rs = st.executeQuery(
+          s"""WITH e AS (
+             |  SELECT vec_id id,
+             |    LIST_TRANSFORM(embedding::DOUBLE[],
+             |                   x -> CAST(FLOOR(x*1000) AS BIGINT)) v
+             |  FROM embeddings),
+             |p AS (SELECT CAST(id AS INTEGER) plane, v pv FROM e
+             |      WHERE id < $nPlanes),
+             |bits AS (
+             |  SELECT e.id, p.plane // $bandBits band,
+             |    CASE WHEN LIST_DOT_PRODUCT(e.v, p.pv) >= 0
+             |      THEN (CAST(1 AS BIGINT) << (p.plane % $bandBits))
+             |      ELSE 0 END bv
+             |  FROM e CROSS JOIN p),
+             |ks AS (SELECT id, band, CAST(SUM(bv) AS BIGINT) k
+             |  FROM bits GROUP BY id, band),
+             |cand AS (
+             |  SELECT DISTINCT x.id a, y.id b FROM ks x
+             |  JOIN ks y ON x.band = y.band AND x.k = y.k AND x.id < y.id),
+             |pr AS (
+             |  SELECT a, b,
+             |    LIST_COSINE_SIMILARITY(ea.v::DOUBLE[], eb.v::DOUBLE[]) sim
+             |  FROM cand JOIN e ea ON ea.id = cand.a
+             |  JOIN e eb ON eb.id = cand.b)
+             |SELECT a, b, ROUND(sim, 6) AS sim FROM pr
+             |WHERE sim IS NOT NULL AND ROUND(sim, 6) >= $thr
+             |ORDER BY a, b""".stripMargin)
+        val dr = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+          (r.getLong(1), r.getLong(2), r.getDouble(3))
+        }.toSeq
+        if (sr != dr)
+          Some(s"bandBits=$bandBits bands=$bands thr=$thr splits=$splits: " +
+            s"spark=${sr.size} duck=${dr.size}; first diff " +
+            s"${sr.zip(dr).find { case (a, b) => a != b }}")
+        else None
+      }
+      assert(failures.isEmpty, failures.take(3).mkString("\n"))
+    } finally conn.close()
+  }
 }
