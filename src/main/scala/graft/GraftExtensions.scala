@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaroWinkler(exprs(0), exprs(1))))
+    // OPT-IN cosine-threshold-join → SRP-LSH banded equi-join rewrite
+    // (graft.plans.SrpJoinRewrite; inert until
+    // spark.graft.srpJoinRewrite.enabled=true — the rule checks the
+    // session conf per plan, so injection itself changes nothing)
+    ext.injectOptimizerRule(_ => new graft.plans.SrpJoinRewrite)
   }
 }

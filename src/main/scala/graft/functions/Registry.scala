@@ -42,6 +42,20 @@ object Registry {
     fr.createOrReplaceTempFunction(
       "bpe_segment", exprs => BpeSegment.fromLiteral(exprs(0), exprs(1)),
       "scala_udf")
+    // SRP join-rewrite kernels, surfaced for SQL use too:
+    // srp_bands(vec, nBits, bandBits, seed) / first_equal_band(a, b)
+    fr.createOrReplaceTempFunction(
+      "srp_bands", {
+        case Seq(v, n, b, s) => SrpBands(v,
+          n.eval().asInstanceOf[Number].intValue,
+          b.eval().asInstanceOf[Number].intValue,
+          s.eval().asInstanceOf[Number].longValue)
+        case other => throw new IllegalArgumentException(
+          s"srp_bands takes (vec, nBits, bandBits, seed), got ${other.size} args")
+      }, "scala_udf")
+    fr.createOrReplaceTempFunction(
+      "first_equal_band", exprs => FirstEqualBand(exprs(0), exprs(1)),
+      "scala_udf")
     spark.udf.register("geomean", F.udaf(GeoMean))
   }
 
