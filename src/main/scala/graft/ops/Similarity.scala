@@ -265,6 +265,19 @@ object Similarity {
     * explode with a bounded ≤1024-row collect — at 100 TB accept the
     * pass or profile offline and pass the manual dial. */
   private def srpGuardOf(b: DataFrame): (Int, Seq[Long]) = {
+    val bcThreshold0 =
+      b.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // ZERO-JOB short-circuit on the PLANNER'S OWN size estimate: if
+    // the exploded side's plan-time stats fit the broadcast threshold,
+    // the planner will broadcast this exact side and no bucket can
+    // straggler (gate 2 below, decided without running the profile —
+    // at fixture scale the profile job itself was the guard's whole
+    // cost). Stats overestimate parquet-backed frames (raw size ×
+    // expansion), so a false KEEP-GOING just pays the cheap profile;
+    // a fit is a real broadcast.
+    if (bcThreshold0 >= 0 &&
+        b.queryExecution.optimizedPlan.stats.sizeInBytes <= bcThreshold0)
+      return (1, Nil)
     val counts = b.groupBy("band", "key").agg(count(lit(1)).as("n"))
     val prof = counts
       .agg(max("n").as("mx"), sum("n").as("tot"), count(lit(1)).as("nb"))
