@@ -2150,4 +2150,76 @@ object Stats {
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
   }
+
+  /** Shannon entropy of a categorical column per group — the standard
+    * data-mix diversity readout (language entropy per source, event-mix
+    * entropy per cohort): H = −Σ p·ln p over the group's category
+    * shares, in nats. Complements the TWO-distribution family
+    * ([[Drift.jsDivergence]]/psiCategorical) with the one-distribution
+    * diagnostic.
+    *
+    * Scale shape: ONE grouped count on (group, category) — state is
+    * the category keyspace per group, corpus-size independent — then a
+    * per-group in-row ordered fold. Determinism (the jsDivergence
+    * discipline): integral counts, each share divided ONCE, ln through
+    * [[Exact.lnq]] (raw libm ln is 1-ulp engine-divergent), terms
+    * folded in SORTED category order inside one row — never a windowed
+    * double SUM (DuckDB's segment tree reassociates). The collect_list
+    * buffer is bounded by the group's category cardinality — the
+    * categorical-column contract, same as psiCategorical's keyspace
+    * argument. */
+  def entropyByKey(df: DataFrame, keyCol: String,
+                   catCol: String): DataFrame = {
+    val counts = df
+      .select(col(keyCol).as("key"), col(catCol).cast("string").as("category"))
+      .groupBy("key", "category").agg(count(lit(1)).as("cnt"))
+    val wk = Window.partitionBy("key")
+    val p = col("cnt") / sum("cnt").over(wk)
+    counts
+      .select(col("key"), col("category"), col("cnt"),
+        (p * Exact.lnq(p)).as("__t"))
+      .groupBy("key")
+      .agg(sum("cnt").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_categories"),
+        // 0.0 − x, not −x: a single-category group folds to exactly
+        // 0.0 and unary negation would emit −0.0, which engines hash
+        // and print differently; 0.0 − 0.0 is +0.0 on every engine
+        (lit(0.0) - aggregate(
+          array_sort(collect_list(struct(col("category"), col("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t"))).as("entropy"))
+      .withColumnRenamed("key", keyCol)
+  }
+
+  /** Weighted median per group under the INTEGER-weight contract
+    * (token counts, byte sizes, repetition counts): the smallest value
+    * v whose cumulative weight reaches half the total — formally
+    * min{v : 2·Σ_{x≤v} w(x) ≥ W}, the lower weighted median. With
+    * integral weights every comparison is exact integer arithmetic, so
+    * the result is engine-reproducible with no epsilon anywhere — the
+    * reason this is the contract (fractional weights can be pre-scaled
+    * onto an integer grid, the FLOOR(x·1000) playbook).
+    *
+    * Scale shape: pre-aggregate to (group, value) weight sums (the
+    * map-side combine), ONE ascending cumulative window per group over
+    * the distinct-value table (integer SUM — associative, no
+    * reassociation hazard), rank-filter to the crossing row. State is
+    * distinct values per group, not rows. */
+  def weightedMedianByKey(df: DataFrame, keyCol: String, value: Column,
+                          weight: Column): DataFrame = {
+    val per = df
+      .select(col(keyCol).as("key"), value.cast("long").as("v"),
+        weight.cast("long").as("w"))
+      .groupBy("key", "v").agg(sum("w").as("wv"))
+    val wk = Window.partitionBy("key")
+    val cum = Window.partitionBy("key").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("__total", sum("wv").over(wk))
+      .withColumn("__cum", sum("wv").over(cum))
+      .filter(col("__cum") * 2 >= col("__total"))
+      .groupBy("key")
+      .agg(min("v").as("weighted_median"),
+        max("__total").cast("long").as("total_weight"))
+      .withColumnRenamed("key", keyCol)
+  }
 }

@@ -4242,6 +4242,62 @@ object Analytics {
         .select(when(Sampling.hashBucket(col("o_orderkey")) < 5000, "a")
           .otherwise("b").as("arm"))
       Stats.multinomialGof(arms, "arm", Seq(("a", 0.5), ("b", 0.5)))
+    },
+
+    // Shannon entropy per group (Stats.entropyByKey): language-mix
+    // diversity per source — the one-distribution complement to the
+    // PSI/JS drift family. Shares divided once, ln through the 2^-26
+    // lnq grid, terms folded in sorted category order in-row (never a
+    // windowed double SUM), 0.0-minus so a single-category source
+    // reads +0.0 on both engines.
+    dfQ("q287_entropy",
+      """WITH c AS (SELECT source, lang AS category,
+        |    CAST(COUNT(*) AS BIGINT) cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tw AS (SELECT source, category, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) n FROM c),
+        |e AS (SELECT source, category, cnt, n,
+        |    (CAST(cnt AS DOUBLE) / n) *
+        |      (FLOOR(LN(CAST(cnt AS DOUBLE) / n) * 67108864.0)
+        |        / 67108864.0) AS trm
+        |  FROM tw)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |  ROUND(0.0 - LIST_REDUCE(LIST(trm ORDER BY category),
+        |    (a, b) -> a + b), 6) AS entropy
+        |FROM e GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      Stats.entropyByKey(Tables.table(s, d, "documents"), "source", "lang")
+        .select(col("source"), col("n"), col("n_categories"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("source")
+    },
+
+    // Weighted median per group (Stats.weightedMedianByKey): the
+    // integer-weight contract makes every comparison exact — smallest
+    // v with 2*cumweight >= total, one cumulative integer window over
+    // the (group, value) pre-aggregate, state = distinct values per
+    // group, not rows.
+    dfQ("q288_weighted_median",
+      """WITH t AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) v,
+        |    CAST(user_id % 7 + 1 AS BIGINT) w FROM events),
+        |per AS (SELECT event_type, v, CAST(SUM(w) AS BIGINT) wv
+        |  FROM t GROUP BY 1, 2),
+        |cw AS (SELECT event_type, v, wv,
+        |    CAST(SUM(wv) OVER (PARTITION BY event_type) AS BIGINT) total,
+        |    CAST(SUM(wv) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        |  FROM per)
+        |SELECT event_type, CAST(MIN(v) AS BIGINT) AS weighted_median,
+        |  CAST(MAX(total) AS BIGINT) AS total_weight
+        |FROM cw WHERE cum * 2 >= total
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Stats.weightedMedianByKey(Tables.events(s, d), "event_type",
+          floor(col("value") * 100).cast("long"),
+          col("user_id") % 7 + 1)
+        .select(col("event_type"), col("weighted_median"),
+          col("total_weight"))
+        .orderBy("event_type")
     }
   )
 }

@@ -3022,4 +3022,44 @@ class AnalyticsSuite extends SparkTestBase {
     assert(out(1).getAs[Long]("n_syllables") == 0L &&
       out(1).getAs[Long]("n_sentences") == 1L)
   }
+
+  test("entropyByKey: uniform = ln k, single category = +0.0, " +
+      "hand-computed skewed case") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("u", "a")) ++ Seq.fill(5)(("u", "b")) ++
+      Seq.fill(5)(("u", "c")) ++ Seq.fill(5)(("u", "d")) ++
+      Seq.fill(9)(("s", "x")) ++
+      Seq.fill(3)(("k", "a")) ++ Seq.fill(1)(("k", "b")))
+      .toDF("grp", "cat")
+    val got = graft.ops.Stats.entropyByKey(df, "grp", "cat")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // uniform over 4 categories: H = ln 4 (to lnq grid resolution)
+    assert(got("u")._1 == 20L && got("u")._2 == 4L)
+    assert(math.abs(got("u")._3 - math.log(4.0)) < 1e-6, got("u"))
+    // one category: exactly +0.0 (not -0.0 -- the 0.0-minus guard)
+    assert(got("s") == ((9L, 1L, 0.0)))
+    assert(1.0 / got("s")._3 > 0, "entropy of one category must be +0.0")
+    // skewed hand case: -(0.75 ln 0.75 + 0.25 ln 0.25)
+    val expK = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got("k")._3 - expK) < 1e-6, got("k"))
+  }
+
+  test("weightedMedianByKey: hand cases incl. the lower-median " +
+      "boundary; weight-1 degenerates to the plain lower median") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L), // W=4, cum(2)=3 -> 2
+      ("b", 1L, 1L), ("b", 2L, 1L),                // W=2, 2*1>=2   -> 1
+      ("c", 10L, 5L), ("c", 99L, 1L),              // heavy low     -> 10
+      ("d", 7L, 3L))                               // single value  -> 7
+      .toDF("grp", "v", "w")
+    val got = graft.ops.Stats.weightedMedianByKey(df, "grp",
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> ((2L, 4L)), "b" -> ((1L, 2L)),
+      "c" -> ((10L, 6L)), "d" -> ((7L, 3L))))
+  }
 }
