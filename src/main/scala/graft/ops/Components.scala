@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list — the missing half of dedup at
@@ -189,6 +189,54 @@ object Components {
       .select(col("a"), col("b"), col("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Degree assortativity — Newman's r: the Pearson correlation of
+    * endpoint degrees over the directed mirror of the edge list, the
+    * one-number "do hubs link to hubs" readout of a crawl graph
+    * (assortative ≈ social/link-farm structure, disassortative ≈
+    * hub-and-spoke web structure) next to [[triangleCounts]]'s local
+    * density.
+    *
+    * Scale shape: canonical distinct edges → ONE degree aggregation →
+    * the mirrored edge list joins the degree table twice on the node
+    * keys (shuffle hash joins — the degree table is node-cardinality,
+    * NOT broadcastable at 100 TB) → one global moment aggregation.
+    * Degrees and counts are integral, the six moments accumulate in
+    * DECIMAL(38) (order-free exact sums — no double folding needed),
+    * and r is one division over two correctly-rounded sqrts, so the
+    * value is bit-identical on any engine and partitioning. NULL r
+    * when either variance is zero (e.g. a regular graph). */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      // feeds the degree agg and both mirror halves in ONE action —
+      // cache lifetime: lazy-return op, the triangleCounts LRU note
+      // applies
+      .distinct().cache()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dir = canon.select(col("u"), col("v"))
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+    def s(c: Column) = sum(c.cast(dec38))
+    val m = dir
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(count(lit(1)).cast(dec38).as("m"),
+        s(col("du")).as("sx"), s(col("dv")).as("sy"),
+        s(col("du") * col("dv")).as("sxy"),
+        s(col("du") * col("du")).as("sxx"),
+        s(col("dv") * col("dv")).as("syy"))
+    val dx = col("m") * col("sxx") - col("sx") * col("sx")
+    val dy = col("m") * col("syy") - col("sy") * col("sy")
+    m.select(col("m").cast("long").as("m_directed"),
+      when(dx <= 0 || dy <= 0, lit(null)).otherwise(
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("r"))
   }
 
   /** Fixed-iteration PageRank in EXACT scaled-integer arithmetic — the

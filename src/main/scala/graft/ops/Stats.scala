@@ -533,6 +533,71 @@ object Stats {
             sqrt(col("__var") / col("n"))).as("t"))
   }
 
+  /** Wilcoxon signed-rank test over per-key condition differences —
+    * the nonparametric companion to [[pairedT]] for when the diff
+    * distribution is heavy-tailed or skewed (a handful of whale users
+    * should not decide the A/B): rank the |d| of the nonzero per-key
+    * diffs, W⁺ = Σ ranks of the positive diffs, normal approximation
+    *
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * Same key table as pairedT (one grouped conditional agg; each diff
+    * a fixed two-division tree). Ranks come from the COLLAPSED
+    * distinct-|d| table (doubled average ranks stay INTEGRAL under
+    * ties — the [[rocAuc]] discipline: the rank window runs over
+    * distinct values, never raw keys, so no single-partition
+    * full-data window at scale). With doubled ranks w2 = 2W⁺, both
+    * moments clear denominators exactly:
+    *
+    *   z = (2·w2 − n(n+1)) / (2·√((2n(n+1)(2n+1) − Σ(t³−t)) / 12))
+    *
+    * numerator and the radicand's numerator are exact DECIMAL(38)
+    * integers; z is one division over one correctly-rounded sqrt of
+    * one division — bit-reproducible on any engine or partitioning.
+    * Zero diffs drop (standard Wilcoxon). NULL z when n = 0 or the
+    * variance term is non-positive. */
+  def wilcoxonSignedRank(df: DataFrame, keyCol: String, cond: Column,
+                         x: Column): DataFrame = {
+    val keys = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(when(cond, 1L).otherwise(0L)).as("n1"),
+        sum(when(cond, x.cast("long")).otherwise(0L)).as("s1"),
+        sum(when(!cond, 1L).otherwise(0L)).as("n2"),
+        sum(when(!cond, x.cast("long")).otherwise(0L)).as("s2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("__d", col("s1").cast("double") / col("n1") -
+        col("s2").cast("double") / col("n2"))
+      .filter(col("__d") =!= 0.0)
+    // collapsed (|d|, sign) cell table — ONE pass over the key table;
+    // ranks re-derive from it without a second scan (the
+    // kruskalWallis discipline). Each |d| is the same fixed
+    // two-division tree on both engines, so grouping doubles is exact.
+    val cells = keys
+      .select(abs(col("__d")).as("__a"), (col("__d") > 0).as("__p"))
+      .groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__cp"))
+      .localCheckpoint(false)
+    val ranks = doubledRanksFromCounts(
+      cells.groupBy(col("__a").as("__v")).agg(sum("__cp").as("__c")))
+    val ties = ranks.agg(coalesce(sum(
+      (col("__c") * col("__c") * col("__c") - col("__c")).cast(dec38)),
+      lit(0).cast(dec38)).as("tsum"))
+    val m = cells.join(ranks, cells("__a") === ranks("__v"))
+      .agg(coalesce(sum("__cp"), lit(0L)).cast(dec38).as("n"),
+        // per-term DECIMAL cast (the cohensD discipline): cp·dr tops
+        // out near 2n² per cell, past Long at ~3e9 nonzero pairs
+        coalesce(sum(when(col("__p"),
+            col("__cp").cast(dec38) * col("__dr"))
+          .otherwise(lit(0).cast(dec38))), lit(0).cast(dec38)).as("w2"))
+      .crossJoin(broadcast(ties))
+    val varNum = (lit(2).cast(dec38) * col("n") * (col("n") + 1) *
+      (lit(2).cast(dec38) * col("n") + 1) - col("tsum"))
+    m.select(col("n").cast("long").as("n"),
+      (col("w2").cast("double") / 2.0).as("w_plus"),
+      when(col("n") < 1 || varNum <= 0, lit(null)).otherwise(
+        (lit(2).cast(dec38) * col("w2") -
+          col("n") * (col("n") + 1)).cast("double") /
+          (lit(2.0) * sqrt(varNum.cast("double") / 12.0))).as("z"))
+  }
+
   /** Pearson correlation WITH its significance test — r plus
     * t = r·√((n−2)/(1−r²)) (df = n−2), the pair [[corrMatrix]]
     * deliberately omits (a matrix of r's without n invites reading
@@ -922,6 +987,78 @@ object Stats {
         col("__k").cast("long").as("groups"), h.as("h"),
         when(col("__n") < 2, lit(null)).otherwise(
           when(c === 0, lit(null)).otherwise(h / c)).as("h_corrected"))
+  }
+
+  /** Friedman test — do k treatments differ across n matched blocks,
+    * rank-based (the repeated-measures completion of the nonparametric
+    * family: [[kruskalWallis]] between groups, [[wilcoxonSignedRank]]
+    * for k = 2 pairs, this for k > 2 per-entity conditions). Each
+    * complete block ranks its k treatment means; Conover's
+    * tie-handling form
+    *
+    *   χ²_F = (k−1) · Σ_j (R_j − n(k+1)/2)² / (A − C),
+    *   A = Σᵢⱼ r²ᵢⱼ,  C = nk(k+1)²/4
+    *
+    * reduces to the textbook 12/(nk(k+1))·ΣR_j² − 3n(k+1) when ties
+    * are absent. With DOUBLED ranks every quantity clears its
+    * denominator: 4(A−C) = A4 − nk(k+1)² and 4Σ(R_j − n(k+1)/2)² =
+    * Σ(R4_j − n(k+1))² are exact DECIMAL(38) integers, so χ² is ONE
+    * division — bit-identical on any engine or partitioning.
+    *
+    * Scale shape: one grouped agg to the (block, treatment) cell
+    * table (each cell mean ONE division of exact integers); incomplete
+    * blocks drop (the paired-test contract); the rank window runs
+    * WITHIN a block over its ≤ k distinct means — per-partition state
+    * is k, never corpus-sized. NULL chi2 when n = 0, k < 2, or every
+    * block's values are constant (A = C). */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               x: Column): DataFrame = {
+    // the cell table feeds BOTH the global treatment count and the
+    // complete-block chain — cut it once or the corpus scan and the
+    // grouped agg replay per consumer (the kruskalWallis discipline)
+    val cell = df.groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(sum(x.cast("long")).as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m", col("__s").cast("double") / col("__c"))
+      .localCheckpoint(false)
+    val kRow = cell.agg(countDistinct(col("__t")).as("__k"))
+    val wb = Window.partitionBy(col("__b"))
+    val kept = cell
+      .withColumn("__kb", count(lit(1)).over(wb))
+      .crossJoin(broadcast(kRow))
+      .filter(col("__kb") === col("__k"))
+      .localCheckpoint(false)
+    // doubled average ranks within each block from its per-mean
+    // counts (the doubledRanks discipline, block-locally)
+    val byV = kept.groupBy(col("__b"), col("__m"))
+      .agg(count(lit(1)).as("__cv"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("__below", coalesce(sum("__cv").over(wOrd), lit(0L)))
+      .select(col("__b"), col("__m"),
+        (lit(2L) * col("__below") + col("__cv") + 1).as("__dr"))
+    val cellR = kept.join(ranked, Seq("__b", "__m"))
+    val perT = cellR.groupBy(col("__t"))
+      .agg(sum(col("__dr").cast(dec38)).as("__r4"))
+    val tot = cellR.agg(
+      countDistinct(col("__b")).cast(dec38).as("__n"),
+      max(col("__k")).cast(dec38).as("__kk"),
+      coalesce(sum((col("__dr") * col("__dr")).cast(dec38)),
+        lit(0).cast(dec38)).as("__a4"))
+    val dev = col("__r4") - col("__n") * (col("__kk") + 1)
+    val sq = perT.crossJoin(broadcast(tot))
+      .agg(coalesce(sum((dev * dev).cast(dec38)), lit(0).cast(dec38))
+          .as("__sq"),
+        max(col("__n")).as("__n"), max(col("__kk")).as("__kk"),
+        max(col("__a4")).as("__a4"))
+    val c4 = col("__n") * col("__kk") *
+      (col("__kk") + 1) * (col("__kk") + 1)
+    sq.select(col("__n").cast("long").as("n_blocks"),
+      col("__kk").cast("long").as("k"),
+      when(col("__n") < 1 || col("__kk") < 2 ||
+          col("__a4") - c4 <= 0, lit(null))
+        .otherwise(((col("__kk") - 1) * col("__sq")).cast("double") /
+          (col("__a4") - c4).cast("double")).as("chi2"))
   }
 
   /** Per-key Mann–Kendall trend test over a time-ordered integral
@@ -1320,6 +1457,50 @@ object Stats {
       .select(col("__x").as(xCol), col("__y").as(yCol),
         col("c").cast("long").as("c"), col("cx").cast("long").as("cx"),
         col("cy").cast("long").as("cy"), col("term"), col("mi_total"))
+  }
+
+  /** Theil's uncertainty coefficient U(X|Y) = I(X;Y) / H(X) — the
+    * NORMALIZED, ASYMMETRIC categorical association ("what fraction of
+    * the uncertainty in X does knowing Y remove"): the readable [0,1]
+    * companion to [[mutualInformation]]'s raw nats and the directional
+    * complement to symmetric Cramér's V (U(lang|source) and
+    * U(source|lang) answer different curation questions). Same
+    * (x, y) cell table as MI — ONE corpus shuffle; marginals
+    * re-aggregate from the cells. Every probability is an exact
+    * integer ratio divided once, ln runs on the [[Exact.lnq]] 2⁻²⁶
+    * grid, and both the MI and H(X) sums fold in sorted category
+    * order in-row (cell-cardinality bounded), so the doubles are
+    * bit-identical on any engine or partitioning. NULL u when
+    * H(X) = 0 (single X category). */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val wx = Window.partitionBy(col("__x"))
+    val wy = Window.partitionBy(col("__y"))
+    val wAllRows = Window.partitionBy(lit(1))
+    val mi = cells
+      .withColumn("cx", sum(col("c")).over(wx))
+      .withColumn("cy", sum(col("c")).over(wy))
+      .withColumn("n", sum(col("c")).over(wAllRows))
+      .withColumn("__mt", (col("c").cast("double") / col("n")) *
+        Exact.lnq((col("c") * col("n")).cast("double") /
+          (col("cx") * col("cy"))))
+      .agg(max(col("n")).cast("long").as("n"),
+        aggregate(array_sort(collect_list(struct(
+            col("__x"), col("__y"), col("__mt")))),
+          lit(0.0), (acc, e) => acc + e.getField("__mt")).as("mi"))
+    val hx = cells.groupBy(col("__x")).agg(sum("c").as("cx"))
+      .withColumn("n", sum(col("cx")).over(wAllRows))
+      .withColumn("__ht", (col("cx").cast("double") / col("n")) *
+        Exact.lnq(col("cx").cast("double") / col("n")))
+      .agg((lit(0.0) - aggregate(
+        array_sort(collect_list(struct(col("__x"), col("__ht")))),
+        lit(0.0), (acc, e) => acc + e.getField("__ht"))).as("h_x"))
+    mi.crossJoin(broadcast(hx))
+      .select(col("n"), col("h_x"), col("mi"),
+        when(col("h_x") <= 0, lit(null))
+          .otherwise(col("mi") / col("h_x")).as("u"))
   }
 
   /** Leave-one-out target encoding — the categorical-feature encoding

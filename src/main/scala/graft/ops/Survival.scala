@@ -107,6 +107,61 @@ object Survival {
           lit(0.0), (acc, v) => acc + v).as("hazard_var")): _*)
   }
 
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Two-group log-rank test — did arm 1's survival curve differ from
+    * the rest (the churn A/B readout on top of [[kaplanMeier]]): at
+    * each death time, compare arm 1's observed deaths O₁ = d₁ with its
+    * hypergeometric expectation E₁ = d·n₁/n under "no difference",
+    *
+    *   χ² = (ΣO₁ − ΣE₁)² / ΣV,   V = d·n₁·(n−n₁)·(n−d) / (n²·(n−1))
+    *
+    * — the Cochran–Mantel–Haenszel statistic ([[Stats.cmh]]) with event
+    * times as the strata. Same collapsed (t) table and descending-time
+    * at-risk windows as KM, ONE shuffle on t; per-time E and V are
+    * exact DECIMAL(38) integer ratios divided ONCE each, and the ΣE/ΣV
+    * double sums fold in ascending-time order inside one row (the
+    * q232 LIST_REDUCE shape — bounded by distinct event times, which
+    * the KM contract already keeps coarse at 100 TB: day/week buckets,
+    * never raw microseconds). Times with n = 1 contribute zero
+    * variance (the n−1 = 0 degenerate stratum, the [[Stats.cmh]]
+    * rule). NULL chi2 when ΣV = 0. */
+  def logRank(df: DataFrame, durationCol: String, observedCol: String,
+              inArm1: Column): DataFrame = {
+    val byT = df.groupBy(col(durationCol).as("t"))
+      .agg(sum(when(col(observedCol) && inArm1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(inArm1, 1L).otherwise(0L)).as("a1"),
+        count(lit(1)).as("a"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("n1", sum("a1").over(wDesc))
+      .withColumn("n", sum("a").over(wDesc))
+    val ev = risk.filter(col("d") > 0)
+      .withColumn("__e1", (col("d").cast(dec38) * col("n1"))
+        .cast("double") / col("n").cast("double"))
+      .withColumn("__v", when(col("n") <= 1, lit(0.0)).otherwise(
+        (col("d").cast(dec38) * col("n1") * (col("n") - col("n1")) *
+          (col("n") - col("d"))).cast("double") /
+          (col("n").cast(dec38) * col("n") * (col("n") - 1))
+            .cast("double")))
+    val folded = ev
+      .agg(count(lit(1)).as("n_times"),
+        coalesce(sum("d1"), lit(0L)).as("o1"),
+        sort_array(collect_list(struct(
+          col("t"), col("__e1"), col("__v")))).as("__a"))
+      .select(col("n_times"), col("o1"),
+        aggregate(transform(col("__a"), e => e.getField("__e1")),
+          lit(0.0), (acc, v) => acc + v).as("e1"),
+        aggregate(transform(col("__a"), e => e.getField("__v")),
+          lit(0.0), (acc, v) => acc + v).as("v"))
+    val dlt = col("o1").cast("double") - col("e1")
+    folded.select(col("n_times"), col("o1"), col("e1"), col("v"),
+      when(col("v") <= 0, lit(null)).otherwise(dlt * dlt / col("v"))
+        .as("chi2"))
+  }
+
   /** Subject table for user-churn KM over the events fixture: per user,
     * duration = whole days between first and last event, observed =
     * the user's last event ends `quietUs` microseconds or more before

@@ -447,6 +447,46 @@ object TextAnalysis {
         (col("cum").cast("double") / col("total")).as("coverage"))
   }
 
+  /** Per-slice lexical diversity — the "is this slice template spam or
+    * real prose" summary the mixture dashboard wants next to
+    * [[vocabCoverage]]'s global curve: type/token ratio, hapax share,
+    * and Yule's K
+    *
+    *   K = 10⁴ · (Σ_m m²·V(m) − N) / N²   (= 10⁴·(Σ_types f² − N)/N²)
+    *
+    * — K is length-insensitive where raw TTR is not, and rises as a
+    * few types dominate (boilerplate, SEO keyword stuffing). One
+    * shuffle to the (slice, type) frequency table, one to the slice
+    * row; tokens/types/hapaxes are exact integers, Σf² accumulates in
+    * DECIMAL(38) (order-free), and each readout is a fixed tree over
+    * exact-to-double casts with ONE division — bit-identical on any
+    * engine and partitioning. Per-slice state is the type table the
+    * vocab operators already carry. NULL readouts on an empty slice
+    * never occur (a slice with no non-empty tokens emits no row). */
+  def lexicalDiversity(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val freq = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__f"))
+    freq.groupBy(col("__g"))
+      .agg(sum("__f").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum((col("__f") * col("__f")).cast(dec38)).as("__m2"))
+      .select(col("__g").as(groupCol),
+        col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types"))
+          .as("hapax_ratio"),
+        (lit(10000.0) * (col("__m2").cast("double") -
+          col("n_tokens").cast("double")) /
+          (col("n_tokens").cast("double") *
+            col("n_tokens").cast("double"))).as("yules_k"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the
     * source-level "do these corpora speak the same language" matrix:
     * per (groupA < groupB), the shared type count and vocabulary

@@ -4298,6 +4298,241 @@ object Analytics {
         .select(col("event_type"), col("weighted_median"),
           col("total_weight"))
         .orderBy("event_type")
+    },
+
+    // Two-group log-rank test (Survival.logRank): did even-id users'
+    // churn curve differ from odd-id users' — CMH with event times as
+    // strata over q232's subject table. Per-time E/V are HUGEINT-exact
+    // ratios divided once; the ΣE/ΣV double sums fold in ascending-
+    // time order (LIST_REDUCE replay).
+    dfQ("q289_log_rank",
+      """WITH lt AS (SELECT user_id,
+        |    (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 86400000000 t_dur,
+        |    MAX(EPOCH_US(ts)) last_us
+        |  FROM events GROUP BY user_id),
+        |ce AS (SELECT MAX(EPOCH_US(ts)) end_us FROM events),
+        |subj AS (SELECT t_dur, last_us <= end_us - 43200000000 obs,
+        |    user_id % 2 = 0 arm FROM lt CROSS JOIN ce),
+        |ag AS (SELECT t_dur t,
+        |    CAST(SUM(CASE WHEN obs AND arm THEN 1 ELSE 0 END)
+        |      AS BIGINT) d1,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) d,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) a1,
+        |    CAST(COUNT(*) AS BIGINT) a
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d1, d,
+        |    CAST(SUM(a1) OVER (ORDER BY t DESC ROWS UNBOUNDED
+        |      PRECEDING) AS BIGINT) n1,
+        |    CAST(SUM(a) OVER (ORDER BY t DESC ROWS UNBOUNDED
+        |      PRECEDING) AS BIGINT) n
+        |  FROM ag),
+        |e AS (SELECT t, d1,
+        |    CAST(CAST(d AS HUGEINT) * n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) e1t,
+        |    CASE WHEN n <= 1 THEN 0.0
+        |      ELSE CAST(CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d)
+        |          AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)
+        |      END vt
+        |  FROM r WHERE d > 0),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) n_times,
+        |    CAST(COALESCE(SUM(d1), 0) AS BIGINT) o1,
+        |    LIST_REDUCE(LIST(e1t ORDER BY t), (x, y) -> x + y) e1,
+        |    LIST_REDUCE(LIST(vt ORDER BY t), (x, y) -> x + y) v
+        |  FROM e)
+        |SELECT n_times, o1, e1, v,
+        |  CASE WHEN v <= 0 THEN NULL
+        |    ELSE (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+        |      / v END chi2
+        |FROM f""".stripMargin) { (s, d) =>
+      Survival.logRank(
+        Survival.userLifetimes(Tables.events(s, d), "user_id", "ts",
+          quietUs = 43200000000L),
+        "duration_days", "observed",
+        col("user_id") % 2 === 0)
+    },
+
+    // Degree assortativity (Components.degreeAssortativity): Newman's
+    // r over q161's part-co-occurrence graph — hubs-link-to-hubs in
+    // one number. DECIMAL(38)-exact moments over the directed mirror,
+    // one division over two sqrts.
+    dfQ("q290_assortativity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d FROM (
+        |    SELECT u n FROM e UNION ALL SELECT v FROM e) x GROUP BY n),
+        |dir AS (SELECT u, v FROM e UNION ALL SELECT v u, u v FROM e),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) m,
+        |    CAST(SUM(a.d) AS HUGEINT) sx, CAST(SUM(b.d) AS HUGEINT) sy,
+        |    SUM(CAST(a.d AS HUGEINT) * b.d) sxy,
+        |    SUM(CAST(a.d AS HUGEINT) * a.d) sxx,
+        |    SUM(CAST(b.d AS HUGEINT) * b.d) syy
+        |  FROM dir JOIN deg a ON dir.u = a.n JOIN deg b ON dir.v = b.n)
+        |SELECT CAST(m AS BIGINT) m_directed,
+        |  CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+        |    THEN NULL
+        |    ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+        |      / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+        |        * SQRT(CAST(m * syy - sy * sy AS DOUBLE))) END r
+        |FROM m""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      Components.degreeAssortativity(e, "pa", "pb")
+    },
+
+    // Per-language lexical diversity (TextAnalysis.lexicalDiversity):
+    // TTR, hapax share, Yule's K — template-spam vs prose per slice.
+    // Exact integer type table, DECIMAL(38) Σf², fixed one-division
+    // readout trees.
+    dfQ("q291_lexical_diversity",
+      """WITH f AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) f
+        |  FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) tok
+        |        FROM documents) x
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |g AS (SELECT lang, CAST(SUM(f) AS BIGINT) n,
+        |    CAST(COUNT(*) AS BIGINT) v,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) v1,
+        |    SUM(CAST(f AS HUGEINT) * f) m2
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n n_tokens, v n_types, v1 n_hapax,
+        |  CAST(v AS DOUBLE) / n ttr,
+        |  CAST(v1 AS DOUBLE) / v hapax_ratio,
+        |  10000.0 * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) yules_k
+        |FROM g ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.lexicalDiversity(
+          Tables.table(s, d, "documents"), "lang", "text")
+        .orderBy("lang")
+    },
+
+    // Wilcoxon signed-rank (Stats.wilcoxonSignedRank): q275's pairing
+    // (per-user purchase vs non-purchase mean), rank-based so whale
+    // users can't decide the A/B. Doubled ranks off the collapsed
+    // |d| table; z = one division over one sqrt of exact HUGEINT
+    // moments.
+    dfQ("q292_wilcoxon",
+      """WITH k AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) n1,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) s1,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) n2,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase'
+        |      THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) s2
+        |  FROM events GROUP BY user_id),
+        |dd AS (SELECT CAST(s1 AS DOUBLE) / n1
+        |    - CAST(s2 AS DOUBLE) / n2 d
+        |  FROM k WHERE n1 > 0 AND n2 > 0),
+        |cells AS (SELECT ABS(d) a, d > 0 p,
+        |    CAST(COUNT(*) AS BIGINT) cp
+        |  FROM dd WHERE d <> 0 GROUP BY 1, 2),
+        |byv AS (SELECT a v, CAST(SUM(cp) AS BIGINT) c
+        |  FROM cells GROUP BY 1),
+        |rk AS (SELECT v, c,
+        |    CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+        |      AS BIGINT) dr
+        |  FROM byv),
+        |m AS (SELECT CAST(COALESCE(SUM(cp), 0) AS HUGEINT) n,
+        |    COALESCE(SUM(CASE WHEN p THEN CAST(cp AS HUGEINT) * dr
+        |      ELSE 0 END), 0) w2
+        |  FROM cells JOIN rk ON cells.a = rk.v),
+        |t AS (SELECT CAST(COALESCE(SUM(c * c * c - c), 0) AS HUGEINT)
+        |    ts FROM byv)
+        |SELECT CAST(n AS BIGINT) n, CAST(w2 AS DOUBLE) / 2.0 w_plus,
+        |  CASE WHEN n < 1
+        |      OR 2 * n * (n + 1) * (2 * n + 1) - ts <= 0 THEN NULL
+        |    ELSE CAST(2 * w2 - n * (n + 1) AS DOUBLE)
+        |      / (2.0 * SQRT(CAST(2 * n * (n + 1) * (2 * n + 1) - ts
+        |          AS DOUBLE) / 12.0)) END z
+        |FROM m CROSS JOIN t""".stripMargin) { (s, d) =>
+      Stats.wilcoxonSignedRank(Tables.events(s, d), "user_id",
+        col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long"))
+    },
+
+    // Theil's uncertainty coefficient (Stats.theilsU): what fraction
+    // of the uncertainty in lang does knowing source remove — the
+    // normalized asymmetric companion to q223's raw MI. Same lnq grid
+    // and sorted-cell in-row folds; u is one division.
+    dfQ("q293_theils_u",
+      """WITH c AS (SELECT lang x, source y, CAST(COUNT(*) AS BIGINT) c
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT x, y, c,
+        |    SUM(c) OVER (PARTITION BY x) cx,
+        |    SUM(c) OVER (PARTITION BY y) cy,
+        |    SUM(c) OVER () n FROM c),
+        |w AS (SELECT x, y, n,
+        |    (CAST(c AS DOUBLE) / n) * (FLOOR(LN(CAST(c * n AS DOUBLE)
+        |      / (cx * cy)) * 67108864.0) / 67108864.0) mt FROM m),
+        |mi AS (SELECT CAST(MAX(n) AS BIGINT) n,
+        |    LIST_REDUCE(LIST(mt ORDER BY x, y), (a, b) -> a + b) mi
+        |  FROM w),
+        |xm AS (SELECT x, CAST(SUM(c) AS BIGINT) cx FROM c GROUP BY 1),
+        |xn AS (SELECT x, cx, SUM(cx) OVER () n FROM xm),
+        |hx AS (SELECT 0.0 - LIST_REDUCE(LIST(
+        |    (CAST(cx AS DOUBLE) / n) * (FLOOR(LN(CAST(cx AS DOUBLE)
+        |      / n) * 67108864.0) / 67108864.0) ORDER BY x),
+        |    (a, b) -> a + b) h_x FROM xn)
+        |SELECT n, h_x, mi,
+        |  CASE WHEN h_x <= 0 THEN NULL ELSE mi / h_x END u
+        |FROM mi CROSS JOIN hx""".stripMargin) { (s, d) =>
+      Stats.theilsU(Tables.table(s, d, "documents"), "lang", "source")
+    },
+
+    // Friedman test (Stats.friedman): do the event types differ in
+    // per-user mean value across users that saw all of them — the
+    // repeated-measures nonparametric next to q275/q292. Conover's
+    // tie form on doubled within-block ranks; chi2 is one division of
+    // exact HUGEINT quantities.
+    dfQ("q294_friedman",
+      """WITH cell AS (SELECT user_id b, event_type t,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) s,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (SELECT b, t, CAST(s AS DOUBLE) / c m FROM cell),
+        |kt AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) kd FROM cell),
+        |kb AS (SELECT b, t, m, COUNT(*) OVER (PARTITION BY b) nb
+        |  FROM cm),
+        |kept AS (SELECT b, t, m FROM kb CROSS JOIN kt WHERE nb = kd),
+        |byv AS (SELECT b, m, CAST(COUNT(*) AS BIGINT) cv
+        |  FROM kept GROUP BY 1, 2),
+        |rk AS (SELECT b, m,
+        |    CAST(2 * COALESCE(SUM(cv) OVER (PARTITION BY b ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cv + 1 AS BIGINT) dr
+        |  FROM byv),
+        |cr AS (SELECT kept.b, kept.t, rk.dr FROM kept
+        |  JOIN rk ON kept.b = rk.b AND kept.m = rk.m),
+        |pt AS (SELECT t, CAST(SUM(dr) AS HUGEINT) r4 FROM cr
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT b) AS HUGEINT) n,
+        |    CAST(SUM(CAST(dr AS HUGEINT) * dr) AS HUGEINT) a4 FROM cr),
+        |sq AS (SELECT
+        |    CAST(SUM((r4 - n * (kd + 1)) * (r4 - n * (kd + 1)))
+        |      AS HUGEINT) sq,
+        |    MAX(n) n, CAST(MAX(kd) AS HUGEINT) kk, MAX(a4) a4
+        |  FROM pt CROSS JOIN tot CROSS JOIN kt)
+        |SELECT CAST(n AS BIGINT) n_blocks, CAST(kk AS BIGINT) k,
+        |  CASE WHEN n < 1 OR kk < 2
+        |      OR a4 - n * kk * (kk + 1) * (kk + 1) <= 0 THEN NULL
+        |    ELSE CAST((kk - 1) * sq AS DOUBLE)
+        |      / CAST(a4 - n * kk * (kk + 1) * (kk + 1) AS DOUBLE)
+        |  END chi2
+        |FROM sq""".stripMargin) { (s, d) =>
+      Stats.friedman(Tables.events(s, d), "user_id", "event_type",
+        floor(col("value") * 100).cast("long"))
     }
   )
 }

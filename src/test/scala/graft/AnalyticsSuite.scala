@@ -3062,4 +3062,162 @@ class AnalyticsSuite extends SparkTestBase {
     assert(got == Map("a" -> ((2L, 4L)), "b" -> ((1L, 2L)),
       "c" -> ((10L, 6L)), "d" -> ((7L, 3L))))
   }
+
+  test("logRank: hand-computed 2x2 arms; identical arms read chi2 = 0; " +
+      "censored subjects enter at-risk but not deaths") {
+    import spark.implicits._
+    // arm1: die at 1, 2; arm2: die at 1, 3
+    // t=1: d=2 d1=1 n=4 n1=2 -> E1 += 1,   V += 16/48 = 1/3
+    // t=2: d=1 d1=1 n=2 n1=1 -> E1 += 0.5, V += 1/4
+    // t=3: d=1 d1=0 n=1 n1=0 -> E1 += 0,   V += 0 (n <= 1)
+    // chi2 = (2 - 1.5)^2 / (7/12) = 3/7
+    val df = Seq((1L, true, true), (2L, true, true),
+      (1L, true, false), (3L, true, false))
+      .toDF("dur", "obs", "arm")
+    val r = Survival.logRank(df, "dur", "obs", col("arm")).collect()(0)
+    assert(r.getAs[Long]("n_times") == 3L)
+    assert(r.getAs[Long]("o1") == 2L)
+    assert(math.abs(r.getAs[Double]("e1") - 1.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("v") - 7.0 / 12) < 1e-12)
+    assert(math.abs(r.getAs[Double]("chi2") - 3.0 / 7) < 1e-12, r)
+    // identical curves -> O1 = E1 exactly -> chi2 = 0
+    val same = Seq((1L, true, true), (2L, true, true),
+      (1L, true, false), (2L, true, false)).toDF("dur", "obs", "arm")
+    val r2 = Survival.logRank(same, "dur", "obs", col("arm")).collect()(0)
+    assert(r2.getAs[Double]("chi2") == 0.0, r2)
+    // a censored arm2 subject at t=5 raises n at every t<=5 but adds
+    // no death: t=1 has n=5 n1=2 -> E1 += 2*2/5 = 0.8; t=2 has n=3
+    // n1=1 -> E1 += 1/3; t=3 has n1=0 -> E1 += 0
+    val cen = df.union(Seq((5L, false, false)).toDF("dur", "obs", "arm"))
+    val r3 = Survival.logRank(cen, "dur", "obs", col("arm")).collect()(0)
+    assert(r3.getAs[Long]("o1") == 2L)
+    assert(math.abs(r3.getAs[Double]("e1") - (0.8 + 1.0 / 3)) < 1e-12, r3)
+  }
+
+  test("degreeAssortativity: star = -1, triangle+edge = +1, " +
+      "regular graph = NULL") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val rs = Components.degreeAssortativity(star, "a", "b").collect()(0)
+    assert(rs.getAs[Long]("m_directed") == 6L)
+    assert(math.abs(rs.getAs[Double]("r") - (-1.0)) < 1e-12, rs)
+    // disjoint triangle (all deg 2) + edge (all deg 1): every directed
+    // edge pairs equal degrees -> perfectly assortative
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("a", "b")
+    val rm = Components.degreeAssortativity(mixed, "a", "b").collect()(0)
+    assert(math.abs(rm.getAs[Double]("r") - 1.0) < 1e-12, rm)
+    // 4-cycle: constant degree -> zero variance -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val rc = Components.degreeAssortativity(cyc, "a", "b").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("r")), rc)
+  }
+
+  test("lexicalDiversity: hand type table; double spaces drop empty " +
+      "tokens; all-hapax slice reads K = 0") {
+    import spark.implicits._
+    val df = Seq(("a", "x  x y"), ("a", "z"), ("h", "p q r"))
+      .toDF("grp", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "grp", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a") // x:2 y:1 z:1 -> N=4 V=3 V1=2 sum f^2 = 6
+    assert(a.getAs[Long]("n_tokens") == 4L &&
+      a.getAs[Long]("n_types") == 3L && a.getAs[Long]("n_hapax") == 2L)
+    assert(a.getAs[Double]("ttr") == 0.75)
+    assert(math.abs(a.getAs[Double]("hapax_ratio") - 2.0 / 3) < 1e-12)
+    // K = 1e4 * (6 - 4) / 16 = 1250
+    assert(a.getAs[Double]("yules_k") == 1250.0)
+    // every type a hapax: sum f^2 = N -> K = 0
+    assert(got("h").getAs[Double]("yules_k") == 0.0)
+  }
+
+  test("wilcoxonSignedRank: textbook no-tie and tied cases; zero " +
+      "diffs drop") {
+    import spark.implicits._
+    // one obs per (key, condition); diffs 4, -2, 6 -> ranks of |d|:
+    // 2, 1, 3 -> W+ = 5, z = 2 / sqrt(3.5)
+    def ev(rows: Seq[(String, Boolean, Long)]) =
+      rows.toDF("k", "c", "x")
+    val r1 = Stats.wilcoxonSignedRank(
+      ev(Seq(("k1", true, 5L), ("k1", false, 1L),
+        ("k2", true, 1L), ("k2", false, 3L),
+        ("k3", true, 6L), ("k3", false, 0L))),
+      "k", col("c"), col("x")).collect()(0)
+    assert(r1.getAs[Long]("n") == 3L)
+    assert(r1.getAs[Double]("w_plus") == 5.0)
+    assert(math.abs(r1.getAs[Double]("z") - 2.0 / math.sqrt(3.5)) < 1e-12)
+    // diffs 3, -3, 5: tied |d| -> avg ranks 1.5, 1.5, 3; W+ = 4.5;
+    // T = 2^3 - 2 = 6 -> var(2W+) = (168 - 6)/12 = 13.5
+    val r2 = Stats.wilcoxonSignedRank(
+      ev(Seq(("k1", true, 3L), ("k1", false, 0L),
+        ("k2", true, 0L), ("k2", false, 3L),
+        ("k3", true, 5L), ("k3", false, 0L))),
+      "k", col("c"), col("x")).collect()(0)
+    assert(r2.getAs[Double]("w_plus") == 4.5)
+    assert(math.abs(r2.getAs[Double]("z") -
+      6.0 / (2.0 * math.sqrt(13.5))) < 1e-12)
+    // a zero-diff key drops from n entirely (standard Wilcoxon)
+    val r3 = Stats.wilcoxonSignedRank(
+      ev(Seq(("k1", true, 5L), ("k1", false, 1L),
+        ("k0", true, 2L), ("k0", false, 2L))),
+      "k", col("c"), col("x")).collect()(0)
+    assert(r3.getAs[Long]("n") == 1L && r3.getAs[Double]("w_plus") == 1.0)
+  }
+
+  test("theilsU: determination = 1, independence = 0, single-category " +
+      "NULL, and the coefficient is asymmetric") {
+    import spark.implicits._
+    // each y maps to exactly one x -> knowing y removes all of H(X)
+    val det = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L), ("c", 3L))
+      .toDF("x", "y")
+    val rd = Stats.theilsU(det, "x", "y").collect()(0)
+    assert(math.abs(rd.getAs[Double]("u") - 1.0) < 1e-6, rd)
+    // uniform independent 2x2: every lnq argument is exactly 1 -> mi 0
+    val ind = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("x", "y")
+    val ri = Stats.theilsU(ind, "x", "y").collect()(0)
+    assert(ri.getAs[Double]("mi") == 0.0 && ri.getAs[Double]("u") == 0.0)
+    // single X category: H(X) = 0 -> NULL u
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("x", "y")
+    val ro = Stats.theilsU(one, "x", "y").collect()(0)
+    assert(ro.isNullAt(ro.fieldIndex("u")), ro)
+    // X determined by Y but not vice versa: U(X|Y) = 1, U(Y|X) < 1
+    val asym = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("x", "y")
+    val uxy = Stats.theilsU(asym, "x", "y").collect()(0).getAs[Double]("u")
+    val uyx = Stats.theilsU(asym, "y", "x").collect()(0).getAs[Double]("u")
+    assert(math.abs(uxy - 1.0) < 1e-6 && uyx < 0.99, s"$uxy / $uyx")
+  }
+
+  test("friedman: textbook perfect-consistency 6.0; Conover tie form; " +
+      "incomplete blocks drop; constant values read NULL") {
+    import spark.implicits._
+    def df(rows: Seq[(String, String, Long)]) =
+      rows.toDF("b", "t", "x")
+    // 3 blocks, C > B > A everywhere: R = (3, 6, 9) -> chi2 = 6
+    val perfect = df(Seq(
+      ("b1", "A", 1L), ("b1", "B", 2L), ("b1", "C", 3L),
+      ("b2", "A", 2L), ("b2", "B", 3L), ("b2", "C", 4L),
+      ("b3", "A", 1L), ("b3", "B", 3L), ("b3", "C", 5L)))
+    val rp = Stats.friedman(perfect, "b", "t", col("x")).collect()(0)
+    assert(rp.getAs[Long]("n_blocks") == 3L && rp.getAs[Long]("k") == 3L)
+    assert(math.abs(rp.getAs[Double]("chi2") - 6.0) < 1e-12, rp)
+    // tie in block 1 (A = B): hand Conover: 2 * 13.5 / 5.5
+    val tied = df(Seq(
+      ("b1", "A", 1L), ("b1", "B", 1L), ("b1", "C", 2L),
+      ("b2", "A", 1L), ("b2", "B", 2L), ("b2", "C", 3L),
+      ("b3", "A", 2L), ("b3", "B", 1L), ("b3", "C", 3L)))
+    val rt = Stats.friedman(tied, "b", "t", col("x")).collect()(0)
+    assert(math.abs(rt.getAs[Double]("chi2") - 27.0 / 5.5) < 1e-12, rt)
+    // a block missing treatment C is dropped entirely
+    val incomplete = df(Seq(("b4", "A", 9L), ("b4", "B", 1L)))
+    val ri = Stats.friedman(perfect.union(incomplete), "b", "t",
+      col("x")).collect()(0)
+    assert(ri.getAs[Long]("n_blocks") == 3L &&
+      math.abs(ri.getAs[Double]("chi2") - 6.0) < 1e-12, ri)
+    // all means equal within every block -> A = C -> NULL
+    val const = df(Seq(
+      ("b1", "A", 5L), ("b1", "B", 5L), ("b1", "C", 5L),
+      ("b2", "A", 7L), ("b2", "B", 7L), ("b2", "C", 7L)))
+    val rc = Stats.friedman(const, "b", "t", col("x")).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("chi2")), rc)
+  }
 }

@@ -257,7 +257,12 @@ class PlanLintSuite extends SparkTestBase {
     "q35_ntile_dist" -> ("declared global NTILE/cume_dist semantics " +
       "demo over the <100-orderkey fixture slice"),
     "q37_range_frame" -> ("declared global RANGE-frame semantics demo " +
-      "over the <100-orderkey slice"))
+      "over the <100-orderkey slice"),
+    "q293_theils_u" -> ("the global-n window runs over the (x, y) cell " +
+      "AGGREGATE output — category-keyspace-bounded, never raw rows; " +
+      "the cells localCheckpoint cut (shared by the MI and H(X) " +
+      "consumers, the kruskalWallis discipline) hides that aggregate " +
+      "from the detector"))
 
   /** Bounded BY CONSTRUCTION at the build side's effective root — a
     * subtree-wide `exists` would let a 1-row aggregate buried inside a

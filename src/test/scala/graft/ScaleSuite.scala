@@ -361,7 +361,13 @@ class ScaleSuite extends SparkTestBase {
       "q265_multinomial_gof",  // CROSS JOIN with the 1-row total scalar
       "q267_burstiness",       // CROSS JOIN with the 1-row doc-count scalar
       "q277_kendall_tau",      // deliberate cell-table cross (cells², never rows²)
-      "q282_srm")              // CROSS JOIN with the 1-row total scalar (GOF)
+      "q282_srm",              // CROSS JOIN with the 1-row total scalar (GOF)
+      "q289_log_rank",         // CROSS JOIN with the 1-row corpus-end scalar
+                               // (userLifetimes, the q232 shape)
+      "q292_wilcoxon",         // CROSS JOIN with the 1-row tie-correction row
+                               // (the q204 kruskal shape)
+      "q293_theils_u",         // CROSS JOIN of the 1-row MI and H(X) folds
+      "q294_friedman")         // 1-row treatment-count + moment rows
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
