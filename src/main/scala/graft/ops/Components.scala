@@ -239,6 +239,82 @@ object Components {
           (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))).as("r"))
   }
 
+  /** Average-neighbor-degree curve knn(k) — [[degreeAssortativity]]'s
+    * drill-down: for each degree class k, the mean degree of the nodes
+    * that degree-k nodes link to (rising = assortative, falling =
+    * disassortative, and WHERE it bends locates the hub layer). The
+    * edge-weighted form knn(k) = Σ_{(u,v): deg(u)=k} deg(v) / |{(u,v):
+    * deg(u)=k}| over the directed mirror — numerator and denominator
+    * are exact integers from ONE grouped agg after the two degree
+    * joins (the assortativity plan with a groupBy(du) head), so the
+    * readout is ONE division, bit-identical anywhere. Output is
+    * degree-class-cardinality — tiny at any corpus size. */
+  def avgNeighborDegree(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      // feeds the degree agg and both mirror halves in ONE action —
+      // lazy-return op, the triangleCounts LRU note applies
+      .distinct().cache()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dir = canon.select(col("u"), col("v"))
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+    dir
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .groupBy(col("du").as("k"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dv").cast(dec38)).as("__s"))
+      .select(col("k"), col("n_edges"),
+        (col("__s").cast("double") / col("n_edges")).as("knn"))
+  }
+
+  /** Rich-club coefficient φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) at
+    * the supplied degree cutoffs — do the hubs form their own densely
+    * wired club (link farms, mirror rings) or merely fan out. E_{>k}
+    * counts canonical edges with BOTH endpoint degrees above k, N_{>k}
+    * the nodes above k; φ is the edge density of the induced subgraph.
+    * One degree agg; the cutoff table is a bounded literal broadcast
+    * (the vocabCoverage k-probe shape), so the per-k filters are
+    * map-only passes over the degree-annotated edge list; counts are
+    * exact integers, φ ONE division. NULL φ when N_{>k} < 2. */
+  def richClub(edges: DataFrame, aCol: String, bCol: String,
+               ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "richClub needs at least one degree cutoff")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cache() // lazy-return op — the triangleCounts LRU note
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val kDf = edges.sparkSession.createDataFrame(ks.map(Tuple1(_)))
+      .toDF("k")
+    val nk = deg.crossJoin(broadcast(kDf))
+      .filter(col("d") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .crossJoin(broadcast(kDf))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    kDf.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi",
+        when(col("n_nodes") < 2, lit(null)).otherwise(
+          (lit(2).cast(dec38) * col("n_edges")).cast("double") /
+            (col("n_nodes").cast(dec38) * (col("n_nodes") - 1))
+              .cast("double")))
+  }
+
   /** Fixed-iteration PageRank in EXACT scaled-integer arithmetic — the
     * centrality companion to [[connectedComponents]] (rank pages inside a
     * crawl graph, weight canonical-document choice, spot link farms).

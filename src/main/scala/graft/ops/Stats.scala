@@ -533,6 +533,37 @@ object Stats {
             sqrt(col("__var") / col("n"))).as("t"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit over [[calibrationBins]] — IS the
+    * model calibrated, as a test statistic rather than [[
+    * expectedCalibrationError]]'s magnitude summary:
+    *
+    *   χ² = Σ_b (pos_b − n_b·p̄_b)² / (n_b·p̄_b·(1 − p̄_b)),  df = B − 2
+    *
+    * with p̄_b the bin's mean predicted probability. Rides the same
+    * bin table (counts exact integers, p̄ one division of exact
+    * cents); each bin term is a fixed tree with ONE division, the
+    * total folds in bin order in-row (the ECE discipline — never a
+    * windowed double sum). Bins with p̄ at 0 or 1 have no variance
+    * under the null — they contribute 0 and are COUNTED in
+    * `n_degenerate` so a silent skip can't masquerade as calibration.
+    * Returns one row: (n, n_bins, n_degenerate, chi2). */
+  def hosmerLemeshow(df: DataFrame, score: Column, positive: Column,
+                     bins: Int, lo: Double, hi: Double): DataFrame = {
+    val b = calibrationBins(df, score, positive, bins, lo, hi)
+    val e = col("n") * col("mean_score")
+    val deg = col("mean_score") <= 0.0 || col("mean_score") >= 1.0
+    val t = b
+      .withColumn("__t", when(deg, lit(0.0)).otherwise(
+        (col("pos") - e) * (col("pos") - e) /
+          (e * (lit(1.0) - col("mean_score")))))
+      .withColumn("__dg", when(deg, 1L).otherwise(0L))
+    t.agg(sum("n").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_bins"),
+      sum("__dg").cast("long").as("n_degenerate"),
+      aggregate(array_sort(collect_list(struct(col("bin"), col("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")).as("chi2"))
+  }
+
   /** Wilcoxon signed-rank test over per-key condition differences —
     * the nonparametric companion to [[pairedT]] for when the diff
     * distribution is heavy-tailed or skewed (a handful of whale users

@@ -4533,6 +4533,103 @@ object Analytics {
         |FROM sq""".stripMargin) { (s, d) =>
       Stats.friedman(Tables.events(s, d), "user_id", "event_type",
         floor(col("value") * 100).cast("long"))
+    },
+
+    // Average-neighbor-degree curve (Components.avgNeighborDegree):
+    // q290's drill-down over the same part-co-occurrence graph —
+    // where the degree mixing bends. Exact integer numerator/
+    // denominator from one grouped agg, knn one division.
+    dfQ("q295_avg_neighbor_degree",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d FROM (
+        |    SELECT u n FROM e UNION ALL SELECT v FROM e) x GROUP BY n),
+        |dir AS (SELECT u, v FROM e UNION ALL SELECT v u, u v FROM e),
+        |j AS (SELECT a.d du, b.d dv FROM dir
+        |  JOIN deg a ON dir.u = a.n JOIN deg b ON dir.v = b.n)
+        |SELECT du k, CAST(COUNT(*) AS BIGINT) n_edges,
+        |  CAST(SUM(CAST(dv AS HUGEINT)) AS DOUBLE) / COUNT(*) knn
+        |FROM j GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      Components.avgNeighborDegree(e, "pa", "pb").orderBy("k")
+    },
+
+    // Rich-club coefficient (Components.richClub): hub-layer edge
+    // density at degree cutoffs 2/8/32 over the q290 graph — do the
+    // hubs wire to each other. Exact counts, phi one division, NULL
+    // below two club members.
+    dfQ("q296_rich_club",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d FROM (
+        |    SELECT u n FROM e UNION ALL SELECT v FROM e) x GROUP BY n),
+        |ks AS (SELECT CAST(UNNEST([2, 8, 32]) AS BIGINT) kc),
+        |nk AS (SELECT kc, CAST(COUNT(*) AS BIGINT) n_nodes
+        |  FROM deg CROSS JOIN ks WHERE d > kc GROUP BY 1),
+        |j AS (SELECT a.d du, b.d dv FROM e
+        |  JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n),
+        |ek AS (SELECT kc, CAST(COUNT(*) AS BIGINT) n_edges
+        |  FROM j CROSS JOIN ks WHERE du > kc AND dv > kc GROUP BY 1)
+        |SELECT ks.kc k, COALESCE(n_nodes, 0) n_nodes,
+        |  COALESCE(n_edges, 0) n_edges,
+        |  CASE WHEN COALESCE(n_nodes, 0) < 2 THEN NULL
+        |    ELSE CAST(2 * CAST(COALESCE(n_edges, 0) AS HUGEINT)
+        |        AS DOUBLE)
+        |      / CAST(CAST(COALESCE(n_nodes, 0) AS HUGEINT)
+        |        * (COALESCE(n_nodes, 0) - 1) AS DOUBLE) END phi
+        |FROM ks LEFT JOIN nk ON ks.kc = nk.kc
+        |  LEFT JOIN ek ON ks.kc = ek.kc
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      Components.richClub(e, "pa", "pb", Seq(2L, 8L, 32L)).orderBy("k")
+    },
+
+    // Hosmer-Lemeshow calibration test (Stats.hosmerLemeshow): q174's
+    // bins with value/400 as the predicted probability — the test-
+    // statistic companion to q230's ECE. Terms fold in bin order;
+    // degenerate bins (p at 0 or 1) contribute 0 and are counted.
+    dfQ("q297_hosmer_lemeshow",
+      """WITH b AS (SELECT LEAST(GREATEST(CAST(FLOOR((value / 400 - 0.0)
+        |      / CAST(0.125 AS DOUBLE)) AS BIGINT), 0), 7) bin,
+        |    CAST(COUNT(*) AS BIGINT) n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) pos,
+        |    CAST(SUM(CAST(ROUND(value / 400 * 100) AS BIGINT))
+        |      AS BIGINT) sc
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT bin, n, pos, CAST(sc AS DOUBLE) / (100.0 * n) ms
+        |  FROM b),
+        |t AS (SELECT bin, n, pos,
+        |    CASE WHEN ms <= 0.0 OR ms >= 1.0 THEN 0.0
+        |      ELSE (pos - n * ms) * (pos - n * ms)
+        |        / ((n * ms) * (1.0 - ms)) END tt,
+        |    CASE WHEN ms <= 0.0 OR ms >= 1.0 THEN 1 ELSE 0 END dg
+        |  FROM m)
+        |SELECT CAST(SUM(n) AS BIGINT) n, CAST(COUNT(*) AS BIGINT) n_bins,
+        |  CAST(SUM(dg) AS BIGINT) n_degenerate,
+        |  LIST_REDUCE(LIST(tt ORDER BY bin), (a, b) -> a + b) chi2
+        |FROM t""".stripMargin) { (s, d) =>
+      Stats.hosmerLemeshow(Tables.table(s, d, "events"),
+        col("value") / 400, col("event_type") === "purchase",
+        bins = 8, lo = 0.0, hi = 1.0)
     }
   )
 }

@@ -3220,4 +3220,55 @@ class AnalyticsSuite extends SparkTestBase {
     val rc = Stats.friedman(const, "b", "t", col("x")).collect()(0)
     assert(rc.isNullAt(rc.fieldIndex("chi2")), rc)
   }
+
+  test("avgNeighborDegree: star hand case — leaves see the hub, " +
+      "the hub sees leaves") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Components.avgNeighborDegree(star, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(3L -> ((3L, 1.0)), 1L -> ((3L, 3.0))))
+  }
+
+  test("richClub: K4 + pendant — full density above the cutoff, " +
+      "NULL below two members") {
+    import spark.implicits._
+    // K4 on 1-4 (deg 3; node 4 deg 4 via the pendant), pendant 4-5
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Components.richClub(e, "a", "b", Seq(0L, 2L, 3L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // k=0: all 5 nodes, 7 edges -> 14/20
+    assert(got(0L) == ((5L, 7L, Some(0.7))))
+    // k=2: nodes {1,2,3,4}, the 6 K4 edges -> 12/12 = 1.0
+    assert(got(2L) == ((4L, 6L, Some(1.0))))
+    // k=3: only node 4 qualifies -> NULL phi
+    assert(got(3L) == ((1L, 0L, None)))
+  }
+
+  test("hosmerLemeshow: two perfectly-sized bins hand case; " +
+      "p=0 bins count as degenerate and contribute 0") {
+    import spark.implicits._
+    // bin0: 10 rows at score .25, 3 positive -> E=2.5, t=.25/1.875
+    // bin1: 10 rows at score .75, 7 positive -> E=7.5, t=.25/1.875
+    val rows = Seq.fill(3)((0.25, true)) ++ Seq.fill(7)((0.25, false)) ++
+      Seq.fill(7)((0.75, true)) ++ Seq.fill(3)((0.75, false))
+    val r = Stats.hosmerLemeshow(rows.toDF("s", "y"), col("s"),
+      col("y"), bins = 2, lo = 0.0, hi = 1.0).collect()(0)
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Long]("n_degenerate") == 0L)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0 / 15) < 1e-12, r)
+    // at bins=4 the same rows split [.25 -> bin1, .75 -> bin3] and a
+    // score-0.0 bin0 has no null variance -> degenerate, term 0; the
+    // chi2 total is unchanged
+    val withZero = rows ++ Seq.fill(5)((0.0, false))
+    val r2 = Stats.hosmerLemeshow(withZero.toDF("s", "y"), col("s"),
+      col("y"), bins = 4, lo = 0.0, hi = 1.0).collect()(0)
+    assert(r2.getAs[Long]("n_bins") == 3L &&
+      r2.getAs[Long]("n_degenerate") == 1L)
+    assert(math.abs(r2.getAs[Double]("chi2") - 4.0 / 15) < 1e-12, r2)
+  }
 }

@@ -367,7 +367,9 @@ class ScaleSuite extends SparkTestBase {
       "q292_wilcoxon",         // CROSS JOIN with the 1-row tie-correction row
                                // (the q204 kruskal shape)
       "q293_theils_u",         // CROSS JOIN of the 1-row MI and H(X) folds
-      "q294_friedman")         // 1-row treatment-count + moment rows
+      "q294_friedman",         // 1-row treatment-count + moment rows
+      "q296_rich_club")        // 3-row broadcast degree-cutoff probe
+                               // (the q249 k-checkpoint shape)
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
