@@ -365,6 +365,36 @@ object Streams {
     q
   }
 
+  /** ST27: streaming calibration monitor — each micro-batch of scored
+    * outcomes lands ONE row of [[graft.ops.Stats.hosmerLemeshow]]
+    * (χ², with degenerate-bin count) plus [[graft.ops.Stats
+    * .expectedCalibrationError]]'s magnitude — the model-monitoring
+    * twin of [[runDriftMonitor]]: drift watches the INPUTS, this
+    * watches whether the model's scores still mean what they say.
+    * Stateless foreachBatch; per-batch-id overwrite → checkpoint
+    * replay rewrites identical rows; the bin spec is frozen by the
+    * caller (re-binning is an offline decision, the drift-monitor
+    * reference discipline). State store holds nothing. */
+  def runCalibrationMonitor(cur: DataFrame, scoreCol: String,
+                            positiveCol: String, bins: Int, lo: Double,
+                            hi: Double, outDir: String): StreamingQuery = {
+    val q = cur.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val hl = graft.ops.Stats.hosmerLemeshow(batch, col(scoreCol),
+          col(positiveCol), bins, lo, hi)
+        val ece = graft.ops.Stats.expectedCalibrationError(batch,
+          col(scoreCol), col(positiveCol), bins, lo, hi).select(col("ece"))
+        hl.crossJoin(org.apache.spark.sql.functions.broadcast(ece))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** ST × L1++: streaming boilerplate-span excision against a FROZEN
     * boiler set — each micro-batch of documents is cleaned by
     * [[graft.ops.Dedup.exciseNgrams]] with the standing n-gram table

@@ -411,6 +411,42 @@ class StreamingSuite extends SparkTestBase {
     assert(psis.toSet == batchVals)
   }
 
+  test("ST27 streaming calibration monitor: per-batch HL chi2 + ECE " +
+      "equal the batch operators") {
+    import spark.implicits._
+    // batch 1 perfectly calibrated (pos share == mean score per bin),
+    // batch 2 systematically overconfident
+    val good = (Seq.fill(2)((0.25, true)) ++ Seq.fill(6)((0.25, false)) ++
+      Seq.fill(6)((0.75, true)) ++ Seq.fill(2)((0.75, false)))
+      .map { case (s, y) => (s, y) }
+    val bad = (Seq.fill(1)((0.85, true)) ++ Seq.fill(9)((0.85, false)))
+    val root = Files.createTempDirectory("graft-calib").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"
+    good.toDF("s", "y").coalesce(1).write.parquet(s"$srcDir/f1")
+    bad.toDF("s", "y").coalesce(1).write.parquet(s"$srcDir/f2")
+    val schema = good.toDF("s", "y").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/f*/*.parquet")
+    Streams.runCalibrationMonitor(stream, "s", "y",
+      bins = 4, lo = 0.0, hi = 1.0, outDir = outDir)
+    val out = spark.read.parquet(s"$outDir/batch_*")
+      .select("n", "chi2", "ece").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.size == 2)
+    // per-batch rows equal the batch operators exactly
+    for ((df, n) <- Seq((good, 16L), (bad, 10L))) {
+      val b = df.toDF("s", "y")
+      val hl = graft.ops.Stats.hosmerLemeshow(b, col("s"), col("y"),
+        4, 0.0, 1.0).collect()(0).getAs[Double]("chi2")
+      val ece = graft.ops.Stats.expectedCalibrationError(b, col("s"),
+        col("y"), 4, 0.0, 1.0).collect()(0).getAs[Double]("ece")
+      assert(out(n) == ((hl, ece)), s"batch n=$n: ${out(n)} vs ($hl, $ece)")
+    }
+    // the overconfident batch alarms; the exactly-calibrated one
+    // (pos share == mean score per bin) reads 0 on both metrics
+    assert(out(10L)._2 > 0.5 && out(16L) == ((0.0, 0.0)))
+  }
+
   test("streaming incremental dedup: digest-store anti-join equals sequential batch, replay-safe") {
     import graft.ops.Dedup
     val docs = Tables.table(spark, sf0001, "documents").select("doc_id", "text")
