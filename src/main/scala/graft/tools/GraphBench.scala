@@ -98,6 +98,19 @@ object GraphBench {
     val (hitsN, hitsSec) = time {
       Components.hitsExact(edges, "a", "b", iters = 2).count()
     }
+    // Degree-mixing family (r13 — the q290/q295 volume arm): one-shot
+    // moment/curve shapes, NOT iterative — prices the two node-key
+    // degree joins over the mirrored edge list at volume, the part the
+    // fixture graph (10⁵ edges) cannot. The hub set concentrates 20%
+    // of edges on 1,000 nodes, so the join keys carry exactly the skew
+    // the non-broadcast design claims to absorb.
+    val (assortR, assortSec) = time {
+      val r = Components.degreeAssortativity(edges, "a", "b").collect()(0)
+      if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+    }
+    val (knnK, knnSec) = time {
+      Components.avgNeighborDegree(edges, "a", "b").count()
+    }
 
     println(
       s"""{"bench":"graph","edges":$edgeCount,"nodes":$nNodes,""" +
@@ -106,7 +119,9 @@ object GraphBench {
       s""""kcore_sec":${f"$kcSec%.2f"},"kcore_nodes":$kcN,""" +
       s""""labelprop_sec":${f"$lpSec%.2f"},"labelprop_labels":$lpN,""" +
       s""""bfs_sec":${f"$bfsSec%.2f"},"bfs_reached":$bfsN,""" +
-      s""""hits_sec":${f"$hitsSec%.2f"},"hits_nodes":$hitsN}""")
+      s""""hits_sec":${f"$hitsSec%.2f"},"hits_nodes":$hitsN,""" +
+      s""""assort_sec":${f"$assortSec%.2f"},"assort_r":${f"$assortR%.4f"},""" +
+      s""""knn_sec":${f"$knnSec%.2f"},"knn_classes":$knnK}""")
     spark.stop()
   }
 }
