@@ -838,4 +838,90 @@ class FuzzSuite extends SparkTestBase {
       assert(failures.isEmpty, failures.take(3).mkString("\n"))
     } finally conn.close()
   }
+
+  test("10 random Wilcoxon pairing geometries agree between Spark and DuckDB") {
+    // 14th axis: Stats.wilcoxonSignedRank across random (condition
+    // type, value scale, pairing-key modulus) — the q292 oracle replay
+    // beyond its one point. The key modulus changes how many keys
+    // collapse onto each pair (and so the TIE density of the |d|
+    // table, the doubled-rank machinery's hard part); the value scale
+    // changes how many diffs are exactly zero and drop.
+    import org.apache.spark.sql.functions.{col, floor}
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE VIEW events AS SELECT * FROM '$sf0001/events.parquet'")
+      val types = Tables.events(spark, sf0001)
+        .select("event_type").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val geomGen = for {
+        t <- Gen.oneOf(types)
+        scale <- Gen.oneOf(1, 10, 100)
+        keyMod <- Gen.oneOf(25L, 50L, 200L, 1000L)
+      } yield (t, scale, keyMod)
+      val geoms = (1 to 10).flatMap(i =>
+        geomGen.apply(Gen.Parameters.default, Seed(14000L + i)))
+      assert(geoms.size >= 8)
+      val failures = geoms.flatMap { case (t, scale, keyMod) =>
+        val ev = Tables.events(spark, sf0001)
+          .withColumn("pk", col("user_id") % keyMod)
+        val r = graft.ops.Stats.wilcoxonSignedRank(ev, "pk",
+            col("event_type") === t,
+            floor(col("value") * scale).cast("long"))
+          .collect()(0)
+        val sparkRow = (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+        val rs = st.executeQuery(
+          s"""WITH k AS (SELECT user_id % $keyMod pk,
+             |    CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0
+             |      END) AS BIGINT) n1,
+             |    CAST(SUM(CASE WHEN event_type = '$t'
+             |      THEN CAST(FLOOR(value * $scale) AS BIGINT) ELSE 0
+             |      END) AS BIGINT) s1,
+             |    CAST(SUM(CASE WHEN event_type <> '$t' THEN 1 ELSE 0
+             |      END) AS BIGINT) n2,
+             |    CAST(SUM(CASE WHEN event_type <> '$t'
+             |      THEN CAST(FLOOR(value * $scale) AS BIGINT) ELSE 0
+             |      END) AS BIGINT) s2
+             |  FROM events GROUP BY 1),
+             |dd AS (SELECT CAST(s1 AS DOUBLE) / n1
+             |    - CAST(s2 AS DOUBLE) / n2 d
+             |  FROM k WHERE n1 > 0 AND n2 > 0),
+             |cells AS (SELECT ABS(d) a, d > 0 p,
+             |    CAST(COUNT(*) AS BIGINT) cp
+             |  FROM dd WHERE d <> 0 GROUP BY 1, 2),
+             |byv AS (SELECT a v, CAST(SUM(cp) AS BIGINT) c
+             |  FROM cells GROUP BY 1),
+             |rk AS (SELECT v, c,
+             |    CAST(2 * COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+             |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+             |      AS BIGINT) dr
+             |  FROM byv),
+             |m AS (SELECT CAST(COALESCE(SUM(cp), 0) AS HUGEINT) n,
+             |    COALESCE(SUM(CASE WHEN p THEN CAST(cp AS HUGEINT) * dr
+             |      ELSE 0 END), 0) w2
+             |  FROM cells JOIN rk ON cells.a = rk.v),
+             |t AS (SELECT CAST(COALESCE(SUM(c * c * c - c), 0)
+             |    AS HUGEINT) ts FROM byv)
+             |SELECT CAST(n AS BIGINT) n, CAST(w2 AS DOUBLE) / 2.0 wp,
+             |  CASE WHEN n < 1
+             |      OR 2 * n * (n + 1) * (2 * n + 1) - ts <= 0 THEN NULL
+             |    ELSE CAST(2 * w2 - n * (n + 1) AS DOUBLE)
+             |      / (2.0 * SQRT(CAST(2 * n * (n + 1) * (2 * n + 1) - ts
+             |          AS DOUBLE) / 12.0)) END z
+             |FROM m CROSS JOIN t""".stripMargin)
+        rs.next()
+        val z = rs.getDouble(3)
+        val zNull = rs.wasNull() // must read IMMEDIATELY after getDouble(3)
+        val duckRow = (rs.getLong(1), rs.getDouble(2),
+          if (zNull) None else Some(z))
+        if (sparkRow != duckRow)
+          Some(s"type=$t scale=$scale mod=$keyMod: " +
+            s"spark=$sparkRow duck=$duckRow")
+        else None
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally conn.close()
+  }
 }
