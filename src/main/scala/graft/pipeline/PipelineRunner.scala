@@ -417,6 +417,55 @@ object PipelineRunner {
         LoadReport(l.format, l.table.getOrElse(l.path), src,
           scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
             .getOrElse(-1L))
+      } else if (l.mode == "scd2") {
+        // declarative SCD Type-2 landing: the feed batch's latest
+        // change per key (by `versionCol`) closes a differing open row
+        // at that timestamp and opens a new one
+        // (graft.ops.Merge.scd2Apply); identical attributes are a
+        // no-op, so re-applying a batch is idempotent. First run
+        // bootstraps from an EMPTY current with the dimension schema
+        // derived from the batch — every batch key then inserts as an
+        // open row through the same code path. Same crash-safe swap
+        // as upsert (the merged plan reads the target it replaces).
+        import org.apache.spark.sql.functions.{col, lit}
+        val key = l.key.getOrElse(
+          throw new IllegalArgumentException("scd2 load: 'key' required"))
+        val ts = l.versionCol.getOrElse(
+          throw new IllegalArgumentException(
+            "scd2 load: 'versionCol' (change-ts column) required"))
+        val attrs = l.scdAttrs
+        Sinks.recoverSwap(df1, l.path)
+        val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val cur0 =
+          if (fs.exists(new org.apache.hadoop.fs.Path(l.path)))
+            spark.read.parquet(l.path)
+          else df1.select(col(key) +: attrs.map(col) :+
+              col(ts).as("valid_from") :+
+              lit(null).cast(df1.schema(ts).dataType).as("valid_to"): _*)
+            .limit(0)
+        val mergedObs = new org.apache.spark.sql.Observation()
+        val merged = graft.ops.Merge.scd2Apply(cur0, df1, key, ts, attrs)
+          .observe(mergedObs, org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        Sinks.writeParquetSwapped(merged, l.path)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
+      } else if (l.mode == "compact") {
+        // declarative small-file compaction (the maintenance twin of
+        // mode=zorder without re-clustering): rewrite the target
+        // directory into measured-bytes-sized files, optionally
+        // range-clustered on `compactSortCol`
+        // (graft.ops.Compact.compactDir — its own two-rename crash
+        // recovery). The load's SOURCE view is conventionally the
+        // target read back (the zorder convention) and is not
+        // consumed: compaction is in-place maintenance, not a write
+        // of new data.
+        val report = graft.ops.Compact.compactDir(spark, l.path,
+          targetBytes = l.compactTargetBytes.getOrElse(128L << 20),
+          sortCol = l.compactSortCol)
+        LoadReport(l.format, l.table.getOrElse(l.path), src, report.rows)
       } else if (l.mode == "zorder") {
         // declarative re-layout maintenance load (the Compact family's
         // clustering twin): rewrite the target z-order-clustered on

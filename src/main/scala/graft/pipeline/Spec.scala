@@ -39,7 +39,10 @@ final case class LoadSpec(
     options: Map[String, String] = Map.empty,
     table: Option[String] = None,         // for format=table (saveAsTable)
     key: Option[String] = None,           // mode=upsert: the merge key
-    versionCol: Option[String] = None,    // mode=upsert: latest-wins order
+    versionCol: Option[String] = None,    // mode=upsert: latest-wins order; mode=scd2: the change-ts column
+    scdAttrs: Seq[String] = Nil,          // mode=scd2: tracked attribute columns
+    compactTargetBytes: Option[Long] = None, // mode=compact: per-file goal (default 128 MiB)
+    compactSortCol: Option[String] = None,   // mode=compact: range-cluster column
     seqCols: Seq[String] = Nil,           // mode=cdc: change-sequence order (last = unique tiebreak)
     rollupKeys: Seq[String] = Nil,        // mode=rollup: grouping keys
     measures: Seq[String] = Nil,          // mode=rollup: measure DSL (see Rollup.parseMeasure)
@@ -233,6 +236,20 @@ object PipelineSpec {
           s"load: knnK must be >= 1, got $k"))
         l.knnProbe.foreach(p => require(p >= 1,
           s"load: knnProbe must be >= 1, got $p"))
+      }
+      if (l.mode == "scd2") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=scd2 supports parquet targets only")
+        require(l.key.isDefined && l.versionCol.isDefined &&
+          l.scdAttrs.nonEmpty,
+          "load: mode=scd2 requires 'key', 'versionCol' (the change-ts " +
+            "column) and 'scdAttrs'")
+      }
+      if (l.mode == "compact") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=compact supports parquet targets only")
+        l.compactTargetBytes.foreach(b => require(b > 0,
+          s"load: compactTargetBytes must be positive, got $b"))
       }
       if (l.mode == "zorder") {
         require(l.format.equalsIgnoreCase("parquet"),

@@ -989,4 +989,89 @@ class PipelineSuite extends SparkTestBase {
            "loads":[{"format":"parquet","path":"o","source":"nope"}]}""")
     }
   }
+
+  test("T-P19: declarative scd2 load maintains a validity-interval " +
+      "dimension; identical re-apply is a no-op") {
+    val out = tmp() + "/dim"
+    def spec(rows: Seq[String]) = PipelineSpec("tp19",
+      extracts = Seq(ExtractSpec("updates", "values",
+        path = rows.mkString("\n"),
+        schema = Some("k BIGINT, city STRING, ts BIGINT"))),
+      loads = Seq(LoadSpec("parquet", out, mode = "scd2",
+        key = Some("k"), versionCol = Some("ts"),
+        scdAttrs = Seq("city"))))
+    // first batch bootstraps: every key inserts as an open row
+    val r1 = PipelineRunner.run(spark, spec(Seq(
+      """{"k":1,"city":"ams","ts":10}""",
+      """{"k":2,"city":"nyc","ts":10}""")))
+    assert(r1.loads.head.rows == 2L)
+    def rows() = spark.read.parquet(out).collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[String]("city"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong))).toSet
+    assert(rows() == Set((1L, "ams", 10L, None), (2L, "nyc", 10L, None)))
+    // second batch: k=1 changes (close + open), k=2 identical (no-op),
+    // k=3 new (open)
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":1,"city":"ber","ts":20}""",
+      """{"k":2,"city":"nyc","ts":20}""",
+      """{"k":3,"city":"sfo","ts":20}""")))
+    val after = rows()
+    assert(after == Set(
+      (1L, "ams", 10L, Some(20L)), (1L, "ber", 20L, None),
+      (2L, "nyc", 10L, None), (3L, "sfo", 20L, None)), after)
+    // re-applying the same batch changes nothing (idempotent landing)
+    PipelineRunner.run(spark, spec(Seq(
+      """{"k":1,"city":"ber","ts":20}""",
+      """{"k":2,"city":"nyc","ts":20}""",
+      """{"k":3,"city":"sfo","ts":20}""")))
+    assert(rows() == after)
+    // validation: scdAttrs required; parquet-only
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "scd2",
+          key = Some("k"), versionCol = Some("ts")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("csv", out, mode = "scd2",
+          key = Some("k"), versionCol = Some("ts"),
+          scdAttrs = Seq("city")))))
+    }
+  }
+
+  test("T-P20: declarative compact load shrinks file count in place, " +
+      "data identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp() + "/files"
+    spark.range(20000).toDF("id")
+      .withColumn("v", col("id") % 100)
+      .repartition(16).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 16)
+    val sum0 = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0)
+    val r = PipelineRunner.run(spark, PipelineSpec("tp20",
+      extracts = Seq(ExtractSpec("t", "parquet", path = dir)),
+      loads = Seq(LoadSpec("parquet", dir, mode = "compact",
+        source = Some("t"), compactSortCol = Some("id")))))
+    assert(r.loads.head.rows == 20000L)
+    assert(parquetFiles() < before,
+      s"file count must shrink: $before -> ${parquetFiles()}")
+    val sum1 = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0)
+    assert(sum1 == sum0 &&
+      spark.read.parquet(dir).count() == 20000L)
+    // validation: non-positive target bytes
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("t", "parquet", path = dir)),
+        loads = Seq(LoadSpec("parquet", dir, mode = "compact",
+          source = Some("t"), compactTargetBytes = Some(0L)))))
+    }
+  }
 }
