@@ -562,7 +562,8 @@ class PipelineSuite extends SparkTestBase {
         "user_sessions_feed.json", "chunked_docs_feed.json",
         "quality_gate_feed.json", "monitored_load_feed.json",
         "curation_feed.json", "zorder_maintenance_feed.json",
-        "near_dedup_feed.json", "knn_graph_feed.json")) {
+        "near_dedup_feed.json", "knn_graph_feed.json",
+        "scd2_dimension_feed.json", "compact_maintenance_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
     // the monitored feed persisted one status row per load via JDBC
