@@ -1629,6 +1629,59 @@ object Stats {
       col("__v").as("v_star"))
   }
 
+  /** Per-key Mann–Whitney rank-sum test + Cliff's delta — the LOCATION
+    * companion to [[ksTest]]'s shape test (did the metric's level shift
+    * per segment, robust to outliers and any monotone transform):
+    *
+    *   U₁ = R₁ − n₁(n₁+1)/2,   δ = 2U₁/(n₁n₂) − 1,
+    *   z = (U₁ − n₁n₂/2) / √(n₁n₂[(n+1)n(n−1) − Σ(t³−t)] / (12n(n−1)))
+    *
+    * Same collapsed per-(key, value) cell table as ksTest — ONE corpus
+    * shuffle, per-key windows over DISTINCT values only. Doubled
+    * average ranks keep 2R₁ = Σ d₁·dr exactly integral under ties, so
+    * the z numerator (2U₁ − n₁n₂) and the variance radicand's
+    * numerator/denominator are exact DECIMAL(38) integers: δ is one
+    * division, z one division over one sqrt of one division —
+    * bit-identical anywhere. Cliff's |δ| is the effect size the
+    * p-value can't give at 100 TB (everything is "significant" at
+    * n = 10⁹; δ says whether it MATTERS). Keys with an empty arm
+    * drop (the ksTest contract); all-tied keys read NULL z. */
+  def mannWhitneyByKey(df: DataFrame, keyCol: String, inArm1: Column,
+                       inArm2: Column, x: Column): DataFrame = {
+    val byVal = df.select(col(keyCol).as("__k"), x.as("__v"),
+        when(inArm1, 1L).otherwise(0L).as("__a1"),
+        when(inArm2, 1L).otherwise(0L).as("__a2"))
+      .filter(col("__a1") + col("__a2") > 0)
+      .groupBy("__k", "__v")
+      .agg(sum("__a1").as("__d1"), sum("__a2").as("__d2"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = byVal
+      .withColumn("__c", col("__d1") + col("__d2"))
+      .withColumn("__below", coalesce(sum("__c").over(wOrd), lit(0L)))
+      .withColumn("__dr", lit(2L) * col("__below") + col("__c") + 1)
+    val g = r.groupBy(col("__k"))
+      .agg(sum("__d1").cast(dec38).as("n1"),
+        sum("__d2").cast(dec38).as("n2"),
+        sum(col("__d1").cast(dec38) * col("__dr")).as("__sdr1"),
+        sum((col("__c").cast(dec38) * col("__c") * col("__c") -
+          col("__c")).cast(dec38)).as("__ts"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val n = col("n1") + col("n2")
+    val num2 = col("__sdr1") - col("n1") * (col("n1") + 1) -
+      col("n1") * col("n2")
+    val varNum = col("n1") * col("n2") *
+      ((n + 1) * n * (n - 1) - col("__ts"))
+    g.select(col("__k").as(keyCol),
+      col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      ((num2 + col("n1") * col("n2")).cast("double") / 2.0).as("u1"),
+      (num2.cast("double") / (col("n1") * col("n2")).cast("double"))
+        .as("cliffs_delta"),
+      when(varNum <= 0, lit(null)).otherwise(
+        num2.cast("double") / (lit(2.0) * sqrt(varNum.cast("double") /
+          (lit(12).cast(dec38) * n * (n - 1)).cast("double")))).as("z"))
+  }
+
   /** Benjamini–Hochberg step-up FDR adjustment over a family of tests —
     * the multiple-comparisons guard when thousands of metric/segment
     * hypotheses are read at once: adjusted pᵢ = min(1, min_{j≥i} pⱼ·m/j)

@@ -4630,6 +4630,52 @@ object Analytics {
       Stats.hosmerLemeshow(Tables.table(s, d, "events"),
         col("value") / 400, col("event_type") === "purchase",
         bins = 8, lo = 0.0, hi = 1.0)
+    },
+
+    // Per-key Mann-Whitney rank-sum + Cliff's delta
+    // (Stats.mannWhitneyByKey): did even-id users' value level shift
+    // vs odd-id users', per event type — the location companion to
+    // q243's per-key KS shape test, with the effect size a 10^9-row
+    // p-value can't give. Doubled ranks off the per-key distinct-value
+    // cells; exact HUGEINT moments, one division per readout.
+    dfQ("q298_mann_whitney",
+      """WITH t AS (SELECT event_type k,
+        |    CAST(FLOOR(value * 100) AS BIGINT) v,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END a1,
+        |    CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END a2
+        |  FROM events),
+        |bv AS (SELECT k, v, CAST(SUM(a1) AS BIGINT) d1,
+        |    CAST(SUM(a2) AS BIGINT) d2
+        |  FROM t GROUP BY 1, 2),
+        |r AS (SELECT k, d1, d1 + d2 c,
+        |    CAST(2 * COALESCE(SUM(d1 + d2) OVER (PARTITION BY k
+        |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) + (d1 + d2) + 1 AS BIGINT) dr
+        |  FROM bv),
+        |g AS (SELECT k, CAST(SUM(d1) AS HUGEINT) n1,
+        |    CAST(SUM(c - d1) AS HUGEINT) n2,
+        |    CAST(SUM(CAST(d1 AS HUGEINT) * dr) AS HUGEINT) sdr1,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) ts
+        |  FROM r GROUP BY 1),
+        |e AS (SELECT k, n1, n2,
+        |    sdr1 - n1 * (n1 + 1) - n1 * n2 num2,
+        |    n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ts)
+        |      varnum,
+        |    n1 + n2 n
+        |  FROM g WHERE n1 > 0 AND n2 > 0)
+        |SELECT k event_type, CAST(n1 AS BIGINT) n1,
+        |  CAST(n2 AS BIGINT) n2,
+        |  CAST(num2 + n1 * n2 AS DOUBLE) / 2.0 u1,
+        |  CAST(num2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) cliffs_delta,
+        |  CASE WHEN varnum <= 0 THEN NULL
+        |    ELSE CAST(num2 AS DOUBLE) / (2.0 * SQRT(
+        |      CAST(varnum AS DOUBLE)
+        |        / CAST(12 * n * (n - 1) AS DOUBLE))) END z
+        |FROM e ORDER BY event_type""".stripMargin) { (s, d) =>
+      Stats.mannWhitneyByKey(Tables.events(s, d), "event_type",
+          col("user_id") % 2 === 0, col("user_id") % 2 =!= 0,
+          floor(col("value") * 100).cast("long"))
+        .orderBy("event_type")
     }
   )
 }

@@ -3271,4 +3271,42 @@ class AnalyticsSuite extends SparkTestBase {
       r2.getAs[Long]("n_degenerate") == 1L)
     assert(math.abs(r2.getAs[Double]("chi2") - 4.0 / 15) < 1e-12, r2)
   }
+
+  test("mannWhitneyByKey: textbook no-tie and tied hand cases; " +
+      "complete separation reads delta = -1; all-tied reads NULL z") {
+    import spark.implicits._
+    def df(rows: Seq[(String, Boolean, Long)]) =
+      rows.toDF("k", "arm1", "x")
+    // arm1 = {1,2} < arm2 = {3,4}: U1 = 0, delta = -1,
+    // z = -2 / sqrt(20/12)
+    val sep = df(Seq(("a", true, 1L), ("a", true, 2L),
+      ("a", false, 3L), ("a", false, 4L)))
+    val r1 = Stats.mannWhitneyByKey(sep, "k", col("arm1"), !col("arm1"),
+      col("x")).collect()(0)
+    assert(r1.getAs[Double]("u1") == 0.0)
+    assert(r1.getAs[Double]("cliffs_delta") == -1.0)
+    assert(math.abs(r1.getAs[Double]("z") -
+      (-2.0 / math.sqrt(20.0 / 12))) < 1e-12, r1)
+    // tie case: arm1 = {1,1}, arm2 = {1,3}: avg ranks 2,2,2,4 ->
+    // U1 = 1, delta = -0.5, T = 24 -> varnum/144 = 1 -> z = -1
+    val tied = df(Seq(("a", true, 1L), ("a", true, 1L),
+      ("a", false, 1L), ("a", false, 3L)))
+    val r2 = Stats.mannWhitneyByKey(tied, "k", col("arm1"), !col("arm1"),
+      col("x")).collect()(0)
+    assert(r2.getAs[Double]("u1") == 1.0)
+    assert(r2.getAs[Double]("cliffs_delta") == -0.5)
+    assert(math.abs(r2.getAs[Double]("z") - (-1.0)) < 1e-12, r2)
+    // all values tied: varnum = 0 -> NULL z; delta = 0
+    val allTied = df(Seq(("a", true, 5L), ("a", false, 5L),
+      ("a", true, 5L), ("a", false, 5L)))
+    val r3 = Stats.mannWhitneyByKey(allTied, "k", col("arm1"),
+      !col("arm1"), col("x")).collect()(0)
+    assert(r3.getAs[Double]("cliffs_delta") == 0.0 &&
+      r3.isNullAt(r3.fieldIndex("z")), r3)
+    // a key with an empty arm drops (the ksTest contract)
+    val oneArm = df(Seq(("b", true, 1L), ("b", true, 2L)))
+    assert(Stats.mannWhitneyByKey(sep.union(oneArm), "k", col("arm1"),
+      !col("arm1"), col("x")).collect().map(_.getString(0)).toSeq
+      == Seq("a"))
+  }
 }
