@@ -283,7 +283,11 @@ object Components {
     * map-only passes over the degree-annotated edge list; counts are
     * exact integers, φ ONE division. NULL φ when N_{>k} < 2. */
   def richClub(edges: DataFrame, aCol: String, bCol: String,
-               ks: Seq[Long]): DataFrame = {
+               rawKs: Seq[Long]): DataFrame = {
+    // dedupe the cutoffs: a duplicated k would match each degree/edge
+    // row once per duplicate through the crossJoin and the groupBy(k)
+    // would merge the copies, inflating n_nodes/n_edges (and phi)
+    val ks = rawKs.distinct
     require(ks.nonEmpty, "richClub needs at least one degree cutoff")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val canon = edges

@@ -575,10 +575,13 @@ object Stats {
     * Same key table as pairedT (one grouped conditional agg; each diff
     * a fixed two-division tree). Ranks come from the COLLAPSED
     * distinct-|d| table (doubled average ranks stay INTEGRAL under
-    * ties — the [[rocAuc]] discipline: the rank window runs over
-    * distinct values, never raw keys, so no single-partition
-    * full-data window at scale). With doubled ranks w2 = 2W⁺, both
-    * moments clear denominators exactly:
+    * ties — the [[rocAuc]] discipline). NOTE the collapse alone is no
+    * scale guarantee here: |d| is an unquantized double ratio, so
+    * distinct-|d| cardinality ≈ nonzero-key cardinality — which is
+    * why [[doubledRanksFromCounts]] runs its prefix sum as a
+    * DISTRIBUTED two-level pass (range-bucket windows + broadcast
+    * bucket offsets), never a single global ordered window. With
+    * doubled ranks w2 = 2W⁺, both moments clear denominators exactly:
     *
     *   z = (2·w2 − n(n+1)) / (2·√((2n(n+1)(2n+1) − Σ(t³−t)) / 12))
     *
@@ -913,12 +916,42 @@ object Stats {
   /** [[doubledRanks]] when the caller already holds the per-value
     * count table (__v, __c) — lets rank statistics that start from a
     * grouped cell table derive ranks WITHOUT a second scan of the raw
-    * input. */
+    * input.
+    *
+    * The prefix sum is DISTRIBUTED (two-level): range-partition the
+    * value table, run the ordered window WITHIN each range bucket,
+    * and add per-bucket offsets from a bucket-count side table that is
+    * shuffle-partition-cardinality (broadcast back). No stage ever
+    * holds more than ~V/partitions rows in one window partition, so
+    * the machinery survives value cardinality at ROW scale — the
+    * Wilcoxon case, where |d| is an unquantized double and nearly
+    * every key contributes a distinct value (a single global ordered
+    * window there would funnel key-cardinality rows through one
+    * partition). The bucket ids come from `spark_partition_id()` over
+    * a `localCheckpoint`ed frame, so both consumers (offsets + join)
+    * read the SAME materialized assignment; the __dr values themselves
+    * are bucket-invariant integers, so results are bit-identical to
+    * the single-window form on any partitioning. */
   private def doubledRanksFromCounts(byV: DataFrame): DataFrame = {
-    val wOrd = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
-    byV.withColumn("__below", coalesce(sum("__c").over(wOrd), lit(0L)))
+    val parts = byV.sparkSession.sessionState.conf.numShufflePartitions
+    val bucketed = byV
+      .repartitionByRange(parts, col("__v"))
+      .withColumn("__b", spark_partition_id())
+      .localCheckpoint(false)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-bucket totals: ≤ `parts` rows — the global window is bounded
+    // by the shuffle-partition count, never by data
+    val offsets = bucketed.groupBy("__b").agg(sum("__c").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wLoc = Window.partitionBy("__b").orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__lb", coalesce(sum("__c").over(wLoc), lit(0L)))
+      .join(broadcast(offsets), "__b")
       .select(col("__v"), col("__c"),
-        (lit(2L) * col("__below") + col("__c") + 1).as("__dr"))
+        (lit(2L) * (col("__off") + col("__lb")) + col("__c") + 1).as("__dr"))
   }
 
   /** Spearman rank correlation between two integral columns — the

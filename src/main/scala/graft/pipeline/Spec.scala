@@ -244,6 +244,18 @@ object PipelineSpec {
           l.scdAttrs.nonEmpty,
           "load: mode=scd2 requires 'key', 'versionCol' (the change-ts " +
             "column) and 'scdAttrs'")
+        // scdAttrs overlapping the key/versionCol or the reserved
+        // validity columns would bootstrap a dimension with duplicate
+        // or colliding columns — a corrupt table, not a clear error
+        val reserved = Seq("valid_from", "valid_to") ++
+          l.key.toSeq ++ l.versionCol.toSeq
+        val clash = l.scdAttrs.filter(reserved.contains)
+        require(clash.isEmpty,
+          s"load: mode=scd2 scdAttrs must not contain the key, " +
+            s"versionCol, or the reserved names valid_from/valid_to " +
+            s"(got: ${clash.mkString(", ")})")
+        require(l.scdAttrs.distinct.size == l.scdAttrs.size,
+          "load: mode=scd2 scdAttrs contains duplicates")
       }
       if (l.mode == "compact") {
         require(l.format.equalsIgnoreCase("parquet"),

@@ -120,7 +120,10 @@ object GraphBench {
       s""""labelprop_sec":${f"$lpSec%.2f"},"labelprop_labels":$lpN,""" +
       s""""bfs_sec":${f"$bfsSec%.2f"},"bfs_reached":$bfsN,""" +
       s""""hits_sec":${f"$hitsSec%.2f"},"hits_nodes":$hitsN,""" +
-      s""""assort_sec":${f"$assortSec%.2f"},"assort_r":${f"$assortR%.4f"},""" +
+      s""""assort_sec":${f"$assortSec%.2f"},"assort_r":${
+        // NULL r (regular graph) arrives as NaN — a bare NaN token is
+        // invalid JSON, so emit null instead
+        if (assortR.isNaN) "null" else f"$assortR%.4f"},""" +
       s""""knn_sec":${f"$knnSec%.2f"},"knn_classes":$knnK}""")
     spark.stop()
   }

@@ -3163,6 +3163,42 @@ class AnalyticsSuite extends SparkTestBase {
     assert(r3.getAs[Long]("n") == 1L && r3.getAs[Double]("w_plus") == 1.0)
   }
 
+  test("doubledRanks distributed prefix: multi-bucket cardinality " +
+      "matches closed forms (wilcoxon) and brute force (spearman)") {
+    import spark.implicits._
+    // 2000 DISTINCT |d| values span every range bucket at the test's 8
+    // shuffle partitions — exercises the two-level prefix (per-bucket
+    // window + broadcast offsets), which tiny textbook cases cannot.
+    // d_i = +i for odd i, −i for even i: |d| ranks are exactly i, so
+    // W⁺ = Σ_{odd i≤1999} i = 1000² and z has a closed form (no ties).
+    val n = 2000
+    val rows = (1 to n).flatMap { i =>
+      if (i % 2 == 1) Seq((s"k$i", true, i.toLong), (s"k$i", false, 0L))
+      else Seq((s"k$i", true, 0L), (s"k$i", false, i.toLong))
+    }
+    val r = Stats.wilcoxonSignedRank(rows.toDF("k", "c", "x"),
+      "k", col("c"), col("x")).collect()(0)
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Double]("w_plus") == 1000.0 * 1000.0)
+    val mean = n.toDouble * (n + 1) / 4
+    val sd = math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 24)
+    assert(math.abs(r.getAs[Double]("z") -
+      (1000.0 * 1000.0 - mean) / sd) < 1e-9)
+    // spearman over the same cardinality: distinct x and y (injective
+    // multiplicative perm mod a prime), brute-force rho via sorted ranks
+    val xs = (1 to n).map(_.toLong)
+    val ys = xs.map(i => (i * 31L) % 2011L)
+    val rankOf = (vs: Seq[Long]) =>
+      vs.sorted.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+    val rx = rankOf(xs); val ry = rankOf(ys)
+    val d2 = xs.zip(ys).map { case (x, y) =>
+      val d = rx(x) - ry(y); d.toDouble * d }.sum
+    val expRho = 1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1))
+    val rs = Stats.spearman(xs.zip(ys).toDF("x", "y"),
+      col("x"), col("y")).collect()(0)
+    assert(math.abs(rs.getAs[Double]("rho") - expRho) < 1e-9)
+  }
+
   test("theilsU: determination = 1, independence = 0, single-category " +
       "NULL, and the coefficient is asymmetric") {
     import spark.implicits._
@@ -3247,6 +3283,13 @@ class AnalyticsSuite extends SparkTestBase {
     assert(got(2L) == ((4L, 6L, Some(1.0))))
     // k=3: only node 4 qualifies -> NULL phi
     assert(got(3L) == ((1L, 0L, None)))
+    // duplicated cutoffs dedupe: one row per distinct k, same counts
+    // (a dup used to double-match through the crossJoin and inflate
+    // n_nodes/n_edges/phi)
+    val dup = Components.richClub(e, "a", "b", Seq(2L, 2L, 2L)).collect()
+    assert(dup.length == 1)
+    assert(dup(0).getLong(1) == 4L && dup(0).getLong(2) == 6L &&
+      dup(0).getDouble(3) == 1.0)
   }
 
   test("hosmerLemeshow: two perfectly-sized bins hand case; " +

@@ -1041,6 +1041,18 @@ class PipelineSuite extends SparkTestBase {
           key = Some("k"), versionCol = Some("ts"),
           scdAttrs = Seq("city")))))
     }
+    // scdAttrs must be disjoint from key/versionCol and the reserved
+    // validity columns — a clash would bootstrap a corrupt dimension
+    for (bad <- Seq(Seq("k"), Seq("ts"), Seq("valid_from"),
+        Seq("city", "valid_to"), Seq("city", "city"))) {
+      intercept[IllegalArgumentException] {
+        PipelineSpec.validate(PipelineSpec("bad3",
+          extracts = Seq(ExtractSpec("u", "values", "{}")),
+          loads = Seq(LoadSpec("parquet", out, mode = "scd2",
+            key = Some("k"), versionCol = Some("ts"),
+            scdAttrs = bad))))
+      }
+    }
   }
 
   test("T-P20: declarative compact load shrinks file count in place, " +
