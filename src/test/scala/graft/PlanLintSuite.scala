@@ -42,8 +42,8 @@ class PlanLintSuite extends SparkTestBase {
     * boundedness argument the auto-rule cannot see. */
   private val nonEquiJoinOk: Map[String, String] = Map(
     "q17_cross_join" -> "declared CROSS JOIN of two 5-row dims",
-    "q18_range_join" -> ("declared non-equi range join; the banded " +
-      "rewrite q18b is the scale path"),
+    // q18_range_join removed r14 (anti-rot): its equi-key-plus-band
+    // shape plans as a hash/SMJ join, never a nested loop
     "q62_cosine_topk" -> ("brute-force ANN baseline: the broadcast side " +
       "is the declared ≤15-vector probe set (vec_id filter); IVF/PQ " +
       "tiers q76/q110/q119 are the scale path"),
@@ -109,21 +109,21 @@ class PlanLintSuite extends SparkTestBase {
       "denominator each derive from the documents fixture"),
     "q260_fellegi_sunter" -> ("blocked candidate generation self-" +
       "joins part; FS scoring itself is a pure projection"),
-    "q203_spearman" -> ("three COLUMN-PRUNED scans measured CHEAPER " +
-      "than the one-scan cell-table rewrite (1.4–1.7× at sf0.1, both " +
-      "cut flavors): a near-continuous axis makes the (x,y) cell " +
-      "groupBy a no-combine full shuffle, while a bare 2-column " +
-      "re-scan is nearly free — see Stats.spearman"),
+    // q203_spearman removed r14 (anti-rot): the distributed-prefix
+    // doubledRanksFromCounts localCheckpoints each value table, so the
+    // static plan now shows < 3 scans; the measured three-scan
+    // rationale lives in Stats.spearman's comment
     "q205_mann_kendall" -> ("the per-key all-pairs SELF-JOIN is the " +
       "measured scale shape: the in-row fold A/B ran 54 s vs 1.1 s " +
       "in the full-corpus session (nested-HOF codegen thrashes the " +
       "JVM code cache — the IVF JIT-blowup class) and carries O(n²) " +
       "single-row state; n/tie aggregations are projections off the " +
       "same scan. Hot-key bound: Stats.mannKendall(maxSeries) — r11, " +
-      "see the per-key-quadratic audit below"),
-    "q207_theil_sen" -> ("same self-join verdict as q205, amplified " +
-      "(its pair-generation tree is bigger: 347 s vs 3.5 s in-session)" +
-      ". Hot-key bound: Stats.theilSen(maxSeries) — r11"))
+      "see the per-key-quadratic audit below"))
+  // q207_theil_sen removed from multiScanOk r14 (anti-rot): the
+  // exact-percentile path's value tables are localCheckpoint-cut, so
+  // < 3 static scans; the measured self-join verdict lives in
+  // selfJoinOk (which still flags it)
   // q283/q284 do NOT need a scan-rule entry despite their fixture
   // self-join mode: annJoin's centroid table is a bounded driver-side
   // collect (plan-construction time), so the static plan carries only
@@ -155,9 +155,10 @@ class PlanLintSuite extends SparkTestBase {
     "q192_market_basket" -> ("per-basket item pairs — " +
       "Association.liftPairs(maxBasket) cap (r11), same discipline; " +
       "the (user_id, session_seq) key IS one basket (key fixed r13)"),
-    "q187_sorted_neighbor" -> ("banded rank equi-join — each band key " +
-      "holds exactly `window` ranks (≤2·window rows), bounded by the " +
-      "parameter, not the data"),
+    // q187_sorted_neighbor removed r14 (anti-rot): the banded rank
+    // equi-join no longer trips the detector (its sides derive from
+    // an aggregate-reduced rank table); the ≤2·window-per-band bound
+    // argument is documented at Dedup.sortedNeighborPairs
     "q170_overlap_join" -> ("prefix-filter join on the RAREST " +
       "(k−t+1) token ranks per record (df-ascending): a token's " +
       "fan-out is bounded by its df and prefix membership selects " +
@@ -200,11 +201,11 @@ class PlanLintSuite extends SparkTestBase {
       "Voronoi cell over unit vectors, nlist sizes cells at n/nlist " +
       "expected; an all-identical-embedding corpus belongs to the " +
       "digest tier upstream"),
-    "q283_ann_join" -> ("annJoin's ONE nlist-key cell equi-join — " +
-      "per-cell volume is |Q_cell|·|C_cell| under nlist sizing (the " +
-      "q108 argument), and the `cellSplits` salt (auto-derived, " +
-      "volume-gated, r12) is the measured task-granularity dial " +
-      "(AnnBench 2.3× at 200k×200k)"),
+    // q283_ann_join removed r14 (anti-rot): after the r13 excludeSelf
+    // canonicalization the cell join's sides no longer read the same
+    // scan set at fixture scale; the per-cell |Q|·|C| bound + the
+    // volume-gated cellSplits salt argument lives at
+    // Similarity.annJoin (q285 keeps its entry — its plan still trips)
     "q285_ann_link" -> ("same annJoin cell join as q283 in " +
       "cross-corpus linking mode (excludeSelf=false)"),
     "q131_incremental_semdedup" -> "same within-cell bound as q108",
@@ -340,19 +341,42 @@ class PlanLintSuite extends SparkTestBase {
     try Some(q.fn(spark, sf0001).queryExecution.sparkPlan)
     catch { case _: Throwable => None } // runnability is OracleSuite's job
 
+  /** The rule-1 detector: nested-loop joins whose build side is not
+    * bounded by construction. */
+  private def nestedLoopHits(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case j: BroadcastNestedLoopJoinExec
+          if !boundedBuild(j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }) => j.nodeName
+      case j: CartesianProductExec
+          if !(boundedBuild(j.left) || boundedBuild(j.right)) =>
+        j.nodeName
+    }
+
+  /** The rule-2 detector: unpartitioned Windows NOT running above an
+    * aggregate or a WindowGroupLimit. */
+  private def globalWindowHits(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          !w.child.exists {
+            case _: BaseAggregateExec => true // value-cardinality input
+            case _: WindowGroupLimitExec => true // map-side k-pruned
+            case _ => false
+          } => w.nodeName
+    }
+
+  /** The rule-3 detector: 3+ static scans of one table. */
+  private def multiScanHits(plan: SparkPlan): Seq[String] =
+    ScanAudit.scanCounts(plan).collect {
+      case (t, n) if n >= 3 => s"$n scans of $t"
+    }.toSeq
+
   test("corpus plan lint: nested-loop joins have bounded build sides") {
     val hits = SparkEntry.corpus.flatMap { q =>
       planOf(q).toSeq.flatMap { plan =>
-        val bad = plan.collect {
-          case j: BroadcastNestedLoopJoinExec
-              if !boundedBuild(j.buildSide match {
-                case BuildLeft => j.left
-                case BuildRight => j.right
-              }) => j.nodeName
-          case j: CartesianProductExec
-              if !(boundedBuild(j.left) || boundedBuild(j.right)) =>
-            j.nodeName
-        }
+        val bad = nestedLoopHits(plan)
         if (bad.nonEmpty && !nonEquiJoinOk.contains(q.name))
           Some(s"${q.name}: ${bad.distinct.mkString(", ")}")
         else None
@@ -366,14 +390,7 @@ class PlanLintSuite extends SparkTestBase {
   test("corpus plan lint: unpartitioned Windows run above an aggregate") {
     val hits = SparkEntry.corpus.flatMap { q =>
       planOf(q).toSeq.flatMap { plan =>
-        val bad = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty &&
-              !w.child.exists {
-                case _: BaseAggregateExec => true // value-cardinality input
-                case _: WindowGroupLimitExec => true // map-side k-pruned
-                case _ => false
-              } => w.nodeName
-        }
+        val bad = globalWindowHits(plan)
         if (bad.nonEmpty && !globalWindowOk.contains(q.name))
           Some(s"${q.name}: ${bad.size} raw-row global Window(s)")
         else None
@@ -383,6 +400,43 @@ class PlanLintSuite extends SparkTestBase {
       s"single-task global windows over RAW rows (aggregate first — the " +
         s"doubledRanks discipline — or whitelist with a bounded-input " +
         s"argument):\n${hits.mkString("\n")}")
+  }
+
+  test("whitelist anti-rot: every registry key names a live corpus " +
+      "query that its detector still flags") {
+    // The r12 dead-key incident (three selfJoinOk entries naming
+    // queries that did not exist — their joins had never been seen by
+    // the rule) was caught by luck of the r13 re-sweep; this makes
+    // recurrence impossible. A whitelist entry is a REVIEWED exception
+    // to a detector: if the query is gone, renamed, or its plan no
+    // longer trips the detector, the entry is stale and must be
+    // removed — otherwise a future query reusing the name would
+    // inherit an absolution it never earned.
+    val byName = SparkEntry.corpus.map(q => q.name -> q).toMap
+    val regs: Seq[(String, Map[String, String], SparkPlan => Boolean)] =
+      Seq(
+        ("nonEquiJoinOk", nonEquiJoinOk, p => nestedLoopHits(p).nonEmpty),
+        ("globalWindowOk", globalWindowOk,
+          p => globalWindowHits(p).nonEmpty),
+        ("multiScanOk", multiScanOk, p => multiScanHits(p).nonEmpty),
+        ("selfJoinOk", selfJoinOk, p => quadraticSelfJoins(p).nonEmpty))
+    val stale = regs.flatMap { case (regName, reg, trips) =>
+      reg.keys.toSeq.sorted.flatMap { k =>
+        byName.get(k) match {
+          case None => Some(s"stale whitelist entry: $regName/$k " +
+            s"names no live corpus query")
+          case Some(q) => planOf(q) match {
+            case None => Some(s"stale whitelist entry: $regName/$k " +
+              s"does not plan at fixture scale")
+            case Some(plan) if !trips(plan) =>
+              Some(s"stale whitelist entry: $regName/$k is no longer " +
+                s"flagged by its detector — remove or re-justify it")
+            case _ => None
+          }
+        }
+      }
+    }
+    assert(stale.isEmpty, stale.mkString("\n"))
   }
 
   test("ScanAudit counts scans inside LOGICAL subquery plans") {
