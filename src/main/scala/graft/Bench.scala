@@ -21,7 +21,17 @@ import org.apache.spark.sql.SparkSession
   * the cross-round comparable in "value".
   *
   * The `canary_q01_sec` field repeats q01's time (a fixed trivial scan) so
-  * a throttled box is detectable from the artifact alone.
+  * a throttled box is detectable from the artifact alone. r14 (VERDICT r13
+  * item 1): the single start-of-run canary cannot prove a MID-run throttle
+  * segment (r13's driver artifact read 1502 s with block-contiguous 10–50×
+  * inflation that only a judge re-run could adjudicate), so q01 is now
+  * RE-TIMED every 25 corpus queries and the full `canary_series` is
+  * published in BOTH the artifact file and the compact stdout line
+  * (~3 s total cost at the calm ~0.21 s probe). A reader segments the
+  * per-query map against the series: entries whose surrounding canaries
+  * sit at multiples of the calm baseline are throttle evidence, not
+  * regressions. Canary probes are EXCLUDED from "value" (the one-pass
+  * total stays cross-round comparable).
   * `SPARK_GRAFT_ONLY=q78,q79` restricts the run for local iteration.
   */
 object Bench {
@@ -79,9 +89,22 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = corpus.map { q =>
+    // Interleaved canary probes: q01 from the FULL corpus (independent
+    // of any SPARK_GRAFT_ONLY filter) re-timed before the run, every
+    // `canaryEvery` queries, and after the last one — brackets every
+    // ~25-query segment with a throttle reading.
+    val canaryEvery = 25
+    val canaryQ = SparkEntry.corpus.find(_.name.startsWith("q01"))
+    val canarySeries = scala.collection.mutable.ArrayBuffer[Double]()
+    def probeCanary(): Unit = canaryQ.foreach { q =>
+      val (s, ok) = time(q); if (ok) canarySeries += s
+    }
+    probeCanary()
+    val results = corpus.zipWithIndex.map { case (q, i) =>
+      if (i > 0 && i % canaryEvery == 0) probeCanary()
       val (sec, ok) = time(q); (q.name, sec, ok)
     }
+    probeCanary()
     // Second timing pass for the headline subset only (bounded extra cost);
     // min-of-2 de-noises throttle segments without doubling the full run.
     val headlineMin: Seq[(String, Double)] = corpus
@@ -110,9 +133,12 @@ object Bench {
     val onlyField = only
       .map(_.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
       .getOrElse("null")
+    val seriesJson = canarySeries
+      .map("%.3f".format(_)).mkString("[", ",", "]")
     val common =
       s""""metric":"total","value":${"%.3f".format(total)},"unit":"sec"""" +
         s""","canary_q01_sec":${canary.map("%.3f".format(_)).getOrElse("null")}""" +
+        s""","canary_series":$seriesJson,"canary_every":$canaryEvery""" +
         s""","n_queries":${results.size},"only":$onlyField"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_last.json")
     val fullLine = s"""{$common,"queries":$qs,""" +
