@@ -684,11 +684,20 @@ object Similarity {
     * codebooks without retraining, like [[ivfAssign]]). One map-only
     * pass through the codegen'd `pq_encode`. */
   def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    graft.functions.Registry.registerAll(emb.sparkSession)
+               codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withPqCode(emb.select(col(idCol).as("id"), col(vecCol).as("arr")),
+      "arr", codebooks)
+
+  /** Append a PQ `code` column with FROZEN codebooks, keeping every
+    * existing column — the column-preserving form of [[pqAssign]]
+    * (the declarative `mode="ivf"` landing encodes on top of the
+    * (id, cell, arr) assignment frame). Same single map-only pass
+    * through the codegen'd `pq_encode`. */
+  def withPqCode(df: DataFrame, vecCol: String,
+                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    graft.functions.Registry.registerAll(df.sparkSession)
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    emb.select(col(idCol).as("id"), col(vecCol).as("arr"))
-      .withColumn("code", call_function("pq_encode", col("arr"), cbLit))
+    df.withColumn("code", call_function("pq_encode", col(vecCol), cbLit))
   }
 
   /** The persistable codebook table: one row per (subspace, centroid).

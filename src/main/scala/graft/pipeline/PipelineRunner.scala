@@ -417,6 +417,54 @@ object PipelineRunner {
         LoadReport(l.format, l.table.getOrElse(l.path), src,
           scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
             .getOrElse(-1L))
+      } else if (l.mode == "ivf") {
+        // declarative ASSIGNMENT-TABLE landing (VERDICT r13 item 4 —
+        // the retrieval-structure twin of mode=knn): the target holds
+        // the standing (id, cell, arr[, code]) assignment table under
+        // the FROZEN centroid view named by `centroids`; an optional
+        // `codebooks` view (subspace, centroid_id, centroid — the
+        // pqCodebooks layout) adds the PQ code column, i.e. the fused
+        // IVF+PQ retrieval layout, encoded with frozen codebooks. Each
+        // run admits only ids NOT already assigned (re-applying a feed
+        // is a no-op — the ivfAssign append discipline: cell ids are
+        // stable forever because the quantizer never refits here;
+        // re-training is a separate, versioned lifecycle —
+        // ops.IndexLifecycle). ONE swapped write; recoverSwap repairs
+        // a crash mid-swap.
+        val key = l.key.getOrElse(
+          throw new IllegalArgumentException("ivf load: 'key' required"))
+        val vec = l.vecCol.getOrElse(
+          throw new IllegalArgumentException("ivf load: 'vecCol' required"))
+        val cents = spark.table(l.centroids.getOrElse(
+          throw new IllegalArgumentException("ivf load: 'centroids' required")))
+        Sinks.recoverSwap(df1, l.path)
+        val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val have = fs.exists(new org.apache.hadoop.fs.Path(l.path))
+        val fresh =
+          if (have)
+            df1.join(spark.read.parquet(l.path)
+              .select(org.apache.spark.sql.functions.col("id").as(key)),
+              Seq(key), "left_anti")
+          else df1
+        val assignedIvf = graft.ops.Similarity.ivfAssign(
+          fresh, key, vec, cents)
+        val assigned = l.codebooks match {
+          case Some(cbView) => graft.ops.Similarity.withPqCode(
+            assignedIvf, "arr",
+            graft.ops.Similarity.pqCodebooksFromTable(spark.table(cbView)))
+          case None => assignedIvf
+        }
+        val merged0 =
+          if (have) spark.read.parquet(l.path).unionByName(assigned)
+          else assigned
+        val mergedObs = new org.apache.spark.sql.Observation()
+        val merged = merged0.observe(mergedObs, org.apache.spark.sql
+          .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+        Sinks.writeParquetSwapped(merged, l.path)
+        LoadReport(l.format, l.table.getOrElse(l.path), src,
+          scala.util.Try(mergedObs.get("rows").asInstanceOf[Long])
+            .getOrElse(-1L))
       } else if (l.mode == "scd2") {
         // declarative SCD Type-2 landing: the feed batch's latest
         // change per key (by `versionCol`) closes a differing open row

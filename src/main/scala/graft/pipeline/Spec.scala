@@ -52,8 +52,9 @@ final case class LoadSpec(
     textCol: Option[String] = None,       // mode=dedup: document text column
     dedupThreshold: Option[Double] = None,// mode=dedup: Jaccard drop threshold (default 0.8)
     dedupShingleN: Option[Int] = None,    // mode=dedup: shingle size (default 3)
-    vecCol: Option[String] = None,        // mode=knn: embedding column
-    centroids: Option[String] = None,     // mode=knn: frozen centroid-table VIEW (cell, centroid)
+    vecCol: Option[String] = None,        // mode=knn/ivf: embedding column
+    centroids: Option[String] = None,     // mode=knn/ivf: frozen centroid-table VIEW (cell, centroid)
+    codebooks: Option[String] = None,     // mode=ivf: optional frozen PQ codebook VIEW (subspace, centroid_id, centroid)
     knnK: Option[Int] = None,             // mode=knn: neighbors per row (default 10)
     knnProbe: Option[Int] = None,         // mode=knn: cells probed per query (default 2)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
@@ -236,6 +237,19 @@ object PipelineSpec {
           s"load: knnK must be >= 1, got $k"))
         l.knnProbe.foreach(p => require(p >= 1,
           s"load: knnProbe must be >= 1, got $p"))
+      }
+      if (l.mode == "ivf") {
+        require(l.format.equalsIgnoreCase("parquet"),
+          "load: mode=ivf supports parquet targets only")
+        require(l.key.isDefined && l.vecCol.isDefined &&
+          l.centroids.isDefined,
+          "load: mode=ivf requires 'key', 'vecCol' and 'centroids'")
+        l.centroids.foreach(c => require(known.contains(c),
+          s"load: mode=ivf centroids view '$c' is not an extract/" +
+            s"transform view (known: ${known.mkString(", ")})"))
+        l.codebooks.foreach(c => require(known.contains(c),
+          s"load: mode=ivf codebooks view '$c' is not an extract/" +
+            s"transform view (known: ${known.mkString(", ")})"))
       }
       if (l.mode == "scd2") {
         require(l.format.equalsIgnoreCase("parquet"),

@@ -563,6 +563,7 @@ class PipelineSuite extends SparkTestBase {
         "quality_gate_feed.json", "monitored_load_feed.json",
         "curation_feed.json", "zorder_maintenance_feed.json",
         "near_dedup_feed.json", "knn_graph_feed.json",
+        "ivf_assignment_feed.json",
         "scd2_dimension_feed.json", "compact_maintenance_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
@@ -1086,5 +1087,136 @@ class PipelineSuite extends SparkTestBase {
         loads = Seq(LoadSpec("parquet", dir, mode = "compact",
           source = Some("t"), compactTargetBytes = Some(0L)))))
     }
+  }
+
+  test("T-P21: declarative ivf load lands a standing assignment table " +
+      "(re-apply no-op, equals batch ivfAssign, crash-repairable swap, " +
+      "optional PQ codes)") {
+    import spark.implicits._
+    val base = tmp()
+    val out = s"$base/assign"
+    Tables.register(spark, sf0001)
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    emb.filter(col("vec_id") < 100).write.parquet(s"$base/b1")
+    emb.filter(col("vec_id") < 160).write.parquet(s"$base/b2") // 60 new
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    def spec(src: String, cb: Option[String] = None, path: String = out) =
+      PipelineSpec("tp21",
+        extracts = Seq(
+          ExtractSpec("batch", "parquet", path = src),
+          ExtractSpec("embAll", "parquet",
+            path = s"$sf0001/embeddings.parquet")) ++
+          cb.map(p => ExtractSpec("cb", "parquet", path = p)),
+        transforms = Seq(TransformSpec("cents", sql = Some(
+          """SELECT CAST(vec_id AS INT) AS cell,
+            |CAST(embedding AS ARRAY<DOUBLE>) AS centroid
+            |FROM embAll WHERE vec_id < 8""".stripMargin))),
+        loads = Seq(LoadSpec("parquet", path, mode = "ivf",
+          source = Some("batch"), key = Some("vec_id"),
+          vecCol = Some("embedding"), centroids = Some("cents"),
+          codebooks = cb.map(_ => "cb"))))
+    val r1 = PipelineRunner.run(spark, spec(s"$base/b1"))
+    def cells(path: String) = spark.read.parquet(path)
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exp1 = graft.ops.Similarity.ivfAssign(
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding", cents)
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cells(out) == exp1 && r1.loads.head.rows == 100L)
+    // re-apply: nothing admitted, table unchanged
+    PipelineRunner.run(spark, spec(s"$base/b1"))
+    assert(cells(out) == exp1)
+    // crash mid-swap: main dir moved aside (the rename-old window of
+    // writeParquetSwapped) — the next run must repair, then no-op
+    val fs = new java.io.File(out)
+    val oldDir = new java.io.File(s"$base/.assign__swap_old")
+    assert(fs.renameTo(oldDir))
+    PipelineRunner.run(spark, spec(s"$base/b1"))
+    assert(cells(out) == exp1 && !oldDir.exists)
+    // superset batch: only the 60 new ids gain rows; standing rows
+    // keep their cells (frozen quantizer — the append contract)
+    PipelineRunner.run(spark, spec(s"$base/b2"))
+    val all = cells(out)
+    assert(all.map(_._1) == (0L until 160L).toSet)
+    assert(all.filter(_._1 < 100) == exp1)
+    // PQ-coded variant: the code column equals frozen-codebook encode
+    val (_, cbs) = graft.ops.Similarity.pqIndex(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      m = 4, kCent = 8, trainSample = 64)
+    graft.ops.Similarity.pqCodebooks(cbs, spark)
+      .write.parquet(s"$base/cb")
+    val out2 = s"$base/assign_pq"
+    PipelineRunner.run(spark,
+      spec(s"$base/b1", cb = Some(s"$base/cb"), path = out2))
+    val gotCodes = spark.read.parquet(out2).select("id", "code")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val expCodes = graft.ops.Similarity.pqAssign(
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding", cbs)
+      .select("id", "code").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(gotCodes == expCodes)
+    // validation: centroids required; unknown codebooks view rejected
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "ivf",
+          key = Some("vec_id"), vecCol = Some("embedding")))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "ivf",
+          key = Some("vec_id"), vecCol = Some("embedding"),
+          centroids = Some("u"), codebooks = Some("nosuchview")))))
+    }
+  }
+
+  test("T-P22: versioned quantizer re-train — the live version stays " +
+      "replayable, v+1 commits atomically, an uncommitted half-landing " +
+      "is invisible") {
+    import graft.ops.IndexLifecycle
+    val base = tmp() + "/idx"
+    Tables.register(spark, sf0001)
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val emb1 = emb.filter(col("vec_id") < 100)
+    assert(IndexLifecycle.currentVersion(spark, base).isEmpty)
+    val r1 = IndexLifecycle.retrain(spark, base, emb1,
+      "vec_id", "embedding", nlist = 8, trainSample = 64)
+    assert(r1.fromVersion.isEmpty && r1.toVersion == 1 && r1.rows == 100L)
+    val (v1, c1, a1) = IndexLifecycle.resolve(spark, base)
+    assert(v1 == 1)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the landed assignment replays from the landed centroids alone
+    val v1Cells = cellSet(a1)
+    assert(v1Cells == cellSet(graft.ops.Similarity.ivfAssign(
+      emb1, "vec_id", "embedding", c1)))
+    // a crashed retrain = half-landed v2 tables WITHOUT the marker:
+    // invisible to version resolution
+    c1.write.parquet(IndexLifecycle.centroidsPath(base, 2))
+    assert(IndexLifecycle.currentVersion(spark, base).contains(1))
+    // the re-run retrains v2 (drifted corpus), overwrites the half
+    // landing, and commits; v1 tables are untouched
+    val r2 = IndexLifecycle.retrain(spark, base,
+      emb.filter(col("vec_id") < 160), "vec_id", "embedding",
+      nlist = 8, trainSample = 64)
+    assert(r2.fromVersion.contains(1) && r2.toVersion == 2 &&
+      r2.rows == 160L)
+    assert(cellSet(spark.read.parquet(
+      IndexLifecycle.assignPath(base, 1))) == v1Cells,
+      "the old version must stay bit-replayable after a retrain")
+    val (v2, c2, a2) = IndexLifecycle.resolve(spark, base)
+    assert(v2 == 2 && a2.count() == 160L)
+    assert(cellSet(a2) == cellSet(graft.ops.Similarity.ivfAssign(
+      emb.filter(col("vec_id") < 160), "vec_id", "embedding", c2)))
+    // prune drops only the superseded version
+    assert(IndexLifecycle.prune(spark, base) == Seq(1))
+    assert(!new java.io.File(IndexLifecycle.assignPath(base, 1)).exists)
+    assert(IndexLifecycle.resolve(spark, base)._1 == 2)
   }
 }
