@@ -565,4 +565,65 @@ object Components {
     e.unpersist(); deg.unpersist(); nodeState.unpersist()
     pr
   }
+
+  /** Directed-edge reciprocity — the share of distinct non-loop edges
+    * whose reverse edge also exists: the "is this a conversation or a
+    * broadcast" one-number readout for any DIRECTED graph (citation
+    * nets ≈ 0, social follows ≈ 0.5+, mirror rings → 1). ONE distinct
+    * pass over the edge list, then a LEFT SEMI self-join on the
+    * swapped key pair — per-key ≤1 after distinct, so the join is
+    * linear, never multiplying; counts are exact integers, the ratio
+    * ONE division. NULL when the graph has no edges. */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val d = edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct().cache() // lazy-return op — the triangleCounts LRU note
+    val rec = d.join(d.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("m_reciprocal"))
+    d.agg(count(lit(1)).as("m_directed"))
+      .crossJoin(broadcast(rec))
+      .select(col("m_directed"), col("m_reciprocal"),
+        when(col("m_directed") === 0, lit(null)).otherwise(
+          col("m_reciprocal").cast("double") / col("m_directed"))
+          .as("reciprocity"))
+  }
+
+  /** Global transitivity (the triangle/wedge ratio): C = 3·T / W with
+    * T the triangle count and W = Σ_n d_n(d_n−1)/2 the wedge count —
+    * the whole-graph companion to [[triangleCounts]]' per-node local
+    * density (a link farm reads high, a star reads 0). Triangle
+    * enumeration reuses the degree-oriented [[triangleCounts]] plan
+    * (its per-node sum is exactly 3T); wedges are one more agg off the
+    * same degree table shape. Exact integers, ONE division; NULL when
+    * the graph has no wedges. */
+  def transitivity(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cache() // lazy-return op — the triangleCounts LRU note
+    val t3 = triangleCounts(canon, "u", "v")
+      .agg(coalesce(sum(col("triangles").cast(dec38)),
+        lit(0).cast(dec38)).as("__t3"))
+    // keep 2W = Σ d(d−1) integral (always even) — no fractional
+    // intermediate anywhere: C = 3T/W = 2·(3T)/(2W)
+    val wedges = canon
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum((col("d") * (col("d") - 1)).cast(dec38)),
+        lit(0).cast(dec38)).as("__w2"))
+    wedges.crossJoin(broadcast(t3))
+      .select((col("__t3") / 3).cast("long").as("n_triangles"),
+        (col("__w2") / 2).cast("long").as("n_wedges"),
+        when(col("__w2") === lit(0).cast(dec38), lit(null)).otherwise(
+          (lit(2).cast(dec38) * col("__t3")).cast("double") /
+            col("__w2").cast("double")).as("transitivity"))
+  }
 }

@@ -333,4 +333,59 @@ object Quality {
         countDistinct(sensitive).as("l_diversity"))
       .withColumn("risky", col("n") < k)
   }
+
+  /** Fleiss' kappa — chance-corrected agreement among a FIXED number
+    * of raters per item (label quality for multi-annotator training
+    * data, the n>2-rater generalization of Cohen's κ): only items with
+    * exactly `nRaters` ratings participate (the classical statistic is
+    * undefined otherwise — variable panels belong to Krippendorff).
+    *
+    *   P̄  = (Σ_ij c_ij² − N·n) / (N·n·(n−1))   observed agreement
+    *   P̄e = Σ_j (C_j / (N·n))²                  chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Scale shape: ONE (item, category) cell aggregation → the
+    * exactly-n filter rides a per-item total → two global aggregations
+    * of exact DECIMAL(38) integer moments (Σc², ΣC_j², N). P̄ and P̄e
+    * are each ONE correctly-rounded division of exact integers and κ
+    * one more fixed tree — bit-identical on any engine (the corrTest
+    * discipline; folding κ's algebra into a single integer ratio
+    * would overflow DECIMAL(38) at ~10¹²-item scale, measured against
+    * the A·(Nn)² term). NULL κ when P̄e = 1 (every rating one
+    * category — agreement is vacuous). */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"fleissKappa: nRaters must be >= 2, got $nRaters")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .select(col(itemCol).as("__i"), col(categoryCol).as("__cat"))
+      .groupBy("__i", "__cat").agg(count(lit(1)).as("__c"))
+    val complete = cells
+      .withColumn("__tot", sum("__c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__i")))
+      .filter(col("__tot") === nRaters)
+      .localCheckpoint(false)
+    val byItem = complete.agg(
+      countDistinct("__i").cast(dec38).as("N"),
+      coalesce(sum((col("__c") * col("__c")).cast(dec38)),
+        lit(0).cast(dec38)).as("c2"))
+    val byCat = complete.groupBy("__cat").agg(sum("__c").as("__cj"))
+      .agg(coalesce(sum((col("__cj") * col("__cj")).cast(dec38)),
+        lit(0).cast(dec38)).as("cj2"))
+    val n = lit(nRaters).cast(dec38)
+    val m = byItem.crossJoin(broadcast(byCat))
+    // P̄ and P̄e: one division each of exact integers; κ a fixed tree
+    val pBar = (col("c2") - col("N") * n).cast("double") /
+      (col("N") * n * (n - 1)).cast("double")
+    val pE = col("cj2").cast("double") /
+      ((col("N") * n) * (col("N") * n)).cast("double")
+    m.select(col("N").cast("long").as("n_items"),
+      lit(nRaters).as("n_raters"),
+      when(col("N") === lit(0).cast(dec38), lit(null))
+        .otherwise(pBar).as("p_bar"),
+      when(col("N") === lit(0).cast(dec38), lit(null))
+        .otherwise(pE).as("p_e"),
+      when(col("N") === lit(0).cast(dec38) || pE >= 1.0, lit(null))
+        .otherwise((pBar - pE) / (lit(1.0) - pE)).as("kappa"))
+  }
 }

@@ -2520,4 +2520,147 @@ object Stats {
         max("__total").cast("long").as("total_weight"))
       .withColumnRenamed("key", keyCol)
   }
+
+  /** Cochran's Q test — the k-treatment extension of [[mcnemar]] and
+    * the BINARY twin of [[friedman]]: did success rates differ across
+    * k related binary treatments measured on the same blocks. The
+    * supplied `treatments` literal defines the (bounded, broadcast)
+    * treatment set; a block's outcome for treatment j is
+    * max(success) over its (block, j) rows, absent pairs count as
+    * failure — so every block is complete by construction (the dense
+    * completion rides a broadcast cross join, never a shuffle).
+    *
+    * Integer identity (all denominators cleared):
+    *
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_b²)
+    *
+    * with C_j the treatment success totals, R_b the block success
+    * counts, T = ΣR_b — every term an exact DECIMAL(38) integer, Q one
+    * division, df = k−1. NULL Q when the denominator is 0 (every block
+    * all-success or all-failure — no within-block variation). */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               success: Column, treatments: Seq[String]): DataFrame = {
+    require(treatments.distinct.size == treatments.size &&
+      treatments.nonEmpty, "cochranQ: treatments must be distinct, non-empty")
+    val k = treatments.size
+    val spark = df.sparkSession
+    val tDf = spark.createDataFrame(treatments.map(Tuple1(_))).toDF("__t")
+    val obs = df
+      .select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .filter(col("__t").isin(treatments.map(lit): _*))
+      .groupBy("__b", "__t").agg(max("__s").as("__s"))
+      // blocks·k-bounded cell table consumed by the block list, the
+      // dense completion, and both readouts — ONE scan of the input
+      // (Catalyst does not dedupe common subplans; the q238 lesson)
+      .localCheckpoint(false)
+    val dense = obs.select(col("__b")).distinct()
+      .crossJoin(broadcast(tDf))
+      .join(obs, Seq("__b", "__t"), "left")
+      .na.fill(0L, Seq("__s"))
+    val byBlock = dense.groupBy("__b")
+      .agg(sum("__s").as("__r"))
+    val tAndR2 = byBlock.agg(
+      count(lit(1)).cast("long").as("n_blocks"),
+      sum("__r").cast(dec38).as("__T"),
+      sum((col("__r") * col("__r")).cast(dec38)).as("__R2"))
+    val c2 = dense.groupBy("__t").agg(sum("__s").as("__c"))
+      .agg(sum((col("__c") * col("__c")).cast(dec38)).as("__C2"))
+    val kL = lit(k).cast(dec38)
+    tAndR2.crossJoin(broadcast(c2))
+      .select(col("n_blocks"), lit(k).as("k"),
+        col("__T").cast("long").as("total_successes"),
+        when(kL * col("__T") - col("__R2") === lit(0).cast(dec38),
+          lit(null)).otherwise(
+          ((kL - 1) * (kL * col("__C2") - col("__T") * col("__T")))
+            .cast("double") /
+            (kL * col("__T") - col("__R2")).cast("double")).as("q"))
+  }
+
+  /** Jonckheere–Terpstra trend test — [[kruskalWallis]] with an ORDERED
+    * alternative (does the metric RISE across priority tiers / dose
+    * levels, not merely differ): J = Σ_{i<j} U_ij over group pairs in
+    * ascending natural order of the group key, U the Mann–Whitney
+    * count with ties at ½.
+    *
+    * Scale shape: ONE (group, value) cell aggregation, then
+    *   2J = Σ_cells c_{g,v} · (2·A_{g,v} + B_{g,v})
+    * where B = rows in EARLIER groups tied at v (a ≤k-row window
+    * partitioned BY VALUE ordered by group) and A = rows in earlier
+    * groups with SMALLER value (an ascending-value window within each
+    * group over that cumulative — per-group distinct-value bounded,
+    * the [[trimmedMean]] window contract). E[J] and the Hollander–
+    * Wolfe tie-corrected variance fold from exact integer group/tie
+    * tallies; 4J − 4E[J] is an exact DECIMAL(38) integer and z is one
+    * division over one sqrt of a three-term sum whose terms each
+    * divide once (fixed fold order — engine-identical). NULL z when
+    * k < 2 or the variance is non-positive. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, x: Column)
+      : DataFrame = {
+    val cells = df.select(col(groupCol).as("__g"), x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull && col("__g").isNotNull)
+      .groupBy("__g", "__x").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    // DENSE (group × value) grid: the per-group cumulative must also
+    // pass values the group itself never saw (an earlier group's rows
+    // at such a value still count toward A). Group cardinality is
+    // broadcast-bounded — ordered factors (dose tiers, priorities) are
+    // few by nature; |V| stays the cell-table bound.
+    val grid = cells.select("__x").distinct()
+      .crossJoin(broadcast(cells.select("__g").distinct()))
+      .join(cells, Seq("__g", "__x"), "left")
+      .na.fill(0L, Seq("__c"))
+    // rows in earlier groups tied at this value: ≤k rows per partition
+    val wTie = Window.partitionBy("__x").orderBy("__g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rows in earlier groups with smaller value: ascending cumulative
+    // of the tie-prefix within this group's value order
+    val wVal = Window.partitionBy("__g").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j2 = grid
+      .withColumn("__bt", coalesce(sum("__c").over(wTie), lit(0L)))
+      .withColumn("__a", coalesce(sum("__bt").over(wVal), lit(0L)))
+      .agg(coalesce(sum((col("__c").cast(dec38) *
+        (lit(2).cast(dec38) * col("__a") + col("__bt")))),
+        lit(0).cast(dec38)).as("__j2"))
+    // group tallies n_g and tie tallies t_v from the same cell table
+    val gTal = cells.groupBy("__g").agg(sum("__c").as("__n"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        coalesce(sum(col("__n").cast(dec38)), lit(0).cast(dec38)).as("N"),
+        coalesce(sum((col("__n") * col("__n")).cast(dec38)),
+          lit(0).cast(dec38)).as("n2"),
+        coalesce(sum((col("__n") * (col("__n") - 1) *
+          (lit(2) * col("__n") + 5)).cast(dec38)), lit(0).cast(dec38)).as("g25"),
+        coalesce(sum((col("__n") * (col("__n") - 1) *
+          (col("__n") - 2)).cast(dec38)), lit(0).cast(dec38)).as("g3"),
+        coalesce(sum((col("__n") * (col("__n") - 1)).cast(dec38)),
+          lit(0).cast(dec38)).as("g2"))
+    val tTal = cells.groupBy("__x").agg(sum("__c").as("__t"))
+      .agg(coalesce(sum((col("__t") * (col("__t") - 1) *
+          (lit(2) * col("__t") + 5)).cast(dec38)), lit(0).cast(dec38)).as("t25"),
+        coalesce(sum((col("__t") * (col("__t") - 1) *
+          (col("__t") - 2)).cast(dec38)), lit(0).cast(dec38)).as("t3"),
+        coalesce(sum((col("__t") * (col("__t") - 1)).cast(dec38)),
+          lit(0).cast(dec38)).as("t2"))
+    val m = j2.crossJoin(broadcast(gTal)).crossJoin(broadcast(tTal))
+    val nD = col("N")
+    // Hollander–Wolfe tie-corrected variance: three exact-ratio terms,
+    // each ONE division, summed in fixed written order
+    val v1 = (nD * (nD - 1) * (lit(2).cast(dec38) * nD + 5) - col("g25") - col("t25"))
+      .cast("double") / 72.0
+    val v2 = (col("g3") * col("t3")).cast("double") /
+      (lit(36.0) * (nD * (nD - 1) * (nD - 2)).cast("double"))
+    val v3 = (col("g2") * col("t2")).cast("double") /
+      (lit(8.0) * (nD * (nD - 1)).cast("double"))
+    val varJ = v1 + v2 + v3
+    // 4J − 4E[J] = 2·(2J) − (N² − Σn_g²): exact integer numerator
+    val num4 = lit(2).cast(dec38) * col("__j2") -
+      (nD * nD - col("n2"))
+    m.select(col("N").cast("long").as("n"), col("k"),
+      (col("__j2").cast("double") / 2.0).as("j_stat"),
+      ((nD * nD - col("n2")).cast("double") / 4.0).as("e_j"),
+      when(col("k") < 2 || nD < 3 || varJ <= 0.0, lit(null)).otherwise(
+        num4.cast("double") / (lit(4.0) * sqrt(varJ))).as("z"))
+  }
+
 }

@@ -4676,6 +4676,193 @@ object Analytics {
           col("user_id") % 2 === 0, col("user_id") % 2 =!= 0,
           floor(col("value") * 100).cast("long"))
         .orderBy("event_type")
+    },
+
+    // Cochran's Q test (Stats.cochranQ): did "high-value engagement"
+    // rates differ across the click/purchase/signup surfaces for the
+    // SAME users — the k-treatment extension of q235's McNemar and the
+    // binary twin of q294's Friedman. Dense block completion rides a
+    // broadcast cross join; the integer identity
+    // Q = (k-1)(k·ΣC² - T²)/(k·T - ΣR²) clears every denominator, so
+    // Q is ONE division of exact integers.
+    dfQ("q299_cochran_q",
+      """WITH obs AS (SELECT user_id b, event_type t,
+        |    MAX(CASE WHEN value > 50 THEN 1 ELSE 0 END) s
+        |  FROM events WHERE event_type IN ('click','purchase','signup')
+        |  GROUP BY 1, 2),
+        |dense AS (SELECT bb.b, tt.t, COALESCE(obs.s, 0) s
+        |  FROM (SELECT DISTINCT b FROM obs) bb
+        |  CROSS JOIN (VALUES ('click'),('purchase'),('signup')) tt(t)
+        |  LEFT JOIN obs ON obs.b = bb.b AND obs.t = tt.t),
+        |rb AS (SELECT b, CAST(SUM(s) AS BIGINT) r FROM dense GROUP BY b),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) n_blocks,
+        |    CAST(SUM(r) AS HUGEINT) tt, CAST(SUM(r*r) AS HUGEINT) r2
+        |  FROM rb),
+        |cj AS (SELECT CAST(SUM(c*c) AS HUGEINT) c2 FROM
+        |  (SELECT t, CAST(SUM(s) AS HUGEINT) c FROM dense GROUP BY t) x)
+        |SELECT n_blocks, 3 AS k, CAST(tt AS BIGINT) AS total_successes,
+        |  CASE WHEN 3 * tt - r2 = 0 THEN NULL
+        |    ELSE CAST(2 * (3 * c2 - tt * tt) AS DOUBLE)
+        |      / CAST(3 * tt - r2 AS DOUBLE) END AS q
+        |FROM tr CROSS JOIN cj""".stripMargin) { (s, d) =>
+      Stats.cochranQ(Tables.events(s, d), "user_id", "event_type",
+        col("value") > 50, Seq("click", "purchase", "signup"))
+    },
+
+    // Jonckheere-Terpstra ordered trend (Stats.jonckheereTerpstra):
+    // does order value RISE across priority tiers (1-URGENT < ... <
+    // 5-LOW in key order) — kruskalWallis with an ordered alternative.
+    // Dense (group x value) grid windows (<=k rows per value
+    // partition; per-group distinct-value bound), exact integer 2J,
+    // Hollander-Wolfe tie-corrected variance as three fixed-order
+    // exact-ratio terms.
+    dfQ("q300_jonckheere",
+      """WITH cells AS (SELECT o_orderpriority g,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) v,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM orders GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, vv.v, COALESCE(cells.c, 0) c FROM
+        |  (SELECT DISTINCT g FROM cells) gg
+        |  CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+        |  LEFT JOIN cells ON cells.g = gg.g AND cells.v = vv.v),
+        |w1 AS (SELECT g, v, c, CAST(COALESCE(SUM(c) OVER (
+        |    PARTITION BY v ORDER BY g
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) bt FROM grid),
+        |w2 AS (SELECT g, v, c, bt, CAST(COALESCE(SUM(bt) OVER (
+        |    PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS HUGEINT) a FROM w1),
+        |j AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * (2 * a + bt))
+        |    AS HUGEINT) j2 FROM w2),
+        |g1 AS (SELECT CAST(SUM(n) AS HUGEINT) nn,
+        |    CAST(COUNT(*) AS BIGINT) k,
+        |    SUM(CAST(n AS HUGEINT) * n) n2,
+        |    SUM(CAST(n AS HUGEINT) * (n-1) * (2*n+5)) g25,
+        |    SUM(CAST(n AS HUGEINT) * (n-1) * (n-2)) g3,
+        |    SUM(CAST(n AS HUGEINT) * (n-1)) g2
+        |  FROM (SELECT g, CAST(SUM(c) AS BIGINT) n FROM cells
+        |        GROUP BY g) x),
+        |t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t-1) * (2*t+5)) t25,
+        |    SUM(CAST(t AS HUGEINT) * (t-1) * (t-2)) t3,
+        |    SUM(CAST(t AS HUGEINT) * (t-1)) t2
+        |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) t FROM cells
+        |        GROUP BY v) x),
+        |m AS (SELECT *,
+        |    CAST(nn*(nn-1)*(2*nn+5) - g25 - t25 AS DOUBLE) / 72e0
+        |      + CAST(g3*t3 AS DOUBLE)
+        |        / (36e0 * CAST(nn*(nn-1)*(nn-2) AS DOUBLE))
+        |      + CAST(g2*t2 AS DOUBLE)
+        |        / (8e0 * CAST(nn*(nn-1) AS DOUBLE)) varj
+        |  FROM j CROSS JOIN g1 CROSS JOIN t1)
+        |SELECT CAST(nn AS BIGINT) n, k,
+        |  CAST(j2 AS DOUBLE) / 2e0 j_stat,
+        |  CAST(nn*nn - n2 AS DOUBLE) / 4e0 e_j,
+        |  CASE WHEN k < 2 OR nn < 3 OR varj <= 0e0 THEN NULL
+        |    ELSE CAST(2*j2 - (nn*nn - n2) AS DOUBLE)
+        |      / (4e0 * SQRT(varj)) END z
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.jonckheereTerpstra(Tables.table(s, d, "orders"),
+        "o_orderpriority", floor(col("o_totalprice")).cast("long"))
+    },
+
+    // Directed reciprocity (Components.reciprocity) over the
+    // line-position-ordered part graph (u -> v when u appears on an
+    // earlier line than v in the same order): is part co-occurrence a
+    // conversation or a broadcast. One distinct pass + a left-semi
+    // self-join on the swapped pair — per-key <=1, linear.
+    dfQ("q301_reciprocity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_linenumber,
+        |    l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_linenumber < b.l_linenumber
+        |  WHERE a.p <> b.p),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) m_directed FROM e),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) m_reciprocal FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e e2
+        |                WHERE e2.u = e.v AND e2.v = e.u))
+        |SELECT m_directed, m_reciprocal,
+        |  CASE WHEN m_directed = 0 THEN NULL
+        |    ELSE CAST(m_reciprocal AS DOUBLE) / m_directed END
+        |    AS reciprocity
+        |FROM m CROSS JOIN r""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_linenumber") < col("y.l_linenumber") &&
+            col("x.p") =!= col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb"))
+      Components.reciprocity(e, "pa", "pb")
+    },
+
+    // Global transitivity (Components.transitivity) over the q290
+    // part-co-occurrence graph: the triangle/wedge ratio 3T/W — the
+    // whole-graph companion to q161's per-node counts; the oracle
+    // replays T with plain 3-way joins and W off the degree table.
+    dfQ("q302_transitivity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |t AS (SELECT e1.u a, e1.v b, e2.v c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT CAST(COUNT(*) AS HUGEINT) t3 FROM t),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d FROM (
+        |    SELECT u n FROM e UNION ALL SELECT v FROM e) x GROUP BY n),
+        |w AS (SELECT CAST(SUM(CAST(d AS HUGEINT) * (d-1)) AS HUGEINT)
+        |    w2 FROM deg)
+        |SELECT CAST(t3 AS BIGINT) n_triangles,
+        |  CAST(w2 / 2 AS BIGINT) n_wedges,
+        |  CASE WHEN w2 = 0 THEN NULL
+        |    ELSE CAST(6 * t3 AS DOUBLE) / CAST(w2 AS DOUBLE) END
+        |    AS transitivity
+        |FROM tc CROSS JOIN w""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      Components.transitivity(e, "pa", "pb")
+    },
+
+    // Fleiss' kappa (Quality.fleissKappa): chance-corrected agreement
+    // among the 4 "raters" of every exactly-4-line order on the
+    // returnflag "label" — the n>2-rater generalization of q238's
+    // Cohen kappa for multi-annotator label QA. Exactly-n filter off
+    // ONE cell table; P-bar and P-e are single divisions of exact
+    // integer moments, kappa a fixed tree.
+    dfQ("q303_fleiss_kappa",
+      """WITH cells AS (SELECT l_orderkey i, l_returnflag cat,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM lineitem GROUP BY 1, 2),
+        |keep AS (SELECT i FROM cells GROUP BY i HAVING SUM(c) = 4),
+        |cc AS (SELECT cells.* FROM cells JOIN keep USING (i)),
+        |a AS (SELECT CAST(COUNT(DISTINCT i) AS HUGEINT) n,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) c2 FROM cc),
+        |b AS (SELECT CAST(SUM(CAST(cj AS HUGEINT) * cj) AS HUGEINT)
+        |    cj2 FROM (SELECT cat, SUM(c) cj FROM cc GROUP BY cat) x),
+        |m AS (SELECT n, c2, cj2,
+        |    CAST(c2 - n * 4 AS DOUBLE) / CAST(n * 4 * 3 AS DOUBLE) pb,
+        |    CAST(cj2 AS DOUBLE) / CAST((n * 4) * (n * 4) AS DOUBLE) pe
+        |  FROM a CROSS JOIN b)
+        |SELECT CAST(n AS BIGINT) n_items, 4 AS n_raters,
+        |  CASE WHEN n = 0 THEN NULL ELSE pb END AS p_bar,
+        |  CASE WHEN n = 0 THEN NULL ELSE pe END AS p_e,
+        |  CASE WHEN n = 0 OR pe >= 1e0 THEN NULL
+        |    ELSE (pb - pe) / (1e0 - pe) END AS kappa
+        |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.Quality.fleissKappa(Tables.table(s, d, "lineitem"),
+        "l_orderkey", "l_returnflag", nRaters = 4)
     }
   )
 }

@@ -3292,6 +3292,92 @@ class AnalyticsSuite extends SparkTestBase {
       dup(0).getDouble(3) == 1.0)
   }
 
+  test("cochranQ: textbook hand case; absent pairs count as failure; " +
+      "no within-block variation → NULL") {
+    import spark.implicits._
+    // blocks b1(1,1,0) b2(1,0,0) b3(1,1,1) b4(0,0,0): T=6, ΣR²=14,
+    // ΣC²=14 → Q = 2(3·14−36)/(3·6−14) = 12/4 = 3. b2's B/C and b4's
+    // entire row are ABSENT (dense completion fills failures).
+    val rows = Seq(("b1", "A", 60L), ("b1", "B", 60L), ("b1", "C", 10L),
+      ("b2", "A", 60L), ("b3", "A", 60L), ("b3", "B", 60L),
+      ("b3", "C", 60L), ("b4", "A", 10L))
+    val r = Stats.cochranQ(rows.toDF("blk", "trt", "v"), "blk", "trt",
+      col("v") > 50, Seq("A", "B", "C")).collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Long]("total_successes") == 6L)
+    assert(r.getAs[Double]("q") == 3.0)
+    // every block all-success → k·T − ΣR² = 0 → NULL
+    val flat = Seq(("b1", "A", 60L), ("b1", "B", 60L),
+      ("b2", "A", 60L), ("b2", "B", 60L))
+    assert(Stats.cochranQ(flat.toDF("blk", "trt", "v"), "blk", "trt",
+      col("v") > 50, Seq("A", "B")).collect()(0).isNullAt(3))
+  }
+
+  test("jonckheereTerpstra: perfect ascending trend hand case; " +
+      "cross-group tie counts half") {
+    import spark.implicits._
+    // g1=[1,2] g2=[3,4] g3=[5,6]: J = 12 (max), E = (36−12)/4 = 6,
+    // var (no ties) = (6·5·17 − 3·2·1·9)/72 = 456/72
+    val rows = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L), ("g2", 4L),
+      ("g3", 5L), ("g3", 6L))
+    val r = Stats.jonckheereTerpstra(rows.toDF("g", "x"), "g", col("x"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("j_stat") == 12.0)
+    assert(r.getAs[Double]("e_j") == 6.0)
+    assert(math.abs(r.getAs[Double]("z") -
+      6.0 / math.sqrt(456.0 / 72.0)) < 1e-12)
+    // one value in each of two groups, tied: U = 1/2 → J = 0.5
+    val tied = Seq(("g1", 7L), ("g2", 7L))
+    val rt = Stats.jonckheereTerpstra(tied.toDF("g", "x"), "g", col("x"))
+      .collect()(0)
+    assert(rt.getAs[Double]("j_stat") == 0.5)
+  }
+
+  test("reciprocity: mutual pair + one-way edge; loops and dups drop") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (4L, 4L))
+      .toDF("s", "t")
+    val r = Components.reciprocity(e, "s", "t").collect()(0)
+    assert(r.getAs[Long]("m_directed") == 3L)
+    assert(r.getAs[Long]("m_reciprocal") == 2L)
+    assert(math.abs(r.getAs[Double]("reciprocity") - 2.0 / 3) < 1e-12)
+  }
+
+  test("transitivity: triangle + pendant = 3/5; star graph reads 0") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Components.transitivity(e, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Double]("transitivity") == 0.6)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val rs = Components.transitivity(star, "a", "b").collect()(0)
+    assert(rs.getAs[Long]("n_triangles") == 0L &&
+      rs.getAs[Double]("transitivity") == 0.0)
+  }
+
+  test("fleissKappa: exact 22/40 hand case; wrong-panel items drop; " +
+      "single-category agreement is NULL (vacuous)") {
+    import spark.implicits._
+    // 3 raters: i1 AAA, i2 AAB, i3 BBB → P̄ = 7/9, Pe = 41/81,
+    // κ = 22/40 = 0.55 exactly; i4 has only 2 ratings → dropped
+    val rows = Seq(("i1", "A"), ("i1", "A"), ("i1", "A"),
+      ("i2", "A"), ("i2", "A"), ("i2", "B"),
+      ("i3", "B"), ("i3", "B"), ("i3", "B"),
+      ("i4", "A"), ("i4", "B"))
+    val r = graft.ops.Quality.fleissKappa(rows.toDF("item", "cat"),
+      "item", "cat", nRaters = 3).collect()(0)
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Double]("p_bar") == 7.0 / 9)
+    assert(r.getAs[Double]("p_e") == 41.0 / 81)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.55) < 1e-12)
+    // all raters one category on every item → Pe = 1 → NULL
+    val one = Seq(("i1", "A"), ("i1", "A"), ("i2", "A"), ("i2", "A"))
+    assert(graft.ops.Quality.fleissKappa(one.toDF("item", "cat"),
+      "item", "cat", nRaters = 2).collect()(0).isNullAt(4))
+  }
+
   test("hosmerLemeshow: two perfectly-sized bins hand case; " +
       "p=0 bins count as degenerate and contribute 0") {
     import spark.implicits._

@@ -58,7 +58,12 @@ class PlanLintSuite extends SparkTestBase {
     "q226_conformal" -> ("the broadcast side is the 1-row conformal " +
       "quantile (rank-filter over the CALIBRATION set — small by " +
       "design per conformalInterval's contract); the row bound comes " +
-      "from a filter the structural rule cannot prove"))
+      "from a filter the structural rule cannot prove"),
+    "q300_jonckheere" -> ("the dense (value × group) grid crossJoin " +
+      "broadcasts the DISTINCT-GROUP side — ordered factors (dose " +
+      "tiers, priorities) are few by the operator's contract " +
+      "(jonckheereTerpstra scaladoc); the structural rule cannot see " +
+      "a grouped-distinct's cardinality"))
 
   /** Name-level exceptions to the scan discipline (≥3 static scans of
     * one table): every entry is a REVIEWED multi-pass shape, not an
@@ -213,6 +218,9 @@ class PlanLintSuite extends SparkTestBase {
       "semi-join — fan-out ≤ |supplied vocab| per doc"),
     "q161_triangles" -> ("degree-oriented wedge join — out-degree ≤ " +
       "O(√m) after orientation, the textbook bound"),
+    "q302_transitivity" -> ("same degree-oriented wedge + closure " +
+      "joins as q161 (transitivity reuses triangleCounts); the wedge " +
+      "fan-out bound is the same O(√m) orientation argument"),
     // ——— sites below became visible in r13 when the detector learned
     // to descend cache cuts (VERDICT r12 item 2) — each reviewed:
     "q71_minhash_neardup" -> ("MinHash (band, mh) bucket join — a " +
