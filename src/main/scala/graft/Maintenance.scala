@@ -46,6 +46,24 @@ object Maintenance {
           println(s"""{"verb":"delete-keys","dir":"$dir","filesTotal":${r.filesTotal}""" +
             s""","filesRewritten":${r.filesRewritten},"rowsDeleted":${r.rowsDeleted}""" +
             s""","rowsRemaining":${r.rowsRemaining}}""")
+        case "retrain-ivf" =>
+          // versioned quantizer re-train (ops.IndexLifecycle): --dir is
+          // the lifecycle base; trains v+1 on the supplied corpus,
+          // lands centroids_v+1/assign_v+1 alongside v, commits via
+          // the atomic marker — the operational entry point for the
+          // drifted-corpus re-index without breaking replay idempotence
+          val embPath = opt(args, "--emb-parquet").getOrElse(
+            sys.error("--emb-parquet required"))
+          val idCol = opt(args, "--id").getOrElse(sys.error("--id required"))
+          val vecCol = opt(args, "--vec").getOrElse(sys.error("--vec required"))
+          val r = graft.ops.IndexLifecycle.retrain(spark, dir,
+            spark.read.parquet(embPath), idCol, vecCol,
+            nlist = opt(args, "--nlist").map(_.toInt).getOrElse(16),
+            trainSample = opt(args, "--train-sample").map(_.toInt)
+              .getOrElse(4096))
+          println(s"""{"verb":"retrain-ivf","dir":"$dir"""" +
+            s""","fromVersion":${r.fromVersion.map(_.toString).getOrElse("null")}""" +
+            s""","toVersion":${r.toVersion},"nlist":${r.nlist},"rows":${r.rows}}""")
         case other => sys.error(s"unknown maintenance verb '$other'")
       }
     } finally spark.stop()

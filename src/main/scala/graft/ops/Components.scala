@@ -626,4 +626,56 @@ object Components {
           (lit(2).cast(dec38) * col("__t3")).cast("double") /
             col("__w2").cast("double")).as("transitivity"))
   }
+
+  /** Modularity of a GIVEN node partition — Newman–Girvan Q =
+    * Σ_c [e_c/m − (d_c/2m)²]: how much denser are the communities than
+    * a degree-preserving random rewiring. THE quality readout for any
+    * community assignment ([[labelPropagation]]'s labels, a hash
+    * partition, a crawl-host grouping) — Q ≈ 0 means the "communities"
+    * are degree artifacts.
+    *
+    * Exactness: Q·4m² = Σ_c [4m·e_c − d_c²] is an exact integer (m the
+    * canonical edge count, e_c intra-community edges, d_c the
+    * community degree sum), so Q is ONE division of DECIMAL(38)
+    * integers. Scale shape: distinct canonical edges → two node-key
+    * label joins (label table is node-cardinality — NOT broadcast) →
+    * one community-cardinality agg for e_c, one for d_c, full-outer
+    * merged and folded globally. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String, commCol: String)
+      : DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cache() // lazy-return op — the triangleCounts LRU note
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("n"),
+        col(commCol).cast("long").as("c"))
+      // both endpoint joins read this — without the cut Catalyst
+      // replays the caller's whole label subtree per join (no CSE)
+      .distinct().cache() // lazy-return op — the triangleCounts LRU note
+    val tagged = canon
+      .join(lab.select(col("n").as("u"), col("c").as("ca")), Seq("u"))
+      .join(lab.select(col("n").as("v"), col("c").as("cb")), Seq("v"))
+    val eC = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+    val dC = tagged
+      .select(explode(array(col("ca"), col("cb"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("dc"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    dC.join(eC, Seq("c"), "left").na.fill(0L, Seq("ec"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+        max(col("m")).cast("long").as("m_edges"),
+        coalesce(sum((lit(4).cast(dec38) * col("m") * col("ec") -
+          col("dc").cast(dec38) * col("dc"))), lit(0).cast(dec38))
+          .as("__num"),
+        max((lit(4).cast(dec38) * col("m") * col("m"))).as("__den"))
+      .select(col("n_communities"), col("m_edges"),
+        when(col("__den") === lit(0).cast(dec38), lit(null)).otherwise(
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("modularity"))
+  }
 }

@@ -2663,4 +2663,59 @@ object Stats {
         num4.cast("double") / (lit(4.0) * sqrt(varJ))).as("z"))
   }
 
+  /** Page's L trend test — [[friedman]] with an ORDERED alternative
+    * (does the metric RISE across the supplied treatment order within
+    * blocks — the repeated-measures twin of [[jonckheereTerpstra]]):
+    * L = Σ_j j·R_j with R_j treatment j's within-block rank sum and j
+    * its position in `order`. Complete blocks only (the friedman
+    * contract); within-block DOUBLED average ranks keep every R_j
+    * integral under ties, so 2L and its null mean 2E[L] =
+    * b·k(k+1)²/2 are exact DECIMAL(38) integers and
+    * z = (2L − 2E)/(2σ) is one division over one sqrt of the exact
+    * rational σ² = b·k²(k+1)²(k²−1)/144 (the classical no-tie
+    * variance — with heavy ties it is conservative, the standard
+    * practice). NULL z for k < 3 or no complete blocks. */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+                x: Column, order: Seq[String]): DataFrame = {
+    require(order.distinct.size == order.size && order.size >= 3,
+      "pageTrend: order must be >= 3 distinct treatments")
+    val k = order.size
+    val pos = typedLit(order)
+    val cell = df
+      .filter(col(treatCol).isin(order.map(lit): _*))
+      .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(sum(x.cast("long")).as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m", col("__s").cast("double") / col("__c"))
+      .localCheckpoint(false)
+    val wb = Window.partitionBy(col("__b"))
+    val kept = cell
+      .withColumn("__kb", count(lit(1)).over(wb))
+      .filter(col("__kb") === k)
+    // doubled within-block average ranks off the per-mean counts —
+    // ≤ k distinct means per block (the friedman machinery)
+    val byV = kept.groupBy(col("__b"), col("__m"))
+      .agg(count(lit(1)).as("__cv"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("__below", coalesce(sum("__cv").over(wOrd), lit(0L)))
+      .select(col("__b"), col("__m"),
+        (lit(2L) * col("__below") + col("__cv") + 1).as("__dr"))
+    val cellR = kept.join(ranked, Seq("__b", "__m"))
+      .withColumn("__j", array_position(pos, col("__t")))
+    val m = cellR.agg(
+      countDistinct(col("__b")).cast(dec38).as("b"),
+      // 2L = Σ j·dr: exact integers, order-free
+      coalesce(sum((col("__j") * col("__dr")).cast(dec38)),
+        lit(0).cast(dec38)).as("l2"))
+    val kD = lit(k).cast(dec38)
+    val e2 = col("b") * kD * (kD + 1) * (kD + 1) / 2
+    val varL = (col("b") * kD * kD * (kD + 1) * (kD + 1) *
+      (kD * kD - 1)).cast("double") / 144.0
+    m.select(col("b").cast("long").as("n_blocks"), lit(k).as("k"),
+      (col("l2").cast("double") / 2.0).as("l_stat"),
+      when(col("b") < 1, lit(null)).otherwise(
+        (col("l2") - e2).cast("double") /
+          (lit(2.0) * sqrt(varL))).as("z"))
+  }
 }

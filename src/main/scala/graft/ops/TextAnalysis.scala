@@ -488,6 +488,64 @@ object TextAnalysis {
             col("n_tokens").cast("double"))).as("yules_k"))
   }
 
+  /** Heaps'-law exponent — how fast vocabulary grows with corpus size,
+    * V(T) = K·T^β (natural prose β ≈ 0.4–0.6; duplicated/boilerplate
+    * corpora flatten, OCR noise inflates): the growth-curve companion
+    * to the [[lexicalDiversity]] point ratios and the q184 Zipf slope.
+    *
+    * Scale shape: the curve is probed at FIXED power-of-two doc-id
+    * cutoffs (a bounded literal broadcast — never a row-scale global
+    * window over the doc sequence): per probe n, T(n) = tokens in docs
+    * below the cutoff and V(n) = types whose FIRST doc sits below it,
+    * both exact integer conditional sums off ONE type-table pass and
+    * ONE per-doc token-count pass. The OLS of ln V on ln T runs over
+    * ≤ `maxProbes` points on the [[Exact.lnq]] 2⁻²⁶ grid SCALED TO
+    * INTEGERS, so the moments are exact DECIMAL(38) sums and β is one
+    * division — engine-identical. Probes above the corpus id range
+    * drop; NULL beta below 2 surviving probes. */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               maxProbes: Int = 16): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = docs.sparkSession
+    val cuts = spark.createDataFrame(
+      (0 until maxProbes).map(i => Tuple1(1L << i))).toDF("cut")
+    val toks = docs.select(col(idCol).cast("long").as("__id"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val firstDoc = toks.groupBy("__tok").agg(min("__id").as("__fd"))
+    val v = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("__fd") < col("cut"))
+      .groupBy("cut").agg(count(lit(1)).as("__v"))
+    val t = toks.groupBy("__id").agg(count(lit(1)).as("__nt"))
+      .crossJoin(broadcast(cuts))
+      .filter(col("__id") < col("cut"))
+      .groupBy("cut").agg(sum("__nt").as("__t"))
+    val gridInt = (c: Column) =>
+      (Exact.lnq(c) * lit(67108864.0)).cast("long")
+    // keep informative probes only: T must GROW between points or the
+    // duplicated (x, y) pairs would weight the fit arbitrarily — a
+    // probe past the corpus ceiling repeats the final total
+    val pts = v.join(t, "cut")
+      .filter(col("__t") > 0 && col("__v") > 0)
+      .groupBy(col("__t")).agg(min("__v").as("__v"))
+      .select(gridInt(col("__t")).as("__x"), gridInt(col("__v")).as("__y"))
+    def s(c: Column) = sum(c.cast(dec38))
+    val m = pts.agg(count(lit(1)).as("n_probes"),
+      s(col("__x")).as("sx"), s(col("__y")).as("sy"),
+      s(col("__x") * col("__x")).as("sxx"),
+      s(col("__x") * col("__y")).as("sxy"))
+    val n = col("n_probes").cast(dec38)
+    val dx = n * col("sxx") - col("sx") * col("sx")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    m.select(col("n_probes"),
+      when(col("n_probes") < 2 || dx === lit(0).cast(dec38), lit(null))
+        .otherwise(num.cast("double") / dx.cast("double")).as("beta"),
+      when(col("n_probes") < 2 || dx === lit(0).cast(dec38), lit(null))
+        .otherwise(((col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .cast("double") / dx.cast("double")) / 67108864.0)
+        .as("ln_k"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the
     * source-level "do these corpora speak the same language" matrix:
     * per (groupA < groupB), the shared type count and vocabulary

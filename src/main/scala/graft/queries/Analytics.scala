@@ -4863,6 +4863,126 @@ object Analytics {
         |FROM m""".stripMargin) { (s, d) =>
       graft.ops.Quality.fleissKappa(Tables.table(s, d, "lineitem"),
         "l_orderkey", "l_returnflag", nRaters = 4)
+    },
+
+    // Newman-Girvan modularity (Components.modularity) of the node%8
+    // hash partition over the q290 part graph: the quality readout for
+    // ANY community assignment (a hash partition should read ~0 — the
+    // degree-artifact floor the label-prop communities must beat).
+    // Q*4m^2 is an exact integer; Q one division.
+    dfQ("q304_modularity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |lab AS (SELECT DISTINCT n, n % 8 c FROM
+        |  (SELECT u n FROM e UNION ALL SELECT v FROM e) x),
+        |tg AS (SELECT la.c ca, lb.c cb FROM e
+        |  JOIN lab la ON e.u = la.n JOIN lab lb ON e.v = lb.n),
+        |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) m FROM tg),
+        |ec AS (SELECT ca c, CAST(COUNT(*) AS BIGINT) ec FROM tg
+        |  WHERE ca = cb GROUP BY 1),
+        |dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) dc FROM
+        |  (SELECT ca c FROM tg UNION ALL SELECT cb FROM tg) x
+        |  GROUP BY 1),
+        |j AS (SELECT dc.c, dc.dc, COALESCE(ec.ec, 0) ec
+        |  FROM dc LEFT JOIN ec ON dc.c = ec.c)
+        |SELECT CAST(COUNT(*) AS BIGINT) n_communities,
+        |  CAST(MAX(m) AS BIGINT) m_edges,
+        |  CASE WHEN MAX(m) = 0 THEN NULL ELSE
+        |    CAST(SUM(4 * m * ec - CAST(dc AS HUGEINT) * dc) AS DOUBLE)
+        |      / CAST(4 * MAX(m) * MAX(m) AS DOUBLE) END modularity
+        |FROM j CROSS JOIN mm""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      val labels = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+        .distinct()
+        .select(col("n"), (col("n") % 8).as("comm"))
+      Components.modularity(e, "pa", "pb", labels, "n", "comm")
+    },
+
+    // Heaps'-law exponent (TextAnalysis.heapsLaw): vocabulary growth
+    // V(T) = K*T^beta probed at power-of-two doc-id cutoffs — bounded
+    // literal probes, never a row-scale doc-sequence window; OLS on
+    // the lnq 2^-26 integer grid, exact DECIMAL moments, beta one
+    // division.
+    dfQ("q305_heaps_law",
+      """WITH tk AS (SELECT doc_id id, tok FROM
+        |  (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) tok
+        |   FROM documents) x WHERE tok <> ''),
+        |fd AS (SELECT tok, MIN(id) fd FROM tk GROUP BY tok),
+        |nt AS (SELECT id, CAST(COUNT(*) AS BIGINT) nt FROM tk
+        |  GROUP BY id),
+        |cuts AS (SELECT CAST(POWER(2, i) AS BIGINT) cut
+        |  FROM UNNEST(RANGE(0, 16)) t(i)),
+        |v AS (SELECT cut, CAST(COUNT(*) AS BIGINT) v
+        |  FROM fd CROSS JOIN cuts WHERE fd < cut GROUP BY cut),
+        |t AS (SELECT cut, CAST(SUM(nt) AS BIGINT) t
+        |  FROM nt CROSS JOIN cuts WHERE id < cut GROUP BY cut),
+        |pts AS (SELECT t, MIN(v) v FROM
+        |  (SELECT t.t, v.v FROM v JOIN t USING (cut)
+        |   WHERE t.t > 0 AND v.v > 0) x GROUP BY t),
+        |g AS (SELECT CAST(FLOOR(LN(t) * 67108864.0) AS BIGINT) x,
+        |    CAST(FLOOR(LN(v) * 67108864.0) AS BIGINT) y FROM pts),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(y AS HUGEINT)) sy,
+        |    SUM(CAST(x AS HUGEINT) * x) sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) sxy FROM g)
+        |SELECT n AS n_probes,
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS beta,
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)) / 67108864.0 END
+        |    AS ln_k
+        |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.heapsLaw(
+        Tables.table(s, d, "documents"), "doc_id", "text")
+    },
+
+    // Page's L trend test (Stats.pageTrend): does per-user mean value
+    // RISE across view -> click -> purchase — the ordered-alternative
+    // Friedman, the repeated-measures twin of q300's Jonckheere.
+    // Complete blocks, doubled within-block ranks, exact 2L/2E
+    // integers, classical variance.
+    dfQ("q306_page_trend",
+      """WITH cell AS (SELECT user_id b, event_type t,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) s,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM events
+        |  WHERE event_type IN ('view','click','purchase')
+        |  GROUP BY 1, 2),
+        |cm AS (SELECT b, t, CAST(s AS DOUBLE) / c m FROM cell),
+        |kept AS (SELECT * FROM cm WHERE b IN
+        |  (SELECT b FROM cm GROUP BY b HAVING COUNT(*) = 3)),
+        |byv AS (SELECT b, m, CAST(COUNT(*) AS BIGINT) cv FROM kept
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT b, m, CAST(2 * COALESCE(SUM(cv) OVER (
+        |    PARTITION BY b ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cv + 1 AS BIGINT) dr FROM byv),
+        |cr AS (SELECT kept.b, rk.dr,
+        |    CASE kept.t WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      ELSE 3 END j
+        |  FROM kept JOIN rk ON kept.b = rk.b AND kept.m = rk.m),
+        |m2 AS (SELECT CAST(COUNT(DISTINCT b) AS HUGEINT) bb,
+        |    CAST(SUM(CAST(j AS HUGEINT) * dr) AS HUGEINT) l2 FROM cr)
+        |SELECT CAST(bb AS BIGINT) n_blocks, 3 AS k,
+        |  CAST(l2 AS DOUBLE) / 2e0 l_stat,
+        |  CASE WHEN bb < 1 THEN NULL
+        |    ELSE CAST(l2 - bb * 24 AS DOUBLE)
+        |      / (2e0 * SQRT(CAST(bb * 1152 AS DOUBLE) / 144e0)) END z
+        |FROM m2""".stripMargin) { (s, d) =>
+      Stats.pageTrend(Tables.events(s, d), "user_id", "event_type",
+        floor(col("value") * 100).cast("long"),
+        Seq("view", "click", "purchase"))
     }
   )
 }

@@ -1040,6 +1040,53 @@ object Streams {
     q
   }
 
+  /** ST28: streaming IVF assignment landing — the streaming twin of
+    * the declarative `mode="ivf"` load (and the assignment half of
+    * [[runKnnGraphAppend]] without the edge join): each micro-batch
+    * admits only ids NOT already assigned in a prior batch dir,
+    * assigns them against the FROZEN centroid table in one map-only
+    * pass ([[graft.ops.Similarity.ivfAssign]] — cell ids stay stable
+    * forever; re-training is the versioned
+    * [[graft.ops.IndexLifecycle]]), optionally PQ-encodes with frozen
+    * codebooks, and lands `outDir/batch_<id>` — per-batch-id
+    * overwrite, so checkpoint replay is idempotent and the state
+    * store holds nothing. */
+  def runIvfAssignAppend(emb: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, outDir: String,
+                         codebooks: Option[Array[Array[Array[Double]]]] =
+                           None): StreamingQuery = {
+    import graft.ops.Similarity
+    val q = emb.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val oPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = oPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs =
+          if (!fs.exists(oPath)) Array.empty[String]
+          else fs.listStatus(oPath)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("batch_") &&
+              s.getPath.getName != s"batch_$id")
+            .map(_.getPath.toString)
+        val fresh =
+          if (priorDirs.nonEmpty)
+            batch.join(spark.read.parquet(priorDirs.toSeq: _*)
+              .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+          else batch
+        val assigned0 = Similarity.ivfAssign(fresh, idCol, vecCol, centroids)
+        val assigned = codebooks match {
+          case Some(cb) => Similarity.withPqCode(assigned0, "arr", cb)
+          case None => assigned0
+        }
+        assigned.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** The standing rollup from [[runRollup]] output: merge every batch's
     * state table by the measures' monoid. */
   def currentRollup(spark: SparkSession, storeDir: String, keys: Seq[String],

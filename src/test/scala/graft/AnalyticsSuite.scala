@@ -3378,6 +3378,64 @@ class AnalyticsSuite extends SparkTestBase {
       "item", "cat", nRaters = 2).collect()(0).isNullAt(4))
   }
 
+  test("modularity: two clean cliques ≈ 1/2; whole graph in one " +
+      "community = 0; perfect anti-partition negative") {
+    import spark.implicits._
+    // two disjoint triangles, labels = the component → m=6, each
+    // community: e_c=3, d_c=6 → Q = 2·(3/6 − (6/12)²) = 1/2
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val lab2 = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("n", "c")
+    val r = Components.modularity(e, "a", "b", lab2, "n", "c")
+      .collect()(0)
+    assert(r.getAs[Long]("n_communities") == 2L &&
+      r.getAs[Long]("m_edges") == 6L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+    // everything in one community: e_c = m, d_c = 2m → Q = 0 exactly
+    val lab1 = (1L to 6L).map(n => (n, 0L)).toDF("n", "c")
+    assert(Components.modularity(e, "a", "b", lab1, "n", "c")
+      .collect()(0).getAs[Double]("modularity") == 0.0)
+    // bipartite-split labels on one triangle: no intra edges → Q < 0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val labX = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("n", "c")
+    assert(Components.modularity(tri, "a", "b", labX, "n", "c")
+      .collect()(0).getAs[Double]("modularity") < 0.0)
+  }
+
+  test("heapsLaw: exact two-probe hand case recovers the planted " +
+      "exponent") {
+    import spark.implicits._
+    // docs 0 and 1 hold 2 tokens each; doc 0 has 1 type, docs 0-1
+    // have 2 types → probes (T,V) = (2,1) and (4,2):
+    // beta = ln2/ln2 = 1 on the grid (both axes quantize identically)
+    val docs = Seq((0L, "a a"), (1L, "b a")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.heapsLaw(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_probes") == 2L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-6)
+    // single informative probe → NULL beta
+    val one = Seq((0L, "a b")).toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.heapsLaw(one, "doc_id", "text")
+      .collect()(0).isNullAt(1))
+  }
+
+  test("pageTrend: perfect ascending blocks hit the max L; " +
+      "incomplete blocks drop") {
+    import spark.implicits._
+    // 2 complete blocks, k=3, perfect order: each block ranks 1,2,3 →
+    // L = 2·(1+4+9) = 28; E = b·k(k+1)²/4 = 24; var = b·8 = 16... per
+    // the classical form var = b·k²(k+1)²(k²−1)/144 = 2·9·16·8/144 = 16
+    val rows = Seq(("u1", "lo", 1L), ("u1", "mid", 2L), ("u1", "hi", 3L),
+      ("u2", "lo", 10L), ("u2", "mid", 20L), ("u2", "hi", 30L),
+      ("u3", "lo", 5L)) // u3 incomplete → dropped
+    val r = Stats.pageTrend(rows.toDF("b", "t", "x"), "b", "t",
+      col("x"), Seq("lo", "mid", "hi")).collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Int]("k") == 3)
+    assert(r.getAs[Double]("l_stat") == 28.0)
+    assert(math.abs(r.getAs[Double]("z") - (28.0 - 24.0) / 4.0) < 1e-12)
+  }
+
   test("hosmerLemeshow: two perfectly-sized bins hand case; " +
       "p=0 bins count as degenerate and contribute 0") {
     import spark.implicits._

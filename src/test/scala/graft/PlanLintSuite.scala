@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
 import org.apache.spark.sql.execution.{LocalTableScanExec, RangeExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
@@ -152,14 +154,6 @@ class PlanLintSuite extends SparkTestBase {
     "q207_theil_sen" -> ("same series self-join as q205 — " +
       "Stats.theilSen(maxSeries); exact percentile additionally " +
       "buffers a hot key's slope multiset, so the cap matters MORE"),
-    "q236_item_neighbors" -> ("per-user basket self-join — " +
-      "Association.itemItemCosine(maxBasket) cap, StatsBench-measured " +
-      "13.9× uncapped blowup (key fixed r13: the r12 entry named a " +
-      "non-existent q236_item_similarity — dead until the cache " +
-      "descent made the join visible)"),
-    "q192_market_basket" -> ("per-basket item pairs — " +
-      "Association.liftPairs(maxBasket) cap (r11), same discipline; " +
-      "the (user_id, session_seq) key IS one basket (key fixed r13)"),
     // q187_sorted_neighbor removed r14 (anti-rot): the banded rank
     // equi-join no longer trips the detector (its sides derive from
     // an aggregate-reduced rank table); the ≤2·window-per-band bound
@@ -214,8 +208,6 @@ class PlanLintSuite extends SparkTestBase {
     "q285_ann_link" -> ("same annJoin cell join as q283 in " +
       "cross-corpus linking mode (excludeSelf=false)"),
     "q131_incremental_semdedup" -> "same within-cell bound as q108",
-    "q183_pmi_collocations" -> ("per-doc pairs AFTER a vocab " +
-      "semi-join — fan-out ≤ |supplied vocab| per doc"),
     "q161_triangles" -> ("degree-oriented wedge join — out-degree ≤ " +
       "O(√m) after orientation, the textbook bound"),
     "q302_transitivity" -> ("same degree-oriented wedge + closure " +
@@ -239,21 +231,14 @@ class PlanLintSuite extends SparkTestBase {
     "q169_image_neardup" -> ("same banded signature bucket join as " +
       "q73 over image phash bands — band space bounds a bucket, a " +
       "dense bucket is the duplicate cluster itself"),
-    "q159_bm25" -> ("the flagged doc-keyed join attaches the " +
-      "per-doc LENGTH aggregate (≤1 row per doc id) to the tf " +
-      "table — an aggregate join-back whose reduction sits behind " +
-      "the tokens cache cut, per-key linear"),
-    "q241_containment" -> ("inverted-index gram join — " +
-      "Dedup.ngramContainmentPairs(maxShingleDf) drops hot grams " +
-      "(default off so the fixture oracle replays uncapped); a " +
-      "gram's fan-out is its document frequency"),
-    "q256_cohort_ltv" -> ("the flagged __u join attaches the " +
-      "per-user MIN-cohort aggregate (≤1 row per user) — the " +
-      "measured agg-plus-join-back rewrite (6× over per-user " +
-      "windows); reduction hidden by the events cache cut"),
-    "q284_mutual_knn" -> ("reciprocity join keyed on the FULL " +
-      "(qid, id) edge identity — the cached kNN table is unique per " +
-      "(qid, id), per-key exactly one row per side, never multiplies"),
+    // ——— seven entries removed r14: the rule-4 descent now walks
+    // cache cuts for REDUCEDNESS too (perKeyReduced/boundedBuild
+    // descend InMemoryTableScan, symmetric with the r13 scan-
+    // provenance descent), so the WindowGroupLimit caps and
+    // aggregate join-backs these entries described in prose are now
+    // verified STRUCTURALLY: q159_bm25, q183_pmi_collocations,
+    // q192_market_basket, q236_item_neighbors, q241_containment,
+    // q256_cohort_ltv, q284_mutual_knn (anti-rot enforced)
     "q286_srp_neardup" -> ("SRP (band, key) bucket join — expected " +
       "bucket n/2^bandBits with bandBits the granularity dial, plus " +
       "the r13 auto hot-bucket salt (srpGuardOf: bounded profile, " +
@@ -288,6 +273,11 @@ class PlanLintSuite extends SparkTestBase {
       a.groupingExpressions.isEmpty
     case l: LocalTableScanExec => l.rows.size <= 1000 // literal table
     case r: RangeExec => r.numElements <= 1000 // fold/probe ranges
+    // descend cache cuts (r14 — the rule-4 scanCounts discipline): a
+    // .cache() must not hide a bounding aggregate any more than it may
+    // hide a scan; a cached 1-row stat is still 1 row
+    case t: InMemoryTableScanExec => boundedBuild(t.relation.cachedPlan)
+    case a: AdaptiveSparkPlanExec => boundedBuild(a.inputPlan)
     case p if p.children.size == 1 &&
         !p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
       // Exchange/Project/Filter/Sort/codegen/AQE wrappers never ADD
@@ -308,6 +298,12 @@ class PlanLintSuite extends SparkTestBase {
   private def perKeyReduced(side: SparkPlan): Boolean = side match {
     case _: BaseAggregateExec => true
     case _: WindowGroupLimitExec => true
+    // descend cache cuts (r14, symmetric with boundedBuild): a cached
+    // DISTINCT/aggregate is still per-key reduced — without this a
+    // .cache() on the reduced side would flip a reviewed-linear join
+    // into a false rule-4 hit (q304's node-label joins)
+    case t: InMemoryTableScanExec => perKeyReduced(t.relation.cachedPlan)
+    case a: AdaptiveSparkPlanExec => perKeyReduced(a.inputPlan)
     case p if p.children.size == 1 &&
         !p.isInstanceOf[org.apache.spark.sql.execution.GenerateExec] =>
       perKeyReduced(p.children.head)

@@ -1316,4 +1316,53 @@ class StreamingSuite extends SparkTestBase {
       measures))
     assert(replay == want)
   }
+
+  test("ST28: streaming IVF assignment landing equals batch ivfAssign; " +
+      "overlapping ids admit once; PQ codes ride along") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val base = Files.createTempDirectory("graft-ivf-append")
+    val outDir = s"$base/assign"
+    // seed: the first 100 ids pre-landed (the mode=ivf bootstrap)
+    val standing = emb.filter(col("vec_id") < 100)
+      .select("vec_id", "embedding")
+    Similarity.ivfAssign(standing, "vec_id", "embedding", cents)
+      .write.parquet(s"$outDir/batch_seed")
+    // stream rows 50..199: the 50..99 overlap must NOT re-land
+    val tail = emb.filter(col("vec_id") >= 50 && col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData(tail.as[(Long, Seq[Float])].collect().toSeq)
+    Streams.runIvfAssignAppend(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, outDir)
+    val landed = spark.read.parquet(s"$outDir/batch_*")
+    assert(landed.count() == 200L &&
+      landed.select("id").distinct().count() == 200L,
+      "every id exactly once — overlap admitted only by the seed")
+    val got = landed.select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = Similarity.ivfAssign(
+        emb.filter(col("vec_id") < 200), "vec_id", "embedding", cents)
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want)
+    // PQ-coded variant: codes equal the frozen-codebook batch encode
+    val (_, cbs) = Similarity.pqIndex(standing, "vec_id", "embedding",
+      m = 4, kCent = 8, trainSample = 64)
+    val out2 = s"$base/assign_pq"
+    val input2 = MemoryStream[(Long, Seq[Float])](spark)
+    input2.addData(standing.as[(Long, Seq[Float])].collect().toSeq)
+    Streams.runIvfAssignAppend(input2.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, out2, codebooks = Some(cbs))
+    val gotCodes = spark.read.parquet(s"$out2/batch_*")
+      .select("id", "code").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val wantCodes = Similarity.pqAssign(standing, "vec_id", "embedding",
+        cbs).select("id", "code").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(gotCodes == wantCodes && gotCodes.size == 100)
+  }
 }
