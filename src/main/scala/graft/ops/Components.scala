@@ -627,6 +627,55 @@ object Components {
             col("__w2").cast("double")).as("transitivity"))
   }
 
+  /** Categorical (attribute) assortativity — Newman's r for a DISCRETE
+    * node attribute over the undirected mirror: do same-attribute
+    * nodes preferentially link ([[degreeAssortativity]] is the degree
+    * special case; this is the lang/host/community mixing readout).
+    * With integer counts on the mirror (M = 2m directed edges, E_ii
+    * same-attribute edges, A_i the attribute out-margins):
+    *
+    *   r = (M·ΣE_ii − ΣA_i²) / (M² − ΣA_i²)
+    *
+    * — every term an exact DECIMAL(38) integer, r ONE division. Same
+    * scale shape as [[modularity]]: label joins on node keys, two
+    * attribute-cardinality aggs, one global fold. NULL r when every
+    * edge is same-attribute by margin necessity (denominator 0). */
+  def attributeAssortativity(edges: DataFrame, aCol: String, bCol: String,
+                             labels: DataFrame, nodeCol: String,
+                             attrCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("n"),
+        col(attrCol).cast("long").as("c"))
+      .distinct().cache() // lazy-return op — the triangleCounts LRU note
+    val mirror = canon.select(col("u"), col("v"))
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+    val tagged = mirror
+      .join(lab.select(col("n").as("u"), col("c").as("ca")), Seq("u"))
+      .join(lab.select(col("n").as("v"), col("c").as("cb")), Seq("v"))
+      .localCheckpoint(false)
+    val eii = tagged.filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).cast(dec38).as("__eii"))
+    val marg = tagged.groupBy("ca").agg(count(lit(1)).as("__a"))
+      .agg(coalesce(sum((col("__a") * col("__a")).cast(dec38)),
+          lit(0).cast(dec38)).as("__a2"),
+        coalesce(sum(col("__a").cast(dec38)), lit(0).cast(dec38))
+          .as("__m"),
+        count(lit(1)).cast("long").as("n_attrs"))
+    marg.crossJoin(broadcast(eii))
+      .select(col("n_attrs"), col("__m").cast("long").as("m_directed"),
+        when(col("__m") * col("__m") - col("__a2") ===
+            lit(0).cast(dec38), lit(null)).otherwise(
+          (col("__m") * col("__eii") - col("__a2")).cast("double") /
+            (col("__m") * col("__m") - col("__a2")).cast("double"))
+          .as("r"))
+  }
+
   /** Modularity of a GIVEN node partition — Newman–Girvan Q =
     * Σ_c [e_c/m − (d_c/2m)²]: how much denser are the communities than
     * a degree-preserving random rewiring. THE quality readout for any

@@ -388,4 +388,58 @@ object Quality {
       when(col("N") === lit(0).cast(dec38) || pE >= 1.0, lit(null))
         .otherwise((pBar - pE) / (lit(1.0) - pE)).as("kappa"))
   }
+
+  /** Krippendorff's alpha (nominal) — chance-corrected agreement with
+    * VARIABLE panels: the [[fleissKappa]] complement when raters per
+    * item differ (missing annotations are the norm in real label
+    * queues; Fleiss is undefined there). Units with a single rating
+    * drop (nothing pairable). Coincidence formulation:
+    *
+    *   α = (S_o/n − S_e) / (1 − S_e)
+    *   S_o = Σ_u Σ_c n_uc(n_uc−1)/(m_u−1),  S_e = Σ_c n_c(n_c−1)/(n(n−1))
+    *
+    * Exactness discipline: S_o sums RATIONALS with unit-dependent
+    * denominators — a naive per-unit double sum would be
+    * order-dependent. Group by the DENOMINATOR instead: panels are
+    * few by nature, so S_o = Σ_d A_d/d with A_d =
+    * Σ_{m_u−1=d} Σ_c n_uc(n_uc−1) an exact integer per distinct panel
+    * size and the outer fold running in-row over the SORTED ≤|panels|
+    * terms (the woeIv discipline — never a windowed double sum). S_e
+    * is ONE division of exact DECIMAL(38) integers; α a fixed tree.
+    * NULL α when S_e = 1 (a single category corpus-wide). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .select(col(itemCol).as("__u"), col(categoryCol).as("__cat"))
+      .groupBy("__u", "__cat").agg(count(lit(1)).as("__c"))
+    val withM = cells
+      .withColumn("__m", sum("__c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__u")))
+      .filter(col("__m") >= 2)
+      .localCheckpoint(false)
+    // A_d per distinct panel size, folded in-row sorted by d
+    val so = withM
+      .groupBy((col("__m") - 1).as("__d"))
+      .agg(sum((col("__c") * (col("__c") - 1)).cast(dec38)).as("__a"))
+      .agg(coalesce(aggregate(
+        array_sort(collect_list(struct(col("__d"),
+          (col("__a").cast("double") / col("__d")).as("__t")))),
+        lit(0.0), (acc, e) => acc + e.getField("__t")), lit(0.0))
+        .as("so"))
+    val margins = withM.groupBy("__cat").agg(sum("__c").as("__nc"))
+      .agg(coalesce(sum(col("__nc").cast(dec38)), lit(0).cast(dec38))
+          .as("n"),
+        coalesce(sum((col("__nc") * (col("__nc") - 1)).cast(dec38)),
+          lit(0).cast(dec38)).as("__ncc"))
+    val m = so.crossJoin(broadcast(margins))
+    val sE = col("__ncc").cast("double") /
+      (col("n") * (col("n") - 1)).cast("double")
+    val dO = col("so") / col("n").cast("double")
+    m.select(col("n").cast("long").as("n_pairable"),
+      when(col("n") < 2, lit(null)).otherwise(dO).as("s_o"),
+      when(col("n") < 2, lit(null)).otherwise(sE).as("s_e"),
+      when(col("n") < 2 || sE >= 1.0, lit(null))
+        .otherwise((dO - sE) / (lit(1.0) - sE)).as("alpha"))
+  }
 }

@@ -488,6 +488,32 @@ object TextAnalysis {
             col("n_tokens").cast("double"))).as("yules_k"))
   }
 
+  /** Chao1 vocabulary-richness estimator per slice — how many types
+    * the corpus HASN'T shown yet: Chao1 = V + F₁(F₁−1)/(2(F₂+1))
+    * (bias-corrected form — defined even with no doubletons), with F₁
+    * singleton and F₂ doubleton type counts. The unseen-mass companion
+    * to [[heapsLaw]]'s growth exponent and [[lexicalDiversity]]'s
+    * hapax share: "is more data still buying vocabulary". ONE grouped
+    * pass over the (slice, type) frequency table; exact integer
+    * counts, ONE division. */
+  def chao1Richness(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val freq = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__f"))
+    freq.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("__f") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__f") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("__g").as(groupCol),
+        col("n_types"), col("f1"), col("f2"),
+        (col("n_types") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + 1))).as("chao1"))
+  }
+
   /** Heaps'-law exponent — how fast vocabulary grows with corpus size,
     * V(T) = K·T^β (natural prose β ≈ 0.4–0.6; duplicated/boilerplate
     * corpora flatten, OCR noise inflates): the growth-curve companion

@@ -4983,6 +4983,108 @@ object Analytics {
       Stats.pageTrend(Tables.events(s, d), "user_id", "event_type",
         floor(col("value") * 100).cast("long"),
         Seq("view", "click", "purchase"))
+    },
+
+    // Krippendorff's alpha (Quality.krippendorffAlpha): agreement on
+    // the returnflag "label" across each order's VARIABLE lineitem
+    // panel — the fleiss complement when raters per item differ.
+    // Per-unit rationals grouped by DENOMINATOR (panel sizes are few)
+    // so the only double fold runs in-row over <=|panels| terms.
+    dfQ("q307_krippendorff",
+      """WITH cells AS (SELECT l_orderkey u, l_returnflag cat,
+        |    CAST(COUNT(*) AS BIGINT) c FROM lineitem GROUP BY 1, 2),
+        |wm AS (SELECT u, cat, c,
+        |    CAST(SUM(c) OVER (PARTITION BY u) AS BIGINT) m FROM cells),
+        |k AS (SELECT * FROM wm WHERE m >= 2),
+        |so AS (SELECT COALESCE(LIST_REDUCE(LIST(t ORDER BY d),
+        |    (a, b) -> a + b), 0e0) so FROM
+        |  (SELECT m - 1 d,
+        |     CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)
+        |       / (m - 1) t
+        |   FROM k GROUP BY m - 1) x),
+        |mg AS (SELECT CAST(SUM(nc) AS HUGEINT) n,
+        |    CAST(SUM(CAST(nc AS HUGEINT) * (nc - 1)) AS HUGEINT) ncc
+        |  FROM (SELECT cat, CAST(SUM(c) AS BIGINT) nc FROM k
+        |        GROUP BY cat) x)
+        |SELECT CAST(n AS BIGINT) n_pairable,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE so / CAST(n AS DOUBLE) END s_o,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE CAST(ncc AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+        |    END s_e,
+        |  CASE WHEN n < 2 OR CAST(ncc AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) >= 1e0 THEN NULL
+        |    ELSE (so / CAST(n AS DOUBLE) - CAST(ncc AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))
+        |      / (1e0 - CAST(ncc AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)) END alpha
+        |FROM so CROSS JOIN mg""".stripMargin) { (s, d) =>
+      graft.ops.Quality.krippendorffAlpha(
+        Tables.table(s, d, "lineitem"), "l_orderkey", "l_returnflag")
+    },
+
+    // Categorical assortativity (Components.attributeAssortativity):
+    // do same-attribute (p % 5) parts preferentially co-occur — the
+    // discrete-attribute Newman r next to q290's degree form.
+    // r = (M*E_ii - SUM A_i^2)/(M^2 - SUM A_i^2), all exact integers.
+    dfQ("q308_attr_assortativity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |lab AS (SELECT DISTINCT n, n % 5 c FROM
+        |  (SELECT u n FROM e UNION ALL SELECT v FROM e) x),
+        |mir AS (SELECT u, v FROM e UNION ALL SELECT v u, u v FROM e),
+        |tg AS (SELECT la.c ca, lb.c cb FROM mir
+        |  JOIN lab la ON mir.u = la.n JOIN lab lb ON mir.v = lb.n),
+        |eii AS (SELECT CAST(COUNT(*) AS HUGEINT) eii FROM tg
+        |  WHERE ca = cb),
+        |mg AS (SELECT CAST(COUNT(*) AS BIGINT) n_attrs,
+        |    CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) a2,
+        |    CAST(SUM(a) AS HUGEINT) m FROM
+        |  (SELECT ca, CAST(COUNT(*) AS BIGINT) a FROM tg GROUP BY ca)
+        |  x)
+        |SELECT n_attrs, CAST(m AS BIGINT) m_directed,
+        |  CASE WHEN m * m - a2 = 0 THEN NULL
+        |    ELSE CAST(m * eii - a2 AS DOUBLE)
+        |      / CAST(m * m - a2 AS DOUBLE) END r
+        |FROM mg CROSS JOIN eii""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      val labels = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+        .distinct()
+        .select(col("n"), (col("n") % 5).as("attr"))
+      Components.attributeAssortativity(e, "pa", "pb", labels, "n",
+        "attr")
+    },
+
+    // Chao1 richness (TextAnalysis.chao1Richness): how many types each
+    // language's corpus HASN'T shown yet — the unseen-mass companion
+    // to q305's Heaps exponent. Exact singleton/doubleton counts off
+    // the frequency table, one division.
+    dfQ("q309_chao1",
+      """WITH f AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) f FROM
+        |  (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) tok
+        |   FROM documents) x WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) n_types,
+        |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) f1,
+        |  CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) f2,
+        |  CAST(COUNT(*) AS BIGINT)
+        |    + CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+        |        * (SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1)
+        |        AS DOUBLE)
+        |      / (2e0 * (SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1))
+        |    AS chao1
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.chao1Richness(
+          Tables.table(s, d, "documents"), "lang", "text")
+        .orderBy("lang")
     }
   )
 }

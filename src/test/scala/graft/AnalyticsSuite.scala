@@ -3436,6 +3436,81 @@ class AnalyticsSuite extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("z") - (28.0 - 24.0) / 4.0) < 1e-12)
   }
 
+  test("krippendorffAlpha: perfect agreement = 1, chance = 0; " +
+      "single-rating units drop; variable panels mix exactly") {
+    import spark.implicits._
+    // u1: AA, u2: BB → A_o = 1, A_e = (2+2)/(4·3) = 1/3 → α = 1
+    val perfect = Seq(("u1", "A"), ("u1", "A"), ("u2", "B"), ("u2", "B"))
+    val rp = graft.ops.Quality.krippendorffAlpha(
+      perfect.toDF("u", "cat"), "u", "cat").collect()(0)
+    assert(rp.getAs[Long]("n_pairable") == 4L)
+    assert(rp.getAs[Double]("alpha") == 1.0)
+    // u1: AA, u2: AB → A_o = 1/2 = A_e → α = 0; u3 single rating drops
+    val chance = Seq(("u1", "A"), ("u1", "A"), ("u2", "A"), ("u2", "B"),
+      ("u3", "B"))
+    val rc = graft.ops.Quality.krippendorffAlpha(
+      chance.toDF("u", "cat"), "u", "cat").collect()(0)
+    assert(rc.getAs[Long]("n_pairable") == 4L)
+    assert(rc.getAs[Double]("alpha") == 0.0)
+    // mixed panel sizes: u1 (m=3): AAB, u2 (m=2): AA →
+    // ΣO_cc = (2·1)/2 + (0)/2 + 2/1 = 3; n = 5 → A_o = 3/5
+    // margins A=4, B=1 → A_e = 12/20 = 3/5 → α = 0 exactly
+    val mix = Seq(("u1", "A"), ("u1", "A"), ("u1", "B"),
+      ("u2", "A"), ("u2", "A"))
+    val rm = graft.ops.Quality.krippendorffAlpha(
+      mix.toDF("u", "cat"), "u", "cat").collect()(0)
+    assert(rm.getAs[Double]("s_o") == 0.6 && rm.getAs[Double]("s_e") == 0.6)
+    assert(rm.getAs[Double]("alpha") == 0.0)
+    // one category corpus-wide: A_e = 1 → NULL (vacuous)
+    val one = Seq(("u1", "A"), ("u1", "A"))
+    assert(graft.ops.Quality.krippendorffAlpha(
+      one.toDF("u", "cat"), "u", "cat").collect()(0).isNullAt(3))
+  }
+
+  test("attributeAssortativity: perfect same-attr mixing = 1; " +
+      "bipartite anti-mixing negative; uniform NULL") {
+    import spark.implicits._
+    // two same-attr cliques, no cross edges → every mirror edge
+    // same-attr: r = (M·M − ΣA²)/(M² − ΣA²) with Eii = M → r = 1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val lab = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("n", "attr")
+    val r = Components.attributeAssortativity(e, "a", "b", lab, "n",
+      "attr").collect()(0)
+    assert(r.getAs[Long]("n_attrs") == 2L &&
+      r.getAs[Long]("m_directed") == 12L)
+    assert(r.getAs[Double]("r") == 1.0)
+    // star with center attr 0, leaves attr 1: no same-attr edge →
+    // M=6, Eii=0, margins A0=3 A1=3 → r = (0−18)/(36−18) = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val labS = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("n", "attr")
+    assert(Components.attributeAssortativity(star, "a", "b", labS,
+      "n", "attr").collect()(0).getAs[Double]("r") == -1.0)
+    // single attribute everywhere: denominator 0 → NULL
+    val lab1 = (1L to 4L).map(n => (n, 7L)).toDF("n", "attr")
+    assert(Components.attributeAssortativity(star, "a", "b", lab1,
+      "n", "attr").collect()(0).isNullAt(2))
+  }
+
+  test("chao1Richness: textbook singleton/doubleton hand case") {
+    import spark.implicits._
+    // slice g: tokens a a b b c d e → V=5, F1=3 (c,d,e), F2=2 (a,b)
+    // chao1 = 5 + 3·2/(2·3) = 6
+    val docs = Seq(("g", "a a b b c"), ("g", "d e")).toDF("lang", "text")
+    val r = graft.ops.TextAnalysis.chao1Richness(docs, "lang", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_types") == 5L && r.getAs[Long]("f1") == 3L &&
+      r.getAs[Long]("f2") == 2L)
+    assert(r.getAs[Double]("chao1") == 6.0)
+    // no doubletons: bias-corrected form stays defined
+    val d2 = Seq(("h", "x y z")).toDF("lang", "text")
+    val r2 = graft.ops.TextAnalysis.chao1Richness(d2, "lang", "text")
+      .collect()(0)
+    assert(r2.getAs[Double]("chao1") == 3.0 + 3.0 * 2 / 2.0)
+  }
+
   test("hosmerLemeshow: two perfectly-sized bins hand case; " +
       "p=0 bins count as degenerate and contribute 0") {
     import spark.implicits._

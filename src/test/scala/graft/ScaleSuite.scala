@@ -368,8 +368,23 @@ class ScaleSuite extends SparkTestBase {
                                // (the q204 kruskal shape)
       "q293_theils_u",         // CROSS JOIN of the 1-row MI and H(X) folds
       "q294_friedman",         // 1-row treatment-count + moment rows
-      "q296_rich_club")        // 3-row broadcast degree-cutoff probe
+      "q296_rich_club",        // 3-row broadcast degree-cutoff probe
                                // (the q249 k-checkpoint shape)
+      "q299_cochran_q",        // 3-row literal treatment grid + 1-row
+                               // ΣC²/ΣR² readout rows
+      "q300_jonckheere",       // k-row distinct-group grid (bounded by
+                               // the ordered-factor contract) + 1-row
+                               // moment rows
+      "q301_reciprocity",      // CROSS JOIN with the 1-row reciprocal
+                               // count
+      "q302_transitivity",     // CROSS JOIN with the 1-row triangle
+                               // total
+      "q303_fleiss_kappa",     // CROSS JOIN of the 1-row ΣC² row
+      "q304_modularity",       // CROSS JOIN with the 1-row edge count
+      "q305_heaps_law",        // 16-row literal power-of-two probe cuts
+      "q307_krippendorff",     // CROSS JOIN of the 1-row S_o fold and
+                               // 1-row margins
+      "q308_attr_assortativity") // CROSS JOIN with the 1-row E_ii count
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
