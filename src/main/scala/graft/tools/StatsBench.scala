@@ -295,6 +295,43 @@ object StatsBench {
         r
       }
 
+    // --- distributed doubled-rank prefix arm (r14 — ADVICE r13) ---
+    // Worst-case rank cardinality: |V| = row count (every value
+    // distinct, the Wilcoxon-|d| / near-continuous-axis shape the
+    // fixtures cannot price). A/B: the full spearman operator (TWO
+    // rank derivations through the new two-level distributed prefix,
+    // plus the rank join and the moment agg) vs ONE axis of the
+    // replaced machinery — a single global ordered window over the
+    // distinct-value table, inlined here because the old shape no
+    // longer exists in Stats. Interleaved min-of-2 per arm so a
+    // throttle segment penalizes both equally.
+    val (rankRows, spearDistSec, rankOldSec) =
+      if (!armOn("ranks")) (-1L, -1.0, -1.0)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val d = spark.range(nRows)
+          .map(i => (h(i, 11L), h(i, 12L))).toDF("x", "y")
+          .repartition(32).cache()
+        val n = d.count()
+        def newArm(): Double =
+          time { force(Stats.spearman(d, col("x"), col("y"))) }._2
+        def oldArm(): Double = {
+          val byV = d.groupBy(col("x").as("__v"))
+            .agg(count(lit(1)).as("__c"))
+          val w = Window.orderBy(col("__v"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val ranks = byV
+            .withColumn("__below", coalesce(sum("__c").over(w), lit(0L)))
+            .select(col("__v"),
+              (lit(2L) * col("__below") + col("__c") + 1).as("__dr"))
+          time { force(ranks) }._2
+        }
+        val a1 = newArm(); val b1 = oldArm()
+        val a2 = newArm(); val b2 = oldArm()
+        d.unpersist()
+        (n, math.min(a1, a2), math.min(b1, b2))
+      }
+
     println(
       s"""{"bench":"stats","rows":$nInter,""" +
       s""""cooccur_capped_sec":${f"$coCapSec%.2f"},"cooccur_capped_rows":$coCap,""" +
@@ -315,7 +352,10 @@ object StatsBench {
       s""""brown_forsythe_sec":${f"$bfSec%.2f"},"brown_forsythe_rows":$bfRows,""" +
       s""""brown_forsythe_rowwindow_sec":${f"$bfOldSec%.2f"},""" +
       s""""brown_forsythe_rowwindow_rows":$bfOldRows,""" +
-      s""""decompose_sec":${f"$dcSec%.2f"},"decompose_days":$dcRows}""")
+      s""""decompose_sec":${f"$dcSec%.2f"},"decompose_days":$dcRows,""" +
+      s""""rank_rows":$rankRows,""" +
+      s""""spearman_dist_sec":${f"$spearDistSec%.2f"},""" +
+      s""""rank_singlewindow_sec":${f"$rankOldSec%.2f"}}""")
     spark.stop()
   }
 }
