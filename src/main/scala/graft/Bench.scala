@@ -20,18 +20,30 @@ import org.apache.spark.sql.SparkSession
   * cannot masquerade as a per-operator regression; the one-pass total stays
   * the cross-round comparable in "value".
   *
-  * The `canary_q01_sec` field repeats q01's time (a fixed trivial scan) so
-  * a throttled box is detectable from the artifact alone. r14 (VERDICT r13
-  * item 1): the single start-of-run canary cannot prove a MID-run throttle
-  * segment (r13's driver artifact read 1502 s with block-contiguous 10–50×
-  * inflation that only a judge re-run could adjudicate), so q01 is now
-  * RE-TIMED every 25 corpus queries and the full `canary_series` is
-  * published in BOTH the artifact file and the compact stdout line
-  * (~3 s total cost at the calm ~0.21 s probe). A reader segments the
-  * per-query map against the series: entries whose surrounding canaries
-  * sit at multiples of the calm baseline are throttle evidence, not
-  * regressions. Canary probes are EXCLUDED from "value" (the one-pass
-  * total stays cross-round comparable).
+  * TIMEOUT-PROOF FLUSH (VERDICT r14 item 2): BENCH_r14 was rc 124 /
+  * parsed:null because the artifact was written only AFTER the full corpus
+  * loop — a harness kill left ZERO information. The artifact file is now
+  * REWRITTEN after every query and every canary probe (~10 KB, the rewrite
+  * is free next to any query), with `"partial":true` until the run
+  * completes; a killed run still leaves the per-query map and both canary
+  * series up to the kill point. The final write sets `"partial":false` and
+  * adds the headline min-of-2 map.
+  *
+  * THROTTLE DISCRIMINATION — two probes, two throttle classes:
+  *  - `canary_series` (q01, a 1-task trivial scan, re-timed before the
+  *    run, every 25 corpus queries, and after the last one — VERDICT r13
+  *    item 1): detects BLOCK THROTTLE (everything slow, q01 included;
+  *    calm floor ~0.21 s).
+  *  - `canary_wide_series` (VERDICT r14 item 3): a fixed all-slots probe —
+  *    `spark.range` summed across 32 partitions — interleaved with every
+  *    q01 probe. SLOT STARVATION (r14's dominant class) leaves the 1-task
+  *    q01 at-or-below calm (single-thread boost) while every 32-slot query
+  *    inflates uniformly 1.3–2.5×; the wide probe inflates WITH them, so
+  *    both classes are discriminable from the artifact file alone:
+  *    q01 high → block throttle; q01 calm + wide high → slot starvation;
+  *    both calm → calm window, bindable.
+  * Canary probes are EXCLUDED from "value" (the one-pass total stays
+  * cross-round comparable).
   * `SPARK_GRAFT_ONLY=q78,q79` restricts the run for local iteration.
   */
 object Bench {
@@ -63,6 +75,13 @@ object Bench {
     "q236_item_neighbors", "q243_trimmed_mean", "q258_bfs_distances",
     "q264_decompose", "q273_cronbach")
 
+  /** Rows for the wide canary: 32 even range partitions summed — sized so
+    * a calm 32-slot box reads ~0.3–0.5 s (big enough that scheduler noise
+    * is small relative to the reading, small enough that ~16 probes cost
+    * under ~8 s per run). No shuffle: the probe measures SLOT
+    * availability, and 32 independent map tasks are exactly that. */
+  private val wideRows = 1200000000L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -89,74 +108,100 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Interleaved canary probes: q01 from the FULL corpus (independent
-    // of any SPARK_GRAFT_ONLY filter) re-timed before the run, every
+    // Interleaved canary probes (see the scaladoc's throttle table): q01
+    // from the FULL corpus (independent of any SPARK_GRAFT_ONLY filter)
+    // plus the all-slots wide probe, re-timed before the run, every
     // `canaryEvery` queries, and after the last one — brackets every
-    // ~25-query segment with a throttle reading.
+    // ~25-query segment with BOTH throttle-class readings.
     val canaryEvery = 25
     val canaryQ = SparkEntry.corpus.find(_.name.startsWith("q01"))
     val canarySeries = scala.collection.mutable.ArrayBuffer[Double]()
-    def probeCanary(): Unit = canaryQ.foreach { q =>
-      val (s, ok) = time(q); if (ok) canarySeries += s
+    val canaryWideSeries = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    val headlineMin = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+
+    def jmap(kv: Seq[(String, Double)]) = kv
+      .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+      .mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_last.json")
+
+    // The current state rendered as the FULL artifact JSON. `partial`
+    // stays true until the run (including the headline second pass)
+    // completes; a mid-run kill leaves everything timed so far.
+    def commonJson(): String = {
+      val qs = results
+      val total = qs.map(_._2).sum
+      val canary = qs.collectFirst { case (k, v, _) if k.startsWith("q01") => v }
+      val onlyField = only
+        .map(_.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
+        .getOrElse("null")
+      val seriesJson = canarySeries
+        .map("%.3f".format(_)).mkString("[", ",", "]")
+      val wideJson = canaryWideSeries
+        .map("%.3f".format(_)).mkString("[", ",", "]")
+      s""""metric":"total","value":${"%.3f".format(total)},"unit":"sec"""" +
+        s""","canary_q01_sec":${canary.map("%.3f".format(_)).getOrElse("null")}""" +
+        s""","canary_series":$seriesJson,"canary_every":$canaryEvery""" +
+        s""","canary_wide_series":$wideJson,"canary_wide_rows":$wideRows""" +
+        s""","n_queries":${qs.size},"only":$onlyField"""
     }
+    def flushArtifact(partial: Boolean): Unit = {
+      val qs = jmap(results.toSeq.map { case (k, v, _) => (k, v) })
+      val failed = results.collect { case (k, _, false) => s""""$k"""" }
+        .mkString("[", ",", "]")
+      val fullLine = s"""{${commonJson()},"partial":$partial,""" +
+        s""""queries":$qs,"headline_min":${jmap(headlineMin.toSeq)},""" +
+        s""""failed":$failed,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] artifact write to $out failed: ${e.getMessage}")
+      }
+    }
+    def probeCanary(): Unit = {
+      canaryQ.foreach { q =>
+        val (s, ok) = time(q); if (ok) canarySeries += s
+      }
+      // all-slots probe: 32 parallel range-sum tasks, no shuffle
+      val t0 = System.nanoTime()
+      spark.range(0L, wideRows, 1L, cpus.toInt)
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+      canaryWideSeries += (System.nanoTime() - t0) / 1e9
+      flushArtifact(partial = true)
+    }
+
     probeCanary()
-    val results = corpus.zipWithIndex.map { case (q, i) =>
+    corpus.zipWithIndex.foreach { case (q, i) =>
       if (i > 0 && i % canaryEvery == 0) probeCanary()
-      val (sec, ok) = time(q); (q.name, sec, ok)
+      val (sec, ok) = time(q)
+      results += ((q.name, sec, ok))
+      flushArtifact(partial = true)
     }
     probeCanary()
     // Second timing pass for the headline subset only (bounded extra cost);
     // min-of-2 de-noises throttle segments without doubling the full run.
-    val headlineMin: Seq[(String, Double)] = corpus
+    corpus
       .filter(q => headline.contains(q.name))
-      .flatMap { q =>
+      .foreach { q =>
         val first = results.collectFirst { case (n, s, true) if n == q.name => s }
-        first.map { f =>
+        first.foreach { f =>
           // a FAILED rerun must not publish its (fast) wall time as a
           // phantom speedup — fall back to the successful first pass
           val (t2, ok2) = time(q)
-          (q.name, if (ok2) math.min(f, t2) else f)
+          headlineMin += ((q.name, if (ok2) math.min(f, t2) else f))
+          flushArtifact(partial = true)
         }
       }
-    def jmap(kv: Seq[(String, Double)]) = kv
-      .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
-      .mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, v, _) => (k, v) })
-    // A throwing query must not masquerade as a benchmark result: its name
-    // goes in "failed" (ADVICE r1) — an empty list is the all-green marker.
-    val failed = results.collect { case (k, _, false) => s""""$k"""" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val canary = results.collectFirst { case (k, v, _) if k.startsWith("q01") => v }
-    // A restricted run must say so in the artifact itself (ADVICE r6):
-    // "only" lists the active SPARK_GRAFT_ONLY filter, null = full corpus.
-    val onlyField = only
-      .map(_.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]"))
-      .getOrElse("null")
-    val seriesJson = canarySeries
-      .map("%.3f".format(_)).mkString("[", ",", "]")
-    val common =
-      s""""metric":"total","value":${"%.3f".format(total)},"unit":"sec"""" +
-        s""","canary_q01_sec":${canary.map("%.3f".format(_)).getOrElse("null")}""" +
-        s""","canary_series":$seriesJson,"canary_every":$canaryEvery""" +
-        s""","n_queries":${results.size},"only":$onlyField"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_last.json")
-    val fullLine = s"""{$common,"queries":$qs,""" +
-      s""""headline_min":${jmap(headlineMin)},"failed":$failed,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] artifact write to $out failed: ${e.getMessage}")
-    }
+    flushArtifact(partial = false)
     // "headline_min" is the canonical name (matches the artifact file's
     // field of the same semantics — ADVICE r10); "queries" aliases the
     // SAME map because the driver contract names that key on stdout. A
     // consumer diffing stdout vs artifact by "headline_min" now compares
     // like with like; stdout's "queries" is identical to headline_min by
     // construction, never the artifact's full one-pass map.
-    val compact = s"""{$common,"n_failed":${results.count(!_._3)}""" +
-      s""","headline_min":${jmap(headlineMin)}""" +
-      s""","queries":${jmap(headlineMin)}""" +
+    val compact = s"""{${commonJson()},"n_failed":${results.count(!_._3)}""" +
+      s""","headline_min":${jmap(headlineMin.toSeq)}""" +
+      s""","queries":${jmap(headlineMin.toSeq)}""" +
       s""","full_artifact":"$out","sf":"$sfDir"}"""
     // LAST line on stdout, sized to survive the driver's tail window.
     println(compact)

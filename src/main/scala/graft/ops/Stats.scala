@@ -2594,7 +2594,13 @@ object Stats {
     * tallies; 4J − 4E[J] is an exact DECIMAL(38) integer and z is one
     * division over one sqrt of a three-term sum whose terms each
     * divide once (fixed fold order — engine-identical). NULL z when
-    * k < 2 or the variance is non-positive. */
+    * k < 2 or the variance is non-positive.
+    *
+    * INTEGRAL-INPUT CONTRACT (the integral-moment convention of this
+    * file): `x` is cast to long, so a fractional metric is TRUNCATED
+    * — which can silently reorder ranks. Pre-quantize fractional
+    * metrics explicitly (e.g. `floor(col*100).cast("long")`, as q300
+    * does) so the rank grain is a deliberate choice. */
   def jonckheereTerpstra(df: DataFrame, groupCol: String, x: Column)
       : DataFrame = {
     val cells = df.select(col(groupCol).as("__g"), x.cast("long").as("__x"))
@@ -2672,9 +2678,16 @@ object Stats {
     * integral under ties, so 2L and its null mean 2E[L] =
     * b·k(k+1)²/2 are exact DECIMAL(38) integers and
     * z = (2L − 2E)/(2σ) is one division over one sqrt of the exact
-    * rational σ² = b·k²(k+1)²(k²−1)/144 (the classical no-tie
-    * variance — with heavy ties it is conservative, the standard
-    * practice). NULL z for k < 3 or no complete blocks. */
+    * rational σ² = b·k²(k+1)²(k−1)/144 (the classical no-tie
+    * variance of L = Σ j·R_j — check k=2: Var = 4·9·1/144 = 0.25,
+    * the variance of 1·r₁+2·r₂ over the two permutations of (1,2);
+    * with heavy ties it is conservative, the standard practice).
+    * NULL z for k < 3 or no complete blocks.
+    *
+    * INTEGRAL-INPUT CONTRACT: the per-cell sum casts `x` to long, so
+    * a fractional metric is TRUNCATED before the within-block mean —
+    * pre-quantize explicitly (`floor(col*100).cast("long")`, as q306
+    * does) so the rank grain is a deliberate choice. */
   def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
                 x: Column, order: Seq[String]): DataFrame = {
     require(order.distinct.size == order.size && order.size >= 3,
@@ -2711,7 +2724,7 @@ object Stats {
     val kD = lit(k).cast(dec38)
     val e2 = col("b") * kD * (kD + 1) * (kD + 1) / 2
     val varL = (col("b") * kD * kD * (kD + 1) * (kD + 1) *
-      (kD * kD - 1)).cast("double") / 144.0
+      (kD - 1)).cast("double") / 144.0
     m.select(col("b").cast("long").as("n_blocks"), lit(k).as("k"),
       (col("l2").cast("double") / 2.0).as("l_stat"),
       when(col("b") < 1, lit(null)).otherwise(

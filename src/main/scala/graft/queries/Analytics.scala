@@ -4978,7 +4978,7 @@ object Analytics {
         |  CAST(l2 AS DOUBLE) / 2e0 l_stat,
         |  CASE WHEN bb < 1 THEN NULL
         |    ELSE CAST(l2 - bb * 24 AS DOUBLE)
-        |      / (2e0 * SQRT(CAST(bb * 1152 AS DOUBLE) / 144e0)) END z
+        |      / (2e0 * SQRT(CAST(bb * 288 AS DOUBLE) / 144e0)) END z
         |FROM m2""".stripMargin) { (s, d) =>
       Stats.pageTrend(Tables.events(s, d), "user_id", "event_type",
         floor(col("value") * 100).cast("long"),

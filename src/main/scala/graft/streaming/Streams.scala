@@ -1050,7 +1050,15 @@ object Streams {
     * [[graft.ops.IndexLifecycle]]), optionally PQ-encodes with frozen
     * codebooks, and lands `outDir/batch_<id>` — per-batch-id
     * overwrite, so checkpoint replay is idempotent and the state
-    * store holds nothing. */
+    * store holds nothing.
+    *
+    * GROWTH NOTE (ADVICE r14): the admit-once anti-join re-reads
+    * every prior `batch_*` dir on each micro-batch, so per-batch cost
+    * grows linearly with batch count (quadratic over a feed's
+    * lifetime). For a long-lived feed, run [[compactIvfAssign]]
+    * between stream runs to fold the batch dirs into one standing
+    * table — the declarative `mode="ivf"` keeps one merged table for
+    * the same reason. */
   def runIvfAssignAppend(emb: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, outDir: String,
                          codebooks: Option[Array[Array[Array[Double]]]] =
@@ -1085,6 +1093,37 @@ object Streams {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q
+  }
+
+  /** Fold an [[runIvfAssignAppend]] feed's `batch_*` dirs into ONE
+    * standing dir (`batch_compacted`) so the admit-once anti-join
+    * stops re-reading an ever-growing dir list — the mirror of the
+    * declarative `mode="ivf"` layout's single merged table. Run it
+    * BETWEEN stream runs (single-maintainer, like every maintenance
+    * tier here); the compacted dir keeps the `batch_` prefix, so the
+    * next run's anti-join sees it like any prior batch.
+    *
+    * Crash discipline: the fold dedupes by `idCol` and lands via
+    * [[graft.sources.Sinks.writeParquetSwapped]]; old dirs are
+    * deleted only AFTER the swap. A crash between swap and deletes
+    * leaves ids duplicated across `batch_compacted` and stale dirs —
+    * RE-RUNNING compact repairs it (the dedupe makes the fold
+    * idempotent). Returns the number of dirs folded away. */
+  def compactIvfAssign(spark: SparkSession, outDir: String,
+                       idCol: String = "id"): Int = {
+    val oPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = oPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(oPath)) return 0
+    val dirs = fs.listStatus(oPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .map(_.getPath).sortBy(_.getName)
+    if (dirs.length <= 1) return 0
+    val merged = spark.read.parquet(dirs.map(_.toString).toSeq: _*)
+      .dropDuplicates(idCol)
+    graft.sources.Sinks.writeParquetSwapped(merged, s"$outDir/batch_compacted")
+    val stale = dirs.filter(_.getName != "batch_compacted")
+    stale.foreach(d => fs.delete(d, true))
+    stale.length
   }
 
   /** The standing rollup from [[runRollup]] output: merge every batch's

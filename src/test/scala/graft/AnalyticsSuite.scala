@@ -3424,8 +3424,8 @@ class AnalyticsSuite extends SparkTestBase {
       "incomplete blocks drop") {
     import spark.implicits._
     // 2 complete blocks, k=3, perfect order: each block ranks 1,2,3 →
-    // L = 2·(1+4+9) = 28; E = b·k(k+1)²/4 = 24; var = b·8 = 16... per
-    // the classical form var = b·k²(k+1)²(k²−1)/144 = 2·9·16·8/144 = 16
+    // L = 2·(1+4+9) = 28; E = b·k(k+1)²/4 = 24; classical
+    // var = b·k²(k+1)²(k−1)/144 = 2·9·16·2/144 = 4 → z = 4/2 = 2
     val rows = Seq(("u1", "lo", 1L), ("u1", "mid", 2L), ("u1", "hi", 3L),
       ("u2", "lo", 10L), ("u2", "mid", 20L), ("u2", "hi", 30L),
       ("u3", "lo", 5L)) // u3 incomplete → dropped
@@ -3433,7 +3433,7 @@ class AnalyticsSuite extends SparkTestBase {
       col("x"), Seq("lo", "mid", "hi")).collect()(0)
     assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Int]("k") == 3)
     assert(r.getAs[Double]("l_stat") == 28.0)
-    assert(math.abs(r.getAs[Double]("z") - (28.0 - 24.0) / 4.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") - (28.0 - 24.0) / 2.0) < 1e-12)
   }
 
   test("krippendorffAlpha: perfect agreement = 1, chance = 0; " +

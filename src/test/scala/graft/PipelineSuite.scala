@@ -1219,4 +1219,37 @@ class PipelineSuite extends SparkTestBase {
     assert(!new java.io.File(IndexLifecycle.assignPath(base, 1)).exists)
     assert(IndexLifecycle.resolve(spark, base)._1 == 2)
   }
+
+  test("T-P22b: stray non-numeric markers are ignored; a duplicate " +
+      "commit of the same version throws and leaves the live version " +
+      "unchanged (single-maintainer guard)") {
+    import graft.ops.IndexLifecycle
+    val base = tmp() + "/idx"
+    Tables.register(spark, sf0001)
+    val emb = Tables.table(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 60)
+    IndexLifecycle.retrain(spark, base, emb, "vec_id", "embedding",
+      nlist = 4, trainSample = 64)
+    assert(IndexLifecycle.currentVersion(spark, base).contains(1))
+    // stray files that match the old loose prefix/suffix test but not
+    // the numeric contract must be IGNORED, not NumberFormatException
+    // (ADVICE r14): editor backups, tmp markers, non-marker junk
+    new java.io.File(base, "vtmp.committed").createNewFile()
+    new java.io.File(base, "v2x.committed").createNewFile()
+    new java.io.File(base, "v.committed").createNewFile()
+    assert(IndexLifecycle.currentVersion(spark, base).contains(1))
+    assert(IndexLifecycle.resolve(spark, base)._1 == 1)
+    // the collision guard: a second commit of an already-committed
+    // version fails loudly (overwrite=false create), live unchanged
+    val e = intercept[IllegalStateException] {
+      IndexLifecycle.commitMarker(spark, base, 1)
+    }
+    assert(e.getMessage.contains("commit collision"))
+    assert(IndexLifecycle.currentVersion(spark, base).contains(1))
+    // prune must also skip the stray names (it rescans the dir)
+    IndexLifecycle.retrain(spark, base, emb, "vec_id", "embedding",
+      nlist = 4, trainSample = 64)
+    assert(IndexLifecycle.prune(spark, base) == Seq(1))
+    assert(IndexLifecycle.resolve(spark, base)._1 == 2)
+  }
 }

@@ -1365,4 +1365,57 @@ class StreamingSuite extends SparkTestBase {
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
     assert(gotCodes == wantCodes && gotCodes.size == 100)
   }
+
+  test("ST28b: compactIvfAssign folds the batch dirs into one standing " +
+      "table — same rows, admit-once still holds, re-run idempotent") {
+    import graft.ops.Similarity
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val base = Files.createTempDirectory("graft-ivf-compact")
+    val outDir = s"$base/assign"
+    // three landed batches (disjoint by the admit-once contract)
+    Seq((0L, 60L), (60L, 120L), (120L, 180L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        Similarity.ivfAssign(
+            emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+              .select("vec_id", "embedding"),
+            "vec_id", "embedding", cents)
+          .write.parquet(s"$outDir/batch_$i")
+    }
+    val before = spark.read.parquet(s"$outDir/batch_*")
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(Streams.compactIvfAssign(spark, outDir) == 3)
+    val dirs = new java.io.File(outDir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.getName).toSet
+    assert(dirs == Set("batch_compacted"))
+    val after = spark.read.parquet(s"$outDir/batch_*")
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before && after.size == 180)
+    // single-dir layout: compact again is a no-op
+    assert(Streams.compactIvfAssign(spark, outDir) == 0)
+    // a later stream run's anti-join sees the compacted dir as prior:
+    // overlapping ids (100..179) must not re-land
+    val tail = emb.filter(col("vec_id") >= 100 && col("vec_id") < 220)
+      .select("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    input.addData(tail.as[(Long, Seq[Float])].collect().toSeq)
+    Streams.runIvfAssignAppend(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, outDir)
+    val landed = spark.read.parquet(s"$outDir/batch_*")
+    assert(landed.count() == 220L &&
+      landed.select("id").distinct().count() == 220L)
+    // crash-repair: duplicate a stale batch dir alongside the compacted
+    // one (the swap-then-delete gap) — a re-run dedupes by id
+    spark.read.parquet(s"$outDir/batch_compacted")
+      .limit(50).write.parquet(s"$outDir/batch_stale")
+    assert(Streams.compactIvfAssign(spark, outDir) >= 1)
+    val repaired = spark.read.parquet(s"$outDir/batch_*")
+    assert(repaired.count() == 220L &&
+      repaired.select("id").distinct().count() == 220L)
+  }
 }
