@@ -186,6 +186,41 @@ object PipelineRunner {
 
   /** One attempt of one load — the original single-shot body of
     * [[run]]'s load loop. */
+  /** Resolve the frozen centroid table for mode=knn/ivf: either the
+    * static spec view (`centroids`) or — the lifecycle composition,
+    * VERDICT r14 item 4 — the live COMMITTED version under an
+    * [[graft.ops.IndexLifecycle]] base (`centroidsBase`). Resolved
+    * ONCE at load start, so a retrain that commits mid-run cannot
+    * split one run across two quantizers. Returns `(Some(version),
+    * centroids)` on the lifecycle path, `(None, view)` on the static
+    * path (whose behavior is bit-unchanged from before this option
+    * existed — no version column is ever added there). */
+  private def resolveCentroids(spark: SparkSession, l: LoadSpec,
+                               mode: String): (Option[Int], DataFrame) =
+    l.centroidsBase match {
+      case Some(base) =>
+        val (v, c, _) = graft.ops.IndexLifecycle.resolve(spark, base)
+        (Some(v), c)
+      case None =>
+        (None, spark.table(l.centroids.getOrElse(
+          throw new IllegalArgumentException(
+            s"$mode load: 'centroids' or 'centroidsBase' required"))))
+    }
+
+  /** The uniform `index_version` of a standing assignment table —
+    * None for a legacy/unversioned table (which forces one full
+    * re-key on the first lifecycle-composed run: the quantizer the
+    * legacy table froze is unknowable, so re-assigning under the
+    * committed version is the only sound migration). Bounded driver
+    * read: ONE min() row. */
+  private def tableVersion(df: DataFrame): Option[Int] =
+    if (!df.columns.contains("index_version")) None
+    else {
+      val r = df.agg(org.apache.spark.sql.functions
+        .min("index_version")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    }
+
   private def executeLoad(spark: SparkSession, l: LoadSpec,
                           src: String): LoadReport = {
       val df0 = spark.table(src)
@@ -368,9 +403,16 @@ object PipelineRunner {
           throw new IllegalArgumentException("knn load: 'key' required"))
         val vec = l.vecCol.getOrElse(
           throw new IllegalArgumentException("knn load: 'vecCol' required"))
-        val centsView = l.centroids.getOrElse(
-          throw new IllegalArgumentException("knn load: 'centroids' required"))
-        val cents = spark.table(centsView)
+        // lifecycle composition (VERDICT r14 item 4, the knn half): a
+        // committed retrain re-keys the standing ASSIGNMENT SIDECAR
+        // fully under the new version (map-only from the stored arr)
+        // so future candidate probes group under the new cells. The
+        // standing EDGE table is untouched by a bump: its neighbors
+        // are exact cosine results over the cells probed at their
+        // time and remain true near-neighbors — a quantizer version
+        // changes only future candidate RECALL, never the correctness
+        // of landed edges.
+        val (verOpt, cents) = resolveCentroids(spark, l, "knn")
         val assignPath = s"${l.path}_assign"
         Sinks.recoverSwap(df1, l.path)
         Sinks.recoverSwap(df1, assignPath)
@@ -378,21 +420,41 @@ object PipelineRunner {
           spark.sparkContext.hadoopConfiguration)
         val haveAssign =
           fs.exists(new org.apache.hadoop.fs.Path(assignPath))
-        val fresh =
-          if (haveAssign)
-            df1.join(spark.read.parquet(assignPath)
-              .select(org.apache.spark.sql.functions.col("id").as(key)),
-              Seq(key), "left_anti")
-          else df1
+        def stampK(df: DataFrame): DataFrame = verOpt match {
+          case Some(v) => df.withColumn("index_version",
+            org.apache.spark.sql.functions.lit(v))
+          case None => df
+        }
+        val standingAssign0 =
+          if (haveAssign) Some(spark.read.parquet(assignPath)) else None
+        val standingAssign = (standingAssign0, verOpt) match {
+          case (Some(st), Some(v)) =>
+            val sv = tableVersion(st)
+            if (sv.contains(v)) Some(st)
+            else if (sv.exists(_ > v)) throw new IllegalStateException(
+              s"knn load: assignment sidecar at index_version ${sv.get} " +
+                s"is NEWER than the committed v$v under " +
+                s"${l.centroidsBase.get} — was the lifecycle base pruned " +
+                "or replaced? refusing to silently downgrade")
+            else Some(stampK(graft.ops.Similarity.ivfAssign(
+              st.select("id", "arr"), "id", "arr", cents)))
+          case _ => standingAssign0
+        }
+        val fresh = standingAssign match {
+          case Some(st) => df1.join(
+            st.select(org.apache.spark.sql.functions.col("id").as(key)),
+            Seq(key), "left_anti")
+          case None => df1
+        }
         // cache: feeds the union corpus, the edge queries, and the
         // assignment landing — eager-unpersist after both swaps
-        val freshAssigned = graft.ops.Similarity.ivfAssign(
-          fresh, key, vec, cents).cache()
-        val standingArr =
-          if (haveAssign)
-            spark.read.parquet(assignPath).select("id", "arr")
-              .unionByName(freshAssigned.select("id", "arr"))
-          else freshAssigned.select("id", "arr")
+        val freshAssigned = stampK(graft.ops.Similarity.ivfAssign(
+          fresh, key, vec, cents)).cache()
+        val standingArr = standingAssign match {
+          case Some(st) => st.select("id", "arr")
+            .unionByName(freshAssigned.select("id", "arr"))
+          case None => freshAssigned.select("id", "arr")
+        }
         val edges = graft.ops.Similarity.annJoin(
           freshAssigned.select("id", "arr"), standingArr, "id", "arr",
           cents, l.knnK.getOrElse(10), l.knnProbe.getOrElse(2),
@@ -408,10 +470,10 @@ object PipelineRunner {
         val merged = merged0.observe(mergedObs, org.apache.spark.sql
           .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))
         Sinks.writeParquetSwapped(merged, l.path)
-        val assignMerged =
-          if (haveAssign)
-            spark.read.parquet(assignPath).unionByName(freshAssigned)
-          else freshAssigned
+        val assignMerged = standingAssign match {
+          case Some(st) => st.unionByName(freshAssigned)
+          case None => freshAssigned
+        }
         Sinks.writeParquetSwapped(assignMerged, assignPath)
         freshAssigned.unpersist()
         LoadReport(l.format, l.table.getOrElse(l.path), src,
@@ -431,33 +493,65 @@ object PipelineRunner {
         // re-training is a separate, versioned lifecycle —
         // ops.IndexLifecycle). ONE swapped write; recoverSwap repairs
         // a crash mid-swap.
+        //
+        // Lifecycle composition (VERDICT r14 item 4): with
+        // `centroidsBase` instead of a static view, the committed
+        // version resolves at run start and the standing table carries
+        // an `index_version` column. A committed RETRAIN bumps the
+        // resolved version, and the next feed run re-keys the ENTIRE
+        // standing table under v+1 (map-only from the stored `arr` —
+        // the one corpus-scale pass a retrain already prices) in the
+        // SAME swapped write as the batch admit: a crash anywhere
+        // before the swap leaves the old version's table readable; a
+        // re-run recomputes the identical bump; re-applying a feed
+        // after a completed bump is a no-op.
         val key = l.key.getOrElse(
           throw new IllegalArgumentException("ivf load: 'key' required"))
         val vec = l.vecCol.getOrElse(
           throw new IllegalArgumentException("ivf load: 'vecCol' required"))
-        val cents = spark.table(l.centroids.getOrElse(
-          throw new IllegalArgumentException("ivf load: 'centroids' required")))
+        val (verOpt, cents) = resolveCentroids(spark, l, "ivf")
         Sinks.recoverSwap(df1, l.path)
         val fs = new org.apache.hadoop.fs.Path(l.path).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val have = fs.exists(new org.apache.hadoop.fs.Path(l.path))
-        val fresh =
-          if (have)
-            df1.join(spark.read.parquet(l.path)
-              .select(org.apache.spark.sql.functions.col("id").as(key)),
-              Seq(key), "left_anti")
-          else df1
-        val assignedIvf = graft.ops.Similarity.ivfAssign(
-          fresh, key, vec, cents)
-        val assigned = l.codebooks match {
+        def encode(df: DataFrame): DataFrame = l.codebooks match {
           case Some(cbView) => graft.ops.Similarity.withPqCode(
-            assignedIvf, "arr",
+            df, "arr",
             graft.ops.Similarity.pqCodebooksFromTable(spark.table(cbView)))
-          case None => assignedIvf
+          case None => df
         }
-        val merged0 =
-          if (have) spark.read.parquet(l.path).unionByName(assigned)
-          else assigned
+        def stamp(df: DataFrame): DataFrame = verOpt match {
+          case Some(v) => df.withColumn("index_version",
+            org.apache.spark.sql.functions.lit(v))
+          case None => df
+        }
+        val standing0 =
+          if (have) Some(spark.read.parquet(l.path)) else None
+        val standing = (standing0, verOpt) match {
+          case (Some(st), Some(v)) =>
+            val sv = tableVersion(st)
+            if (sv.contains(v)) Some(st)
+            else if (sv.exists(_ > v)) throw new IllegalStateException(
+              s"ivf load: standing table at index_version ${sv.get} is " +
+                s"NEWER than the committed v$v under " +
+                s"${l.centroidsBase.get} — was the lifecycle base pruned " +
+                "or replaced? refusing to silently downgrade")
+            else Some(stamp(encode(graft.ops.Similarity.ivfAssign(
+              st.select("id", "arr"), "id", "arr", cents))))
+          case _ => standing0
+        }
+        val fresh = standing match {
+          case Some(st) => df1.join(
+            st.select(org.apache.spark.sql.functions.col("id").as(key)),
+            Seq(key), "left_anti")
+          case None => df1
+        }
+        val assigned = stamp(encode(graft.ops.Similarity.ivfAssign(
+          fresh, key, vec, cents)))
+        val merged0 = standing match {
+          case Some(st) => st.unionByName(assigned)
+          case None => assigned
+        }
         val mergedObs = new org.apache.spark.sql.Observation()
         val merged = merged0.observe(mergedObs, org.apache.spark.sql
           .functions.count(org.apache.spark.sql.functions.lit(1)).as("rows"))

@@ -55,6 +55,7 @@ final case class LoadSpec(
     vecCol: Option[String] = None,        // mode=knn/ivf: embedding column
     centroids: Option[String] = None,     // mode=knn/ivf: frozen centroid-table VIEW (cell, centroid)
     codebooks: Option[String] = None,     // mode=ivf: optional frozen PQ codebook VIEW (subspace, centroid_id, centroid)
+    centroidsBase: Option[String] = None, // mode=knn/ivf: IndexLifecycle base PATH — resolves the live COMMITTED centroid version at run start (alternative to `centroids`)
     knnK: Option[Int] = None,             // mode=knn: neighbors per row (default 10)
     knnProbe: Option[Int] = None,         // mode=knn: cells probed per query (default 2)
     retries: Option[Int] = None,          // extra attempts after a failure (default 0)
@@ -228,8 +229,10 @@ object PipelineSpec {
         require(l.format.equalsIgnoreCase("parquet"),
           "load: mode=knn supports parquet targets only")
         require(l.key.isDefined && l.vecCol.isDefined &&
-          l.centroids.isDefined,
-          "load: mode=knn requires 'key', 'vecCol' and 'centroids'")
+          (l.centroids.isDefined != l.centroidsBase.isDefined),
+          "load: mode=knn requires 'key', 'vecCol' and exactly one of " +
+            "'centroids' (static frozen view) / 'centroidsBase' " +
+            "(versioned IndexLifecycle path)")
         l.centroids.foreach(c => require(known.contains(c),
           s"load: mode=knn centroids view '$c' is not an extract/" +
             s"transform view (known: ${known.mkString(", ")})"))
@@ -242,8 +245,10 @@ object PipelineSpec {
         require(l.format.equalsIgnoreCase("parquet"),
           "load: mode=ivf supports parquet targets only")
         require(l.key.isDefined && l.vecCol.isDefined &&
-          l.centroids.isDefined,
-          "load: mode=ivf requires 'key', 'vecCol' and 'centroids'")
+          (l.centroids.isDefined != l.centroidsBase.isDefined),
+          "load: mode=ivf requires 'key', 'vecCol' and exactly one of " +
+            "'centroids' (static frozen view) / 'centroidsBase' " +
+            "(versioned IndexLifecycle path)")
         l.centroids.foreach(c => require(known.contains(c),
           s"load: mode=ivf centroids view '$c' is not an extract/" +
             s"transform view (known: ${known.mkString(", ")})"))

@@ -557,13 +557,23 @@ class PipelineSuite extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a stale status DB from a previous test run would accumulate rows
     new java.io.File("/tmp/graft-example-out/monitored_status.duckdb").delete()
+    // the lifecycle feed's operational precondition: a committed
+    // retrain under its centroidsBase (fresh dirs for determinism)
+    for (d <- Seq("ivf_lifecycle_idx", "ivf_lifecycle_assign"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-example-out/$d"))
+    graft.ops.IndexLifecycle.retrain(spark,
+      "/tmp/graft-example-out/ivf_lifecycle_idx",
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") < 100),
+      "vec_id", "embedding", nlist = 8, trainSample = 64)
     for (feed <- Seq("pricing_summary_feed.json", "segment_revenue_feed.json",
         "normalize_docs_feed.json", "seeded_lookup_feed.json",
         "user_sessions_feed.json", "chunked_docs_feed.json",
         "quality_gate_feed.json", "monitored_load_feed.json",
         "curation_feed.json", "zorder_maintenance_feed.json",
         "near_dedup_feed.json", "knn_graph_feed.json",
-        "ivf_assignment_feed.json",
+        "ivf_assignment_feed.json", "ivf_lifecycle_feed.json",
         "scd2_dimension_feed.json", "compact_maintenance_feed.json")) {
       PipelineRunner.runFile(spark, s"/root/repo/examples/$feed")
     }
@@ -1172,6 +1182,76 @@ class PipelineSuite extends SparkTestBase {
         loads = Seq(LoadSpec("parquet", out, mode = "ivf",
           key = Some("vec_id"), vecCol = Some("embedding"),
           centroids = Some("u"), codebooks = Some("nosuchview")))))
+    }
+  }
+
+  test("T-P23: lifecycle-composed feed — centroidsBase resolves the " +
+      "committed version at run start; a committed retrain re-keys the " +
+      "standing table under v+1 on the next run; re-apply stays a no-op") {
+    import graft.ops.{IndexLifecycle, Similarity}
+    val base = tmp()
+    val idx = s"$base/idx"
+    val out = s"$base/assign"
+    Tables.register(spark, sf0001)
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    emb.filter(col("vec_id") < 100).write.parquet(s"$base/b1")
+    emb.filter(col("vec_id") < 160).write.parquet(s"$base/b2")
+    def spec(src: String) = PipelineSpec("tp23",
+      extracts = Seq(ExtractSpec("batch", "parquet", path = src)),
+      loads = Seq(LoadSpec("parquet", out, mode = "ivf",
+        source = Some("batch"), key = Some("vec_id"),
+        vecCol = Some("embedding"), centroidsBase = Some(idx))))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def landed() = spark.read.parquet(out)
+    def landedVersions() = landed().select("index_version").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // no committed version yet: the feed fails loudly, lands nothing
+    intercept[Exception] { PipelineRunner.run(spark, spec(s"$base/b1")) }
+    assert(!new java.io.File(out).exists)
+    // v1 commit, then the feed assigns under the resolved version
+    IndexLifecycle.retrain(spark, idx, emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nlist = 8, trainSample = 64)
+    val r1 = PipelineRunner.run(spark, spec(s"$base/b1"))
+    val (v1, c1, _) = IndexLifecycle.resolve(spark, idx)
+    assert(v1 == 1 && r1.loads.head.rows == 100L)
+    val exp1 = cells(Similarity.ivfAssign(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", c1))
+    assert(cells(landed()) == exp1 && landedVersions() == Seq(1))
+    // re-apply: nothing admitted, version unchanged
+    PipelineRunner.run(spark, spec(s"$base/b1"))
+    assert(cells(landed()) == exp1 && landedVersions() == Seq(1))
+    // committed retrain on the drifted corpus: BETWEEN the retrain and
+    // the next feed run the standing table is untouched — still the v1
+    // assignment, fully readable (the crash-window contract)
+    IndexLifecycle.retrain(spark, idx, emb.filter(col("vec_id") < 160),
+      "vec_id", "embedding", nlist = 8, trainSample = 64)
+    assert(cells(landed()) == exp1 && landedVersions() == Seq(1))
+    // next feed run: re-keys the WHOLE standing table under v2 and
+    // admits the 60 new ids — one swapped write, uniform version
+    PipelineRunner.run(spark, spec(s"$base/b2"))
+    val (v2, c2, _) = IndexLifecycle.resolve(spark, idx)
+    assert(v2 == 2)
+    val exp2 = cells(Similarity.ivfAssign(
+      emb.filter(col("vec_id") < 160), "vec_id", "embedding", c2))
+    assert(cells(landed()) == exp2 && landedVersions() == Seq(2))
+    // re-apply after the bump: still a no-op
+    PipelineRunner.run(spark, spec(s"$base/b2"))
+    assert(cells(landed()) == exp2 && landedVersions() == Seq(2))
+    // validation: both or neither centroid source is rejected
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "ivf",
+          key = Some("k"), vecCol = Some("v"),
+          centroids = Some("u"), centroidsBase = Some(idx)))))
+    }
+    intercept[IllegalArgumentException] {
+      PipelineSpec.validate(PipelineSpec("bad2",
+        extracts = Seq(ExtractSpec("u", "values", "{}")),
+        loads = Seq(LoadSpec("parquet", out, mode = "knn",
+          key = Some("k"), vecCol = Some("v")))))
     }
   }
 
