@@ -932,6 +932,49 @@ object Stats {
     * read the SAME materialized assignment; the __dr values themselves
     * are bucket-invariant integers, so results are bit-identical to
     * the single-window form on any partitioning. */
+  /** Exclusive PER-GROUP running sum of `valCol` in ascending `ordCol`
+    * order — the grouped twin of [[doubledRanksFromCounts]]'s
+    * two-level distributed prefix (VERDICT r14 item 5): range-bucket
+    * the rows by `ordCol` (bucket boundaries SHARED across groups),
+    * run the ordered window within each (group, bucket) slice, and add
+    * per-(group, bucket) offsets from a side table that is at most
+    * groups × shuffle-partitions rows. No stage holds more than
+    * ~|V|/partitions rows in one window partition, so a per-group
+    * distinct-value cumulative survives value cardinality at ROW scale
+    * (unquantized continuous metrics) — the hazard class the shared
+    * rank machinery engineered out in r14. The running sums are
+    * integer-exact and bucket-invariant, so results are bit-identical
+    * to the single-window form on any partitioning. */
+  private def groupedPrefixSum(df0: DataFrame, groupCol: String,
+                               ordCol: String, valCol: String,
+                               out: String): DataFrame = {
+    val parts = df0.sparkSession.sessionState.conf.numShufflePartitions
+    // input cut: repartitionByRange SAMPLES its child to pick range
+    // boundaries and then shuffles it — an un-materialized upstream
+    // (the JT grid + tie window) would be evaluated twice
+    val df = df0.localCheckpoint(false)
+    val bucketed = df
+      .repartitionByRange(parts, col(ordCol))
+      .withColumn("__pb", spark_partition_id())
+      .localCheckpoint(false)
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-(group, bucket) totals: ≤ groups·parts rows — the offset
+    // window partitions by group and holds ≤ parts rows each
+    val offsets = bucketed.groupBy(col(groupCol), col("__pb"))
+      .agg(sum(valCol).as("__gbt"))
+      .withColumn("__goff", coalesce(sum("__gbt").over(wOff), lit(0L)))
+      .select(col(groupCol), col("__pb"), col("__goff"))
+    val wLoc = Window.partitionBy(col(groupCol), col("__pb"))
+      .orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__lp", coalesce(sum(valCol).over(wLoc), lit(0L)))
+      .join(broadcast(offsets), Seq(groupCol, "__pb"))
+      .withColumn(out, col("__goff") + col("__lp"))
+      .drop("__pb", "__lp", "__goff")
+  }
+
   private def doubledRanksFromCounts(byV: DataFrame): DataFrame = {
     val parts = byV.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = byV
@@ -2587,9 +2630,12 @@ object Stats {
     *   2J = Σ_cells c_{g,v} · (2·A_{g,v} + B_{g,v})
     * where B = rows in EARLIER groups tied at v (a ≤k-row window
     * partitioned BY VALUE ordered by group) and A = rows in earlier
-    * groups with SMALLER value (an ascending-value window within each
-    * group over that cumulative — per-group distinct-value bounded,
-    * the [[trimmedMean]] window contract). E[J] and the Hollander–
+    * groups with SMALLER value — the per-group distinct-value
+    * cumulative, which runs through [[groupedPrefixSum]]'s two-level
+    * DISTRIBUTED prefix (VERDICT r14 item 5): with unquantized
+    * continuous x, one group's distinct values approach row scale,
+    * and a plain per-group ordered window would funnel them through
+    * ONE task. E[J] and the Hollander–
     * Wolfe tie-corrected variance fold from exact integer group/tie
     * tallies; 4J − 4E[J] is an exact DECIMAL(38) integer and z is one
     * division over one sqrt of a three-term sum whose terms each
@@ -2619,13 +2665,12 @@ object Stats {
     // rows in earlier groups tied at this value: ≤k rows per partition
     val wTie = Window.partitionBy("__x").orderBy("__g")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // rows in earlier groups with smaller value: ascending cumulative
-    // of the tie-prefix within this group's value order
-    val wVal = Window.partitionBy("__g").orderBy("__x")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val j2 = grid
-      .withColumn("__bt", coalesce(sum("__c").over(wTie), lit(0L)))
-      .withColumn("__a", coalesce(sum("__bt").over(wVal), lit(0L)))
+    // rows in earlier groups with smaller value: the EXCLUSIVE
+    // per-group ascending cumulative of the tie-prefix — distributed
+    // two-level, never one window task per group (groupedPrefixSum)
+    val j2 = groupedPrefixSum(
+        grid.withColumn("__bt", coalesce(sum("__c").over(wTie), lit(0L))),
+        "__g", "__x", "__bt", "__a")
       .agg(coalesce(sum((col("__c").cast(dec38) *
         (lit(2).cast(dec38) * col("__a") + col("__bt")))),
         lit(0).cast(dec38)).as("__j2"))

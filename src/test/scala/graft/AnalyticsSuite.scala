@@ -3199,6 +3199,32 @@ class AnalyticsSuite extends SparkTestBase {
     assert(math.abs(rs.getAs[Double]("rho") - expRho) < 1e-9)
   }
 
+  test("jonckheereTerpstra distributed prefix: multi-bucket value " +
+      "cardinality matches the closed form") {
+    import spark.implicits._
+    // 3000 DISTINCT interleaved values across 2 groups span every
+    // range bucket at the test's 8 shuffle partitions — exercises the
+    // grouped two-level prefix (per-(group, bucket) window + broadcast
+    // offsets) that replaced the one-window-task-per-group cumulative.
+    // Group a holds the odds 2i−1, group b the evens 2j: x_a < x_b ⟺
+    // i ≤ j, so J = Σ_{j=1..m} j = m(m+1)/2 exactly, no ties anywhere.
+    val m = 1500
+    val rows = (1 to m).map(i => ("a", 2L * i - 1)) ++
+      (1 to m).map(j => ("b", 2L * j))
+    val r = Stats.jonckheereTerpstra(rows.toDF("g", "x"), "g", col("x"))
+      .collect()(0)
+    val n = 2.0 * m
+    val jExp = m.toDouble * (m + 1) / 2
+    val eExp = (n * n - 2.0 * m * m) / 4
+    val varJ = (n * (n - 1) * (2 * n + 5) -
+      2.0 * m * (m - 1) * (2 * m + 5)) / 72
+    assert(r.getAs[Long]("n") == 2L * m && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("j_stat") == jExp)
+    assert(r.getAs[Double]("e_j") == eExp)
+    assert(math.abs(r.getAs[Double]("z") -
+      (jExp - eExp) / math.sqrt(varJ)) < 1e-9)
+  }
+
   test("theilsU: determination = 1, independence = 0, single-category " +
       "NULL, and the coefficient is asymmetric") {
     import spark.implicits._

@@ -60,12 +60,11 @@ class PlanLintSuite extends SparkTestBase {
     "q226_conformal" -> ("the broadcast side is the 1-row conformal " +
       "quantile (rank-filter over the CALIBRATION set — small by " +
       "design per conformalInterval's contract); the row bound comes " +
-      "from a filter the structural rule cannot prove"),
-    "q300_jonckheere" -> ("the dense (value × group) grid crossJoin " +
-      "broadcasts the DISTINCT-GROUP side — ordered factors (dose " +
-      "tiers, priorities) are few by the operator's contract " +
-      "(jonckheereTerpstra scaladoc); the structural rule cannot see " +
-      "a grouped-distinct's cardinality"))
+      "from a filter the structural rule cannot prove"))
+    // q300_jonckheere retired r15: the grouped distributed prefix's
+    // localCheckpoint cuts the plan below the grid crossJoin, so the
+    // detector no longer sees it (the bounded-broadcast-grid
+    // justification lives in jonckheereTerpstra's scaladoc)
 
   /** Name-level exceptions to the scan discipline (≥3 static scans of
     * one table): every entry is a REVIEWED multi-pass shape, not an
