@@ -191,6 +191,53 @@ object Components {
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Adamic–Adar link prediction — score every 2-hop pair by the
+    * inverse-log-degree mass of its common neighbors,
+    * AA(a,b) = Σ_{c ∈ Γ(a)∩Γ(b)} 1/ln(deg c) (Adamic & Adar 2003),
+    * with the common-neighbor count and an `linked` flag for pairs
+    * that are already edges — the candidate generator for "which
+    * documents/users/hosts will connect next" and the graph-side
+    * companion of [[graft.ops.Similarity.mutualKnnPairs]].
+    *
+    * Scale shape: wedges key on their CENTER node, so a hub of degree
+    * d emits d²/2 pairs — and contributes ~1/ln(d) ≈ nothing to any
+    * score. `maxDegree` therefore DROPS hub centers before the wedge
+    * join (the standard link-prediction guard: bounded loss, quadratic
+    * saving); the per-pair fold is a ≤maxDegree-bounded in-row
+    * aggregate over SORTED center order (deterministic double sum —
+    * the q221/q223 lesson), with ln on the [[Exact.lnq]] 2⁻²⁶ grid so
+    * scores hash-replay. Degree-1 centers emit nothing; deg = 1 would
+    * divide by ln(1) = 0 — centers need deg ≥ 2 to form a wedge at
+    * all, so the smallest divisor is lnq(2) > 0. */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+                 maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct().cache() // feeds degrees, wedges, the linked join
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree)
+    val adj = canon.select(col("u"), col("v"))
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("n").as("u"), col("d")), Seq("u"))
+    val wedges = adj.alias("x").join(adj.alias("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"),
+        col("x.u").as("c"),
+        (lit(1.0) / Exact.lnq(col("x.d"))).as("__t"))
+    val scored = wedges
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("common_neighbors"),
+        aggregate(array_sort(collect_list(struct(col("c"), col("__t")))),
+          lit(0.0), (acc, e) => acc + e.getField("__t")).as("aa_score"))
+    scored.join(canon.select(col("u").as("a"), col("v").as("b"),
+        lit(true).as("linked")), Seq("a", "b"), "left")
+      .na.fill(false, Seq("linked"))
+  }
+
   /** Degree assortativity — Newman's r: the Pearson correlation of
     * endpoint degrees over the directed mirror of the edge list, the
     * one-number "do hubs link to hubs" readout of a crawl graph
@@ -640,7 +687,7 @@ object Components {
     * scale shape as [[modularity]]: label joins on node keys, two
     * attribute-cardinality aggs, one global fold. NULL r when every
     * edge is same-attribute by margin necessity (denominator 0). */
-  def attributeAssortativity(edges: DataFrame, aCol: String, bCol: String,
+    def attributeAssortativity(edges: DataFrame, aCol: String, bCol: String,
                              labels: DataFrame, nodeCol: String,
                              attrCol: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)

@@ -947,7 +947,14 @@ object Stats {
     * to the single-window form on any partitioning. */
   private def groupedPrefixSum(df0: DataFrame, groupCol: String,
                                ordCol: String, valCol: String,
-                               out: String): DataFrame = {
+                               out: String): DataFrame =
+    groupedPrefixSums(df0, groupCol, ordCol, Seq(valCol -> out))
+
+  /** The multi-column form: several exclusive running sums share ONE
+    * bucketing pass (the CUSUM shape — value prefix + index prefix). */
+  private def groupedPrefixSums(df0: DataFrame, groupCol: String,
+                                ordCol: String,
+                                sums: Seq[(String, String)]): DataFrame = {
     val parts = df0.sparkSession.sessionState.conf.numShufflePartitions
     // input cut: repartitionByRange SAMPLES its child to pick range
     // boundaries and then shuffles it — an un-materialized upstream
@@ -962,17 +969,23 @@ object Stats {
     // per-(group, bucket) totals: ≤ groups·parts rows — the offset
     // window partitions by group and holds ≤ parts rows each
     val offsets = bucketed.groupBy(col(groupCol), col("__pb"))
-      .agg(sum(valCol).as("__gbt"))
-      .withColumn("__goff", coalesce(sum("__gbt").over(wOff), lit(0L)))
-      .select(col(groupCol), col("__pb"), col("__goff"))
+      .agg(sums.map { case (v, o) => sum(v).as(s"__gbt_$o") }.head,
+        sums.tail.map { case (v, o) => sum(v).as(s"__gbt_$o") }: _*)
+    val offCols = sums.map { case (_, o) =>
+      coalesce(sum(s"__gbt_$o").over(wOff), lit(0L)).as(s"__goff_$o") }
+    val offsets2 = offsets.select(
+      Seq(col(groupCol), col("__pb")) ++ offCols: _*)
     val wLoc = Window.partitionBy(col(groupCol), col("__pb"))
       .orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .withColumn("__lp", coalesce(sum(valCol).over(wLoc), lit(0L)))
-      .join(broadcast(offsets), Seq(groupCol, "__pb"))
-      .withColumn(out, col("__goff") + col("__lp"))
-      .drop("__pb", "__lp", "__goff")
+    val withLoc = sums.foldLeft(bucketed) { case (d, (v, o)) =>
+      d.withColumn(s"__lp_$o", coalesce(sum(v).over(wLoc), lit(0L)))
+    }
+    val joined = withLoc.join(broadcast(offsets2), Seq(groupCol, "__pb"))
+    sums.foldLeft(joined) { case (d, (_, o)) =>
+      d.withColumn(o, col(s"__goff_$o") + col(s"__lp_$o"))
+        .drop(s"__lp_$o", s"__goff_$o")
+    }.drop("__pb")
   }
 
   private def doubledRanksFromCounts(byV: DataFrame): DataFrame = {
@@ -2775,5 +2788,315 @@ object Stats {
       when(col("b") < 1, lit(null)).otherwise(
         (col("l2") - e2).cast("double") /
           (lit(2.0) * sqrt(varL))).as("z"))
+  }
+
+  /** Kendall's W coefficient of concordance — b raters each rate the
+    * same k objects; W ∈ [0, 1] measures RANK agreement (1 = every
+    * rater orders the objects identically), the multi-rater ranking
+    * twin of [[graft.ops.Quality.fleissKappa]]'s categorical agreement
+    * and the effect size of [[friedman]] (χ²_F = b(k−1)·W). Complete
+    * panels only (raters holding all k objects — the friedman
+    * contract); k derives from the data (global distinct objects).
+    *
+    * Exactness: with doubled within-rater average ranks dr = 2r̄
+    * (integral under ties — the [[pageTrend]] machinery), R2_j = Σ_i
+    * dr and S2 = Σ_j (R2_j − b(k+1))² = 4S are exact DECIMAL(38)
+    * integers, so the tie-corrected
+    *   W = 12S / (b²k(k²−1) − b·ΣT_i) = 3·S2 / (b²k(k²−1) − b·ΣT_i),
+    * T_i = Σ(t³−t) over rater i's within-rater tie groups, is ONE
+    * division of exact integers. NULL when the denominator ≤ 0 (k < 2,
+    * no complete rater, or every rater all-ties). Scale: one
+    * (rater, object) cell agg, ≤k-row windows per rater, one
+    * k-cardinality object agg.
+    *
+    * INTEGRAL-INPUT CONTRACT: the per-cell sum casts `x` to long —
+    * pre-quantize fractional metrics (the [[pageTrend]] note). */
+  def kendallW(df: DataFrame, raterCol: String, objectCol: String,
+               x: Column): DataFrame = {
+    val cell = df
+      .groupBy(col(raterCol).as("__b"), col(objectCol).as("__t"))
+      .agg(sum(x.cast("long")).as("__s"), count(lit(1)).as("__c"))
+      .withColumn("__m", col("__s").cast("double") / col("__c"))
+      .localCheckpoint(false)
+    val kf = cell.agg(countDistinct(col("__t")).as("__k"))
+    val wb = Window.partitionBy(col("__b"))
+    val kept = cell
+      .withColumn("__kb", count(lit(1)).over(wb))
+      .crossJoin(broadcast(kf))
+      .filter(col("__kb") === col("__k"))
+      .localCheckpoint(false) // feeds ranks, rater count, join-back
+    val byV = kept.groupBy(col("__b"), col("__m"))
+      .agg(count(lit(1)).as("__cv"))
+    val wOrd = Window.partitionBy(col("__b")).orderBy(col("__m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("__below", coalesce(sum("__cv").over(wOrd), lit(0L)))
+      .select(col("__b"), col("__m"),
+        (lit(2L) * col("__below") + col("__cv") + 1).as("__dr"),
+        col("__cv"))
+      .localCheckpoint(false) // feeds the tie fold and the join-back
+    // per-rater tie correction off the same per-mean counts
+    val ties = ranked.agg(coalesce(sum((col("__cv") * col("__cv") *
+        col("__cv") - col("__cv")).cast(dec38)),
+      lit(0).cast(dec38)).as("__tt"))
+    val bf = kept.agg(countDistinct(col("__b")).cast(dec38).as("__bn"))
+    val r2 = kept.join(ranked.drop("__cv"), Seq("__b", "__m"))
+      .groupBy(col("__t")).agg(sum("__dr").cast(dec38).as("__r2"))
+    val s2 = r2.crossJoin(broadcast(bf)).crossJoin(broadcast(kf))
+      .select(((col("__r2") - col("__bn") * (col("__k").cast(dec38) + 1)) *
+        (col("__r2") - col("__bn") * (col("__k").cast(dec38) + 1)))
+        .as("__d2"))
+      .agg(coalesce(sum("__d2"), lit(0).cast(dec38)).as("__s2"))
+    val m = s2.crossJoin(broadcast(bf)).crossJoin(broadcast(kf))
+      .crossJoin(broadcast(ties))
+    val kD = col("__k").cast(dec38)
+    val den = col("__bn") * col("__bn") * kD * (kD * kD - 1) -
+      col("__bn") * col("__tt")
+    m.select(col("__bn").cast("long").as("n_raters"),
+      col("__k").cast("int").as("k"),
+      when(den <= 0, lit(null)).otherwise(
+        (lit(3).cast(dec38) * col("__s2")).cast("double") /
+          den.cast("double")).as("w"))
+  }
+
+                  /** Goodman–Kruskal γ and Somers' D — the directional companions of
+    * [[kendallTauB]] off the SAME quantized cell machinery (the
+    * grid-bounded ordinal contract): γ = (C−D)/(C+D) ignores all ties;
+    * d_y·x = 2(C−D)/(n(n−1) − Σn_x(n_x−1)) penalizes ties on the
+    * DEPENDENT axis only (and d_x·y mirrors it) — the asymmetric pair
+    * a predictor-vs-outcome reading wants. All pair counts exact
+    * DECIMAL(38); each statistic divides ONCE. NULLs on empty
+    * denominators. */
+  def gammaSomersD(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.select(x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val a = cells.select(col("__x").as("xi"), col("__y").as("yi"),
+      col("c").as("ci"))
+    val b = cells.select(col("__x").as("xk"), col("__y").as("yk"),
+      col("c").as("ck"))
+    val pairSums = a.crossJoin(b)
+      .agg(
+        sum(when(col("xi") < col("xk") && col("yi") < col("yk"),
+          (col("ci") * col("ck")).cast(dec38))
+          .otherwise(lit(0).cast(dec38))).as("cc"),
+        sum(when(col("xi") < col("xk") && col("yi") > col("yk"),
+          (col("ci") * col("ck")).cast(dec38))
+          .otherwise(lit(0).cast(dec38))).as("dd"))
+    val marg = cells.agg(sum(col("c").cast(dec38)).as("n"))
+    val tx = cells.groupBy("__x").agg(sum("c").as("nx"))
+      .agg(sum((col("nx") * (col("nx") - 1)).cast(dec38)).as("n1x"))
+    val ty = cells.groupBy("__y").agg(sum("c").as("ny"))
+      .agg(sum((col("ny") * (col("ny") - 1)).cast(dec38)).as("n1y"))
+    pairSums.crossJoin(broadcast(marg)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        when(col("cc") + col("dd") === lit(0).cast(dec38), lit(null))
+          .otherwise((col("cc") - col("dd")).cast("double") /
+            (col("cc") + col("dd")).cast("double")).as("gamma"),
+        when(col("n") * (col("n") - 1) - col("n1x") ===
+            lit(0).cast(dec38), lit(null)).otherwise(
+          (lit(2).cast(dec38) * (col("cc") - col("dd")))
+            .cast("double") /
+            (col("n") * (col("n") - 1) - col("n1x")).cast("double"))
+          .as("d_yx"),
+        when(col("n") * (col("n") - 1) - col("n1y") ===
+            lit(0).cast(dec38), lit(null)).otherwise(
+          (lit(2).cast(dec38) * (col("cc") - col("dd")))
+            .cast("double") /
+            (col("n") * (col("n") - 1) - col("n1y")).cast("double"))
+          .as("d_xy"))
+  }
+
+  /** Winsorized mean — [[trimmedMean]]'s robust sibling that CLAMPS
+    * the tails to the cut values instead of dropping them (keeps n
+    * constant — the form downstream variance estimates want): the
+    * bottom/top ⌊n·α⌋ ranks take the value at rank ⌊n·α⌋+1 resp.
+    * n−⌊n·α⌋. Same per-group distinct-value cell machinery (the
+    * trimmedMean window contract); the winsorized SUM is an exact
+    * DECIMAL(38) integer — middle mass + cut·(low boundary value +
+    * high boundary value) — divided ONCE by n. */
+  def winsorizedMean(df: DataFrame, groupCol: String, x: Column,
+                     alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"alpha in [0,0.5), got $alpha")
+    val d = df.select(col(groupCol).as("g"), x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val dv = d.groupBy("g", "__x").agg(count(lit(1)).as("__c"))
+    val wp = Window.partitionBy("g").orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = dv
+      .withColumn("__upto", sum("__c").over(wp))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("g")))
+    val cut = floor(col("__n") * alpha).cast("long")
+    val kept = least(col("__upto"), col("__n") - cut) -
+      greatest(col("__upto") - col("__c"), cut)
+    pref.withColumn("__kept", greatest(kept, lit(0L)))
+      .groupBy("g")
+      .agg(max(col("__n")).cast("long").as("n"),
+        coalesce(sum(when(col("__kept") > 0,
+          col("__x").cast(dec38) * col("__kept"))
+          .otherwise(lit(0).cast(dec38))), lit(0).cast(dec38))
+          .as("__msum"),
+        min(when(col("__upto") >= cut + 1, col("__x"))).as("__lo"),
+        min(when(col("__upto") >= col("__n") - cut, col("__x")))
+          .as("__hi"))
+      .select(col("g").as(groupCol), col("n"),
+        ((col("__msum") +
+          floor(col("n") * alpha).cast("long").cast(dec38) *
+            (col("__lo").cast(dec38) + col("__hi").cast(dec38)))
+          .cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"))
+  }
+
+  /** Jarque–Bera normality test with its ingredients — sample skewness
+    * g₁ and kurtosis b₂ (the shape readouts [[profile]]'s min/max/mean
+    * can't give) and JB = n·(g₁²/6 + (b₂−3)²/24), the two-sided
+    * normality score every parametric downstream assumption rests on.
+    *
+    * Exactness: the four raw power sums are exact DECIMAL(38) for an
+    * integral input, and the scaled central moments
+    *   M2 = n·s₂ − s₁²,
+    *   M3 = n²·s₃ − 3n·s₁·s₂ + 2s₁³,
+    *   M4 = n³·s₄ − 4n²·s₁·s₃ + 6n·s₁²·s₂ − 3s₁⁴
+    * are exact integers with g₁ = M3/M2^1.5 and b₂ = M4/M2² (the n
+    * powers cancel), so each statistic is one division over exact
+    * integers. MAGNITUDE CONTRACT (the fleissKappa overflow analysis):
+    * n³·Σx⁴ must stay below 10³⁸ — quantize to coarse units first
+    * (|x| ≤ ~10³ is safe at n ≤ 10⁷; at larger n, scale down further;
+    * shape statistics are scale-invariant so the unit choice only
+    * sets the rounding grain). NULL when M2 = 0 or n < 2. */
+  def jarqueBera(df: DataFrame, x: Column): DataFrame = {
+    def s(c: Column) = sum(c.cast(dec38))
+    val d = df.select(x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val m = d.agg(count(lit(1)).cast(dec38).as("n"),
+      s(col("__x")).as("s1"),
+      s(col("__x") * col("__x")).as("s2"),
+      s(col("__x") * col("__x") * col("__x")).as("s3"),
+      s(col("__x") * col("__x") * col("__x") * col("__x")).as("s4"))
+    val n = col("n")
+    val m2 = n * col("s2") - col("s1") * col("s1")
+    val m3 = n * n * col("s3") -
+      lit(3).cast(dec38) * n * col("s1") * col("s2") +
+      lit(2).cast(dec38) * col("s1") * col("s1") * col("s1")
+    val m4 = n * n * n * col("s4") -
+      lit(4).cast(dec38) * n * n * col("s1") * col("s3") +
+      lit(6).cast(dec38) * n * col("s1") * col("s1") * col("s2") -
+      lit(3).cast(dec38) * col("s1") * col("s1") * col("s1") * col("s1")
+    val g1 = m3.cast("double") /
+      (sqrt(m2.cast("double")) * m2.cast("double"))
+    val b2 = m4.cast("double") / (m2.cast("double") * m2.cast("double"))
+    m.select(n.cast("long").as("n"),
+      when(n < 2 || m2 <= 0, lit(null)).otherwise(g1).as("skewness"),
+      when(n < 2 || m2 <= 0, lit(null)).otherwise(b2).as("kurtosis"),
+      when(n < 2 || m2 <= 0, lit(null)).otherwise(
+        n.cast("double") * (g1 * g1 / 6.0 +
+          (b2 - 3.0) * (b2 - 3.0) / 24.0)).as("jb"))
+  }
+
+  /** Durbin–Watson statistic — first-order serial correlation of an
+    * ordered series (residual autocorrelation, the assumption check
+    * behind every OLS read; DW ≈ 2(1−ρ̂): 2 = independent, → 0 =
+    * positively autocorrelated, → 4 = alternating):
+    *   DW = Σ_{t≥2}(x_t − x_{t−1})² / Σ(x_t − x̄)²
+    *      = n·Σd² / (n·Σx² − (Σx)²)  — exact integers, ONE division.
+    *
+    * NO single-task global lag window (the [[runsTest]] stitch): the
+    * squared differences are summed per RANGE PARTITION of the
+    * (ts, tie) order, and the partition-boundary differences stitch
+    * from the partition-count-bounded (first, last) value table.
+    * INTEGRAL-INPUT CONTRACT: pre-quantize; n·Σx² must fit
+    * DECIMAL(38). NULL when the variance is zero or n < 2. */
+  def durbinWatson(df: DataFrame, tsCol: String, tieCol: String,
+                   x: Column): DataFrame = {
+    val seq0 = df.select(col(tsCol).as("__ts"), col(tieCol).as("__id"),
+        x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = seq0.repartitionByRange(nParts, col("__ts"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+    val wloc = Window.partitionBy("__pid").orderBy("__ts", "__id")
+    val local = parted
+      .withColumn("__prev", lag("__x", 1).over(wloc))
+      .groupBy("__pid").agg(
+        count(lit(1)).as("__cnt"),
+        sum(col("__x").cast(dec38)).as("__s1"),
+        sum((col("__x") * col("__x")).cast(dec38)).as("__s2"),
+        coalesce(sum(when(col("__prev").isNotNull,
+          ((col("__x") - col("__prev")) *
+            (col("__x") - col("__prev"))).cast(dec38))),
+          lit(0).cast(dec38)).as("__d2"),
+        min_by(col("__x"), struct(col("__ts"), col("__id"))).as("__first"),
+        max_by(col("__x"), struct(col("__ts"), col("__id"))).as("__last"))
+    val wp = Window.orderBy("__pid")
+    val stitched = local
+      .withColumn("__plast", lag("__last", 1).over(wp))
+      .agg(sum("__cnt").cast(dec38).as("n"),
+        sum("__s1").as("s1"), sum("__s2").as("s2"),
+        (sum("__d2") + coalesce(sum(when(col("__plast").isNotNull,
+          ((col("__first") - col("__plast")) *
+            (col("__first") - col("__plast"))).cast(dec38))),
+          lit(0).cast(dec38))).as("d2"))
+    val den = col("n") * col("s2") - col("s1") * col("s1")
+    stitched.select(col("n").cast("long").as("n"),
+      when(col("n") < 2 || den <= 0, lit(null)).otherwise(
+        (col("n") * col("d2")).cast("double") / den.cast("double"))
+        .as("dw"))
+  }
+
+  /** Ljung–Box portmanteau test — are the first K autocorrelations of
+    * a per-key series JOINTLY zero (the one-number "is this residual
+    * series white noise" that reading [[acf]]'s K columns by eye
+    * isn't): Q = n(n+2)·Σ_{j=1..K} ρ_j²/(n−j), χ²(K) under the null.
+    * Composes [[acf]] (each ρ_j is already an exact-rational single
+    * division); the K ≤ 8 terms fold in FIXED ascending-lag order
+    * inside one projection, so Q hash-replays. NULL when n ≤ K or any
+    * ρ_j is NULL (degenerate variance). */
+  def ljungBox(df: DataFrame, keyCol: String, tsCol: String, x: Column,
+               maxLag: Int, tieCol: String): DataFrame = {
+    val r = acf(df, keyCol, tsCol, x, maxLag, tieCol)
+    val nD = col("n").cast("double")
+    val qSum = (1 to maxLag).foldLeft(lit(0.0)) { (acc, j) =>
+      acc + col(s"r$j") * col(s"r$j") / (nD - j)
+    }
+    val anyNull = (1 to maxLag)
+      .map(j => col(s"r$j").isNull).reduce(_ || _)
+    r.select(col(keyCol), col("n"), lit(maxLag).as("lags"),
+      when(col("n") <= maxLag || anyNull, lit(null))
+        .otherwise(nD * (nD + 2.0) * qSum).as("q"))
+  }
+
+  /** Lin's concordance correlation coefficient — AGREEMENT between two
+    * numeric readings of the same thing (predicted vs actual, sensor A
+    * vs sensor B): Pearson r punishes neither scale nor location bias,
+    * CCC punishes both (CCC = r·C_b ≤ r, equality iff the 45° line):
+    *
+    *   CCC = 2·S_xy / (S_xx + S_yy + n(x̄−ȳ)²)
+    *       = 2(n·s_xy − s_x·s_y) /
+    *         ((n·s_xx − s_x²) + (n·s_yy − s_y²) + (s_x − s_y)²)
+    *
+    * — exact DECIMAL(38) integers both sides, ONE division
+    * (integral-input contract). NULL when the denominator is 0. */
+  def linCcc(df: DataFrame, x: Column, y: Column): DataFrame = {
+    def s(c: Column) = sum(c.cast(dec38))
+    val d = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = d.agg(count(lit(1)).cast(dec38).as("n"),
+      s(col("__x")).as("sx"), s(col("__y")).as("sy"),
+      s(col("__x") * col("__x")).as("sxx"),
+      s(col("__y") * col("__y")).as("syy"),
+      s(col("__x") * col("__y")).as("sxy"))
+    val n = col("n")
+    val num = lit(2).cast(dec38) * (n * col("sxy") - col("sx") * col("sy"))
+    val den = (n * col("sxx") - col("sx") * col("sx")) +
+      (n * col("syy") - col("sy") * col("sy")) +
+      (col("sx") - col("sy")) * (col("sx") - col("sy"))
+    m.select(n.cast("long").as("n"),
+      when(den === lit(0).cast(dec38), lit(null)).otherwise(
+        num.cast("double") / den.cast("double")).as("ccc"))
   }
 }

@@ -572,7 +572,7 @@ object TextAnalysis {
         .as("ln_k"))
   }
 
-  /** Pairwise vocabulary overlap between corpus slices — the
+    /** Pairwise vocabulary overlap between corpus slices — the
     * source-level "do these corpora speak the same language" matrix:
     * per (groupA < groupB), the shared type count and vocabulary
     * Jaccard |V_a ∩ V_b| / |V_a ∪ V_b|. The slice-level complement to

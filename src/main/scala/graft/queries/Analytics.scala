@@ -5085,6 +5085,291 @@ object Analytics {
       graft.ops.TextAnalysis.chao1Richness(
           Tables.table(s, d, "documents"), "lang", "text")
         .orderBy("lang")
+    },
+
+    // Kendall's W coefficient of concordance (Stats.kendallW): do
+    // users RANK the event types consistently — the multi-rater
+    // ranking twin of q303's Fleiss agreement. Complete panels,
+    // doubled within-rater ranks, tie-corrected denominator, ONE
+    // division of exact integers.
+    dfQ("q310_kendall_w",
+      """WITH cell AS (SELECT user_id b, event_type t,
+        |    CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) s,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |kf AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) k FROM cell),
+        |cm AS (SELECT b, t, CAST(s AS DOUBLE) / c m FROM cell),
+        |kept AS (SELECT * FROM cm WHERE b IN
+        |  (SELECT b FROM cm GROUP BY b
+        |   HAVING COUNT(*) = (SELECT k FROM kf))),
+        |byv AS (SELECT b, m, CAST(COUNT(*) AS BIGINT) cv FROM kept
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT b, m, CAST(2 * COALESCE(SUM(cv) OVER (
+        |    PARTITION BY b ORDER BY m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cv + 1 AS BIGINT) dr FROM byv),
+        |tt AS (SELECT COALESCE(CAST(SUM(
+        |    CAST(cv AS HUGEINT) * cv * cv - cv) AS HUGEINT), 0) tt
+        |  FROM byv),
+        |bf AS (SELECT CAST(COUNT(DISTINCT b) AS HUGEINT) bn FROM kept),
+        |r2 AS (SELECT kept.t, CAST(SUM(rk.dr) AS HUGEINT) r2
+        |  FROM kept JOIN rk ON kept.b = rk.b AND kept.m = rk.m
+        |  GROUP BY kept.t),
+        |s2 AS (SELECT COALESCE(CAST(SUM((r2 - bn * (k + 1))
+        |      * (r2 - bn * (k + 1))) AS HUGEINT), 0) s2
+        |  FROM r2 CROSS JOIN bf CROSS JOIN kf)
+        |SELECT CAST(bn AS BIGINT) n_raters, CAST(k AS INT) k,
+        |  CASE WHEN bn * bn * k * (k * k - 1) - bn * tt <= 0 THEN NULL
+        |    ELSE CAST(3 * s2 AS DOUBLE)
+        |      / CAST(bn * bn * k * (k * k - 1) - bn * tt AS DOUBLE) END w
+        |FROM s2 CROSS JOIN bf CROSS JOIN kf CROSS JOIN tt""".stripMargin) {
+      (s, d) =>
+        Stats.kendallW(Tables.events(s, d), "user_id", "event_type",
+          floor(col("value") * 100).cast("long"))
+    },
+
+    // Goodman–Kruskal gamma + Somers' D (Stats.gammaSomersD): the
+    // directional ordinal-association pair off q277's quantized cell
+    // machinery — gamma ignores ties, d_yx penalizes dependent-axis
+    // ties (quantity → discount and the reverse).
+    dfQ("q311_gamma_somers",
+      """WITH cells AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) x,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) y,
+        |    CAST(COUNT(*) AS BIGINT) c FROM lineitem GROUP BY 1, 2),
+        |ps AS (SELECT
+        |    COALESCE(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) cc,
+        |    COALESCE(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) dd
+        |  FROM cells a CROSS JOIN cells b),
+        |mg AS (SELECT CAST(SUM(c) AS HUGEINT) n FROM cells),
+        |tx AS (SELECT CAST(SUM(CAST(nx AS HUGEINT) * (nx - 1))
+        |    AS HUGEINT) n1x FROM
+        |  (SELECT x, CAST(SUM(c) AS BIGINT) nx FROM cells GROUP BY x) q),
+        |ty AS (SELECT CAST(SUM(CAST(ny AS HUGEINT) * (ny - 1))
+        |    AS HUGEINT) n1y FROM
+        |  (SELECT y, CAST(SUM(c) AS BIGINT) ny FROM cells GROUP BY y) q)
+        |SELECT CAST(n AS BIGINT) n, CAST(cc AS BIGINT) concordant,
+        |  CAST(dd AS BIGINT) discordant,
+        |  CASE WHEN cc + dd = 0 THEN NULL
+        |    ELSE CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE)
+        |  END gamma,
+        |  CASE WHEN n * (n - 1) - n1x = 0 THEN NULL
+        |    ELSE CAST(2 * (cc - dd) AS DOUBLE)
+        |      / CAST(n * (n - 1) - n1x AS DOUBLE) END d_yx,
+        |  CASE WHEN n * (n - 1) - n1y = 0 THEN NULL
+        |    ELSE CAST(2 * (cc - dd) AS DOUBLE)
+        |      / CAST(n * (n - 1) - n1y AS DOUBLE) END d_xy
+        |FROM ps CROSS JOIN mg CROSS JOIN tx CROSS JOIN ty""".stripMargin) {
+      (s, d) =>
+        Stats.gammaSomersD(Tables.table(s, d, "lineitem"),
+          floor(col("l_quantity")).cast("long"),
+          floor(col("l_discount") * 100).cast("long"))
+    },
+
+    // Winsorized mean (Stats.winsorizedMean): q243's trimmed mean with
+    // the tails CLAMPED instead of dropped — n stays constant; the
+    // winsorized sum is an exact integer divided once.
+    dfQ("q312_winsorized_mean",
+      """WITH d AS (SELECT l_returnflag g,
+        |    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) x
+        |  FROM lineitem),
+        |dv AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) c FROM d
+        |  GROUP BY 1, 2),
+        |pref AS (SELECT g, x, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) upto,
+        |    SUM(c) OVER (PARTITION BY g) n FROM dv),
+        |wc AS (SELECT g, x, c, upto, n,
+        |    CAST(FLOOR(n * 0.1) AS BIGINT) cut FROM pref),
+        |mids AS (SELECT g, MAX(n) n,
+        |    COALESCE(SUM(CASE WHEN LEAST(upto, n - cut)
+        |        - GREATEST(upto - c, cut) > 0
+        |      THEN CAST(x AS HUGEINT) * (LEAST(upto, n - cut)
+        |        - GREATEST(upto - c, cut)) ELSE 0 END), 0) msum,
+        |    MIN(CASE WHEN upto >= cut + 1 THEN x END) lo,
+        |    MIN(CASE WHEN upto >= n - cut THEN x END) hi
+        |  FROM wc GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) n,
+        |  CAST(msum + CAST(FLOOR(n * 0.1) AS BIGINT)
+        |      * (CAST(lo AS HUGEINT) + hi) AS DOUBLE)
+        |    / CAST(n AS DOUBLE) winsorized_mean
+        |FROM mids ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Stats.winsorizedMean(Tables.table(s, d, "lineitem"),
+          "l_returnflag", floor(col("l_extendedprice") * 100), 0.1)
+        .orderBy("l_returnflag")
+    },
+
+    // Jarque–Bera normality (Stats.jarqueBera): skewness, kurtosis and
+    // the JB score from four exact power sums — the shape check behind
+    // every parametric assumption. Coarse units keep n³·Σx⁴ inside
+    // DECIMAL(38) (the operator's magnitude contract).
+    dfQ("q313_jarque_bera",
+      """WITH d AS (SELECT CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) x
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) s1,
+        |    SUM(CAST(x AS HUGEINT) * x) s2,
+        |    SUM(CAST(x AS HUGEINT) * x * x) s3,
+        |    SUM(CAST(x AS HUGEINT) * x * x * x) s4 FROM d),
+        |c AS (SELECT n, n * s2 - s1 * s1 m2,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 m3,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 m4 FROM m),
+        |g AS (SELECT n, m2,
+        |    CAST(m3 AS DOUBLE)
+        |      / (SQRT(CAST(m2 AS DOUBLE)) * CAST(m2 AS DOUBLE)) g1,
+        |    CAST(m4 AS DOUBLE)
+        |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) b2 FROM c)
+        |SELECT CAST(n AS BIGINT) n,
+        |  CASE WHEN n < 2 OR m2 <= 0 THEN NULL ELSE g1 END skewness,
+        |  CASE WHEN n < 2 OR m2 <= 0 THEN NULL ELSE b2 END kurtosis,
+        |  CASE WHEN n < 2 OR m2 <= 0 THEN NULL
+        |    ELSE CAST(n AS DOUBLE) * (g1 * g1 / 6e0
+        |      + (b2 - 3e0) * (b2 - 3e0) / 24e0) END jb
+        |FROM g""".stripMargin) { (s, d) =>
+      Stats.jarqueBera(Tables.table(s, d, "lineitem"),
+        floor(col("l_extendedprice") / 1000).cast("long"))
+    },
+
+    // Durbin–Watson (Stats.durbinWatson): first-order serial
+    // correlation of the order-revenue sequence in (date, orderkey)
+    // order — exact integer numerator/denominator, the runsTest
+    // partition-stitch instead of a one-task global lag window.
+    dfQ("q314_durbin_watson",
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) t, o_orderkey id,
+        |    CAST(FLOOR(o_totalprice / 100) AS BIGINT) x FROM orders),
+        |l AS (SELECT x, LAG(x) OVER (ORDER BY t, id) p FROM d),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) s1, SUM(CAST(x AS HUGEINT) * x) s2,
+        |    COALESCE(SUM(CASE WHEN p IS NOT NULL
+        |      THEN CAST(x - p AS HUGEINT) * (x - p) ELSE 0 END), 0) d2
+        |  FROM l)
+        |SELECT CAST(n AS BIGINT) n,
+        |  CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+        |    ELSE CAST(n * d2 AS DOUBLE)
+        |      / CAST(n * s2 - s1 * s1 AS DOUBLE) END dw
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.durbinWatson(Tables.table(s, d, "orders")
+          .select(col("o_orderdate").cast("date").as("t"),
+            col("o_orderkey").as("id"), col("o_totalprice")),
+        "t", "id", floor(col("o_totalprice") / 100))
+    },
+
+    // Ljung–Box portmanteau (Stats.ljungBox): are the first 3
+    // autocorrelations of each event type's series jointly zero — the
+    // one-number white-noise verdict composing q195's exact-rational
+    // acf; the 3 terms fold in fixed ascending-lag order.
+    dfQ("q315_ljung_box",
+      """WITH t AS (SELECT event_type, ts, event_id,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x FROM events),
+        |l AS (SELECT event_type, x,
+        |    LEAD(x, 1) OVER w l1, LEAD(x, 2) OVER w l2,
+        |    LEAD(x, 3) OVER w l3,
+        |    LAG(x, 1) OVER w g1, LAG(x, 2) OVER w g2,
+        |    LAG(x, 3) OVER w g3
+        |  FROM t WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) m, SUM(CAST(x * x AS HUGEINT)) sxx,
+        |    SUM(CAST(x * l1 AS HUGEINT)) c1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(x AS HUGEINT) END) a1,
+        |    SUM(CASE WHEN g1 IS NOT NULL THEN CAST(x AS HUGEINT) END) b1,
+        |    SUM(CAST(x * l2 AS HUGEINT)) c2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(x AS HUGEINT) END) a2,
+        |    SUM(CASE WHEN g2 IS NOT NULL THEN CAST(x AS HUGEINT) END) b2,
+        |    SUM(CAST(x * l3 AS HUGEINT)) c3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(x AS HUGEINT) END) a3,
+        |    SUM(CASE WHEN g3 IS NOT NULL THEN CAST(x AS HUGEINT) END) b3
+        |  FROM l GROUP BY event_type),
+        |r AS (SELECT event_type, n,
+        |  CASE WHEN n <= 1 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c1 - n * m * (a1 + b1) + (n - 1) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r1,
+        |  CASE WHEN n <= 2 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c2 - n * m * (a2 + b2) + (n - 2) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r2,
+        |  CASE WHEN n <= 3 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c3 - n * m * (a3 + b3) + (n - 3) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r3
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) n, 3 AS lags,
+        |  CASE WHEN n <= 3 OR r1 IS NULL OR r2 IS NULL OR r3 IS NULL
+        |    THEN NULL
+        |    ELSE CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2e0)
+        |      * (0e0 + r1 * r1 / (CAST(n AS DOUBLE) - 1)
+        |        + r2 * r2 / (CAST(n AS DOUBLE) - 2)
+        |        + r3 * r3 / (CAST(n AS DOUBLE) - 3)) END q
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      Stats.ljungBox(Tables.events(s, d), "event_type", "ts",
+          floor(col("value") * 64).cast("long"), maxLag = 3,
+          tieCol = "event_id")
+        .orderBy("event_type")
+    },
+
+    // Lin's concordance correlation (Stats.linCcc): AGREEMENT between
+    // discounted and list line revenue — Pearson can't see the scale
+    // bias a systematic discount introduces, CCC prices it. One
+    // division of exact integer moment combinations.
+    dfQ("q316_lin_ccc",
+      """WITH d AS (SELECT
+        |    CAST(FLOOR(l_extendedprice * (1e0 - l_discount)) AS BIGINT) x,
+        |    CAST(FLOOR(l_extendedprice) AS BIGINT) y FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) sx, SUM(CAST(y AS HUGEINT)) sy,
+        |    SUM(CAST(x AS HUGEINT) * x) sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) syy,
+        |    SUM(CAST(x AS HUGEINT) * y) sxy FROM d)
+        |SELECT CAST(n AS BIGINT) n,
+        |  CASE WHEN (n * sxx - sx * sx) + (n * syy - sy * sy)
+        |      + (sx - sy) * (sx - sy) = 0 THEN NULL
+        |    ELSE CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+        |      / CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+        |        + (sx - sy) * (sx - sy) AS DOUBLE) END ccc
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.linCcc(Tables.table(s, d, "lineitem"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        floor(col("l_extendedprice")))
+    },
+
+    // Adamic–Adar link prediction (Components.adamicAdar): score the
+    // 2-hop pairs of the co-order part graph by inverse-log-degree
+    // common-neighbor mass — which parts "should" co-occur next. The
+    // hub guard (maxDegree) bounds the wedge volume; lnq-grid terms
+    // fold per pair in sorted center order.
+    dfQ("q317_adamic_adar",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) d FROM (
+        |    SELECT u n FROM e UNION ALL SELECT v FROM e) x
+        |  GROUP BY n HAVING COUNT(*) <= 256),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v u, u v FROM e),
+        |ad AS (SELECT adj.u, adj.v, deg.d FROM adj
+        |  JOIN deg ON adj.u = deg.n),
+        |w AS (SELECT x.v a, y.v b, x.u c,
+        |    1e0 / (FLOOR(LN(x.d) * 67108864.0) / 67108864.0) t
+        |  FROM ad x JOIN ad y ON x.u = y.u AND x.v < y.v),
+        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) common_neighbors,
+        |    0e0 + LIST_REDUCE(LIST(t ORDER BY c), (p, q) -> p + q)
+        |      aa_score
+        |  FROM w GROUP BY a, b)
+        |SELECT sc.a, sc.b, common_neighbors, aa_score,
+        |  COALESCE(e2.l, FALSE) linked
+        |FROM sc LEFT JOIN (SELECT u a, v b, TRUE l FROM e) e2
+        |  USING (a, b)
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 3000)
+        .select(col("l_orderkey"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      Components.adamicAdar(e, "pa", "pb", maxDegree = 256)
+        .orderBy("a", "b")
     }
   )
 }

@@ -3597,4 +3597,176 @@ class AnalyticsSuite extends SparkTestBase {
       !col("arm1"), col("x")).collect().map(_.getString(0)).toSeq
       == Seq("a"))
   }
+
+  test("kendallW: identical rankings = 1, incomplete raters drop, " +
+      "all-tied raters lower the tie-corrected denominator") {
+    import spark.implicits._
+    // 3 raters rank 3 objects identically -> W = 1
+    val perfect = for (r <- 1 to 3; (o, v) <- Seq(("a", 1L), ("b", 2L),
+      ("c", 3L))) yield (s"r$r", o, v)
+    val rp = Stats.kendallW(perfect.toDF("rater", "obj", "x"),
+      "rater", "obj", col("x")).collect()(0)
+    assert(rp.getAs[Long]("n_raters") == 3L && rp.getAs[Int]("k") == 3)
+    assert(rp.getAs[Double]("w") == 1.0)
+    // a rater missing an object drops; the rest still agree -> W = 1
+    val withPartial = perfect ++ Seq(("r4", "a", 9L), ("r4", "b", 1L))
+    val rq = Stats.kendallW(withPartial.toDF("rater", "obj", "x"),
+      "rater", "obj", col("x")).collect()(0)
+    assert(rq.getAs[Long]("n_raters") == 3L && rq.getAs[Double]("w") == 1.0)
+    // opposite rankings, b=2, k=3: R2_j = (2+6, 4+4, 6+2) = all 8 =
+    // b(k+1) -> S2 = 0 -> W = 0
+    val opp = Seq(("p", "a", 1L), ("p", "b", 2L), ("p", "c", 3L),
+      ("q", "a", 3L), ("q", "b", 2L), ("q", "c", 1L))
+    assert(Stats.kendallW(opp.toDF("rater", "obj", "x"),
+      "rater", "obj", col("x")).collect()(0).getAs[Double]("w") == 0.0)
+    // every rater all-ties: denominator b²k(k²−1) − b·Σ(t³−t) =
+    // b²k(k²−1) − b²(k³−k) = 0 -> NULL
+    val flat = for (r <- 1 to 2; o <- Seq("a", "b", "c"))
+      yield (s"r$r", o, 5L)
+    assert(Stats.kendallW(flat.toDF("rater", "obj", "x"),
+      "rater", "obj", col("x")).collect()(0).isNullAt(2))
+  }
+
+  test("gammaSomersD: hand cases — perfect concordance, x-ties feed " +
+      "d_xy but not gamma") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val rp = Stats.gammaSomersD(perfect, col("x"), col("y")).collect()(0)
+    assert(rp.getAs[Long]("concordant") == 3L &&
+      rp.getAs[Long]("discordant") == 0L)
+    assert(rp.getAs[Double]("gamma") == 1.0 &&
+      rp.getAs[Double]("d_yx") == 1.0 && rp.getAs[Double]("d_xy") == 1.0)
+    // (1,1),(1,2),(2,3): C=2, D=0; n1x=2, n1y=0 ->
+    // gamma=1, d_yx = 4/(6-2) = 1, d_xy = 4/6
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val rt = Stats.gammaSomersD(tied, col("x"), col("y")).collect()(0)
+    assert(rt.getAs[Long]("concordant") == 2L)
+    assert(rt.getAs[Double]("gamma") == 1.0 &&
+      rt.getAs[Double]("d_yx") == 1.0 &&
+      math.abs(rt.getAs[Double]("d_xy") - 4.0 / 6.0) < 1e-15)
+    // everything tied on both axes: gamma NULL (C+D = 0)
+    val allT = Seq((1L, 1L), (1L, 1L)).toDF("x", "y")
+    assert(Stats.gammaSomersD(allT, col("x"), col("y"))
+      .collect()(0).isNullAt(3))
+  }
+
+  test("winsorizedMean: clamps the tails to the cut values; alpha=0 " +
+      "is the plain mean") {
+    import spark.implicits._
+    // 1,2,3,4,100 at alpha=0.2 -> cut=1 -> 2,2,3,4,4 -> 3.0
+    val d = Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)).toDF("g", "x")
+    val r = Stats.winsorizedMean(d, "g", col("x"), 0.2).collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("winsorized_mean") == 3.0)
+    // alpha=0: nothing clamps
+    assert(Stats.winsorizedMean(d, "g", col("x"), 0.0).collect()(0)
+      .getAs[Double]("winsorized_mean") == 22.0)
+    // ties across the cut: 1,1,1,9 at alpha=0.25 -> cut=1 -> clamp the
+    // single bottom rank to the rank-2 value (1) and top rank to the
+    // rank-3 value (1) -> 1,1,1,1 -> 1.0
+    val t = Seq(1L, 1L, 1L, 9L).map(("g", _)).toDF("g", "x")
+    assert(Stats.winsorizedMean(t, "g", col("x"), 0.25).collect()(0)
+      .getAs[Double]("winsorized_mean") == 1.0)
+  }
+
+  test("jarqueBera: symmetric 3-point hand case; constant column NULL") {
+    import spark.implicits._
+    // {1,2,3}: skew 0, kurtosis m4/m2² = (2/3)/(4/9) = 1.5,
+    // JB = 3·(0 + 2.25/24) = 0.28125
+    val r = Stats.jarqueBera(Seq(1L, 2L, 3L).toDF("x"), col("x"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis") == 1.5)
+    assert(r.getAs[Double]("jb") == 3.0 * (1.5 * 1.5 / 24.0))
+    // right-skewed {0,0,0,4}: m3 > 0 -> positive skewness
+    assert(Stats.jarqueBera(Seq(0L, 0L, 0L, 4L).toDF("x"), col("x"))
+      .collect()(0).getAs[Double]("skewness") > 0.0)
+    // constant column: M2 = 0 -> NULLs
+    val c = Stats.jarqueBera(Seq(7L, 7L, 7L).toDF("x"), col("x"))
+      .collect()(0)
+    assert(c.isNullAt(1) && c.isNullAt(2) && c.isNullAt(3))
+  }
+
+  test("durbinWatson: hand case + partition-stitch equals the " +
+      "single-window brute force on a multi-partition series") {
+    import spark.implicits._
+    // 1,2,3,4: Σd² = 3, nΣx²−(Σx)² = 120−100 = 20 -> DW = 12/20 = 0.6
+    val d = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L), (4L, 1L, 4L))
+      .toDF("ts", "id", "x")
+    val r = Stats.durbinWatson(d, "ts", "id", col("x")).collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Double]("dw") == 0.6)
+    // 2000 rows spanning every range partition: stitch == brute force
+    val xs = (1 to 2000).map(i => (i.toLong, 1L, ((i * 37) % 101).toLong))
+    val big = Stats.durbinWatson(xs.toDF("ts", "id", "x"), "ts", "id",
+      col("x")).collect()(0)
+    val vals = xs.map(_._3)
+    val num = vals.sliding(2).map { case Seq(a, b) =>
+      (b - a).toDouble * (b - a) }.sum
+    val s1 = vals.sum.toDouble; val s2 = vals.map(v => v * v).sum.toDouble
+    val exp = 2000.0 * num / (2000.0 * s2 - s1 * s1)
+    assert(math.abs(big.getAs[Double]("dw") - exp) < 1e-9)
+    // constant series: zero variance -> NULL
+    assert(Stats.durbinWatson(Seq((1L, 1L, 5L), (2L, 1L, 5L))
+      .toDF("ts", "id", "x"), "ts", "id", col("x"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("ljungBox: equals the acf composition; short series NULL") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i =>
+      ("k", i.toLong, i.toLong, ((i * 13) % 7).toLong))
+    val d = rows.toDF("k", "ts", "id", "x")
+    val a = Stats.acf(d, "k", "ts", col("x"), 3, "id").collect()(0)
+    val n = a.getAs[Long]("n").toDouble
+    val exp = n * (n + 2.0) * (0.0 +
+      a.getAs[Double]("r1") * a.getAs[Double]("r1") / (n - 1) +
+      a.getAs[Double]("r2") * a.getAs[Double]("r2") / (n - 2) +
+      a.getAs[Double]("r3") * a.getAs[Double]("r3") / (n - 3))
+    val q = Stats.ljungBox(d, "k", "ts", col("x"), 3, "id").collect()(0)
+    assert(q.getAs[Long]("n") == 40L && q.getAs[Int]("lags") == 3)
+    assert(q.getAs[Double]("q") == exp)
+    // n <= maxLag -> NULL
+    val short = Seq(("k", 1L, 1L, 1L), ("k", 2L, 2L, 2L),
+      ("k", 3L, 3L, 3L)).toDF("k", "ts", "id", "x")
+    assert(Stats.ljungBox(short, "k", "ts", col("x"), 3, "id")
+      .collect()(0).isNullAt(3))
+  }
+
+  test("linCcc: identity = 1, location bias < pearson, degenerate NULL") {
+    import spark.implicits._
+    val same = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Stats.linCcc(same, col("x"), col("y")).collect()(0)
+      .getAs[Double]("ccc") == 1.0)
+    // y = x + 1: r = 1 but CCC = 12/21 (the location penalty)
+    val shifted = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    assert(math.abs(Stats.linCcc(shifted, col("x"), col("y"))
+      .collect()(0).getAs[Double]("ccc") - 12.0 / 21.0) < 1e-15)
+    // both constant: denominator 0 -> NULL
+    assert(Stats.linCcc(Seq((1L, 1L), (1L, 1L)).toDF("x", "y"),
+      col("x"), col("y")).collect()(0).isNullAt(1))
+  }
+
+  test("adamicAdar: triangle+tail hand case; the hub guard drops " +
+      "high-degree centers") {
+    import spark.implicits._
+    def lnq(x: Double) =
+      math.floor(math.log(x) * 67108864.0) / 67108864.0
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = graft.ops.Components.adamicAdar(e, "a", "b")
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getAs[Long]("common_neighbors"), x.getAs[Double]("aa_score"),
+          x.getAs[Boolean]("linked")))).toMap
+    // deg: 1->2, 2->2, 3->3, 4->1
+    assert(r((2L, 3L)) == ((1L, 1.0 / lnq(2.0), true)))  // via 1
+    assert(r((1L, 3L)) == ((1L, 1.0 / lnq(2.0), true)))  // via 2
+    assert(r((1L, 2L)) == ((1L, 1.0 / lnq(3.0), true)))  // via 3
+    assert(r((1L, 4L)) == ((1L, 1.0 / lnq(3.0), false))) // via 3
+    assert(r((2L, 4L)) == ((1L, 1.0 / lnq(3.0), false))) // via 3
+    assert(r.size == 5)
+    // maxDegree = 2 drops center 3: only the wedges through 1 and 2
+    val g = graft.ops.Components.adamicAdar(e, "a", "b", maxDegree = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(g == Set((2L, 3L), (1L, 3L)))
+  }
 }

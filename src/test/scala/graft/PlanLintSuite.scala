@@ -57,6 +57,10 @@ class PlanLintSuite extends SparkTestBase {
     "q277_kendall_tau" -> ("tau-b cell-table self-join: both sides are " +
       "the QUANTIZED (x,y) cell table — grid-cardinality-bounded " +
       "(≤64×64 cells), never row-scale"),
+    "q311_gamma_somers" -> ("gamma/Somers-D off the SAME quantized " +
+      "cell machinery as q277 (Stats.gammaSomersD shares " +
+      "kendallTauB's grid contract): both crossJoin sides are the " +
+      "(quantity, discount-cent) cell table, ≤51×11 cells"),
     "q226_conformal" -> ("the broadcast side is the 1-row conformal " +
       "quantile (rank-filter over the CALIBRATION set — small by " +
       "design per conformalInterval's contract); the row bound comes " +
@@ -146,6 +150,11 @@ class PlanLintSuite extends SparkTestBase {
     * a flagged query fails the suite unless registered here WITH its
     * reviewed boundedness argument. */
   private val selfJoinOk: Map[String, String] = Map(
+    "q317_adamic_adar" -> ("the wedge join keys on the CENTER node " +
+      "and Components.adamicAdar DROPS centers above `maxDegree` " +
+      "BEFORE the join (the standard link-prediction hub guard, " +
+      "maxDegree=256 here) — per-key pair volume is parameter-bounded " +
+      "at ≤ maxDegree²/2, never data-dependent"),
     "q205_mann_kendall" -> ("per-entity series self-join — `maxSeries` " +
       "deterministic md5-subsample cap (default off so fixture oracles " +
       "replay uncapped; StatsBench hot-key arm prices a planted " +

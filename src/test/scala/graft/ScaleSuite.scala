@@ -384,7 +384,14 @@ class ScaleSuite extends SparkTestBase {
       "q305_heaps_law",        // 16-row literal power-of-two probe cuts
       "q307_krippendorff",     // CROSS JOIN of the 1-row S_o fold and
                                // 1-row margins
-      "q308_attr_assortativity") // CROSS JOIN with the 1-row E_ii count
+      "q308_attr_assortativity", // CROSS JOIN with the 1-row E_ii count
+      "q310_kendall_w",        // CROSS JOINs with the 1-row k/b/tie rows
+      "q311_gamma_somers",     // deliberate cell-table cross (the q277
+                               // shape: ≤51×11 quantized cells)
+      "q313_jarque_bera",      // 1-row moment readout
+      "q315_ljung_box",        // composes q195's acf (no cross at all —
+                               // listed for the broadcast readout only)
+      "q316_lin_ccc")          // 1-row moment readout
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
