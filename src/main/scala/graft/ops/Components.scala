@@ -238,6 +238,82 @@ object Components {
       .na.fill(false, Seq("linked"))
   }
 
+  /** Moran's I and Geary's C — autocorrelation of a NUMERIC node
+    * attribute over the graph structure (do connected nodes carry
+    * similar values?): the numeric companion of
+    * [[attributeAssortativity]]'s categorical mixing and the
+    * graph-space analogue of serial autocorrelation. With binary
+    * edge weights (the adjacency) and the directed mirror as W:
+    *
+    *   I = (n/W)·Σ_w(x_i−x̄)(x_j−x̄) / Σ_i(x_i−x̄)²   (global, ~+1
+    *       assortative clustering, ~−1 checkerboard, ≈ −1/(n−1) null)
+    *   C = ((n−1)/2W)·Σ_w(x_i−x_j)² / Σ_i(x_i−x̄)²   (local; < 1
+    *       positive autocorrelation — I's variance-weighted dual)
+    *
+    * Exactness: scaling deviations by n clears the mean —
+    * n²·Σ_w(x_i−x̄)(x_j−x̄) = Σ_w(n·x_i−S)(n·x_j−S) and n²·Σ(x_i−x̄)²
+    * = Σ(n·x_i−S)² are exact DECIMAL(38) integers (S = Σx over
+    * incident nodes), Σ_w(x_i−x_j)² needs no centering at all, and
+    * each statistic is ONE division of exact integers (the n²
+    * factors cancel in I; C carries them explicitly). Node set =
+    * nodes incident to an edge with a label (the
+    * attributeAssortativity convention). NULL on a constant
+    * attribute. Scale: distinct canonical edges, ONE node-key label
+    * join pair (label table NOT broadcast), two folds.
+    *
+    * MAGNITUDE CONTRACT: Σ(n·x_i − S)² ≲ n³·max|x|² must stay inside
+    * DECIMAL(38) — quantize coarse (|x| ≤ 10⁴ is safe at n ≤ 10⁸). */
+  def moranGeary(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 xCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val lab = labels
+      .select(col(nodeCol).cast("long").as("n"),
+        col(xCol).cast("long").as("x"))
+      .distinct().cache() // two endpoint joins — the modularity note
+    val mirror = canon.select(col("u"), col("v"))
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+    val tagged = mirror
+      .join(lab.select(col("n").as("u"), col("x").as("xa")), Seq("u"))
+      .join(lab.select(col("n").as("v"), col("x").as("xb")), Seq("v"))
+      .localCheckpoint(false) // feeds W, the cross sum, the diff sum
+    // node-side moments over INCIDENT labeled nodes only
+    val nodes = tagged.select(col("u").as("n"), col("xa").as("x"))
+      .distinct()
+    val nm = nodes.agg(count(lit(1)).cast(dec38).as("nn"),
+      sum(col("x").cast(dec38)).as("s"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"))
+    val em = tagged.agg(count(lit(1)).cast(dec38).as("w"),
+      sum((col("xa") * col("xb")).cast(dec38)).as("sab"),
+      sum(col("xa").cast(dec38)).as("sa"),
+      sum(col("xb").cast(dec38)).as("sb"),
+      coalesce(sum(((col("xa") - col("xb")) *
+        (col("xa") - col("xb"))).cast(dec38)),
+        lit(0).cast(dec38)).as("sd2"))
+    val m = em.crossJoin(broadcast(nm))
+    val nD = col("nn")
+    // Σ_w(n·xa−S)(n·xb−S) = n²·sab − n·S·(sa+sb) + W·S²
+    val num = nD * nD * col("sab") -
+      nD * col("s") * (col("sa") + col("sb")) +
+      col("w") * col("s") * col("s")
+    // Σ_i(n·x−S)² = n²·sxx − n·S²
+    val den = nD * nD * col("sxx") - nD * col("s") * col("s")
+    m.select(nD.cast("long").as("n_nodes"),
+      col("w").cast("long").as("m_directed"),
+      when(den <= 0 || col("w") === 0, lit(null)).otherwise(
+        (nD * num).cast("double") / (col("w") * den).cast("double"))
+        .as("moran_i"),
+      when(den <= 0 || col("w") === 0, lit(null)).otherwise(
+        ((nD - 1) * nD * nD * col("sd2")).cast("double") /
+          (lit(2).cast(dec38) * col("w") * den).cast("double"))
+        .as("geary_c"))
+  }
+
   /** Degree assortativity — Newman's r: the Pearson correlation of
     * endpoint degrees over the directed mirror of the edge list, the
     * one-number "do hubs link to hubs" readout of a crawl graph

@@ -3099,4 +3099,80 @@ object Stats {
       when(den === lit(0).cast(dec38), lit(null)).otherwise(
         num.cast("double") / den.cast("double")).as("ccc"))
   }
+
+  /** Intraclass correlation ICC(1) — one-way random-effects rater
+    * reliability: how much of a rating's variance is the TARGET
+    * rather than the rater draw (the continuous-score companion of
+    * [[cohenKappa]]/[[graft.ops.Quality.fleissKappa]], and the
+    * variance-decomposition reading of [[anovaF]]'s F):
+    *
+    *   ICC(1) = (MSB − MSW) / (MSB + (k₀−1)·MSW),
+    *   k₀ = (N − Σn_g²/N)/(G−1)  (the unbalanced-panel group size)
+    *
+    * Sums of squares come from the [[anovaF]] machinery: exact
+    * DECIMAL(38) per-group moments, the between-group term folded in
+    * SORTED group order inside one row (each group's s²/n divides
+    * once), then a fixed double tree — deterministic on any engine.
+    * NULL when G < 2, N ≤ G, or the denominator ≤ 0. */
+  def icc1(df: DataFrame, targetCol: String, x: Column): DataFrame = {
+    val cells = df.select(col(targetCol).as("__g"),
+        x.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast(dec38)).as("s"),
+        sum((col("__x") * col("__x")).cast(dec38)).as("ss"))
+    val m = cells.agg(
+      count(lit(1)).cast("long").as("g"),
+      sum("n").cast("long").as("n"),
+      sum(col("s")).cast(dec38).as("__ts"),
+      sum(col("ss")).cast(dec38).as("__tss"),
+      sum((col("n") * col("n")).cast(dec38)).as("__n2"),
+      aggregate(
+        array_sort(collect_list(struct(col("__g"),
+          (col("s").cast("double") * col("s").cast("double") /
+            col("n")).as("__t")))),
+        lit(0.0), (acc, e) => acc + e.getField("__t")).as("__bsum"))
+    val nD = col("n").cast("double")
+    val gD = col("g").cast("double")
+    val ssb = col("__bsum") -
+      col("__ts").cast("double") * col("__ts").cast("double") / nD
+    val ssw = col("__tss").cast("double") - col("__bsum")
+    val msb = ssb / (gD - 1.0)
+    val msw = ssw / (nD - gD)
+    val k0 = (nD - col("__n2").cast("double") / nD) / (gD - 1.0)
+    val den = msb + (k0 - 1.0) * msw
+    m.select(col("g").as("n_targets"), col("n"),
+      when(col("g") < 2 || col("n") <= col("g") || den <= 0.0,
+        lit(null)).otherwise((msb - msw) / den).as("icc1"))
+  }
+
+  /** Partial autocorrelation at lags 1–3 — WHICH lag carries the
+    * dependence: PACF strips the shorter-lag influence from each
+    * [[acf]] reading (the AR-order diagnostic; an AR(1) series shows
+    * acf decaying geometrically but pacf cutting to ~0 after lag 1).
+    * Durbin–Levinson unrolled at fixed depth 3 (the quick-diagnostic
+    * depth; deeper orders want a local solver):
+    *
+    *   φ₁₁ = ρ₁,   φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²),  φ₂₁ = ρ₁(1 − φ₂₂),
+    *   φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂)
+    *
+    * — every ρ is [[acf]]'s exact-rational single division, and the
+    * recursion is a FIXED double tree (each φ a written-order chain),
+    * so values hash-replay. NULL at a lag when its ρ is NULL or its
+    * denominator is 0. */
+  def pacf3(df: DataFrame, keyCol: String, tsCol: String, x: Column,
+            tieCol: String): DataFrame = {
+    val r = acf(df, keyCol, tsCol, x, maxLag = 3, tieCol = tieCol)
+    val d2 = lit(1.0) - col("r1") * col("r1")
+    val p22 = (col("r2") - col("r1") * col("r1")) / d2
+    val p21 = col("r1") * (lit(1.0) - p22)
+    val d3 = lit(1.0) - p21 * col("r1") - p22 * col("r2")
+    val p33 = (col("r3") - p21 * col("r2") - p22 * col("r1")) / d3
+    r.select(col(keyCol), col("n"),
+      col("r1").as("pacf1"),
+      when(col("r1").isNull || col("r2").isNull || d2 === 0.0,
+        lit(null)).otherwise(p22).as("pacf2"),
+      when(col("r1").isNull || col("r2").isNull || col("r3").isNull ||
+        d2 === 0.0 || d3 === 0.0, lit(null)).otherwise(p33).as("pacf3"))
+  }
 }

@@ -5370,6 +5370,150 @@ object Analytics {
         .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
       Components.adamicAdar(e, "pa", "pb", maxDegree = 256)
         .orderBy("a", "b")
+    },
+
+    // Moran's I + Geary's C (Components.moranGeary): is a numeric node
+    // attribute AUTOCORRELATED over the co-order part graph — the
+    // numeric companion of q308's categorical assortativity; both
+    // statistics are one division of exact scaled-deviation integers.
+    dfQ("q318_moran_geary",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 300 p
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |e AS (SELECT DISTINCT a.p u, b.p v FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.p < b.p),
+        |lab AS (SELECT DISTINCT n, n % 17 x FROM
+        |  (SELECT u n FROM e UNION ALL SELECT v FROM e) z),
+        |mir AS (SELECT u, v FROM e UNION ALL SELECT v u, u v FROM e),
+        |tg AS (SELECT mir.u, la.x xa, lb.x xb FROM mir
+        |  JOIN lab la ON mir.u = la.n JOIN lab lb ON mir.v = lb.n),
+        |nodes AS (SELECT DISTINCT u n, xa x FROM tg),
+        |nm AS (SELECT CAST(COUNT(*) AS HUGEINT) nn,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) s,
+        |    SUM(CAST(x AS HUGEINT) * x) sxx FROM nodes),
+        |em AS (SELECT CAST(COUNT(*) AS HUGEINT) w,
+        |    SUM(CAST(xa AS HUGEINT) * xb) sab,
+        |    CAST(SUM(CAST(xa AS HUGEINT)) AS HUGEINT) sa,
+        |    CAST(SUM(CAST(xb AS HUGEINT)) AS HUGEINT) sb,
+        |    COALESCE(SUM(CAST(xa - xb AS HUGEINT) * (xa - xb)), 0) sd2
+        |  FROM tg)
+        |SELECT CAST(nn AS BIGINT) n_nodes, CAST(w AS BIGINT) m_directed,
+        |  CASE WHEN nn * nn * sxx - nn * s * s <= 0 OR w = 0 THEN NULL
+        |    ELSE CAST(nn * (nn * nn * sab - nn * s * (sa + sb)
+        |        + w * s * s) AS DOUBLE)
+        |      / CAST(w * (nn * nn * sxx - nn * s * s) AS DOUBLE)
+        |  END moran_i,
+        |  CASE WHEN nn * nn * sxx - nn * s * s <= 0 OR w = 0 THEN NULL
+        |    ELSE CAST((nn - 1) * nn * nn * sd2 AS DOUBLE)
+        |      / CAST(2 * w * (nn * nn * sxx - nn * s * s) AS DOUBLE)
+        |  END geary_c
+        |FROM em CROSS JOIN nm""".stripMargin) { (s, d) =>
+      val li = Tables.table(s, d, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), (col("l_partkey") % 300).as("p"))
+        .distinct()
+      val e = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").as("pa"), col("y.p").as("pb")).distinct()
+      val labels = e.select(explode(array(col("pa"), col("pb"))).as("n"))
+        .distinct()
+        .select(col("n"), (col("n") % 17).as("attr"))
+      Components.moranGeary(e, "pa", "pb", labels, "n", "attr")
+    },
+
+    // Intraclass correlation ICC(1) (Stats.icc1): how much of an
+    // event's value variance is the USER rather than the draw — the
+    // one-way random-effects reliability off q281's ANOVA machinery,
+    // with the unbalanced-panel k0 correction.
+    dfQ("q319_icc",
+      """WITH d AS (SELECT user_id g,
+        |    CAST(FLOOR(value * 100) AS BIGINT) x FROM events),
+        |cl AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
+        |    SUM(CAST(x AS HUGEINT)) s, SUM(CAST(x AS HUGEINT) * x) ss
+        |  FROM d GROUP BY g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) gk,
+        |    CAST(SUM(n) AS BIGINT) n, SUM(s) ts, SUM(ss) tss,
+        |    SUM(CAST(n AS HUGEINT) * n) n2,
+        |    LIST_REDUCE(LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+        |      ORDER BY g), (a, e) -> a + e) bsum
+        |  FROM cl),
+        |e AS (SELECT gk, n,
+        |    bsum - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+        |      / CAST(n AS DOUBLE) ssb,
+        |    CAST(tss AS DOUBLE) - bsum ssw,
+        |    (CAST(n AS DOUBLE) - CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(gk AS DOUBLE) - 1e0) k0
+        |  FROM t)
+        |SELECT gk AS n_targets, n,
+        |  CASE WHEN gk < 2 OR n <= gk
+        |      OR ssb / (CAST(gk AS DOUBLE) - 1e0)
+        |        + (k0 - 1e0) * (ssw / (CAST(n AS DOUBLE)
+        |          - CAST(gk AS DOUBLE))) <= 0 THEN NULL
+        |    ELSE (ssb / (CAST(gk AS DOUBLE) - 1e0)
+        |        - ssw / (CAST(n AS DOUBLE) - CAST(gk AS DOUBLE)))
+        |      / (ssb / (CAST(gk AS DOUBLE) - 1e0)
+        |        + (k0 - 1e0) * (ssw / (CAST(n AS DOUBLE)
+        |          - CAST(gk AS DOUBLE)))) END icc1
+        |FROM e""".stripMargin) { (s, d) =>
+      Stats.icc1(Tables.events(s, d), "user_id",
+        floor(col("value") * 100).cast("long"))
+    },
+
+    // Partial autocorrelation at lags 1-3 (Stats.pacf3): which lag
+    // carries each event type's serial dependence — Durbin-Levinson
+    // unrolled over q195's exact-rational acf; every phi is a fixed
+    // double tree.
+    dfQ("q320_pacf",
+      """WITH t AS (SELECT event_type, ts, event_id,
+        |    CAST(FLOOR(value * 64) AS BIGINT) x FROM events),
+        |l AS (SELECT event_type, x,
+        |    LEAD(x, 1) OVER w l1, LEAD(x, 2) OVER w l2,
+        |    LEAD(x, 3) OVER w l3,
+        |    LAG(x, 1) OVER w g1, LAG(x, 2) OVER w g2,
+        |    LAG(x, 3) OVER w g3
+        |  FROM t WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) n,
+        |    SUM(CAST(x AS HUGEINT)) m, SUM(CAST(x * x AS HUGEINT)) sxx,
+        |    SUM(CAST(x * l1 AS HUGEINT)) c1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(x AS HUGEINT) END) a1,
+        |    SUM(CASE WHEN g1 IS NOT NULL THEN CAST(x AS HUGEINT) END) b1,
+        |    SUM(CAST(x * l2 AS HUGEINT)) c2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(x AS HUGEINT) END) a2,
+        |    SUM(CASE WHEN g2 IS NOT NULL THEN CAST(x AS HUGEINT) END) b2,
+        |    SUM(CAST(x * l3 AS HUGEINT)) c3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(x AS HUGEINT) END) a3,
+        |    SUM(CASE WHEN g3 IS NOT NULL THEN CAST(x AS HUGEINT) END) b3
+        |  FROM l GROUP BY event_type),
+        |r AS (SELECT event_type, n,
+        |  CASE WHEN n <= 1 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c1 - n * m * (a1 + b1) + (n - 1) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r1,
+        |  CASE WHEN n <= 2 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c2 - n * m * (a2 + b2) + (n - 2) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r2,
+        |  CASE WHEN n <= 3 OR n * n * sxx - n * m * m = 0 THEN NULL ELSE
+        |    CAST(n * n * c3 - n * m * (a3 + b3) + (n - 3) * m * m AS DOUBLE)
+        |      / CAST(n * n * sxx - n * m * m AS DOUBLE) END r3
+        |  FROM g)
+        |SELECT event_type, CAST(n AS BIGINT) n, r1 AS pacf1,
+        |  CASE WHEN r1 IS NULL OR r2 IS NULL
+        |      OR 1e0 - r1 * r1 = 0 THEN NULL
+        |    ELSE (r2 - r1 * r1) / (1e0 - r1 * r1) END pacf2,
+        |  CASE WHEN r1 IS NULL OR r2 IS NULL OR r3 IS NULL
+        |      OR 1e0 - r1 * r1 = 0
+        |      OR 1e0 - (r1 * (1e0 - (r2 - r1 * r1) / (1e0 - r1 * r1)))
+        |        * r1 - ((r2 - r1 * r1) / (1e0 - r1 * r1)) * r2 = 0
+        |    THEN NULL
+        |    ELSE (r3 - (r1 * (1e0 - (r2 - r1 * r1) / (1e0 - r1 * r1)))
+        |        * r2 - ((r2 - r1 * r1) / (1e0 - r1 * r1)) * r1)
+        |      / (1e0 - (r1 * (1e0 - (r2 - r1 * r1) / (1e0 - r1 * r1)))
+        |        * r1 - ((r2 - r1 * r1) / (1e0 - r1 * r1)) * r2)
+        |  END pacf3
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      Stats.pacf3(Tables.events(s, d), "event_type", "ts",
+          floor(col("value") * 64).cast("long"), tieCol = "event_id")
+        .orderBy("event_type")
     }
   )
 }

@@ -1062,7 +1062,69 @@ object Streams {
   def runIvfAssignAppend(emb: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, outDir: String,
                          codebooks: Option[Array[Array[Array[Double]]]] =
-                           None): StreamingQuery = {
+                           None): StreamingQuery =
+    runIvfAssignImpl(emb, idCol, vecCol, centroids, outDir, codebooks,
+      verOpt = None)
+
+  /** ST29: the LIFECYCLE-COMPOSED twin of [[runIvfAssignAppend]] —
+    * the streaming analogue of the declarative loads' `centroidsBase`
+    * option: the live COMMITTED [[graft.ops.IndexLifecycle]] version
+    * resolves ONCE at stream start (a retrain that commits mid-run
+    * does not affect a running query; the next start picks it up),
+    * every landed batch carries an `index_version` column, and the
+    * run REFUSES to start when standing batch dirs were assigned
+    * under a DIFFERENT version — streaming micro-batches are the
+    * wrong place for a corpus-scale re-key, so the operator points at
+    * [[rekeyIvfAssign]] (the maintenance pass that folds + re-keys in
+    * one idempotent swap) instead of doing it silently per batch. */
+  def runIvfAssignAppendVersioned(emb: DataFrame, idCol: String,
+                                  vecCol: String, centroidsBase: String,
+                                  outDir: String,
+                                  codebooks: Option[Array[Array[Array[Double]]]] =
+                                    None): StreamingQuery = {
+    val spark = emb.sparkSession
+    val (v, cents, _) =
+      graft.ops.IndexLifecycle.resolve(spark, centroidsBase)
+    standingVersion(spark, outDir).foreach { sv =>
+      require(sv == v,
+        s"runIvfAssignAppendVersioned: standing batch dirs under " +
+          s"$outDir are at index_version $sv but the committed " +
+          s"version under $centroidsBase is v$v — run " +
+          "Streams.rekeyIvfAssign to fold + re-key them first " +
+          "(a streaming micro-batch is the wrong place for a " +
+          "corpus-scale re-key)")
+    }
+    runIvfAssignImpl(emb, idCol, vecCol, cents, outDir, codebooks,
+      verOpt = Some(v))
+  }
+
+  /** The uniform `index_version` of a feed's standing batch dirs:
+    * None when no dirs exist; Some(-1) marks a LEGACY/unversioned
+    * layout (which the versioned runner refuses — its quantizer is
+    * unknowable). Bounded driver read: one min() row. */
+  private def standingVersion(spark: SparkSession,
+                              outDir: String): Option[Int] = {
+    val oPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = oPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(oPath)) return None
+    val dirs = fs.listStatus(oPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) return None
+    val st = spark.read.parquet(dirs.toSeq: _*)
+    if (!st.columns.contains("index_version")) Some(-1)
+    else {
+      val r = st.agg(org.apache.spark.sql.functions
+        .min("index_version")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    }
+  }
+
+  private def runIvfAssignImpl(emb: DataFrame, idCol: String,
+                               vecCol: String, centroids: DataFrame,
+                               outDir: String,
+                               codebooks: Option[Array[Array[Array[Double]]]],
+                               verOpt: Option[Int]): StreamingQuery = {
     import graft.ops.Similarity
     val q = emb.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -1082,9 +1144,13 @@ object Streams {
               .select(col("id").as(idCol)), Seq(idCol), "left_anti")
           else batch
         val assigned0 = Similarity.ivfAssign(fresh, idCol, vecCol, centroids)
-        val assigned = codebooks match {
+        val assigned1 = codebooks match {
           case Some(cb) => Similarity.withPqCode(assigned0, "arr", cb)
           case None => assigned0
+        }
+        val assigned = verOpt match {
+          case Some(v) => assigned1.withColumn("index_version", lit(v))
+          case None => assigned1
         }
         assigned.write.mode("overwrite").parquet(s"$outDir/batch_$id")
         ()
@@ -1093,6 +1159,44 @@ object Streams {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q
+  }
+
+  /** Fold a versioned feed's `batch_*` dirs into ONE standing
+    * `batch_compacted` dir RE-KEYED under the live COMMITTED
+    * lifecycle version — [[compactIvfAssign]] + the version bump in
+    * one idempotent maintenance swap (the streaming counterpart of
+    * the declarative `mode="ivf"` bump; run BETWEEN stream runs,
+    * single-maintainer). Map-only from the stored `arr`; dedupes by
+    * id, so a crash between the swap and the stale-dir deletes is
+    * repaired by re-running. Returns the committed version the feed
+    * now sits at. */
+  def rekeyIvfAssign(spark: SparkSession, outDir: String,
+                     centroidsBase: String,
+                     codebooks: Option[Array[Array[Array[Double]]]] =
+                       None): Int = {
+    import graft.ops.Similarity
+    val (v, cents, _) =
+      graft.ops.IndexLifecycle.resolve(spark, centroidsBase)
+    val oPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = oPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(oPath)) return v
+    val dirs = fs.listStatus(oPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .map(_.getPath)
+    if (dirs.isEmpty) return v
+    val merged = spark.read.parquet(dirs.map(_.toString).toSeq: _*)
+      .dropDuplicates("id")
+    val reassigned0 = Similarity.ivfAssign(
+      merged.select(col("id"), col("arr")), "id", "arr", cents)
+    val reassigned = (codebooks match {
+      case Some(cb) => Similarity.withPqCode(reassigned0, "arr", cb)
+      case None => reassigned0
+    }).withColumn("index_version", lit(v))
+    graft.sources.Sinks.writeParquetSwapped(
+      reassigned, s"$outDir/batch_compacted")
+    dirs.filter(_.getName != "batch_compacted")
+      .foreach(d => fs.delete(d, true))
+    v
   }
 
   /** Fold an [[runIvfAssignAppend]] feed's `batch_*` dirs into ONE

@@ -3747,6 +3747,80 @@ class AnalyticsSuite extends SparkTestBase {
       col("x"), col("y")).collect()(0).isNullAt(1))
   }
 
+  test("moranGeary: path-graph hand cases — smooth gradient positive, " +
+      "checkerboard negative, constant NULL") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    // x = node id: dev·4 = (−6,−2,2,6), den = 80, num = 40, W = 6 →
+    // I = 160/480 = 1/3; Σd² = 6 → C = 288/960 = 0.3
+    val lin = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("n", "x")
+    val r = graft.ops.Components.moranGeary(path, "a", "b", lin, "n", "x")
+      .collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4L &&
+      r.getAs[Long]("m_directed") == 6L)
+    assert(math.abs(r.getAs[Double]("moran_i") - 1.0 / 3.0) < 1e-15)
+    assert(r.getAs[Double]("geary_c") == 0.3)
+    // checkerboard 0,1,0,1: I = −1, C = 1.5
+    val alt = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L)).toDF("n", "x")
+    val ra = graft.ops.Components.moranGeary(path, "a", "b", alt, "n", "x")
+      .collect()(0)
+    assert(ra.getAs[Double]("moran_i") == -1.0 &&
+      ra.getAs[Double]("geary_c") == 1.5)
+    // constant attribute: zero variance → NULLs
+    val cst = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)).toDF("n", "x")
+    val rc = graft.ops.Components.moranGeary(path, "a", "b", cst, "n", "x")
+      .collect()(0)
+    assert(rc.isNullAt(2) && rc.isNullAt(3))
+  }
+
+  test("icc1: perfect separation = 1 (balanced and unbalanced), " +
+      "identical groups = -1, single group NULL") {
+    import spark.implicits._
+    val sep = Seq(("a", 1L), ("a", 1L), ("b", 5L), ("b", 5L))
+      .toDF("t", "x")
+    val rs = Stats.icc1(sep, "t", col("x")).collect()(0)
+    assert(rs.getAs[Long]("n_targets") == 2L && rs.getAs[Long]("n") == 4L)
+    assert(rs.getAs[Double]("icc1") == 1.0)
+    // unbalanced panels, still zero within-variance: k0 = 1.5, ICC = 1
+    val unb = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("b", 5L))
+      .toDF("t", "x")
+    assert(Stats.icc1(unb, "t", col("x")).collect()(0)
+      .getAs[Double]("icc1") == 1.0)
+    // identical group distributions: SSB = 0 → ICC = −MSW/MSW = −1
+    val same = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L))
+      .toDF("t", "x")
+    assert(Stats.icc1(same, "t", col("x")).collect()(0)
+      .getAs[Double]("icc1") == -1.0)
+    // one group: G < 2 → NULL
+    assert(Stats.icc1(Seq(("a", 1L), ("a", 2L)).toDF("t", "x"), "t",
+      col("x")).collect()(0).isNullAt(2))
+  }
+
+  test("pacf3: equals the Durbin-Levinson composition of acf; " +
+      "degenerate variance NULLs") {
+    import spark.implicits._
+    val rows = (1 to 60).map(i =>
+      ("k", i.toLong, i.toLong, ((i * 17 + i * i * 3) % 11).toLong))
+    val d = rows.toDF("k", "ts", "id", "x")
+    val a = Stats.acf(d, "k", "ts", col("x"), 3, "id").collect()(0)
+    val (r1, r2, r3) = (a.getAs[Double]("r1"), a.getAs[Double]("r2"),
+      a.getAs[Double]("r3"))
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p22)
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      (1.0 - p21 * r1 - p22 * r2)
+    val p = Stats.pacf3(d, "k", "ts", col("x"), "id").collect()(0)
+    assert(p.getAs[Double]("pacf1") == r1)
+    assert(p.getAs[Double]("pacf2") == p22)
+    assert(p.getAs[Double]("pacf3") == p33)
+    // constant series: acf NULL at every lag → pacf NULL
+    val c = Stats.pacf3(Seq(("k", 1L, 1L, 5L), ("k", 2L, 2L, 5L),
+      ("k", 3L, 3L, 5L), ("k", 4L, 4L, 5L), ("k", 5L, 5L, 5L))
+      .toDF("k", "ts", "id", "x"), "k", "ts", col("x"), "id")
+      .collect()(0)
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
+  }
+
   test("adamicAdar: triangle+tail hand case; the hub guard drops " +
       "high-degree centers") {
     import spark.implicits._

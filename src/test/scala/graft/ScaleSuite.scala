@@ -391,7 +391,9 @@ class ScaleSuite extends SparkTestBase {
       "q313_jarque_bera",      // 1-row moment readout
       "q315_ljung_box",        // composes q195's acf (no cross at all —
                                // listed for the broadcast readout only)
-      "q316_lin_ccc")          // 1-row moment readout
+      "q316_lin_ccc",          // 1-row moment readout
+      "q318_moran_geary")      // CROSS JOIN with the 1-row node-moment
+                               // row (edge fold × broadcast node fold)
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString

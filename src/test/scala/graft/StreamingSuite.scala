@@ -1366,6 +1366,90 @@ class StreamingSuite extends SparkTestBase {
     assert(gotCodes == wantCodes && gotCodes.size == 100)
   }
 
+  test("ST29: lifecycle-composed streaming IVF landing — the committed " +
+      "version resolves at stream start; a committed retrain makes the " +
+      "feed refuse until rekeyIvfAssign; the re-key bumps everything") {
+    import graft.ops.{IndexLifecycle, Similarity}
+    val emb = Tables.table(spark, sf0001, "embeddings")
+    val base = Files.createTempDirectory("graft-ivf-ver")
+    val idx = s"$base/idx"
+    val outDir = s"$base/assign"
+    // no committed version: the versioned runner fails loudly
+    val input0 = MemoryStream[(Long, Seq[Float])](spark)
+    input0.addData(emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq)
+    intercept[IllegalStateException] {
+      Streams.runIvfAssignAppendVersioned(
+        input0.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, outDir)
+    }
+    // v1 commit, then stream batch 1 lands stamped with v1
+    IndexLifecycle.retrain(spark, idx, emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", nlist = 8, trainSample = 64)
+    val input1 = MemoryStream[(Long, Seq[Float])](spark)
+    input1.addData(emb.filter(col("vec_id") < 100)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq)
+    Streams.runIvfAssignAppendVersioned(
+      input1.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, outDir)
+    def landed() = spark.read.parquet(s"$outDir/batch_*")
+    def versions() = landed().select("index_version").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val (v1, c1, _) = IndexLifecycle.resolve(spark, idx)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(v1 == 1 && versions() == Seq(1))
+    assert(cells(landed()) == cells(Similarity.ivfAssign(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", c1)))
+    // committed retrain: the next stream run REFUSES (standing v1)
+    IndexLifecycle.retrain(spark, idx, emb.filter(col("vec_id") < 160),
+      "vec_id", "embedding", nlist = 8, trainSample = 64)
+    val input2 = MemoryStream[(Long, Seq[Float])](spark)
+    input2.addData(emb.filter(col("vec_id") >= 100 && col("vec_id") < 160)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Streams.runIvfAssignAppendVersioned(
+        input2.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, outDir)
+    }
+    assert(e.getMessage.contains("rekeyIvfAssign"))
+    // the maintenance re-key folds + bumps; then the feed resumes
+    assert(Streams.rekeyIvfAssign(spark, outDir, idx) == 2)
+    val (v2, c2, _) = IndexLifecycle.resolve(spark, idx)
+    assert(v2 == 2 && versions() == Seq(2))
+    // fresh checkpoint for the new MemoryStream instance (its offsets
+    // restart at 0; the real feed resumes ONE source across restarts).
+    // Checkpoint loss is SAFE for this feed by design: the admit-once
+    // anti-join is the dedup, not the offset log.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$outDir/_ckpt"))
+    val input3 = MemoryStream[(Long, Seq[Float])](spark)
+    input3.addData(emb.filter(col("vec_id") >= 100 && col("vec_id") < 160)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq)
+    Streams.runIvfAssignAppendVersioned(
+      input3.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, s"$outDir")
+    assert(landed().count() == 160L &&
+      landed().select("id").distinct().count() == 160L)
+    assert(versions() == Seq(2))
+    assert(cells(landed()) == cells(Similarity.ivfAssign(
+      emb.filter(col("vec_id") < 160), "vec_id", "embedding", c2)))
+    // a legacy unversioned feed is refused too (quantizer unknowable)
+    val legacy = s"$base/legacy"
+    Similarity.ivfAssign(emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", c2)
+      .write.parquet(s"$legacy/batch_seed")
+    val input4 = MemoryStream[(Long, Seq[Float])](spark)
+    input4.addData(emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Streams.runIvfAssignAppendVersioned(
+        input4.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, legacy)
+    }
+  }
+
   test("ST28b: compactIvfAssign folds the batch dirs into one standing " +
       "table — same rows, admit-once still holds, re-run idempotent") {
     import graft.ops.Similarity
