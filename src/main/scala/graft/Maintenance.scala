@@ -64,6 +64,18 @@ object Maintenance {
           println(s"""{"verb":"retrain-ivf","dir":"$dir"""" +
             s""","fromVersion":${r.fromVersion.map(_.toString).getOrElse("null")}""" +
             s""","toVersion":${r.toVersion},"nlist":${r.nlist},"rows":${r.rows}}""")
+        case "rekey-ivf" =>
+          // streaming-feed version bump (Streams.rekeyIvfAssign): --dir
+          // is the feed's batch_* parent; folds every batch dir into one
+          // batch_compacted RE-KEYED under the live committed version of
+          // --index-base — the maintenance step ST29's versioned runner
+          // demands after a retrain (idempotent swap; re-run repairs a
+          // crash between the swap and the stale-dir deletes)
+          val idxBase = opt(args, "--index-base").getOrElse(
+            sys.error("--index-base required"))
+          val v = graft.streaming.Streams.rekeyIvfAssign(spark, dir, idxBase)
+          println(s"""{"verb":"rekey-ivf","dir":"$dir"""" +
+            s""","indexBase":"$idxBase","version":$v}""")
         case other => sys.error(s"unknown maintenance verb '$other'")
       }
     } finally spark.stop()

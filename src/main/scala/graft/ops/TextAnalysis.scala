@@ -572,7 +572,65 @@ object TextAnalysis {
         .as("ln_k"))
   }
 
-    /** Pairwise vocabulary overlap between corpus slices — the
+    /** RAKE keyword extraction (Rose et al. 2010) — corpus-level
+    * keyphrases without a model: candidate phrases are the maximal
+    * runs between STOPWORDS, each word scores deg(w)/freq(w) over the
+    * candidate-phrase corpus (deg = Σ phrase length at each
+    * occurrence — words that live in longer phrases score higher;
+    * freq = occurrence count), and a phrase scores the sum of its
+    * words' ratios. The classic first-pass keyword lister for corpus
+    * triage and dedup-cluster labeling next to [[Indexing.tfIdf]]'s
+    * per-document weights.
+    *
+    * Determinism: deg and freq are exact integers; each word ratio
+    * divides ONCE; a phrase's ratios fold in WORD-POSITION order
+    * inside one row (bounded by `maxPhraseLen` — the q221/q223
+    * double-sum lesson); the top-k orders by (score DESC, phrase) —
+    * scores are bit-identical cross-engine, so the cut is too. The
+    * stopword split is one global regexp_replace (word-boundary
+    * alternation — RE2/Java common subset), so the oracle replays it
+    * verbatim. Scale: one explode + two keyspace-bounded aggs + one
+    * word-key join + one top-k (TakeOrdered). */
+  def rakeKeywords(docs: DataFrame, textCol: String,
+                   stopwords: Seq[String], maxPhraseLen: Int = 4,
+                   topK: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty &&
+      stopwords.forall(_.matches("[A-Za-z']+")),
+      "rakeKeywords: stopwords must be non-empty simple words")
+    require(maxPhraseLen >= 1 && topK >= 1,
+      "rakeKeywords: maxPhraseLen and topK must be >= 1")
+    val pat = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val phrases = docs
+      .select(explode(split(
+        regexp_replace(col(textCol), pat, "|"), "\\|")).as("__p0"))
+      .select(regexp_replace(trim(col("__p0")), " +", " ").as("__p"))
+      .filter(col("__p") =!= "")
+      .withColumn("__ws", split(col("__p"), " "))
+      .filter(size(col("__ws")) <= maxPhraseLen)
+      .localCheckpoint(false) // feeds word stats AND phrase stats
+    val wstats = phrases
+      .select(explode(col("__ws")).as("__w"),
+        size(col("__ws")).cast("long").as("__l"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__freq"), sum("__l").as("__deg"))
+    val occ = phrases.groupBy("__p")
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("__ws", split(col("__p"), " "))
+    val words = occ
+      .select(col("__p"), col("n_occ"), posexplode(col("__ws")))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__w")
+      .join(wstats, "__w")
+      .withColumn("__r", col("__deg").cast("double") / col("__freq"))
+    words.groupBy("__p", "n_occ")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__i"), col("__r")))),
+        lit(0.0), (a, e) => a + e.getField("__r")).as("score"))
+      .select(col("__p").as("phrase"), col("n_occ"), col("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
+  /** Pairwise vocabulary overlap between corpus slices — the
     * source-level "do these corpora speak the same language" matrix:
     * per (groupA < groupB), the shared type count and vocabulary
     * Jaccard |V_a ∩ V_b| / |V_a ∪ V_b|. The slice-level complement to

@@ -5514,6 +5514,39 @@ object Analytics {
       Stats.pacf3(Tables.events(s, d), "event_type", "ts",
           floor(col("value") * 64).cast("long"), tieCol = "event_id")
         .orderBy("event_type")
+    },
+
+    // RAKE keyword extraction (TextAnalysis.rakeKeywords): corpus-level
+    // keyphrases from stopword-delimited candidate runs — deg/freq word
+    // ratios, positional in-row phrase fold, deterministic top-20.
+    dfQ("q321_rake_keywords",
+      """WITH ph0 AS (SELECT UNNEST(STRING_SPLIT(REGEXP_REPLACE(text,
+        |    '\b(the|a|is|of|to|and|in|on)\b', '|', 'g'), '|')) p0
+        |  FROM documents),
+        |ph1 AS (SELECT REGEXP_REPLACE(TRIM(p0), ' +', ' ', 'g') p
+        |  FROM ph0),
+        |ph AS (SELECT p, STRING_SPLIT(p, ' ') ws FROM ph1
+        |  WHERE p <> '' AND LEN(STRING_SPLIT(p, ' ')) <= 4),
+        |wx AS (SELECT UNNEST(ws) w, CAST(LEN(ws) AS BIGINT) l FROM ph),
+        |wstats AS (SELECT w, CAST(COUNT(*) AS BIGINT) freq,
+        |    CAST(SUM(l) AS BIGINT) deg FROM wx GROUP BY w),
+        |occ AS (SELECT p, CAST(COUNT(*) AS BIGINT) n_occ FROM ph
+        |  GROUP BY p),
+        |wp AS (SELECT o.p, o.n_occ, u.i,
+        |    STRING_SPLIT(o.p, ' ')[u.i] w FROM occ o
+        |  CROSS JOIN UNNEST(RANGE(1,
+        |    LEN(STRING_SPLIT(o.p, ' ')) + 1)) u(i)),
+        |jt AS (SELECT wp.p, wp.n_occ, wp.i,
+        |    CAST(ws.deg AS DOUBLE) / ws.freq r
+        |  FROM wp JOIN wstats ws ON wp.w = ws.w),
+        |sc AS (SELECT p, n_occ,
+        |    0e0 + LIST_REDUCE(LIST(r ORDER BY i), (x, y) -> x + y) score
+        |  FROM jt GROUP BY p, n_occ)
+        |SELECT p AS phrase, n_occ, score FROM sc
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.rakeKeywords(
+        Tables.table(s, d, "documents"), "text",
+        stopwords = Seq("the", "a", "is", "of", "to", "and", "in", "on"))
     }
   )
 }

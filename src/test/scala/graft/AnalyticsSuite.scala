@@ -3821,6 +3821,31 @@ class AnalyticsSuite extends SparkTestBase {
     assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
   }
 
+  test("rakeKeywords: hand-computed deg/freq scores; overlong " +
+      "candidates drop") {
+    import spark.implicits._
+    // "good data pipeline" + "good data": freq(good)=2 deg(good)=5,
+    // freq(data)=2 deg(data)=5, freq(pipeline)=1 deg=3 →
+    // scores 2.5+2.5+3 = 8 and 2.5+2.5 = 5
+    val docs = Seq("good data pipeline the good data").toDF("text")
+    val r = graft.ops.TextAnalysis.rakeKeywords(docs, "text",
+        stopwords = Seq("the"))
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        x.getDouble(2))).toSeq
+    assert(r == Seq(("good data pipeline", 1L, 8.0),
+      ("good data", 1L, 5.0)))
+    // a candidate longer than maxPhraseLen contributes nothing
+    val long = Seq("w1 w2 w3 w4 w5").toDF("text")
+    assert(graft.ops.TextAnalysis.rakeKeywords(long, "text",
+      stopwords = Seq("the"), maxPhraseLen = 4).count() == 0L)
+    // repeated phrase: n_occ counts occurrences, score unchanged
+    val rep = Seq("x y the x y").toDF("text")
+    val rr = graft.ops.TextAnalysis.rakeKeywords(rep, "text",
+      stopwords = Seq("the")).collect()(0)
+    assert(rr.getString(0) == "x y" && rr.getLong(1) == 2L &&
+      rr.getDouble(2) == 4.0)
+  }
+
   test("adamicAdar: triangle+tail hand case; the hub guard drops " +
       "high-degree centers") {
     import spark.implicits._
