@@ -3175,4 +3175,52 @@ object Stats {
       when(col("r1").isNull || col("r2").isNull || col("r3").isNull ||
         d2 === 0.0 || d3 === 0.0, lit(null)).otherwise(p33).as("pacf3"))
   }
+
+  /** Brier score — the PROPER scoring rule for probabilistic
+    * predictions (the calibration+sharpness companion of [[rocAuc]]'s
+    * pure ranking and [[expectedCalibrationError]]'s calibration-only
+    * readout): mean (p − y)², plus the skill score 1 − Brier/Brier₀
+    * against the always-predict-base-rate reference (> 0 = the scores
+    * beat the prior).
+    *
+    * Determinism: scores quantize to the dyadic ⌊p·grid⌋/grid lattice
+    * (exact doubles — the corpus FLOOR-grid convention for float
+    * inputs; the quantization error is ≤ 1/grid per score and is part
+    * of the declared statistic), cells (q, y) fold counts exactly, per
+    * cell ONE dyadic (q/grid − y)² times an integer count, and the
+    * cell terms fold in sorted (q, y) order INSIDE one row — grid ≤
+    * 2·grid cells of state, one division by n at the end. Brier₀ =
+    * ȳ(1−ȳ) = n₁(n−n₁)/n² stays an exact integer ratio. */
+  def brierScore(df: DataFrame, score: Column, label: Column,
+                 grid: Int = 4096): DataFrame = {
+    require(grid >= 2 && (grid & (grid - 1)) == 0,
+      s"grid must be a power of two (dyadic-exact lattice), got $grid")
+    val cells = df.select(
+        floor(score * grid).cast("long").as("__q"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .filter(col("__q").isNotNull)
+      .groupBy("__q", "__y").agg(count(lit(1)).as("__c"))
+    val term = col("__c").cast("double") *
+      (col("__q").cast("double") / grid - col("__y")) *
+      (col("__q").cast("double") / grid - col("__y"))
+    val m = cells.agg(
+      sum(col("__c").cast(dec38)).as("__n"),
+      sum(when(col("__y") === 1, col("__c").cast(dec38))
+        .otherwise(lit(0).cast(dec38))).as("__n1"),
+      count(lit(1)).cast("long").as("n_cells"),
+      aggregate(
+        array_sort(collect_list(struct(col("__q"), col("__y"),
+          term.as("__t")))),
+        lit(0.0), (a, e) => a + e.getField("__t")).as("__bsum"))
+    val nD = col("__n").cast("double")
+    val brier = col("__bsum") / nD
+    val base = (col("__n1") * (col("__n") - col("__n1"))).cast("double") /
+      (col("__n") * col("__n")).cast("double")
+    m.select(col("__n").cast("long").as("n"), col("n_cells"),
+      when(col("__n") === 0, lit(null)).otherwise(brier).as("brier"),
+      when(col("__n") === 0 ||
+          col("__n1") === lit(0).cast(dec38) ||
+          col("__n1") === col("__n"), lit(null))
+        .otherwise(lit(1.0) - brier / base).as("brier_skill"))
+  }
 }

@@ -162,6 +162,42 @@ object Survival {
         .as("chi2"))
   }
 
+  /** Restricted mean survival time — the AREA under the Kaplan–Meier
+    * curve up to a horizon τ: RMST(τ) = ∫₀^τ S(t)dt, "the average
+    * survival/retention time a subject banks within the first τ days"
+    * — the one-number KM summary that stays defined under censoring
+    * (the raw mean doesn't) and the standard effect readout when
+    * hazards aren't proportional.
+    *
+    * Composes [[kaplanMeier]]: per step, the curve contributes
+    * S(tᵢ)·(min(tᵢ₊₁, τ) − min(tᵢ, τ)) (zero once tᵢ ≥ τ), plus the
+    * head rectangle 1·min(t₁, τ); contributions fold in ascending-time
+    * order INSIDE one row (bounded by the group's distinct event
+    * times — the KM state contract), so the double result
+    * hash-replays. Groups with no OBSERVED event are absent (the KM
+    * output convention; their KM curve never drops, so their RMST is
+    * trivially τ). */
+  def rmst(df: DataFrame, durationCol: String, observedCol: String,
+           groupCols: Seq[String], tau: Double): DataFrame = {
+    require(tau > 0, s"tau must be > 0, got $tau")
+    val grp = groupCols.map(col)
+    val km = kaplanMeier(df, durationCol, observedCol, groupCols)
+    val w = Window.partitionBy(grp: _*).orderBy(col("t"))
+    val tl = lit(tau)
+    val contrib = col("survival") *
+      (least(coalesce(col("__nt").cast("double"), tl), tl) -
+        least(col("t").cast("double"), tl))
+    km.withColumn("__nt", lead(col("t"), 1).over(w))
+      .select(grp ++ Seq(col("t"), contrib.as("__c")): _*)
+      .groupBy(grp: _*)
+      .agg(min(col("t")).as("__t1"),
+        aggregate(array_sort(collect_list(struct(col("t"), col("__c")))),
+          lit(0.0), (a, e) => a + e.getField("__c")).as("__area"))
+      .select(grp ++ Seq(tl.as("tau"),
+        (least(col("__t1").cast("double"), tl) + col("__area"))
+          .as("rmst")): _*)
+  }
+
   /** Subject table for user-churn KM over the events fixture: per user,
     * duration = whole days between first and last event, observed =
     * the user's last event ends `quietUs` microseconds or more before

@@ -5547,6 +5547,84 @@ object Analytics {
       graft.ops.TextAnalysis.rakeKeywords(
         Tables.table(s, d, "documents"), "text",
         stopwords = Seq("the", "a", "is", "of", "to", "and", "in", "on"))
+    },
+
+    // Restricted mean survival time (Survival.rmst): the area under
+    // q193's churn KM curve up to 30 days — "days of activity banked
+    // in the first month", the censoring-proof one-number summary.
+    dfQ("q322_rmst",
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 86400000000 t_dur,
+        |    MAX(EPOCH_US(ts)) last_us
+        |  FROM events GROUP BY user_id),
+        |ce AS (SELECT MAX(EPOCH_US(ts)) end_us FROM events),
+        |subj AS (
+        |  SELECT t_dur, last_us <= end_us - 43200000000 obs
+        |  FROM lt CROSS JOIN ce),
+        |ag AS (
+        |  SELECT t_dur t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d,
+        |        CAST(SUM(d + c) OVER (ORDER BY t DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) n_risk
+        |      FROM ag),
+        |e AS (SELECT t, d, n_risk FROM r WHERE d > 0),
+        |arr AS (SELECT
+        |    LIST(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |         ORDER BY t) fs,
+        |    LIST(t ORDER BY t) ts
+        |  FROM e),
+        |x AS (SELECT fs, UNNEST(ts) t,
+        |        UNNEST(GENERATE_SERIES(1, LEN(ts))) i
+        |      FROM arr),
+        |km AS (SELECT t, LIST_REDUCE(fs[1:i], (a, b) -> a * b) survival
+        |  FROM x),
+        |st AS (SELECT t, survival, LEAD(t) OVER (ORDER BY t) nt FROM km),
+        |ct AS (SELECT t, survival
+        |    * (LEAST(COALESCE(CAST(nt AS DOUBLE), 3e1), 3e1)
+        |      - LEAST(CAST(t AS DOUBLE), 3e1)) c2 FROM st),
+        |f AS (SELECT MIN(t) t1,
+        |    0e0 + LIST_REDUCE(LIST(c2 ORDER BY t), (a, b) -> a + b) area
+        |  FROM ct)
+        |SELECT 3e1 tau, LEAST(CAST(t1 AS DOUBLE), 3e1) + area rmst
+        |FROM f""".stripMargin) { (s, d) =>
+      Survival.rmst(
+        Survival.userLifetimes(Tables.events(s, d), "user_id", "ts",
+          quietUs = 43200000000L),
+        "duration_days", "observed", Seq.empty, tau = 30.0)
+    },
+
+    // Brier score (Stats.brierScore): does a normalized event value
+    // "predict" purchases — the proper scoring rule next to q230's
+    // calibration bins; dyadic score lattice, sorted cell fold, skill
+    // vs the base rate.
+    dfQ("q323_brier",
+      """WITH cells AS (SELECT
+        |    CAST(FLOOR(value / 5e2 * 4096) AS BIGINT) q,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y,
+        |    CAST(COUNT(*) AS BIGINT) c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT CAST(SUM(c) AS HUGEINT) n,
+        |    CAST(SUM(CASE WHEN y = 1 THEN c ELSE 0 END) AS HUGEINT) n1,
+        |    CAST(COUNT(*) AS BIGINT) n_cells,
+        |    0e0 + LIST_REDUCE(LIST(
+        |      CAST(c AS DOUBLE) * (CAST(q AS DOUBLE) / 4096 - y)
+        |        * (CAST(q AS DOUBLE) / 4096 - y) ORDER BY q, y),
+        |      (a, b) -> a + b) bsum
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) n, n_cells,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE bsum / CAST(n AS DOUBLE) END brier,
+        |  CASE WHEN n = 0 OR n1 = 0 OR n1 = n THEN NULL
+        |    ELSE 1e0 - (bsum / CAST(n AS DOUBLE))
+        |      / (CAST(n1 * (n - n1) AS DOUBLE)
+        |        / CAST(n * n AS DOUBLE)) END brier_skill
+        |FROM m""".stripMargin) { (s, d) =>
+      Stats.brierScore(Tables.events(s, d),
+        col("value") / lit(5e2), col("event_type") === "purchase")
     }
   )
 }

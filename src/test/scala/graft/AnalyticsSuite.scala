@@ -3821,6 +3821,54 @@ class AnalyticsSuite extends SparkTestBase {
     assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
   }
 
+  test("rmst: hand-computed KM areas — full horizon, early horizon, " +
+      "censoring extends the last rectangle") {
+    import spark.implicits._
+    // events at t=10 (S→0.5) and t=20 (S→0):
+    // RMST(30) = 10 + 0.5·10 + 0·10 = 15; RMST(15) = 10 + 0.5·5 = 12.5
+    val both = Seq((10L, true), (20L, true)).toDF("dur", "obs")
+    assert(Survival.rmst(both, "dur", "obs", Seq.empty, 30.0)
+      .collect()(0).getAs[Double]("rmst") == 15.0)
+    assert(Survival.rmst(both, "dur", "obs", Seq.empty, 15.0)
+      .collect()(0).getAs[Double]("rmst") == 12.5)
+    // second subject censored: S stays 0.5 after t=10 →
+    // RMST(30) = 10 + 0.5·20 = 20
+    val cens = Seq((10L, true), (20L, false)).toDF("dur", "obs")
+    assert(Survival.rmst(cens, "dur", "obs", Seq.empty, 30.0)
+      .collect()(0).getAs[Double]("rmst") == 20.0)
+    // horizon before the first event: the whole area is the head
+    assert(Survival.rmst(both, "dur", "obs", Seq.empty, 5.0)
+      .collect()(0).getAs[Double]("rmst") == 5.0)
+  }
+
+  test("brierScore: dyadic-lattice hand cases; degenerate labels " +
+      "NULL the skill") {
+    import spark.implicits._
+    // (0.75, true), (0.25, false) at grid 4 (lattice-exact):
+    // brier = (0.0625 + 0.0625)/2; base = 0.25 → skill = 0.75
+    val d = Seq((0.75, true), (0.25, false)).toDF("p", "y")
+    val r = Stats.brierScore(d, col("p"), col("y"), grid = 4)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_cells") == 2L)
+    assert(r.getAs[Double]("brier") == 0.0625)
+    assert(r.getAs[Double]("brier_skill") == 0.75)
+    // perfect 0/1 predictions: brier 0, skill 1
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("p", "y")
+    val rp = Stats.brierScore(perfect, col("p"), col("y"), grid = 4)
+      .collect()(0)
+    assert(rp.getAs[Double]("brier") == 0.0 &&
+      rp.getAs[Double]("brier_skill") == 1.0)
+    // one-class labels: the base rate is degenerate → NULL skill
+    val onec = Seq((0.5, true), (0.9, true)).toDF("p", "y")
+    val ro = Stats.brierScore(onec, col("p"), col("y"), grid = 4)
+      .collect()(0)
+    assert(!ro.isNullAt(2) && ro.isNullAt(3))
+    // non-power-of-two grid rejected (lattice exactness contract)
+    intercept[IllegalArgumentException] {
+      Stats.brierScore(d, col("p"), col("y"), grid = 1000)
+    }
+  }
+
   test("rakeKeywords: hand-computed deg/freq scores; overlong " +
       "candidates drop") {
     import spark.implicits._

@@ -392,8 +392,10 @@ class ScaleSuite extends SparkTestBase {
       "q315_ljung_box",        // composes q195's acf (no cross at all —
                                // listed for the broadcast readout only)
       "q316_lin_ccc",          // 1-row moment readout
-      "q318_moran_geary")      // CROSS JOIN with the 1-row node-moment
+      "q318_moran_geary",      // CROSS JOIN with the 1-row node-moment
                                // row (edge fold × broadcast node fold)
+      "q322_rmst")             // CROSS JOIN with the 1-row corpus-end
+                               // scalar (userLifetimes, the q193 shape)
     val offenders = SparkEntry.corpus.flatMap { q =>
       try {
         val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
