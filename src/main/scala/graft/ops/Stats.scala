@@ -3109,11 +3109,18 @@ object Stats {
     *   ICC(1) = (MSB − MSW) / (MSB + (k₀−1)·MSW),
     *   k₀ = (N − Σn_g²/N)/(G−1)  (the unbalanced-panel group size)
     *
-    * Sums of squares come from the [[anovaF]] machinery: exact
-    * DECIMAL(38) per-group moments, the between-group term folded in
-    * SORTED group order inside one row (each group's s²/n divides
-    * once), then a fixed double tree — deterministic on any engine.
-    * NULL when G < 2, N ≤ G, or the denominator ≤ 0. */
+    * Sums of squares come from the [[anovaF]] moments, but the
+    * between-group term does NOT use anovaF's per-group in-row fold —
+    * ANOVA's k is a handful of factor levels, ICC's targets are the
+    * ITEMS RATED and can be corpus-scale. Instead Σ_g s_g²/n_g groups
+    * the exact s_g² integers by PANEL SIZE (the
+    * [[graft.ops.Quality.krippendorffAlpha]] denominator idiom): one
+    * division per DISTINCT panel size, folded in ascending-size order
+    * inside one row — the fold buffer is bounded by the number of
+    * distinct panel sizes, never by target cardinality. Deterministic
+    * on any engine. NULL when G < 2, N ≤ G, or the denominator ≤ 0.
+    * MAGNITUDE CONTRACT: Σ_g s_g² must fit DECIMAL(38) — quantize the
+    * metric so |s_g| ≲ 10¹⁵. */
   def icc1(df: DataFrame, targetCol: String, x: Column): DataFrame = {
     val cells = df.select(col(targetCol).as("__g"),
         x.cast("long").as("__x"))
@@ -3121,17 +3128,21 @@ object Stats {
       .groupBy("__g")
       .agg(count(lit(1)).as("n"), sum(col("__x").cast(dec38)).as("s"),
         sum((col("__x") * col("__x")).cast(dec38)).as("ss"))
-    val m = cells.agg(
-      count(lit(1)).cast("long").as("g"),
-      sum("n").cast("long").as("n"),
-      sum(col("s")).cast(dec38).as("__ts"),
-      sum(col("ss")).cast(dec38).as("__tss"),
-      sum((col("n") * col("n")).cast(dec38)).as("__n2"),
+      .localCheckpoint(false) // feeds the totals AND the size table
+    val byN = cells.groupBy(col("n"))
+      .agg(sum((col("s") * col("s"))).as("__s2"))
+    val bs = byN.agg(
       aggregate(
-        array_sort(collect_list(struct(col("__g"),
-          (col("s").cast("double") * col("s").cast("double") /
-            col("n")).as("__t")))),
+        array_sort(collect_list(struct(col("n"),
+          (col("__s2").cast("double") / col("n")).as("__t")))),
         lit(0.0), (acc, e) => acc + e.getField("__t")).as("__bsum"))
+    val m = cells.agg(
+        count(lit(1)).cast("long").as("g"),
+        sum("n").cast("long").as("n"),
+        sum(col("s")).cast(dec38).as("__ts"),
+        sum(col("ss")).cast(dec38).as("__tss"),
+        sum((col("n") * col("n")).cast(dec38)).as("__n2"))
+      .crossJoin(broadcast(bs))
     val nD = col("n").cast("double")
     val gD = col("g").cast("double")
     val ssb = col("__bsum") -

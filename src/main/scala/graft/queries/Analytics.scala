@@ -5431,12 +5431,13 @@ object Analytics {
         |cl AS (SELECT g, CAST(COUNT(*) AS BIGINT) n,
         |    SUM(CAST(x AS HUGEINT)) s, SUM(CAST(x AS HUGEINT) * x) ss
         |  FROM d GROUP BY g),
+        |bn AS (SELECT n, SUM(s * s) s2 FROM cl GROUP BY n),
+        |b AS (SELECT 0e0 + LIST_REDUCE(LIST(CAST(s2 AS DOUBLE) / n
+        |    ORDER BY n), (a, e) -> a + e) bsum FROM bn),
         |t AS (SELECT CAST(COUNT(*) AS BIGINT) gk,
         |    CAST(SUM(n) AS BIGINT) n, SUM(s) ts, SUM(ss) tss,
-        |    SUM(CAST(n AS HUGEINT) * n) n2,
-        |    LIST_REDUCE(LIST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
-        |      ORDER BY g), (a, e) -> a + e) bsum
-        |  FROM cl),
+        |    SUM(CAST(n AS HUGEINT) * n) n2, bsum
+        |  FROM cl CROSS JOIN b GROUP BY bsum),
         |e AS (SELECT gk, n,
         |    bsum - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
         |      / CAST(n AS DOUBLE) ssb,
