@@ -73,7 +73,11 @@ object Bench {
     "q179_kcore", "q192_market_basket", "q207_theil_sen",
     "q216_bootstrap_ci", "q218_hits",
     "q236_item_neighbors", "q243_trimmed_mean", "q258_bfs_distances",
-    "q264_decompose", "q273_cronbach")
+    "q264_decompose", "q273_cronbach",
+    // r15 additions (additive — old headline diffs stay valid):
+    // q300 carries the round's accepted distributed-prefix cost;
+    // q317's wedge join is the heaviest new query
+    "q300_jonckheere", "q317_adamic_adar")
 
   /** Rows for the wide canary: 32 even range partitions summed — sized so
     * a calm 32-slot box reads ~0.3–0.5 s (big enough that scheduler noise
