@@ -394,6 +394,9 @@ class ScaleSuite extends SparkTestBase {
       "q316_lin_ccc",          // 1-row moment readout
       "q318_moran_geary",      // CROSS JOIN with the 1-row node-moment
                                // row (edge fold × broadcast node fold)
+      "q319_icc",              // CROSS JOIN with the 1-row between-group
+                               // readout (the q313/q316 1-row×1-row shape;
+                               // crossJoin(broadcast(bs)) in Stats.icc1)
       "q322_rmst")             // CROSS JOIN with the 1-row corpus-end
                                // scalar (userLifetimes, the q193 shape)
     val offenders = SparkEntry.corpus.flatMap { q =>
