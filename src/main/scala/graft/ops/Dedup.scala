@@ -74,8 +74,12 @@ object Dedup {
     // cache is session-lifetime (LRU reclaims under pressure); eviction
     // costs a recompute of one grouped agg, never a correctness race —
     // each consumer falls back to the full lineage.
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleN,
-      numHashTables).cache()
+    // r16: the signing pass is now map-only (no shuffle of its own), so a
+    // 1-split local scan would leave the whole sign+band+confirm chain on
+    // one core — widen() restores slot-wide parallelism there and no-ops
+    // on an already-wide corpus scan (guide §2.5).
+    val sigs = minHashSignatures(Par.widen(docs, col(idCol)), idCol, textCol,
+      shingleN, numHashTables).cache()
     confirmJaccard(bandedCandidatePairs(sigs, bandR), sigs, sigs, threshold)
   }
 
@@ -294,10 +298,30 @@ object Dedup {
     * is not supported; re-sign or pin the old width. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashTables: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.Registry.registerAll(spark)
-    val exploded = docs
-      .select(col(idCol).as("id"), expr(s"shingles($textCol, $shingleN)"))
+    // r16 (optimization, guide §4.1): the shingle stream used to come
+    // from the `shingles` UDTF — a CodegenFallback Generator evaluated
+    // row-at-a-time with boxed InternalRows. It is now a codegen'd
+    // `explode` of the SAME shingle array built in-row (split → filter
+    // empties → concat_ws over sliding slices — identical strings, so
+    // every downstream xxhash64 and therefore every signature, band
+    // key and jaccard is bit-identical; the oracle is untouched). The
+    // collect_set + 16×min aggregation is kept: an A/B probe of a pure
+    // per-row 17×array-transform projection was ~3× SLOWER warm (boxed
+    // lambda transforms defeat codegen), while the agg form streams
+    // every hash through codegen'd partial aggregation. Callers widen a
+    // narrow scan first (see minHashNearDupPairs), which both
+    // parallelizes the shingle/hash work and pre-partitions by id so
+    // the groupBy needs no second exchange.
+    // (Rows with fewer than `shingleN` words emit nothing — explode of
+    // an empty array — exactly the old generator's Nil.)
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val shingleArr =
+      when(size(ws) >= shingleN, transform(
+        sequence(lit(0), size(ws) - shingleN),
+        i => concat_ws(" ", slice(ws, i + 1, lit(shingleN)))))
+        .otherwise(array())
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingleArr).as("shingle"))
     val mins = (0 until numHashTables).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"__m$i"))
     exploded.groupBy("id")
@@ -364,7 +388,7 @@ object Dedup {
   def simHashWith(docs: DataFrame, idCol: String, textCol: String,
                   tokenHash: Column => Column): DataFrame = {
     val simhashUdaf = udaf(graft.functions.SimHashAgg)
-    docs.select(col(idCol).as("id"),
+    Par.widen(docs, col(idCol)).select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .select(col("id"), tokenHash(col("w")).cast("long").as("h"))
@@ -502,9 +526,69 @@ object Dedup {
     * sort. */
   def boilerplateNgramRemoval(docs: DataFrame, idCol: String,
                               textCol: String, n: Int = 5,
-                              minDf: Int = 3): DataFrame =
-    exciseNgrams(docs, idCol, textCol,
-      boilerplateNgrams(docs, idCol, textCol, n, minDf), n)
+                              minDf: Int = 3): DataFrame = {
+    // r16 (guide §2.3: shuffle keys, not payloads): in the FUSED
+    // induce-then-excise composition the grams are only ever compared
+    // for equality, so both passes run on the 8-byte multi-arg
+    // xxhash64 of the word slots (the repetitionScore /
+    // contaminationScore hashed-gram licensing: results differ from
+    // string grouping only on a 64-bit collision between distinct
+    // grams, ~#grams²/2⁻⁶⁴) — the ~n-word gram STRINGS are never
+    // built or shuffled on the corpus side, the df aggregate and the
+    // flag join carry (hash) instead of (gram text). The standing-
+    // table path ([[boilerplateNgrams]] + [[exciseNgrams]], the
+    // streaming frozen-index route) keeps its persistable string
+    // schema unchanged.
+    require(minDf >= 2, "minDf < 2 would flag every gram")
+    require(n >= 2, "n-gram size must be >= 2")
+    val occ = hashedNgramOccurrences(docs, idCol, textCol, n)
+    val boiler = occ
+      .groupBy("__h")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("__h")
+    val cuts = occ
+      .join(boiler, Seq("__h"))
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .groupBy("id").agg(collect_set(col("pos")).as("cuts"))
+    reassembleExcised(docs, idCol, textCol, cuts)
+  }
+
+  /** Positional hashed n-gram occurrences (id, gpos, __h) — the
+    * string-free twin of [[ngramOccurrences]] for fused compositions:
+    * `__h` is the multi-arg xxhash64 over the n word slots (the
+    * hashedWordGrams shape), so no gram string is ever materialized. */
+  private def hashedNgramOccurrences(docs: DataFrame, idCol: String,
+                                     textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    Par.widen(docs, col(idCol))
+      .select(col(idCol).as("id"), toks.as("__ws"))
+      .select(col("id"), col("__ws"),
+        explode(when(size(col("__ws")) >= n,
+          sequence(lit(0), size(col("__ws")) - n))
+          .otherwise(array().cast("array<int>"))).as("gpos"))
+      .select(col("id"), col("gpos"),
+        xxhash64((0 until n).map(j =>
+          element_at(col("__ws"), col("gpos") + j + 1)): _*).as("__h"))
+  }
+
+  /** Shared excision reassembly: drop the cut positions from each doc's
+    * token array and re-join (factored from [[exciseNgrams]]). */
+  private def reassembleExcised(docs: DataFrame, idCol: String,
+                                textCol: String, cuts: DataFrame): DataFrame = {
+    val toks = split(col(textCol), " ")
+    Par.widen(docs, col(idCol)).select(col(idCol).as("id"), toks.as("__toks"))
+      .join(cuts, Seq("id"), "left")
+      .withColumn("__kept",
+        when(col("cuts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"),
+            (_, i) => !array_contains(col("cuts"), i))))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_clean"))
+  }
 
   /** The boilerplate set alone: token n-grams occurring in at least
     * `minDf` distinct documents. One (gram) column — persist it as the
@@ -543,17 +627,7 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("cuts"))
-    val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("id"), toks.as("__toks"))
-      .join(cuts, Seq("id"), "left")
-      .withColumn("__kept",
-        when(col("cuts").isNull, col("__toks"))
-          .otherwise(filter(col("__toks"),
-            (_, i) => !array_contains(col("cuts"), i))))
-      .select(col("id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        array_join(col("__kept"), " ").as("text_clean"))
+    reassembleExcised(docs, idCol, textCol, cuts)
   }
 
   /** Positional n-gram occurrences (id, gpos, gram) — linear n·tokens
@@ -561,7 +635,7 @@ object Dedup {
   private def ngramOccurrences(docs: DataFrame, idCol: String,
                                textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("id"),
+    Par.widen(docs, col(idCol)).select(col(idCol).as("id"),
         posexplode(when(size(toks) >= n,
           transform(sequence(lit(0), size(toks) - n),
             i => array_join(slice(toks, i + 1, lit(n)), " ")))

@@ -34,7 +34,11 @@ object Quality {
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val total = count(lit(1)).as("__total")
-    val row = df.agg(total, aggs: _*).head()
+    // r16: the multi-countDistinct plans as ONE Expand (≈ columns×rows
+    // intermediate rows) whose partial aggregation runs inside the scan
+    // stage — widen a narrow (1-split local) scan first so the expand
+    // fans out across slots; structural no-op on a wide corpus scan.
+    val row = Par.widen(df, col(cols.head)).agg(total, aggs: _*).head()
     val totalN = row.getAs[Long]("__total")
     cols.map { c =>
       (c, totalN, totalN - row.getAs[Long](s"__cnt_$c"),

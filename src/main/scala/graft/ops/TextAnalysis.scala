@@ -51,7 +51,9 @@ object TextAnalysis {
   }
 
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol) +:
+    // r16: regex/tokenize-heavy projection — widen a narrow (1-split
+    // local) scan to slot parallelism first; no-op on a wide corpus scan
+    Par.widen(docs, col(idCol)).select(col(idCol) +:
       qualityColumns(textCol).map { case (n, c) => c.as(n) }: _*)
 
   /** Stopword-vote language ID over the profile lists in [[Stopwords]]:
@@ -77,7 +79,8 @@ object TextAnalysis {
   }
 
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), languageGuess(textCol).as("lang_guess"))
+    Par.widen(docs, col(idCol))
+      .select(col(idCol), languageGuess(textCol).as("lang_guess"))
 
   /** Winnowing fingerprints (MOSS-style): k-gram rolling hashes, minimum
     * per sliding window of w — a compact, position-robust signature set
@@ -121,7 +124,7 @@ object TextAnalysis {
     // the sf0.1 bench). Overlapping shapes still count once: a span
     // consumed by an earlier pattern is simply absent later.
     val tokenRe = lit(java.util.regex.Pattern.quote(token))
-    docs.withColumn("text_redacted", redacted)
+    Par.widen(docs, col(idCol)).withColumn("text_redacted", redacted)
       .withColumn("n_redactions",
         (regexp_count(col("text_redacted"), tokenRe) -
           regexp_count(col(textCol), tokenRe)).cast("long"))
@@ -290,7 +293,8 @@ object TextAnalysis {
 
   def stripHtmlDocs(docs: DataFrame, idCol: String,
                     htmlCol: String): DataFrame =
-    docs.select(col(idCol), stripHtml(col(htmlCol)).as("text"))
+    Par.widen(docs, col(idCol))
+      .select(col(idCol), stripHtml(col(htmlCol)).as("text"))
 
   /** Benchmark-contamination score: the fraction of each document's
     * distinct word n-grams that also occur anywhere in `bench` — the

@@ -702,8 +702,14 @@ object ScaleOps {
         graft.ops.CorpusPrep.PrepConfig(minTokens = 10))
       val spark = s
       import spark.implicits._
+      // r16: `cleaned_rows` is r.kept BY CONSTRUCTION (dedupCorpus counts
+      // the same `cleaned` DataFrame to produce the report); the previous
+      // cleaned.count() here recomputed the whole LSH confirm + anti-join
+      // a second time for a value already in hand (guide §1.2: don't
+      // compute things you throw away). Output identical.
+      val _ = cleaned // the corpus itself is the operator's other output
       Seq((r.input, r.afterQuality, r.afterLang, r.afterExact, r.kept,
-        cleaned.count()))
+        r.kept))
         .toDF("input", "after_quality", "after_lang", "after_exact",
           "kept", "cleaned_rows")
     },
