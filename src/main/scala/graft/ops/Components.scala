@@ -117,34 +117,43 @@ object Components {
     val base = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-    val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
-      .distinct().cache()
-    def aliveDegrees(surv: DataFrame): DataFrame = e
-      .join(surv.select(col("node").as("u")), Seq("u"), "left_semi")
-      .join(surv.select(col("node").as("v")), Seq("v"), "left_semi")
-      .groupBy("u").agg(count(lit(1)).as("deg"))
-    var surv = e.select(col("u").as("node")).distinct().localCheckpoint()
-    var n = surv.count()
+    // r16 (guide §2.3: shuffle fewer bytes — per ROUND): the loop state
+    // is the ALIVE MIRRORED EDGE SET, materialized per round, instead of
+    // a survivor node set re-semi-joined against the FULL cached edge
+    // list every round. Peeling drops most low-degree periphery in the
+    // first rounds, so the per-round degree aggregation and endpoint
+    // semi-joins scan a geometrically shrinking table rather than the
+    // whole graph × rounds. Same unique fixed point (identical peel:
+    // deg_t computed over edges with both endpoints alive_{t-1}), so
+    // the unrolled-replay oracle is unchanged. Convergence = alive-node
+    // count stable; the peel is monotone, so equal count = equal set.
+    var ee = base.union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var n = -1L // previous round's alive count (none yet)
     var it = 0
-    var done = n == 0
-    // each round checkpoints the filtered DEGREE table (not just the
-    // node set): on convergence (m == n, the peel is monotone so equal
-    // count = equal set) the last round's degrees against the previous
-    // survivor set ARE the in-core degrees — no extra final pass
-    var coreDeg = surv.withColumn("deg", lit(0L))
+    var done = false
+    var coreDeg = ee.select(col("u").as("node")).limit(0)
+      .withColumn("deg", lit(0L))
     while (!done && it < maxIters) {
-      val nextDeg = aliveDegrees(surv).filter(col("deg") >= k)
+      // degrees within the current alive subgraph; >= k survive
+      val deg = ee.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
         .select(col("u").as("node"), col("deg")).localCheckpoint()
-      val m = nextDeg.count()
+      val m = deg.count()
       done = m == n || m == 0
-      surv.unpersist()
-      coreDeg = nextDeg
-      surv = nextDeg.select("node"); n = m; it += 1
+      coreDeg = deg
+      if (!done) {
+        val nextEe = ee
+          .join(deg.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(deg.select(col("node").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint()
+        ee.unpersist()
+        ee = nextEe
+      } else {
+        ee.unpersist()
+      }
+      n = m; it += 1
     }
-    // coreDeg is localCheckpoint-cut, so the mirrored edge cache is not
-    // in the returned lineage — eager unpersist (the bfsDistances
-    // discipline; r12 cache audit)
-    e.unpersist()
     coreDeg.select(col("node"), col("deg").cast("long").as("core_deg"))
   }
 
@@ -162,13 +171,19 @@ object Components {
     * degree agg, wedge self-join on the source, closure equi-join of the
     * wedge's (far, far) pair against the canonical edge set. Exact
     * integer counts — engine-reproducible and oracle-able. */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val canon = edges
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    triangleCountsOf(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       // cache lifetime: lazy-return op — Association.itemItemCosine's LRU note applies
-      .distinct().cache()
+      .distinct().cache())
+
+  /** Core of [[triangleCounts]] over an ALREADY canonical (u < v,
+    * distinct, cached) edge table — r16: factored out so [[transitivity]]
+    * can reuse its own canonical cache instead of paying a second
+    * distinct pass + duplicate cache over the same edge set. */
+  private def triangleCountsOf(canon: DataFrame): DataFrame = {
     val deg = canon.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val oriented = canon
@@ -665,11 +680,17 @@ object Components {
           when(col("__seed"), teleport).otherwise(0L).as("tp"))
     }
     val nodeState = nodes.cache()
+    // r16 (guide §1.2): e ⋈ deg is LOOP-INVARIANT — the degree-annotated
+    // edge list is computed and cached once, so each iteration pays only
+    // the pr join + contribution aggregation instead of re-running the
+    // edge-degree join (one join + its exchanges per round removed).
+    val eDeg = e.join(deg, "u")
+      .select(col("u"), col("v"), col("outdeg")).cache()
     var pr = nodeState.select(col("node"), col("init").as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "u")
-        .join(pr, e("u") === pr("node"))
+      val contrib = eDeg
+        .join(pr, eDeg("u") === pr("node"))
         .select(col("v"), call_function("div", col("pr"), col("outdeg")).as("c"))
         .groupBy("v").agg(sum("c").as("s"))
       val next = nodeState.select(col("node"), col("tp"))
@@ -685,7 +706,7 @@ object Components {
     // pr is localCheckpoint-cut each round, so none of the standing
     // caches are in the returned lineage — eager unpersist (the
     // bfsDistances discipline; r12 cache audit)
-    e.unpersist(); deg.unpersist(); nodeState.unpersist()
+    e.unpersist(); deg.unpersist(); nodeState.unpersist(); eDeg.unpersist()
     pr
   }
 
@@ -732,7 +753,9 @@ object Components {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct().cache() // lazy-return op — the triangleCounts LRU note
-    val t3 = triangleCounts(canon, "u", "v")
+    // r16: canon is already canonical+cached — triangleCountsOf avoids
+    // the second distinct pass + duplicate cache the public entry paid
+    val t3 = triangleCountsOf(canon)
       .agg(coalesce(sum(col("triangles").cast(dec38)),
         lit(0).cast(dec38)).as("__t3"))
     // keep 2W = Σ d(d−1) integral (always even) — no fractional

@@ -28,20 +28,40 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Pairs (a, b, dist) with a < b and levenshtein <= maxDist over
-    * `strCol`. Output dist is the exact edit distance. */
+    * `strCol`. Output dist is the exact edit distance.
+    *
+    * r16 (guide §2.5, the skew fix this object's scaladoc already
+    * prescribes): the band key is length-derived, so a corpus of
+    * near-uniform string lengths (fixed-width prefixes, titles,
+    * normalized names) collapses into ONE band and the whole quadratic
+    * confirm ran as a single join task. The join key is therefore
+    * salted — build side keyed by pmod(xxhash64(id), S), probe side
+    * exploded S ways — which spreads the levenshtein confirm across
+    * S = defaultParallelism tasks. Each unordered pair still meets
+    * exactly once (one matching band × one matching salt); salt
+    * replication multiplies only the id+string probe rows, never the
+    * candidate-pair volume, and S scales with the session rather than
+    * any hard-coded core count. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val w = maxDist + 1
+    val salts = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
       floor(length(col(strCol)) / w).cast("int").as("bk"))
     val probe = base.select(col("id"), col("s"),
         explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("jb"))
+      .select(col("id"), col("s"), col("jb"),
+        explode(sequence(lit(0), lit(salts - 1))).as("salt"))
       .alias("p")
-    val build = base.alias("b")
+    val build = base
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(salts.toLong))
+        .cast("int"))
+      .alias("b")
     val dist = levenshtein(col("p.s"), col("b.s"), maxDist)
     probe.join(build,
-        col("p.jb") === col("b.bk") && col("p.id") < col("b.id"))
+        col("p.jb") === col("b.bk") && col("p.salt") === col("b.salt") &&
+          col("p.id") < col("b.id"))
       .filter(abs(length(col("p.s")) - length(col("b.s"))) <= maxDist)
       .select(col("p.id").as("a"), col("b.id").as("b"),
         dist.cast("int").as("dist"))
