@@ -156,9 +156,17 @@ object Bench {
       val fullLine = s"""{${commonJson()},"partial":$partial,""" +
         s""""queries":$qs,"headline_min":${jmap(headlineMin.toSeq)},""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
-      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (fullLine + "\n").getBytes("UTF-8"))
-      catch { case e: Exception =>
+      // r16 (ADVICE r15): write-to-temp + ATOMIC_MOVE so a harness kill
+      // landing mid-write can never leave a truncated artifact — the
+      // exact failure mode the per-query flush exists to eliminate.
+      try {
+        val target = java.nio.file.Paths.get(out)
+        val tmp = java.nio.file.Paths.get(out + ".tmp")
+        java.nio.file.Files.write(tmp, (fullLine + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Exception =>
         System.err.println(s"[bench] artifact write to $out failed: ${e.getMessage}")
       }
     }
@@ -184,9 +192,15 @@ object Bench {
     probeCanary()
     // Second timing pass for the headline subset only (bounded extra cost);
     // min-of-2 de-noises throttle segments without doubling the full run.
+    // r16 (VERDICT r15 #3): the second pass is canary-BRACKETED — a probe
+    // every 5 headline re-timings — so a storm arriving during this pass
+    // (r15's q179 98.96 s reading) is visible from the artifact alone;
+    // probes now span the full artifact timeline.
     corpus
       .filter(q => headline.contains(q.name))
-      .foreach { q =>
+      .zipWithIndex
+      .foreach { case (q, hi) =>
+        if (hi > 0 && hi % 5 == 0) probeCanary()
         val first = results.collectFirst { case (n, s, true) if n == q.name => s }
         first.foreach { f =>
           // a FAILED rerun must not publish its (fast) wall time as a
@@ -196,6 +210,7 @@ object Bench {
           flushArtifact(partial = true)
         }
       }
+    probeCanary()
     flushArtifact(partial = false)
     // "headline_min" is the canonical name (matches the artifact file's
     // field of the same semantics — ADVICE r10); "queries" aliases the

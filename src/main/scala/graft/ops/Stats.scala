@@ -2964,11 +2964,15 @@ object Stats {
     *   M4 = n³·s₄ − 4n²·s₁·s₃ + 6n·s₁²·s₂ − 3s₁⁴
     * are exact integers with g₁ = M3/M2^1.5 and b₂ = M4/M2² (the n
     * powers cancel), so each statistic is one division over exact
-    * integers. MAGNITUDE CONTRACT (the fleissKappa overflow analysis):
-    * n³·Σx⁴ must stay below 10³⁸ — quantize to coarse units first
-    * (|x| ≤ ~10³ is safe at n ≤ 10⁷; at larger n, scale down further;
-    * shape statistics are scale-invariant so the unit choice only
-    * sets the rounding grain). NULL when M2 = 0 or n < 2. */
+    * integers. MAGNITUDE CONTRACT (the fleissKappa overflow analysis;
+    * bound corrected r16 per ADVICE r15): the dominant M4 terms are
+    * n³·Σx⁴ ≈ n⁴·max|x|⁴ and 3·s₁⁴ ≈ n⁴·max|x|⁴, so n⁴·max|x|⁴ must
+    * stay below 10³⁸ — |x| ≤ ~10² is safe at n ≤ 10⁷ (10²⁸·10⁸ =
+    * 10³⁶), |x| ≤ 10³ only at n ≤ ~10⁶·⁵; at larger n, scale down
+    * further. Exceeding the bound nulls the statistic silently
+    * (non-ANSI decimal overflow → NULL), it does not throw. Shape
+    * statistics are scale-invariant so the unit choice only sets the
+    * rounding grain. NULL when M2 = 0 or n < 2. */
   def jarqueBera(df: DataFrame, x: Column): DataFrame = {
     def s(c: Column) = sum(c.cast(dec38))
     val d = df.select(x.cast("long").as("__x"))

@@ -1111,12 +1111,24 @@ object Streams {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
       .map(_.getPath.toString)
     if (dirs.isEmpty) return None
-    val st = spark.read.parquet(dirs.toSeq: _*)
+    // mergeSchema: with a MIXED legacy+versioned layout the inferred
+    // schema would otherwise come from an arbitrary file — if it carries
+    // index_version, the legacy dirs' rows read as NULL and a plain
+    // min() would skip them, letting the versioned runner's
+    // refuse-on-mismatch guard silently pass over un-re-keyed legacy
+    // dirs (ADVICE r15). A null-row count now maps mixed layouts to the
+    // legacy Some(-1) refusal, same as a fully-legacy layout.
+    val st = spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
     if (!st.columns.contains("index_version")) Some(-1)
     else {
-      val r = st.agg(org.apache.spark.sql.functions
-        .min("index_version")).collect()(0)
-      if (r.isNullAt(0)) None else Some(r.getInt(0))
+      val r = st.agg(
+        org.apache.spark.sql.functions.min("index_version"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when(
+            col("index_version").isNull, 1))).collect()(0)
+      if (r.getLong(1) > 0) Some(-1) // mixed legacy+versioned = legacy
+      else if (r.isNullAt(0)) None
+      else Some(r.getInt(0))
     }
   }
 
