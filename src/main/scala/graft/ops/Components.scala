@@ -117,44 +117,55 @@ object Components {
     val base = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-    // r16 (guide §2.3: shuffle fewer bytes — per ROUND): the loop state
-    // is the ALIVE MIRRORED EDGE SET, materialized per round, instead of
-    // a survivor node set re-semi-joined against the FULL cached edge
-    // list every round. Peeling drops most low-degree periphery in the
-    // first rounds, so the per-round degree aggregation and endpoint
-    // semi-joins scan a geometrically shrinking table rather than the
-    // whole graph × rounds. Same unique fixed point (identical peel:
-    // deg_t computed over edges with both endpoints alive_{t-1}), so
-    // the unrolled-replay oracle is unchanged. Convergence = alive-node
-    // count stable; the peel is monotone, so equal count = equal set.
-    var ee = base.union(base.select(col("v").as("u"), col("u").as("v")))
+    // r16 (guide §2.3/§1.2 — the delta-iteration shape): the probe of the
+    // recompute-every-round peel showed the fixture graph loses <6% of
+    // its edges across 7 rounds, i.e. every round re-aggregated and
+    // re-filtered a nearly-full-size edge table to discover a handful of
+    // removals. Peeling is INCREMENTAL by nature: when the nodes R_t are
+    // removed, only their neighbors' degrees change, by exactly the
+    // number of incident just-removed endpoints. Each round after the
+    // initial degree pass is therefore ONE join of the (fixed, cached)
+    // mirrored edge list against the just-removed node set — the planner
+    // broadcasts R_t when it is small (every round after the first peels
+    // a shrinking frontier; at 100 TB an early huge R_t simply falls
+    // back to a shuffle join) — plus a node-table degree update. No
+    // edge-set rewrite, no full-graph re-aggregation per round. The
+    // sequence of removal sets (and so the unique fixed point and the
+    // in-core degrees) is IDENTICAL to the synchronized peel: removal
+    // sets are disjoint, so deg_{t+1}(u) = deg_t(u) − |Γ(u) ∩ R_t|
+    // telescopes to the degree within the alive subgraph.
+    val e = base.union(base.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var n = -1L // previous round's alive count (none yet)
+    // `state` is the checkpointed (node, deg) table the current
+    // alive/removed filters read; each round's successor is materialized
+    // BEFORE the predecessor is freed (localCheckpoint is eager, and a
+    // checkpointed frame cannot be recomputed after unpersist).
+    var state = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg")).localCheckpoint()
+    var alive = state.filter(col("deg") >= k)
+    var removed = state.filter(col("deg") < k)
+    var removedCount = removed.count()
     var it = 0
-    var done = false
-    var coreDeg = ee.select(col("u").as("node")).limit(0)
-      .withColumn("deg", lit(0L))
-    while (!done && it < maxIters) {
-      // degrees within the current alive subgraph; >= k survive
-      val deg = ee.groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("u").as("node"), col("deg")).localCheckpoint()
-      val m = deg.count()
-      done = m == n || m == 0
-      coreDeg = deg
-      if (!done) {
-        val nextEe = ee
-          .join(deg.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(deg.select(col("node").as("v")), Seq("v"), "left_semi")
-          .localCheckpoint()
-        ee.unpersist()
-        ee = nextEe
-      } else {
-        ee.unpersist()
-      }
-      n = m; it += 1
+    while (removedCount > 0 && it < maxIters) {
+      val delta = e
+        .join(removed.select(col("node").as("v")), Seq("v"))
+        .groupBy("u").agg(count(lit(1)).as("__d"))
+        .select(col("u").as("node"), col("__d"))
+      val updated = alive.join(delta, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("__d"), lit(0L))).as("deg"))
+        .localCheckpoint()
+      state.unpersist()
+      state = updated
+      alive = state.filter(col("deg") >= k)
+      removed = state.filter(col("deg") < k)
+      removedCount = removed.count()
+      it += 1
     }
-    coreDeg.select(col("node"), col("deg").cast("long").as("core_deg"))
+    // the returned frame reads the final `state` checkpoint only; the
+    // mirrored edge cache is freed eagerly (the bfsDistances discipline)
+    e.unpersist()
+    alive.select(col("node"), col("deg").cast("long").as("core_deg"))
   }
 
   /** Per-node triangle counts — the local clustering signal (spam/link-farm
