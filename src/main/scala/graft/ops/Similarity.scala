@@ -546,6 +546,49 @@ object Similarity {
     (ivfAssign(emb, idCol, vecCol, centroids), centroids)
   }
 
+  /** Train the IVF coarse quantizer AND the PQ codebooks from ONE
+    * deterministic bounded sample — r16 optimization (guide §1.2): the
+    * fused IVF+PQ pipeline (q119) previously paid two IDENTICAL
+    * TakeOrdered + normalize + collect sampling passes, one inside
+    * [[ivfIndex]] and one inside [[pqIndex]]. Training here matches
+    * both bit-for-bit (same hash-ordered sample, same seeds, same Lloyd
+    * iterations), so (centroids, codebooks) — and therefore every
+    * assignment, code and query result — are identical. */
+  def ivfPqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, m: Int = 8, kCent: Int = 16,
+                 trainSample: Int = 4096, maxIter: Int = 10)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(nlist > 0, s"nlist must be positive, got $nlist")
+    require(m > 0 && kCent > 1 && kCent <= 256,
+      s"ivfPqTrain: need m > 0 and 2..256 centroids, got m=$m k=$kCent")
+    val dbl = transform(col("__v"), _.cast("double"))
+    val nrm = sqrt(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x))
+    val nv = when(nrm === lit(0.0), dbl).otherwise(transform(dbl, _ / nrm))
+    val sampled = emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(trainSample)
+      .select(nv.as("nva"))
+      .collect() // bounded: ≤ trainSample × dim doubles
+    require(sampled.nonEmpty, "ivfPqTrain: empty input")
+    val pts = sampled.map(_.getSeq[Double](0).toArray)
+    val dim = pts.head.length
+    require(dim % m == 0, s"ivfPqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val centers = localKMeans(pts, math.min(nlist, pts.length), maxIter,
+      seed = 42L)
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val kEff = math.min(kCent, pts.length)
+    val codebooks = Array.tabulate(m) { s =>
+      localKMeans(pts.map(_.slice(s * dsub, (s + 1) * dsub)), kEff,
+        maxIter, seed = 42L + s)
+    }
+    (centroids, codebooks)
+  }
+
   /** Assign vectors to cells of a STANDING index using only the
     * (nlist-row) centroid table — the build path and the
     * incremental-append path (no refit; the coarse quantizer is frozen,

@@ -2039,10 +2039,11 @@ object ScaleOps {
     // equality and partial-probe recall live in OpsSuite.
     sparkOnly("q119_ivfpq_topk") { (s, d) =>
       val emb = Tables.table(s, d, "embeddings")
-      val (_, centroids) = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        nlist = 16)
-      val (_, cb) = Similarity.pqIndex(emb, "vec_id", "embedding",
-        m = 8, kCent = 64)
+      // r16: ONE sampling pass trains both the coarse quantizer and the
+      // codebooks (bit-identical to the two separate trains — see
+      // Similarity.ivfPqTrain)
+      val (centroids, cb) = Similarity.ivfPqTrain(emb, "vec_id",
+        "embedding", nlist = 16, m = 8, kCent = 64)
       val encoded = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
         centroids, cb)
       Similarity.ivfPqTopK(encoded, centroids, cb,
