@@ -122,8 +122,15 @@ object Association {
     // under storage pressure (MEMORY_AND_DISK never recomputes, it
     // spills). Operators that materialize internally (Components,
     // Sampling.ipfWeights) unpersist eagerly instead.
+    // r16 (guide §2.4 — share one exchange): hash-partitioning by u
+    // BEFORE the distinct satisfies the distinct's (u, item) clustering
+    // requirement (u is a subset of the keys, so equal pairs co-locate)
+    // AND the per-user self-join's (u) requirement — ONE exchange of the
+    // interaction table instead of three (the old distinct-by-(u,item)
+    // exchange plus one per join side above the cache).
     val b0 = df.select(col(userCol).as("u"), col(itemCol).as("item"))
-      .distinct().cache()
+      .repartition(col("u"))
+      .dropDuplicates("u", "item").cache()
     // when the cap is active, the cut must sit ABOVE the capping
     // window too: b feeds three consumers (singles + both self-join
     // sides), and uncut each would replay the per-user row_number

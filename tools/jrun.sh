@@ -15,4 +15,4 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
 done
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  "-Xmx${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$MAIN" "$@"
+  "-Xmx${SPARK_DRIVER_MEM:-16g}" -cp "$CP" "$MAIN" "$@"

@@ -15,6 +15,6 @@ done
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} java $ADD_OPENS \
   -cp "/opt/spark/jars/*:/root/repo/target/scala-2.13/classes" \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-16g} \
   graft.Verify "$SF" "$OUT"
 python3 /root/repo/tools/check.py "$SF" "$OUT"
