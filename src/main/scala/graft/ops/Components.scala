@@ -620,38 +620,52 @@ object Components {
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().cache()
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct().cache()
     def normalized(scores: DataFrame, c: String): DataFrame =
       scores.crossJoin(broadcast(scores.agg(max(col(c)).as("__m"))))
         .select(col("node"),
           call_function("div", col(c) * scale, col("__m")).as(c))
-    var hub = nodes.withColumn("h", lit(scale)).localCheckpoint()
-    var auth = nodes.withColumn("a", lit(0L))
-    // previous half-step's cut, freeable once the NEXT cut has folded
-    // its data in (the final iteration's cuts feed the lazy-return
-    // result and stay — the Association.itemItemCosine LRU note)
-    var free: Option[DataFrame] = None
+    // r17 (VERDICT r16 item 2): SPARSE iteration. A zero-score node
+    // contributes 0 to every half-step sum and cannot move the round
+    // max (scores are ≥ 0 with at least one positive), so the dense
+    // nodes-left-join the loop used to pay per half-step is value-free
+    // inside the iteration: scores stay sparse (only nodes with ≥ 1
+    // contributing edge) and densify ONCE at the return join. Round 1
+    // also drops its e ⋈ hub join outright — the initial hub is the
+    // constant `scale` for every node, so a₁ = scale·indegree comes
+    // straight off the edge list — and the init-table checkpoint job
+    // disappears with it. Per half-step: 2 joins → 1; the `nodes`
+    // union-distinct is now computed once for the final densify
+    // instead of standing cached through the loop.
+    var hub: DataFrame = null  // sparse (node, h): nodes with ≥1 out-edge
+    var auth: DataFrame = null // sparse (node, a): nodes with ≥1 in-edge
+    // previous iteration's hub cut, freeable once the NEXT aRaw cut has
+    // folded its data in (the final iteration's cuts feed the
+    // lazy-return result and stay — Association.itemItemCosine LRU note)
+    var freeH: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val aRaw = e.join(hub, e("u") === hub("node"))
-        .groupBy(col("v")).agg(sum("h").as("s"))
-      val aAll = nodes.join(aRaw, nodes("node") === aRaw("v"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+      val aRaw = (if (i == 1) e.groupBy(col("v")).agg(sum(lit(scale)).as("a"))
+                  else e.join(hub, e("u") === hub("node"))
+                    .groupBy(col("v")).agg(sum("h").as("a")))
+        .withColumnRenamed("v", "node")
         .localCheckpoint()
-      free.foreach(_.unpersist()); free = None
-      if (i == 1) hub.unpersist() // the init table is folded into aAll
-      auth = normalized(aAll, "a")
+      freeH.foreach(_.unpersist()); freeH = None
+      auth = normalized(aRaw, "a")
       val hRaw = e.join(auth, e("v") === auth("node"))
-        .groupBy(col("u")).agg(sum("a").as("s"))
-      val hAll = nodes.join(hRaw, nodes("node") === hRaw("u"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+        .groupBy(col("u")).agg(sum("a").as("h"))
+        .withColumnRenamed("u", "node")
         .localCheckpoint()
-      // auth_i is consumed only by hAll_i (just materialized) except
+      // aRaw_i is consumed only by hRaw_i (just materialized) except
       // on the last round, where it feeds the returned join
-      if (i < iters) { aAll.unpersist(); free = Some(hAll) }
-      hub = normalized(hAll, "h")
+      if (i < iters) { aRaw.unpersist(); freeH = Some(hRaw) }
+      hub = normalized(hRaw, "h")
     }
-    hub.join(auth, "node")
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("h"),
+        coalesce(col("a"), lit(0L)).as("a"))
   }
 
   def pageRankExact(edges: DataFrame, aCol: String, bCol: String,
