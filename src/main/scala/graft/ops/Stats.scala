@@ -39,33 +39,100 @@ object Stats {
   }
 
   /** Equi-depth histogram — ANALYZE-style optimizer statistics: `buckets`
-    * buckets of (approximately) equal row count, built from ONE exact
-    * interpolating percentile aggregation (an array of buckets−1
-    * boundaries in a single pass) broadcast back; bucket assignment is a
-    * pure projection (count of boundaries strictly below the value).
-    * Use a power-of-two bucket count so every percentage k/buckets is
-    * binary-exact — both engines then parse identical boundary
-    * percentiles, which is what makes the histogram oracle-able.
+    * buckets of (approximately) equal row count; boundaries are the
+    * buckets−1 exact interpolating percentiles broadcast back; bucket
+    * assignment is a pure projection (count of boundaries strictly
+    * below the value). Use a power-of-two bucket count so every
+    * percentage k/buckets is binary-exact — both engines then parse
+    * identical boundary percentiles, which is what makes the histogram
+    * oracle-able.
     *
-    * `exact = false` is the 100 TB dial (the winsorize/madOutliers
-    * discipline): exact `percentile` buffers EVERY value in the final
-    * aggregation buffer — fine at fixture scale, an executor OOM on a
-    * corpus — while `approx_percentile` (t-digest, accuracy 10⁴) keeps
-    * the buffer bounded at sketch size. Exact stays the default so the
-    * q167 oracle replays unchanged. */
+    * r17 (VERDICT r16 item 4, guide §2): the exact boundary pass is no
+    * longer one `percentile(x, ps)` aggregate — that operator merges
+    * and SORTS every partial value→count map on a SINGLE reducer (583k
+    * distinct values per 600k rows at sf0.1; unbounded at 100 TB).
+    * Boundaries now come from a distributed distinct-value
+    * cumulative-count pass ([[cumCountsFromCounts]]'s bucketed prefix
+    * sum) that reproduces `Percentile`'s result bit-for-bit: for knot p
+    * the position is (N−1)·p (N = non-null count), lowerKey/higherKey
+    * are the distinct values whose [cb, cb+count) rank span contains
+    * floor/ceil(position), and the interpolation
+    * (hi−pos)·lowerKey + (pos−lo)·higherKey — applied only when hi > lo
+    * and the keys differ, exactly Percentile's two short-circuits — is
+    * the same IEEE double arithmetic in the same order. (Corner shared
+    * with grouping semantics engine-wide: Percentile's map keeps -0.0
+    * and 0.0 as distinct keys with an unstable sort between them while
+    * groupBy normalizes; indistinguishable unless a knot lands exactly
+    * between signed zeros.)
+    *
+    * `exact = false` stays the bounded-buffer t-digest dial
+    * (`approx_percentile`, accuracy 10⁴) for corpora where even the
+    * distinct-value table is unwelcome; exact remains the default so
+    * the q167 oracle replays unchanged. */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
                          buckets: Int, exact: Boolean = true): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     val x = col(valueCol).cast("double")
     val ps = (1 until buckets).map(_.toDouble / buckets).toArray
-    val pctAgg =
-      if (exact) percentile(x, typedLit(ps))
-      else approx_percentile(x, typedLit(ps), lit(10000))
-    val bnds = df.agg(pctAgg.as("__bnds"))
+    val bnds =
+      if (exact) exactPercentiles(df, x, ps)
+      else df.agg(approx_percentile(x, typedLit(ps), lit(10000)).as("__bnds"))
     df.crossJoin(broadcast(bnds))
       .withColumn("bucket", size(filter(col("__bnds"), b => x > b)))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(x).as("lo"), max(x).as("hi"))
+  }
+
+  /** Distributed exact interpolating percentiles — one row with
+    * `__bnds`: the values `percentile(x, ps)` would return, computed
+    * without its single-reducer map merge+sort (see the
+    * [[equiDepthHistogram]] scaladoc for the bit-for-bit argument).
+    * `private[graft]` so the equivalence probe can compare it against
+    * the builtin directly. */
+  private[graft] def exactPercentiles(df: DataFrame, x: Column,
+                                      ps: Array[Double]): DataFrame = {
+    val vc = df.filter(x.isNotNull).groupBy(x.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // checkpoint before the range shuffle samples it (the
+    // groupedPrefixSums input-cut discipline); cache the cumulative
+    // table — its three consumers (the N aggregate and the knot join,
+    // plus the knot broadcast build) would each replay the bucketed
+    // window otherwise. cache lifetime: lazy-return op —
+    // Association.itemItemCosine's LRU note applies.
+    val cum = cumCountsFromCounts(vc.localCheckpoint(false)).cache()
+    val knots = cum.agg(sum("__c").as("__n"))
+      .select(posexplode(typedLit(ps)).as(Seq("__k", "__p")), col("__n"))
+      .select(col("__k"),
+        ((col("__n") - 1).cast("double") * col("__p")).as("__pos"))
+      .select(col("__k"), col("__pos"),
+        floor(col("__pos")).as("__lo"), ceil(col("__pos")).as("__hi"))
+    // ONE pass over cum finds both rank keys: a knot's floor/ceil ranks
+    // differ by at most 1, so the rows whose [cb, cb+c) span contains
+    // either rank satisfy cb <= hi && lo < cb+c (≤ 2 rows per knot),
+    // and the per-knot aggregate separates lowerKey from higherKey.
+    val inLo = col("__cb") <= col("__lo") &&
+      col("__lo") < col("__cb") + col("__c")
+    val inHi = col("__cb") <= col("__hi") &&
+      col("__hi") < col("__cb") + col("__c")
+    cum.join(broadcast(knots),
+        col("__cb") <= col("__hi") && col("__lo") < col("__cb") + col("__c"))
+      .groupBy(col("__k"), col("__pos"), col("__lo"), col("__hi"))
+      .agg(max(when(inLo, col("__v"))).as("__lk"),
+        max(when(inHi, col("__v"))).as("__hk"))
+      .select(col("__k"),
+        when(col("__hi") === col("__lo") || col("__hk") === col("__lk"),
+          col("__lk"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__lk") +
+              (col("__pos") - col("__lo").cast("double")) * col("__hk"))
+          .as("__bnd"))
+      .agg(collect_list(struct(col("__k"), col("__bnd"))).as("__kb"))
+      // empty input ⇒ null boundary array, matching percentile()'s
+      // null result (so the all-null-column corner is unchanged)
+      .select(when(size(col("__kb")) === 0,
+          lit(null).cast("array<double>"))
+        .otherwise(transform(array_sort(col("__kb")),
+          s => s.getField("__bnd"))).as("__bnds"))
   }
 
   /** Per-group Welch two-sample t-test: does `valueCol` differ between
@@ -988,7 +1055,14 @@ object Stats {
     }.drop("__pb")
   }
 
-  private def doubledRanksFromCounts(byV: DataFrame): DataFrame = {
+  /** Distinct-value cumulative counts — (__v, __c, __cb) where __cb is
+    * the number of rows with value strictly below __v — via the
+    * two-level bucketed prefix sum (range-shuffle buckets, per-bucket
+    * ordered window, broadcast bucket offsets): never one global
+    * single-partition sort/window. `byV` must be a (__v, __c) distinct
+    * value/count table. Shared by [[doubledRanksFromCounts]] (average
+    * ranks) and [[equiDepthHistogram]] (percentile knots). */
+  private def cumCountsFromCounts(byV: DataFrame): DataFrame = {
     val parts = byV.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = byV
       .repartitionByRange(parts, col("__v"))
@@ -1007,8 +1081,12 @@ object Stats {
       .withColumn("__lb", coalesce(sum("__c").over(wLoc), lit(0L)))
       .join(broadcast(offsets), "__b")
       .select(col("__v"), col("__c"),
-        (lit(2L) * (col("__off") + col("__lb")) + col("__c") + 1).as("__dr"))
+        (col("__off") + col("__lb")).as("__cb"))
   }
+
+  private def doubledRanksFromCounts(byV: DataFrame): DataFrame =
+    cumCountsFromCounts(byV).select(col("__v"), col("__c"),
+      (lit(2L) * col("__cb") + col("__c") + 1).as("__dr"))
 
   /** Spearman rank correlation between two integral columns — the
     * robust, monotonicity-only association measure (Pearson on average

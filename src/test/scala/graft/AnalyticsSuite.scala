@@ -396,6 +396,34 @@ class AnalyticsSuite extends SparkTestBase {
     }
   }
 
+  test("exactPercentiles: bit-identical to the builtin percentile() on " +
+      "continuous, tied, tiny, and empty inputs (r17 distributed rewrite)") {
+    import org.apache.spark.sql.functions.{col, percentile, typedLit}
+    val li = Tables.table(spark, sf0001, "lineitem")
+    val ps = (1 until 16).map(_.toDouble / 16).toArray
+    def builtin(df: org.apache.spark.sql.DataFrame, c: String) = df
+      .agg(percentile(col(c).cast("double"), typedLit(ps)).as("__bnds"))
+      .head().getSeq[Double](0)
+    def ours(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val r = Stats.exactPercentiles(df, col(c).cast("double"), ps).head()
+      if (r.isNullAt(0)) null else r.getSeq[Double](0)
+    }
+    // near-continuous doubles (many distinct values, interpolation-heavy)
+    assert(ours(li, "l_extendedprice") == builtin(li, "l_extendedprice"))
+    // heavy ties (~50 distinct quantities; knots land inside tie runs)
+    assert(ours(li, "l_quantity") == builtin(li, "l_quantity"))
+    // tiny input: n < knot count forces repeated lower==higher keys
+    val tiny = li.limit(5)
+    assert(ours(tiny, "l_extendedprice") == builtin(tiny, "l_extendedprice"))
+    // single row: every knot collapses to the one value
+    val one = li.limit(1)
+    assert(ours(one, "l_extendedprice") == builtin(one, "l_extendedprice"))
+    // empty input: both return null boundaries
+    val none = li.filter(col("l_quantity") < -1)
+    assert(builtin(none, "l_extendedprice") == null)
+    assert(ours(none, "l_extendedprice") == null)
+  }
+
   test("global-percentile 100TB dials: approx mode stays within sketch " +
       "tolerance of exact (equiDepth, quantileNormalize, perplexityBuckets)") {
     val li = Tables.table(spark, sf0001, "lineitem")
