@@ -64,7 +64,13 @@ class PlanLintSuite extends SparkTestBase {
     "q226_conformal" -> ("the broadcast side is the 1-row conformal " +
       "quantile (rank-filter over the CALIBRATION set — small by " +
       "design per conformalInterval's contract); the row bound comes " +
-      "from a filter the structural rule cannot prove"))
+      "from a filter the structural rule cannot prove"),
+    "q167_equidepth_hist" -> ("r17 distributed exact percentiles " +
+      "(Stats.exactPercentiles): the range-condition knot join's " +
+      "broadcast build is posexplode of the COMPILE-TIME literal " +
+      "percentage array over a grouping-free 1-row aggregate — " +
+      "exactly buckets−1 = 15 rows; the Generate stops boundedBuild's " +
+      "descent but explodes a literal, not data"))
     // q300_jonckheere retired r15: the grouped distributed prefix's
     // localCheckpoint cuts the plan below the grid crossJoin, so the
     // detector no longer sees it (the bounded-broadcast-grid
@@ -105,8 +111,11 @@ class PlanLintSuite extends SparkTestBase {
     "q120_mad_outliers" -> ("exact medians are inherently two-pass, " +
       "plus the outlier count pass — the documented 3-pass shape; " +
       "exact=false (t-digest) is the 100 TB dial"),
-    "q131_incremental_semdedup" -> ("standing table, new batch, and " +
-      "assignment each read the embeddings fixture"),
+    // q131_incremental_semdedup removed r17 (anti-rot): caching the
+    // batch assignment (Similarity.semDedupIncremental) collapsed the
+    // three embedding-fixture scans to one cached pass + cached reads,
+    // so the detector no longer fires — the fix the entry was excusing
+
     "q146_boilerplate_spans" -> ("induce → excise → reassemble: the " +
       "n-gram occurrence table is corpus-sized (no cheap cut) and the " +
       "induction/excision split is the frozen-index contract"),
