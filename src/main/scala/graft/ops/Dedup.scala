@@ -529,39 +529,51 @@ object Dedup {
                               minDf: Int = 3): DataFrame = {
     // r16 (guide §2.3: shuffle keys, not payloads): in the FUSED
     // induce-then-excise composition the grams are only ever compared
-    // for equality, so both passes run on the 8-byte multi-arg
-    // xxhash64 of the word slots (the repetitionScore /
-    // contaminationScore hashed-gram licensing: results differ from
-    // string grouping only on a 64-bit collision between distinct
-    // grams, ~#grams²/2⁻⁶⁴) — the ~n-word gram STRINGS are never
-    // built or shuffled on the corpus side, the df aggregate and the
-    // flag join carry (hash) instead of (gram text). The standing-
-    // table path ([[boilerplateNgrams]] + [[exciseNgrams]], the
-    // streaming frozen-index route) keeps its persistable string
+    // for equality, so both passes run on the hashed word slots (the
+    // repetitionScore / contaminationScore hashed-gram licensing) —
+    // the ~n-word gram STRINGS are never built or shuffled on the
+    // corpus side, the df aggregate and the flag join carry hashes
+    // instead of gram text. r17: the key is a two-seed 128-bit pair
+    // (see [[hashedNgramOccurrences]] for the collision bound). The
+    // standing-table path ([[boilerplateNgrams]] + [[exciseNgrams]],
+    // the streaming frozen-index route) keeps its persistable string
     // schema unchanged.
     require(minDf >= 2, "minDf < 2 would flag every gram")
     require(n >= 2, "n-gram size must be >= 2")
     val occ = hashedNgramOccurrences(docs, idCol, textCol, n)
     val boiler = occ
-      .groupBy("__h")
+      .groupBy("__h", "__h2")
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
-      .select("__h")
+      .select("__h", "__h2")
     val cuts = occ
-      .join(boiler, Seq("__h"))
+      .join(boiler, Seq("__h", "__h2"))
       .select(col("id"),
         explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("cuts"))
     reassembleExcised(docs, idCol, textCol, cuts)
   }
 
-  /** Positional hashed n-gram occurrences (id, gpos, __h) — the
+  /** Positional hashed n-gram occurrences (id, gpos, __h, __h2) — the
     * string-free twin of [[ngramOccurrences]] for fused compositions:
     * `__h` is the multi-arg xxhash64 over the n word slots (the
-    * hashedWordGrams shape), so no gram string is ever materialized. */
+    * hashedWordGrams shape), so no gram string is ever materialized.
+    *
+    * r17 (VERDICT r16 item 7): grams travel as a 128-bit PAIR — `__h2`
+    * is the same xxhash64 re-seeded by a leading constant slot — and
+    * every gram-equality site (the df aggregate, the flag join)
+    * compares both halves. A single 64-bit key has a birthday bound of
+    * ~#grams²·2⁻⁶⁴ false merges (~10⁴ expected wrong df-counts at the
+    * 10¹² distinct grams of a 100 TB corpus, each able to flag a rare
+    * gram as boilerplate); the pair drops that to ~10²⁴·2⁻¹²⁸ ≈ 10⁻¹⁵ —
+    * collision-free at any realistic scale — for 8 extra bytes per
+    * occurrence row, still ~4× narrower than the gram strings the r16
+    * change removed. */
   private def hashedNgramOccurrences(docs: DataFrame, idCol: String,
                                      textCol: String, n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
+    val slots = (0 until n).map(j =>
+      element_at(col("__ws"), col("gpos") + j + 1))
     Par.widen(docs, col(idCol))
       .select(col(idCol).as("id"), toks.as("__ws"))
       .select(col("id"), col("__ws"),
@@ -569,8 +581,8 @@ object Dedup {
           sequence(lit(0), size(col("__ws")) - n))
           .otherwise(array().cast("array<int>"))).as("gpos"))
       .select(col("id"), col("gpos"),
-        xxhash64((0 until n).map(j =>
-          element_at(col("__ws"), col("gpos") + j + 1)): _*).as("__h"))
+        xxhash64(slots: _*).as("__h"),
+        xxhash64(lit(1L) +: slots: _*).as("__h2"))
   }
 
   /** Shared excision reassembly: drop the cut positions from each doc's

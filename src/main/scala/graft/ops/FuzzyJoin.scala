@@ -40,13 +40,23 @@ object FuzzyJoin {
     * S = defaultParallelism tasks. Each unordered pair still meets
     * exactly once (one matching band × one matching salt); salt
     * replication multiplies only the id+string probe rows, never the
-    * candidate-pair volume, and S scales with the session rather than
-    * any hard-coded core count. */
+    * candidate-pair volume.
+    *
+    * r17 (VERDICT r16 item 3): S is CAPPED at 64. The probe side is
+    * replicated ×S unconditionally, so an uncapped
+    * S = defaultParallelism made probe shuffle volume grow linearly
+    * with cluster size (10⁴–10⁵ slots at 100 TB) even on a skew-free
+    * corpus. The salt only needs to split the largest band across
+    * enough tasks to keep the quadratic confirm off one core; 64
+    * splits of a degenerate single band is ample granularity for AQE
+    * to balance, and the replication bound is then a constant 64×
+    * of (id, string, band) rows — independent of cluster size. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val w = maxDist + 1
-    val salts = df.sparkSession.sparkContext.defaultParallelism
+    val salts =
+      math.min(df.sparkSession.sparkContext.defaultParallelism, 64)
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"),
       floor(length(col(strCol)) / w).cast("int").as("bk"))
     val probe = base.select(col("id"), col("s"),

@@ -24,7 +24,17 @@ object Par {
     * fewer partitions than that. `by` should be a well-distributed key
     * (a document id); hash repartition is used rather than round-robin
     * to avoid the sort-before-repartition pass and keep the placement
-    * deterministic under task retry (guide §2.5). */
+    * deterministic under task retry (guide §2.5).
+    *
+    * HAZARD (ADVICE r16): the partition-count probe goes through
+    * `df.rdd`, which under AQE forces `getFinalPhysicalPlan` — if `df`
+    * contains un-materialized SHUFFLE stages they execute eagerly in a
+    * throwaway QueryExecution whose work the real action does not
+    * reuse, and on a STREAMING DataFrame `.rdd` throws AnalysisException
+    * outright. Call widen() only on scan-level / cached /
+    * already-materialized inputs (every current call site: raw parquet
+    * scans, cached frames, foreachBatch batches) — not on arbitrary
+    * lazily-built frames. */
   def widen(df: DataFrame, by: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df

@@ -25,6 +25,13 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns.toSeq
+    // ADVICE r16: a zero-column frame has nothing to profile (and no
+    // column to widen by) — return the empty profile the pre-r16 code
+    // produced instead of NoSuchElementException on cols.head.
+    if (cols.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Option[String],
+          Option[String])]
+        .toDF("column", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__cnt_$c"),
